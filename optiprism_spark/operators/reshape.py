@@ -1,0 +1,104 @@
+"""Result reshaping — merge / pivot / unpivot / top-N series / renames.
+
+Re-expresses the reference's chart-formatting operator chain
+(SURVEY §2.8-2.10): MergeNode (logical_plan/merge.rs:21-115),
+UnpivotNode (logical_plan/unpivot.rs:22-144), PivotNode
+(logical_plan/pivot.rs:20-151), AggregateAndSortColumnsNode
+(logical_plan/aggregate_columns.rs:23-120), LimitGroupsNode
+(logical_plan/limit_groups.rs:17-104), RenameColumnsNode /
+RenameColumnRowsNode / ReorderColumnsNode / AddStringColumnNode.
+All are native DataFrame expressions — none needed a custom operator.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_frames(dfs: Sequence[DataFrame], names: Optional[Sequence[str]] = None,
+                 name_col: str = "event") -> DataFrame:
+    """n-ary UNION by column name with schema merge (missing cols →
+    null) + optional discriminator column.
+
+    Reference MergeNode/MergeExec (query/src/logical_plan/merge.rs:21-115).
+    """
+    if names is not None:
+        dfs = [df.select(F.lit(n).alias(name_col), "*") for df, n in zip(dfs, names)]
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def unpivot_metrics(df: DataFrame, id_cols: Sequence[str], value_cols: Sequence[str],
+                    name_col: str = "agg_name", value_col: str = "value") -> DataFrame:
+    """Melt metric columns into (agg_name, value) rows, values cast to
+    Decimal(28,16) like the reference (physical_plan/unpivot.rs:71-587)."""
+    casted = df.select(
+        *id_cols, *[F.col(c).cast("decimal(28,16)").alias(c) for c in value_cols]
+    )
+    return casted.unpivot(list(id_cols), list(value_cols), name_col, value_col)
+
+
+def pivot_buckets(df: DataFrame, dims: Sequence[str], bucket_col: str,
+                  buckets: Sequence, value_col: str = "value",
+                  fill: float = 0) -> DataFrame:
+    """Pivot time buckets into one column per bucket with an explicit
+    bucket list (single pass — no extra distinct scan) and null→0 fill,
+    matching reference PivotNode (result_cols pre-computed from the
+    query time range, common/src/query.rs:464-482)."""
+    out = df.groupBy(*dims).pivot(bucket_col, list(buckets)).agg(F.first(value_col))
+    return out.fillna(fill, subset=[c for c in out.columns if c not in dims])
+
+
+def add_average_and_sort(df: DataFrame, metric_cols: Sequence[str],
+                         avg_col: str = "Average") -> DataFrame:
+    """Row-wise mean of the per-bucket metric columns + sort desc —
+    reference AggregateAndSortColumnsNode (aggregate_columns.rs:23-120)."""
+    n = len(metric_cols)
+    s = reduce(lambda a, b: a + b, [F.coalesce(F.col(c), F.lit(0)) for c in metric_cols])
+    return df.withColumn(avg_col, (s / F.lit(n)).cast("double")).orderBy(F.desc(avg_col))
+
+
+def limit_groups(df: DataFrame, group_cols: Sequence[str], limit: int = 50,
+                 order_col: Optional[str] = None) -> DataFrame:
+    """Keep rows belonging to the first `limit` distinct group tuples
+    (top-N chart series) — reference LimitGroupsNode
+    (logical_plan/limit_groups.rs:17-104, default 50 series).
+
+    dense_rank over the group keys; a deterministic order column should
+    be supplied (e.g. the Average column) — falls back to key order.
+    """
+    order = [F.desc(order_col)] if order_col else [F.col(c) for c in group_cols]
+    w = Window.orderBy(*order, *[F.col(c) for c in group_cols])
+    return (
+        df.withColumn("__rk", F.dense_rank().over(w))
+        .filter(F.col("__rk") <= limit)
+        .drop("__rk")
+    )
+
+
+def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Reference RenameColumnsNode."""
+    return df.withColumnsRenamed(mapping)
+
+
+def rename_column_rows(df: DataFrame, col: str, mapping: dict) -> DataFrame:
+    """Remap values inside one column — reference RenameColumnRowsNode."""
+    expr = None
+    for old, new in mapping.items():
+        cond = F.col(col) == F.lit(old)
+        expr = F.when(cond, F.lit(new)) if expr is None else expr.when(cond, F.lit(new))
+    return df.withColumn(col, expr.otherwise(F.col(col)))
+
+
+def reorder_columns(df: DataFrame, first: Sequence[str]) -> DataFrame:
+    """Put the given columns first — reference ReorderColumnsNode."""
+    rest = [c for c in df.columns if c not in first]
+    return df.select(*first, *rest)
+
+
+def add_string_column(df: DataFrame, name: str, value: str) -> DataFrame:
+    """Prepend a constant column — reference AddStringColumnNode."""
+    return df.select(F.lit(value).alias(name), "*")

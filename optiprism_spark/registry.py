@@ -1,0 +1,36 @@
+"""Query registry: named (spark, sf_dir) -> DataFrame callables plus
+their DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 registers here via the
+``@query`` decorator; ``__spark_entry__`` re-exports the two dicts for
+the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: Optional[str] = None):
+    """Register a query; ``oracle=None`` => non-SQL-expressible op
+    (driver records a rows-only check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# Suites self-register on import (order = SURVEY §2 section order).
+# Extend this list as suites are added — no try/except, a broken suite
+# module must fail loudly.
+from .suites import segmentation  # noqa: E402,F401

@@ -1,0 +1,92 @@
+"""Data model: type mapping and table catalog.
+
+The reference's user-facing type system (``DType``, reference
+common/src/types.rs:126-137) maps onto Spark types 1:1; its events
+table is one wide, append-only fact table scanned by every analytics
+query (reference common/src/types.rs:20). Here the driver-provided
+parquet tables play that role.
+
+At 100 TB the events table should be written date-partitioned
+(``.partitionBy(F.to_date("ts"))``) and optionally bucketed by
+``user_id`` so sequence operators (funnel) avoid a shuffle; readers
+here take plain parquet paths and rely on Catalyst pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: reference DType -> Spark type (SURVEY §1.2; reference common/src/types.rs:126-137)
+DTYPE_TO_SPARK = {
+    "string": T.StringType(),
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "decimal": T.DecimalType(28, 16),  # reference DECIMAL_PRECISION/SCALE, types.rs:14-16
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),  # ms in the reference; Spark is µs — superset
+}
+
+#: display rounding for decimal metrics (reference ROUND_DIGITS, types.rs:17)
+ROUND_DIGITS = 3
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Events-table column roles (driver testdata schema; the reference's
+# system columns project_id/group_0..4/created_at/event map onto these:
+# user_id ≙ group_0, ts ≙ created_at, event_type ≙ event).
+EVENT_TIME_COL = "ts"
+EVENT_USER_COL = "user_id"
+EVENT_NAME_COL = "event_type"
+EVENT_ID_COL = "event_id"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # runtime-set for sessions not built by session.get_spark (e.g. the
+    # driver's own session): events.parquet carries TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as long (see session.py
+    # nanosAsLong); floor-convert to µs timestamps — the same
+    # truncation DuckDB applies reading nanos into its µs timestamps.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == EVENT_TIME_COL and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL API path)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the analytics workload.
+
+Local mode for tests/bench; the same configs are the right defaults on
+a real cluster (AQE on, Arrow on, UTC, shuffle partitions sized to
+parallelism instead of the 200 default).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "optiprism_spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    On a real cluster, drop ``master`` and let spark-submit set it; every
+    other config below is cluster-appropriate:
+
+    - AQE enabled: runtime coalescing of small shuffle partitions and
+      skew-join splitting — the 100 TB safety net for skewed user_ids.
+    - ``spark.sql.shuffle.partitions`` sized to local parallelism here;
+      on a cluster AQE's coalescing makes the initial number forgiving.
+    - Arrow enabled for the pandas-UDF path (funnel) — batched columnar
+      transfer instead of per-row pickling.
+    - UTC session timezone so timestamp semantics match the oracle
+      (DuckDB is UTC-naive).
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark refuses;
+        # read as long and convert at load (schema.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,451 @@
+"""Event-segmentation oracle suite — the aggregate matrix.
+
+Mirrors the reference's differential test sweep (tests/queries/
+test_aggregate.py / test_partitioned_aggregate.py vs ClickHouse,
+SURVEY §5): every aggregate kind × bucketing interval × filter shape,
+run through the engine's DataFrame builder and checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ..dsl import (
+    AggFn,
+    EventFilterSpec,
+    EventQuery,
+    EventRef,
+    EventSegmentationRequest,
+    PropFilter,
+    PropOp,
+    PropertyRef,
+    QueryTime,
+    SegQuery,
+    TimeIntervalUnit,
+)
+from ..operators.aggregates import DECIMAL_T, event_segmentation_one
+from ..operators.reshape import merge_frames
+from ..registry import query
+from ..schema import load_table
+from . import _sql as S
+
+_FULL = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+_MID = QueryTime.between(dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20, 23, 59, 59))
+
+
+def _seg(spark, sf_dir, req, eq, **kw):
+    return event_segmentation_one(load_table(spark, sf_dir, "events"), req, eq, **kw)
+
+
+# ------------------------------------------------------------------ CountEvents
+
+@query(
+    "seg_count_daily_by_type",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket, event_type, COUNT(*) AS n
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1, 2
+    """,
+)
+def seg_count_daily_by_type(spark, sf_dir):
+    """CountEvents per day, breakdown by event name (reference
+    Query::CountEvents, common/src/event_segmentation.rs:57-77)."""
+    req = EventSegmentationRequest(
+        time=_FULL,
+        interval=TimeIntervalUnit.DAY,
+        events=[],
+        breakdowns=[PropertyRef.column("event_type")],
+    )
+    eq = EventQuery(EventRef(), [SegQuery("count_events", alias="n")])
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_count_hourly_purchase",
+    oracle=f"""
+    SELECT {S.bucket('hour')} AS bucket, COUNT(*) AS n
+    FROM events WHERE {S.ts_between(*S.T_MID)} AND event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def seg_count_hourly_purchase(spark, sf_dir):
+    req = EventSegmentationRequest(time=_MID, interval=TimeIntervalUnit.HOUR, events=[])
+    eq = EventQuery(EventRef("purchase"), [SegQuery("count_events", alias="n")])
+    return _seg(spark, sf_dir, req, eq)
+
+
+# ------------------------------------------------------------ AggregateProperty
+
+@query(
+    "seg_sum_value_daily_by_type",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket, event_type, {S.sum_exact('value')} AS sum_value
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1, 2
+    """,
+)
+def seg_sum_value_daily_by_type(spark, sf_dir):
+    req = EventSegmentationRequest(
+        time=_FULL,
+        interval=TimeIntervalUnit.DAY,
+        events=[],
+        breakdowns=[PropertyRef.column("event_type")],
+    )
+    eq = EventQuery(
+        EventRef(),
+        [SegQuery("aggregate_property", agg=AggFn.SUM, prop=PropertyRef.column("value"), alias="sum_value")],
+    )
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_multi_agg_weekly",
+    oracle=f"""
+    SELECT {S.bucket('week')} AS bucket,
+           {S.avg_exact('value')} AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(value) AS cnt_value
+    FROM events WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def seg_multi_agg_weekly(spark, sf_dir):
+    """avg/min/max/count of a numeric property per week bucket."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.WEEK, events=[])
+    v = PropertyRef.column("value")
+    eq = EventQuery(
+        EventRef("purchase"),
+        [
+            SegQuery("aggregate_property", agg=AggFn.AVG, prop=v, alias="avg_value"),
+            SegQuery("aggregate_property", agg=AggFn.MIN, prop=v, alias="min_value"),
+            SegQuery("aggregate_property", agg=AggFn.MAX, prop=v, alias="max_value"),
+            SegQuery("aggregate_property", agg=AggFn.COUNT, prop=v, alias="cnt_value"),
+        ],
+    )
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_percentiles_by_type",
+    oracle=f"""
+    SELECT event_type,
+           median(value) AS med_value,
+           quantile_cont(value, 0.25) AS p25_value,
+           quantile_cont(value, 0.90) AS p90_value,
+           COUNT(DISTINCT value) AS dc_value
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1
+    """,
+)
+def seg_percentiles_by_type(spark, sf_dir):
+    """Median / exact percentiles / distinct count — declared in the
+    reference DSL but unimplemented there (common/src/query.rs:41-47);
+    native in Spark so implemented here."""
+    from ..exprs import full_filter
+
+    events = load_table(spark, sf_dir, "events")
+    cond = full_filter(time=_FULL)
+    return (
+        events.filter(cond)
+        .groupBy("event_type")
+        .agg(
+            F.median("value").alias("med_value"),
+            F.percentile("value", F.lit(0.25)).alias("p25_value"),
+            F.percentile("value", F.lit(0.90)).alias("p90_value"),
+            F.count_distinct("value").alias("dc_value"),
+        )
+    )
+
+
+# ------------------------------------------------- distinct users (DAU/WAU/MAU)
+
+@query(
+    "seg_dau",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket, COUNT(DISTINCT user_id) AS dau
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1
+    """,
+)
+def seg_dau(spark, sf_dir):
+    """DailyActiveGroups (reference event_segmentation.rs:866-926)."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.DAY, events=[])
+    eq = EventQuery(EventRef(), [SegQuery("count_unique_groups", alias="dau")])
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_wau",
+    oracle=f"""
+    SELECT {S.bucket('week')} AS bucket, COUNT(DISTINCT user_id) AS wau
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1
+    """,
+)
+def seg_wau(spark, sf_dir):
+    """WeeklyActiveGroups — unimplemented!() in the reference
+    (query/src/event_segmentation.rs:885-886); implemented here."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.WEEK, events=[])
+    eq = EventQuery(EventRef(), [SegQuery("weekly_active_groups", alias="wau")])
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_mau",
+    oracle=f"""
+    SELECT {S.bucket('month')} AS bucket, COUNT(DISTINCT user_id) AS mau
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1
+    """,
+)
+def seg_mau(spark, sf_dir):
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.MONTH, events=[])
+    eq = EventQuery(EventRef(), [SegQuery("monthly_active_groups", alias="mau")])
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_dau_by_week",
+    oracle=f"""
+    SELECT {S.bucket('week')} AS bucket,
+           COUNT(DISTINCT (user_id, {S.bucket('day')})) AS active_days
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1
+    """,
+)
+def seg_dau_by_week(spark, sf_dir):
+    """DailyActiveGroups under a weekly chart: distinct (user, day)
+    pairs per week bucket."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.WEEK, events=[])
+    eq = EventQuery(EventRef(), [SegQuery("daily_active_groups", alias="active_days")])
+    return _seg(spark, sf_dir, req, eq)
+
+
+# ------------------------------------------------------ two-level per-user aggs
+
+@query(
+    "seg_count_per_user_avg",
+    oracle=f"""
+    SELECT bucket, {S.avg_exact('x')} AS cpg
+    FROM (
+      SELECT {S.bucket('day')} AS bucket, user_id, COUNT(*) AS x
+      FROM events WHERE {S.ts_between(*S.T_FULL)}
+      GROUP BY 1, 2
+    ) GROUP BY bucket
+    """,
+)
+def seg_count_per_user_avg(spark, sf_dir):
+    """CountPerGroup{avg}: per-user event count, averaged over users
+    (reference PartitionedCount, partitioned/count.rs:59-571)."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.DAY, events=[])
+    eq = EventQuery(
+        EventRef(), [SegQuery("count_per_group", agg=AggFn.AVG, alias="cpg")]
+    )
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_sum_per_user_outer",
+    oracle=f"""
+    SELECT bucket,
+           {S.avg_exact('x')} AS avg_user_rev,
+           MAX(x) AS max_user_rev,
+           {S.sum_exact('x')} AS sum_user_rev
+    FROM (
+      SELECT {S.bucket('day')} AS bucket, user_id, {S.sum_exact('value')} AS x
+      FROM events
+      WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'purchase'
+      GROUP BY 1, 2
+    ) GROUP BY bucket
+    """,
+)
+def seg_sum_per_user_outer(spark, sf_dir):
+    """AggregatePropertyPerGroup: inner sum(value) per user, outer
+    avg/max/sum over users (reference PartitionedAggregate,
+    partitioned/aggregate.rs:83-1126)."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.DAY, events=[])
+    v = PropertyRef.column("value")
+    eq = EventQuery(
+        EventRef("purchase"),
+        [
+            SegQuery("aggregate_property_per_group", agg=AggFn.AVG, inner_agg=AggFn.SUM, prop=v, alias="avg_user_rev"),
+            SegQuery("aggregate_property_per_group", agg=AggFn.MAX, inner_agg=AggFn.SUM, prop=v, alias="max_user_rev"),
+            SegQuery("aggregate_property_per_group", agg=AggFn.SUM, inner_agg=AggFn.SUM, prop=v, alias="sum_user_rev"),
+        ],
+    )
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_mixed_levels",
+    oracle=f"""
+    WITH f AS (
+      SELECT {S.bucket('week')} AS bucket, user_id, value
+      FROM events WHERE {S.ts_between(*S.T_FULL)} AND event_type IN ('view', 'click')
+    ),
+    simple AS (
+      SELECT bucket, COUNT(*) AS n, {S.sum_exact('value')} AS sum_v
+      FROM f GROUP BY 1
+    ),
+    two_level AS (
+      SELECT bucket, {S.avg_exact('x')} AS avg_per_user
+      FROM (SELECT bucket, user_id, COUNT(*) AS x FROM f GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT simple.bucket AS bucket, n, sum_v, avg_per_user
+    FROM simple JOIN two_level ON simple.bucket = two_level.bucket
+    """,
+)
+def seg_mixed_levels(spark, sf_dir):
+    """Single-level and two-level metrics in one request — exercises
+    the join-on-group-keys path of event_segmentation_one."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.WEEK, events=[])
+    eq = EventQuery(
+        EventRef(custom=[
+            EventFilterSpec(EventRef("view")),
+            EventFilterSpec(EventRef("click")),
+        ]),
+        [
+            SegQuery("count_events", alias="n"),
+            SegQuery("aggregate_property", agg=AggFn.SUM, prop=PropertyRef.column("value"), alias="sum_v"),
+            SegQuery("count_per_group", agg=AggFn.AVG, alias="avg_per_user"),
+        ],
+    )
+    return _seg(spark, sf_dir, req, eq)
+
+
+# ------------------------------------------------------------- filters & events
+
+@query(
+    "seg_filter_json_prop",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket, COUNT(*) AS n
+    FROM events
+    WHERE {S.ts_between(*S.T_FULL)}
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY 1
+    """,
+)
+def seg_filter_json_prop(spark, sf_dir):
+    """Filter on a JSON property (the reference materializes properties
+    as physical columns; unmaterialized ones map to JSON extraction)."""
+    req = EventSegmentationRequest(
+        time=_FULL,
+        interval=TimeIntervalUnit.DAY,
+        events=[],
+        filters=[PropFilter(PropertyRef.json("k", "int64"), PropOp.GTE, [50])],
+    )
+    eq = EventQuery(EventRef(), [SegQuery("count_events", alias="n")])
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_filter_ops",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE {S.ts_between(*S.T_FULL)}
+      AND (event_type LIKE '%u%' OR event_type LIKE 'cl%')
+      AND regexp_matches(event_type, '^(s|c|p)')
+      AND event_type <> 'error'
+      AND value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def seg_filter_ops(spark, sf_dir):
+    """LIKE / regex / NEQ / EXISTS property operators (reference
+    query/src/expr.rs:299-391 full PropValueOperation set)."""
+    req = EventSegmentationRequest(
+        time=_FULL,
+        interval=TimeIntervalUnit.DAY,
+        events=[],
+        filters=[
+            PropFilter(PropertyRef.column("event_type"), PropOp.LIKE, ["%u%", "cl%"]),
+            PropFilter(PropertyRef.column("event_type"), PropOp.REGEX, ["^(s|c|p)"]),
+            PropFilter(PropertyRef.column("event_type"), PropOp.NEQ, ["error"]),
+            PropFilter(PropertyRef.column("value"), PropOp.EXISTS),
+        ],
+        breakdowns=[PropertyRef.column("event_type")],
+    )
+    eq = EventQuery(EventRef(), [SegQuery("count_events", alias="n")])
+    out = _seg(spark, sf_dir, req, eq)
+    return out.groupBy("event_type").agg(F.sum("n").alias("n"))
+
+
+@query(
+    "seg_custom_event",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket, COUNT(*) AS n
+    FROM events
+    WHERE {S.ts_between(*S.T_FULL)}
+      AND (event_type = 'signup'
+           OR (event_type = 'purchase' AND value > 100))
+    GROUP BY 1
+    """,
+)
+def seg_custom_event(spark, sf_dir):
+    """Custom event = OR of member events with their own filters
+    (reference query/src/expr.rs:60-115 recursive expansion)."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.DAY, events=[])
+    custom = EventRef(custom=[
+        EventFilterSpec(EventRef("signup")),
+        EventFilterSpec(
+            EventRef("purchase"),
+            [PropFilter(PropertyRef.column("value"), PropOp.GT, [100])],
+        ),
+    ])
+    eq = EventQuery(custom, [SegQuery("count_events", alias="n")])
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_breakdown_json_prop",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n, {S.sum_exact('value')} AS sum_v
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1
+    """,
+)
+def seg_breakdown_json_prop(spark, sf_dir):
+    """Breakdown by a derived JSON property."""
+    from ..exprs import full_filter, prop_col
+
+    events = load_table(spark, sf_dir, "events")
+    k = prop_col(PropertyRef.json("k", "int64")) % 10
+    return (
+        events.filter(full_filter(time=_FULL))
+        .groupBy(k.alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DECIMAL_T)).cast("double").alias("sum_v"),
+        )
+    )
+
+
+# ------------------------------------------------------------ multi-event merge
+
+@query(
+    "seg_multi_event_merge",
+    oracle=f"""
+    SELECT 'signup' AS event, {S.bucket('day')} AS bucket, COUNT(*) AS n
+    FROM events WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'signup'
+    GROUP BY 2
+    UNION ALL
+    SELECT 'purchase' AS event, {S.bucket('day')} AS bucket, COUNT(*) AS n
+    FROM events WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'purchase'
+    GROUP BY 2
+    """,
+)
+def seg_multi_event_merge(spark, sf_dir):
+    """Per-event plans combined with MergeNode + event discriminator
+    column (reference logical_plan/merge.rs:21-115, SURVEY §2.9)."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.DAY, events=[])
+    dfs = [
+        _seg(spark, sf_dir, req, EventQuery(EventRef(name), [SegQuery("count_events", alias="n")]))
+        for name in ("signup", "purchase")
+    ]
+    return merge_frames(dfs, names=["signup", "purchase"])
