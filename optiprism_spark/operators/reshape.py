@@ -32,11 +32,14 @@ def merge_frames(dfs: Sequence[DataFrame], names: Optional[Sequence[str]] = None
 
 
 def unpivot_metrics(df: DataFrame, id_cols: Sequence[str], value_cols: Sequence[str],
-                    name_col: str = "agg_name", value_col: str = "value") -> DataFrame:
+                    name_col: str = "agg_name", value_col: str = "value",
+                    decimal_t: str = "decimal(28,6)") -> DataFrame:
     """Melt metric columns into (agg_name, value) rows, values cast to
-    Decimal(28,16) like the reference (physical_plan/unpivot.rs:71-587)."""
+    a common decimal like the reference's Decimal(28,16)
+    (physical_plan/unpivot.rs:71-587; scale-6 rationale at
+    operators/aggregates.DECIMAL_T)."""
     casted = df.select(
-        *id_cols, *[F.col(c).cast("decimal(28,16)").alias(c) for c in value_cols]
+        *id_cols, *[F.col(c).cast(decimal_t).alias(c) for c in value_cols]
     )
     return casted.unpivot(list(id_cols), list(value_cols), name_col, value_col)
 
@@ -58,7 +61,10 @@ def add_average_and_sort(df: DataFrame, metric_cols: Sequence[str],
     reference AggregateAndSortColumnsNode (aggregate_columns.rs:23-120)."""
     n = len(metric_cols)
     s = reduce(lambda a, b: a + b, [F.coalesce(F.col(c), F.lit(0)) for c in metric_cols])
-    return df.withColumn(avg_col, (s / F.lit(n)).cast("double")).orderBy(F.desc(avg_col))
+    # exact (decimal/int) row-sum cast to double, then ONE double
+    # division — deterministic and oracle-reproducible
+    avg = (s.cast("double") / F.lit(float(n))).cast("double")
+    return df.withColumn(avg_col, avg).orderBy(F.desc(avg_col))
 
 
 def limit_groups(df: DataFrame, group_cols: Sequence[str], limit: int = 50,

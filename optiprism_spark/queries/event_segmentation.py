@@ -1,0 +1,123 @@
+"""Event-segmentation query lifecycle — the chart-ready pipeline.
+
+Reproduces the reference's logical-plan chain (SURVEY §3.1 step 4,
+query/src/event_segmentation.rs:245-454):
+
+    scan → filter → [segment semi-join] → partitioned aggregate
+    → [unpivot → pivot(bucket columns) → rename] → average+sort
+    → limit top-N series → merge events (+`event` column)
+
+Two output formats, as in the reference (`Format::Regular` vs
+`Format::Compact`, query/src/context.rs:4-9):
+
+- ``compact``: long format — one row per (bucket, breakdowns),
+  metric columns as-is. This is the analytics-friendly shape and the
+  one the differential oracle checks.
+- ``regular``: chart format — one row per (event, breakdowns, metric),
+  one column per time bucket, plus an ``Average`` column, rows sorted
+  by it, capped at the top 50 series (reference LimitGroups default).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dsl import EventSegmentationRequest, TimeIntervalUnit
+from ..operators.aggregates import BUCKET_COL, _query_alias, event_segmentation_one
+from ..operators.reshape import (
+    add_average_and_sort,
+    limit_groups,
+    merge_frames,
+    pivot_buckets,
+    unpivot_metrics,
+)
+
+SERIES_LIMIT = 50  # reference event_segmentation.rs:723-730
+
+
+def expected_buckets(req: EventSegmentationRequest) -> list:
+    """Pre-compute the pivot's bucket list from the query time range
+    (reference common/src/query.rs:464-482 result_cols) — avoids a
+    second pass over the data to discover distinct buckets."""
+    start, end = req.time.range()
+    if start is None or end is None:
+        raise ValueError("regular format needs a bounded time range")
+    unit = req.interval
+    out = []
+    cur = _truncate(start, unit)
+    while cur <= end:
+        out.append(cur.date() if unit in (TimeIntervalUnit.DAY, TimeIntervalUnit.WEEK,
+                                          TimeIntervalUnit.MONTH, TimeIntervalUnit.YEAR) else cur)
+        cur = _advance(cur, unit)
+    return out
+
+
+def _truncate(ts: dt.datetime, unit: TimeIntervalUnit) -> dt.datetime:
+    if unit == TimeIntervalUnit.WEEK:  # ISO Monday start (reference common/src/query.rs:496-501)
+        d = ts.date() - dt.timedelta(days=ts.weekday())
+        return dt.datetime(d.year, d.month, d.day)
+    parts = dict(second=ts.replace(microsecond=0),
+                 minute=ts.replace(second=0, microsecond=0),
+                 hour=ts.replace(minute=0, second=0, microsecond=0),
+                 day=ts.replace(hour=0, minute=0, second=0, microsecond=0),
+                 month=ts.replace(day=1, hour=0, minute=0, second=0, microsecond=0),
+                 year=ts.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0))
+    return parts[unit.value]
+
+
+def _advance(ts: dt.datetime, unit: TimeIntervalUnit) -> dt.datetime:
+    if unit == TimeIntervalUnit.MONTH:
+        y, m = (ts.year + 1, 1) if ts.month == 12 else (ts.year, ts.month + 1)
+        return ts.replace(year=y, month=m)
+    if unit == TimeIntervalUnit.YEAR:
+        return ts.replace(year=ts.year + 1)
+    step = dict(second=1, minute=60, hour=3600, day=86400, week=604800)[unit.value]
+    return ts + dt.timedelta(seconds=step)
+
+
+def run_event_segmentation(
+    events: DataFrame,
+    req: EventSegmentationRequest,
+    fmt: str = "compact",
+    series_limit: int = SERIES_LIMIT,
+    segment_users: Optional[dict[str, DataFrame]] = None,
+) -> DataFrame:
+    """Execute a full event-segmentation request.
+
+    ``segment_users``: optional {segment_name: DataFrame[group_col]}
+    produced by operators.segments; each segment yields its own copy
+    of every series (reference SegmentedAggregate one-output-per-
+    segment, SURVEY §2.4).
+    """
+    per_event: list[DataFrame] = []
+    names: list[str] = []
+    for ei, eq in enumerate(req.events):
+        segs = segment_users.items() if segment_users else [(None, None)]
+        for seg_name, seg_df in segs:
+            long_df = event_segmentation_one(
+                events, req, eq, event_idx=ei, segment_users=seg_df, segment_name=seg_name
+            )
+            if fmt == "compact":
+                per_event.append(long_df)
+            else:
+                per_event.append(_to_chart(long_df, req, ei, eq, series_limit))
+        names.append(eq.event.name or f"event_{ei}")
+
+    if len(per_event) == 1:
+        return per_event[0]
+    return merge_frames(per_event, names=names if len(req.events) > 1 else None)
+
+
+def _to_chart(long_df: DataFrame, req: EventSegmentationRequest, ei, eq, series_limit: int) -> DataFrame:
+    metric_aliases = [_query_alias(ei, qi, q) for qi, q in enumerate(eq.queries)]
+    dims = [c for c in long_df.columns if c != BUCKET_COL and c not in metric_aliases]
+    melted = unpivot_metrics(long_df, [BUCKET_COL] + dims, metric_aliases)
+    buckets = expected_buckets(req)
+    wide = pivot_buckets(melted, dims + ["agg_name"], BUCKET_COL, buckets)
+    bucket_cols = [c for c in wide.columns if c not in dims and c != "agg_name"]
+    wide = add_average_and_sort(wide, bucket_cols)
+    return limit_groups(wide, dims + ["agg_name"], series_limit, order_col="Average")
