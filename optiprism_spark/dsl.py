@@ -287,6 +287,9 @@ class FunnelTouch(str, Enum):
 class FunnelStep:
     events: Sequence[EventFilterSpec]
     order: StepOrder = StepOrder.EXACT
+    #: for Any order: step-index ranges whose events may satisfy this
+    #: step (reference StepOrder::Any(Vec<(usize,usize)>))
+    any_ranges: Sequence[tuple[int, int]] = ()
 
 
 @dataclass(frozen=True)

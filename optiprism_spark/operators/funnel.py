@@ -1,0 +1,336 @@
+"""Funnel — per-user sequential state machine via ``applyInPandas``.
+
+The reference's flagship operator (SURVEY §2.5): a greedy state
+machine over each user's time-ordered event stream
+(query/src/physical_plan/expressions/aggregate/partitioned/funnel/
+funnel.rs:457-660), with conversion windows, Exact/Any step order,
+excludes, holding constants, count modes and drop-off filters.
+
+No composition of built-in Spark operators expresses the greedy
+restart semantics (window expiry flushes the attempt and re-seeds
+from the current row; excludes/constants reset and REPROCESS the
+row), so this is the honest ``applyInPandas`` case: Spark plans the
+scan/filter/shuffle declaratively, and a vectorized per-user pandas
+kernel runs the sequential scan.
+
+Scale design (100 TB):
+- The kernel only sees *funnel-relevant* rows: the input is
+  pre-filtered to rows matching any step or exclude expression —
+  typically a tiny fraction of the stream — and only the needed
+  columns (Catalyst prunes the parquet scan accordingly).
+- ``groupBy(user).applyInPandas`` shuffles once on the user key
+  (AQE handles skew); if the table is bucketed by user at write time
+  the shuffle is elided.
+- Output is one row per *attempt* (≪ input rows); the per-step
+  report aggregation is declarative Spark on that small frame.
+
+Semantics mirrored from the reference, with two deliberate fixes:
+- Ranged excludes: the reference's check_exclude (funnel.rs:144-166)
+  `break`s out before testing a ranged exclude, making step-ranged
+  excludes dead code. We implement the declared semantics: an
+  exclude with steps (from, to) fires while the machine is seeking a
+  step in [from, to].
+- avg_time_to_convert: the reference finalize multiplies the mean by
+  100 (funnel.rs:795-805, same pattern as the ratio columns — a
+  display artifact). We report the plain mean in milliseconds.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..dsl import (
+    FunnelCountMode,
+    FunnelFilter,
+    FunnelRequest,
+    FunnelTouch,
+    StepOrder,
+)
+from ..exprs import event_spec_expression, full_filter, multi_or, prop_col
+from ..schema import EVENT_ID_COL, EVENT_TIME_COL, EVENT_USER_COL
+
+SESSION_GAP_MS = 30 * 60 * 1000  # Session count-mode gap (Session Begin heuristic)
+
+
+def _attempt_schema(req: FunnelRequest, bd_types: list[T.DataType]) -> T.StructType:
+    k = len(req.steps)
+    fields = [
+        T.StructField(EVENT_USER_COL, T.LongType()),
+        *[
+            T.StructField(b.name, t)
+            for b, t in zip(req.breakdowns, bd_types)
+        ],
+        T.StructField("steps_completed", T.IntegerType()),
+        T.StructField("is_completed", T.BooleanType()),
+        T.StructField("attempt_ts", T.LongType()),  # touch-attributed, epoch µs
+    ]
+    fields += [T.StructField(f"ts_{i}", T.LongType()) for i in range(k)]
+    return T.StructType(fields)
+
+
+def _is_completed(steps_completed: int, k: int, flt: Optional[FunnelFilter], ts: list) -> bool:
+    """Reference Group::push_result filter semantics (funnel.rs:185-207)."""
+    if flt is None:
+        return steps_completed == k
+    if flt.kind == "drop_off_on_any_step":
+        return steps_completed != k
+    if flt.kind == "drop_off_on_step":
+        return steps_completed - 1 == flt.step
+    if flt.kind == "time_to_convert":
+        if steps_completed != k:
+            return False
+        diff_ms = (ts[k - 1] - ts[0]) / 1000
+        return flt.min_ms <= diff_ms <= flt.max_ms
+    raise ValueError(flt.kind)
+
+
+def _run_machine(
+    ts: np.ndarray,
+    steps: list[np.ndarray],
+    excludes: list[tuple[np.ndarray, Optional[tuple[int, int]]]],
+    consts: list[np.ndarray],
+    step_orders: list,
+    window_us: int,
+    k: int,
+    flt: Optional[FunnelFilter],
+    unique: bool,
+) -> list[tuple[int, bool, list]]:
+    """Greedy scan over one partition's rows → list of attempts
+    (steps_completed, is_completed, [ts_0..ts_{k-1} or None]).
+
+    Faithful to the reference evaluate loop (funnel.rs:457-660):
+    - window expiry: flush attempt, reset, SAME row continues at step 0
+    - exclude/constant violation: reset WITHOUT flushing, reprocess row
+    - completion: flush; Unique mode stops the partition
+    """
+    n = len(ts)
+    out: list[tuple[int, bool, list]] = []
+    cur = 0
+    completed_n = 0
+    step_ts: list = [None] * k
+    const_idx = -1
+
+    def flush():
+        nonlocal completed_n
+        if completed_n == 0:
+            return False
+        done = _is_completed(completed_n, k, flt, step_ts)
+        # null out slots beyond the attempt's progress — the machine
+        # reuses the buffer across attempts (as the reference does) but
+        # stale timestamps must not escape
+        out.append((completed_n, done, [step_ts[j] if j < completed_n else None for j in range(k)]))
+        return done
+
+    def matches(step_idx: int, row: int) -> bool:
+        order = step_orders[step_idx]
+        if isinstance(order, tuple) and order[0] == "any":
+            return any(steps[s][row] for rng in order[1] for s in range(rng[0], rng[1] + 1))
+        return bool(steps[step_idx][row])
+
+    i = 0
+    while i < n:
+        if cur > 0:
+            violated = False
+            for arr, rng in excludes:
+                relevant = rng is None or (rng[0] <= cur <= rng[1])
+                if relevant and arr[i]:
+                    violated = True
+                    break
+            if not violated and consts:
+                for c in consts:
+                    a, b = c[const_idx], c[i]
+                    if not (a == b or (a != a and b != b)):  # NaN-safe equality
+                        violated = True
+                        break
+            if violated:
+                cur = 0
+                completed_n = 0
+                continue  # reprocess this row at step 0
+            if ts[i] - step_ts[0] > window_us:
+                flush()
+                cur = 0
+                completed_n = 0
+                # no continue: same row may start a new attempt below
+        if cur == 0:
+            const_idx = i
+        if matches(cur, i):
+            step_ts[cur] = int(ts[i])
+            completed_n += 1
+            if cur < k - 1:
+                cur += 1
+            else:
+                done = flush()
+                cur = 0
+                completed_n = 0
+                if done and unique:
+                    break
+        i += 1
+    flush()
+    return out
+
+
+def funnel_attempts(
+    events: DataFrame,
+    req: FunnelRequest,
+    segment_users: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-attempt funnel results: one row per attempt with per-step
+    timestamps (epoch µs), completion flag and touch-attributed ts."""
+    k = len(req.steps)
+    if k < 1:
+        raise ValueError("funnel needs at least one step")
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(events.sparkSession)
+
+    cond = full_filter(req.time, None, req.filters)
+    df = events.filter(cond) if cond is not None else events
+    if segment_users is not None:
+        df = df.join(segment_users.hint("broadcast"), req.group_col, "left_semi")
+
+    # step / exclude match expressions evaluated ONCE, JVM-side
+    step_cols = [
+        multi_or([event_spec_expression(s) for s in st.events]).alias(f"__s{i}")
+        for i, st in enumerate(req.steps)
+    ]
+    excl_cols = [
+        event_spec_expression(ex.event).alias(f"__x{j}") for j, ex in enumerate(req.excludes)
+    ]
+    const_cols = [prop_col(c).alias(f"__c{j}") for j, c in enumerate(req.constants)]
+    bd_cols = [prop_col(b).alias(b.name) for b in req.breakdowns]
+
+    proj = df.select(
+        F.col(req.group_col).cast("long").alias(EVENT_USER_COL),
+        F.unix_micros(F.col(EVENT_TIME_COL)).alias("__ts"),
+        F.col(EVENT_ID_COL).alias("__eid"),
+        *step_cols,
+        *excl_cols,
+        *const_cols,
+        *bd_cols,
+    )
+    # scan reduction: only funnel-relevant rows reach the Python kernel
+    relevant = multi_or(
+        [F.col(f"__s{i}") for i in range(k)] + [F.col(f"__x{j}") for j in range(len(req.excludes))]
+    )
+    proj = proj.filter(relevant)
+
+    bd_types = [proj.schema[b.name].dataType for b in req.breakdowns]
+    schema = _attempt_schema(req, bd_types)
+    step_orders = [
+        ("any", [tuple(r) for r in st.any_ranges]) if st.order == StepOrder.ANY else "exact"
+        for st in req.steps
+    ]
+    excl_ranges = [ex.between_steps for ex in req.excludes]
+    n_excl = len(req.excludes)
+    n_const = len(req.constants)
+    bd_names = [b.name for b in req.breakdowns]
+    window_us = req.window_ms * 1000
+    flt = req.filter
+    unique = req.count_mode == FunnelCountMode.UNIQUE
+    sessionized = req.count_mode == FunnelCountMode.SESSION
+    touch = req.touch
+    touch_step = req.touch_step
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", "__eid"], kind="mergesort")
+        user = int(pdf[EVENT_USER_COL].iloc[0])
+        results = []
+
+        def run_rows(sub: pd.DataFrame, bd_vals):
+            ts = sub["__ts"].to_numpy()
+            steps = [sub[f"__s{i}"].fillna(False).to_numpy() for i in range(k)]
+            excls = [
+                (sub[f"__x{j}"].fillna(False).to_numpy(), excl_ranges[j]) for j in range(n_excl)
+            ]
+            consts = [sub[f"__c{j}"].to_numpy() for j in range(n_const)]
+            if sessionized:
+                gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0)
+                sess = np.cumsum(gaps > SESSION_GAP_MS * 1000)
+            else:
+                sess = np.zeros(len(ts), dtype=np.int64)
+            for s in np.unique(sess):
+                m = sess == s
+                attempts = _run_machine(
+                    ts[m], [a[m] for a in steps],
+                    [(a[m], r) for a, r in excls],
+                    [c[m] for c in consts],
+                    step_orders, window_us, k, flt, unique,
+                )
+                for steps_completed, done, sts in attempts:
+                    ti = 0 if touch == FunnelTouch.FIRST else (
+                        max(steps_completed - 1, 0) if touch == FunnelTouch.LAST
+                        else min(touch_step, max(steps_completed - 1, 0))
+                    )
+                    attr = sts[ti] if sts[ti] is not None else sts[0]
+                    results.append(
+                        (user, *bd_vals, steps_completed, done, attr, *sts)
+                    )
+
+        if bd_names:
+            for bd_vals, sub in pdf.groupby(bd_names, dropna=False, sort=False):
+                if not isinstance(bd_vals, tuple):
+                    bd_vals = (bd_vals,)
+                run_rows(sub, bd_vals)
+        else:
+            run_rows(pdf, ())
+        cols = [f.name for f in schema.fields]
+        return pd.DataFrame(results, columns=cols)
+
+    return proj.groupBy(EVENT_USER_COL).applyInPandas(run_group, schema)
+
+
+def funnel_report(
+    events: DataFrame,
+    req: FunnelRequest,
+    segment_users: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Aggregated funnel chart: per (bucket, *breakdowns) one row with
+    per-step metrics — total, conversion_ratio, dropped_off,
+    drop_off_ratio, time_to_convert (ms sums), avg_time_to_convert —
+    matching the reference's reserved result columns
+    (common/src/types.rs:73-80, finalize funnel.rs:699-860)."""
+    k = len(req.steps)
+    attempts = funnel_attempts(events, req, segment_users)
+
+    bucket = F.date_trunc(req.interval.value, F.timestamp_micros(F.col("attempt_ts")))
+    if req.interval.value in ("day", "week", "month", "year"):
+        bucket = bucket.cast("date")
+    keys = [bucket.alias("bucket")] + [F.col(b.name) for b in req.breakdowns]
+
+    aggs = []
+    for i in range(k):
+        reached = F.col("steps_completed") > i
+        aggs.append(F.sum(reached.cast("long")).alias(f"step{i}_total"))
+        if i > 0:
+            conv = F.when(reached, (F.col(f"ts_{i}") - F.col(f"ts_{i-1}")) / F.lit(1000.0))
+            conv0 = F.when(reached, (F.col(f"ts_{i}") - F.col("ts_0")) / F.lit(1000.0))
+            aggs.append(F.sum(conv).alias(f"step{i}_time_to_convert"))
+            aggs.append(F.sum(conv0).alias(f"step{i}_time_to_convert_from_start"))
+
+    out = attempts.groupBy(*keys).agg(*aggs)
+
+    cols = [F.col("bucket")] + [F.col(b.name) for b in req.breakdowns]
+    total0 = F.col("step0_total")
+    for i in range(k):
+        ti = F.col(f"step{i}_total")
+        cols.append(ti.alias(f"step{i}_total"))
+        ratio = F.when(total0 > 0, ti.cast("double") / total0.cast("double") * 100).otherwise(F.lit(0.0)) \
+            if i > 0 else F.lit(100.0)
+        cols.append(ratio.alias(f"step{i}_conversion_ratio"))
+        if i > 0:
+            prev = F.col(f"step{i-1}_total")
+            cols.append((prev - ti).alias(f"step{i}_dropped_off"))
+            cols.append((F.lit(100.0) - ratio).alias(f"step{i}_drop_off_ratio"))
+            cols.append(F.col(f"step{i}_time_to_convert").alias(f"step{i}_time_to_convert"))
+            avg = F.when(ti > 0, F.col(f"step{i}_time_to_convert") / ti).otherwise(F.lit(0.0))
+            cols.append(avg.alias(f"step{i}_avg_time_to_convert"))
+    cols.append(total0.alias("total"))
+    cols.append(F.col(f"step{k-1}_total").alias("completed"))
+    return out.select(*cols)

@@ -1,0 +1,99 @@
+"""First-touch funnel — fully declarative DataFrame variant.
+
+Complements operators/funnel.py. The greedy state machine is the
+reference-exact operator but is not SQL-expressible; this variant
+uses *first-touch* semantics, the standard product-analytics funnel
+definition that IS expressible declaratively (and therefore oracle-
+checkable and extremely fast at scale):
+
+    t_0 = min ts of a step-0 event per user
+    t_i = min ts of a step-i event with t_{i-1} < ts <= t_0 + window
+
+Differences from the greedy machine: only the user's FIRST entry is
+considered (no restart after window expiry), and excludes/constants
+are not supported. For k steps the plan is k-1 broadcast-free
+equi-joins on the user key plus per-user min-aggregations — every
+stage is whole-stage-codegen'd JVM work, no Python.
+
+At 100 TB: each stage shuffles the (already step-filtered, tiny)
+per-user frames on user_id; the events scan happens once per step
+with predicate pushdown on the step's event filter.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dsl import FunnelRequest
+from ..exprs import event_spec_expression, full_filter, multi_or
+from ..schema import EVENT_TIME_COL
+
+from .aggregates import bucket_col
+
+
+def funnel_first_touch_users(
+    events: DataFrame, req: FunnelRequest, segment_users: Optional[DataFrame] = None
+) -> DataFrame:
+    """Per-user first-touch conversion frame:
+    (user_id, t_0 .. t_{k-1}) with nulls from the first missed step."""
+    k = len(req.steps)
+    cond = full_filter(req.time, None, req.filters)
+    df = events.filter(cond) if cond is not None else events
+    if segment_users is not None:
+        df = df.join(segment_users.hint("broadcast"), req.group_col, "left_semi")
+
+    user = F.col(req.group_col)
+    ts = F.col(EVENT_TIME_COL)
+
+    def step_events(i: int) -> DataFrame:
+        expr = multi_or([event_spec_expression(s) for s in req.steps[i].events])
+        return df.filter(expr).select(user.alias("user_id"), ts.alias("ts"))
+
+    cur = step_events(0).groupBy("user_id").agg(F.min("ts").alias("t_0"))
+    window = F.expr(f"INTERVAL {req.window_ms * 1000} MICROSECOND")
+    for i in range(1, k):
+        nxt = step_events(i)
+        joined = cur.join(nxt, "user_id").filter(
+            (F.col("ts") > F.col(f"t_{i-1}")) & (F.col("ts") <= F.col("t_0") + window)
+        )
+        found = joined.groupBy("user_id", *[f"t_{j}" for j in range(i)]).agg(
+            F.min("ts").alias(f"t_{i}")
+        )
+        cur = cur.join(found.select("user_id", f"t_{i}"), "user_id", "left_outer")
+    return cur
+
+
+def funnel_first_touch_report(
+    events: DataFrame, req: FunnelRequest, segment_users: Optional[DataFrame] = None
+) -> DataFrame:
+    """Per-bucket step totals + conversion ratio + avg seconds to
+    convert, bucketed by each user's entry (t_0) timestamp."""
+    k = len(req.steps)
+    users = funnel_first_touch_users(events, req, segment_users)
+    bucket = bucket_col(req.interval, "t_0")
+    aggs = [
+        F.sum(F.col(f"t_{i}").isNotNull().cast("long")).alias(f"step{i}_total")
+        for i in range(k)
+    ]
+    # exact integer µs sum → one double division: oracle-reproducible
+    aggs.append(
+        F.sum(
+            F.when(
+                F.col(f"t_{k-1}").isNotNull(),
+                F.unix_micros(F.col(f"t_{k-1}")) - F.unix_micros(F.col("t_0")),
+            )
+        ).alias("__sum_us")
+    )
+    out = users.groupBy(bucket.alias("bucket")).agg(*aggs)
+    total0 = F.col("step0_total").cast("double")
+    totalk = F.col(f"step{k-1}_total")
+    return out.select(
+        "bucket",
+        *[f"step{i}_total" for i in range(k)],
+        (totalk.cast("double") / total0 * 100).alias("conversion_ratio"),
+        F.when(totalk > 0, (F.col("__sum_us") / F.lit(1e6)).cast("double") / totalk.cast("double"))
+        .alias("avg_secs_to_convert"),
+    )

@@ -1,0 +1,223 @@
+"""Funnel state-machine tests — scripted event sequences with expected
+per-attempt traces, porting the reference's scenario axes
+(funnel.rs:964-2128 test_cases / test_1min_buckets / test_groups,
+FIXTURES.md §4): 3-steps-pass, unique-count second-conversion skip,
+out-of-window reset, exclude between steps, constant violation,
+any-order, multiple users, breakdowns, bucket attribution.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from optiprism_spark.dsl import (
+    EventFilterSpec,
+    EventRef,
+    FunnelCountMode,
+    FunnelExclude,
+    FunnelFilter,
+    FunnelRequest,
+    FunnelStep,
+    PropertyRef,
+    QueryTime,
+    StepOrder,
+    TimeIntervalUnit,
+)
+from optiprism_spark.operators.funnel import funnel_attempts, funnel_report
+
+T0 = dt.datetime(2024, 1, 1, 11, 0, 0)
+_TIME = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))
+
+
+def mk_events(spark, rows):
+    """rows: (user, minutes_after_T0, event, const_val)"""
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), int(u), e, float(c), "{}")
+        for i, (u, m, e, c) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+def steps(*names):
+    return [FunnelStep([EventFilterSpec(EventRef(n))]) for n in names]
+
+
+def req3(window_min=15, **kw):
+    defaults = dict(
+        time=_TIME,
+        interval=TimeIntervalUnit.DAY,
+        steps=steps("e1", "e2", "e3"),
+        window_ms=window_min * 60 * 1000,
+    )
+    defaults.update(kw)
+    return FunnelRequest(**defaults)
+
+
+def attempts_of(spark, rows, req):
+    df = funnel_attempts(mk_events(spark, rows), req)
+    return sorted(
+        df.select("user_id", "steps_completed", "is_completed").collect(),
+        key=lambda r: (r.user_id, -r.steps_completed),
+    )
+
+
+def test_three_steps_pass(spark):
+    rows = [(1, 0, "e1", 1), (1, 2, "e2", 1), (1, 3, "e3", 1)]
+    out = attempts_of(spark, rows, req3())
+    assert [(r.steps_completed, r.is_completed) for r in out] == [(3, True)]
+
+
+def test_unique_mode_skips_second_conversion(spark):
+    rows = [
+        (1, 0, "e1", 1), (1, 1, "e2", 1), (1, 2, "e3", 1),
+        (1, 3, "e1", 1), (1, 4, "e2", 1), (1, 5, "e3", 1),
+    ]
+    out = attempts_of(spark, rows, req3(count_mode=FunnelCountMode.UNIQUE))
+    assert [(r.steps_completed, r.is_completed) for r in out] == [(3, True)]
+    out2 = attempts_of(spark, rows, req3(count_mode=FunnelCountMode.NON_UNIQUE))
+    assert [(r.steps_completed, r.is_completed) for r in out2] == [(3, True), (3, True)]
+
+
+def test_out_of_window_flush_and_restart(spark):
+    # e2 arrives 16 min after e1 (window 15): first attempt flushes with
+    # 1 completed step; the greedy machine does NOT retry from the
+    # orphaned e2 (reference funnel.rs:558-566 restart-from-current-row)
+    rows = [(1, 0, "e1", 1), (1, 16, "e2", 1), (1, 17, "e3", 1)]
+    out = attempts_of(spark, rows, req3())
+    assert [(r.steps_completed, r.is_completed) for r in out] == [(1, False)]
+    # but a fresh e1 within window converts
+    rows2 = rows + [(1, 20, "e1", 1), (1, 21, "e2", 1), (1, 22, "e3", 1)]
+    out2 = attempts_of(spark, rows2, req3())
+    assert [(r.steps_completed, r.is_completed) for r in out2] == [(3, True), (1, False)]
+
+
+def test_exclude_resets_without_counting(spark):
+    # exclude event between steps: attempt vanishes (reference resets
+    # WITHOUT push_result, funnel.rs:544-556), then the reprocessed
+    # stream converts from the later e1
+    rows = [
+        (1, 0, "e1", 1), (1, 1, "bad", 1), (1, 2, "e2", 1),
+        (1, 3, "e1", 1), (1, 4, "e2", 1), (1, 5, "e3", 1),
+    ]
+    req = req3(excludes=[FunnelExclude(EventFilterSpec(EventRef("bad")))])
+    out = attempts_of(spark, rows, req)
+    assert [(r.steps_completed, r.is_completed) for r in out] == [(3, True)]
+
+
+def test_exclude_with_step_range(spark):
+    # exclude only while seeking step 2 (range (2,2)): a `bad` between
+    # e1 and e2 is harmless, between e2 and e3 it resets
+    req = req3(excludes=[FunnelExclude(EventFilterSpec(EventRef("bad")), between_steps=(2, 2))])
+    ok = [(1, 0, "e1", 1), (1, 1, "bad", 1), (1, 2, "e2", 1), (1, 3, "e3", 1)]
+    out = attempts_of(spark, ok, req)
+    assert [(r.steps_completed, r.is_completed) for r in out] == [(3, True)]
+    # `bad` while seeking step 2 resets WITHOUT recording the attempt
+    # (reference: exclude violation never calls push_result) and e1 is
+    # not revisited → nothing at all is emitted
+    reset = [(1, 0, "e1", 1), (1, 1, "e2", 1), (1, 2, "bad", 1), (1, 3, "e3", 1)]
+    out2 = attempts_of(spark, reset, req)
+    assert out2 == []
+
+
+def test_constant_violation(spark):
+    # holding constant: value must match across the attempt's steps
+    req = req3(constants=[PropertyRef.column("value")])
+    # violation at e2@8 erases the attempt (no push_result); a fresh
+    # e1@7 afterwards converts with constants held at 7
+    rows = [(1, 0, "e1", 7), (1, 1, "e2", 8), (1, 2, "e1", 7), (1, 3, "e2", 7), (1, 4, "e3", 7)]
+    out = attempts_of(spark, rows, req)
+    assert [(r.steps_completed, r.is_completed) for r in out] == [(3, True)]
+    # violation with no later e1 → nothing emitted at all
+    rows2 = [(1, 0, "e1", 7), (1, 1, "e2", 8), (1, 2, "e3", 8)]
+    out2 = attempts_of(spark, rows2, req)
+    assert out2 == []
+
+
+def test_any_order_steps(spark):
+    # steps 1 and 2 may arrive in any order within ranges (1,2)
+    any_steps = [
+        FunnelStep([EventFilterSpec(EventRef("e1"))]),
+        FunnelStep([EventFilterSpec(EventRef("e2")), EventFilterSpec(EventRef("e3"))],
+                   order=StepOrder.ANY, any_ranges=[(1, 2)]),
+        FunnelStep([EventFilterSpec(EventRef("e2")), EventFilterSpec(EventRef("e3"))],
+                   order=StepOrder.ANY, any_ranges=[(1, 2)]),
+    ]
+    rows = [(1, 0, "e1", 1), (1, 1, "e3", 1), (1, 2, "e2", 1)]
+    out = attempts_of(spark, rows, req3(steps=any_steps))
+    assert [(r.steps_completed, r.is_completed) for r in out] == [(3, True)]
+
+
+def test_multiple_users_and_dropoff(spark):
+    rows = [
+        (1, 0, "e1", 1), (1, 1, "e2", 1), (1, 2, "e3", 1),
+        (2, 0, "e1", 1), (2, 1, "e2", 1),
+        (3, 5, "e1", 1),
+    ]
+    out = attempts_of(spark, rows, req3())
+    assert [(r.user_id, r.steps_completed, r.is_completed) for r in out] == [
+        (1, 3, True), (2, 2, False), (3, 1, False),
+    ]
+
+
+def test_report_metrics(spark):
+    rows = [
+        (1, 0, "e1", 1), (1, 1, "e2", 1), (1, 3, "e3", 1),   # converts 1m, 3m
+        (2, 0, "e1", 1), (2, 2, "e2", 1),                     # drops at step 2
+        (3, 5, "e1", 1),                                      # drops at step 1
+    ]
+    rep = funnel_report(mk_events(spark, rows), req3()).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert (r.total, r.completed) == (3, 1)
+    assert (r.step0_total, r.step1_total, r.step2_total) == (3, 2, 1)
+    assert r.step1_dropped_off == 1 and r.step2_dropped_off == 1
+    assert r.step0_conversion_ratio == 100.0
+    assert r.step2_conversion_ratio == pytest.approx(100.0 / 3)
+    # avg time-to-convert in ms: step1 = mean(60s, 120s)=90s
+    assert r.step1_avg_time_to_convert == pytest.approx(90_000.0)
+    assert r.step2_avg_time_to_convert == pytest.approx(120_000.0)
+    assert r.bucket == dt.date(2024, 1, 1)
+
+
+def test_time_to_convert_filter(spark):
+    rows = [
+        (1, 0, "e1", 1), (1, 1, "e2", 1), (1, 2, "e3", 1),    # 2 min
+        (2, 0, "e1", 1), (2, 5, "e2", 1), (2, 12, "e3", 1),   # 12 min
+    ]
+    req = req3(filter=FunnelFilter("time_to_convert", min_ms=0, max_ms=5 * 60 * 1000))
+    out = attempts_of(spark, rows, req)
+    by_user = {r.user_id: r.is_completed for r in out}
+    assert by_user == {1: True, 2: False}
+
+
+def test_breakdowns(spark):
+    # per-breakdown state machines: the same user converts for device A
+    # but not when rows interleave with device B
+    data = [
+        (0, T0, 1, "e1", 1.0, '{"d": "A"}'),
+        (1, T0 + dt.timedelta(minutes=1), 1, "e2", 1.0, '{"d": "A"}'),
+        (2, T0 + dt.timedelta(minutes=2), 1, "e3", 1.0, '{"d": "A"}'),
+        (3, T0 + dt.timedelta(minutes=3), 1, "e1", 1.0, '{"d": "B"}'),
+        (4, T0 + dt.timedelta(minutes=4), 1, "e2", 1.0, '{"d": "B"}'),
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    req = req3(breakdowns=[PropertyRef.json("d")], count_mode=FunnelCountMode.NON_UNIQUE)
+    out = funnel_attempts(df, req).select("d", "steps_completed", "is_completed").collect()
+    by_bd = {(r.d, r.steps_completed, r.is_completed) for r in out}
+    assert by_bd == {("A", 3, True), ("B", 2, False)}
+
+
+def test_bucket_attribution_by_first_step(spark):
+    # attempt starting 23:58 Jan-1 completing 00:02 Jan-2 lands in the
+    # Jan-1 bucket (attribution by step-0 ts, reference funnel.rs:208-214)
+    rows = [(1, 23 * 60 + 58 - 11 * 60, "e1", 1), (1, 23 * 60 + 59 - 11 * 60, "e2", 1),
+            (1, 24 * 60 + 2 - 11 * 60, "e3", 1)]
+    rep = funnel_report(mk_events(spark, rows), req3()).collect()
+    assert len(rep) == 1 and rep[0].bucket == dt.date(2024, 1, 1)
