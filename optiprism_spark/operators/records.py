@@ -1,0 +1,78 @@
+"""Record-search surfaces — SURVEY §2.8 / §3.3.
+
+- event-records search (reference query/src/event_records.rs:223-419):
+  filter(project ∧ time ∧ OR(event exprs)) → sort event_id desc →
+  limit 100.
+- group-records (reference query/src/group_records.rs:220-364): scan
+  the profile table with REPLACING semantics (latest version per id
+  wins) → sort by property → limit 100. The driver testdata has no
+  profile table, so `latest_profile` derives one from the stream:
+  row_number over (user, ts desc) = 1 — the exact Spark idiom for the
+  reference's ReplacingMergeTree-style storage (FIXTURES.md §3).
+- property-values (reference query/src/properties.rs:119-195):
+  distinct column values, sorted, limit 1000.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..dsl import EventFilterSpec, PropFilter, QueryTime
+from ..exprs import event_spec_expression, full_filter, multi_or, prop_col
+from ..schema import EVENT_ID_COL, EVENT_TIME_COL, EVENT_USER_COL
+
+RECORDS_LIMIT = 100  # reference event_records.rs:344-348
+VALUES_LIMIT = 1000  # reference properties.rs:188-192
+
+
+def event_records_search(
+    events: DataFrame,
+    time: Optional[QueryTime] = None,
+    event_specs: Sequence[EventFilterSpec] = (),
+    filters: Sequence[PropFilter] = (),
+    limit: int = RECORDS_LIMIT,
+) -> DataFrame:
+    cond = full_filter(time, None, filters)
+    df = events.filter(cond) if cond is not None else events
+    if event_specs:
+        df = df.filter(multi_or([event_spec_expression(s) for s in event_specs]))
+    return df.orderBy(F.desc(EVENT_ID_COL)).limit(limit)
+
+
+def latest_profile(events: DataFrame, user_col: str = EVENT_USER_COL) -> DataFrame:
+    """Replacing-table read: latest row per user (version ≙ (ts,
+    event_id)). Maps the reference's `is_replacing` group tables
+    (storage/src/db.rs:802-864) to a window dedup."""
+    w = Window.partitionBy(user_col).orderBy(F.desc(EVENT_TIME_COL), F.desc(EVENT_ID_COL))
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def group_records_search(
+    events: DataFrame,
+    sort_prop: str,
+    ascending: bool = True,
+    limit: int = RECORDS_LIMIT,
+) -> DataFrame:
+    prof = latest_profile(events)
+    order = F.asc(sort_prop) if ascending else F.desc(sort_prop)
+    # deterministic tie-break on the user key
+    return prof.orderBy(order, F.asc(EVENT_USER_COL)).limit(limit)
+
+
+def property_values(
+    df: DataFrame, prop, filter_like: Optional[str] = None, limit: int = VALUES_LIMIT
+) -> DataFrame:
+    """Distinct property values, sorted asc, capped (reference
+    properties.rs:86-195; the optional LIKE narrows suggestions)."""
+    c = prop_col(prop)
+    out = df.select(c.alias("value")).filter(F.col("value").isNotNull())
+    if filter_like:
+        out = out.filter(F.col("value").like(filter_like))
+    return out.distinct().orderBy("value").limit(limit)

@@ -1,0 +1,90 @@
+"""Behavioral segments (cohorts) — SURVEY §2.6.
+
+Re-expresses the reference's segment machinery (logical
+SegmentNode/SegmentExpr query/src/logical_plan/segment.rs:23-180,
+physical SegmentExec query/src/physical_plan/segment.rs:39-143 and the
+per-user segmentation expressions count.rs/aggregate.rs) as plain
+DataFrame aggregation + set algebra:
+
+    condition  = filter(time ∧ event ∧ filters)
+                 → groupBy(user).agg(count | sum/min/max/avg(prop))
+                 → filter(agg <op> literal) → user set
+    AND        = inner join of user sets
+    OR         = unionByName + distinct
+    apply      = left-semi join against the event stream
+
+The reference leaves ``HasPropertyValue`` and relative/historical
+counts unimplemented (query/src/event_segmentation.rs:456-545);
+``has_property_value`` is implemented here (trivial in Spark).
+
+Scale: each condition is one shuffle on user_id with map-side partial
+aggregation; the resulting user sets are orders of magnitude smaller
+than the stream and broadcast into the final semi-join.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dsl import AggFn, PropOp, Segment, SegmentCondition
+from ..exprs import full_filter, prop_col, property_expression
+from ..operators.aggregates import agg_expr
+from ..schema import EVENT_USER_COL
+
+
+def _cmp(col, op: PropOp, right):
+    return {
+        PropOp.EQ: col == F.lit(right),
+        PropOp.NEQ: col != F.lit(right),
+        PropOp.GT: col > F.lit(right),
+        PropOp.GTE: col >= F.lit(right),
+        PropOp.LT: col < F.lit(right),
+        PropOp.LTE: col <= F.lit(right),
+    }[op]
+
+
+def condition_users(events: DataFrame, cond: SegmentCondition,
+                    group_col: str = EVENT_USER_COL) -> DataFrame:
+    """One condition → 1-column DataFrame of qualifying user ids (the
+    Spark analogue of SegmentExec's `partition` output column)."""
+    user = F.col(group_col)
+
+    if cond.kind in ("has_property_value", "had_property_value"):
+        flt = full_filter(cond.time, None, ())
+        df = events.filter(flt) if flt is not None else events
+        from ..dsl import PropFilter
+
+        df = df.filter(property_expression(PropFilter(cond.prop, cond.op, cond.values)))
+        return df.select(user.alias(group_col)).distinct()
+
+    if cond.kind == "did_event":
+        flt = full_filter(cond.time, cond.event, cond.filters)
+        df = events.filter(flt) if flt is not None else events
+        if cond.agg is None:  # count condition
+            agg = F.count(F.lit(1))
+        else:  # aggregate-property condition
+            agg = agg_expr(cond.agg, prop_col(cond.agg_prop))
+        per_user = df.groupBy(user.alias(group_col)).agg(agg.alias("__v"))
+        return per_user.filter(_cmp(F.col("__v"), cond.compare_op, cond.right)).select(group_col)
+
+    raise ValueError(f"unsupported segment condition {cond.kind}")
+
+
+def segment_users(events: DataFrame, segment: Segment,
+                  group_col: str = EVENT_USER_COL) -> DataFrame:
+    """Or<And<condition>> composition → user set."""
+    ors = []
+    for and_group in segment.conditions:
+        sets = [condition_users(events, c, group_col) for c in and_group]
+        ors.append(reduce(lambda a, b: a.join(b, group_col, "inner"), sets))
+    return reduce(lambda a, b: a.unionByName(b), ors).distinct()
+
+
+def apply_segment(events: DataFrame, users: DataFrame,
+                  group_col: str = EVENT_USER_COL) -> DataFrame:
+    """Semi-join the stream against a segment's user set (reference
+    partition_exist check, funnel.rs:516-520)."""
+    return events.join(users.hint("broadcast"), group_col, "left_semi")

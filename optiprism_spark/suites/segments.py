@@ -1,0 +1,113 @@
+"""Segment (cohort) oracle suite."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from ..dsl import (
+    AggFn,
+    EventQuery,
+    EventRef,
+    EventSegmentationRequest,
+    PropOp,
+    PropertyRef,
+    QueryTime,
+    Segment,
+    SegmentCondition,
+    SegQuery,
+    TimeIntervalUnit,
+)
+from ..operators.aggregates import event_segmentation_one
+from ..operators.segments import segment_users
+from ..registry import query
+from ..schema import load_table
+from . import _sql as S
+
+_FULL = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+
+
+def _power_purchasers() -> Segment:
+    """count(purchase) >= 3 AND sum(purchase.value) > 500."""
+    return Segment(
+        "power_purchasers",
+        conditions=[[
+            SegmentCondition(
+                "did_event", event=EventRef("purchase"),
+                compare_op=PropOp.GTE, right=3, time=_FULL,
+            ),
+            SegmentCondition(
+                "did_event", event=EventRef("purchase"),
+                agg=AggFn.SUM, agg_prop=PropertyRef.column("value"),
+                compare_op=PropOp.GT, right=500, time=_FULL,
+            ),
+        ]],
+    )
+
+
+_PP_SQL = f"""
+    SELECT user_id FROM events
+    WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'purchase'
+    GROUP BY 1 HAVING COUNT(*) >= 3
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'purchase'
+    GROUP BY 1 HAVING {S.sum_exact('value')} > 500
+"""
+
+
+@query("segment_and_composition", oracle=_PP_SQL)
+def segment_and_composition(spark, sf_dir):
+    """DidEvent count ∧ DidEvent aggregate-property (reference
+    SegmentExpr::And, logical_plan/segment.rs:23-180)."""
+    events = load_table(spark, sf_dir, "events")
+    return segment_users(events, _power_purchasers())
+
+
+@query(
+    "segment_or_composition",
+    oracle=f"""
+    SELECT user_id FROM events
+    WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'signup'
+    GROUP BY 1 HAVING COUNT(*) >= 2
+    UNION
+    SELECT DISTINCT user_id FROM events
+    WHERE {S.ts_between(*S.T_MID)} AND event_type = 'error'
+    """,
+)
+def segment_or_composition(spark, sf_dir):
+    """DidEvent ∨ HasPropertyValue — the latter is unimplemented!() in
+    the reference (event_segmentation.rs:456-545), native here."""
+    seg = Segment(
+        "signups_or_erroring",
+        conditions=[
+            [SegmentCondition("did_event", event=EventRef("signup"),
+                              compare_op=PropOp.GTE, right=2, time=_FULL)],
+            [SegmentCondition("has_property_value",
+                              prop=PropertyRef.column("event_type"),
+                              op=PropOp.EQ, values=["error"],
+                              time=QueryTime.between(
+                                  dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20, 23, 59, 59)))],
+        ],
+    )
+    events = load_table(spark, sf_dir, "events")
+    return segment_users(events, seg)
+
+
+@query(
+    "seg_count_daily_segmented",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket, COUNT(*) AS n
+    FROM events
+    WHERE {S.ts_between(*S.T_FULL)} AND user_id IN ({_PP_SQL})
+    GROUP BY 1
+    """,
+)
+def seg_count_daily_segmented(spark, sf_dir):
+    """Event segmentation restricted to a behavioral segment — the
+    reference's segment-semi-join plan shape (SegmentedAggregate
+    Stage::CollectSegments, SURVEY §2.3)."""
+    events = load_table(spark, sf_dir, "events")
+    users = segment_users(events, _power_purchasers())
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.DAY, events=[])
+    eq = EventQuery(EventRef(), [SegQuery("count_events", alias="n")])
+    return event_segmentation_one(events, req, eq, segment_users=users)
