@@ -33,4 +33,14 @@ def query(name: str, oracle: Optional[str] = None):
 # Suites self-register on import (order = SURVEY §2 section order).
 # Extend this list as suites are added — no try/except, a broken suite
 # module must fail loudly.
-from .suites import funnel, records, reshape, segmentation, segments  # noqa: E402,F401
+from .suites import (  # noqa: E402,F401
+    dedup,
+    funnel,
+    multimodal,
+    records,
+    reshape,
+    segmentation,
+    segments,
+    similarity,
+    text,
+)

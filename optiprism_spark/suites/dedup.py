@@ -1,0 +1,150 @@
+"""Dedup oracle suite over the `documents` table.
+
+Every query here — including the full MinHash → LSH banding →
+exact-Jaccard-verify pipeline — has an exact DuckDB oracle: hashes
+are md5 hex strings on both sides (see operators/dedup.py), so even
+the LSH candidate sets match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from ..registry import query
+from ..schema import load_table
+
+#: shared shingle CTEs (word 3-shingles, distinct per doc)
+_SHINGLES = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - 2, 1)),
+        i -> array_to_string(w[i:i+2], ' ')))) AS s
+      FROM w
+    )
+"""
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT doc_id, dup_count FROM (
+      SELECT doc_id,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_survivors(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "dup_count")
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLES},
+    agg AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY 1)
+    SELECT doc_id,
+           list_min(list_transform(ss, s -> md5('0:' || s))) AS sig_0,
+           list_min(list_transform(ss, s -> md5('1:' || s))) AS sig_1,
+           list_min(list_transform(ss, s -> md5('2:' || s))) AS sig_2,
+           list_min(list_transform(ss, s -> md5('3:' || s))) AS sig_3
+    FROM agg
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, k=4)
+
+
+@query(
+    "dedup_lsh_near_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    seeds AS (SELECT unnest(range(8)) AS j),
+    sigs AS (
+      SELECT doc_id, j, MIN(md5(j || ':' || s)) AS sig
+      FROM sh CROSS JOIN seeds GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, j // 2 AS band, md5(string_agg(sig, ',' ORDER BY j)) AS key
+      FROM sigs GROUP BY doc_id, j // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id
+    ),
+    szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN szs sa ON sa.doc_id = c.doc_a
+    JOIN szs sb ON sb.doc_id = c.doc_b
+    WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.6
+    """,
+)
+def dedup_lsh_near_pairs(spark, sf_dir):
+    """Full near-dup pipeline: MinHash(k=8) → 4-band LSH candidates →
+    exact-Jaccard verification at 0.6."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(docs, k=8, bands=4)
+    return jaccard_pairs(docs, threshold=0.6, candidates=cands)
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN szs sa ON sa.doc_id = i.doc_a
+    JOIN szs sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.5)
+
+
+_BITS = 16
+_VOTES = ",\n           ".join(
+    f"SUM(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(_BITS)
+)
+_FP = " + ".join(f"(CASE WHEN v{j} > 0 THEN (1 << {j}) ELSE 0 END)" for j in range(_BITS))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+    votes AS (SELECT doc_id, {_VOTES} FROM h GROUP BY 1)
+    SELECT doc_id, CAST({_FP} AS BIGINT) AS simhash FROM votes
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=_BITS)

@@ -1,0 +1,83 @@
+"""Text-analysis oracle suite over the `documents` table."""
+
+from __future__ import annotations
+
+from ..operators.text import quality_score, text_stats
+from ..registry import query
+from ..schema import load_table
+
+_STOP_LIST = "'the', 'a', 'of', 'and', 'is', 'to', 'in'"
+_SW_RATIO = (
+    f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_LIST}))) AS DOUBLE)"
+    " / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+)
+
+
+@query(
+    "text_stats_all",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+           {_SW_RATIO} AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN {_SW_RATIO} >= 0.05 THEN 'en'
+                ELSE 'unk' END AS lang_guess,
+           array_to_string(list_sort(list_transform(
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))),
+             s -> md5(s)))[1:4], '') AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats_all(spark, sf_dir):
+    """Token counts (whitespace + BPE-ish regex), word-length and
+    stopword/punctuation ratios, language guess, min-k fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           (CASE WHEN length(text) BETWEEN 64 AND 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN {_SW_RATIO} BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN
+                CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 2.0 AND 12.0
+              THEN 0.3 ELSE 0.0 END) AS quality_score
+    FROM documents
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs)
+
+
+@query(
+    "text_lang_distribution",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n, {{sw}} FROM (
+      SELECT lang, text FROM documents
+    ) GROUP BY 1
+    """.replace("{sw}", "CAST(SUM(CASE WHEN " + _SW_RATIO + " >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_en_guess"),
+)
+def text_lang_distribution(spark, sf_dir):
+    """Declared-language distribution + how many docs the heuristic
+    would flag as English."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import stopword_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((stopword_ratio("text") >= 0.05).cast("long")).alias("n_en_guess"),
+    )
