@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with the `noop` write format
+(complete scan→compute, no result materialization on the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: headline set — one per operator family (SURVEY §2 coverage)
+HEADLINE = [
+    "seg_count_daily_by_type",       # CountEvents + breakdown
+    "seg_sum_value_daily_by_type",   # AggregateProperty
+    "seg_sum_per_user_outer",        # two-level per-user aggregate
+    "seg_dau",                       # distinct users
+    "seg_chart_pipeline",            # unpivot→pivot→average→top-N
+    "funnel_machine_3step",          # applyInPandas state machine
+    "funnel_first_touch_3step",      # declarative funnel
+    "segment_and_composition",       # behavioral cohort
+    "event_records_search_purchases",# search surface
+    "session_stats_per_user",        # sessionization windows
+    "dedup_lsh_near_pairs",          # minhash+LSH+jaccard pipeline
+    "dedup_simhash",                 # simhash fingerprints
+    "sim_cosine_topk",               # ANN brute-force baseline
+    "text_stats_all",                # text analysis
+    "multimodal_features",           # mapInPandas plumbing
+]
+
+
+def main() -> None:
+    from optiprism_spark.registry import QUERIES
+    from optiprism_spark.session import get_spark
+
+    spark = get_spark("optiprism_spark_bench", cpus=CPUS)
+    timings: dict[str, float] = {}
+    # warm the JVM/session on the smallest query once (excluded)
+    QUERIES["seg_dau"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    t_all = time.perf_counter()
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

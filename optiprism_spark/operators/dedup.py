@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import spread
+
 
 def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
@@ -63,7 +65,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash: sig_j = min over shingles of
     md5('<j>:' || shingle) (hex-string min). Pure per-row expressions."""
-    out = docs.select(F.col(id_col), shingles_expr(text_col, n).alias("__sh"))
+    out = spread(docs).select(F.col(id_col), shingles_expr(text_col, n).alias("__sh"))
 
     def hasher(j: int):
         # NB: must be a 1-arg lambda — a second (defaulted) parameter
@@ -119,8 +121,38 @@ def jaccard_pairs(
 
     Without candidates: inverted-index self-join on shingles (only
     docs sharing ≥1 shingle are compared — never n²). With candidates
-    (e.g. from LSH): verification join of just those pairs."""
-    sh = docs.select(F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("sh"))
+    (e.g. from LSH): verification is two equi-joins carrying each
+    doc's shingle array + an `array_intersect` per pair — the big
+    exploded self-join never happens, so cost scales with the
+    candidate count, not with shingle co-occurrence."""
+    if candidates is not None:
+        sh_map = spread(docs).select(F.col(id_col), shingles_expr(text_col, n).alias("sh"))
+        out = (
+            candidates.join(
+                sh_map.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+            )
+            .join(
+                sh_map.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+                F.size("sh_a").alias("sz_a"),
+                F.size("sh_b").alias("sz_b"),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("inter").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+                ).alias("jaccard"),
+            )
+        )
+        return out.filter(F.col("jaccard") >= F.lit(threshold))
+
+    sh = spread(docs).select(F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -130,8 +162,6 @@ def jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     out = (
@@ -155,7 +185,7 @@ def simhash(
 ) -> DataFrame:
     """SimHash fingerprint: per token a 60-bit md5-derived integer;
     each output bit is the sign of the vote sum over tokens."""
-    tok = docs.select(
+    tok = spread(docs).select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
     ).withColumn("h", F.expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"))
     votes = [

@@ -238,25 +238,44 @@ def funnel_attempts(
     touch = req.touch
     touch_step = req.touch_step
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__ts", "__eid"], kind="mergesort")
-        user = int(pdf[EVENT_USER_COL].iloc[0])
+    out_cols = [f.name for f in schema.fields]
+
+    def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """One sorted partition, many users: numpy boundary detection
+        instead of per-group pandas frames (one Arrow batch out per
+        input partition — the per-user-call overhead of
+        groupBy().applyInPandas is the dominant cost at scale)."""
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if len(pdf) == 0:
+            return
+        users = pdf[EVENT_USER_COL].to_numpy()
+        all_ts = pdf["__ts"].to_numpy()
+        all_steps = [pdf[f"__s{i}"].fillna(False).to_numpy() for i in range(k)]
+        all_excls = [pdf[f"__x{j}"].fillna(False).to_numpy() for j in range(n_excl)]
+        all_consts = [pdf[f"__c{j}"].to_numpy() for j in range(n_const)]
+        bd_frames = pdf[bd_names] if bd_names else None
+
+        bounds = np.flatnonzero(users[1:] != users[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(users)]))
         results = []
 
-        def run_rows(sub: pd.DataFrame, bd_vals):
-            ts = sub["__ts"].to_numpy()
-            steps = [sub[f"__s{i}"].fillna(False).to_numpy() for i in range(k)]
-            excls = [
-                (sub[f"__x{j}"].fillna(False).to_numpy(), excl_ranges[j]) for j in range(n_excl)
-            ]
-            consts = [sub[f"__c{j}"].to_numpy() for j in range(n_const)]
+        def run_rows(idx: np.ndarray, user: int, bd_vals: tuple):
+            ts = all_ts[idx]
+            steps = [a[idx] for a in all_steps]
+            excls = [(all_excls[j][idx], excl_ranges[j]) for j in range(n_excl)]
+            consts = [c[idx] for c in all_consts]
             if sessionized:
                 gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0)
                 sess = np.cumsum(gaps > SESSION_GAP_MS * 1000)
             else:
-                sess = np.zeros(len(ts), dtype=np.int64)
-            for s in np.unique(sess):
-                m = sess == s
+                sess = None
+            sessions = np.unique(sess) if sess is not None else [None]
+            for s in sessions:
+                m = slice(None) if s is None else sess == s
                 attempts = _run_machine(
                     ts[m], [a[m] for a in steps],
                     [(a[m], r) for a, r in excls],
@@ -269,21 +288,25 @@ def funnel_attempts(
                         else min(touch_step, max(steps_completed - 1, 0))
                     )
                     attr = sts[ti] if sts[ti] is not None else sts[0]
-                    results.append(
-                        (user, *bd_vals, steps_completed, done, attr, *sts)
-                    )
+                    results.append((user, *bd_vals, steps_completed, done, attr, *sts))
 
-        if bd_names:
-            for bd_vals, sub in pdf.groupby(bd_names, dropna=False, sort=False):
-                if not isinstance(bd_vals, tuple):
-                    bd_vals = (bd_vals,)
-                run_rows(sub, bd_vals)
-        else:
-            run_rows(pdf, ())
-        cols = [f.name for f in schema.fields]
-        return pd.DataFrame(results, columns=cols)
+        for st, en in zip(starts, ends):
+            user = int(users[st])
+            span = np.arange(st, en)
+            if bd_names:
+                sub = bd_frames.iloc[st:en]
+                for bd_vals, grp in sub.groupby(bd_names, dropna=False, sort=False):
+                    if not isinstance(bd_vals, tuple):
+                        bd_vals = (bd_vals,)
+                    run_rows(grp.index.to_numpy(), user, bd_vals)
+            else:
+                run_rows(span, user, ())
+        yield pd.DataFrame(results, columns=out_cols)
 
-    return proj.groupBy(EVENT_USER_COL).applyInPandas(run_group, schema)
+    sorted_by_user = proj.repartition(F.col(EVENT_USER_COL)).sortWithinPartitions(
+        EVENT_USER_COL, "__ts", "__eid"
+    )
+    return sorted_by_user.mapInPandas(run_partition, schema)
 
 
 def funnel_report(

@@ -26,7 +26,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..dsl import EventSegmentationRequest, TimeIntervalUnit
+from ..dsl import Analysis, EventSegmentationRequest, TimeIntervalUnit
 from ..operators.aggregates import BUCKET_COL, _query_alias, event_segmentation_one
 from ..operators.reshape import (
     add_average_and_sort,
@@ -35,6 +35,7 @@ from ..operators.reshape import (
     pivot_buckets,
     unpivot_metrics,
 )
+from ..operators.windows import compare_previous, cumulative, rolling_average
 
 SERIES_LIMIT = 50  # reference event_segmentation.rs:723-730
 
@@ -102,7 +103,7 @@ def run_event_segmentation(
                 events, req, eq, event_idx=ei, segment_users=seg_df, segment_name=seg_name
             )
             if fmt == "compact":
-                per_event.append(long_df)
+                per_event.append(_apply_analysis(long_df, req, ei, eq, seg_name))
             else:
                 per_event.append(_to_chart(long_df, req, ei, eq, series_limit))
         names.append(eq.event.name or f"event_{ei}")
@@ -110,6 +111,24 @@ def run_event_segmentation(
     if len(per_event) == 1:
         return per_event[0]
     return merge_frames(per_event, names=names if len(req.events) > 1 else None)
+
+
+def _apply_analysis(long_df: DataFrame, req: EventSegmentationRequest, ei, eq, seg_name) -> DataFrame:
+    """Rolling-average / cumulative / period-compare over the metric
+    columns (reference Analysis + Compare DSL, engine-side
+    unimplemented there — SURVEY §2.7)."""
+    if req.analysis == Analysis.LINEAR and req.compare is None:
+        return long_df
+    metric_aliases = [_query_alias(ei, qi, q) for qi, q in enumerate(eq.queries)]
+    parts = [c for c in long_df.columns if c != BUCKET_COL and c not in metric_aliases]
+    out = long_df
+    if req.analysis == Analysis.ROLLING_AVERAGE:
+        out = rolling_average(out, metric_aliases, partition_cols=parts, window=req.rolling_window)
+    elif req.analysis == Analysis.CUMULATIVE:
+        out = cumulative(out, metric_aliases, partition_cols=parts)
+    if req.compare is not None:
+        out = compare_previous(out, metric_aliases, offset=req.compare.offset, partition_cols=parts)
+    return out
 
 
 def _to_chart(long_df: DataFrame, req: EventSegmentationRequest, ei, eq, series_limit: int) -> DataFrame:

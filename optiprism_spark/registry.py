@@ -43,4 +43,5 @@ from .suites import (  # noqa: E402,F401
     segments,
     similarity,
     text,
+    windows,
 )
