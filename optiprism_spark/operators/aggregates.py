@@ -160,9 +160,17 @@ def event_segmentation_one(
 
     simple_aggs: list[Column] = []
     two_level: list[tuple[str, SegQuery]] = []
+    formulas: list[tuple[str, str]] = []
     for qi, q in enumerate(eq.queries):
         alias = _query_alias(event_idx, qi, q)
-        if q.kind == "count_events":
+        if q.kind == "formula":
+            # reference QueryFormula: declared in the DSL
+            # (common/src/event_segmentation.rs:74-76) but
+            # `unimplemented!` engine-side (event_segmentation.rs:922).
+            # Here: an arbitrary SQL expression over the sibling metric
+            # aliases, evaluated as a post-aggregation projection.
+            formulas.append((alias, q.formula))
+        elif q.kind == "count_events":
             simple_aggs.append(F.count(F.lit(1)).alias(alias))
         elif q.kind == "count_unique_groups":
             simple_aggs.append(F.count_distinct(group).alias(alias))
@@ -197,6 +205,8 @@ def event_segmentation_one(
     out = parts[0]
     for p in parts[1:]:
         out = out.join(p, key_names, "full_outer")
+    for alias, formula in formulas:
+        out = out.withColumn(alias, F.expr(formula))
     if segment_name is not None:
         out = out.select(F.lit(segment_name).alias("segment"), "*")
     return out

@@ -85,6 +85,103 @@ def hyperplane_bucket(vec: Column, planes: int = 4, dim: int = 64) -> Column:
     return bucket
 
 
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    use_lsh: bool = False,
+    planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (doc_a, doc_b, sim) with
+    doc_a < doc_b and cosine >= threshold.
+
+    Exact mode self-joins on id inequality (O(N²) comparisons — the
+    correctness baseline). ``use_lsh=True`` is the scale path: both
+    sides are bucketed by the deterministic hyperplane sketch and only
+    same-bucket pairs are compared — a bucketed equi-join instead of a
+    cross join, at the cost of missing near-dups that straddle a
+    hyperplane."""
+    a = embeddings.select(
+        F.col(id_col).alias("doc_a"), _as_double(F.col(vec_col)).alias("av")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("doc_b"), _as_double(F.col(vec_col)).alias("bv")
+    )
+    if use_lsh:
+        a = a.withColumn("__bkt", hyperplane_bucket(F.col("av"), planes, dim))
+        b = b.withColumn("__bkt", hyperplane_bucket(F.col("bv"), planes, dim))
+        joined = a.join(b, "__bkt").filter(F.col("doc_a") < F.col("doc_b"))
+    else:
+        joined = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    return (
+        joined.select(
+            "doc_a", "doc_b", cosine(F.col("av"), F.col("bv")).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: a coarse quantizer assigns every
+    vector to its nearest centroid (one inverted list per centroid);
+    each query probes only the ``nprobe`` nearest lists and re-ranks
+    exactly within them.
+
+    Centroids here are a deterministic sample (lowest ``n_centroids``
+    ids) rather than trained k-means — the *plumbing* (assign → probe
+    → bucketed join → re-rank) is the scale-relevant part: the big
+    side shuffles once on centroid id, the centroid table broadcasts,
+    and the per-query candidate set shrinks by ~nprobe/n_centroids.
+    Swap in pyspark.ml KMeans centroids for recall without changing
+    the plan shape."""
+    from pyspark.sql import Window
+
+    cent = (
+        embeddings.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv"))
+    )
+
+    def assign(df, id_alias, vec_alias, n):
+        """nearest-n centroids by cosine (tie-break centroid id)"""
+        w = Window.partitionBy(id_alias).orderBy(
+            F.desc("__csim"), F.asc("centroid_id")
+        )
+        return (
+            df.select(F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias))
+            .join(F.broadcast(cent))
+            .withColumn("__csim", cosine(F.col(vec_alias), F.col("cv")))
+            .withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= n)
+            .select(id_alias, vec_alias, "centroid_id")
+        )
+
+    e = assign(embeddings, "neighbor_id", "ev", 1)
+    q = assign(queries, "query_id", "qv", nprobe)
+    sims = (
+        e.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("ev")).alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -76,6 +76,41 @@ def seg_count_hourly_purchase(spark, sf_dir):
     return _seg(spark, sf_dir, req, eq)
 
 
+# ------------------------------------------------------------------ Formula
+
+@query(
+    "seg_formula_value_per_event",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket, event_type,
+           {S.sum_exact('value')} AS sum_value,
+           COUNT(*) AS n,
+           {S.sum_exact('value')} / COUNT(*) AS value_per_event
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1, 2
+    """,
+)
+def seg_formula_value_per_event(spark, sf_dir):
+    """QueryFormula: an SQL expression over sibling metric aliases.
+    Declared in the reference DSL (common/src/event_segmentation.rs:74-76)
+    but `unimplemented!` engine-side (query/src/event_segmentation.rs:922);
+    native here via a post-aggregation `F.expr` projection."""
+    req = EventSegmentationRequest(
+        time=_FULL,
+        interval=TimeIntervalUnit.DAY,
+        events=[],
+        breakdowns=[PropertyRef.column("event_type")],
+    )
+    eq = EventQuery(
+        EventRef(),
+        [
+            SegQuery("aggregate_property", agg=AggFn.SUM, prop=PropertyRef.column("value"), alias="sum_value"),
+            SegQuery("count_events", alias="n"),
+            SegQuery("formula", formula="sum_value / n", alias="value_per_event"),
+        ],
+    )
+    return _seg(spark, sf_dir, req, eq)
+
+
 # ------------------------------------------------------------ AggregateProperty
 
 @query(

@@ -4,7 +4,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_topk, cosine_topk_lsh
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_near_pairs,
+)
 from ..registry import query
 from ..schema import load_table
 
@@ -47,3 +52,78 @@ def sim_cosine_topk_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_lsh(emb, queries, k=5)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs at 0.9 (exact baseline;
+    ``use_lsh=True`` is the 100 TB bucketed path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, threshold=0.9)
+
+
+@query(
+    "sim_cosine_topk_ivf",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    ea AS (
+      SELECT vec_id AS neighbor_id, v AS ev, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    qa AS (
+      SELECT vec_id AS query_id, v AS qv, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN cent c WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    sims AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             list_cosine_similarity(qv, ev) AS sim
+      FROM qa JOIN ea USING (centroid_id)
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk_ivf(spark, sf_dir):
+    """IVF-Flat approximate top-5: coarse-quantize to 8 inverted
+    lists, probe the 2 nearest lists per query, exact re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=2)
