@@ -36,6 +36,7 @@ def query(name: str, oracle: Optional[str] = None):
 from .suites import (  # noqa: E402,F401
     dedup,
     funnel,
+    ingest,
     multimodal,
     records,
     reshape,

@@ -20,9 +20,14 @@ from ..dsl import (
     EventFilterSpec,
     EventRef,
     FunnelCountMode,
+    FunnelExclude,
+    FunnelFilter,
     FunnelRequest,
     FunnelStep,
+    FunnelTouch,
+    PropertyRef,
     QueryTime,
+    StepOrder,
     TimeIntervalUnit,
 )
 from ..operators.funnel import funnel_report
@@ -33,8 +38,8 @@ from . import _sql as S
 
 _WINDOW_MS = 7 * 86400 * 1000
 
-def _req(count_mode=FunnelCountMode.UNIQUE):
-    return FunnelRequest(
+def _req(**kw):
+    defaults = dict(
         time=QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59)),
         interval=TimeIntervalUnit.DAY,
         steps=[
@@ -43,8 +48,9 @@ def _req(count_mode=FunnelCountMode.UNIQUE):
             FunnelStep([EventFilterSpec(EventRef("purchase"))]),
         ],
         window_ms=_WINDOW_MS,
-        count_mode=count_mode,
     )
+    defaults.update(kw)
+    return FunnelRequest(**defaults)
 
 
 @query(
@@ -100,3 +106,60 @@ def funnel_machine_3step(spark, sf_dir):
 def funnel_machine_nonunique(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     return funnel_report(events, _req(count_mode=FunnelCountMode.NON_UNIQUE))
+
+
+@query("funnel_machine_excludes")  # rows-only
+def funnel_machine_excludes(spark, sf_dir):
+    """Excludes: an `error` event between any steps resets the attempt
+    without recording it (reference funnel.rs:544-556)."""
+    events = load_table(spark, sf_dir, "events")
+    return funnel_report(
+        events,
+        _req(excludes=[FunnelExclude(EventFilterSpec(EventRef("error")))]),
+    )
+
+
+@query("funnel_machine_dropoff_step1")  # rows-only
+def funnel_machine_dropoff_step1(spark, sf_dir):
+    """Drop-off filter: only attempts that stalled exactly after the
+    `view` step count as completed=true (reference
+    FunnelFilter::DropOffOnStep, mod.rs:69-76)."""
+    events = load_table(spark, sf_dir, "events")
+    return funnel_report(events, _req(filter=FunnelFilter("drop_off_on_step", step=1)))
+
+
+@query("funnel_machine_constants")  # rows-only
+def funnel_machine_constants(spark, sf_dir):
+    """Holding constant: the `k` JSON property must keep one value
+    across all steps of an attempt (reference Group::check_constants,
+    funnel.rs:167-178)."""
+    events = load_table(spark, sf_dir, "events")
+    return funnel_report(events, _req(constants=[PropertyRef.json("k", "int64")]))
+
+
+@query("funnel_machine_any_order_touch_last")  # rows-only
+def funnel_machine_any_order_touch_last(spark, sf_dir):
+    """Any-order middle steps + last-touch bucket attribution
+    (reference StepOrder::Any + Touch::Last)."""
+    events = load_table(spark, sf_dir, "events")
+    any_steps = [
+        FunnelStep([EventFilterSpec(EventRef("signup"))]),
+        FunnelStep(
+            [EventFilterSpec(EventRef("view")), EventFilterSpec(EventRef("click"))],
+            order=StepOrder.ANY, any_ranges=[(1, 2)],
+        ),
+        FunnelStep(
+            [EventFilterSpec(EventRef("view")), EventFilterSpec(EventRef("click"))],
+            order=StepOrder.ANY, any_ranges=[(1, 2)],
+        ),
+    ]
+    return funnel_report(events, _req(steps=any_steps, touch=FunnelTouch.LAST))
+
+
+@query("funnel_machine_session_mode")  # rows-only
+def funnel_machine_session_mode(spark, sf_dir):
+    """Session count mode: the state machine runs per (user, 30-min
+    session) — declared in the reference DSL but `unimplemented!`
+    there (common/src/funnel.rs:60-70); implemented here."""
+    events = load_table(spark, sf_dir, "events")
+    return funnel_report(events, _req(count_mode=FunnelCountMode.SESSION))

@@ -1,0 +1,118 @@
+"""Ingest-surface oracle suite.
+
+The driver testdata carries no user-agent/IP columns, so these queries
+synthesize them DETERMINISTICALLY from ``user_id`` (the identical
+expression appears in the oracle SQL) and then run the real enrichment
+plumbing — the operators under test are the parse/join/upsert shapes,
+not the synthesized inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..ingest import fake_geo_table, geoip_enrich, ua_enrich, upsert_profiles
+from ..operators.records import latest_profile
+from ..registry import query
+from ..schema import load_table
+
+#: five fixed real-world UA strings, keyed by user_id % 5, with their
+#: hand-derived expected parse (the oracle's ground truth)
+_UAS = [
+    (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+        ("Chrome", "120.0.0.0", "Windows", False),
+    ),
+    (
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 "
+        "(KHTML, like Gecko) Version/17.0 Mobile/15E148 Safari/604.1",
+        ("Safari", "17.0", "iOS", True),
+    ),
+    (
+        "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+        ("Firefox", "121.0", "Linux", False),
+    ),
+    (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+        ("Edge", "120.0.2210.91", "Windows", False),
+    ),
+    (
+        "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/120.0.6099.144 Mobile Safari/537.36",
+        ("Chrome", "120.0.6099.144", "Android", True),
+    ),
+]
+
+_UA_CASE = "CASE CAST(user_id % 5 AS INT) " + " ".join(
+    f"WHEN {i} THEN ('{b}', '{v}', '{o}', {str(m).lower()})"
+    for i, (_, (b, v, o, m)) in enumerate(_UAS)
+) + " END"
+
+
+@query(
+    "ingest_ua_browser_counts",
+    oracle=f"""
+    WITH parsed AS (SELECT {_UA_CASE} AS p FROM events)
+    SELECT p[1] AS browser, p[2] AS browser_version, p[3] AS os,
+           p[4] AS is_mobile, COUNT(*) AS n
+    FROM parsed GROUP BY 1, 2, 3, 4
+    """,
+)
+def ingest_ua_browser_counts(spark, sf_dir):
+    """UA-parse enrichment (reference ingester user_agent transformer):
+    the oracle carries the hand-derived parse of each fixed UA string,
+    so this differentially checks the regex chain itself."""
+    events = load_table(spark, sf_dir, "events")
+    ua = F.element_at(
+        F.array(*[F.lit(s) for s, _ in _UAS]),
+        (F.col("user_id") % 5 + 1).cast("int"),
+    )
+    enriched = ua_enrich(events.withColumn("user_agent", ua))
+    return enriched.groupBy("browser", "browser_version", "os", "is_mobile").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "ingest_geo_country_counts",
+    oracle="""
+    SELECT (['US','DE','BR','IN','JP','GB','FR','AU'])[
+             CAST(user_id % 256 AS INT) % 8 + 1] AS country,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def ingest_geo_country_counts(spark, sf_dir):
+    """GeoIP enrichment: broadcast prefix-dimension join (stub data,
+    real join shape — reference ingester geo transformer)."""
+    events = load_table(spark, sf_dir, "events")
+    ip = F.concat_ws(".", (F.col("user_id") % 256).cast("string"), F.lit("17.0.1"))
+    enriched = geoip_enrich(events.withColumn("ip", ip), geo=fake_geo_table(spark))
+    return enriched.groupBy("country").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "ingest_profile_upsert",
+    oracle="""
+    SELECT user_id, ts, event_type FROM (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def ingest_profile_upsert(spark, sf_dir):
+    """Replacing-merge upsert: profiles derived from the first half of
+    the stream, upserted with the second half, must equal the
+    latest-version-wins read over the whole stream (reference
+    OptiDBImpl::replace + replace-dedup compaction)."""
+    events = load_table(spark, sf_dir, "events")
+    cut = "2024-01-16 00:00:00"
+    base = latest_profile(events.filter(F.col("ts") < cut))
+    updates = latest_profile(events.filter(F.col("ts") >= cut))
+    merged = upsert_profiles(base, updates)
+    return merged.select("user_id", "ts", "event_type")

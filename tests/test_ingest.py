@@ -1,0 +1,119 @@
+"""Unit tests for the ingest surface: UA parse, geo enrichment,
+denormalization, upsert, compaction, CSV source."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from optiprism_spark.ingest import (
+    compact_events,
+    denormalize_group_attrs,
+    fake_geo_table,
+    geoip_enrich,
+    load_csv,
+    ua_enrich,
+    upsert_profiles,
+)
+
+CHROME_WIN = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+)
+SAFARI_IPAD = (
+    "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1"
+)
+EDGE_MAC = (
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91"
+)
+OPERA_LINUX = (
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.0.0"
+)
+
+
+def test_ua_parse_families_and_priority(spark):
+    df = spark.createDataFrame(
+        [(0, CHROME_WIN), (1, SAFARI_IPAD), (2, EDGE_MAC), (3, OPERA_LINUX)],
+        "id long, user_agent string",
+    )
+    rows = {r.id: r for r in ua_enrich(df).collect()}
+    assert (rows[0].browser, rows[0].os, rows[0].is_mobile) == ("Chrome", "Windows", False)
+    # iPad: Safari family, iOS, mobile (despite no "Mobile" keyword-only match)
+    assert (rows[1].browser, rows[1].browser_version, rows[1].os, rows[1].is_mobile) == (
+        "Safari", "16.6", "iOS", True,
+    )
+    # Edge/Opera ship "Chrome/" in the UA — family priority must win
+    assert (rows[2].browser, rows[2].browser_version, rows[2].os) == (
+        "Edge", "120.0.2210.91", "macOS",
+    )
+    assert (rows[3].browser, rows[3].os) == ("Opera", "Linux")
+
+
+def test_geoip_enrich_broadcast_lookup(spark):
+    df = spark.createDataFrame(
+        [(1, "0.9.9.9"), (2, "1.2.3.4"), (3, "255.0.0.1")], "id long, ip string"
+    )
+    out = {r.id: r.country for r in geoip_enrich(df).collect()}
+    # prefix % 8 cycles the fixed country list
+    assert out == {1: "US", 2: "DE", 3: "AU"}  # 255 % 8 == 7 -> AU
+    plan = geoip_enrich(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_denormalize_group_attrs(spark):
+    events = spark.createDataFrame([(1, 10), (2, 10), (3, 20)], "event_id long, user_id long")
+    profiles = spark.createDataFrame([(10, "pro"), (20, "free")], "user_id long, plan string")
+    out = denormalize_group_attrs(events, profiles, ["plan"])
+    assert {(r.event_id, r.plan) for r in out.collect()} == {(1, "pro"), (2, "pro"), (3, "free")}
+
+
+def test_upsert_profiles_latest_wins(spark):
+    schema = "user_id long, ts string, event_id long, plan string"
+    cur = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "free"), (2, "2024-01-01 00:00:00", 2, "free")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    upd = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", 3, "pro"), (3, "2024-01-02 00:00:00", 4, "trial")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user_id: r.plan for r in upsert_profiles(cur, upd).collect()}
+    assert out == {1: "pro", 2: "free", 3: "trial"}
+
+
+def test_compact_events_roundtrip_and_layout(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [
+            (i, f"2024-01-0{1 + i % 3} 0{i % 9}:00:00", i % 4, "click")
+            for i in range(40)
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # simulate many small appends (the L0 state compaction fixes)
+    for chunk in range(4):
+        df.filter(F.col("event_id") % 4 == chunk).repartition(4).write.mode(
+            "append"
+        ).parquet(src)
+    compact_events(spark, src, dst)
+    out = spark.read.parquet(dst)
+    assert out.count() == 40
+    assert set(out.select("dt").distinct().toPandas()["dt"].astype(str)) == {
+        "2024-01-01", "2024-01-02", "2024-01-03",
+    }
+    assert (
+        out.select(F.sum("event_id")).first()[0]
+        == df.select(F.sum("event_id")).first()[0]
+    )
+
+
+def test_load_csv_explicit_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,a\n2,b\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    out = load_csv(spark, str(p), schema)
+    assert out.schema == schema
+    assert {(r.id, r.name) for r in out.collect()} == {(1, "a"), (2, "b")}
