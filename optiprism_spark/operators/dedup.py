@@ -7,10 +7,13 @@ LSH banding and SimHash are built from `split/transform/slice/md5`
 higher-order functions, so the whole pipeline stays inside
 whole-stage codegen; no Python UDFs anywhere.
 
-Portability note: hashes are md5 hex strings (not Spark's xxhash64 /
+Portability note: hashes are md5-derived (not Spark's xxhash64 /
 murmur) so signatures are engine-independent — the DuckDB oracle
-reproduces them bit-for-bit. MinHash takes the *lexicographic min* of
-seed-prefixed md5 hex digests, avoiding hex→int conversions entirely.
+reproduces them bit-for-bit. MinHash hashes each shingle ONCE
+(md5 → 32-bit int) and derives the k permutations with affine maps
+`(a_j·x + b_j) mod p` in int64 — the classic universal-hashing
+scheme; k md5 digests per shingle would be ~k× the CPU for no
+statistical gain.
 
 Scale notes:
 - exact_dedup: one shuffle on the content hash.
@@ -30,16 +33,31 @@ from pyspark.sql import functions as F
 from ._util import spread
 
 
+#: MinHash permutation domain: Mersenne prime 2^31-1. x is 32-bit, a_j
+#: < p, so a_j·x < 2^62 — no int64 overflow on either engine.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) affine coefficients (Knuth-hash spread,
+    a_j forced odd/nonzero). Shared with the DuckDB oracle builder."""
+    return [
+        (((j * 2654435761 + 1) % MINHASH_P) | 1, (j * 40503 + 7) % MINHASH_P)
+        for j in range(k)
+    ]
+
+
 def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
 def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-shingles, JVM-side:
-    transform(sequence(...), i -> concat_ws(' ', slice(words, i, n)))."""
+    """Distinct word n-shingles, JVM-side. The words array is bound
+    once via a lambda variable (not re-split per shingle)."""
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"
+        f"transform(array(split({text_col}, ' ')), w ->"
+        f" array_distinct(transform(sequence(1, greatest(size(w) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(w, i, {n})))))[0]"
     )
 
 
@@ -63,19 +81,24 @@ def minhash_signatures(
     docs: DataFrame, k: int = 8, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """k-permutation MinHash: sig_j = min over shingles of
-    md5('<j>:' || shingle) (hex-string min). Pure per-row expressions."""
-    out = spread(docs).select(F.col(id_col), shingles_expr(text_col, n).alias("__sh"))
-
-    def hasher(j: int):
-        # NB: must be a 1-arg lambda — a second (defaulted) parameter
-        # would make F.transform pass the array index into it
-        prefix = F.lit(f"{j}:")
-        return lambda s: F.md5(F.concat(prefix, s))
+    """k-permutation MinHash: each shingle hashed ONCE
+    (md5 hex prefix → 32-bit int x), then sig_j = min over shingles of
+    (a_j·x + b_j) mod p. One digest + k·|shingles| multiply-adds per
+    row — pure per-row expressions, no shuffle."""
+    out = spread(docs).select(
+        F.col(id_col), shingles_expr(text_col, n).alias("__sh")
+    ).withColumn(
+        "__x",
+        F.expr("transform(__sh, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"),
+    )
+    def _perm(a: int, b: int):
+        # NB: 1-arg lambda only — extra (even defaulted) parameters make
+        # F.transform pass the array index too
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
 
     sig_cols = [
-        F.array_min(F.transform(F.col("__sh"), hasher(j))).alias(f"sig_{j}")
-        for j in range(k)
+        F.array_min(F.transform(F.col("__x"), _perm(a, b))).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(minhash_params(k))
     ]
     return out.select(id_col, *sig_cols)
 
@@ -94,7 +117,7 @@ def lsh_candidate_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[F.col(f"sig_{b * r + i}") for i in range(r)])).alias("key"),
+                F.concat_ws(",", *[F.col(f"sig_{b * r + i}") for i in range(r)]).alias("key"),
             )
             for b in range(bands)
         ]

@@ -6,11 +6,16 @@ Language-ID (script + stopword heuristic), quality scoring
 shingle hashes — a winnowing-style sketch). All built-in-function
 expressions; deterministic and oracle-reproducible.
 
-Helpers take the *column name* (not a Column): several lean on
-``F.expr`` higher-order lambdas where the name is embedded.
+Helpers take the *column name* (not a Column) and accept an optional
+pre-split ``words`` Column: ``text_stats``/``quality_score`` project
+``split(text)`` ONCE and feed it to every stat — splitting a 100 TB
+text column seven times is pure waste, and Catalyst does not CSE
+across higher-order-function lambdas.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -22,18 +27,22 @@ STOPWORDS_EN = ("the", "a", "of", "and", "is", "to", "in")
 BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
-def ws_token_count(c: str) -> Column:
-    return F.size(F.split(F.col(c), " "))
+def _words(c: str, words: Optional[Column]) -> Column:
+    return words if words is not None else F.split(F.col(c), " ")
+
+
+def ws_token_count(c: str, words: Optional[Column] = None) -> Column:
+    return F.size(_words(c, words))
 
 
 def bpe_token_count(c: str) -> Column:
     return F.size(F.expr(f"regexp_extract_all({c}, '{BPE_SPLIT_RE}', 0)"))
 
 
-def stopword_ratio(c: str, stopwords=STOPWORDS_EN) -> Column:
-    lst = ", ".join(f"'{w}'" for w in stopwords)
-    hits = F.expr(f"size(filter(split({c}, ' '), t -> t IN ({lst})))")
-    return hits.cast("double") / ws_token_count(c).cast("double")
+def stopword_ratio(c: str, stopwords=STOPWORDS_EN, words: Optional[Column] = None) -> Column:
+    in_list = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(_words(c, words), lambda t: F.array_contains(in_list, t)))
+    return hits.cast("double") / ws_token_count(c, words).cast("double")
 
 
 def punct_ratio(c: str) -> Column:
@@ -41,45 +50,53 @@ def punct_ratio(c: str) -> Column:
     return punct.cast("double") / F.length(F.col(c)).cast("double")
 
 
-def mean_word_len(c: str) -> Column:
+def mean_word_len(c: str, words: Optional[Column] = None) -> Column:
     """Sum of word lengths / word count (exact int arithmetic + one
     division)."""
-    total = F.expr(f"aggregate(split({c}, ' '), 0, (acc, w) -> acc + length(w))")
-    return total.cast("double") / ws_token_count(c).cast("double")
+    total = F.aggregate(_words(c, words), F.lit(0), lambda acc, w: acc + F.length(w))
+    return total.cast("double") / ws_token_count(c, words).cast("double")
 
 
-def lang_guess(c: str, stop_threshold: float = 0.05) -> Column:
+def lang_guess(c: str, stop_threshold: float = 0.05, words: Optional[Column] = None) -> Column:
     """Tiny deterministic language-ID: CJK script detection, else an
     English stopword-ratio threshold."""
     has_cjk = F.col(c).rlike("[\\u4e00-\\u9fff]")
     return (
         F.when(has_cjk, F.lit("zh"))
-        .when(stopword_ratio(c) >= stop_threshold, F.lit("en"))
+        .when(stopword_ratio(c, words=words) >= stop_threshold, F.lit("en"))
         .otherwise(F.lit("unk"))
     )
 
 
-def fingerprint(c: str, n: int = 3, keep: int = 4) -> Column:
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-shingles from a pre-split words array."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    )
+
+
+def fingerprint(c: str, n: int = 3, keep: int = 4, words: Optional[Column] = None) -> Column:
     """Min-k sketch: the `keep` smallest md5 digests of the word
     n-shingles, concatenated — equal for near-identical docs."""
-    from .dedup import shingles_expr
-
-    hashes = F.array_sort(F.transform(shingles_expr(c, n), F.md5))
+    hashes = F.array_sort(F.transform(shingles_from_words(_words(c, words), n), F.md5))
     return F.array_join(F.slice(hashes, 1, keep), "")
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     c = text_col
-    return docs.select(
+    with_words = docs.select(F.col(id_col), F.col(c), F.split(F.col(c), " ").alias("__w"))
+    w = F.col("__w")
+    return with_words.select(
         F.col(id_col),
         F.length(F.col(c)).alias("n_chars"),
-        ws_token_count(c).alias("n_tokens"),
+        ws_token_count(c, w).alias("n_tokens"),
         bpe_token_count(c).alias("n_bpe_tokens"),
-        mean_word_len(c).alias("mean_word_len"),
-        stopword_ratio(c).alias("stopword_ratio"),
+        mean_word_len(c, w).alias("mean_word_len"),
+        stopword_ratio(c, words=w).alias("stopword_ratio"),
         punct_ratio(c).alias("punct_ratio"),
-        lang_guess(c).alias("lang_guess"),
-        fingerprint(c).alias("fingerprint"),
+        lang_guess(c, words=w).alias("lang_guess"),
+        fingerprint(c, words=w).alias("fingerprint"),
     )
 
 
@@ -87,12 +104,14 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """Composite [0,1] quality score from length/stopword/word-length
     signals (deterministic: exact ratios combined linearly)."""
     c = text_col
+    with_words = docs.select(F.col(id_col), F.col(c), F.split(F.col(c), " ").alias("__w"))
+    w = F.col("__w")
     length_ok = (F.length(F.col(c)) >= 64) & (F.length(F.col(c)) <= 100000)
-    sw = stopword_ratio(c)
-    mwl = mean_word_len(c)
+    sw = stopword_ratio(c, words=w)
+    mwl = mean_word_len(c, w)
     score = (
         length_ok.cast("double") * 0.4
         + F.when(sw.between(0.01, 0.6), F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(mwl.between(2.0, 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
     )
-    return docs.select(F.col(id_col), score.alias("quality_score"))
+    return with_words.select(F.col(id_col), score.alias("quality_score"))

@@ -9,9 +9,11 @@ the LSH candidate sets match bit-for-bit.
 from __future__ import annotations
 
 from ..operators.dedup import (
+    MINHASH_P,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
+    minhash_params,
     minhash_signatures,
     simhash,
 )
@@ -28,6 +30,23 @@ _SHINGLES = """
       FROM w
     )
 """
+
+#: per-shingle 32-bit hash + affine permutations — mirrors
+#: operators/dedup.minhash_signatures exactly (int64 arithmetic both
+#: engines)
+_XS = """
+    agg AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY 1),
+    xs AS (
+      SELECT doc_id, list_transform(
+        ss, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS xs
+      FROM agg
+    )
+"""
+
+
+def _sig_sql(j: int) -> str:
+    a, b = minhash_params(j + 1)[j]
+    return f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {MINHASH_P}))"
 
 
 @query(
@@ -50,13 +69,13 @@ def dedup_exact_survivors(spark, sf_dir):
     "dedup_minhash_signatures",
     oracle=f"""
     WITH {_SHINGLES},
-    agg AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY 1)
+    {_XS}
     SELECT doc_id,
-           list_min(list_transform(ss, s -> md5('0:' || s))) AS sig_0,
-           list_min(list_transform(ss, s -> md5('1:' || s))) AS sig_1,
-           list_min(list_transform(ss, s -> md5('2:' || s))) AS sig_2,
-           list_min(list_transform(ss, s -> md5('3:' || s))) AS sig_3
-    FROM agg
+           {_sig_sql(0)} AS sig_0,
+           {_sig_sql(1)} AS sig_1,
+           {_sig_sql(2)} AS sig_2,
+           {_sig_sql(3)} AS sig_3
+    FROM xs
     """,
 )
 def dedup_minhash_signatures(spark, sf_dir):
@@ -68,14 +87,18 @@ def dedup_minhash_signatures(spark, sf_dir):
     "dedup_lsh_near_pairs",
     oracle=f"""
     WITH {_SHINGLES},
-    seeds AS (SELECT unnest(range(8)) AS j),
+    {_XS},
     sigs AS (
-      SELECT doc_id, j, MIN(md5(j || ':' || s)) AS sig
-      FROM sh CROSS JOIN seeds GROUP BY 1, 2
+      SELECT doc_id, {", ".join(f"{_sig_sql(j)} AS s{j}" for j in range(8))}
+      FROM xs
     ),
     bands AS (
-      SELECT doc_id, j // 2 AS band, md5(string_agg(sig, ',' ORDER BY j)) AS key
-      FROM sigs GROUP BY doc_id, j // 2
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, "
+          f"CAST(s{2 * b} AS VARCHAR) || ',' || CAST(s{2 * b + 1} AS VARCHAR) AS key "
+          "FROM sigs"
+          for b in range(4)
+      )}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
