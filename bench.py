@@ -35,9 +35,14 @@ HEADLINE = [
     "session_stats_per_user",        # sessionization windows
     "dedup_lsh_near_pairs",          # minhash+LSH+jaccard pipeline
     "dedup_simhash",                 # simhash fingerprints
+    "dedup_embedding_cosine_ivf",    # embedding near-dup (IVF scale path)
     "sim_cosine_topk",               # ANN brute-force baseline
+    "sim_cosine_topk_ivf",           # IVF-Flat approximate ANN
     "text_stats_all",                # text analysis
     "multimodal_features",           # mapInPandas plumbing
+    "seg_formula_value_per_event",   # formula over sibling metrics
+    "funnel_machine_excludes",       # funnel with exclude resets
+    "ingest_ua_browser_counts",      # UA-parse enrichment
 ]
 
 

@@ -102,23 +102,77 @@ def embedding_near_pairs(
     sides are bucketed by the deterministic hyperplane sketch and only
     same-bucket pairs are compared — a bucketed equi-join instead of a
     cross join, at the cost of missing near-dups that straddle a
-    hyperplane."""
+    hyperplane.
+
+    Norms are hoisted into the per-ROW projections (N sqrt-folds, not
+    N² — the division `dot/(na·nb)` is float-identical to computing
+    cosine per pair, so oracle hashes are unchanged)."""
     a = embeddings.select(
         F.col(id_col).alias("doc_a"), _as_double(F.col(vec_col)).alias("av")
-    )
+    ).withColumn("na", _norm(F.col("av")))
     b = embeddings.select(
         F.col(id_col).alias("doc_b"), _as_double(F.col(vec_col)).alias("bv")
-    )
+    ).withColumn("nb", _norm(F.col("bv")))
     if use_lsh:
         a = a.withColumn("__bkt", hyperplane_bucket(F.col("av"), planes, dim))
         b = b.withColumn("__bkt", hyperplane_bucket(F.col("bv"), planes, dim))
         joined = a.join(b, "__bkt").filter(F.col("doc_a") < F.col("doc_b"))
     else:
         joined = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
     return (
-        joined.select(
-            "doc_a", "doc_b", cosine(F.col("av"), F.col("bv")).alias("sim")
-        )
+        joined.select("doc_a", "doc_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def embedding_near_pairs_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed near-dup pairs — the scale path for all-pairs
+    similarity: assign every vector to its nearest coarse centroid,
+    then compare only within-bucket pairs (a bucketed self-join; work
+    drops from N² to Σ bucket²). Near-identical vectors land in the
+    same bucket with high probability, straddlers are the recall
+    trade-off (probe >1 centroid to shrink it)."""
+    from pyspark.sql import Window
+
+    cent = (
+        embeddings.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
+    assigned = (
+        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .join(F.broadcast(cent))
+        .withColumn("__csim", cosine(F.col("v"), F.col("cv")))
+        .withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") == 1)
+        .select(id_col, "v", "centroid_id")
+        .withColumn("n", _norm(F.col("v")))
+        # both sides of the self-join consume this frame — materialize
+        # the assignment once instead of recomputing the quantizer per
+        # side (at scale the assignment is a persisted index table)
+        .persist()
+    )
+    a = assigned.select(
+        F.col(id_col).alias("doc_a"), F.col("v").alias("av"),
+        F.col("n").alias("na"), "centroid_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("doc_b"), F.col("v").alias("bv"),
+        F.col("n").alias("nb"), "centroid_id",
+    )
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("doc_a", "doc_b", F.round("sim", 6).alias("sim"))
     )

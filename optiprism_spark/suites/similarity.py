@@ -9,6 +9,7 @@ from ..operators.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_pairs,
+    embedding_near_pairs_ivf,
 )
 from ..registry import query
 from ..schema import load_table
@@ -72,6 +73,42 @@ def dedup_embedding_cosine(spark, sf_dir):
     ``use_lsh=True`` is the 100 TB bucketed path)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_pairs(emb, threshold=0.9)
+
+
+@query(
+    "dedup_embedding_cosine_ivf",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    ea AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM ea a JOIN ea b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    """,
+)
+def dedup_embedding_cosine_ivf(spark, sf_dir):
+    """Scale-path embedding near-dup: compare only within-IVF-bucket
+    pairs (N²→Σ bucket²)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs_ivf(emb, threshold=0.9, n_centroids=8)
 
 
 @query(

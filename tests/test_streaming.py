@@ -65,6 +65,42 @@ def test_streaming_session_window(spark, tmp_path):
     assert n1 == {2, 1}
 
 
+def test_stateful_user_profiles_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches
+    (second file arrives after the first batch is processed)."""
+    from optiprism_spark.streaming.stateful import streaming_user_profiles
+
+    src = os.path.join(str(tmp_path), "stateful_src")
+    os.makedirs(src)
+    df = _events(spark)
+    batch1 = df.filter(F.col("event_id") <= 1)  # user 1: 2 events, 1 session
+    batch2 = df.filter(F.col("event_id") >= 2)  # user 1 new session; user 2
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    out = streaming_user_profiles(spark, df.schema, src)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profiles_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM profiles_out").collect()
+    finally:
+        q.stop()
+    # memory sink in update mode appends each update; the LAST row per
+    # user is the current state
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = r
+    assert latest[1].n_events == 3 and latest[1].session_count == 2
+    assert latest[2].n_events == 1 and latest[2].session_count == 1
+    assert latest[1].value_sum == 3.0
+
+
 def test_append_events_partitioned_and_pruned(spark, tmp_path):
     dest = os.path.join(str(tmp_path), "events_tbl")
     df = _events(spark)
