@@ -1,0 +1,88 @@
+"""Plan-shape regression tests — the 100 TB properties.
+
+Correctness tests prove the numbers; these prove the PLANS stay
+scale-sane: column pruning reaches the parquet scan, aggregations are
+partial/final (map-side combine), small sides broadcast, top-k fuses
+into TakeOrdered, and the funnel shuffles exactly once. A regression
+here is invisible at sf0.01 and catastrophic at 100 TB.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import functions as F
+
+from optiprism_spark.registry import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_segmentation_scan_prunes_columns(spark):
+    plan = _plan(QUERIES["seg_count_daily_by_type"](spark, SF_SMOKE))
+    schemas = _scan_read_schemas(plan)
+    assert schemas, f"no FileScan in plan:\n{plan}"
+    # count-by-type needs ONLY ts + event_type; reading more at 100 TB
+    # multiplies scan bytes
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"ts", "event_type"}, cols
+
+
+def test_segmentation_has_partial_aggregation(spark):
+    plan = _plan(QUERIES["seg_count_daily_by_type"](spark, SF_SMOKE))
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange") == 1  # one shuffle total
+
+
+def test_two_level_agg_shuffles_at_most_twice(spark):
+    plan = _plan(QUERIES["seg_sum_per_user_outer"](spark, SF_SMOKE))
+    # inner per-user agg + outer chart agg: 2 hash exchanges max
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_segment_membership_is_broadcast_semi_join(spark):
+    plan = _plan(QUERIES["seg_count_daily_segmented"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_record_search_fuses_sort_and_limit(spark):
+    plan = _plan(QUERIES["event_records_search_purchases"](spark, SF_SMOKE))
+    # sort+limit must fuse to TakeOrdered (per-partition top-k then
+    # merge) — a global Sort of the events table would be a full shuffle
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_ann_broadcasts_query_side(spark):
+    plan = _plan(QUERIES["sim_cosine_topk"](spark, SF_SMOKE))
+    assert "Broadcast" in plan  # corpus side never shuffles for the join
+
+
+def test_funnel_shuffles_once_on_user(spark):
+    from optiprism_spark.operators.funnel import funnel_attempts
+    from optiprism_spark.suites.funnel import _req
+    from optiprism_spark.schema import load_table
+
+    df = funnel_attempts(load_table(spark, SF_SMOKE, "events"), _req())
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    # exactly one exchange: the explicit repartition on user_id
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_geo_enrich_scan_stays_shuffle_free(spark):
+    plan = _plan(QUERIES["ingest_geo_country_counts"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # the only exchange is the final groupBy("country") — the events
+    # side must NOT shuffle for the dimension join
+    assert plan.count("Exchange hashpartitioning") == 1, plan
