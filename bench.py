@@ -43,6 +43,7 @@ HEADLINE = [
     "seg_formula_value_per_event",   # formula over sibling metrics
     "funnel_machine_excludes",       # funnel with exclude resets
     "ingest_ua_browser_counts",      # UA-parse enrichment
+    "wh_revenue_by_nation",          # fact-fact shuffle join + dims
 ]
 
 

@@ -44,5 +44,6 @@ from .suites import (  # noqa: E402,F401
     segments,
     similarity,
     text,
+    warehouse,
     windows,
 )

@@ -1,0 +1,136 @@
+"""Warehouse join suite — general join strategy over the star schema.
+
+The reference deliberately has NO general join operator (SURVEY §2.3:
+attributes are denormalized at ingest). Spark has them natively; these
+queries prove the engine drives them with the right physical strategy
+at scale: dimension chains broadcast (the fact side never shuffles for
+them), pre-aggregation happens below wide joins, and two-fact joins
+shuffle on the join key once. Plus the dictionary encode/decode
+operators (§2.10) as broadcast-map lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dictionary import build_dictionary, dict_decode, dict_encode
+from ..registry import query
+from ..schema import load_table
+from . import _sql as S
+
+
+@query(
+    "wh_revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {S.sum_exact('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def wh_revenue_by_nation(spark, sf_dir):
+    """Fact⋈fact⋈dim⋈dim chain: lineitem joins orders on the order
+    key (shuffle join on the key), customer/nation broadcast onto the
+    result — revenue per customer nation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "wh_top_brands_by_region",
+    oracle=f"""
+    SELECT r.r_name AS region, p.p_brand AS brand,
+           {S.sum_exact('l.l_quantity')} AS qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def wh_top_brands_by_region(spark, sf_dir):
+    """Pure dimension-chain enrichment: every join side is broadcast —
+    the lineitem scan flows through with zero shuffles until the final
+    aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("qty"))
+    )
+
+
+@query(
+    "wh_order_priority_pipeline",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    )
+    GROUP BY 1
+    """,
+)
+def wh_order_priority_pipeline(spark, sf_dir):
+    """Semi-join (EXISTS) shape: orders having a returned line item,
+    counted by priority."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "dict_roundtrip_event_type",
+    oracle="""
+    WITH d AS (
+      SELECT dense_rank() OVER (ORDER BY event_type) AS key, event_type AS value
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT d.key AS event_type_key, e.event_type, COUNT(*) AS n
+    FROM events e JOIN d ON e.event_type = d.value
+    GROUP BY 1, 2
+    """,
+)
+def dict_roundtrip_event_type(spark, sf_dir):
+    """Dictionary encode → aggregate on the int key → late-materialize
+    decode (reference DictionaryDecode, SURVEY §2.10): counts grouped
+    by compact key, labels joined back after the aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    d = build_dictionary(events, "event_type")
+    encoded = dict_encode(events, "event_type", d)
+    agg = encoded.groupBy("event_type_key").agg(F.count(F.lit(1)).alias("n"))
+    return dict_decode(agg, "event_type_key", d, keep_key=True).select(
+        "event_type_key", "event_type", "n"
+    )

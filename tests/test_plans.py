@@ -80,6 +80,14 @@ def test_funnel_shuffles_once_on_user(spark):
     assert "hashpartitioning(user_id" in plan
 
 
+def test_dimension_chain_joins_all_broadcast(spark):
+    plan = _plan(QUERIES["wh_top_brands_by_region"](spark, SF_SMOKE))
+    # part⋈supplier⋈nation⋈region all broadcast: the fact scan reaches
+    # the aggregate without a single join shuffle
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert plan.count("Exchange hashpartitioning") == 1  # final groupBy only
+
+
 def test_geo_enrich_scan_stays_shuffle_free(spark):
     plan = _plan(QUERIES["ingest_geo_country_counts"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
