@@ -47,7 +47,8 @@ def stopword_ratio(c: str, stopwords=STOPWORDS_EN, words: Optional[Column] = Non
 
 def punct_ratio(c: str) -> Column:
     punct = F.length(F.col(c)) - F.length(F.regexp_replace(F.col(c), r"[^\w\s]", ""))
-    return punct.cast("double") / F.length(F.col(c)).cast("double")
+    # nullif guard: empty docs must yield null, not a div-by-zero error
+    return punct.cast("double") / F.nullif(F.length(F.col(c)), F.lit(0)).cast("double")
 
 
 def mean_word_len(c: str, words: Optional[Column] = None) -> Column:

@@ -55,6 +55,32 @@ _PP_SQL = f"""
 """
 
 
+@query(
+    "segment_has_property_value",
+    oracle=f"""
+    SELECT DISTINCT user_id FROM events
+    WHERE {S.ts_between(*S.T_FULL)}
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 95
+    """,
+)
+def segment_has_property_value(spark, sf_dir):
+    """HasPropertyValue cohort: any event with props.k >= 95 in the
+    window. Declared in the reference DSL but `unimplemented!` there
+    (query/src/event_segmentation.rs:456-545); trivial in Spark."""
+    events = load_table(spark, sf_dir, "events")
+    seg = Segment(
+        "high_k",
+        conditions=[[
+            SegmentCondition(
+                "had_property_value",
+                prop=PropertyRef.json("k", "int64"),
+                op=PropOp.GTE, values=[95], time=_FULL,
+            ),
+        ]],
+    )
+    return segment_users(events, seg)
+
+
 @query("segment_and_composition", oracle=_PP_SQL)
 def segment_and_composition(spark, sf_dir):
     """DidEvent count ∧ DidEvent aggregate-property (reference

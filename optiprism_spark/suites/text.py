@@ -24,7 +24,7 @@ _SW_RATIO = (
              / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
            {_SW_RATIO} AS stopword_ratio,
            CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             / CAST(NULLIF(length(text), 0) AS DOUBLE) AS punct_ratio,
            CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
                 WHEN {_SW_RATIO} >= 0.05 THEN 'en'
                 ELSE 'unk' END AS lang_guess,
