@@ -1,0 +1,297 @@
+"""JSON API layer — parse reference-shaped requests into the DSL.
+
+The reference's query surface is a camelCase JSON DSL over HTTP
+(platform/src/event_segmentation.rs:36-446, platform/src/funnel.rs:
+293-640, DTO primitives platform/src/lib.rs:400-830). This module
+accepts the SAME request bodies and compiles them to this engine's
+dataclasses, so a reference user can POST their existing payloads
+unchanged:
+
+    req = parse_event_segmentation(json_body)
+    df  = run_event_segmentation(events, req)
+
+Coverage: QueryTime (between/from/last), every Query kind incl.
+formula, property filters with the full operation set, breakdowns,
+analysis (linear/rollingAverage/cumulative) + compare, and the whole
+funnel request (steps with exact/any order, timeWindow incl. the
+session unit, count modes, excludes with step ranges, holding
+constants, drop-off/time-to-convert filters, touch). Property
+references resolve by name: a physical events column if one matches,
+else a key in the `props` JSON column — the engine's stand-in for the
+reference's materialized property catalog.
+
+An HTTP server is deliberately out of scope (any WSGI wrapper works);
+the API surface is the parser.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Optional, Sequence
+
+from .dsl import (
+    AggFn,
+    Analysis,
+    Compare,
+    EventFilterSpec,
+    EventQuery,
+    EventRef,
+    EventSegmentationRequest,
+    FunnelCountMode,
+    FunnelExclude,
+    FunnelFilter,
+    FunnelRequest,
+    FunnelStep,
+    FunnelTouch,
+    PropFilter,
+    PropOp,
+    PropertyRef,
+    QueryTime,
+    SegQuery,
+    StepOrder,
+    TimeIntervalUnit,
+)
+
+#: physical events-table columns; anything else resolves into `props`
+EVENT_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+#: reference group index/name → events column (group 0 = "user",
+#: common/src/lib.rs:16-22)
+GROUP_COLS = {0: "user_id", "user": "user_id"}
+
+_OPS = {
+    "eq": PropOp.EQ, "neq": PropOp.NEQ, "gt": PropOp.GT, "gte": PropOp.GTE,
+    "lt": PropOp.LT, "lte": PropOp.LTE, "like": PropOp.LIKE,
+    "notLike": PropOp.NOT_LIKE, "regex": PropOp.REGEX,
+    "notRegex": PropOp.NOT_REGEX, "true": PropOp.TRUE, "false": PropOp.FALSE,
+    "empty": PropOp.EMPTY, "exists": PropOp.EXISTS,
+}
+
+_AGGS = {
+    "count": AggFn.COUNT, "sum": AggFn.SUM, "min": AggFn.MIN,
+    "max": AggFn.MAX, "avg": AggFn.AVG, "median": AggFn.MEDIAN,
+    "percentile25": AggFn.P25, "percentile75": AggFn.P75,
+    "percentile90": AggFn.P90, "percentile99": AggFn.P99,
+    "distinctCount": AggFn.DISTINCT_COUNT,
+}
+
+_WINDOW_MS = {
+    "hour": 3_600_000, "day": 86_400_000, "week": 7 * 86_400_000,
+    "month": 31 * 86_400_000, "year": 365 * 86_400_000,
+}
+
+
+def _ts(s: str) -> dt.datetime:
+    out = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    return out.replace(tzinfo=None) if out.tzinfo else out
+
+
+def parse_time(t: dict, now: Optional[dt.datetime] = None) -> QueryTime:
+    kind = t["type"]
+    if kind == "between":
+        return QueryTime.between(_ts(t["from"]), _ts(t["to"]))
+    if kind == "from":
+        return QueryTime.from_(_ts(t["from"]))
+    if kind == "last":
+        return QueryTime.last(
+            int(t["last"]), TimeIntervalUnit(t["unit"]), now or dt.datetime.utcnow()
+        )
+    raise ValueError(f"unknown time type {kind!r}")
+
+
+def parse_property(d: dict, columns: Sequence[str] = EVENT_COLUMNS) -> PropertyRef:
+    name = d.get("propertyName")
+    if name is None:
+        raise ValueError(f"unresolvable property reference: {d!r}")
+    if name in columns:
+        return PropertyRef.column(name)
+    return PropertyRef.json(name, d.get("dtype", "int64"))
+
+
+def parse_filter(d: dict, columns=EVENT_COLUMNS) -> PropFilter:
+    if d.get("type", "property") != "property":
+        raise ValueError(f"unsupported filter type {d['type']!r}")
+    return PropFilter(
+        parse_property(d, columns), _OPS[d["operation"]], tuple(d.get("value") or ())
+    )
+
+
+def parse_event_ref(d: dict) -> EventRef:
+    if d.get("eventType", "regular") == "regular":
+        return EventRef(d["eventName"])
+    raise ValueError("custom events resolve via EventRef(custom=[...]) in the DSL")
+
+
+def _parse_query(q: dict, columns) -> SegQuery:
+    kind = q["type"]
+    if kind == "countEvents":
+        return SegQuery("count_events")
+    if kind == "countUniqueGroups":
+        return SegQuery("count_unique_groups")
+    if kind in ("dailyActiveGroups", "weeklyActiveGroups", "monthlyActiveGroups"):
+        snake = {"dailyActiveGroups": "daily_active_groups",
+                 "weeklyActiveGroups": "weekly_active_groups",
+                 "monthlyActiveGroups": "monthly_active_groups"}[kind]
+        return SegQuery(snake)
+    if kind == "countPerGroup":
+        return SegQuery("count_per_group", agg=_AGGS[q["aggregate"]])
+    if kind == "aggregateProperty":
+        return SegQuery(
+            "aggregate_property", agg=_AGGS[q["aggregate"]],
+            prop=parse_property(q, columns),
+        )
+    if kind == "aggregatePropertyPerGroup":
+        return SegQuery(
+            "aggregate_property_per_group",
+            inner_agg=_AGGS[q["aggregatePerGroup"]],
+            agg=_AGGS[q["aggregate"]],
+            prop=parse_property(q, columns),
+        )
+    if kind == "formula":
+        return SegQuery("formula", formula=q["formula"])
+    raise ValueError(f"unknown query type {kind!r}")
+
+
+def parse_event_segmentation(
+    body: dict,
+    columns: Sequence[str] = EVENT_COLUMNS,
+    now: Optional[dt.datetime] = None,
+) -> EventSegmentationRequest:
+    """Reference EventSegmentationRequest JSON → DSL dataclass."""
+    events = []
+    for e in body["events"]:
+        events.append(
+            EventQuery(
+                parse_event_ref(e),
+                [_parse_query(q, columns) for q in e["queries"]],
+                filters=tuple(parse_filter(f, columns) for f in e.get("filters") or ()),
+                breakdowns=tuple(
+                    parse_property(b, columns) for b in e.get("breakdowns") or ()
+                ),
+            )
+        )
+    analysis_d = body.get("analysis") or {"type": "linear"}
+    analysis = {
+        "linear": Analysis.LINEAR,
+        "rollingAverage": Analysis.ROLLING_AVERAGE,
+        "cumulative": Analysis.CUMULATIVE,
+    }[analysis_d["type"]]
+    compare = None
+    if body.get("compare"):
+        compare = Compare(
+            int(body["compare"]["offset"]), TimeIntervalUnit(body["compare"]["unit"])
+        )
+    return EventSegmentationRequest(
+        time=parse_time(body["time"], now),
+        interval=TimeIntervalUnit(body["intervalUnit"]),
+        events=events,
+        group_col=GROUP_COLS.get(body.get("group", 0), "user_id"),
+        filters=tuple(
+            parse_filter(f, columns)
+            for g in (body.get("filters") or {}).get("groups", ())
+            for f in g.get("filters", ())
+        ),
+        breakdowns=tuple(
+            parse_property(b, columns) for b in body.get("breakdowns") or ()
+        ),
+        analysis=analysis,
+        rolling_window=int(analysis_d.get("window", 7)),
+        compare=compare,
+    )
+
+
+def parse_funnel(
+    body: dict,
+    columns: Sequence[str] = EVENT_COLUMNS,
+    now: Optional[dt.datetime] = None,
+) -> FunnelRequest:
+    """Reference FunnelRequest JSON → DSL dataclass."""
+    steps = []
+    for s in body["steps"]:
+        order_d = s.get("order", {"type": "exact"})
+        if isinstance(order_d, str):
+            order_d = {"type": order_d}
+        order = StepOrder.ANY if order_d["type"] == "any" else StepOrder.EXACT
+        steps.append(
+            FunnelStep(
+                [
+                    EventFilterSpec(
+                        parse_event_ref(e),
+                        tuple(parse_filter(f, columns) for f in e.get("filters") or ()),
+                    )
+                    for e in s["events"]
+                ],
+                order=order,
+                any_ranges=tuple(tuple(r) for r in order_d.get("steps", ())),
+            )
+        )
+
+    tw = body["timeWindow"]
+    unit = tw["unit"]
+    if unit == "session":
+        count_mode, window_ms = FunnelCountMode.SESSION, _WINDOW_MS["day"]
+    else:
+        count_mode = {
+            "unique": FunnelCountMode.UNIQUE,
+            "nonUnique": FunnelCountMode.NON_UNIQUE,
+            "session": FunnelCountMode.SESSION,
+        }[body.get("count", "unique")]
+        window_ms = int(tw["n"]) * _WINDOW_MS[unit]
+
+    flt = None
+    if body.get("filter"):
+        f = body["filter"]
+        flt = {
+            "dropOffOnAnyStep": lambda: FunnelFilter("drop_off_on_any_step"),
+            "dropOffOnStep": lambda: FunnelFilter("drop_off_on_step", step=int(f["step"])),
+            "timeToConvert": lambda: FunnelFilter(
+                "time_to_convert", min_ms=int(f["from"]), max_ms=int(f["to"])
+            ),
+        }[f["type"]]()
+
+    touch_d = body.get("touch") or {"type": "first"}
+    touch = {
+        "first": FunnelTouch.FIRST, "last": FunnelTouch.LAST, "step": FunnelTouch.STEP,
+    }[touch_d["type"]]
+
+    excludes = []
+    for ex in body.get("exclude") or ():
+        between = None
+        steps_d = ex.get("steps")
+        if steps_d and steps_d["type"] == "between":
+            # reference converts 1-based JSON to 0-based internal
+            # (platform/src/funnel.rs ExcludeSteps::Between from-1/to-1)
+            between = (int(steps_d["from"]) - 1, int(steps_d["to"]) - 1)
+        excludes.append(
+            FunnelExclude(
+                EventFilterSpec(
+                    parse_event_ref(ex),
+                    tuple(parse_filter(f, columns) for f in ex.get("filters") or ()),
+                ),
+                between_steps=between,
+            )
+        )
+
+    return FunnelRequest(
+        time=parse_time(body["time"], now),
+        interval=TimeIntervalUnit.DAY,
+        steps=steps,
+        window_ms=window_ms,
+        group_col=GROUP_COLS.get(body.get("group", 0), "user_id"),
+        count_mode=count_mode,
+        excludes=tuple(excludes),
+        constants=tuple(
+            parse_property(p, columns) for p in body.get("holdingConstants") or ()
+        ),
+        filter=flt,
+        touch=touch,
+        touch_step=int(touch_d.get("step", 0)),
+        breakdowns=tuple(
+            parse_property(b, columns) for b in body.get("breakdowns") or ()
+        ),
+        filters=tuple(
+            parse_filter(f, columns)
+            for g in (body.get("filters") or {}).get("groups", ())
+            for f in g.get("filters", ())
+        ),
+    )

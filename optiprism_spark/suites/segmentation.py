@@ -76,6 +76,55 @@ def seg_count_hourly_purchase(spark, sf_dir):
     return _seg(spark, sf_dir, req, eq)
 
 
+# ------------------------------------------------------------------ JSON API
+
+@query(
+    "api_json_segmentation",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket, event_type,
+           COUNT(*) AS n, {S.sum_exact('value')} AS sum_value
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1, 2
+    """,
+)
+def api_json_segmentation(spark, sf_dir):
+    """A reference-shaped camelCase JSON request body (the reference's
+    HTTP DSL, platform/src/event_segmentation.rs) parsed by api.py and
+    executed — the migration path for existing reference clients."""
+    from ..api import parse_event_segmentation
+    from ..queries.event_segmentation import run_event_segmentation
+
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59"},
+        "group": "user",
+        "intervalUnit": "day",
+        "chartType": "line",
+        "analysis": {"type": "linear"},
+        "breakdowns": [{"type": "property", "propertyType": "event",
+                        "propertyName": "event_type"}],
+        "events": [{
+            "eventName": None, "eventType": "regular",
+            "queries": [
+                {"type": "countEvents"},
+                {"type": "aggregateProperty", "aggregate": "sum",
+                 "propertyType": "event", "propertyName": "value"},
+            ],
+        }],
+    }
+    # all-events query: the reference expresses it as one event per
+    # tracked name; here a None eventName means no event filter
+    body["events"][0]["eventName"] = None
+    req = parse_event_segmentation(body)
+    events = load_table(spark, sf_dir, "events")
+    df = run_event_segmentation(events, req)
+    return df.select(
+        F.col("bucket"), F.col("event_type"),
+        F.col("0_0_count_events").alias("n"),
+        F.col("0_1_aggregate_property_sum").alias("sum_value"),
+    )
+
+
 # ------------------------------------------------------------------ Formula
 
 @query(

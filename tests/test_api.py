@@ -1,0 +1,146 @@
+"""JSON API layer tests — reference-shaped payloads (modeled on the
+reference's own HTTP test client, tests/queries/optiprism.py) parse to
+the same requests the DSL builds by hand."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from optiprism_spark.api import parse_event_segmentation, parse_funnel
+from optiprism_spark.dsl import (
+    AggFn,
+    Analysis,
+    FunnelCountMode,
+    FunnelTouch,
+    PropOp,
+    StepOrder,
+)
+
+_SEG_BODY = {
+    "time": {"type": "between", "from": "2024-01-01T00:00:00", "to": "2024-01-31T23:59:59"},
+    "group": "user",
+    "intervalUnit": "day",
+    "chartType": "line",
+    "analysis": {"type": "rollingAverage", "window": 3},
+    "events": [
+        {
+            "eventName": "purchase",
+            "eventType": "regular",
+            "queries": [
+                {"type": "countEvents"},
+                {"type": "aggregateProperty", "aggregate": "sum",
+                 "propertyType": "event", "propertyName": "value"},
+                {"type": "aggregatePropertyPerGroup", "aggregate": "avg",
+                 "aggregatePerGroup": "sum", "propertyType": "event",
+                 "propertyName": "value"},
+                {"type": "formula", "formula": "1 + 1"},
+            ],
+            "filters": [
+                {"type": "property", "propertyType": "event",
+                 "propertyName": "k", "operation": "gte", "value": [50]},
+            ],
+            "breakdowns": [
+                {"type": "property", "propertyType": "event", "propertyName": "event_type"},
+            ],
+        }
+    ],
+}
+
+
+def test_parse_event_segmentation():
+    req = parse_event_segmentation(_SEG_BODY)
+    assert req.interval.value == "day"
+    assert req.group_col == "user_id"
+    assert req.analysis == Analysis.ROLLING_AVERAGE and req.rolling_window == 3
+    (eq,) = req.events
+    assert eq.event.name == "purchase"
+    kinds = [q.kind for q in eq.queries]
+    assert kinds == ["count_events", "aggregate_property",
+                     "aggregate_property_per_group", "formula"]
+    assert eq.queries[1].agg == AggFn.SUM
+    assert eq.queries[2].inner_agg == AggFn.SUM and eq.queries[2].agg == AggFn.AVG
+    # value is a physical column; k resolves into the props JSON
+    assert eq.queries[1].prop.kind.value == "column"
+    (flt,) = eq.filters
+    assert flt.prop.kind.value == "json" and flt.op == PropOp.GTE
+    (bd,) = eq.breakdowns
+    assert bd.name == "event_type" and bd.kind.value == "column"
+    assert req.time.range() == (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+
+
+_FUNNEL_BODY = {
+    "time": {"type": "between", "from": "2024-01-01T00:00:00", "to": "2024-01-31T23:59:59"},
+    "group": "user",
+    "steps": [
+        {"events": [{"eventName": "signup", "eventType": "regular"}], "order": {"type": "exact"}},
+        {"events": [{"eventName": "view", "eventType": "regular"},
+                     {"eventName": "click", "eventType": "regular"}],
+         "order": {"type": "any", "steps": [[1, 2]]}},
+        {"events": [{"eventName": "purchase", "eventType": "regular"}], "order": {"type": "exact"}},
+    ],
+    "timeWindow": {"n": 7, "unit": "day"},
+    "chartType": "line",
+    "count": "nonUnique",
+    "filter": {"type": "timeToConvert", "from": 0, "to": 3600000},
+    "touch": {"type": "step", "step": 1},
+    "holdingConstants": [
+        {"propertyType": "event", "propertyName": "value"},
+    ],
+    "exclude": [
+        {"eventName": "error", "eventType": "regular",
+         "steps": {"type": "between", "from": 2, "to": 3}},
+    ],
+}
+
+
+def test_parse_funnel():
+    req = parse_funnel(_FUNNEL_BODY)
+    assert len(req.steps) == 3
+    assert req.steps[1].order == StepOrder.ANY
+    assert req.steps[1].any_ranges == ((1, 2),)
+    assert req.window_ms == 7 * 86_400_000
+    assert req.count_mode == FunnelCountMode.NON_UNIQUE
+    assert req.filter.kind == "time_to_convert" and req.filter.max_ms == 3600000
+    assert req.touch == FunnelTouch.STEP and req.touch_step == 1
+    (c,) = req.constants
+    assert c.name == "value"
+    (ex,) = req.excludes
+    assert ex.event.event.name == "error"
+    assert ex.between_steps == (1, 2)  # JSON is 1-based, internal 0-based
+
+
+def test_json_request_runs_end_to_end(spark):
+    from optiprism_spark.queries.event_segmentation import run_event_segmentation
+    from optiprism_spark.schema import load_table
+
+    body = {
+        "time": _SEG_BODY["time"],
+        "group": "user",
+        "intervalUnit": "day",
+        "chartType": "line",
+        "analysis": {"type": "linear"},
+        "events": [{
+            "eventName": "purchase", "eventType": "regular",
+            "queries": [{"type": "countEvents"}],
+        }],
+    }
+    req = parse_event_segmentation(body)
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = run_event_segmentation(events, req)
+    n = (
+        events.filter("event_type = 'purchase'")
+        .filter("ts >= '2024-01-01' and ts <= '2024-01-31 23:59:59'")
+        .count()
+    )
+    total = sum(r[1] for r in out.collect())
+    assert total == n
+
+
+def test_funnel_json_runs_end_to_end(spark):
+    from optiprism_spark.operators.funnel import funnel_report
+    from optiprism_spark.schema import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    rep = funnel_report(events, parse_funnel(_FUNNEL_BODY))
+    assert rep.count() >= 0  # full pipeline executes
+    assert "step2_conversion_ratio" in rep.columns
