@@ -76,6 +76,115 @@ def seg_count_hourly_purchase(spark, sf_dir):
     return _seg(spark, sf_dir, req, eq)
 
 
+# ---------------------------------------------------------- time-range kinds
+
+@query(
+    "seg_time_last_n_days",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket, COUNT(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 12:00:00' AND ts <= TIMESTAMP '2024-01-20 12:00:00'
+    GROUP BY 1
+    """,
+)
+def seg_time_last_n_days(spark, sf_dir):
+    """QueryTime::Last(n, unit) with an injected deterministic `now`
+    (reference common/src/query.rs:401-422; the HTTP layer's
+    ?timestamp= override)."""
+    req = EventSegmentationRequest(
+        time=QueryTime.last(10, TimeIntervalUnit.DAY, now=dt.datetime(2024, 1, 20, 12)),
+        interval=TimeIntervalUnit.DAY,
+        events=[],
+    )
+    eq = EventQuery(EventRef(), [SegQuery("count_events", alias="n")])
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_time_from_minute_buckets",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS bucket, COUNT(*) AS n
+    FROM events WHERE ts >= TIMESTAMP '2024-01-31 20:00:00'
+    GROUP BY 1
+    """,
+)
+def seg_time_from_minute_buckets(spark, sf_dir):
+    """QueryTime::From (open-ended) with minute-level bucketing —
+    closes the interval-unit axis below hour."""
+    req = EventSegmentationRequest(
+        time=QueryTime.from_(dt.datetime(2024, 1, 31, 20)),
+        interval=TimeIntervalUnit.MINUTE,
+        events=[],
+    )
+    eq = EventQuery(EventRef(), [SegQuery("count_events", alias="n")])
+    return _seg(spark, sf_dir, req, eq)
+
+
+@query(
+    "seg_month_year_buckets",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+           CAST(date_trunc('year', ts) AS DATE) AS y, COUNT(*) AS n
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1, 2
+    """,
+)
+def seg_month_year_buckets(spark, sf_dir):
+    """Month + year truncation side by side (reference date_trunc
+    result-label arithmetic, common/src/query.rs:484-518)."""
+    from ..operators.aggregates import bucket_col
+
+    events = load_table(spark, sf_dir, "events")
+    cond = (F.col("ts") >= "2024-01-01") & (F.col("ts") <= "2024-01-31 23:59:59")
+    return (
+        events.filter(cond)
+        .groupBy(
+            bucket_col(TimeIntervalUnit.MONTH).alias("m"),
+            bucket_col(TimeIntervalUnit.YEAR).alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ------------------------------------------------------------- group analytics
+
+@query(
+    "seg_group_analytics_org",
+    oracle=f"""
+    WITH e AS (
+      SELECT *, user_id % 50 AS org_id FROM events WHERE {S.ts_between(*S.T_FULL)}
+    ),
+    per_org AS (SELECT {S.bucket('week')} AS bucket, org_id, COUNT(*) AS c FROM e GROUP BY 1, 2)
+    SELECT e2.bucket, uniq_orgs, avg_events_per_org FROM (
+      SELECT {S.bucket('week')} AS bucket, COUNT(DISTINCT org_id) AS uniq_orgs
+      FROM e GROUP BY 1
+    ) e2 JOIN (
+      SELECT bucket, {S.avg_exact('c')} AS avg_events_per_org FROM per_org GROUP BY 1
+    ) p ON e2.bucket = p.bucket
+    """,
+)
+def seg_group_analytics_org(spark, sf_dir):
+    """Group analytics on a non-user entity (the reference's
+    group_0..group_4 tables, common/src/lib.rs:16-22): the engine's
+    `group_col` parameter re-keys every per-group aggregate. The org
+    id is synthesized (user_id % 50) since the driver testdata carries
+    no group column — the operator path is the real one."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "org_id", F.col("user_id") % 50
+    )
+    req = EventSegmentationRequest(
+        time=_FULL, interval=TimeIntervalUnit.WEEK, events=[], group_col="org_id"
+    )
+    eq = EventQuery(
+        EventRef(),
+        [
+            SegQuery("count_unique_groups", alias="uniq_orgs"),
+            SegQuery("count_per_group", agg=AggFn.AVG, alias="avg_events_per_org"),
+        ],
+    )
+    return event_segmentation_one(events, req, eq)
+
+
 # ------------------------------------------------------------------ JSON API
 
 @query(
