@@ -121,29 +121,30 @@ def seg_time_from_minute_buckets(spark, sf_dir):
 
 
 @query(
-    "seg_month_year_buckets",
+    "seg_year_buckets",
     oracle=f"""
-    SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
-           CAST(date_trunc('year', ts) AS DATE) AS y, COUNT(*) AS n
+    SELECT CAST(date_trunc('year', ts) AS DATE) AS bucket,
+           COUNT(*) AS n, {S.sum_exact('value')} AS sum_value
     FROM events WHERE {S.ts_between(*S.T_FULL)}
-    GROUP BY 1, 2
+    GROUP BY 1
     """,
 )
-def seg_month_year_buckets(spark, sf_dir):
-    """Month + year truncation side by side (reference date_trunc
-    result-label arithmetic, common/src/query.rs:484-518)."""
-    from ..operators.aggregates import bucket_col
-
-    events = load_table(spark, sf_dir, "events")
-    cond = (F.col("ts") >= "2024-01-01") & (F.col("ts") <= "2024-01-31 23:59:59")
-    return (
-        events.filter(cond)
-        .groupBy(
-            bucket_col(TimeIntervalUnit.MONTH).alias("m"),
-            bucket_col(TimeIntervalUnit.YEAR).alias("y"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
+def seg_year_buckets(spark, sf_dir):
+    """Year-interval bucketing through the engine entry point — the
+    one truncation unit no other query passed through
+    event_segmentation_one (reference date_trunc labels,
+    common/src/query.rs:484-518). Month-interval runs through the
+    engine in seg_mau."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.YEAR, events=[])
+    eq = EventQuery(
+        EventRef(),
+        [
+            SegQuery("count_events", alias="n"),
+            SegQuery("aggregate_property", agg=AggFn.SUM,
+                     prop=PropertyRef.column("value"), alias="sum_value"),
+        ],
     )
+    return _seg(spark, sf_dir, req, eq)
 
 
 # ------------------------------------------------------------- group analytics
