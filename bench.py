@@ -59,13 +59,13 @@ def main() -> None:
     QUERIES["seg_dau"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     QUERIES["multimodal_features"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # two passes, min per query: the host shows heavy run-to-run
-    # interference (same query 1.2s..10s); min-of-2 reports the
+    # multiple passes, min per query: the host shows heavy run-to-run
+    # interference (same query 1.2s..10s); the min reports the
     # engine's steady-state capability instead of co-tenant noise
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

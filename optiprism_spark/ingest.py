@@ -87,16 +87,25 @@ def parse_user_agent(ua: Column) -> Column:
     )
 
 
-def ua_enrich(df: DataFrame, ua_col: str = "user_agent") -> DataFrame:
+def ua_enrich(df: DataFrame, ua_col: str = "user_agent", via_distinct: bool = True) -> DataFrame:
+    """Stamp parsed UA fields onto rows.
+
+    ``via_distinct`` (default) runs the regex chain over DISTINCT UA
+    strings and broadcast-joins the result back — UA cardinality is
+    orders of magnitude below row count, so the regex work drops from
+    O(rows) to O(distinct UAs). Set False to evaluate inline (cheaper
+    when UAs are near-unique)."""
     parsed = parse_user_agent(F.col(ua_col))
-    return df.withColumns(
-        {
-            "browser": parsed["browser"],
-            "browser_version": parsed["browser_version"],
-            "os": parsed["os"],
-            "is_mobile": parsed["is_mobile"],
-        }
-    )
+    fields = {
+        "browser": parsed["browser"],
+        "browser_version": parsed["browser_version"],
+        "os": parsed["os"],
+        "is_mobile": parsed["is_mobile"],
+    }
+    if not via_distinct:
+        return df.withColumns(fields)
+    dim = df.select(ua_col).distinct().withColumns(fields)
+    return df.join(F.broadcast(dim), ua_col, "left")
 
 
 # ------------------------------------------------------------------ geoip
