@@ -76,6 +76,49 @@ def seg_count_hourly_purchase(spark, sf_dir):
     return _seg(spark, sf_dir, req, eq)
 
 
+# ----------------------------------------------------- inner×outer agg matrix
+
+@query(
+    "seg_agg_matrix_per_user",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT {S.bucket('week')} AS bucket, user_id,
+             SUM(CAST(value AS {S.DECIMAL_T})) AS s,
+             MIN(value) AS mn, MAX(value) AS mx, COUNT(value) AS c
+      FROM events WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT bucket,
+           (CAST(SUM(s) AS DOUBLE) / COUNT(s)) AS avg_sum_value,
+           MAX(mn) AS max_min_value,
+           MIN(mx) AS min_max_value,
+           CAST(SUM(c) AS DOUBLE) AS sum_count
+    FROM per_user GROUP BY 1
+    """,
+)
+def seg_agg_matrix_per_user(spark, sf_dir):
+    """Inner×outer aggregate matrix in one request — avg(sum), max(min),
+    min(max), sum(count) per user — the combination sweep the
+    reference's ClickHouse suite exercises (tests/queries/
+    test_partitioned_aggregate.py, SURVEY §5)."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.WEEK, events=[])
+    v = PropertyRef.column("value")
+    eq = EventQuery(
+        EventRef("purchase"),
+        [
+            SegQuery("aggregate_property_per_group", inner_agg=AggFn.SUM,
+                     agg=AggFn.AVG, prop=v, alias="avg_sum_value"),
+            SegQuery("aggregate_property_per_group", inner_agg=AggFn.MIN,
+                     agg=AggFn.MAX, prop=v, alias="max_min_value"),
+            SegQuery("aggregate_property_per_group", inner_agg=AggFn.MAX,
+                     agg=AggFn.MIN, prop=v, alias="min_max_value"),
+            SegQuery("aggregate_property_per_group", inner_agg=AggFn.COUNT,
+                     agg=AggFn.SUM, prop=v, alias="sum_count"),
+        ],
+    )
+    return _seg(spark, sf_dir, req, eq)
+
+
 # ---------------------------------------------------------- time-range kinds
 
 @query(
