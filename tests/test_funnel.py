@@ -152,6 +152,26 @@ def test_any_order_steps(spark):
     assert [(r.steps_completed, r.is_completed) for r in out] == [(3, True)]
 
 
+def test_repeated_event_steps(spark):
+    # all three steps match the SAME event: three e1 rows convert
+    # (each row satisfies exactly one machine step in sequence)
+    rows = [(1, 0, "e1", 1), (1, 1, "e1", 1), (1, 2, "e1", 1)]
+    out = attempts_of(spark, rows, req3(steps=steps("e1", "e1", "e1")))
+    assert [(r.steps_completed, r.is_completed) for r in out] == [(3, True)]
+
+
+def test_exclude_event_equals_step_event(spark):
+    # exclude e1 while steps are e1→e2: a second e1 mid-attempt resets
+    # and the reprocessed row seeds a NEW attempt, which then converts
+    rows = [(1, 0, "e1", 1), (1, 1, "e1", 1), (1, 2, "e2", 1)]
+    req = req3(
+        steps=steps("e1", "e2"),
+        excludes=[FunnelExclude(EventFilterSpec(EventRef("e1")))],
+    )
+    out = attempts_of(spark, rows, req)
+    assert [(r.steps_completed, r.is_completed) for r in out] == [(2, True)]
+
+
 def test_multiple_users_and_dropoff(spark):
     rows = [
         (1, 0, "e1", 1), (1, 1, "e2", 1), (1, 2, "e3", 1),
