@@ -101,6 +101,60 @@ def test_stateful_user_profiles_across_batches(spark, tmp_path):
     assert latest[1].value_sum == 3.0
 
 
+def test_streaming_funnel_conversion_spans_batches(spark, tmp_path):
+    """A conversion whose steps arrive in DIFFERENT micro-batches must
+    be detected from state, not from re-scanning history."""
+    import datetime as dtm
+
+    from optiprism_spark.streaming.funnel import streaming_funnel_counts
+
+    src = os.path.join(str(tmp_path), "funnel_src")
+    os.makedirs(src)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t = dtm.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    # batch 1: user 1 does steps 0,1; user 2 does step 0
+    mk([
+        (0, t, 1, "signup", 1.0, "{}"),
+        (1, t + dtm.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+        (2, t, 2, "signup", 1.0, "{}"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+
+    out = streaming_funnel_counts(
+        spark, mk([]).schema, src,
+        step_names=["signup", "view", "purchase"], window_ms=3_600_000,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("sfunnel_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 1 completes; user 2's purchase is OUT of window
+        mk([
+            (3, t + dtm.timedelta(minutes=2), 1, "purchase", 1.0, "{}"),
+            (4, t + dtm.timedelta(hours=2), 2, "view", 1.0, "{}"),
+            (5, t + dtm.timedelta(hours=2, minutes=1), 2, "purchase", 1.0, "{}"),
+        ]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sfunnel_out").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = r
+    assert latest[1].completed_total == 1  # signup+view (batch 1) + purchase (batch 2)
+    # user 2: signup@10:00 expired by 12:00; view restarts nothing
+    # (view != step 0), purchase matches nothing → still step 0, no conversion
+    assert latest[2].completed_total == 0 and latest[2].cur_step == 0
+
+
 def test_append_events_partitioned_and_pruned(spark, tmp_path):
     dest = os.path.join(str(tmp_path), "events_tbl")
     df = _events(spark)
