@@ -112,6 +112,32 @@ def wh_order_priority_pipeline(spark, sf_dir):
 
 
 @query(
+    "sql_api_revenue_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT c.c_custkey) AS n_customers
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def sql_api_revenue_by_segment(spark, sf_dir):
+    """The SQL API path: tables registered as views, query written as
+    ANSI SQL via spark.sql — the same engine surface as the DataFrame
+    builders (Catalyst compiles both to one plan space)."""
+    from ..schema import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_mktsegment AS segment,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+               COUNT(DISTINCT c.c_custkey) AS n_customers
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """)
+
+
+@query(
     "dict_roundtrip_event_type",
     oracle="""
     WITH d AS (
