@@ -56,8 +56,19 @@ from .dsl import (
 EVENT_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 #: reference group index/name → events column (group 0 = "user",
-#: common/src/lib.rs:16-22)
+#: common/src/lib.rs:16-22). The driver testdata has only the user
+#: entity; additional group kinds register here (e.g. 1: "org_id").
 GROUP_COLS = {0: "user_id", "user": "user_id"}
+
+
+def _group_col(body: dict) -> str:
+    g = body.get("group", 0)
+    if g not in GROUP_COLS:
+        raise ValueError(
+            f"unknown group {g!r}; known: {sorted(GROUP_COLS, key=str)} "
+            "(register more in api.GROUP_COLS)"
+        )
+    return GROUP_COLS[g]
 
 _OPS = {
     "eq": PropOp.EQ, "neq": PropOp.NEQ, "gt": PropOp.GT, "gte": PropOp.GTE,
@@ -83,7 +94,12 @@ _WINDOW_MS = {
 
 def _ts(s: str) -> dt.datetime:
     out = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
-    return out.replace(tzinfo=None) if out.tzinfo else out
+    if out.tzinfo:
+        # normalize offset-carrying bounds to the naive-UTC convention
+        # the stored ts column uses — dropping the offset un-converted
+        # would shift the query window by the client's timezone
+        out = out.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return out
 
 
 def parse_time(t: dict, now: Optional[dt.datetime] = None) -> QueryTime:
@@ -152,6 +168,17 @@ def _parse_query(q: dict, columns) -> SegQuery:
     raise ValueError(f"unknown query type {kind!r}")
 
 
+def _grouped_filters(body: dict, columns) -> tuple:
+    """EventGroupedFilters: the reference flattens groups[0].filters
+    into an AND conjunction and ignores groupsCondition/
+    filtersCondition (platform/src/event_segmentation.rs:470-474,
+    funnel.rs:749) — mirrored here for parity."""
+    groups = (body.get("filters") or {}).get("groups", ())
+    if not groups:
+        return ()
+    return tuple(parse_filter(f, columns) for f in groups[0].get("filters", ()))
+
+
 def parse_event_segmentation(
     body: dict,
     columns: Sequence[str] = EVENT_COLUMNS,
@@ -185,12 +212,8 @@ def parse_event_segmentation(
         time=parse_time(body["time"], now),
         interval=TimeIntervalUnit(body["intervalUnit"]),
         events=events,
-        group_col=GROUP_COLS.get(body.get("group", 0), "user_id"),
-        filters=tuple(
-            parse_filter(f, columns)
-            for g in (body.get("filters") or {}).get("groups", ())
-            for f in g.get("filters", ())
-        ),
+        group_col=_group_col(body),
+        filters=_grouped_filters(body, columns),
         breakdowns=tuple(
             parse_property(b, columns) for b in body.get("breakdowns") or ()
         ),
@@ -228,6 +251,12 @@ def parse_funnel(
 
     tw = body["timeWindow"]
     unit = tw["unit"]
+    if unit not in _WINDOW_MS and unit != "session":
+        raise ValueError(
+            f"unsupported timeWindow unit {unit!r}; the funnel window "
+            f"units are {sorted(_WINDOW_MS)} + 'session' (reference "
+            "TimeIntervalUnitSession, platform/src/funnel.rs)"
+        )
     if unit == "session":
         count_mode, window_ms = FunnelCountMode.SESSION, _WINDOW_MS["day"]
     else:
@@ -238,6 +267,10 @@ def parse_funnel(
         }[body.get("count", "unique")]
         window_ms = int(tw["n"]) * _WINDOW_MS[unit]
 
+    # NB: dropOffOnStep/touch step indices pass through unchanged — the
+    # reference's JSON contract is already 0-based for these (platform/
+    # src/funnel.rs converts ONLY exclude ranges with from-1/to-1; the
+    # machine tests steps_completed - 1 == step, funnel.rs:196)
     flt = None
     if body.get("filter"):
         f = body["filter"]
@@ -277,7 +310,7 @@ def parse_funnel(
         interval=TimeIntervalUnit.DAY,
         steps=steps,
         window_ms=window_ms,
-        group_col=GROUP_COLS.get(body.get("group", 0), "user_id"),
+        group_col=_group_col(body),
         count_mode=count_mode,
         excludes=tuple(excludes),
         constants=tuple(
@@ -289,9 +322,5 @@ def parse_funnel(
         breakdowns=tuple(
             parse_property(b, columns) for b in body.get("breakdowns") or ()
         ),
-        filters=tuple(
-            parse_filter(f, columns)
-            for g in (body.get("filters") or {}).get("groups", ())
-            for f in g.get("filters", ())
-        ),
+        filters=_grouped_filters(body, columns),
     )

@@ -186,6 +186,10 @@ def event_segmentation_one(
         else:
             raise ValueError(f"unsupported query kind {q.kind}")
 
+    if formulas and not (simple_aggs or two_level):
+        raise ValueError(
+            "a formula query needs sibling metric queries to reference"
+        )
     parts: list[DataFrame] = []
     if simple_aggs:
         parts.append(df.groupBy(*keys).agg(*simple_aggs))

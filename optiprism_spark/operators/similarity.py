@@ -127,6 +127,34 @@ def embedding_near_pairs(
     )
 
 
+def _coarse_centroids(embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic coarse quantizer: lowest-id vectors as centroids
+    (swap in pyspark.ml KMeans for recall; the plan shape is fixed)."""
+    return (
+        embeddings.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv"))
+    )
+
+
+def _assign_to_centroids(
+    df: DataFrame, cent: DataFrame, id_alias: str, vec_alias: str, n: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """nearest-n centroids by cosine (tie-break centroid id): broadcast
+    the centroid table, rank per vector, keep the top n lists."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_alias).orderBy(F.desc("__csim"), F.asc("centroid_id"))
+    return (
+        df.select(F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias))
+        .join(F.broadcast(cent))
+        .withColumn("__csim", cosine(F.col(vec_alias), F.col("cv")))
+        .withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= n)
+        .select(id_alias, vec_alias, "centroid_id")
+    )
+
+
 def embedding_near_pairs_ivf(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -140,24 +168,15 @@ def embedding_near_pairs_ivf(
     drops from N² to Σ bucket²). Near-identical vectors land in the
     same bucket with high probability, straddlers are the recall
     trade-off (probe >1 centroid to shrink it)."""
-    from pyspark.sql import Window
-
-    cent = (
-        embeddings.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
+    cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col)
     assigned = (
-        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-        .join(F.broadcast(cent))
-        .withColumn("__csim", cosine(F.col("v"), F.col("cv")))
-        .withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") == 1)
-        .select(id_col, "v", "centroid_id")
+        _assign_to_centroids(embeddings, cent, id_col, "v", 1, id_col, vec_col)
         .withColumn("n", _norm(F.col("v")))
         # both sides of the self-join consume this frame — materialize
         # the assignment once instead of recomputing the quantizer per
-        # side (at scale the assignment is a persisted index table)
+        # side (at scale the assignment is a persisted index table; the
+        # cached plan is freed by the ContextCleaner once this
+        # DataFrame is garbage-collected)
         .persist()
     )
     a = assigned.select(
@@ -201,27 +220,9 @@ def cosine_topk_ivf(
     the plan shape."""
     from pyspark.sql import Window
 
-    cent = (
-        embeddings.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv"))
-    )
-
-    def assign(df, id_alias, vec_alias, n):
-        """nearest-n centroids by cosine (tie-break centroid id)"""
-        w = Window.partitionBy(id_alias).orderBy(
-            F.desc("__csim"), F.asc("centroid_id")
-        )
-        return (
-            df.select(F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias))
-            .join(F.broadcast(cent))
-            .withColumn("__csim", cosine(F.col(vec_alias), F.col("cv")))
-            .withColumn("__crank", F.row_number().over(w))
-            .filter(F.col("__crank") <= n)
-            .select(id_alias, vec_alias, "centroid_id")
-        )
-
-    e = assign(embeddings, "neighbor_id", "ev", 1)
-    q = assign(queries, "query_id", "qv", nprobe)
+    cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col)
+    e = _assign_to_centroids(embeddings, cent, "neighbor_id", "ev", 1, id_col, vec_col)
+    q = _assign_to_centroids(queries, cent, "query_id", "qv", nprobe, id_col, vec_col)
     sims = (
         e.join(F.broadcast(q), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

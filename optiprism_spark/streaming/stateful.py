@@ -56,14 +56,16 @@ def _update_profile(
     count, value_sum, last_seen, sessions = (
         state.get if state.exists else (0, 0.0, None, 0)
     )
-    for pdf in pdfs:
-        pdf = pdf.sort_values("__ts_us")
-        for ts_us, value in zip(pdf["__ts_us"], pdf["value"]):
-            if last_seen is None or ts_us - last_seen > SESSION_GAP_US:
-                sessions += 1
-            last_seen = int(ts_us)
-            count += 1
-            value_sum += float(value) if pd.notna(value) else 0.0
+    # concat ALL chunks before sorting — a group larger than one Arrow
+    # batch arrives as multiple frames in arbitrary order, and sorting
+    # per-chunk would corrupt the session-gap detection
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("__ts_us")
+    for ts_us, value in zip(pdf["__ts_us"], pdf["value"]):
+        if last_seen is None or ts_us - last_seen > SESSION_GAP_US:
+            sessions += 1
+        last_seen = int(ts_us)
+        count += 1
+        value_sum += float(value) if pd.notna(value) else 0.0
     state.update((count, value_sum, last_seen, sessions))
     yield pd.DataFrame(
         [(user, count, value_sum, last_seen, sessions)],

@@ -109,6 +109,52 @@ def test_parse_funnel():
     assert ex.between_steps == (1, 2)  # JSON is 1-based, internal 0-based
 
 
+def test_parse_edge_validation():
+    import datetime as dtm
+
+    import pytest
+
+    from optiprism_spark.api import _ts
+
+    # offset-carrying bounds normalize to UTC, never silently shift
+    assert _ts("2024-01-01T12:00:00+05:00") == dtm.datetime(2024, 1, 1, 7, 0, 0)
+    assert _ts("2024-01-01T12:00:00Z") == dtm.datetime(2024, 1, 1, 12, 0, 0)
+    # unknown group must error, not silently aggregate per user
+    bad_group = dict(_SEG_BODY, group=3)
+    with pytest.raises(ValueError, match="unknown group"):
+        parse_event_segmentation(bad_group)
+    # unsupported funnel window unit gets a clear error
+    bad_window = dict(_FUNNEL_BODY, timeWindow={"n": 30, "unit": "minute"})
+    with pytest.raises(ValueError, match="timeWindow unit"):
+        parse_funnel(bad_window)
+
+
+def test_formula_only_query_is_rejected(spark):
+    import pytest
+
+    from optiprism_spark.dsl import (
+        EventQuery,
+        EventRef,
+        EventSegmentationRequest,
+        QueryTime,
+        SegQuery,
+        TimeIntervalUnit,
+    )
+    from optiprism_spark.operators.aggregates import event_segmentation_one
+    from optiprism_spark.schema import load_table
+
+    import datetime as dtm
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    req = EventSegmentationRequest(
+        time=QueryTime.between(dtm.datetime(2024, 1, 1), dtm.datetime(2024, 1, 2)),
+        interval=TimeIntervalUnit.DAY, events=[],
+    )
+    eq = EventQuery(EventRef(), [SegQuery("formula", formula="1+1")])
+    with pytest.raises(ValueError, match="formula"):
+        event_segmentation_one(events, req, eq)
+
+
 def test_json_request_runs_end_to_end(spark):
     from optiprism_spark.queries.event_segmentation import run_event_segmentation
     from optiprism_spark.schema import load_table
