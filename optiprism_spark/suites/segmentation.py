@@ -76,6 +76,39 @@ def seg_count_hourly_purchase(spark, sf_dir):
     return _seg(spark, sf_dir, req, eq)
 
 
+# ----------------------------------------------------- int-typed property aggs
+
+@query(
+    "seg_agg_int_prop",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           median(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS med_k
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1
+    """,
+)
+def seg_agg_int_prop(spark, sf_dir):
+    """Aggregate sweep over an INTEGER-typed property (the reference's
+    ClickHouse suite sweeps every agg × numeric type; the driver events
+    table's only int-valued property lives in the props JSON). Integer
+    SUM stays exact without the decimal detour."""
+    req = EventSegmentationRequest(time=_FULL, interval=TimeIntervalUnit.DAY, events=[])
+    k = PropertyRef.json("k", "int64")
+    eq = EventQuery(
+        EventRef(),
+        [
+            SegQuery("aggregate_property", agg=AggFn.SUM, prop=k, alias="sum_k"),
+            SegQuery("aggregate_property", agg=AggFn.MIN, prop=k, alias="min_k"),
+            SegQuery("aggregate_property", agg=AggFn.MAX, prop=k, alias="max_k"),
+            SegQuery("aggregate_property", agg=AggFn.MEDIAN, prop=k, alias="med_k"),
+        ],
+    )
+    return _seg(spark, sf_dir, req, eq)
+
+
 # ----------------------------------------------------- inner×outer agg matrix
 
 @query(
