@@ -1,17 +1,49 @@
-"""Multimodal plumbing suite (rows-only: the fake decoder is
-deterministic but not SQL-expressible; semantics pinned by
-tests/test_pipeline_ops.py)."""
+"""Multimodal plumbing suite.
+
+The fake decoder is md5 arithmetic (operators/multimodal._fake_decode),
+so the whole mapInPandas pipeline IS oracle-expressible: DuckDB
+recomputes byte counts, content hashes and the feature codes from the
+same digests. Feature floats are compared as their exact int codes
+(value·255) to avoid float32-vs-float64 representation noise.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
 
 from ..operators.multimodal import extract_features, media_from_documents
 from ..registry import query
 from ..schema import load_table
 
+_DIM = 8
 
-@query("multimodal_features")
+#: digest byte i%16 of md5(text), as an int: hex pair -> int
+_BYTE = "CAST(('0x' || substr(md5(text), ({i} % 16) * 2 + 1, 2)) AS INT)"
+_CODES = ", ".join(f"(({_BYTE.format(i=i)} * 31 + {i}) % 256)" for i in range(_DIM))
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           strlen(text) AS n_bytes,
+           md5(text) AS content_hash,
+           array_to_string([{_CODES}], ',') AS feature_codes
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """binary-payload media table → mapInPandas feature extraction
-    (stubbed decode, real batch plumbing)."""
+    (stubbed decode, real batch plumbing). Features surface as exact
+    int codes so the differential check is representation-stable."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(media_from_documents(docs), dim=8)
+    feats = extract_features(media_from_documents(docs), dim=_DIM)
+    return feats.select(
+        "media_id", "n_bytes", "content_hash",
+        # comma-joined string, not an array column: array rendering
+        # differs between Arrow/non-Arrow pandas conversion paths
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: F.round(x * 255).cast("int")),
+            ",",
+        ).alias("feature_codes"),
+    )
