@@ -14,3 +14,22 @@ expressions; the rest is vectorized per-user pandas.
 """
 
 __version__ = "0.1.0"
+
+from .api import parse_event_segmentation, parse_funnel  # noqa: E402
+from .operators.funnel import funnel_attempts, funnel_report  # noqa: E402
+from .queries.event_segmentation import run_event_segmentation  # noqa: E402
+from .schema import load_table, load_tables, register_views  # noqa: E402
+from .session import get_spark  # noqa: E402
+
+__all__ = [
+    "get_spark",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "run_event_segmentation",
+    "funnel_attempts",
+    "funnel_report",
+    "parse_event_segmentation",
+    "parse_funnel",
+    "__version__",
+]
