@@ -202,6 +202,7 @@ def parse_event_segmentation(
         "linear": Analysis.LINEAR,
         "rollingAverage": Analysis.ROLLING_AVERAGE,
         "cumulative": Analysis.CUMULATIVE,
+        "logarithmic": Analysis.LOGARITHMIC,
     }[analysis_d["type"]]
     compare = None
     if body.get("compare"):

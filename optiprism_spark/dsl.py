@@ -207,6 +207,7 @@ class Analysis(str, Enum):
     LINEAR = "linear"
     ROLLING_AVERAGE = "rolling_average"
     CUMULATIVE = "cumulative"
+    LOGARITHMIC = "logarithmic"
 
 
 @dataclass(frozen=True)

@@ -51,6 +51,18 @@ def cumulative(
     return out
 
 
+def logarithmic(df: DataFrame, value_cols: Sequence[str]) -> DataFrame:
+    """log10 display transform of each metric column (reference
+    Analysis::Logarithmic — declared, engine-unimplemented there);
+    zero/negative values map to null, matching SQL log semantics."""
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.when(F.col(c) > 0, F.log10(F.col(c).cast("double")))
+        )
+    return out
+
+
 def compare_previous(
     df: DataFrame, value_cols: Sequence[str], offset: int,
     bucket_col: str = "bucket", partition_cols: Sequence[str] = (),

@@ -35,7 +35,7 @@ from ..operators.reshape import (
     pivot_buckets,
     unpivot_metrics,
 )
-from ..operators.windows import compare_previous, cumulative, rolling_average
+from ..operators.windows import compare_previous, cumulative, logarithmic, rolling_average
 
 SERIES_LIMIT = 50  # reference event_segmentation.rs:723-730
 
@@ -126,6 +126,8 @@ def _apply_analysis(long_df: DataFrame, req: EventSegmentationRequest, ei, eq, s
         out = rolling_average(out, metric_aliases, partition_cols=parts, window=req.rolling_window)
     elif req.analysis == Analysis.CUMULATIVE:
         out = cumulative(out, metric_aliases, partition_cols=parts)
+    elif req.analysis == Analysis.LOGARITHMIC:
+        out = logarithmic(out, metric_aliases)
     if req.compare is not None:
         out = compare_previous(out, metric_aliases, offset=req.compare.offset, partition_cols=parts)
     return out

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.windows import compare_previous, cumulative, rolling_average
+from ..operators.windows import compare_previous, cumulative, logarithmic, rolling_average
 from ..registry import query
 from ..schema import load_table
 from ..streaming.sessionize import session_stats, synthesize_session_begin
@@ -49,6 +49,24 @@ def win_rolling_avg(spark, sf_dir):
     """Analysis::RollingAverage — declared in the reference DSL,
     unimplemented there (SURVEY §2.7); Spark window, 7-day trailing."""
     return rolling_average(_daily_counts(spark, sf_dir), ["n"], partition_cols=["event_type"])
+
+
+@query(
+    "win_logarithmic",
+    oracle=f"""
+    WITH {_BASE}
+    SELECT bucket, event_type,
+           CASE WHEN n > 0 THEN round(log10(CAST(n AS DOUBLE)), 9) END AS n
+    FROM base
+    """,
+)
+def win_logarithmic(spark, sf_dir):
+    """Analysis::Logarithmic — declared in the reference DSL,
+    unimplemented there (common/src/event_segmentation.rs:24-42);
+    log10 display transform of the metric columns. Rounded to 9
+    digits on both sides: JVM and libm log10 differ in the last ulp."""
+    out = logarithmic(_daily_counts(spark, sf_dir), ["n"])
+    return out.withColumn("n", F.round(F.col("n"), 9))
 
 
 @query(
