@@ -115,21 +115,44 @@ def parse_time(t: dict, now: Optional[dt.datetime] = None) -> QueryTime:
     raise ValueError(f"unknown time type {kind!r}")
 
 
-def parse_property(d: dict, columns: Sequence[str] = EVENT_COLUMNS) -> PropertyRef:
+def _infer_dtype(values) -> str:
+    """Reference-shaped payloads carry no dtype for JSON-resolved
+    properties; infer one from the filter's literal values so numeric
+    comparisons stay numeric while string values aren't nulled by a
+    long cast. No values (breakdowns, empty/exists) → string, the
+    safe identity for grouping and null tests."""
+    vals = [v for v in (values or ()) if v is not None]
+    if not vals:
+        return "string"
+    if all(isinstance(v, bool) for v in vals):
+        return "boolean"
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+        return "int64"
+    if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
+        return "decimal"
+    return "string"
+
+
+def parse_property(
+    d: dict, columns: Sequence[str] = EVENT_COLUMNS, values=None, numeric: bool = False
+) -> PropertyRef:
+    """``values``: filter literals for dtype inference; ``numeric``:
+    aggregation context (sum/avg… need a numeric cast — the fixture's
+    JSON props are int-typed)."""
     name = d.get("propertyName")
     if name is None:
         raise ValueError(f"unresolvable property reference: {d!r}")
     if name in columns:
         return PropertyRef.column(name)
-    return PropertyRef.json(name, d.get("dtype", "int64"))
+    dtype = d.get("dtype") or ("int64" if numeric else _infer_dtype(values))
+    return PropertyRef.json(name, dtype)
 
 
 def parse_filter(d: dict, columns=EVENT_COLUMNS) -> PropFilter:
     if d.get("type", "property") != "property":
         raise ValueError(f"unsupported filter type {d['type']!r}")
-    return PropFilter(
-        parse_property(d, columns), _OPS[d["operation"]], tuple(d.get("value") or ())
-    )
+    values = tuple(d.get("value") or ())
+    return PropFilter(parse_property(d, columns, values=values), _OPS[d["operation"]], values)
 
 
 def parse_event_ref(d: dict) -> EventRef:
@@ -154,14 +177,14 @@ def _parse_query(q: dict, columns) -> SegQuery:
     if kind == "aggregateProperty":
         return SegQuery(
             "aggregate_property", agg=_AGGS[q["aggregate"]],
-            prop=parse_property(q, columns),
+            prop=parse_property(q, columns, numeric=True),
         )
     if kind == "aggregatePropertyPerGroup":
         return SegQuery(
             "aggregate_property_per_group",
             inner_agg=_AGGS[q["aggregatePerGroup"]],
             agg=_AGGS[q["aggregate"]],
-            prop=parse_property(q, columns),
+            prop=parse_property(q, columns, numeric=True),
         )
     if kind == "formula":
         return SegQuery("formula", formula=q["formula"])

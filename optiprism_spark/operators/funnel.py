@@ -17,7 +17,11 @@ Scale design (100 TB):
 - The kernel only sees *funnel-relevant* rows: the input is
   pre-filtered to rows matching any step or exclude expression —
   typically a tiny fraction of the stream — and only the needed
-  columns (Catalyst prunes the parquet scan accordingly).
+  columns (Catalyst prunes the parquet scan accordingly). Two modes
+  need the full time-filtered stream and skip that reduction:
+  holding constants (the reference resets an attempt on ANY row with
+  a deviating constant, funnel.rs:571-584) and Session count mode
+  (gaps are measured over all activity).
 - ``groupBy(user).applyInPandas`` shuffles once on the user key
   (AQE handles skew); if the table is bucketed by user at write time
   the shuffle is elided.
@@ -215,11 +219,20 @@ def funnel_attempts(
         *const_cols,
         *bd_cols,
     )
-    # scan reduction: only funnel-relevant rows reach the Python kernel
-    relevant = multi_or(
-        [F.col(f"__s{i}") for i in range(k)] + [F.col(f"__x{j}") for j in range(len(req.excludes))]
-    )
-    proj = proj.filter(relevant)
+    # scan reduction: only funnel-relevant rows reach the Python kernel.
+    # EXCEPT when holding constants are present: the reference checks
+    # constants on EVERY row while mid-funnel (check_constants,
+    # funnel.rs:571-584 — input is only time/global-filtered), so a
+    # non-step event carrying a different constant value must reset the
+    # attempt; pre-filtering to step/exclude rows would hide it.
+    # Session count-mode likewise needs the full stream: the session
+    # gap detection must see every event, not just step rows.
+    if not req.constants and req.count_mode != FunnelCountMode.SESSION:
+        relevant = multi_or(
+            [F.col(f"__s{i}") for i in range(k)]
+            + [F.col(f"__x{j}") for j in range(len(req.excludes))]
+        )
+        proj = proj.filter(relevant)
 
     bd_types = [proj.schema[b.name].dataType for b in req.breakdowns]
     schema = _attempt_schema(req, bd_types)

@@ -27,6 +27,11 @@ def merge_frames(dfs: Sequence[DataFrame], names: Optional[Sequence[str]] = None
     Reference MergeNode/MergeExec (query/src/logical_plan/merge.rs:21-115).
     """
     if names is not None:
+        if len(names) != len(dfs):
+            raise ValueError(
+                f"merge_frames: {len(dfs)} frames but {len(names)} names — "
+                "a zip would silently drop frames"
+            )
         dfs = [df.select(F.lit(n).alias(name_col), "*") for df, n in zip(dfs, names)]
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
 

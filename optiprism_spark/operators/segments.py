@@ -35,6 +35,15 @@ from ..operators.aggregates import agg_expr
 from ..schema import EVENT_USER_COL
 
 
+def _zero_count_qualifies(op: PropOp, right) -> bool:
+    """Does a user with zero matching events satisfy `0 <op> right`?"""
+    return {
+        PropOp.EQ: 0 == right, PropOp.NEQ: 0 != right,
+        PropOp.GT: 0 > right, PropOp.GTE: 0 >= right,
+        PropOp.LT: 0 < right, PropOp.LTE: 0 <= right,
+    }[op]
+
+
 def _cmp(col, op: PropOp, right):
     return {
         PropOp.EQ: col == F.lit(right),
@@ -68,6 +77,17 @@ def condition_users(events: DataFrame, cond: SegmentCondition,
         else:  # aggregate-property condition
             agg = agg_expr(cond.agg, prop_col(cond.agg_prop))
         per_user = df.groupBy(user.alias(group_col)).agg(agg.alias("__v"))
+        if cond.agg is None and _zero_count_qualifies(cond.compare_op, cond.right):
+            # "did fewer than N times" / "never did": users with NO
+            # matching events have count 0 and belong in the cohort, but
+            # the filtered aggregation never sees them — join the count
+            # onto the full user universe and coalesce to 0 (the
+            # reference's per-user streaming exprs walk every user in
+            # the scanned stream, count.rs:29-212)
+            universe = events.select(user.alias(group_col)).distinct()
+            per_user = universe.join(per_user, group_col, "left").select(
+                group_col, F.coalesce(F.col("__v"), F.lit(0)).alias("__v")
+            )
         return per_user.filter(_cmp(F.col("__v"), cond.compare_op, cond.right)).select(group_col)
 
     raise ValueError(f"unsupported segment condition {cond.kind}")

@@ -73,13 +73,29 @@ def cosine_topk(
 
 def hyperplane_bucket(vec: Column, planes: int = 4, dim: int = 64) -> Column:
     """Deterministic sign-bit sketch: plane p's component d is
-    md5-derived in [-0.5, 0.5); bucket = sum of sign bits."""
+    md5-derived in [-0.5, 0.5); bucket = sum of sign bits.
+
+    Built from the passed ``vec`` Column (not a fixed column name) so
+    any caller frame works — e.g. embedding_near_pairs exposes av/bv.
+    """
+    def _component(p):
+        # NB: higher-order lambdas must take EXACTLY the arity Spark
+        # expects (2 for zip_with) — close over p, don't default it
+        def f(x, i):
+            h = F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 8),
+                16, 10,
+            ).cast("double")
+            return x * (h / F.lit(4294967296.0) - F.lit(0.5))
+
+        return f
+
     bucket = F.lit(0)
     for p in range(planes):
-        comp = F.expr(
-            "aggregate(zip_with(__v, sequence(0, {m}), (x, i) -> "
-            "x * ((cast(conv(substr(md5(concat('{p}:', i)), 1, 8), 16, 10) as double) / 4294967296.0) - 0.5)), "
-            "cast(0.0 as double), (acc, x) -> acc + x)".format(m=dim - 1, p=p)
+        comp = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _component(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(comp > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket

@@ -95,8 +95,9 @@ def run_event_segmentation(
     segment, SURVEY §2.4).
     """
     per_event: list[DataFrame] = []
-    names: list[str] = []
+    names: list[str] = []  # one entry per appended frame (event × segment)
     for ei, eq in enumerate(req.events):
+        ev_name = eq.event.name or f"event_{ei}"
         segs = segment_users.items() if segment_users else [(None, None)]
         for seg_name, seg_df in segs:
             long_df = event_segmentation_one(
@@ -106,7 +107,7 @@ def run_event_segmentation(
                 per_event.append(_apply_analysis(long_df, req, ei, eq, seg_name))
             else:
                 per_event.append(_to_chart(long_df, req, ei, eq, series_limit))
-        names.append(eq.event.name or f"event_{ei}")
+            names.append(ev_name)
 
     if len(per_event) == 1:
         return per_event[0]
