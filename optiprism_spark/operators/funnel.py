@@ -345,10 +345,15 @@ def funnel_report(
         reached = F.col("steps_completed") > i
         aggs.append(F.sum(reached.cast("long")).alias(f"step{i}_total"))
         if i > 0:
-            conv = F.when(reached, (F.col(f"ts_{i}") - F.col(f"ts_{i-1}")) / F.lit(1000.0))
-            conv0 = F.when(reached, (F.col(f"ts_{i}") - F.col("ts_0")) / F.lit(1000.0))
-            aggs.append(F.sum(conv).alias(f"step{i}_time_to_convert"))
-            aggs.append(F.sum(conv0).alias(f"step{i}_time_to_convert_from_start"))
+            # sum exact integer µs, divide ONCE at the end: float summation
+            # order varies with partitioning, an integer sum doesn't — this
+            # is what makes the report reproducible by a SQL oracle
+            conv = F.when(reached, F.col(f"ts_{i}") - F.col(f"ts_{i-1}"))
+            conv0 = F.when(reached, F.col(f"ts_{i}") - F.col("ts_0"))
+            aggs.append((F.sum(conv) / F.lit(1000.0)).alias(f"step{i}_time_to_convert"))
+            aggs.append(
+                (F.sum(conv0) / F.lit(1000.0)).alias(f"step{i}_time_to_convert_from_start")
+            )
 
     out = attempts.groupBy(*keys).agg(*aggs)
 

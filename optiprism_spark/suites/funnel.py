@@ -1,15 +1,41 @@
 """Funnel oracle suite.
 
-Two operators over the driver events table (signup → view → purchase):
+Operators over the driver events table (signup → view → purchase):
 
 - ``funnel_first_touch_3step``: declarative first-touch funnel with an
   exact DuckDB oracle (chained min-timestamp joins).
-- ``funnel_machine_*``: the reference-exact greedy state machine —
-  NOT SQL-expressible (greedy restart, excludes, constants), so the
-  driver records a rows-only check; its semantics are pinned by the
-  scripted-trace tests in tests/test_funnel.py instead (the same
-  split the reference uses: ClickHouse oracle for aggregates,
-  scripted traces for the funnel, SURVEY §5).
+- ``funnel_machine_*``: the reference-exact greedy state machine.
+  For EXACT-order steps the machine is SQL-expressible after all: each
+  attempt is fully determined by its anchor (step-0 row), and the
+  anchor chain advances deterministically — so a recursive CTE over
+  ANCHORS (a handful per user, not one per row) replays the machine.
+  ``_machine_oracle_sql`` below generates that oracle, covering the
+  3step/nonunique/dropoff/excludes variants; any-order, holding
+  constants and session mode stay rows-only, pinned by the
+  scripted-trace tests in tests/test_funnel.py (the same split the
+  reference uses: ClickHouse oracle for aggregates, scripted traces
+  for the funnel, SURVEY §5).
+
+Machine facts the oracle encodes (reference funnel.rs:457-660 and the
+kernel in operators/funnel.py):
+
+- greedy: the anchor is the FIRST step-0 row; later step-0 rows are
+  skipped while an attempt is in flight.
+- window expiry flushes the attempt at the first STEP row with
+  ``ts > t0 + W`` (exclude rows never trigger expiry — the exclude
+  check precedes the window check and aborts instead); the next
+  anchor is therefore the first step-0 row with ``ts > t0 + W``.
+- completion: next anchor is the first step-0 row after the
+  completing row; Unique count-mode stops the user at the first
+  COMPLETION flush whose filter-completed flag is true (expiry/end
+  flushes never stop the user — so with a drop-off filter a Unique
+  funnel never stops, and its attempt set equals NonUnique's).
+- an exclude row mid-attempt ABORTS without recording (reference
+  resets with ``continue`` before push_result); the attempt exists in
+  the output only if no exclude row precedes its end row.
+- every recorded attempt increments bucket counters regardless of the
+  drop-off filter (push_result, funnel.rs:216-233 — the filter only
+  feeds the Unique-skip decision).
 """
 
 from __future__ import annotations
@@ -37,6 +63,207 @@ from ..schema import load_table
 from . import _sql as S
 
 _WINDOW_MS = 7 * 86400 * 1000
+_W_US = _WINDOW_MS * 1000
+
+_STEP_ETS = (("signup",), ("view",), ("purchase",))
+
+
+def _in(ets) -> str:
+    return "(" + ", ".join(f"'{e}'" for e in ets) + ")"
+
+
+#: session count-mode gap, µs (operators/funnel.SESSION_GAP_MS)
+_SESSION_GAP_US = 30 * 60 * 1000 * 1000
+
+
+def _attempt_lateral(anchor: str, exclude_ets, step_ets=_STEP_ETS,
+                     const_key=None, session=False) -> str:
+    """Attempt outcome for one anchor row (user_id[, sess], t0, e0
+    [, k0]): first step-1 row after the anchor (s1), first step-2 row
+    after that (s2), first aborting row (x: exclude event, or any row
+    whose holding-constant deviates from the anchor's k0), first
+    beyond-window flush-trigger row (y), then the machine's step count
+    + abort flag. The abort comparison is <= because the reference's
+    reset ``continue`` REPROCESSES the violating row at step 0 — a row
+    can't both abort and complete (check order: exclude → constants →
+    window → step match, funnel.rs:544-605)."""
+    corr = f"e.user_id = {anchor}.user_id" + (f" AND e.sess = {anchor}.sess" if session else "")
+    full_stream = const_key is not None or session
+    #: which rows can trigger a window-expiry flush: with a pre-filtered
+    #: kernel input only step rows exist; in full-stream modes ANY
+    #: non-aborting row does (the abort check precedes the window check,
+    #: so x-rows abort instead — position comparison handles that)
+    y_et = "" if full_stream else f" AND e.et IN {_in(sorted({t for st in step_ets for t in st}))}"
+    x_lat, x_sel, abort_expr = "", "NULL AS xts, NULL AS xeid,", "FALSE"
+    x_pred = None
+    if exclude_ets:
+        x_pred = f"e.et IN {_in(exclude_ets)}"
+    elif const_key is not None:
+        x_pred = f"e.kv IS DISTINCT FROM {anchor}.k0"
+    if x_pred:
+        x_lat = f"""
+    LEFT JOIN LATERAL (
+      SELECT e.ts AS xts, e.eid AS xeid FROM e
+      WHERE {corr} AND {x_pred}
+        AND (e.ts, e.eid) > ({anchor}.t0, {anchor}.e0)
+      ORDER BY e.ts, e.eid LIMIT 1) x ON TRUE"""
+        x_sel = "x.xts, x.xeid,"
+        abort_expr = f"""(x.xts IS NOT NULL AND
+             CASE WHEN s1.ts1 IS NOT NULL AND s1.ts1 - {anchor}.t0 <= {_W_US}
+                       AND s2.ts2 IS NOT NULL AND s2.ts2 - {anchor}.t0 <= {_W_US}
+                  THEN (x.xts, x.xeid) <= (s2.ts2, s2.eid2)
+                  WHEN y.yts IS NOT NULL THEN (x.xts, x.xeid) <= (y.yts, y.yeid)
+                  ELSE TRUE END)"""
+    return f"""
+  CROSS JOIN LATERAL (
+    SELECT s1.ts1, s1.eid1, s2.ts2, s2.eid2, {x_sel}
+           CASE WHEN s1.ts1 IS NOT NULL AND s1.ts1 - {anchor}.t0 <= {_W_US}
+                THEN CASE WHEN s2.ts2 IS NOT NULL AND s2.ts2 - {anchor}.t0 <= {_W_US}
+                          THEN 3 ELSE 2 END
+                ELSE 1 END AS sc,
+           {abort_expr} AS aborted
+    FROM (SELECT 1 AS one) d
+    LEFT JOIN LATERAL (
+      SELECT e.ts AS ts1, e.eid AS eid1 FROM e
+      WHERE {corr} AND e.et IN {_in(step_ets[1])}
+        AND (e.ts, e.eid) > ({anchor}.t0, {anchor}.e0)
+      ORDER BY e.ts, e.eid LIMIT 1) s1 ON TRUE
+    LEFT JOIN LATERAL (
+      SELECT e.ts AS ts2, e.eid AS eid2 FROM e
+      WHERE {corr} AND e.et IN {_in(step_ets[2])}
+        AND s1.ts1 IS NOT NULL AND s1.ts1 - {anchor}.t0 <= {_W_US}
+        AND (e.ts, e.eid) > (s1.ts1, s1.eid1)
+      ORDER BY e.ts, e.eid LIMIT 1) s2 ON TRUE{x_lat}
+    LEFT JOIN LATERAL (
+      SELECT e.ts AS yts, e.eid AS yeid FROM e
+      WHERE {corr}{y_et}
+        AND (e.ts, e.eid) > ({anchor}.t0, {anchor}.e0) AND e.ts > {anchor}.t0 + {_W_US}
+      ORDER BY e.ts, e.eid LIMIT 1) y ON TRUE
+  ) a
+"""
+
+
+def _machine_oracle_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
+                        touch: str = "first", const_key=None,
+                        session: bool = False) -> str:
+    """Full funnel_report oracle: recursive anchor chain → per-day
+    bucket report with the exact column names/types funnel_report
+    emits. ``stop_cond`` is a predicate on the previous attempt row
+    ``p`` that ends the user's chain (Unique-mode skip). ``touch``
+    picks the bucket-attribution timestamp (first | last).
+    ``const_key``: holding-constant JSON key — anchors carry their own
+    k0, any later row with a deviating value aborts. ``session``: the
+    machine runs per (user, 30-min-gap session) instead of per user.
+    """
+    assert not (exclude_ets and const_key), "not combined in any query"
+    full_stream = const_key is not None or session
+    part = "user_id, sess" if session else "user_id"
+    if full_stream:
+        et_filter = ""
+    else:
+        all_ets = sorted({t for st in step_ets for t in st} | set(exclude_ets))
+        et_filter = f" AND event_type IN {_in(all_ets)}"
+    kv_sel = (
+        f", CAST(json_extract_string(props, '$.{const_key}') AS BIGINT) AS kv"
+        if const_key is not None else ""
+    )
+    if session:
+        e_cte = f"""e AS (
+  SELECT user_id, ts, eid, et{', kv' if const_key else ''},
+         SUM(CASE WHEN prev_ts IS NOT NULL AND ts - prev_ts > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, eid
+                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM (
+    SELECT user_id, epoch_us(ts) AS ts, event_id AS eid, event_type AS et{kv_sel},
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_ts
+    FROM events WHERE {S.ts_between(*S.T_FULL)}{et_filter}) raw
+)"""
+    else:
+        e_cte = f"""e AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_id AS eid, event_type AS et{kv_sel}
+  FROM events
+  WHERE {S.ts_between(*S.T_FULL)}{et_filter}
+)"""
+    anchor_cols = ["user_id"] + (["sess"] if session else []) + ["t0", "e0"] \
+        + (["k0"] if const_key else [])
+    a_cols = ", ".join(anchor_cols)
+    k0_sel = ", kv AS k0" if const_key else ""
+    sess_sel = ", sess" if session else ""
+    lat = lambda a: _attempt_lateral(a, exclude_ets, step_ets, const_key, session)
+    chain = f"""
+WITH RECURSIVE
+{e_cte},
+first_anchor AS (
+  SELECT {a_cols} FROM (
+    SELECT user_id{sess_sel}, ts AS t0, eid AS e0{k0_sel},
+           ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY ts, eid) AS rn
+    FROM e WHERE et IN {_in(step_ets[0])}) t WHERE rn = 1
+),
+chain AS (
+  SELECT {', '.join('c.' + c for c in anchor_cols)}, a.*
+  FROM first_anchor c
+  {lat('c')}
+  UNION ALL
+  SELECT {', '.join('n.' + c for c in anchor_cols)}, a.*
+  FROM (
+    SELECT p.user_id{', p.sess' if session else ''},
+           CASE WHEN p.aborted THEN p.xts
+                WHEN p.sc = 3 THEN p.ts2 ELSE NULL END AS after_ts,
+           CASE WHEN p.aborted THEN p.xeid
+                WHEN p.sc = 3 THEN p.eid2 ELSE NULL END AS after_eid,
+           p.aborted AS was_aborted,
+           CASE WHEN p.aborted OR p.sc = 3 THEN NULL ELSE p.t0 + {_W_US} END AS min_ts
+    FROM chain p WHERE NOT ({stop_cond})
+  ) p
+  CROSS JOIN LATERAL (
+    SELECT e.user_id{', e.sess' if session else ''}, e.ts AS t0, e.eid AS e0{k0_sel}
+    FROM e
+    WHERE e.user_id = p.user_id{' AND e.sess = p.sess' if session else ''}
+      AND e.et IN {_in(step_ets[0])}
+      AND ((p.after_ts IS NOT NULL AND p.was_aborted
+            AND (e.ts, e.eid) >= (p.after_ts, p.after_eid))
+           OR (p.after_ts IS NOT NULL AND NOT p.was_aborted
+               AND (e.ts, e.eid) > (p.after_ts, p.after_eid))
+           OR (p.min_ts IS NOT NULL AND e.ts > p.min_ts))
+    ORDER BY e.ts, e.eid LIMIT 1
+  ) n
+  {lat('n')}
+)
+SELECT * FROM chain WHERE NOT aborted"""
+
+    def cnt(i):
+        return f"SUM(CASE WHEN sc > {i} THEN 1 ELSE 0 END)"
+
+    attr = (
+        "t0" if touch == "first"
+        else "(CASE WHEN sc = 1 THEN t0 WHEN sc = 2 THEN ts1 ELSE ts2 END)"
+    )
+    parts = [
+        f"CAST(date_trunc('day', make_timestamp({attr})) AS DATE) AS bucket",
+        f"CAST({cnt(0)} AS BIGINT) AS step0_total",
+        "CAST(100.0 AS DOUBLE) AS step0_conversion_ratio",
+    ]
+    for i in (1, 2):
+        prev_ts = "t0" if i == 1 else "ts1"
+        ratio = f"(CAST({cnt(i)} AS DOUBLE) / CAST({cnt(0)} AS DOUBLE) * 100)"
+        ttc = f"(SUM(CASE WHEN sc > {i} THEN ts{i} - {prev_ts} END) / 1000.0)"
+        parts += [
+            f"CAST({cnt(i)} AS BIGINT) AS step{i}_total",
+            f"{ratio} AS step{i}_conversion_ratio",
+            f"CAST({cnt(i-1)} - {cnt(i)} AS BIGINT) AS step{i}_dropped_off",
+            f"(CAST(100.0 AS DOUBLE) - {ratio}) AS step{i}_drop_off_ratio",
+            f"{ttc} AS step{i}_time_to_convert",
+            f"CASE WHEN {cnt(i)} > 0 THEN {ttc} / {cnt(i)}"
+            f" ELSE CAST(0.0 AS DOUBLE) END AS step{i}_avg_time_to_convert",
+        ]
+    parts += [
+        f"CAST({cnt(0)} AS BIGINT) AS total",
+        f"CAST({cnt(2)} AS BIGINT) AS completed",
+    ]
+    return f"WITH ch AS ({chain}) SELECT " + ", ".join(parts) + " FROM ch GROUP BY 1"
+
 
 def _req(**kw):
     defaults = dict(
@@ -96,19 +323,24 @@ def funnel_first_touch_3step(spark, sf_dir):
     return funnel_first_touch_report(events, _req())
 
 
-@query("funnel_machine_3step")  # greedy machine: rows-only (non-SQL-expressible)
+@query("funnel_machine_3step", oracle=_machine_oracle_sql("p.sc = 3"))
 def funnel_machine_3step(spark, sf_dir):
+    """Unique count-mode: the chain stops at the first completed
+    attempt (reference skip_partition, funnel.rs:630-637)."""
     events = load_table(spark, sf_dir, "events")
     return funnel_report(events, _req())
 
 
-@query("funnel_machine_nonunique")  # rows-only
+@query("funnel_machine_nonunique", oracle=_machine_oracle_sql("FALSE"))
 def funnel_machine_nonunique(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     return funnel_report(events, _req(count_mode=FunnelCountMode.NON_UNIQUE))
 
 
-@query("funnel_machine_excludes")  # rows-only
+@query(
+    "funnel_machine_excludes",
+    oracle=_machine_oracle_sql("p.sc = 3 AND NOT p.aborted", exclude_ets=("error",)),
+)
 def funnel_machine_excludes(spark, sf_dir):
     """Excludes: an `error` event between any steps resets the attempt
     without recording it (reference funnel.rs:544-556)."""
@@ -119,16 +351,27 @@ def funnel_machine_excludes(spark, sf_dir):
     )
 
 
-@query("funnel_machine_dropoff_step1")  # rows-only
+@query("funnel_machine_dropoff_step1", oracle=_machine_oracle_sql("FALSE"))
 def funnel_machine_dropoff_step1(spark, sf_dir):
     """Drop-off filter: only attempts that stalled exactly after the
     `view` step count as completed=true (reference
-    FunnelFilter::DropOffOnStep, mod.rs:69-76)."""
+    FunnelFilter::DropOffOnStep, mod.rs:69-76). The filter gates ONLY
+    the Unique-skip decision, which fires at completion flushes alone —
+    a full conversion fails the drop-off filter, so the user is never
+    skipped and the attempt set equals NonUnique's (push_result,
+    funnel.rs:216-233)."""
     events = load_table(spark, sf_dir, "events")
     return funnel_report(events, _req(filter=FunnelFilter("drop_off_on_step", step=1)))
 
 
-@query("funnel_machine_constants")  # rows-only
+@query(
+    "funnel_machine_constants",
+    # the anchor carries its own k; ANY later row with a deviating k
+    # aborts the attempt unrecorded, and the aborting row itself is
+    # reprocessed as a potential new anchor (reference resets with
+    # `continue`, funnel.rs:585-596)
+    oracle=_machine_oracle_sql("p.sc = 3 AND NOT p.aborted", const_key="k"),
+)
 def funnel_machine_constants(spark, sf_dir):
     """Holding constant: the `k` JSON property must keep one value
     across all steps of an attempt (reference Group::check_constants,
@@ -137,7 +380,17 @@ def funnel_machine_constants(spark, sf_dir):
     return funnel_report(events, _req(constants=[PropertyRef.json("k", "int64")]))
 
 
-@query("funnel_machine_any_order_touch_last")  # rows-only
+@query(
+    "funnel_machine_any_order_touch_last",
+    # both any-order steps accept view|click, so the anchor chain still
+    # replays the machine; touch=last re-attributes the bucket to the
+    # last completed step's timestamp
+    oracle=_machine_oracle_sql(
+        "p.sc = 3",
+        step_ets=(("signup",), ("view", "click"), ("view", "click")),
+        touch="last",
+    ),
+)
 def funnel_machine_any_order_touch_last(spark, sf_dir):
     """Any-order middle steps + last-touch bucket attribution
     (reference StepOrder::Any + Touch::Last)."""
@@ -156,7 +409,12 @@ def funnel_machine_any_order_touch_last(spark, sf_dir):
     return funnel_report(events, _req(steps=any_steps, touch=FunnelTouch.LAST))
 
 
-@query("funnel_machine_session_mode")  # rows-only
+@query(
+    "funnel_machine_session_mode",
+    # same chain, partitioned by (user, 30-min-gap session); Session
+    # count-mode never unique-skips
+    oracle=_machine_oracle_sql("FALSE", session=True),
+)
 def funnel_machine_session_mode(spark, sf_dir):
     """Session count mode: the state machine runs per (user, 30-min
     session) — declared in the reference DSL but `unimplemented!`
