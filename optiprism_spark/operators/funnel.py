@@ -322,24 +322,12 @@ def funnel_attempts(
     return sorted_by_user.mapInPandas(run_partition, schema)
 
 
-def funnel_report(
-    events: DataFrame,
-    req: FunnelRequest,
-    segment_users: Optional[DataFrame] = None,
-) -> DataFrame:
-    """Aggregated funnel chart: per (bucket, *breakdowns) one row with
-    per-step metrics — total, conversion_ratio, dropped_off,
-    drop_off_ratio, time_to_convert (ms sums), avg_time_to_convert —
-    matching the reference's reserved result columns
-    (common/src/types.rs:73-80, finalize funnel.rs:699-860)."""
-    k = len(req.steps)
-    attempts = funnel_attempts(events, req, segment_users)
-
-    bucket = F.date_trunc(req.interval.value, F.timestamp_micros(F.col("attempt_ts")))
-    if req.interval.value in ("day", "week", "month", "year"):
-        bucket = bucket.cast("date")
-    keys = [bucket.alias("bucket")] + [F.col(b.name) for b in req.breakdowns]
-
+def _report_from_attempts(attempts: DataFrame, k: int, keys: list,
+                          key_names: Optional[list] = None) -> DataFrame:
+    """Shared per-step metric block over an attempts frame: total,
+    conversion_ratio, dropped_off, drop_off_ratio, time_to_convert
+    (ms sums), avg_time_to_convert — the reference's reserved result
+    columns (common/src/types.rs:73-80, finalize funnel.rs:699-860)."""
     aggs = []
     for i in range(k):
         reached = F.col("steps_completed") > i
@@ -355,9 +343,9 @@ def funnel_report(
                 (F.sum(conv0) / F.lit(1000.0)).alias(f"step{i}_time_to_convert_from_start")
             )
 
-    out = attempts.groupBy(*keys).agg(*aggs)
+    out = attempts.groupBy(*keys).agg(*aggs) if keys else attempts.agg(*aggs)
 
-    cols = [F.col("bucket")] + [F.col(b.name) for b in req.breakdowns]
+    cols = [F.col(n) for n in (key_names or [])]
     total0 = F.col("step0_total")
     for i in range(k):
         ti = F.col(f"step{i}_total")
@@ -375,3 +363,94 @@ def funnel_report(
     cols.append(total0.alias("total"))
     cols.append(F.col(f"step{k-1}_total").alias("completed"))
     return out.select(*cols)
+
+
+def funnel_report(
+    events: DataFrame,
+    req: FunnelRequest,
+    segment_users: Optional[DataFrame] = None,
+) -> DataFrame:
+    """ConversionOverTime chart: per (bucket, *breakdowns) one row with
+    per-step metrics (reference ChartType::ConversionOverTime,
+    common/src/funnel.rs:134-153)."""
+    k = len(req.steps)
+    attempts = funnel_attempts(events, req, segment_users)
+
+    bucket = F.date_trunc(req.interval.value, F.timestamp_micros(F.col("attempt_ts")))
+    if req.interval.value in ("day", "week", "month", "year"):
+        bucket = bucket.cast("date")
+    keys = [bucket.alias("bucket")] + [F.col(b.name) for b in req.breakdowns]
+    return _report_from_attempts(
+        attempts, k, keys, ["bucket"] + [b.name for b in req.breakdowns]
+    )
+
+
+def funnel_steps_report(
+    events: DataFrame,
+    req: FunnelRequest,
+    segment_users: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Steps chart: bucketless per-step totals — the reference's
+    ChartType::Steps maps to time_interval None, i.e. one global
+    bucket (common/src/funnel.rs:146-153, funnel.rs push_result takes
+    the single pre-created bucket when time_unit is None)."""
+    k = len(req.steps)
+    attempts = funnel_attempts(events, req, segment_users)
+    keys = [F.col(b.name) for b in req.breakdowns]
+    return _report_from_attempts(attempts, k, keys, [b.name for b in req.breakdowns])
+
+
+def funnel_time_to_convert_dist(
+    events: DataFrame,
+    req: FunnelRequest,
+    interval_ms: int = 3_600_000,
+    min_interval: int = 0,
+    max_interval: Optional[int] = None,
+    segment_users: Optional[DataFrame] = None,
+) -> DataFrame:
+    """TimeToConvert chart: histogram of completed attempts by
+    conversion duration, bucketed into ``interval_ms`` bins clamped to
+    [min_interval, max_interval] (bin indices). The reference declares
+    ChartType::TimeToConvert{interval_unit, min_interval, max_interval}
+    (common/src/funnel.rs:139-144) but never assembles it engine-side;
+    semantics defined here: bin = clamp(floor((ts_last-ts_0)/interval),
+    min, max), one row per non-empty bin with its attempt count."""
+    k = len(req.steps)
+    if max_interval is None:
+        max_interval = req.window_ms // interval_ms + 1
+    attempts = funnel_attempts(events, req, segment_users)
+    # exact integer µs division — float flooring could misbin boundary
+    # values differently than a SQL oracle's integer division
+    interval_us = interval_ms * 1000
+    bin_ = F.expr(f"(ts_{k-1} - ts_0) div {interval_us}")
+    bin_ = F.greatest(F.lit(min_interval).cast("long"),
+                      F.least(F.lit(max_interval).cast("long"), bin_))
+    return (
+        attempts.filter(F.col("steps_completed") == k)
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+
+
+def funnel_frequency(
+    events: DataFrame,
+    req: FunnelRequest,
+    segment_users: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Frequency chart: distribution of users by how many times they
+    completed the funnel (reference ChartType::Frequency,
+    common/src/funnel.rs:144 — declared, never assembled engine-side).
+    Counts every completion, so the machine runs in NonUnique mode;
+    users who attempted but never converted appear as n_conversions=0.
+    """
+    import dataclasses
+
+    k = len(req.steps)
+    req_nu = dataclasses.replace(req, count_mode=FunnelCountMode.NON_UNIQUE)
+    attempts = funnel_attempts(events, req_nu, segment_users)
+    per_user = attempts.groupBy(EVENT_USER_COL).agg(
+        F.sum((F.col("steps_completed") == k).cast("long")).alias("n_conversions")
+    )
+    return per_user.groupBy("n_conversions").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -143,18 +143,15 @@ def _attempt_lateral(anchor: str, exclude_ets, step_ets=_STEP_ETS,
 """
 
 
-def _machine_oracle_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
-                        touch: str = "first", const_key=None,
-                        session: bool = False) -> str:
-    """Full funnel_report oracle: recursive anchor chain → per-day
-    bucket report with the exact column names/types funnel_report
-    emits. ``stop_cond`` is a predicate on the previous attempt row
-    ``p`` that ends the user's chain (Unique-mode skip). ``touch``
-    picks the bucket-attribution timestamp (first | last).
-    ``const_key``: holding-constant JSON key — anchors carry their own
-    k0, any later row with a deviating value aborts. ``session``: the
-    machine runs per (user, 30-min-gap session) instead of per user.
-    """
+def _machine_chain_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
+                       const_key=None, session: bool = False) -> str:
+    """Recursive anchor chain replaying the greedy machine: one row per
+    recorded attempt (user_id, t0, ts1, ts2, sc). ``stop_cond`` is a
+    predicate on the previous attempt row ``p`` that ends the user's
+    chain (Unique-mode skip). ``const_key``: holding-constant JSON key
+    — anchors carry their own k0, any later row with a deviating value
+    aborts. ``session``: the machine runs per (user, 30-min-gap
+    session) instead of per user."""
     assert not (exclude_ets and const_key), "not combined in any query"
     full_stream = const_key is not None or session
     part = "user_id, sess" if session else "user_id"
@@ -232,36 +229,54 @@ chain AS (
   {lat('n')}
 )
 SELECT * FROM chain WHERE NOT aborted"""
+    return chain
 
-    def cnt(i):
-        return f"SUM(CASE WHEN sc > {i} THEN 1 ELSE 0 END)"
 
+def _cnt(i: int) -> str:
+    return f"SUM(CASE WHEN sc > {i} THEN 1 ELSE 0 END)"
+
+
+def _step_metric_parts() -> list[str]:
+    """The per-step metric block shared by every report-shaped oracle
+    (mirrors operators/funnel._report_from_attempts)."""
+    parts = [
+        f"CAST({_cnt(0)} AS BIGINT) AS step0_total",
+        "CAST(100.0 AS DOUBLE) AS step0_conversion_ratio",
+    ]
+    for i in (1, 2):
+        prev_ts = "t0" if i == 1 else "ts1"
+        ratio = f"(CAST({_cnt(i)} AS DOUBLE) / CAST({_cnt(0)} AS DOUBLE) * 100)"
+        ttc = f"(SUM(CASE WHEN sc > {i} THEN ts{i} - {prev_ts} END) / 1000.0)"
+        parts += [
+            f"CAST({_cnt(i)} AS BIGINT) AS step{i}_total",
+            f"{ratio} AS step{i}_conversion_ratio",
+            f"CAST({_cnt(i-1)} - {_cnt(i)} AS BIGINT) AS step{i}_dropped_off",
+            f"(CAST(100.0 AS DOUBLE) - {ratio}) AS step{i}_drop_off_ratio",
+            f"{ttc} AS step{i}_time_to_convert",
+            f"CASE WHEN {_cnt(i)} > 0 THEN {ttc} / {_cnt(i)}"
+            f" ELSE CAST(0.0 AS DOUBLE) END AS step{i}_avg_time_to_convert",
+        ]
+    parts += [
+        f"CAST({_cnt(0)} AS BIGINT) AS total",
+        f"CAST({_cnt(2)} AS BIGINT) AS completed",
+    ]
+    return parts
+
+
+def _machine_oracle_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
+                        touch: str = "first", const_key=None,
+                        session: bool = False) -> str:
+    """ConversionOverTime report oracle: anchor chain → per-day bucket
+    report with the exact column names/types funnel_report emits.
+    ``touch`` picks the bucket-attribution timestamp (first | last)."""
+    chain = _machine_chain_sql(stop_cond, exclude_ets, step_ets, const_key, session)
     attr = (
         "t0" if touch == "first"
         else "(CASE WHEN sc = 1 THEN t0 WHEN sc = 2 THEN ts1 ELSE ts2 END)"
     )
     parts = [
-        f"CAST(date_trunc('day', make_timestamp({attr})) AS DATE) AS bucket",
-        f"CAST({cnt(0)} AS BIGINT) AS step0_total",
-        "CAST(100.0 AS DOUBLE) AS step0_conversion_ratio",
-    ]
-    for i in (1, 2):
-        prev_ts = "t0" if i == 1 else "ts1"
-        ratio = f"(CAST({cnt(i)} AS DOUBLE) / CAST({cnt(0)} AS DOUBLE) * 100)"
-        ttc = f"(SUM(CASE WHEN sc > {i} THEN ts{i} - {prev_ts} END) / 1000.0)"
-        parts += [
-            f"CAST({cnt(i)} AS BIGINT) AS step{i}_total",
-            f"{ratio} AS step{i}_conversion_ratio",
-            f"CAST({cnt(i-1)} - {cnt(i)} AS BIGINT) AS step{i}_dropped_off",
-            f"(CAST(100.0 AS DOUBLE) - {ratio}) AS step{i}_drop_off_ratio",
-            f"{ttc} AS step{i}_time_to_convert",
-            f"CASE WHEN {cnt(i)} > 0 THEN {ttc} / {cnt(i)}"
-            f" ELSE CAST(0.0 AS DOUBLE) END AS step{i}_avg_time_to_convert",
-        ]
-    parts += [
-        f"CAST({cnt(0)} AS BIGINT) AS total",
-        f"CAST({cnt(2)} AS BIGINT) AS completed",
-    ]
+        f"CAST(date_trunc('day', make_timestamp({attr})) AS DATE) AS bucket"
+    ] + _step_metric_parts()
     return f"WITH ch AS ({chain}) SELECT " + ", ".join(parts) + " FROM ch GROUP BY 1"
 
 
@@ -407,6 +422,70 @@ def funnel_machine_any_order_touch_last(spark, sf_dir):
         ),
     ]
     return funnel_report(events, _req(steps=any_steps, touch=FunnelTouch.LAST))
+
+
+_STEPS_CHART_ORACLE = (
+    f"WITH ch AS ({_machine_chain_sql('p.sc = 3')}) SELECT "
+    + ", ".join(_step_metric_parts())
+    + " FROM ch"
+)
+
+_TTC_INTERVAL_MS = 3_600_000  # 1-hour bins
+_TTC_DIST_ORACLE = f"""
+WITH ch AS ({_machine_chain_sql('FALSE')})
+SELECT GREATEST(CAST(0 AS BIGINT),
+                LEAST(CAST({_WINDOW_MS // _TTC_INTERVAL_MS + 1} AS BIGINT),
+                      (ts2 - t0) // {_TTC_INTERVAL_MS * 1000})) AS bin,
+       COUNT(*) AS n_conversions
+FROM ch WHERE sc = 3 GROUP BY 1
+"""
+
+_FREQUENCY_ORACLE = f"""
+WITH ch AS ({_machine_chain_sql('FALSE')}),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN sc = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions
+  FROM ch GROUP BY 1
+)
+SELECT n_conversions, COUNT(*) AS n_users FROM per_user GROUP BY 1
+"""
+
+
+@query("funnel_steps_chart", oracle=_STEPS_CHART_ORACLE)
+def funnel_steps_chart(spark, sf_dir):
+    """Steps chart: bucketless global per-step totals (reference
+    ChartType::Steps → time_interval None, common/src/funnel.rs:146-153)."""
+    from ..operators.funnel import funnel_steps_report
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_steps_report(events, _req())
+
+
+@query("funnel_time_to_convert_dist", oracle=_TTC_DIST_ORACLE)
+def funnel_time_to_convert_dist(spark, sf_dir):
+    """TimeToConvert chart: histogram of completed conversions by
+    duration in 1-hour bins (reference ChartType::TimeToConvert,
+    common/src/funnel.rs:139-144 — declared there, assembled here).
+    NonUnique so every conversion contributes to the distribution."""
+    from ..operators.funnel import funnel_time_to_convert_dist as ttc
+
+    events = load_table(spark, sf_dir, "events")
+    return ttc(
+        events,
+        _req(count_mode=FunnelCountMode.NON_UNIQUE),
+        interval_ms=_TTC_INTERVAL_MS,
+    )
+
+
+@query("funnel_frequency", oracle=_FREQUENCY_ORACLE)
+def funnel_frequency(spark, sf_dir):
+    """Frequency chart: users by number of completed conversions
+    (reference ChartType::Frequency, common/src/funnel.rs:144 —
+    declared there, assembled here)."""
+    from ..operators.funnel import funnel_frequency as freq
+
+    events = load_table(spark, sf_dir, "events")
+    return freq(events, _req())
 
 
 @query(
