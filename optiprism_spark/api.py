@@ -56,9 +56,15 @@ from .dsl import (
 EVENT_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 #: reference group index/name → events column (group 0 = "user",
-#: common/src/lib.rs:16-22). The driver testdata has only the user
-#: entity; additional group kinds register here (e.g. 1: "org_id").
-GROUP_COLS = {0: "user_id", "user": "user_id"}
+#: GROUPS_COUNT = 5, common/src/lib.rs:16-22). The driver testdata
+#: carries only the user entity physically; group 1 is the org entity
+#: (synthesized org_id column — see suites.segmentation org queries).
+#: Additional group kinds register here exactly as the reference
+#: registers group tables.
+GROUP_COLS = {
+    0: "user_id", "user": "user_id",
+    1: "org_id", "org": "org_id",
+}
 
 
 def _group_col(body: dict) -> str:
@@ -155,10 +161,35 @@ def parse_filter(d: dict, columns=EVENT_COLUMNS) -> PropFilter:
     return PropFilter(parse_property(d, columns, values=values), _OPS[d["operation"]], values)
 
 
-def parse_event_ref(d: dict) -> EventRef:
+def parse_event_ref(
+    d: dict,
+    columns: Sequence[str] = EVENT_COLUMNS,
+    custom_events: Optional[dict] = None,
+) -> EventRef:
+    """Resolve an event reference. Custom events look up a catalog of
+    ``{id_or_name: [member dicts]}`` and expand to an OR of their
+    members (each with its own filters), recursively — mirroring the
+    reference's metadata resolution + expansion
+    (query/src/expr.rs:60-115). The catalog is the Spark stand-in for
+    the reference's custom-events metadata store."""
     if d.get("eventType", "regular") == "regular":
         return EventRef(d["eventName"])
-    raise ValueError("custom events resolve via EventRef(custom=[...]) in the DSL")
+    if d.get("eventType") == "custom":
+        key = d.get("eventId", d.get("eventName"))
+        if not custom_events or key not in custom_events:
+            raise ValueError(
+                f"unknown custom event {key!r}; pass custom_events="
+                "{id_or_name: [member event dicts]} to the parser"
+            )
+        members = tuple(
+            EventFilterSpec(
+                parse_event_ref(m, columns, custom_events),
+                tuple(parse_filter(f, columns) for f in m.get("filters") or ()),
+            )
+            for m in custom_events[key]
+        )
+        return EventRef(custom=members)
+    raise ValueError(f"unknown eventType {d.get('eventType')!r}")
 
 
 def _parse_query(q: dict, columns) -> SegQuery:
@@ -206,13 +237,14 @@ def parse_event_segmentation(
     body: dict,
     columns: Sequence[str] = EVENT_COLUMNS,
     now: Optional[dt.datetime] = None,
+    custom_events: Optional[dict] = None,
 ) -> EventSegmentationRequest:
     """Reference EventSegmentationRequest JSON → DSL dataclass."""
     events = []
     for e in body["events"]:
         events.append(
             EventQuery(
-                parse_event_ref(e),
+                parse_event_ref(e, columns, custom_events),
                 [_parse_query(q, columns) for q in e["queries"]],
                 filters=tuple(parse_filter(f, columns) for f in e.get("filters") or ()),
                 breakdowns=tuple(
@@ -251,6 +283,7 @@ def parse_funnel(
     body: dict,
     columns: Sequence[str] = EVENT_COLUMNS,
     now: Optional[dt.datetime] = None,
+    custom_events: Optional[dict] = None,
 ) -> FunnelRequest:
     """Reference FunnelRequest JSON → DSL dataclass."""
     steps = []
@@ -263,7 +296,7 @@ def parse_funnel(
             FunnelStep(
                 [
                     EventFilterSpec(
-                        parse_event_ref(e),
+                        parse_event_ref(e, columns, custom_events),
                         tuple(parse_filter(f, columns) for f in e.get("filters") or ()),
                     )
                     for e in s["events"]
@@ -322,7 +355,7 @@ def parse_funnel(
         excludes.append(
             FunnelExclude(
                 EventFilterSpec(
-                    parse_event_ref(ex),
+                    parse_event_ref(ex, columns, custom_events),
                     tuple(parse_filter(f, columns) for f in ex.get("filters") or ()),
                 ),
                 between_steps=between,

@@ -424,6 +424,35 @@ def funnel_machine_any_order_touch_last(spark, sf_dir):
     return funnel_report(events, _req(steps=any_steps, touch=FunnelTouch.LAST))
 
 
+@query("api_json_funnel", oracle=_machine_oracle_sql("p.sc = 3"))
+def api_json_funnel(spark, sf_dir):
+    """A reference-shaped camelCase funnel request body (reference
+    platform/src/funnel.rs:293-640) parsed by api.py and executed by
+    the machine — end-to-end JSON → funnel_report parity. The payload
+    mirrors the 3-step unique funnel, so the recursive-anchor oracle
+    applies unchanged."""
+    from ..api import parse_funnel
+
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59"},
+        "group": "user",
+        "steps": [
+            {"events": [{"eventName": "signup", "eventType": "regular"}],
+             "order": {"type": "exact"}},
+            {"events": [{"eventName": "view", "eventType": "regular"}],
+             "order": {"type": "exact"}},
+            {"events": [{"eventName": "purchase", "eventType": "regular"}],
+             "order": {"type": "exact"}},
+        ],
+        "timeWindow": {"n": 7, "unit": "day"},
+        "chartType": "line",
+        "count": "unique",
+    }
+    events = load_table(spark, sf_dir, "events")
+    return funnel_report(events, parse_funnel(body))
+
+
 _STEPS_CHART_ORACLE = (
     f"WITH ch AS ({_machine_chain_sql('p.sc = 3')}) SELECT "
     + ", ".join(_step_metric_parts())

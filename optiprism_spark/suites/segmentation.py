@@ -311,6 +311,99 @@ def api_json_segmentation(spark, sf_dir):
     )
 
 
+@query(
+    "api_json_group_segmentation",
+    oracle=f"""
+    WITH e AS (
+      SELECT *, user_id % 50 AS org_id FROM events WHERE {S.ts_between(*S.T_FULL)}
+    )
+    SELECT {S.bucket('day')} AS bucket,
+           COUNT(*) AS n, COUNT(DISTINCT org_id) AS active_orgs
+    FROM e GROUP BY 1
+    """,
+)
+def api_json_group_segmentation(spark, sf_dir):
+    """A reference payload with ``"group": 1`` — the non-user entity
+    path through the JSON API (reference GROUPS_COUNT = 5 group
+    entities, common/src/lib.rs:16-22; api.GROUP_COLS registers the
+    org entity exactly as the reference registers group tables)."""
+    from ..api import parse_event_segmentation
+    from ..queries.event_segmentation import run_event_segmentation
+
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59"},
+        "group": 1,
+        "intervalUnit": "day",
+        "chartType": "line",
+        "analysis": {"type": "linear"},
+        "events": [{
+            "eventName": None, "eventType": "regular",
+            "queries": [
+                {"type": "countEvents"},
+                {"type": "dailyActiveGroups"},
+            ],
+        }],
+    }
+    req = parse_event_segmentation(body)
+    assert req.group_col == "org_id"
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "org_id", F.col("user_id") % 50
+    )
+    df = run_event_segmentation(events, req)
+    return df.select(
+        F.col("bucket"),
+        F.col("0_0_count_events").alias("n"),
+        F.col("0_1_daily_active_groups").alias("active_orgs"),
+    )
+
+
+@query(
+    "api_json_custom_event",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket, COUNT(*) AS n
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+      AND (event_type = 'view'
+           OR (event_type = 'click'
+               AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50))
+    GROUP BY 1
+    """,
+)
+def api_json_custom_event(spark, sf_dir):
+    """A custom event arriving through the JSON API: the parser
+    resolves ``{"eventType": "custom", "eventId": 7}`` against a
+    catalog and expands it to an OR of member events with their
+    filters (reference metadata resolution + expansion,
+    query/src/expr.rs:60-115)."""
+    from ..api import parse_event_segmentation
+    from ..queries.event_segmentation import run_event_segmentation
+
+    catalog = {
+        7: [
+            {"eventName": "view", "eventType": "regular"},
+            {"eventName": "click", "eventType": "regular",
+             "filters": [{"type": "property", "propertyType": "event",
+                          "propertyName": "k", "operation": "gte", "value": [50]}]},
+        ]
+    }
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59"},
+        "group": "user",
+        "intervalUnit": "day",
+        "chartType": "line",
+        "analysis": {"type": "linear"},
+        "events": [{
+            "eventType": "custom", "eventId": 7,
+            "queries": [{"type": "countEvents"}],
+        }],
+    }
+    req = parse_event_segmentation(body, custom_events=catalog)
+    events = load_table(spark, sf_dir, "events")
+    df = run_event_segmentation(events, req)
+    return df.select(F.col("bucket"), F.col("0_0_count_events").alias("n"))
+
+
 # ------------------------------------------------------------------ Formula
 
 @query(

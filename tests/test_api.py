@@ -129,6 +129,35 @@ def test_parse_edge_validation():
         parse_funnel(bad_window)
 
 
+def test_parse_custom_event_and_groups():
+    import pytest
+
+    from optiprism_spark.api import parse_event_ref, parse_event_segmentation
+
+    catalog = {
+        "engagement": [
+            {"eventName": "view", "eventType": "regular"},
+            {"eventName": "click", "eventType": "regular",
+             "filters": [{"type": "property", "propertyType": "event",
+                          "propertyName": "k", "operation": "gte", "value": [10]}]},
+        ]
+    }
+    ref = parse_event_ref(
+        {"eventType": "custom", "eventName": "engagement"}, custom_events=catalog
+    )
+    assert ref.custom is not None and len(ref.custom) == 2
+    assert ref.custom[0].event.name == "view"
+    assert ref.custom[1].filters[0].prop.name == "k"
+    # unknown custom event errors instead of silently matching nothing
+    with pytest.raises(ValueError, match="unknown custom event"):
+        parse_event_ref({"eventType": "custom", "eventId": 99}, custom_events=catalog)
+    # non-user group entities resolve through GROUP_COLS
+    body = dict(_SEG_BODY, group=1)
+    assert parse_event_segmentation(body).group_col == "org_id"
+    body = dict(_SEG_BODY, group="org")
+    assert parse_event_segmentation(body).group_col == "org_id"
+
+
 def test_formula_only_query_is_rejected(spark):
     import pytest
 
