@@ -242,8 +242,17 @@ class SegmentTimeKind(str, Enum):
 
 @dataclass(frozen=True)
 class SegmentCondition:
-    """has_property_value | had_property_value | did_event (reference
-    common/src/query.rs:313-399)."""
+    """has_property_value | had_property_value | did_event |
+    did_event_relative_count | did_event_historical_count (reference
+    common/src/query.rs:313-399; RelativeCount/HistoricalCount are
+    `unimplemented!` in the reference engine,
+    query/src/event_segmentation.rs:456-545 — implemented here).
+
+    - relative count: the user's count of ``event`` is compared to
+      their count of ``relative_event`` instead of a literal.
+    - historical count: the count runs over the user's FULL history —
+      any ``time`` on the condition is deliberately ignored.
+    """
 
     kind: str
     prop: Optional[PropertyRef] = None
@@ -256,6 +265,8 @@ class SegmentCondition:
     compare_op: PropOp = PropOp.GTE
     right: float = 1.0
     time: Optional[QueryTime] = None
+    relative_event: Optional[EventRef] = None  # did_event_relative_count
+    relative_filters: Sequence[PropFilter] = ()
 
 
 @dataclass(frozen=True)

@@ -42,6 +42,26 @@ def event_records_search(
     return df.orderBy(F.desc(EVENT_ID_COL)).limit(limit)
 
 
+def event_record_by_id(events: DataFrame, record_id: int) -> DataFrame:
+    """Point lookup by event id (reference event_records.rs:83-150
+    get_by_id: full-projection scan filtered to one id). The equality
+    predicate pushes into the parquet scan, so row-group min/max stats
+    prune everything but the containing group at scale."""
+    return events.filter(F.col(EVENT_ID_COL) == F.lit(int(record_id)))
+
+
+def group_record_by_id(
+    events: DataFrame, entity_id: int, user_col: str = EVENT_USER_COL
+) -> DataFrame:
+    """Point lookup of one group profile with replacing semantics
+    (reference group_records.rs:79-150 get_by_id over an is_replacing
+    table). Filter FIRST, then take the latest version — the window
+    runs over one entity's rows, not the whole table."""
+    return latest_profile(
+        events.filter(F.col(user_col) == F.lit(int(entity_id))), user_col
+    )
+
+
 def latest_profile(events: DataFrame, user_col: str = EVENT_USER_COL) -> DataFrame:
     """Replacing-table read: latest row per user (version ≙ (ts,
     event_id)). Maps the reference's `is_replacing` group tables

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..dsl import AggFn, PropOp, Segment, SegmentCondition
@@ -45,13 +45,14 @@ def _zero_count_qualifies(op: PropOp, right) -> bool:
 
 
 def _cmp(col, op: PropOp, right):
+    r = right if isinstance(right, Column) else F.lit(right)
     return {
-        PropOp.EQ: col == F.lit(right),
-        PropOp.NEQ: col != F.lit(right),
-        PropOp.GT: col > F.lit(right),
-        PropOp.GTE: col >= F.lit(right),
-        PropOp.LT: col < F.lit(right),
-        PropOp.LTE: col <= F.lit(right),
+        PropOp.EQ: col == r,
+        PropOp.NEQ: col != r,
+        PropOp.GT: col > r,
+        PropOp.GTE: col >= r,
+        PropOp.LT: col < r,
+        PropOp.LTE: col <= r,
     }[op]
 
 
@@ -69,8 +70,38 @@ def condition_users(events: DataFrame, cond: SegmentCondition,
         df = df.filter(property_expression(PropFilter(cond.prop, cond.op, cond.values)))
         return df.select(user.alias(group_col)).distinct()
 
-    if cond.kind == "did_event":
-        flt = full_filter(cond.time, cond.event, cond.filters)
+    if cond.kind == "did_event_relative_count":
+        # count(event) <op> count(relative_event) per user (reference
+        # DidEventAggregate::RelativeCount, common/src/query.rs:350-355
+        # — unimplemented! there): two filtered counts joined on the
+        # user universe with 0-coalescing, so users missing from either
+        # side still compare correctly
+        def _count(ev, fs):
+            flt = full_filter(cond.time, ev, fs)
+            df = events.filter(flt) if flt is not None else events
+            return df.groupBy(user.alias(group_col)).agg(F.count(F.lit(1)).alias("__c"))
+
+        left = _count(cond.event, cond.filters)
+        right = _count(cond.relative_event, cond.relative_filters)
+        universe = events.select(user.alias(group_col)).distinct()
+        both = (
+            universe
+            .join(left.withColumnRenamed("__c", "__l"), group_col, "left")
+            .join(right.withColumnRenamed("__c", "__r"), group_col, "left")
+            .select(
+                group_col,
+                F.coalesce(F.col("__l"), F.lit(0)).alias("__l"),
+                F.coalesce(F.col("__r"), F.lit(0)).alias("__r"),
+            )
+        )
+        return both.filter(_cmp(F.col("__l"), cond.compare_op, F.col("__r"))).select(group_col)
+
+    if cond.kind in ("did_event", "did_event_historical_count"):
+        # historical count runs over the full history: the reference's
+        # HistoricalCount (common/src/query.rs:365-369, unimplemented!
+        # there) is a Count whose time range is unbounded
+        time = None if cond.kind == "did_event_historical_count" else cond.time
+        flt = full_filter(time, cond.event, cond.filters)
         df = events.filter(flt) if flt is not None else events
         if cond.agg is None:  # count condition
             agg = F.count(F.lit(1))

@@ -14,7 +14,9 @@ from ..dsl import (
     QueryTime,
 )
 from ..operators.records import (
+    event_record_by_id,
     event_records_search,
+    group_record_by_id,
     group_records_search,
     latest_profile,
     property_values,
@@ -64,6 +66,33 @@ def group_records_top_value(spark, sf_dir):
     is_replacing storage, FIXTURES.md §3)."""
     events = load_table(spark, sf_dir, "events")
     return group_records_search(events, "value", ascending=False)
+
+
+@query(
+    "event_record_by_id",
+    oracle="SELECT * FROM events WHERE event_id = 4242",
+)
+def event_record_by_id_q(spark, sf_dir):
+    """Point lookup by event id (reference event_records.rs:83-150);
+    the equality predicate reaches the parquet scan for row-group
+    pruning."""
+    events = load_table(spark, sf_dir, "events")
+    return event_record_by_id(events, 4242)
+
+
+@query(
+    "group_record_by_id",
+    oracle="""
+    SELECT * FROM events WHERE user_id = 77
+    QUALIFY row_number() OVER (ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def group_record_by_id_q(spark, sf_dir):
+    """Point lookup of one profile with replacing semantics (reference
+    group_records.rs:79-150): filter to the entity, then latest
+    version wins."""
+    events = load_table(spark, sf_dir, "events")
+    return group_record_by_id(events, 77)
 
 
 @query(

@@ -120,6 +120,72 @@ def segment_or_composition(spark, sf_dir):
 
 
 @query(
+    "segment_relative_count",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    l AS (
+      SELECT user_id, COUNT(*) AS c FROM events
+      WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'purchase' GROUP BY 1
+    ),
+    r AS (
+      SELECT user_id, COUNT(*) AS c FROM events
+      WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'error' GROUP BY 1
+    )
+    SELECT u.user_id FROM u
+    LEFT JOIN l USING (user_id) LEFT JOIN r USING (user_id)
+    WHERE COALESCE(l.c, 0) > COALESCE(r.c, 0)
+    """,
+)
+def segment_relative_count(spark, sf_dir):
+    """DidEvent::RelativeCount cohort — users who purchased MORE often
+    than they errored (reference common/src/query.rs:350-355, declared
+    but `unimplemented!` engine-side; two 0-coalesced per-user counts
+    compared here)."""
+    events = load_table(spark, sf_dir, "events")
+    seg = Segment(
+        "more_purchases_than_errors",
+        conditions=[[
+            SegmentCondition(
+                "did_event_relative_count",
+                event=EventRef("purchase"),
+                relative_event=EventRef("error"),
+                compare_op=PropOp.GT, time=_FULL,
+            ),
+        ]],
+    )
+    return segment_users(events, seg)
+
+
+@query(
+    "segment_historical_count",
+    oracle="""
+    SELECT user_id FROM events
+    WHERE event_type = 'signup'
+    GROUP BY 1 HAVING COUNT(*) >= 15
+    """,
+)
+def segment_historical_count(spark, sf_dir):
+    """DidEvent::HistoricalCount cohort — signup count over the user's
+    FULL history, ignoring any query window (reference
+    common/src/query.rs:365-369, declared but `unimplemented!`
+    engine-side). The condition's time is set but deliberately
+    ignored, which is the distinguishing semantic."""
+    events = load_table(spark, sf_dir, "events")
+    seg = Segment(
+        "lifetime_frequent_signups",
+        conditions=[[
+            SegmentCondition(
+                "did_event_historical_count",
+                event=EventRef("signup"),
+                compare_op=PropOp.GTE, right=15,
+                time=_FULL,  # ignored by design
+            ),
+        ]],
+    )
+    return segment_users(events, seg)
+
+
+@query(
     "seg_count_daily_segmented",
     oracle=f"""
     SELECT {S.bucket('day')} AS bucket, COUNT(*) AS n

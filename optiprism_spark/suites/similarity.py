@@ -46,10 +46,51 @@ def sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
-@query("sim_cosine_topk_lsh")  # approximate: rows-only check
+def _lsh_bucket_sql(vec: str, planes: int = 4, dim: int = 64) -> str:
+    """DuckDB reproduction of operators.similarity.hyperplane_bucket:
+    plane p's component d is md5-derived in [-0.5, 0.5); every float
+    op is exact-or-identical to the Spark fold (division by 2^32 is
+    exact, list_reduce folds left like F.aggregate, and DuckDB's
+    1-based lambda index is shifted to match Spark's 0-based one)."""
+    comps = []
+    for p in range(planes):
+        comp = (
+            f"list_reduce(list_transform({vec}, (x, i) -> "
+            f"x * (CAST(('0x' || substr(md5('{p}:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT)"
+            f" / 4294967296.0 - 0.5)), (acc, x) -> acc + x)"
+        )
+        comps.append(f"(CASE WHEN {comp} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(comps) + ")"
+
+
+@query(
+    "sim_cosine_topk_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e),
+    sims AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, n.v) AS sim
+      FROM b q JOIN b n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+)
 def sim_cosine_topk_lsh(spark, sf_dir):
     """Hyperplane-LSH-bucketed approximate top-5 (the scale path:
-    bucketed equi-join instead of a cross join)."""
+    bucketed equi-join instead of a cross join). The md5-derived
+    hyperplanes are reproduced exactly in the oracle, so even the
+    approximate path is hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_lsh(emb, queries, k=5)
