@@ -77,20 +77,20 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def minhash_signatures(
-    docs: DataFrame, k: int = 8, n: int = 3,
-    text_col: str = "text", id_col: str = "doc_id",
+def _base_signatures(
+    docs: DataFrame, k: int, n: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """k-permutation MinHash: each shingle hashed ONCE
-    (md5 hex prefix → 32-bit int x), then sig_j = min over shingles of
-    (a_j·x + b_j) mod p. One digest + k·|shingles| multiply-adds per
-    row — pure per-row expressions, no shuffle."""
+    """One-scan base frame (id, sh, sig_0..sig_{k-1}): each shingle
+    hashed ONCE (md5 hex prefix → 32-bit int x), then sig_j = min over
+    shingles of (a_j·x + b_j) mod p. One digest + k·|shingles|
+    multiply-adds per row — pure per-row expressions, no shuffle."""
     out = spread(docs).select(
-        F.col(id_col), shingles_expr(text_col, n).alias("__sh")
+        F.col(id_col), shingles_expr(text_col, n).alias("sh")
     ).withColumn(
         "__x",
-        F.expr("transform(__sh, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"),
+        F.expr("transform(sh, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"),
     )
+
     def _perm(a: int, b: int):
         # NB: 1-arg lambda only — extra (even defaulted) parameters make
         # F.transform pass the array index too
@@ -100,19 +100,22 @@ def minhash_signatures(
         F.array_min(F.transform(F.col("__x"), _perm(a, b))).alias(f"sig_{j}")
         for j, (a, b) in enumerate(minhash_params(k))
     ]
-    return out.select(id_col, *sig_cols)
+    return out.select(id_col, "sh", *sig_cols)
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, k: int = 8, bands: int = 4, n: int = 3,
+def minhash_signatures(
+    docs: DataFrame, k: int = 8, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH banding: k/bands rows per band; docs sharing any band key
-    become a candidate pair (doc_a < doc_b)."""
+    """k-permutation MinHash signatures (see _base_signatures)."""
+    return _base_signatures(docs, k, n, text_col, id_col).drop("sh")
+
+
+def _banded_pairs(sigs: DataFrame, k: int, bands: int, id_col: str) -> DataFrame:
+    """Banding over a signature frame → distinct candidate pairs."""
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    sigs = minhash_signatures(docs, k, n, text_col, id_col)
     band_keys = F.array(
         *[
             F.struct(
@@ -135,6 +138,65 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 8, bands: int = 4, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: k/bands rows per band; docs sharing any band key
+    become a candidate pair (doc_a < doc_b)."""
+    sigs = minhash_signatures(docs, k, n, text_col, id_col)
+    return _banded_pairs(sigs, k, bands, id_col)
+
+
+def _verify_candidates(
+    candidates: DataFrame, sh_map: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs: two equi-joins carrying each
+    doc's shingle array + one array_intersect per pair."""
+    out = (
+        candidates.join(
+            sh_map.select(F.col(sh_map.columns[0]).alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh_map.select(F.col(sh_map.columns[0]).alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("sz_a"),
+            F.size("sh_b").alias("sz_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def lsh_near_dup_pairs(
+    docs: DataFrame, threshold: float = 0.6, k: int = 8, bands: int = 4,
+    n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Full single-scan near-dup pipeline: MinHash → banding →
+    candidate pairs → exact-Jaccard verification, with the shingle
+    arrays computed ONCE and carried through. The (id, shingles,
+    signatures) base frame is persisted and feeds both the banding
+    join and the verification joins — the corpus text is read and
+    shingled exactly once (at 100 TB a second full text-shingling
+    scan would have doubled the pipeline's dominant cost)."""
+    base = _base_signatures(docs, k, n, text_col, id_col).persist()
+    cands = _banded_pairs(base, k, bands, id_col)
+    return _verify_candidates(cands, base.select(id_col, "sh"), threshold)
+
+
 def jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
@@ -150,30 +212,7 @@ def jaccard_pairs(
     candidate count, not with shingle co-occurrence."""
     if candidates is not None:
         sh_map = spread(docs).select(F.col(id_col), shingles_expr(text_col, n).alias("sh"))
-        out = (
-            candidates.join(
-                sh_map.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
-            )
-            .join(
-                sh_map.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
-            )
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-                F.size("sh_a").alias("sz_a"),
-                F.size("sh_b").alias("sz_b"),
-            )
-            .select(
-                "doc_a",
-                "doc_b",
-                (
-                    F.col("inter").cast("double")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-                ).alias("jaccard"),
-            )
-        )
-        return out.filter(F.col("jaccard") >= F.lit(threshold))
+        return _verify_candidates(candidates, sh_map, threshold)
 
     sh = spread(docs).select(F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))

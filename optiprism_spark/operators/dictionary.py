@@ -30,14 +30,45 @@ from pyspark.sql import functions as F
 def build_dictionary(df: DataFrame, col: str) -> DataFrame:
     """(key BIGINT, value STRING): dense keys assigned in value order
     — equals SQL ``dense_rank() OVER (ORDER BY value)`` on distinct
-    values, so any engine rebuilds the identical mapping."""
-    w = Window.orderBy(F.col("value"))
-    return (
+    values, so any engine rebuilds the identical mapping.
+
+    Two-phase ranking: a global un-partitioned window would funnel
+    every distinct value through one task. Instead the values are
+    RANGE-partitioned (partition p's values all sort before partition
+    p+1's), ranked locally per partition, and shifted by the earlier
+    partitions' cumulative counts. The offsets frame is one row per
+    partition — its window is trivially small — so no task ever sees
+    more than its value range, and the assigned keys are identical for
+    any partition count."""
+    vals = (
         df.select(F.col(col).alias("value"))
         .filter(F.col("value").isNotNull())
         .distinct()
-        .withColumn("key", F.dense_rank().over(w).cast("long"))
-        .select("key", "value")
+    )
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ranged = vals.repartitionByRange(n_part, F.col("value")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lrk",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(F.col("value"))),
+    )
+    offsets = (
+        local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .select((F.col("__lrk") + F.col("__off")).cast("long").alias("key"), "value")
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -78,16 +78,28 @@ def limit_groups(df: DataFrame, group_cols: Sequence[str], limit: int = 50,
     (top-N chart series) — reference LimitGroupsNode
     (logical_plan/limit_groups.rs:17-104, default 50 series).
 
-    dense_rank over the group keys; a deterministic order column should
-    be supplied (e.g. the Average column) — falls back to key order.
-    """
-    order = [F.desc(order_col)] if order_col else [F.col(c) for c in group_cols]
-    w = Window.orderBy(*order, *[F.col(c) for c in group_cols])
-    return (
-        df.withColumn("__rk", F.dense_rank().over(w))
-        .filter(F.col("__rk") <= limit)
-        .drop("__rk")
+    Scale shape: the top group tuples are found with a distributed
+    orderBy().limit() (TakeOrdered — per-partition top-N merged on the
+    driver, no single-task global window), then broadcast back as a
+    null-safe semi-join. A deterministic order column should be
+    supplied (e.g. the Average column) — falls back to key order."""
+    order_val = F.max(order_col).alias("__ord") if order_col else F.lit(0).alias("__ord")
+    order = [F.desc("__ord")] if order_col else []
+    top = (
+        df.groupBy(*group_cols).agg(order_val)
+        .orderBy(*order, *[F.col(c) for c in group_cols])
+        .limit(limit)
+        .drop("__ord")
     )
+    cond = reduce(
+        lambda a, b: a & b, [df[c].eqNullSafe(top[c]) for c in group_cols]
+    )
+    out = df.join(F.broadcast(top), cond, "left_semi")
+    # restore the caller-visible row order (the chart contract sorts
+    # rows by the Average column; a semi-join does not preserve it)
+    if order_col:
+        out = out.orderBy(F.desc(order_col), *[F.col(c) for c in group_cols])
+    return out
 
 
 def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:

@@ -143,13 +143,37 @@ def embedding_near_pairs(
     )
 
 
-def _coarse_centroids(embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str) -> DataFrame:
-    """Deterministic coarse quantizer: lowest-id vectors as centroids
-    (swap in pyspark.ml KMeans for recall; the plan shape is fixed)."""
-    return (
-        embeddings.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv"))
-    )
+def _coarse_centroids(
+    embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str,
+    method: str = "sample",
+) -> DataFrame:
+    """Coarse quantizer for the IVF index: (centroid_id, cv).
+
+    - ``sample`` (default): lowest-id vectors — deterministic, which is
+      what the cross-engine oracle needs.
+    - ``kmeans``: pyspark.ml KMeans (fixed seed) — trained centroids
+      give far better recall at the same nprobe; the IVF plan shape
+      (assign → probe → bucketed join → re-rank) is identical, so the
+      swap is invisible to callers."""
+    if method == "sample":
+        return (
+            embeddings.orderBy(id_col).limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv"))
+        )
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = embeddings.select(
+            array_to_vector(_as_double(F.col(vec_col))).alias("features")
+        )
+        model = KMeans(k=n_centroids, seed=7, maxIter=20).fit(feats)
+        spark = embeddings.sparkSession
+        rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        return spark.createDataFrame(rows, "centroid_id long, cv array<double>")
+    raise ValueError(f"unknown centroid method {method!r}")
 
 
 def _assign_to_centroids(
@@ -177,6 +201,7 @@ def embedding_near_pairs_ivf(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "sample",
 ) -> DataFrame:
     """IVF-bucketed near-dup pairs — the scale path for all-pairs
     similarity: assign every vector to its nearest coarse centroid,
@@ -184,7 +209,7 @@ def embedding_near_pairs_ivf(
     drops from N² to Σ bucket²). Near-identical vectors land in the
     same bucket with high probability, straddlers are the recall
     trade-off (probe >1 centroid to shrink it)."""
-    cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col)
+    cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
     assigned = (
         _assign_to_centroids(embeddings, cent, id_col, "v", 1, id_col, vec_col)
         .withColumn("n", _norm(F.col("v")))
@@ -221,6 +246,7 @@ def cosine_topk_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "sample",
 ) -> DataFrame:
     """IVF-Flat approximate top-k: a coarse quantizer assigns every
     vector to its nearest centroid (one inverted list per centroid);
@@ -232,11 +258,11 @@ def cosine_topk_ivf(
     → bucketed join → re-rank) is the scale-relevant part: the big
     side shuffles once on centroid id, the centroid table broadcasts,
     and the per-query candidate set shrinks by ~nprobe/n_centroids.
-    Swap in pyspark.ml KMeans centroids for recall without changing
-    the plan shape."""
+    Pass ``centroids="kmeans"`` for trained centroids — better recall,
+    identical plan shape."""
     from pyspark.sql import Window
 
-    cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col)
+    cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
     e = _assign_to_centroids(embeddings, cent, "neighbor_id", "ev", 1, id_col, vec_col)
     q = _assign_to_centroids(queries, cent, "query_id", "qv", nprobe, id_col, vec_col)
     sims = (

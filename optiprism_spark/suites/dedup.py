@@ -122,10 +122,13 @@ def dedup_minhash_signatures(spark, sf_dir):
 )
 def dedup_lsh_near_pairs(spark, sf_dir):
     """Full near-dup pipeline: MinHash(k=8) → 4-band LSH candidates →
-    exact-Jaccard verification at 0.6."""
+    exact-Jaccard verification at 0.6 — single corpus scan (the
+    shingle/signature base frame is persisted and reused by both the
+    banding and verification joins)."""
+    from ..operators.dedup import lsh_near_dup_pairs
+
     docs = load_table(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(docs, k=8, bands=4)
-    return jaccard_pairs(docs, threshold=0.6, candidates=cands)
+    return lsh_near_dup_pairs(docs, threshold=0.6, k=8, bands=4)
 
 
 @query(

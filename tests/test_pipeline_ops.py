@@ -94,3 +94,26 @@ def test_resize_and_frame_sampling(spark):
     )
     frames = frame_sample_plan(vid, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_ivf_kmeans_centroids_recall(spark):
+    """Trained-KMeans IVF must recover most of the brute-force top-k:
+    the quantizer seam swaps without changing the plan, and recall
+    against exact top-5 stays high on the fixture embeddings."""
+    from optiprism_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+    from optiprism_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(
+            emb, queries, k=5, n_centroids=4, nprobe=2, centroids="kmeans"
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f}"

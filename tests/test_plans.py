@@ -94,3 +94,58 @@ def test_geo_enrich_scan_stays_shuffle_free(spark):
     # the only exchange is the final groupBy("country") — the events
     # side must NOT shuffle for the dimension join
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dictionary_rank_is_partitioned(spark):
+    """build_dictionary must not rank all distinct values through one
+    task: the rank runs per range-partition (window partitioned by
+    partition id) with broadcast offsets — no un-partitioned Window
+    over the values frame."""
+    from optiprism_spark.operators.dictionary import build_dictionary
+    from optiprism_spark.schema import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    d = build_dictionary(events, "event_type")
+    plan = _plan(d)
+    assert "rangepartitioning" in plan.lower(), plan
+    # every Window spec must carry a partitionBy (the __pid column)
+    for m in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__pid" in m or "windowspecdefinition" not in m, plan
+    # the mapping itself must still be the value-ordered dense ranking
+    rows = sorted((r.key, r.value) for r in d.collect())
+    values = sorted(
+        r.event_type for r in events.select("event_type").distinct().collect()
+    )
+    assert rows == [(i + 1, v) for i, v in enumerate(values)]
+
+
+def test_limit_groups_has_no_global_window(spark):
+    """limit_groups must find the top series with TakeOrdered + a
+    broadcast semi-join, not a whole-frame un-partitioned window."""
+    from optiprism_spark.operators.reshape import limit_groups
+    from optiprism_spark.schema import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    agg = events.groupBy("event_type").agg(F.sum("value").alias("total"))
+    out = limit_groups(agg, ["event_type"], limit=3, order_col="total")
+    plan = _plan(out)
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert out.count() == 3
+
+
+def test_lsh_pipeline_scans_documents_once(spark):
+    """The LSH near-dup pipeline must read the documents table exactly
+    once — shingles/signatures are computed one time and reused by the
+    banding and verification joins (a second full text-shingling scan
+    doubles the dominant cost at scale)."""
+    spark.catalog.clearCache()  # stale cache entries from other tests
+    plan = _plan(QUERIES["dedup_lsh_near_pairs"](spark, SF_SMOKE))
+    scans = plan.count("FileScan parquet")
+    cached_defs = plan.count("InMemoryRelation")
+    in_memory = plan.count("InMemoryTableScan")
+    # every FileScan in the printout is the cache's own definition
+    # subtree (printed once per InMemoryTableScan) — no direct scan
+    assert scans == cached_defs, f"{scans} scans vs {cached_defs} cache defs:\n{plan}"
+    assert in_memory >= 2, plan  # base frame reused from cache
