@@ -30,6 +30,25 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
+def suite_round_robin(queries: dict) -> dict:
+    """Reorder queries round-robin across suites (modules): any prefix
+    of the dict then covers every operator family. The driver's
+    correctness gate checks a bounded number of entries in dict order —
+    a suite-sequential order would leave whole families unchecked."""
+    from itertools import zip_longest
+
+    by_suite: dict[str, list[str]] = {}
+    for name, fn in queries.items():
+        by_suite.setdefault(getattr(fn, "__module__", ""), []).append(name)
+    order = [
+        n
+        for row in zip_longest(*by_suite.values())
+        for n in row
+        if n is not None
+    ]
+    return {n: queries[n] for n in order}
+
+
 # Suites self-register on import (order = SURVEY §2 section order).
 # Extend this list as suites are added — no try/except, a broken suite
 # module must fail loudly.
