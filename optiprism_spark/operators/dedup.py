@@ -111,8 +111,15 @@ def minhash_signatures(
     return _base_signatures(docs, k, n, text_col, id_col).drop("sh")
 
 
-def _banded_pairs(sigs: DataFrame, k: int, bands: int, id_col: str) -> DataFrame:
-    """Banding over a signature frame → distinct candidate pairs."""
+def _banded_pairs(sigs: DataFrame, k: int, bands: int, id_col: str,
+                  max_bucket: int = None) -> DataFrame:
+    """Banding over a signature frame → distinct candidate pairs.
+
+    ``max_bucket`` drops band buckets larger than the cap BEFORE the
+    self-join: a boilerplate-heavy corpus puts thousands of docs in
+    one bucket, and the join output grows with bucket² — the standard
+    web-scale LSH guard (oversized buckets are almost always template
+    text whose members are caught by other bands or exact dedup)."""
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
@@ -128,6 +135,15 @@ def _banded_pairs(sigs: DataFrame, k: int, bands: int, id_col: str) -> DataFrame
     banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        banded = (
+            banded.withColumn("__bn", bucket_n)
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -141,11 +157,12 @@ def _banded_pairs(sigs: DataFrame, k: int, bands: int, id_col: str) -> DataFrame
 def lsh_candidate_pairs(
     docs: DataFrame, k: int = 8, bands: int = 4, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int = None,
 ) -> DataFrame:
     """LSH banding: k/bands rows per band; docs sharing any band key
     become a candidate pair (doc_a < doc_b)."""
     sigs = minhash_signatures(docs, k, n, text_col, id_col)
-    return _banded_pairs(sigs, k, bands, id_col)
+    return _banded_pairs(sigs, k, bands, id_col, max_bucket)
 
 
 def _verify_candidates(
@@ -184,6 +201,7 @@ def _verify_candidates(
 def lsh_near_dup_pairs(
     docs: DataFrame, threshold: float = 0.6, k: int = 8, bands: int = 4,
     n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int = None,
 ) -> DataFrame:
     """Full single-scan near-dup pipeline: MinHash → banding →
     candidate pairs → exact-Jaccard verification, with the shingle
@@ -193,7 +211,7 @@ def lsh_near_dup_pairs(
     shingled exactly once (at 100 TB a second full text-shingling
     scan would have doubled the pipeline's dominant cost)."""
     base = _base_signatures(docs, k, n, text_col, id_col).persist()
-    cands = _banded_pairs(base, k, bands, id_col)
+    cands = _banded_pairs(base, k, bands, id_col, max_bucket)
     return _verify_candidates(cands, base.select(id_col, "sh"), threshold)
 
 

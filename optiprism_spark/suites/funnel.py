@@ -77,7 +77,7 @@ _SESSION_GAP_US = 30 * 60 * 1000 * 1000
 
 
 def _attempt_lateral(anchor: str, exclude_ets, step_ets=_STEP_ETS,
-                     const_key=None, session=False) -> str:
+                     const_key=None, session=False, breakdown=False) -> str:
     """Attempt outcome for one anchor row (user_id[, sess], t0, e0
     [, k0]): first step-1 row after the anchor (s1), first step-2 row
     after that (s2), first aborting row (x: exclude event, or any row
@@ -87,7 +87,12 @@ def _attempt_lateral(anchor: str, exclude_ets, step_ets=_STEP_ETS,
     reset ``continue`` REPROCESSES the violating row at step 0 — a row
     can't both abort and complete (check order: exclude → constants →
     window → step match, funnel.rs:544-605)."""
-    corr = f"e.user_id = {anchor}.user_id" + (f" AND e.sess = {anchor}.sess" if session else "")
+    corr = f"e.user_id = {anchor}.user_id"
+    if session:
+        corr += f" AND e.sess = {anchor}.sess"
+    if breakdown:
+        # the machine runs per (user, breakdown-value); NULL is its own group
+        corr += f" AND e.bd IS NOT DISTINCT FROM {anchor}.bd"
     full_stream = const_key is not None or session
     #: which rows can trigger a window-expiry flush: with a pre-filtered
     #: kernel input only step rows exist; in full-stream modes ANY
@@ -144,17 +149,21 @@ def _attempt_lateral(anchor: str, exclude_ets, step_ets=_STEP_ETS,
 
 
 def _machine_chain_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
-                       const_key=None, session: bool = False) -> str:
+                       const_key=None, session: bool = False,
+                       breakdown_key=None) -> str:
     """Recursive anchor chain replaying the greedy machine: one row per
     recorded attempt (user_id, t0, ts1, ts2, sc). ``stop_cond`` is a
     predicate on the previous attempt row ``p`` that ends the user's
     chain (Unique-mode skip). ``const_key``: holding-constant JSON key
     — anchors carry their own k0, any later row with a deviating value
     aborts. ``session``: the machine runs per (user, 30-min-gap
-    session) instead of per user."""
+    session) instead of per user. ``breakdown_key``: JSON key whose
+    value sub-partitions the machine (one independent run per
+    (user, value), NULL being its own group — mirroring the kernel's
+    groupby(dropna=False))."""
     assert not (exclude_ets and const_key), "not combined in any query"
+    breakdown = breakdown_key is not None
     full_stream = const_key is not None or session
-    part = "user_id, sess" if session else "user_id"
     if full_stream:
         et_filter = ""
     else:
@@ -164,37 +173,52 @@ def _machine_chain_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
         f", CAST(json_extract_string(props, '$.{const_key}') AS BIGINT) AS kv"
         if const_key is not None else ""
     )
+    bd_sel = (
+        f", CAST(json_extract_string(props, '$.{breakdown_key}') AS BIGINT) AS bd"
+        if breakdown else ""
+    )
+    #: partition columns of the machine run, beyond user_id
+    extra_part = (["sess"] if session else []) + (["bd"] if breakdown else [])
+    part = ", ".join(["user_id"] + extra_part)
     if session:
         e_cte = f"""e AS (
-  SELECT user_id, ts, eid, et{', kv' if const_key else ''},
+  SELECT user_id, ts, eid, et{', kv' if const_key else ''}{', bd' if breakdown else ''},
          SUM(CASE WHEN prev_ts IS NOT NULL AND ts - prev_ts > {_SESSION_GAP_US}
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, eid
                  ROWS UNBOUNDED PRECEDING) AS sess
   FROM (
-    SELECT user_id, epoch_us(ts) AS ts, event_id AS eid, event_type AS et{kv_sel},
+    SELECT user_id, epoch_us(ts) AS ts, event_id AS eid, event_type AS et{kv_sel}{bd_sel},
            LAG(epoch_us(ts)) OVER (PARTITION BY user_id
                                    ORDER BY epoch_us(ts), event_id) AS prev_ts
     FROM events WHERE {S.ts_between(*S.T_FULL)}{et_filter}) raw
 )"""
     else:
         e_cte = f"""e AS (
-  SELECT user_id, epoch_us(ts) AS ts, event_id AS eid, event_type AS et{kv_sel}
+  SELECT user_id, epoch_us(ts) AS ts, event_id AS eid, event_type AS et{kv_sel}{bd_sel}
   FROM events
   WHERE {S.ts_between(*S.T_FULL)}{et_filter}
 )"""
-    anchor_cols = ["user_id"] + (["sess"] if session else []) + ["t0", "e0"] \
+    anchor_cols = ["user_id"] + extra_part + ["t0", "e0"] \
         + (["k0"] if const_key else [])
     a_cols = ", ".join(anchor_cols)
+    extra_sel = "".join(f", {c}" for c in extra_part)
     k0_sel = ", kv AS k0" if const_key else ""
-    sess_sel = ", sess" if session else ""
-    lat = lambda a: _attempt_lateral(a, exclude_ets, step_ets, const_key, session)
+    p_extra = "".join(f", p.{c}" for c in extra_part)
+    e_extra = "".join(f", e.{c}" for c in extra_part)
+    next_corr = "e.user_id = p.user_id"
+    if session:
+        next_corr += " AND e.sess = p.sess"
+    if breakdown:
+        next_corr += " AND e.bd IS NOT DISTINCT FROM p.bd"
+    lat = lambda a: _attempt_lateral(a, exclude_ets, step_ets, const_key,
+                                     session, breakdown)
     chain = f"""
 WITH RECURSIVE
 {e_cte},
 first_anchor AS (
   SELECT {a_cols} FROM (
-    SELECT user_id{sess_sel}, ts AS t0, eid AS e0{k0_sel},
+    SELECT user_id{extra_sel}, ts AS t0, eid AS e0{k0_sel},
            ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY ts, eid) AS rn
     FROM e WHERE et IN {_in(step_ets[0])}) t WHERE rn = 1
 ),
@@ -205,7 +229,7 @@ chain AS (
   UNION ALL
   SELECT {', '.join('n.' + c for c in anchor_cols)}, a.*
   FROM (
-    SELECT p.user_id{', p.sess' if session else ''},
+    SELECT p.user_id{p_extra},
            CASE WHEN p.aborted THEN p.xts
                 WHEN p.sc = 3 THEN p.ts2 ELSE NULL END AS after_ts,
            CASE WHEN p.aborted THEN p.xeid
@@ -215,9 +239,9 @@ chain AS (
     FROM chain p WHERE NOT ({stop_cond})
   ) p
   CROSS JOIN LATERAL (
-    SELECT e.user_id{', e.sess' if session else ''}, e.ts AS t0, e.eid AS e0{k0_sel}
+    SELECT e.user_id{e_extra}, e.ts AS t0, e.eid AS e0{k0_sel}
     FROM e
-    WHERE e.user_id = p.user_id{' AND e.sess = p.sess' if session else ''}
+    WHERE {next_corr}
       AND e.et IN {_in(step_ets[0])}
       AND ((p.after_ts IS NOT NULL AND p.was_aborted
             AND (e.ts, e.eid) >= (p.after_ts, p.after_eid))
@@ -265,19 +289,26 @@ def _step_metric_parts() -> list[str]:
 
 def _machine_oracle_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
                         touch: str = "first", const_key=None,
-                        session: bool = False) -> str:
+                        session: bool = False, breakdown_key=None) -> str:
     """ConversionOverTime report oracle: anchor chain → per-day bucket
     report with the exact column names/types funnel_report emits.
     ``touch`` picks the bucket-attribution timestamp (first | last)."""
-    chain = _machine_chain_sql(stop_cond, exclude_ets, step_ets, const_key, session)
+    chain = _machine_chain_sql(stop_cond, exclude_ets, step_ets, const_key,
+                               session, breakdown_key)
     attr = (
         "t0" if touch == "first"
         else "(CASE WHEN sc = 1 THEN t0 WHEN sc = 2 THEN ts1 ELSE ts2 END)"
     )
-    parts = [
-        f"CAST(date_trunc('day', make_timestamp({attr})) AS DATE) AS bucket"
-    ] + _step_metric_parts()
-    return f"WITH ch AS ({chain}) SELECT " + ", ".join(parts) + " FROM ch GROUP BY 1"
+    keys = [f"CAST(date_trunc('day', make_timestamp({attr})) AS DATE) AS bucket"]
+    group = "1"
+    if breakdown_key is not None:
+        keys.append(f"bd AS {breakdown_key}")
+        group = "1, 2"
+    parts = keys + _step_metric_parts()
+    return (
+        f"WITH ch AS ({chain}) SELECT " + ", ".join(parts)
+        + f" FROM ch GROUP BY {group}"
+    )
 
 
 def _req(**kw):
@@ -451,6 +482,20 @@ def api_json_funnel(spark, sf_dir):
     }
     events = load_table(spark, sf_dir, "events")
     return funnel_report(events, parse_funnel(body))
+
+
+@query(
+    "funnel_machine_breakdown",
+    # the machine runs once per (user, breakdown value): bd joins the
+    # chain's partition key, then the report groups by (bucket, bd)
+    oracle=_machine_oracle_sql("p.sc = 3", breakdown_key="k"),
+)
+def funnel_machine_breakdown(spark, sf_dir):
+    """Breakdown funnel: one independent machine per (user, props.k)
+    group, report keyed by (bucket, k) — reference Groups/breakdowns
+    axis (funnel.rs Groups row-encoding, SURVEY §2.5)."""
+    events = load_table(spark, sf_dir, "events")
+    return funnel_report(events, _req(breakdowns=[PropertyRef.json("k", "int64")]))
 
 
 _STEPS_CHART_ORACLE = (

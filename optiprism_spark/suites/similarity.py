@@ -117,6 +117,29 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "dedup_embedding_cosine_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e)
+    SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
+           round(list_cosine_similarity(a.v, b2.v), 6) AS sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE list_cosine_similarity(a.v, b2.v) >= 0.9
+    """,
+)
+def dedup_embedding_cosine_lsh(spark, sf_dir):
+    """Hyperplane-LSH-bucketed near-dup pairs — the all-pairs scale
+    path (bucketed equi-join, never N²); the md5 hyperplanes are
+    reproduced in the oracle so the approximate result is
+    hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, threshold=0.9, use_lsh=True)
+
+
+@query(
     "dedup_embedding_cosine_ivf",
     oracle="""
     WITH cent AS (
