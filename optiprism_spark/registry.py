@@ -30,22 +30,86 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
+#: Names the driver's correctness gate actually checked each round
+#: (keys of CORRECTNESS_r{N}.json). The gate caps how many entries it
+#: checks in dict order, so we lead with the least-recently-checked
+#: queries — otherwise the same tail stays unchecked round after round.
+#: Update per round from the new CORRECTNESS file.
+DRIVER_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
+    1: frozenset({
+        "api_json_segmentation", "dedup_exact_survivors", "dedup_jaccard_pairs",
+        "dedup_lsh_near_pairs", "dedup_minhash_signatures", "dedup_simhash",
+        "event_records_search_purchases", "funnel_first_touch_3step",
+        "funnel_machine_3step", "funnel_machine_any_order_touch_last",
+        "funnel_machine_constants", "funnel_machine_dropoff_step1",
+        "funnel_machine_excludes", "funnel_machine_nonunique",
+        "funnel_machine_session_mode", "group_records_top_value",
+        "ingest_geo_country_counts", "ingest_profile_upsert",
+        "ingest_ua_browser_counts", "latest_profile_all", "multimodal_features",
+        "property_values_event_type", "property_values_json_like",
+        "seg_agg_int_prop", "seg_agg_matrix_per_user", "seg_breakdown_json_prop",
+        "seg_chart_pipeline", "seg_count_daily_by_type",
+        "seg_count_hourly_purchase", "seg_count_per_user_avg",
+        "seg_custom_event", "seg_dau", "seg_dau_by_week", "seg_filter_json_prop",
+        "seg_filter_ops", "seg_formula_value_per_event",
+        "seg_group_analytics_org", "seg_mau", "seg_mixed_levels",
+        "seg_multi_agg_weekly", "seg_multi_event_merge", "seg_percentiles_by_type",
+        "seg_sum_per_user_outer", "seg_sum_value_daily_by_type",
+        "seg_time_from_minute_buckets", "seg_time_last_n_days",
+        "seg_unpivot_compact", "seg_wau", "seg_year_buckets",
+        "segment_has_property_value",
+    }),
+    2: frozenset({
+        "dedup_embedding_cosine", "dedup_embedding_cosine_ivf",
+        "dedup_embedding_cosine_lsh", "dedup_exact_survivors",
+        "dedup_jaccard_pairs", "dedup_lsh_near_pairs", "dedup_minhash_signatures",
+        "dedup_simhash", "dict_roundtrip_event_type", "event_record_by_id",
+        "event_records_search_purchases", "funnel_first_touch_3step",
+        "funnel_machine_3step", "funnel_machine_constants",
+        "funnel_machine_dropoff_step1", "funnel_machine_excludes",
+        "funnel_machine_nonunique", "group_record_by_id",
+        "group_records_top_value", "ingest_geo_country_counts",
+        "ingest_profile_upsert", "ingest_ua_browser_counts",
+        "multimodal_features", "property_values_event_type", "seg_agg_int_prop",
+        "seg_agg_matrix_per_user", "seg_chart_pipeline",
+        "seg_count_daily_by_type", "seg_count_hourly_purchase",
+        "seg_time_last_n_days", "seg_unpivot_compact",
+        "segment_and_composition", "segment_has_property_value",
+        "segment_historical_count", "segment_or_composition",
+        "segment_relative_count", "session_stats_per_user", "sim_cosine_topk",
+        "sim_cosine_topk_lsh", "sql_api_revenue_by_segment",
+        "text_lang_distribution", "text_quality_scores", "text_stats_all",
+        "wh_order_priority_pipeline", "wh_revenue_by_nation",
+        "wh_top_brands_by_region", "win_cumulative", "win_logarithmic",
+        "win_period_compare", "win_rolling_avg",
+    }),
+}
+
+
 def suite_round_robin(queries: dict) -> dict:
-    """Reorder queries round-robin across suites (modules): any prefix
-    of the dict then covers every operator family. The driver's
-    correctness gate checks a bounded number of entries in dict order —
-    a suite-sequential order would leave whole families unchecked."""
+    """Reorder queries for the driver's capped correctness gate:
+    primary key = the round a query was last driver-checked (never →
+    0, so it sorts first); tie-break = round-robin position across
+    suites so any prefix still covers every operator family."""
     from itertools import zip_longest
 
     by_suite: dict[str, list[str]] = {}
     for name, fn in queries.items():
         by_suite.setdefault(getattr(fn, "__module__", ""), []).append(name)
-    order = [
+    rr_order = [
         n
         for row in zip_longest(*by_suite.values())
         for n in row
         if n is not None
     ]
+    last_checked = {
+        n: max(
+            (rnd for rnd, names in DRIVER_CHECKED_ROUNDS.items() if n in names),
+            default=0,
+        )
+        for n in rr_order
+    }
+    order = sorted(rr_order, key=lambda n: (last_checked[n], rr_order.index(n)))
     return {n: queries[n] for n in order}
 
 

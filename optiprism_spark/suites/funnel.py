@@ -9,12 +9,16 @@ Operators over the driver events table (signup → view → purchase):
   attempt is fully determined by its anchor (step-0 row), and the
   anchor chain advances deterministically — so a recursive CTE over
   ANCHORS (a handful per user, not one per row) replays the machine.
-  ``_machine_oracle_sql`` below generates that oracle, covering the
-  3step/nonunique/dropoff/excludes variants; any-order, holding
-  constants and session mode stay rows-only, pinned by the
-  scripted-trace tests in tests/test_funnel.py (the same split the
-  reference uses: ClickHouse oracle for aggregates, scripted traces
-  for the funnel, SURVEY §5).
+  ``_machine_oracle_sql`` below generates that oracle for every
+  registered variant — 3step/nonunique/dropoff/excludes plus the
+  any-order, holding-constants and session-mode axes (each extends
+  the anchor chain: any-order tracks a step *set*, constants pin the
+  anchor's property value down the chain, session mode derives its
+  window from the sessionize gap). All funnel queries here carry
+  DuckDB oracles (``len(ORACLE_SQL) == len(QUERIES)`` for this
+  suite); the scripted-trace tests in tests/test_funnel.py pin the
+  kernel's per-row semantics independently (the same two-layer
+  strategy the reference uses, SURVEY §5).
 
 Machine facts the oracle encodes (reference funnel.rs:457-660 and the
 kernel in operators/funnel.py):
