@@ -4,6 +4,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: frames persisted by operators (LSH base signatures, IVF assignment)
+#: so long-lived sessions can free executor storage memory explicitly
+#: instead of waiting for the driver-GC ContextCleaner sweep
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() + register for `unpersist_tracked` — operators that
+    materialize an intermediate (both sides of a self-join consume it)
+    persist through this so callers own a deterministic lifecycle."""
+    df = df.persist() if storage_level is None else df.persist(storage_level)
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def unpersist_tracked() -> int:
+    """Unpersist every operator-persisted frame; returns the count.
+    Safe to call mid-query-stream: a consumed plan recomputes."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        _TRACKED_PERSISTS.pop().unpersist()
+        n += 1
+    return n
+
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Ensure at least defaultParallelism partitions before a

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._util import spread
+from ._util import spread, track_persist
 
 
 #: MinHash permutation domain: Mersenne prime 2^31-1. x is 32-bit, a_j
@@ -209,8 +209,10 @@ def lsh_near_dup_pairs(
     signatures) base frame is persisted and feeds both the banding
     join and the verification joins — the corpus text is read and
     shingled exactly once (at 100 TB a second full text-shingling
-    scan would have doubled the pipeline's dominant cost)."""
-    base = _base_signatures(docs, k, n, text_col, id_col).persist()
+    scan would have doubled the pipeline's dominant cost). The persist
+    is tracked: call `_util.unpersist_tracked()` after consuming the
+    result to free executor storage memory in a long-lived session."""
+    base = track_persist(_base_signatures(docs, k, n, text_col, id_col))
     cands = _banded_pairs(base, k, bands, id_col, max_bucket)
     return _verify_candidates(cands, base.select(id_col, "sh"), threshold)
 
@@ -218,19 +220,30 @@ def lsh_near_dup_pairs(
 def jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
-    candidates: DataFrame = None,
+    candidates="lsh",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs.
+    """n-gram Jaccard similarity pairs (doc_a, doc_b, jaccard).
 
-    Without candidates: inverted-index self-join on shingles (only
-    docs sharing ≥1 shingle are compared — never n²). With candidates
-    (e.g. from LSH): verification is two equi-joins carrying each
-    doc's shingle array + an `array_intersect` per pair — the big
-    exploded self-join never happens, so cost scales with the
-    candidate count, not with shingle co-occurrence."""
-    if candidates is not None:
+    ``candidates`` selects the pair-generation strategy:
+
+    - ``"lsh"`` (default — the 100 TB path): MinHash-LSH banding
+      proposes candidate pairs, exact Jaccard verifies them. Cost
+      scales with the candidate count, never with shingle
+      co-occurrence. Approximate: pairs missed by every band are not
+      verified (raise k/bands for recall).
+    - a DataFrame of (doc_a, doc_b): verify exactly those pairs.
+    - ``"all"``: exact inverted-index self-join on shingles (only
+      docs sharing ≥1 shingle are compared — never n², but the join
+      output grows with shingle co-occurrence, so a boilerplate-heavy
+      corpus explodes it). The differential-oracle baseline; opt-in.
+    """
+    if candidates == "lsh":
+        return lsh_near_dup_pairs(docs, threshold, n=n, text_col=text_col, id_col=id_col)
+    if isinstance(candidates, DataFrame):
         sh_map = spread(docs).select(F.col(id_col), shingles_expr(text_col, n).alias("sh"))
         return _verify_candidates(candidates, sh_map, threshold)
+    if candidates != "all":
+        raise ValueError(f"candidates must be 'lsh', 'all', or a DataFrame: {candidates!r}")
 
     sh = spread(docs).select(F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))

@@ -104,7 +104,7 @@ def hyperplane_bucket(vec: Column, planes: int = 4, dim: int = 64) -> Column:
 def embedding_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    use_lsh: bool = False,
+    exact: bool = False,
     planes: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -113,12 +113,13 @@ def embedding_near_pairs(
     """Embedding-cosine near-duplicate pairs: (doc_a, doc_b, sim) with
     doc_a < doc_b and cosine >= threshold.
 
-    Exact mode self-joins on id inequality (O(N²) comparisons — the
-    correctness baseline). ``use_lsh=True`` is the scale path: both
-    sides are bucketed by the deterministic hyperplane sketch and only
-    same-bucket pairs are compared — a bucketed equi-join instead of a
-    cross join, at the cost of missing near-dups that straddle a
-    hyperplane.
+    The DEFAULT path is hyperplane-LSH bucketed: both sides are
+    bucketed by the deterministic sign-bit sketch and only same-bucket
+    pairs are compared — a bucketed equi-join instead of a cross join,
+    at the cost of missing near-dups that straddle a hyperplane. This
+    is the only shape that survives 100 TB; ``exact=True`` opts into
+    the O(N²) id-inequality self-join, which exists as the correctness
+    baseline (differential oracle) and for small inputs only.
 
     Norms are hoisted into the per-ROW projections (N sqrt-folds, not
     N² — the division `dot/(na·nb)` is float-identical to computing
@@ -129,12 +130,12 @@ def embedding_near_pairs(
     b = embeddings.select(
         F.col(id_col).alias("doc_b"), _as_double(F.col(vec_col)).alias("bv")
     ).withColumn("nb", _norm(F.col("bv")))
-    if use_lsh:
+    if exact:
+        joined = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    else:
         a = a.withColumn("__bkt", hyperplane_bucket(F.col("av"), planes, dim))
         b = b.withColumn("__bkt", hyperplane_bucket(F.col("bv"), planes, dim))
         joined = a.join(b, "__bkt").filter(F.col("doc_a") < F.col("doc_b"))
-    else:
-        joined = a.join(b, F.col("doc_a") < F.col("doc_b"))
     sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
     return (
         joined.select("doc_a", "doc_b", sim.alias("sim"))
@@ -180,14 +181,49 @@ def _assign_to_centroids(
     df: DataFrame, cent: DataFrame, id_alias: str, vec_alias: str, n: int,
     id_col: str, vec_col: str,
 ) -> DataFrame:
-    """nearest-n centroids by cosine (tie-break centroid id): broadcast
-    the centroid table, rank per vector, keep the top n lists."""
+    """nearest-n centroids by cosine (tie-break: lowest centroid id).
+
+    n == 1 (the corpus-side assignment — the BIG side at scale) is a
+    pure per-row argmax fold over the broadcast centroid array: NO
+    shuffle, no window — the corpus's only shuffle stays the
+    downstream join on centroid_id. The fold walks centroids in
+    ascending-id order with a strict ``>``, so the first maximum wins
+    — float-identical to the rank-1 row of the window formulation
+    (same cosine fold, same tie-break), which the DuckDB oracle uses.
+
+    n > 1 (query-side nprobe — the small side) keeps the broadcast
+    join + per-vector rank window."""
     from pyspark.sql import Window
 
+    base = df.select(
+        F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
+    )
+    if n == 1:
+        cents = cent.select(
+            F.struct("centroid_id", "cv").alias("c")
+        ).agg(F.sort_array(F.collect_list("c")).alias("__cents"))
+        best = F.aggregate(
+            F.col("__cents"),
+            F.struct(
+                F.lit(float("-inf")).alias("sim"),
+                F.lit(None).cast("long").alias("cid"),
+            ),
+            lambda acc, c: F.when(
+                cosine(F.col(vec_alias), c["cv"]) > acc["sim"],
+                F.struct(
+                    cosine(F.col(vec_alias), c["cv"]).alias("sim"),
+                    c["centroid_id"].alias("cid"),
+                ),
+            ).otherwise(acc),
+        )
+        return (
+            base.join(F.broadcast(cents))
+            .withColumn("centroid_id", best["cid"])
+            .select(id_alias, vec_alias, "centroid_id")
+        )
     w = Window.partitionBy(id_alias).orderBy(F.desc("__csim"), F.asc("centroid_id"))
     return (
-        df.select(F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias))
-        .join(F.broadcast(cent))
+        base.join(F.broadcast(cent))
         .withColumn("__csim", cosine(F.col(vec_alias), F.col("cv")))
         .withColumn("__crank", F.row_number().over(w))
         .filter(F.col("__crank") <= n)
@@ -202,24 +238,29 @@ def embedding_near_pairs_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str = "sample",
+    persist_assignment: bool = False,
 ) -> DataFrame:
     """IVF-bucketed near-dup pairs — the scale path for all-pairs
     similarity: assign every vector to its nearest coarse centroid,
     then compare only within-bucket pairs (a bucketed self-join; work
     drops from N² to Σ bucket²). Near-identical vectors land in the
     same bucket with high probability, straddlers are the recall
-    trade-off (probe >1 centroid to shrink it)."""
+    trade-off (probe >1 centroid to shrink it).
+
+    ``persist_assignment`` materializes the (id, vec, centroid) frame
+    so both sides of the self-join read it instead of re-running the
+    quantizer — worth it when the assignment is reused across queries
+    (at scale it's a persisted index table; call
+    `_util.unpersist_tracked()` to free it). Off by default: for a
+    one-shot query the cache write costs more than the recompute."""
+    from ._util import track_persist
+
     cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
-    assigned = (
-        _assign_to_centroids(embeddings, cent, id_col, "v", 1, id_col, vec_col)
-        .withColumn("n", _norm(F.col("v")))
-        # both sides of the self-join consume this frame — materialize
-        # the assignment once instead of recomputing the quantizer per
-        # side (at scale the assignment is a persisted index table; the
-        # cached plan is freed by the ContextCleaner once this
-        # DataFrame is garbage-collected)
-        .persist()
-    )
+    assigned = _assign_to_centroids(
+        embeddings, cent, id_col, "v", 1, id_col, vec_col
+    ).withColumn("n", _norm(F.col("v")))
+    if persist_assignment:
+        assigned = track_persist(assigned)
     a = assigned.select(
         F.col(id_col).alias("doc_a"), F.col("v").alias("av"),
         F.col("n").alias("na"), "centroid_id",

@@ -150,9 +150,12 @@ def dedup_lsh_near_pairs(spark, sf_dir):
     """,
 )
 def dedup_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    """Exact n-gram Jaccard pairs via inverted-index join — the
+    differential-oracle baseline (``candidates="all"`` opt-in; the
+    function's default routes through LSH candidates, whose registered
+    query is `dedup_lsh_near_pairs`)."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, threshold=0.5)
+    return jaccard_pairs(docs, threshold=0.5, candidates="all")
 
 
 _BITS = 16

@@ -106,14 +106,18 @@ def sim_cosine_topk_lsh(spark, sf_dir):
     SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.40
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs at 0.9 (exact baseline;
-    ``use_lsh=True`` is the 100 TB bucketed path)."""
+    """Embedding-cosine near-duplicate pairs (EXACT O(N²) baseline —
+    opt-in via ``exact=True``; the public default is the LSH-bucketed
+    path, see `dedup_embedding_cosine_lsh`). Threshold 0.40 sits in
+    the fixture's top similarity percentile (max pairwise cosine at
+    sf0.01 is ~0.51), so the result set is non-empty and the oracle
+    hash actually exercises the cosine math, not just the filter."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_pairs(emb, threshold=0.9)
+    return embedding_near_pairs(emb, threshold=0.40, exact=True)
 
 
 @query(
@@ -127,16 +131,18 @@ def dedup_embedding_cosine(spark, sf_dir):
     SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
            round(list_cosine_similarity(a.v, b2.v), 6) AS sim
     FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-    WHERE list_cosine_similarity(a.v, b2.v) >= 0.9
+    WHERE list_cosine_similarity(a.v, b2.v) >= 0.40
     """,
 )
 def dedup_embedding_cosine_lsh(spark, sf_dir):
     """Hyperplane-LSH-bucketed near-dup pairs — the all-pairs scale
-    path (bucketed equi-join, never N²); the md5 hyperplanes are
-    reproduced in the oracle so the approximate result is
-    hash-checked."""
+    path and the function's DEFAULT (bucketed equi-join, never N²);
+    the md5 hyperplanes are reproduced in the oracle so the
+    approximate result is hash-checked. At 0.40 the sf0.01 result is
+    a non-empty strict subset of the exact baseline — a bucketing bug
+    now changes the hash instead of matching on an empty set."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_pairs(emb, threshold=0.9, use_lsh=True)
+    return embedding_near_pairs(emb, threshold=0.40)
 
 
 @query(
@@ -165,14 +171,15 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
            round(list_cosine_similarity(a.v, b.v), 6) AS sim
     FROM ea a JOIN ea b
       ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.40
     """,
 )
 def dedup_embedding_cosine_ivf(spark, sf_dir):
     """Scale-path embedding near-dup: compare only within-IVF-bucket
-    pairs (N²→Σ bucket²)."""
+    pairs (N²→Σ bucket²). Non-empty at 0.40 (20 rows at sf0.01), so
+    the oracle checks the quantizer assignment, not just the filter."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_pairs_ivf(emb, threshold=0.9, n_centroids=8)
+    return embedding_near_pairs_ivf(emb, threshold=0.40, n_centroids=8)
 
 
 @query(

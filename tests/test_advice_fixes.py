@@ -108,11 +108,12 @@ def test_embedding_near_pairs_lsh_runs_and_is_subset(spark):
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     exact = {
-        (r.doc_a, r.doc_b) for r in embedding_near_pairs(emb, threshold=0.99, dim=8).collect()
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_pairs(emb, threshold=0.99, exact=True, dim=8).collect()
     }
     lsh = {
         (r.doc_a, r.doc_b)
-        for r in embedding_near_pairs(emb, threshold=0.99, use_lsh=True, dim=8).collect()
+        for r in embedding_near_pairs(emb, threshold=0.99, dim=8).collect()
     }
     assert exact >= {(1, 2), (1, 5), (2, 5)}
     assert lsh <= exact  # LSH never invents pairs

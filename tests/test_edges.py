@@ -82,7 +82,7 @@ def test_text_stats_degenerate_docs(spark):
 def test_dedup_single_and_empty(spark):
     one = spark.createDataFrame([(1, "only doc")], "doc_id long, text string")
     assert exact_dedup(one).count() == 1
-    assert jaccard_pairs(one, threshold=0.0).count() == 0  # no pairs
+    assert jaccard_pairs(one, threshold=0.0, candidates="all").count() == 0  # no pairs
     assert minhash_signatures(one, k=2).columns == ["doc_id", "sig_0", "sig_1"]
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert exact_dedup(empty).count() == 0

@@ -36,7 +36,7 @@ def test_minhash_identical_docs_share_signature(spark):
 def test_jaccard_pairs_exact_value(spark):
     # 5 words -> 3 shingles each; docs share 2 of 4 distinct shingles
     df = docs_df(spark, [(1, "a b c d e"), (2, "b c d e f")])
-    out = jaccard_pairs(df, threshold=0.0).collect()
+    out = jaccard_pairs(df, threshold=0.0, candidates="all").collect()
     assert len(out) == 1
     r = out[0]
     assert (r.doc_a, r.doc_b) == (1, 2)

@@ -149,3 +149,59 @@ def test_lsh_pipeline_scans_documents_once(spark):
     # subtree (printed once per InMemoryTableScan) — no direct scan
     assert scans == cached_defs, f"{scans} scans vs {cached_defs} cache defs:\n{plan}"
     assert in_memory >= 2, plan  # base frame reused from cache
+
+
+def test_embedding_near_pairs_default_is_bucketed(spark):
+    """The public near-dup entry point must default to the LSH
+    bucketed equi-join — an N² cross join as the reach-for-first path
+    is a 100 TB foot-gun (exact=True is the explicit opt-in)."""
+    from optiprism_spark.operators.similarity import embedding_near_pairs
+    from optiprism_spark.schema import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(embedding_near_pairs(emb, threshold=0.4))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    exact_plan = _plan(embedding_near_pairs(emb, threshold=0.4, exact=True))
+    assert (
+        "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
+    ), exact_plan  # the opt-in baseline really is the N² shape
+
+
+def test_jaccard_default_routes_through_lsh_candidates(spark):
+    """jaccard_pairs must default to the LSH candidate-verify pipeline
+    (recognizable by its persisted signature base frame), not the raw
+    inverted-index self-join whose output grows with shingle
+    co-occurrence."""
+    from optiprism_spark.operators._util import unpersist_tracked
+    from optiprism_spark.operators.dedup import jaccard_pairs
+    from optiprism_spark.schema import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    try:
+        plan = _plan(jaccard_pairs(docs, threshold=0.5))
+        assert "InMemoryTableScan" in plan, plan  # LSH base frame reused
+    finally:
+        unpersist_tracked()
+
+
+def test_tracked_persists_are_released(spark):
+    """Operators that persist intermediates (LSH base signatures, IVF
+    assignment) must release executor storage memory via
+    unpersist_tracked — a long-lived session serving many queries
+    can't wait for driver-GC ContextCleaner sweeps."""
+    from optiprism_spark.operators._util import unpersist_tracked
+    from optiprism_spark.operators.dedup import lsh_near_dup_pairs
+    from optiprism_spark.operators.similarity import embedding_near_pairs_ivf
+    from optiprism_spark.schema import load_table
+
+    spark.catalog.clearCache()
+    unpersist_tracked()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    lsh_near_dup_pairs(docs, threshold=0.6).count()
+    embedding_near_pairs_ivf(emb, threshold=0.4, persist_assignment=True).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    assert unpersist_tracked() == 2
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
