@@ -143,14 +143,17 @@ def parse_property(
     d: dict, columns: Sequence[str] = EVENT_COLUMNS, values=None, numeric: bool = False
 ) -> PropertyRef:
     """``values``: filter literals for dtype inference; ``numeric``:
-    aggregation context (sum/avg… need a numeric cast — the fixture's
-    JSON props are int-typed)."""
+    aggregation context (sum/avg… need a numeric cast). When the
+    payload omits dtype in aggregation context the fallback is
+    ``decimal`` (the reference's own aggregate type, DECIMAL_PRECISION
+    /SCALE types.rs:14-16) — an int64 fallback would silently truncate
+    float-valued JSON properties through the long cast."""
     name = d.get("propertyName")
     if name is None:
         raise ValueError(f"unresolvable property reference: {d!r}")
     if name in columns:
         return PropertyRef.column(name)
-    dtype = d.get("dtype") or ("int64" if numeric else _infer_dtype(values))
+    dtype = d.get("dtype") or ("decimal" if numeric else _infer_dtype(values))
     return PropertyRef.json(name, dtype)
 
 

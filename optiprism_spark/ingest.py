@@ -8,12 +8,13 @@ Re-expresses the reference's ingester (SURVEY §2.1) Spark-first:
   no Python in the hot path. A curated pattern subset, not a port of
   the uap-core database; swap in a fuller pattern list for coverage.
 - ``geoip_enrich``: the GeoIP enrichment (reference
-  ingester/src/transformers/geo/mod.rs:1-54) as a broadcast join
-  against a prefix→location dimension. The real maxminddb reader is
-  not available in this environment, so ``fake_geo_table`` builds a
-  deterministic stand-in dimension with the same join shape; swap in
-  a real GeoLite2 export (CIDR ranges → a range join) without
-  touching callers.
+  ingester/src/transformers/geo/mod.rs:1-54) as an IP-integer RANGE
+  join — ranges exploded into fixed-width prefix buckets, the fact
+  side hash-joins on its bucket with the BETWEEN as residual: a
+  broadcast equi-join, never a nested-loop range scan.
+  ``geo_range_table`` ships deterministic test ranges in the exact
+  shape of a public GeoLite2 country CSV export; production swaps in
+  the real export without touching callers.
 - ``denormalize_group_attrs``: the reference copies group/user
   attributes onto event rows at ingest time (ingester/src/
   destinations/local/track.rs:54-100) so queries never join. Same
@@ -48,27 +49,70 @@ from .schema import EVENT_ID_COL, EVENT_TIME_COL, EVENT_USER_COL
 
 # ------------------------------------------------------------------ user agent
 
-#: (family, detection regex, version regex) — first match wins, as in
-#: uap-core. Order matters: Edge/OPR ship "Chrome/" in their UA.
+#: (family, detection regex, version regex) — FIRST match wins, as in
+#: the public uap-core rule set whose top families these re-derive
+#: (reference uses uaparser with the same rules,
+#: ingester/src/transformers/user_agent/mod.rs:1-191). Order is load-
+#: bearing: vendor browsers ship "Chrome/" (Edge, Opera, Samsung,
+#: Yandex, UC, Vivaldi), iOS browsers ship "Safari/" (CriOS, FxiOS,
+#: EdgiOS), and mobile variants are distinct uap-core families.
 _BROWSERS = (
-    ("Edge", r"Edg(?:e|A|iOS)?/", r"Edg(?:e|A|iOS)?/(\d+[\.\d]*)"),
+    ("Googlebot", r"Googlebot/", r"Googlebot/(\d+[\.\d]*)"),
+    ("Edge Mobile", r"Edg(?:A|iOS)/", r"Edg(?:A|iOS)/(\d+[\.\d]*)"),
+    ("Edge", r"Edge?/", r"Edge?/(\d+[\.\d]*)"),
     ("Opera", r"OPR/", r"OPR/(\d+[\.\d]*)"),
+    ("Samsung Internet", r"SamsungBrowser/", r"SamsungBrowser/(\d+[\.\d]*)"),
+    ("Yandex Browser", r"YaBrowser/", r"YaBrowser/(\d+[\.\d]*)"),
+    ("UC Browser", r"UCBrowser/", r"UCBrowser/(\d+[\.\d]*)"),
+    ("Vivaldi", r"Vivaldi/", r"Vivaldi/(\d+[\.\d]*)"),
+    ("Chrome Mobile iOS", r"CriOS/", r"CriOS/(\d+[\.\d]*)"),
+    ("Firefox iOS", r"FxiOS/", r"FxiOS/(\d+[\.\d]*)"),
+    ("Chrome Mobile", r"Chrome/[\d.]+ Mobile", r"Chrome/(\d+[\.\d]*)"),
     ("Chrome", r"Chrome/", r"Chrome/(\d+[\.\d]*)"),
+    ("Firefox Mobile", r"(?:Mobile|Tablet).{0,40}Firefox/", r"Firefox/(\d+[\.\d]*)"),
     ("Firefox", r"Firefox/", r"Firefox/(\d+[\.\d]*)"),
+    ("IE", r"MSIE ", r"MSIE (\d+[\.\d]*)"),    # IE<=10: version from MSIE token
+    ("IE", r"Trident/", r"rv:(\d+[\.\d]*)"),   # IE11 drops MSIE, keeps rv:
+    ("Mobile Safari", r"Version/[\d.]+.*Mobile.*Safari/", r"Version/(\d+[\.\d]*)"),
     ("Safari", r"Safari/", r"Version/(\d+[\.\d]*)"),
 )
 _OSES = (
+    ("Windows Phone", r"Windows Phone"),
     ("Windows", r"Windows NT"),
-    ("Android", r"Android"),  # before Linux: Android UAs carry "Linux"
+    ("Chrome OS", r"CrOS"),       # before Linux: CrOS UAs carry "X11"
+    ("Android", r"Android"),      # before Linux: Android UAs carry "Linux"
     ("iOS", r"iPhone|iPad|iPod"),
     ("macOS", r"Mac OS X"),
-    ("Linux", r"Linux"),
+    ("Linux", r"Linux|X11"),
 )
+
+#: device rules: (family literal or None, detection regex, model
+#: extraction regex or None) — uap-core's device dimension, subset
+_IS_MOBILE_RE = r"Mobile|Android|iPhone|iPad|iPod|Windows Phone|Opera Mobi"
+
+
+def _device_col(ua: Column) -> Column:
+    """uap-core-style device family: explicit Apple devices, spider
+    detection, Samsung/Pixel model extraction, generic fallbacks."""
+    samsung = F.regexp_extract(ua, r"\b(SM-[A-Za-z0-9]+)", 1)
+    pixel = F.regexp_extract(ua, r"\b(Pixel [0-9a-zA-Z]+)", 1)
+    return (
+        F.when(ua.rlike(r"Googlebot|bingbot|Slurp|crawler|spider"), F.lit("Spider"))
+        .when(ua.rlike(r"iPhone"), F.lit("iPhone"))
+        .when(ua.rlike(r"iPad"), F.lit("iPad"))
+        .when(ua.rlike(r"iPod"), F.lit("iPod"))
+        .when(samsung != "", F.concat(F.lit("Samsung "), samsung))
+        .when(pixel != "", pixel)
+        .when(ua.rlike(r"Macintosh"), F.lit("Mac"))
+        .when(ua.rlike(r"Android"), F.lit("Generic Smartphone"))
+        .otherwise(F.lit("Other"))
+    )
 
 
 def parse_user_agent(ua: Column) -> Column:
-    """struct(browser, browser_version, os, is_mobile) from a raw
-    user-agent string — chained `when` over regexes, fully JVM-side."""
+    """struct(browser, browser_version, os, is_mobile, device) from a
+    raw user-agent string — chained `when` over the uap-core-derived
+    family table, fully JVM-side."""
     browser = F.lit(None).cast("string")
     version = F.lit(None).cast("string")
     for fam, det, ver in reversed(_BROWSERS):
@@ -78,12 +122,13 @@ def parse_user_agent(ua: Column) -> Column:
     osname = F.lit(None).cast("string")
     for fam, det in reversed(_OSES):
         osname = F.when(ua.rlike(det), F.lit(fam)).otherwise(osname)
-    is_mobile = ua.rlike(r"Mobile|Android|iPhone|iPad")
+    is_mobile = ua.rlike(_IS_MOBILE_RE)
     return F.struct(
         browser.alias("browser"),
         version.alias("browser_version"),
         osname.alias("os"),
         is_mobile.alias("is_mobile"),
+        _device_col(ua).alias("device"),
     )
 
 
@@ -101,6 +146,7 @@ def ua_enrich(df: DataFrame, ua_col: str = "user_agent", via_distinct: bool = Tr
         "browser_version": parsed["browser_version"],
         "os": parsed["os"],
         "is_mobile": parsed["is_mobile"],
+        "device": parsed["device"],
     }
     if not via_distinct:
         return df.withColumns(fields)
@@ -114,13 +160,37 @@ _GEO_COUNTRIES = (
     "US", "DE", "BR", "IN", "JP", "GB", "FR", "AU",
 )
 
+#: prefix-bucket width for the range join: ranges are exploded into
+#: 2^20-address buckets (a /12 CIDR). GeoLite2 country ranges are
+#: mostly /16../24, so each range lands in 1-2 buckets and each bucket
+#: holds few ranges — the equi-join stays selective and the residual
+#: BETWEEN filter cheap.
+GEO_PREFIX_SHIFT = 20
 
-def fake_geo_table(spark: SparkSession) -> DataFrame:
-    """Deterministic stand-in for the maxminddb city database: one row
-    per /8 prefix, country cycling through a fixed list. STUB data,
-    real join shape — replace with a GeoLite2 export in production."""
+
+def ip_to_int(ip: Column) -> Column:
+    """Dotted-quad IPv4 string → uint32-as-long (the integer form a
+    GeoLite2 CSV export keys its ranges by)."""
+    o = F.split(ip, r"\.")
+    return (
+        o.getItem(0).cast("long") * F.lit(1 << 24)
+        + o.getItem(1).cast("long") * F.lit(1 << 16)
+        + o.getItem(2).cast("long") * F.lit(1 << 8)
+        + o.getItem(3).cast("long")
+    )
+
+
+def geo_range_table(spark: SparkSession) -> DataFrame:
+    """(start_ip, end_ip, country) IPv4-integer ranges — the shape of a
+    public GeoLite2 country CSV export (the reference resolves IPs
+    against the same data via maxminddb,
+    ingester/src/transformers/geo/mod.rs:1-54). TEST data: one range
+    per /8 block, countries cycling — deterministic so the oracle can
+    reproduce the lookup; production swaps in a real export with no
+    caller changes (the range-join mechanics are identical)."""
     return spark.range(256).select(
-        F.col("id").cast("int").alias("ip_prefix"),
+        (F.col("id") * (1 << 24)).alias("start_ip"),
+        ((F.col("id") + 1) * (1 << 24) - 1).alias("end_ip"),
         F.element_at(
             F.array(*[F.lit(c) for c in _GEO_COUNTRIES]),
             (F.col("id") % len(_GEO_COUNTRIES) + 1).cast("int"),
@@ -131,14 +201,36 @@ def fake_geo_table(spark: SparkSession) -> DataFrame:
 def geoip_enrich(
     df: DataFrame, ip_col: str = "ip", geo: Optional[DataFrame] = None
 ) -> DataFrame:
-    """Stamp `country` onto rows by first-octet lookup. The dimension
-    broadcasts; the event side never shuffles."""
-    geo = geo if geo is not None else fake_geo_table(df.sparkSession)
-    prefix = F.split(F.col(ip_col), r"\.").getItem(0).cast("int")
+    """Stamp `country` onto rows by IP-range lookup — the Spark-native
+    equivalent of the reference's maxminddb longest-prefix search.
+
+    A naive range join (ip BETWEEN start AND end) degenerates to a
+    broadcast nested-loop scan of every range per row. Instead each
+    range is exploded into the fixed-width prefix buckets it overlaps
+    and the fact side hash-joins on its own bucket, with the BETWEEN
+    as a residual condition — a broadcast EQUI-join, so the event side
+    never shuffles and per-row work is the handful of ranges sharing
+    one bucket. Rows matching no range keep a null country (left
+    join), like the reference's unresolved-IP path."""
+    geo = geo if geo is not None else geo_range_table(df.sparkSession)
+    bucketed = geo.withColumn(
+        "__geo_bucket",
+        F.explode(
+            F.sequence(
+                F.shiftright("start_ip", GEO_PREFIX_SHIFT),
+                F.shiftright("end_ip", GEO_PREFIX_SHIFT),
+            )
+        ),
+    )
+    fact = df.withColumn("__ip_int", ip_to_int(F.col(ip_col))).withColumn(
+        "__ip_bucket", F.shiftright("__ip_int", GEO_PREFIX_SHIFT)
+    )
+    cond = (F.col("__ip_bucket") == bucketed["__geo_bucket"]) & F.col(
+        "__ip_int"
+    ).between(bucketed["start_ip"], bucketed["end_ip"])
     return (
-        df.withColumn("ip_prefix", prefix)
-        .join(F.broadcast(geo), "ip_prefix", "left")
-        .drop("ip_prefix")
+        fact.join(F.broadcast(bucketed), cond, "left")
+        .drop("__ip_int", "__ip_bucket", "__geo_bucket", "start_ip", "end_ip")
     )
 
 

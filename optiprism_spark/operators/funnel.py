@@ -59,7 +59,11 @@ from ..dsl import (
 from ..exprs import event_spec_expression, full_filter, multi_or, prop_col
 from ..schema import EVENT_ID_COL, EVENT_TIME_COL, EVENT_USER_COL
 
-SESSION_GAP_MS = 30 * 60 * 1000  # Session count-mode gap (Session Begin heuristic)
+# Session count-mode boundaries derive from the ONE engine-wide gap
+# constant (streaming/sessionize.py) — the same definition the batch
+# sessionizer, the Session Begin synthesizer and the streaming state
+# machine use; two session definitions in one engine would drift.
+from ..streaming.sessionize import SESSION_GAP_US
 
 
 def _attempt_schema(req: FunnelRequest, bd_types: list[T.DataType]) -> T.StructType:
@@ -283,7 +287,7 @@ def funnel_attempts(
             consts = [c[idx] for c in all_consts]
             if sessionized:
                 gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0)
-                sess = np.cumsum(gaps > SESSION_GAP_MS * 1000)
+                sess = np.cumsum(gaps > SESSION_GAP_US)
             else:
                 sess = None
             sessions = np.unique(sess) if sess is not None else [None]

@@ -85,14 +85,19 @@ def limit_groups(df: DataFrame, group_cols: Sequence[str], limit: int = 50,
     supplied (e.g. the Average column) — falls back to key order."""
     order_val = F.max(order_col).alias("__ord") if order_col else F.lit(0).alias("__ord")
     order = [F.desc("__ord")] if order_col else []
+    # the top frame's key columns are renamed (__g_<c>) so the join
+    # condition is unambiguous — df[c] vs top[c] would both resolve to
+    # the same attribute of this self-derived frame and depend on
+    # Spark's dataset-id disambiguation repair
     top = (
         df.groupBy(*group_cols).agg(order_val)
         .orderBy(*order, *[F.col(c) for c in group_cols])
         .limit(limit)
-        .drop("__ord")
+        .select(*[F.col(c).alias(f"__g_{c}") for c in group_cols])
     )
     cond = reduce(
-        lambda a, b: a & b, [df[c].eqNullSafe(top[c]) for c in group_cols]
+        lambda a, b: a & b,
+        [df[c].eqNullSafe(F.col(f"__g_{c}")) for c in group_cols],
     )
     out = df.join(F.broadcast(top), cond, "left_semi")
     # restore the caller-visible row order (the chart contract sorts

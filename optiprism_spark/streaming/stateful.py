@@ -25,8 +25,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..schema import EVENT_TIME_COL, EVENT_USER_COL
-
-SESSION_GAP_US = 30 * 60 * 1_000_000
+from .sessionize import SESSION_GAP_US
 
 #: (n_events, value_sum, last_seen_us, session_count)
 _STATE_SCHEMA = T.StructType(

@@ -76,8 +76,8 @@ def _in(ets) -> str:
     return "(" + ", ".join(f"'{e}'" for e in ets) + ")"
 
 
-#: session count-mode gap, µs (operators/funnel.SESSION_GAP_MS)
-_SESSION_GAP_US = 30 * 60 * 1000 * 1000
+#: session count-mode gap, µs — the engine-wide constant
+from ..streaming.sessionize import SESSION_GAP_US as _SESSION_GAP_US
 
 
 def _attempt_lateral(anchor: str, exclude_ets, step_ets=_STEP_ETS,

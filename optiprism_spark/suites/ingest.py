@@ -11,43 +11,63 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..ingest import fake_geo_table, geoip_enrich, ua_enrich, upsert_profiles
+from ..ingest import geo_range_table, geoip_enrich, ua_enrich, upsert_profiles
 from ..operators.records import latest_profile
 from ..registry import query
 from ..schema import load_table
 
-#: five fixed real-world UA strings, keyed by user_id % 5, with their
-#: hand-derived expected parse (the oracle's ground truth)
+#: eight fixed real-world UA strings, keyed by user_id % 8, with their
+#: hand-derived expected parse (the oracle's ground truth). The set
+#: deliberately covers the uap-core priority traps: Edge / Opera /
+#: Samsung ship "Chrome/", iOS Chrome is "CriOS/" + WebKit, IE11
+#: drops the MSIE token, and mobile variants are their own families
+#: (Mobile Safari, Chrome Mobile) exactly as in the public uap-core
+#: rule set the reference consumes via uaparser
+#: (ingester/src/transformers/user_agent/mod.rs:1-191).
 _UAS = [
     (
         "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
         "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
-        ("Chrome", "120.0.0.0", "Windows", False),
+        ("Chrome", "120.0.0.0", "Windows", False, "Other"),
     ),
     (
         "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 "
         "(KHTML, like Gecko) Version/17.0 Mobile/15E148 Safari/604.1",
-        ("Safari", "17.0", "iOS", True),
+        ("Mobile Safari", "17.0", "iOS", True, "iPhone"),
     ),
     (
         "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
-        ("Firefox", "121.0", "Linux", False),
+        ("Firefox", "121.0", "Linux", False, "Other"),
     ),
     (
         "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
         "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
-        ("Edge", "120.0.2210.91", "Windows", False),
+        ("Edge", "120.0.2210.91", "Windows", False, "Other"),
     ),
     (
         "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 "
         "(KHTML, like Gecko) Chrome/120.0.6099.144 Mobile Safari/537.36",
-        ("Chrome", "120.0.6099.144", "Android", True),
+        ("Chrome Mobile", "120.0.6099.144", "Android", True, "Pixel 8"),
+    ),
+    (
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 "
+        "(KHTML, like Gecko) CriOS/120.0.6099.119 Mobile/15E148 Safari/604.1",
+        ("Chrome Mobile iOS", "120.0.6099.119", "iOS", True, "iPhone"),
+    ),
+    (
+        "Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+        ("Samsung Internet", "23.0", "Android", True, "Samsung SM-S918B"),
+    ),
+    (
+        "Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko",
+        ("IE", "11.0", "Windows", False, "Other"),
     ),
 ]
 
-_UA_CASE = "CASE CAST(user_id % 5 AS INT) " + " ".join(
-    f"WHEN {i} THEN ('{b}', '{v}', '{o}', {str(m).lower()})"
-    for i, (_, (b, v, o, m)) in enumerate(_UAS)
+_UA_CASE = "CASE CAST(user_id % 8 AS INT) " + " ".join(
+    f"WHEN {i} THEN ('{b}', '{v}', '{o}', {str(m).lower()}, '{d}')"
+    for i, (_, (b, v, o, m, d)) in enumerate(_UAS)
 ) + " END"
 
 
@@ -56,23 +76,25 @@ _UA_CASE = "CASE CAST(user_id % 5 AS INT) " + " ".join(
     oracle=f"""
     WITH parsed AS (SELECT {_UA_CASE} AS p FROM events)
     SELECT p[1] AS browser, p[2] AS browser_version, p[3] AS os,
-           p[4] AS is_mobile, COUNT(*) AS n
-    FROM parsed GROUP BY 1, 2, 3, 4
+           p[4] AS is_mobile, p[5] AS device, COUNT(*) AS n
+    FROM parsed GROUP BY 1, 2, 3, 4, 5
     """,
 )
 def ingest_ua_browser_counts(spark, sf_dir):
     """UA-parse enrichment (reference ingester user_agent transformer):
     the oracle carries the hand-derived parse of each fixed UA string,
-    so this differentially checks the regex chain itself."""
+    so this differentially checks the regex chain itself — family
+    priority (Edge/Samsung over Chrome, CriOS over Safari), version
+    extraction (rv: for IE11), and the device dimension."""
     events = load_table(spark, sf_dir, "events")
     ua = F.element_at(
         F.array(*[F.lit(s) for s, _ in _UAS]),
-        (F.col("user_id") % 5 + 1).cast("int"),
+        (F.col("user_id") % 8 + 1).cast("int"),
     )
     enriched = ua_enrich(events.withColumn("user_agent", ua))
-    return enriched.groupBy("browser", "browser_version", "os", "is_mobile").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    return enriched.groupBy(
+        "browser", "browser_version", "os", "is_mobile", "device"
+    ).agg(F.count(F.lit(1)).alias("n"))
 
 
 @query(
@@ -85,11 +107,14 @@ def ingest_ua_browser_counts(spark, sf_dir):
     """,
 )
 def ingest_geo_country_counts(spark, sf_dir):
-    """GeoIP enrichment: broadcast prefix-dimension join (stub data,
-    real join shape — reference ingester geo transformer)."""
+    """GeoIP enrichment via IP-integer RANGE join (reference ingester
+    geo transformer / maxminddb lookup): ranges exploded into prefix
+    buckets → broadcast equi-join + residual BETWEEN. Test ranges,
+    real range-join mechanics — the oracle reproduces the range →
+    country mapping arithmetically."""
     events = load_table(spark, sf_dir, "events")
     ip = F.concat_ws(".", (F.col("user_id") % 256).cast("string"), F.lit("17.0.1"))
-    enriched = geoip_enrich(events.withColumn("ip", ip), geo=fake_geo_table(spark))
+    enriched = geoip_enrich(events.withColumn("ip", ip), geo=geo_range_table(spark))
     return enriched.groupBy("country").agg(F.count(F.lit(1)).alias("n"))
 
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from optiprism_spark.api import parse_event_segmentation, parse_funnel
 from optiprism_spark.dsl import (
     AggFn,
@@ -219,3 +221,34 @@ def test_funnel_json_runs_end_to_end(spark):
     rep = funnel_report(events, parse_funnel(_FUNNEL_BODY))
     assert rep.count() >= 0  # full pipeline executes
     assert "step2_conversion_ratio" in rep.columns
+
+
+def test_float_json_prop_aggregates_without_truncation(spark):
+    """A float-valued JSON property summed via aggregateProperty with
+    no dtype in the payload must keep its fractional part — the dtype
+    fallback in aggregation context is decimal, not int64."""
+    from optiprism_spark.queries.event_segmentation import run_event_segmentation
+
+    events = spark.createDataFrame(
+        [
+            (1, 10, "purchase", "2024-01-01 10:00:00", '{"price": 1.5}'),
+            (2, 10, "purchase", "2024-01-01 11:00:00", '{"price": 2.25}'),
+        ],
+        "event_id long, user_id long, event_type string, ts string, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-02T00:00:00"},
+        "group": "user",
+        "intervalUnit": "day",
+        "chartType": "line",
+        "analysis": {"type": "linear"},
+        "events": [{
+            "eventName": "purchase", "eventType": "regular",
+            "queries": [{"type": "aggregateProperty", "aggregate": "sum",
+                         "propertyType": "event", "propertyName": "price"}],
+        }],
+    }
+    out = run_event_segmentation(events, parse_event_segmentation(body)).collect()
+    assert len(out) == 1
+    assert float(out[0][1]) == 3.75  # int64 fallback would give 3.0

@@ -9,8 +9,9 @@ from pyspark.sql import types as T
 from optiprism_spark.ingest import (
     compact_events,
     denormalize_group_attrs,
-    fake_geo_table,
+    geo_range_table,
     geoip_enrich,
+    ip_to_int,
     load_csv,
     ua_enrich,
     upsert_profiles,
@@ -34,22 +35,49 @@ OPERA_LINUX = (
 )
 
 
+CRIOS_IPHONE = (
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) CriOS/120.0.6099.119 Mobile/15E148 Safari/604.1"
+)
+SAMSUNG_ANDROID = (
+    "Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36"
+)
+IE11_WIN7 = "Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko"
+
+
 def test_ua_parse_families_and_priority(spark):
     df = spark.createDataFrame(
-        [(0, CHROME_WIN), (1, SAFARI_IPAD), (2, EDGE_MAC), (3, OPERA_LINUX)],
+        [
+            (0, CHROME_WIN), (1, SAFARI_IPAD), (2, EDGE_MAC), (3, OPERA_LINUX),
+            (4, CRIOS_IPHONE), (5, SAMSUNG_ANDROID), (6, IE11_WIN7),
+        ],
         "id long, user_agent string",
     )
     rows = {r.id: r for r in ua_enrich(df).collect()}
     assert (rows[0].browser, rows[0].os, rows[0].is_mobile) == ("Chrome", "Windows", False)
-    # iPad: Safari family, iOS, mobile (despite no "Mobile" keyword-only match)
-    assert (rows[1].browser, rows[1].browser_version, rows[1].os, rows[1].is_mobile) == (
-        "Safari", "16.6", "iOS", True,
+    # iPad: uap-core's Mobile Safari family, iOS, device iPad
+    assert (rows[1].browser, rows[1].browser_version, rows[1].os,
+            rows[1].is_mobile, rows[1].device) == (
+        "Mobile Safari", "16.6", "iOS", True, "iPad",
     )
     # Edge/Opera ship "Chrome/" in the UA — family priority must win
     assert (rows[2].browser, rows[2].browser_version, rows[2].os) == (
         "Edge", "120.0.2210.91", "macOS",
     )
     assert (rows[3].browser, rows[3].os) == ("Opera", "Linux")
+    # iOS Chrome is WebKit + CriOS token, NOT the Chrome family
+    assert (rows[4].browser, rows[4].browser_version, rows[4].os, rows[4].device) == (
+        "Chrome Mobile iOS", "120.0.6099.119", "iOS", "iPhone",
+    )
+    # Samsung Internet ships "Chrome/" too; device model extracted
+    assert (rows[5].browser, rows[5].browser_version, rows[5].device) == (
+        "Samsung Internet", "23.0", "Samsung SM-S918B",
+    )
+    # IE11 drops the MSIE token; version comes from rv:
+    assert (rows[6].browser, rows[6].browser_version, rows[6].os) == (
+        "IE", "11.0", "Windows",
+    )
 
 
 def test_geoip_enrich_broadcast_lookup(spark):
@@ -57,10 +85,45 @@ def test_geoip_enrich_broadcast_lookup(spark):
         [(1, "0.9.9.9"), (2, "1.2.3.4"), (3, "255.0.0.1")], "id long, ip string"
     )
     out = {r.id: r.country for r in geoip_enrich(df).collect()}
-    # prefix % 8 cycles the fixed country list
+    # first octet % 8 cycles the fixed country list in the test ranges
     assert out == {1: "US", 2: "DE", 3: "AU"}  # 255 % 8 == 7 -> AU
+    # the range lookup must be a broadcast EQUI-join on the prefix
+    # bucket (residual BETWEEN), never a nested-loop range scan
     plan = geoip_enrich(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geoip_range_join_boundaries(spark):
+    """Arbitrary (non-prefix-aligned) ranges: boundary IPs land inside,
+    adjacent IPs outside (null country) — true range semantics, not a
+    first-octet equality in disguise."""
+    geo = spark.createDataFrame(
+        # 10.0.0.100 .. 10.0.200.0  and a range crossing a /8 edge
+        [(167772260, 167823360, "AA"), (4278190080, 4294967295, "ZZ")],
+        "start_ip long, end_ip long, country string",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "10.0.0.100"),   # == start of AA
+            (2, "10.0.200.0"),   # == end of AA
+            (3, "10.0.0.99"),    # one below AA
+            (4, "10.0.200.1"),   # one above AA
+            (5, "255.255.255.255"),  # == end of ZZ
+            (6, "254.255.255.255"),  # below ZZ
+        ],
+        "id long, ip string",
+    )
+    out = {r.id: r.country for r in geoip_enrich(df, geo=geo).collect()}
+    assert out == {1: "AA", 2: "AA", 3: None, 4: None, 5: "ZZ", 6: None}
+
+
+def test_ip_to_int_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("0.0.0.0",), ("1.2.3.4",), ("255.255.255.255",)], "ip string"
+    )
+    vals = [r[0] for r in df.select(ip_to_int(F.col("ip"))).collect()]
+    assert vals == [0, 16909060, 4294967295]
 
 
 def test_denormalize_group_attrs(spark):

@@ -90,7 +90,10 @@ def test_dimension_chain_joins_all_broadcast(spark):
 
 def test_geo_enrich_scan_stays_shuffle_free(spark):
     plan = _plan(QUERIES["ingest_geo_country_counts"](spark, SF_SMOKE))
+    # the IP-range lookup must stay a bucketed EQUI-join (residual
+    # BETWEEN), never degrade to a broadcast nested-loop range scan
     assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     # the only exchange is the final groupBy("country") — the events
     # side must NOT shuffle for the dimension join
     assert plan.count("Exchange hashpartitioning") == 1, plan
