@@ -1,0 +1,199 @@
+"""End-to-end tests for the WSGI HTTP facade (server.py).
+
+Each test POSTs a reference-shaped JSON body through a real WSGI
+invocation (environ + start_response, no socket) and checks the
+columnar response against the directly-executed runner — the facade
+must be a pure transport around the already-oracle-checked engine.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from optiprism_spark.server import make_app
+
+SF_DIR = "/root/testdata/sf0.001"
+
+T_JAN = {"type": "between", "from": "2024-01-01T00:00:00",
+         "to": "2024-01-31T23:59:59"}
+
+
+def call(app, method, path, body=None, query=""):
+    raw = b"" if body is None else json.dumps(body).encode()
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path,
+        "QUERY_STRING": query,
+        "CONTENT_LENGTH": str(len(raw)),
+        "wsgi.input": io.BytesIO(raw),
+    }
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = int(status.split()[0])
+        captured["headers"] = dict(headers)
+
+    chunks = b"".join(app(environ, start_response))
+    payload = json.loads(chunks) if chunks else None
+    return captured["status"], payload
+
+
+@pytest.fixture(scope="module")
+def app(spark):
+    return make_app(spark, SF_DIR)
+
+
+def _col(payload, name):
+    for c in payload["columns"]:
+        if c["name"] == name:
+            return c
+    raise AssertionError(f"column {name} missing from {payload['columns']}")
+
+
+def test_event_segmentation_roundtrip(app, spark):
+    body = {
+        "time": T_JAN,
+        "group": "user",
+        "intervalUnit": "day",
+        "chartType": "line",
+        "events": [{
+            "eventName": None, "eventType": "regular",
+            "queries": [{"type": "countEvents"}],
+        }],
+    }
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/event-segmentation", body
+    )
+    assert status == 200
+    # compare against the directly-run engine result
+    from optiprism_spark.api import parse_event_segmentation
+    from optiprism_spark.queries.event_segmentation import run_event_segmentation
+    from optiprism_spark.schema import load_table
+
+    direct = run_event_segmentation(
+        load_table(spark, SF_DIR, "events"), parse_event_segmentation(body)
+    ).collect()
+    names = [c["name"] for c in payload["columns"]]
+    assert len(_col(payload, names[0])["data"]) == len(direct)
+
+
+def test_funnel_roundtrip(app):
+    body = {
+        "time": T_JAN,
+        "group": "user",
+        "steps": [
+            {"events": [{"eventName": "signup", "eventType": "regular"}]},
+            {"events": [{"eventName": "purchase", "eventType": "regular"}]},
+        ],
+        "timeWindow": {"n": 7, "unit": "day"},
+        "count": "unique",
+    }
+    status, payload = call(app, "POST", "/api/v1/projects/1/queries/funnel", body)
+    assert status == 200
+    assert payload["columns"], "funnel response has columns"
+    # jsonCompact variant: same data, positional
+    status2, compact = call(
+        app, "POST", "/api/v1/projects/1/queries/funnel", body,
+        query="format=jsonCompact",
+    )
+    assert status2 == 200
+    assert compact == [c["data"] for c in payload["columns"]]
+
+
+def test_event_records_search_and_get(app):
+    body = {
+        "time": T_JAN,
+        "events": [{"eventName": "purchase", "eventType": "regular"}],
+    }
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/event-records/search", body
+    )
+    assert status == 200
+    ids = _col(payload, "event_id")["data"]
+    assert 0 < len(ids) <= 100
+    assert set(_col(payload, "event_type")["data"]) == {"purchase"}
+    # point lookup of one returned id
+    status, one = call(app, "GET", f"/api/v1/projects/1/event-records/{ids[0]}")
+    assert status == 200
+    assert _col(one, "event_id")["data"] == [ids[0]]
+
+
+def test_group_records_search_and_get(app):
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/group-records/search",
+        {"group": "user", "sort": {"propertyName": "value", "direction": "desc"}},
+    )
+    assert status == 200
+    uids = _col(payload, "user_id")["data"]
+    assert 0 < len(uids) <= 100
+    # profiles are deduped: one row per user
+    assert len(uids) == len(set(uids))
+    status, one = call(
+        app, "GET", f"/api/v1/projects/1/group-records/user/{uids[0]}"
+    )
+    assert status == 200
+    assert _col(one, "user_id")["data"] == [uids[0]]
+
+
+def test_property_values(app):
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/property-values",
+        {"propertyName": "event_type"},
+    )
+    assert status == 200
+    vals = _col(payload, "value")["data"]
+    assert vals == sorted(vals) and len(vals) >= 2
+
+
+def test_track_identify_and_drain(app):
+    track = {
+        "userId": "u-1",
+        "event": "Buy Product",
+        "timestamp": "2024-02-01T10:00:00Z",
+        "properties": {"revenue": 5.5},
+        "context": {
+            "userAgent": "Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+                         "AppleWebKit/537.36 (KHTML, like Gecko) "
+                         "Chrome/120.0.0.0 Safari/537.36",
+            "ip": "8.8.8.8",
+            "page": {"path": "/checkout"},
+            "campaign": {"source": "newsletter"},
+        },
+    }
+    status, _ = call(app, "POST", "/api/v1/ingest/tok123/track", track)
+    assert status == 201
+    status, _ = call(
+        app, "POST", "/api/v1/ingest/tok123/identify",
+        {"group": "user", "id": "u-1", "context": {},
+         "properties": {"plan": "pro"}},
+    )
+    assert status == 201
+
+    df = app.tracked_df()
+    row = df.collect()[0]
+    assert row["event_type"] == "Buy Product"
+    assert row["browser"] == "Chrome"
+    assert row["country"] is not None  # GeoIP range join resolved 8.8.8.8
+    assert json.loads(row["props"]) == {"revenue": 5.5}
+
+    prof = app.identified_df().collect()[0]
+    assert prof["group"] == "user" and prof["id"] == "u-1"
+
+
+def test_errors(app):
+    status, payload = call(app, "POST", "/api/v1/projects/1/queries/nope", {})
+    assert status == 404
+    status, payload = call(
+        app, "GET", "/api/v1/projects/1/queries/funnel"
+    )
+    assert status == 405
+    # malformed body → 400, not a 500
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/funnel", {"time": T_JAN}
+    )
+    assert status == 400 and "error" in payload
+    status, payload = call(app, "POST", "/api/v1/ingest/tok/track", {"noevent": 1})
+    assert status == 400
