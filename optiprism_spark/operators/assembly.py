@@ -1,0 +1,148 @@
+"""Dataset assembly for training pipelines: deterministic splits,
+stratified sampling, and sequence packing.
+
+These are the operations between "corpus is clean" and "batches hit
+the trainer": carve train/val/test, subsample per stratum, and pack
+variable-length documents into fixed token budgets. Everything is
+content-hash-deterministic (md5-derived, like the dedup family) so
+re-runs — and the DuckDB oracle — reproduce assignments bit-for-bit;
+no `rand()`, which would break resume and cross-engine checks.
+
+Scale notes:
+- dataset_split / stratified_sample_fraction: pure per-row
+  projections, NO shuffle — the split of a 100 TB corpus is a filter,
+  not a sort. This is the scale path for sampling.
+- stratified_sample_exact: one shuffle (window over strata). Exact
+  per-stratum N costs a per-stratum ordering; a giant stratum makes
+  its window partition hot — prefer the fraction variant at scale, or
+  pre-filter with a generous fraction and trim exactly afterwards.
+- pack_sequences: packs WITHIN hash buckets, so packing is
+  embarrassingly parallel across buckets (one shuffle on bucket id) —
+  the way real pipelines shard-then-pack. No global ordering anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^32 — md5-prefix hashes are uniform over [0, 2^32)
+_HASH_SPACE = float(1 << 32)
+
+
+def unit_hash(key: Column, seed: str = "") -> Column:
+    """Deterministic uniform [0,1) from md5 — engine-independent
+    (DuckDB reproduces it with the same md5-hex-prefix arithmetic)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(_HASH_SPACE)
+
+
+def dataset_split(
+    df: DataFrame,
+    weights: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Stamp a deterministic split label: hash the id into [0,1) and
+    cut at the cumulative weights. A document's split never changes
+    when the corpus grows (hash-stable), unlike randomSplit whose
+    assignment depends on partitioning."""
+    u = unit_hash(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = weights[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample_fraction(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep ~fraction of each stratum by hash threshold — shuffle-free
+    (per-row filter), the sampling shape that survives 100 TB. The
+    stratum ships into the hash so the same id draws independently
+    across strata definitions."""
+    key = F.concat_ws("", *[F.col(c) for c in strata_cols], F.col(id_col))
+    return df.filter(unit_hash(key, seed) < F.lit(float(fraction)))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Exactly n rows per stratum, chosen by hash order (deterministic
+    'random' sample). One shuffle: a row_number window per stratum.
+    For skewed strata at scale, pre-thin with
+    stratified_sample_fraction first so the window sees a bounded
+    partition."""
+    from pyspark.sql import Window
+
+    u = unit_hash(F.col(id_col), seed)
+    w = Window.partitionBy(*strata_cols).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: Column | str = None,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming concat-and-chunk sequence packing: assign each doc to
+    a fixed-token-budget pack. Docs are sharded into ``n_buckets``
+    hash buckets; within a bucket (ordered by id) a doc joins the pack
+    its running-token-offset falls into — the concat-then-chunk
+    packing real pipelines use, where a pack may overrun the budget by
+    at most one document (no bin-packing search, which is neither
+    streamable nor deterministic under reordering).
+
+    Returns (doc_id, n_tokens, bucket, pack_id, pack_offset) with
+    pack_id globally unique (bucket-prefixed). One shuffle on the
+    bucket id; packing is embarrassingly parallel across buckets.
+    """
+    from pyspark.sql import Window
+
+    tokens = (
+        F.size(F.split(F.col(text_col), " "))
+        if token_col is None
+        else (F.col(token_col) if isinstance(token_col, str) else token_col)
+    )
+    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long")
+    w = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
+    out = (
+        df.select(F.col(id_col), tokens.alias("n_tokens"), bucket.alias("bucket"))
+        .withColumn(
+            "__start",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        (F.col("bucket") * F.lit(1_000_000) + F.floor(F.col("__start") / F.lit(budget)))
+        .alias("pack_id"),
+        F.pmod(F.col("__start"), F.lit(budget)).alias("pack_offset"),
+    )

@@ -291,3 +291,39 @@ def simhash(
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_overlap`` distinct word n-shingles with ANY benchmark
+    document — the standard n-gram-overlap eval-leak check a training
+    corpus runs before a model sees it.
+
+    Scale shape: the benchmark side (eval sets — thousands of docs,
+    not billions) collapses to a DISTINCT shingle set and BROADCASTS;
+    the corpus side explodes its shingles and equi-joins the broadcast
+    set, so the 100 TB side never shuffles for the probe — its only
+    wide op is the per-doc overlap count, one groupBy on doc id.
+    Returns (doc_id, n_contaminated) for flagged docs only.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingles_expr(text_col, n)).alias("s")).distinct()
+    )
+    doc_sh = spread(docs).select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("s")
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        # shingles_expr emits DISTINCT shingles per doc, so the row
+        # count per doc IS the distinct-overlap count
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .filter(F.col("n_contaminated") >= min_overlap)
+    )

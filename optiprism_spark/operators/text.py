@@ -84,6 +84,36 @@ def fingerprint(c: str, n: int = 3, keep: int = 4, words: Optional[Column] = Non
     return F.array_join(F.slice(hashes, 1, keep), "")
 
 
+#: PII redaction patterns, applied IN ORDER (emails first so their
+#: domains can't later half-match the IP pattern). Every pattern is
+#: written in the common subset of Java regex and RE2 — no
+#: backreferences, no lookaround — so the DuckDB oracle applies the
+#: character-identical patterns. Replacement tokens avoid `$`/`\\`
+#: (special in one engine's replacement syntax each).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(c: Column) -> Column:
+    """Chained regexp_replace over PII_PATTERNS — pure codegen string
+    ops, no shuffle, linear scans per pattern. At 100 TB this is the
+    shape you want: a narrow map over the text column, trivially
+    partition-parallel, with column pruning keeping everything else
+    out of the scan."""
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, redacted text) — emails, dashed/dotted phone numbers and
+    IPv4 literals replaced by typed placeholder tokens."""
+    return docs.select(F.col(id_col), redact_pii(F.col(text_col)).alias("redacted"))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     c = text_col
     with_words = docs.select(F.col(id_col), F.col(c), F.split(F.col(c), " ").alias("__w"))

@@ -1,0 +1,119 @@
+"""Dataset-assembly oracle suite: deterministic splits, stratified
+samples, and sequence packing over `documents`.
+
+Every assignment is md5-hash-derived (operators/assembly.unit_hash),
+so DuckDB reproduces splits/samples/packs bit-for-bit with the same
+hex-prefix arithmetic the dedup suite uses. Split thresholds are
+embedded via ``repr`` of the SAME Python-accumulated floats the
+operator compares against — cumulative weights like 0.8+0.1 are not
+exactly 0.9 in binary, and the oracle must cut at the identical
+double.
+"""
+
+from __future__ import annotations
+
+from ..operators.assembly import (
+    dataset_split,
+    pack_sequences,
+    stratified_sample_exact,
+    stratified_sample_fraction,
+)
+from ..registry import query
+from ..schema import load_table
+
+#: mirrors operators/assembly.unit_hash(key, seed)
+def _u_sql(key: str, seed: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || {key}), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
+    )
+
+
+_WEIGHTS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def _split_case_sql() -> str:
+    acc = 0.0
+    arms = []
+    for name, w in _WEIGHTS[:-1]:
+        acc += w
+        arms.append(f"WHEN u < {acc!r} THEN '{name}'")
+    return f"CASE {' '.join(arms)} ELSE '{_WEIGHTS[-1][0]}' END"
+
+
+@query(
+    "asm_split_train_val_test",
+    oracle=f"""
+    SELECT doc_id, {_split_case_sql()} AS split
+    FROM (SELECT doc_id, {_u_sql('doc_id', 'split')} AS u FROM documents)
+    """,
+)
+def asm_split_train_val_test(spark, sf_dir):
+    """Hash-stable 80/10/10 split: a per-row projection (no shuffle,
+    no rand()) whose assignment never changes as the corpus grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_split(docs, _WEIGHTS).select("doc_id", "split")
+
+
+@query(
+    "asm_sample_fraction_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, {_u_sql("lang || doc_id", 'sample')} AS u
+      FROM documents
+    ) WHERE u < 0.25
+    """,
+)
+def asm_sample_fraction_by_lang(spark, sf_dir):
+    """~25% per language stratum by hash threshold — the shuffle-free
+    sampling shape that survives 100 TB (pure filter; the stratum is
+    part of the hash key so draws are independent across strata)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_fraction(docs, ["lang"], 0.25).select("doc_id", "lang")
+
+
+@query(
+    "asm_stratified_sample_exact",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_u_sql('doc_id', 'sample')}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def asm_stratified_sample_exact(spark, sf_dir):
+    """Exactly 20 docs per language, chosen in deterministic hash
+    order (one row_number window per stratum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, ["lang"], 20).select("doc_id", "lang")
+
+
+@query(
+    "asm_pack_sequences",
+    oracle="""
+    SELECT doc_id, n_tokens, bucket,
+           bucket * 1000000 + CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+           start % 512 AS pack_offset
+    FROM (
+      SELECT doc_id, n_tokens, bucket,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start
+      FROM (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               doc_id % 32 AS bucket
+        FROM documents
+      )
+    )
+    """,
+)
+def asm_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 512-token packs across
+    32 hash buckets — packing is parallel across buckets (one shuffle
+    on bucket id), never globally ordered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512, n_buckets=32)

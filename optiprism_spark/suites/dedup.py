@@ -177,3 +177,30 @@ _FP = " + ".join(f"(CASE WHEN v{j} > 0 THEN (1 << {j}) ELSE 0 END)" for j in ran
 def dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, bits=_BITS)
+
+
+@query(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLES},
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 53 = 0),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 53 <> 0)
+    SELECT doc_id, COUNT(*) AS n_contaminated
+    FROM train JOIN bench USING (s)
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing ≥2 distinct
+    word 3-shingles with the benchmark slice (docs with id % 53 == 0
+    stand in for an eval set). The benchmark shingle set broadcasts;
+    the corpus side's only wide op is the per-doc overlap count."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    train = docs.filter(F.col("doc_id") % 53 != 0)
+    return decontaminate(train, bench, n=3, min_overlap=2)

@@ -81,3 +81,50 @@ def text_lang_distribution(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum((stopword_ratio("text") >= 0.05).cast("long")).alias("n_en_guess"),
     )
+
+
+def _pii_sql() -> str:
+    """Build the oracle's chained regexp_replace from the SAME pattern
+    tuples the operator applies (operators/text.PII_PATTERNS) — the
+    patterns live in the Java-regex ∩ RE2 common subset, so the
+    character-identical strings run in both engines."""
+    from ..operators.text import PII_PATTERNS
+
+    expr = (
+        "text || ' Contact user' || doc_id || '@example.com or 10.'"
+        " || doc_id % 256 || '.3.7 tel 555-123-4567.'"
+    )
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"SELECT doc_id, {_pii_sql()} AS redacted FROM documents",
+)
+def text_pii_redact(spark, sf_dir):
+    """PII redaction: emails / dashed-or-dotted phone numbers / IPv4
+    literals → typed placeholders, as chained codegen regexp_replace
+    (narrow map, no shuffle). The synthetic corpus carries no PII, so
+    the query plants a deterministic doc_id-derived email+IP+phone
+    tail per document first — the oracle does the identical injection,
+    and the redacted output differs from the input on EVERY row, so a
+    broken pattern cannot hide behind a no-op match (non-hollow by
+    construction)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".3.7 tel 555-123-4567."),
+        ),
+    )
+    return pii_redact(docs)
