@@ -293,6 +293,97 @@ def simhash(
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list →
+    (node, component), where component = min node id in the component.
+
+    Iterative min-label propagation: every node starts as its own
+    label; each round a node takes the min of its own and its
+    neighbors' labels. Rounds needed = component diameter — near-dup
+    components are LSH cliques plus short bridges, so 2-3 rounds in
+    practice.
+
+    Scale notes: one shuffle per round (edge⋈label equi-join + min
+    groupBy); lineage is cut per round with localCheckpoint(eager) so
+    the plan stays flat instead of doubling each iteration (the edge
+    frame is checkpointed once up front — it may sit on an expensive
+    LSH pipeline and is re-read every round). Convergence is detected
+    via the label sum: labels only ever decrease per node, so an
+    unchanged sum ⇔ a fixed point — one scalar agg per round instead
+    of a full-frame diff join. For graphs with long chains (web
+    graphs, not dup clusters) the escalation path is
+    large-star/small-star [Kiveris et al., CIKM'14], which contracts
+    the diameter geometrically per round.
+    """
+    sym = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    if prev_sum is None:  # no edges at all
+        return labels.select("node", F.col("label").alias("component"))
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = None,
+) -> DataFrame:
+    """Near-duplicate clusters: LSH near-dup pairs → connected
+    components → (doc_id, component, cluster_size). The component id
+    (min doc id in the cluster) IS the survivor a dedup pass keeps;
+    docs in no pair are their own trivial cluster and are omitted
+    (survivors by definition)."""
+    from pyspark.sql import Window
+
+    pairs = lsh_near_dup_pairs(
+        docs, threshold, k, bands, n, text_col, id_col, max_bucket
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias(id_col),
+        "component",
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("cluster_size"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

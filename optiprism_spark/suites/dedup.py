@@ -83,10 +83,10 @@ def dedup_minhash_signatures(spark, sf_dir):
     return minhash_signatures(docs, k=4)
 
 
-@query(
-    "dedup_lsh_near_pairs",
-    oracle=f"""
-    WITH {_SHINGLES},
+#: full MinHash(k=8) → 4-band LSH → exact-Jaccard-verify pipeline as a
+#: CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — shared by the
+#: pair query and the connected-components clustering oracle
+_LSH_PAIR_CTES = f"""{_SHINGLES},
     {_XS},
     sigs AS (
       SELECT doc_id, {", ".join(f"{_sig_sql(j)} AS s{j}" for j in range(8))}
@@ -110,14 +110,23 @@ def dedup_minhash_signatures(spark, sf_dir):
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT c.doc_a, c.doc_b,
-           CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
-    FROM cand c
-    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-    JOIN szs sa ON sa.doc_id = c.doc_a
-    JOIN szs sb ON sb.doc_id = c.doc_b
-    WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.6
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN szs sa ON sa.doc_id = c.doc_a
+      JOIN szs sb ON sb.doc_id = c.doc_b
+      WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.6
+    )"""
+
+
+@query(
+    "dedup_lsh_near_pairs",
+    oracle=f"""
+    WITH {_LSH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def dedup_lsh_near_pairs(spark, sf_dir):
@@ -129,6 +138,38 @@ def dedup_lsh_near_pairs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return lsh_near_dup_pairs(docs, threshold=0.6, k=8, bands=4)
+
+
+@query(
+    "dedup_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY 1)
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_neardup_clusters(spark, sf_dir):
+    """Near-dup clustering: the LSH pair pipeline (same parameters as
+    `dedup_lsh_near_pairs`) collapsed into connected components via
+    iterative min-label propagation; the component id (min doc id) is
+    the dedup survivor. Oracle computes the same closure with a
+    recursive CTE (transitive min-reachability)."""
+    from ..operators.dedup import neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup_clusters(docs, threshold=0.6, k=8, bands=4)
 
 
 @query(

@@ -43,6 +43,24 @@ def test_jaccard_pairs_exact_value(spark):
     assert r.jaccard == pytest.approx(2 / 4)
 
 
+def test_connected_components_chain_and_island(spark):
+    from optiprism_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (diameter 2, needs >1 propagation round) + island 7-8
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 8)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_empty_edges(spark):
+    from optiprism_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+
+
 def test_cosine_topk_orders_by_similarity(spark):
     emb = spark.createDataFrame(
         [
