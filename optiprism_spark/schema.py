@@ -64,6 +64,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runtime-set for sessions not built by session.get_spark (e.g. the
     # driver's own session): events.parquet carries TIMESTAMP(NANOS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as long (see session.py

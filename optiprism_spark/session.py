@@ -41,9 +41,14 @@ def get_spark(app_name: str = "optiprism_spark", cpus: str | int | None = None) 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark refuses;
-        # read as long and convert at load (schema.load_table).
+        # events.parquet has carried TIMESTAMP(NANOS) (read as long,
+        # converted in schema.load_table) and TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false) across driver testdata generations;
+        # disable NTZ inference so the latter reads as plain TIMESTAMP
+        # under the UTC session zone — identical wall-clock semantics
+        # to DuckDB's naive timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
