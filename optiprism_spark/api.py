@@ -140,11 +140,17 @@ def _infer_dtype(values) -> str:
 
 
 def parse_property(
-    d: dict, columns: Sequence[str] = EVENT_COLUMNS, values=None, numeric: bool = False
+    d: dict, columns: Sequence[str] = EVENT_COLUMNS, values=None,
+    numeric: bool = False, props: Optional[dict] = None,
 ) -> PropertyRef:
     """``values``: filter literals for dtype inference; ``numeric``:
-    aggregation context (sum/avg… need a numeric cast). When the
-    payload omits dtype in aggregation context the fallback is
+    aggregation context (sum/avg… need a numeric cast); ``props``:
+    the metadata catalog's {property name -> declared dtype} map
+    (catalog.Catalog.properties_dtypes) — a catalog-declared dtype is
+    authoritative over inference, the reference's resolution order
+    (properties looked up in metadata before use,
+    query/src/event_segmentation.rs:103-107). When the payload omits
+    dtype in aggregation context with no catalog entry the fallback is
     ``decimal`` (the reference's own aggregate type, DECIMAL_PRECISION
     /SCALE types.rs:14-16) — an int64 fallback would silently truncate
     float-valued JSON properties through the long cast."""
@@ -153,21 +159,29 @@ def parse_property(
         raise ValueError(f"unresolvable property reference: {d!r}")
     if name in columns:
         return PropertyRef.column(name)
-    dtype = d.get("dtype") or ("decimal" if numeric else _infer_dtype(values))
+    dtype = d.get("dtype")
+    if dtype is None and props and name in props:
+        dtype = props[name]
+    if dtype is None:
+        dtype = "decimal" if numeric else _infer_dtype(values)
     return PropertyRef.json(name, dtype)
 
 
-def parse_filter(d: dict, columns=EVENT_COLUMNS) -> PropFilter:
+def parse_filter(d: dict, columns=EVENT_COLUMNS, props: Optional[dict] = None) -> PropFilter:
     if d.get("type", "property") != "property":
         raise ValueError(f"unsupported filter type {d['type']!r}")
     values = tuple(d.get("value") or ())
-    return PropFilter(parse_property(d, columns, values=values), _OPS[d["operation"]], values)
+    return PropFilter(
+        parse_property(d, columns, values=values, props=props),
+        _OPS[d["operation"]], values,
+    )
 
 
 def parse_event_ref(
     d: dict,
     columns: Sequence[str] = EVENT_COLUMNS,
     custom_events: Optional[dict] = None,
+    props: Optional[dict] = None,
 ) -> EventRef:
     """Resolve an event reference. Custom events look up a catalog of
     ``{id_or_name: [member dicts]}`` and expand to an OR of their
@@ -186,8 +200,9 @@ def parse_event_ref(
             )
         members = tuple(
             EventFilterSpec(
-                parse_event_ref(m, columns, custom_events),
-                tuple(parse_filter(f, columns) for f in m.get("filters") or ()),
+                parse_event_ref(m, columns, custom_events, props=props),
+                tuple(parse_filter(f, columns, props=props)
+                      for f in m.get("filters") or ()),
             )
             for m in custom_events[key]
         )
@@ -195,7 +210,7 @@ def parse_event_ref(
     raise ValueError(f"unknown eventType {d.get('eventType')!r}")
 
 
-def _parse_query(q: dict, columns) -> SegQuery:
+def _parse_query(q: dict, columns, props: Optional[dict] = None) -> SegQuery:
     kind = q["type"]
     if kind == "countEvents":
         return SegQuery("count_events")
@@ -211,21 +226,21 @@ def _parse_query(q: dict, columns) -> SegQuery:
     if kind == "aggregateProperty":
         return SegQuery(
             "aggregate_property", agg=_AGGS[q["aggregate"]],
-            prop=parse_property(q, columns, numeric=True),
+            prop=parse_property(q, columns, numeric=True, props=props),
         )
     if kind == "aggregatePropertyPerGroup":
         return SegQuery(
             "aggregate_property_per_group",
             inner_agg=_AGGS[q["aggregatePerGroup"]],
             agg=_AGGS[q["aggregate"]],
-            prop=parse_property(q, columns, numeric=True),
+            prop=parse_property(q, columns, numeric=True, props=props),
         )
     if kind == "formula":
         return SegQuery("formula", formula=q["formula"])
     raise ValueError(f"unknown query type {kind!r}")
 
 
-def _grouped_filters(body: dict, columns) -> tuple:
+def _grouped_filters(body: dict, columns, props: Optional[dict] = None) -> tuple:
     """EventGroupedFilters: the reference flattens groups[0].filters
     into an AND conjunction and ignores groupsCondition/
     filtersCondition (platform/src/event_segmentation.rs:470-474,
@@ -233,7 +248,8 @@ def _grouped_filters(body: dict, columns) -> tuple:
     groups = (body.get("filters") or {}).get("groups", ())
     if not groups:
         return ()
-    return tuple(parse_filter(f, columns) for f in groups[0].get("filters", ()))
+    return tuple(parse_filter(f, columns, props=props)
+                 for f in groups[0].get("filters", ()))
 
 
 def parse_event_segmentation(
@@ -241,17 +257,22 @@ def parse_event_segmentation(
     columns: Sequence[str] = EVENT_COLUMNS,
     now: Optional[dt.datetime] = None,
     custom_events: Optional[dict] = None,
+    props: Optional[dict] = None,
 ) -> EventSegmentationRequest:
-    """Reference EventSegmentationRequest JSON → DSL dataclass."""
+    """Reference EventSegmentationRequest JSON → DSL dataclass.
+    ``props``: catalog {property name -> dtype} map (see
+    parse_property)."""
     events = []
     for e in body["events"]:
         events.append(
             EventQuery(
-                parse_event_ref(e, columns, custom_events),
-                [_parse_query(q, columns) for q in e["queries"]],
-                filters=tuple(parse_filter(f, columns) for f in e.get("filters") or ()),
+                parse_event_ref(e, columns, custom_events, props=props),
+                [_parse_query(q, columns, props=props) for q in e["queries"]],
+                filters=tuple(parse_filter(f, columns, props=props)
+                              for f in e.get("filters") or ()),
                 breakdowns=tuple(
-                    parse_property(b, columns) for b in e.get("breakdowns") or ()
+                    parse_property(b, columns, props=props)
+                    for b in e.get("breakdowns") or ()
                 ),
             )
         )
@@ -272,9 +293,10 @@ def parse_event_segmentation(
         interval=TimeIntervalUnit(body["intervalUnit"]),
         events=events,
         group_col=_group_col(body),
-        filters=_grouped_filters(body, columns),
+        filters=_grouped_filters(body, columns, props=props),
         breakdowns=tuple(
-            parse_property(b, columns) for b in body.get("breakdowns") or ()
+            parse_property(b, columns, props=props)
+            for b in body.get("breakdowns") or ()
         ),
         analysis=analysis,
         rolling_window=int(analysis_d.get("window", 7)),
@@ -287,6 +309,7 @@ def parse_funnel(
     columns: Sequence[str] = EVENT_COLUMNS,
     now: Optional[dt.datetime] = None,
     custom_events: Optional[dict] = None,
+    props: Optional[dict] = None,
 ) -> FunnelRequest:
     """Reference FunnelRequest JSON → DSL dataclass."""
     steps = []
@@ -299,8 +322,9 @@ def parse_funnel(
             FunnelStep(
                 [
                     EventFilterSpec(
-                        parse_event_ref(e, columns, custom_events),
-                        tuple(parse_filter(f, columns) for f in e.get("filters") or ()),
+                        parse_event_ref(e, columns, custom_events, props=props),
+                        tuple(parse_filter(f, columns, props=props)
+                              for f in e.get("filters") or ()),
                     )
                     for e in s["events"]
                 ],
@@ -358,8 +382,9 @@ def parse_funnel(
         excludes.append(
             FunnelExclude(
                 EventFilterSpec(
-                    parse_event_ref(ex, columns, custom_events),
-                    tuple(parse_filter(f, columns) for f in ex.get("filters") or ()),
+                    parse_event_ref(ex, columns, custom_events, props=props),
+                    tuple(parse_filter(f, columns, props=props)
+                          for f in ex.get("filters") or ()),
                 ),
                 between_steps=between,
             )
@@ -374,13 +399,15 @@ def parse_funnel(
         count_mode=count_mode,
         excludes=tuple(excludes),
         constants=tuple(
-            parse_property(p, columns) for p in body.get("holdingConstants") or ()
+            parse_property(p, columns, props=props)
+            for p in body.get("holdingConstants") or ()
         ),
         filter=flt,
         touch=touch,
         touch_step=int(touch_d.get("step", 0)),
         breakdowns=tuple(
-            parse_property(b, columns) for b in body.get("breakdowns") or ()
+            parse_property(b, columns, props=props)
+            for b in body.get("breakdowns") or ()
         ),
-        filters=_grouped_filters(body, columns),
+        filters=_grouped_filters(body, columns, props=props),
     )

@@ -1,7 +1,7 @@
 """HTTP facade — reference-shaped REST endpoints as a pure-WSGI app.
 
-Routes mirror the reference router (platform/src/http/mod.rs:45-113 for
-queries, ingester/src/sources/http/mod.rs:240-256 for ingest):
+Routes mirror the reference router (platform/src/http/mod.rs:45-113,
+ingester/src/sources/http/mod.rs:240-256). Query plane:
 
     POST /api/v1/projects/{pid}/queries/event-segmentation
     POST /api/v1/projects/{pid}/queries/funnel
@@ -13,6 +13,31 @@ queries, ingester/src/sources/http/mod.rs:240-256 for ingest):
     POST /api/v1/ingest/{token}/track
     POST /api/v1/ingest/{token}/identify
 
+Admin plane (reference platform/src/http/mod.rs:51-65), all backed by
+the persisted sqlite catalog (catalog.py):
+
+    POST /api/v1/auth/{signup,login,refresh-token}
+    POST+GET /api/v1/organizations           (+ GET/PUT/DELETE /{id})
+    POST+GET /api/v1/projects                (+ GET/PUT/DELETE /{id})
+    POST+GET /api/v1/projects/{pid}/schema/events           (+ /{id}, /name/{name})
+    POST+GET /api/v1/projects/{pid}/schema/custom-events    (+ /{id})
+    POST+GET /api/v1/projects/{pid}/schema/event-properties (+ /{id}, /name/{name})
+    POST+GET /api/v1/projects/{pid}/schema/group-properties/{gid} (+ /{id})
+    POST+GET /api/v1/projects/{pid}/dashboards (+ /{id})
+    POST+GET /api/v1/projects/{pid}/reports    (+ /{id})
+    POST     /api/v1/projects/{pid}/bookmarks  (+ GET /{id})
+
+The admin loop is live, not just CRUD: custom events and property
+dtypes created through these routes are consumed by the query plane —
+create a property, then filter/break down on it in the next request
+(the reference's Property::column_name() protocol; see catalog.py).
+
+Auth (reference platform/src/auth): pass ``token_key=`` to enforce
+``Authorization: Bearer <JWT>`` on every route except /auth/* and the
+ingest endpoints (whose auth is the per-project ingest token in the
+path, as in the reference ingester). ``token_key=None`` keeps the dev
+open mode (the reference cfg equivalent of a fixed dev key).
+
 Request bodies are the reference's camelCase JSON DSL, parsed by
 `api.py`; responses are the reference's columnar JSON shape
 (platform/src/lib.rs:592-640): ``{"columns": [{"name", "dataType",
@@ -21,14 +46,18 @@ Request bodies are the reference's camelCase JSON DSL, parsed by
 
 Scale note: the query endpoints `.collect()` ONLY final result frames,
 which the operators already cap (chart series limits, RECORDS_LIMIT,
-VALUES_LIMIT) — the driver-side materialization is bounded regardless
-of input scale. Ingest buffers rows in process memory exactly like the
-reference ingester's memtable and exposes the buffered batch as a
-DataFrame through the same UA/GeoIP enrichment used for bulk ingest;
-a production deployment fronts many stateless receivers that append to
-object storage / a log, consumed by the Structured Streaming pipeline
-(streaming/), so the facade process never becomes the write path's
-bottleneck.
+VALUES_LIMIT) — and ``frame_to_response`` enforces the bound
+structurally (limit(MAX+1) + overflow error), so a future route that
+forgets its cap fails loudly instead of materializing an unbounded
+result on the driver. Ingest buffers rows in process memory exactly
+like the reference ingester's memtable — backed by a WAL-style
+journal (see ``wal``) so acked events survive a crash, mirroring the
+reference write path WAL → memtable (storage/src/db.rs:214-265) — and
+exposes the buffered batch as a DataFrame through the same UA/GeoIP
+enrichment used for bulk ingest; a production deployment fronts many
+stateless receivers that append to object storage / a log, consumed
+by the Structured Streaming pipeline (streaming/), so the facade
+process never becomes the write path's bottleneck.
 
 The app is framework-free WSGI: serve it with stdlib ``wsgiref`` (see
 ``serve``) or any production WSGI server unchanged.
@@ -44,7 +73,8 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import api
+from . import api, auth as auth_mod
+from .catalog import Catalog, CatalogError, Conflict, NotFound
 from .operators.funnel import funnel_report
 from .operators.records import (
     event_record_by_id,
@@ -66,9 +96,15 @@ class HttpError(Exception):
 
 _STATUS = {
     200: "200 OK", 201: "201 Created", 204: "204 No Content",
-    400: "400 Bad Request", 404: "404 Not Found",
-    405: "405 Method Not Allowed", 500: "500 Internal Server Error",
+    400: "400 Bad Request", 401: "401 Unauthorized", 403: "403 Forbidden",
+    404: "404 Not Found", 405: "405 Method Not Allowed",
+    409: "409 Conflict", 500: "500 Internal Server Error",
 }
+
+#: structural cap on rows any route may collect to the driver — far
+#: above every operator's own cap (top-50 series, RECORDS_LIMIT 100,
+#: VALUES_LIMIT 1000), so hitting it means a route lost its limit
+MAX_RESPONSE_ROWS = 10_000
 
 
 def _json_value(v):
@@ -87,12 +123,22 @@ def _json_value(v):
     return v
 
 
-def frame_to_response(df: DataFrame, compact: bool = False) -> dict | list:
+def frame_to_response(
+    df: DataFrame, compact: bool = False, max_rows: int = MAX_RESPONSE_ROWS
+) -> dict | list:
     """DataFrame → reference columnar response (lib.rs:592-640).
 
-    Collecting here is safe by construction: every frame routed through
-    the facade is a capped final result (see module docstring)."""
-    rows = df.collect()
+    The collect is bounded structurally: ``limit(max_rows + 1)`` rides
+    into the plan (a TakeOrderedAndProject/CollectLimit, never a full
+    materialization), and an overflow raises instead of silently
+    truncating — no future route can collect unbounded rows."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise HttpError(
+            500,
+            f"response exceeds {max_rows} rows; the route's plan lost its "
+            "limit (operator caps: top-50 series / 100 records / 1000 values)",
+        )
     cols = [
         {
             "name": f.name,
@@ -159,8 +205,11 @@ _IDENTIFY_SCHEMA = "token string, `group` string, id string, ts string, props st
 class App:
     """WSGI application bound to a SparkSession + one sf_dir dataset.
 
-    ``custom_events``: {id_or_name: [member event dicts]} — the
-    metadata catalog the reference resolves custom events against.
+    ``catalog``: the persisted metadata catalog (defaults to a private
+    in-memory one). ``custom_events``: extra {id_or_name: [member
+    event dicts]} merged over the catalog's — kept for programmatic
+    use. ``token_key``: enable JWT auth. ``wal_dir``: enable the
+    durable ingest journal (see ``wal`` module).
     """
 
     def __init__(
@@ -169,60 +218,195 @@ class App:
         sf_dir: str,
         custom_events: Optional[dict] = None,
         now: Optional[dt.datetime] = None,
+        catalog: Optional[Catalog] = None,
+        token_key: Optional[str] = None,
+        wal_dir: Optional[str] = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.custom_events = custom_events
         self.now = now  # fixed clock for "last N" windows in tests
+        self.catalog = catalog if catalog is not None else Catalog()
+        self.token_key = token_key
         self.tracked: list[dict] = []
         self.identified: list[dict] = []
+        self.wal = None
+        if wal_dir is not None:
+            from .wal import IngestWal
+
+            self.wal = IngestWal(wal_dir)
+            self.tracked, self.identified = self.wal.replay()
+        P = r"^/api/v1/projects/(?P<pid>[^/]+)"
         self._routes: list[tuple[str, re.Pattern, Callable]] = [
-            ("POST", re.compile(r"^/api/v1/projects/[^/]+/queries/event-segmentation$"),
+            # ---- auth (open) ----
+            ("POST", re.compile(r"^/api/v1/auth/signup$"), self._auth_signup),
+            ("POST", re.compile(r"^/api/v1/auth/login$"), self._auth_login),
+            ("POST", re.compile(r"^/api/v1/auth/refresh-token$"), self._auth_refresh),
+            # ---- queries ----
+            ("POST", re.compile(P + r"/queries/event-segmentation$"),
              self._event_segmentation),
-            ("POST", re.compile(r"^/api/v1/projects/[^/]+/queries/funnel$"),
-             self._funnel),
-            ("POST", re.compile(r"^/api/v1/projects/[^/]+/event-records/search$"),
+            ("POST", re.compile(P + r"/queries/funnel$"), self._funnel),
+            ("POST", re.compile(P + r"/event-records/search$"),
              self._event_records_search),
-            ("GET", re.compile(r"^/api/v1/projects/[^/]+/event-records/(?P<id>\d+)$"),
+            ("GET", re.compile(P + r"/event-records/(?P<id>\d+)$"),
              self._event_record_by_id),
-            ("POST", re.compile(r"^/api/v1/projects/[^/]+/group-records/search$"),
+            ("POST", re.compile(P + r"/group-records/search$"),
              self._group_records_search),
-            ("GET", re.compile(
-                r"^/api/v1/projects/[^/]+/group-records/(?P<group>[^/]+)/(?P<id>\d+)$"),
+            ("GET", re.compile(P + r"/group-records/(?P<group>[^/]+)/(?P<id>\d+)$"),
              self._group_record_by_id),
-            ("POST", re.compile(r"^/api/v1/projects/[^/]+/property-values$"),
-             self._property_values),
+            ("POST", re.compile(P + r"/property-values$"), self._property_values),
+            # ---- ingest (token-in-path auth, as the reference ingester) ----
             ("POST", re.compile(r"^/api/v1/ingest/(?P<token>[^/]+)/track$"),
              self._track),
             ("POST", re.compile(r"^/api/v1/ingest/(?P<token>[^/]+)/identify$"),
              self._identify),
         ]
+        # ---- admin-plane CRUD (reference http/mod.rs:51-65) ----
+        self._add_crud(r"^/api/v1/organizations", "organization", scoped=False)
+        self._add_crud(r"^/api/v1/projects", "project", scoped=False)
+        self._add_crud(P + r"/schema/events", "event", with_name=True)
+        self._add_crud(P + r"/schema/custom-events", "custom_event")
+        self._add_crud(P + r"/schema/event-properties", "event_property",
+                       with_name=True, create=self._create_event_property)
+        self._add_crud(P + r"/schema/group-properties/(?P<gid>\d+)",
+                       "group_property", create=self._create_group_property)
+        self._add_crud(P + r"/dashboards", "dashboard")
+        self._add_crud(P + r"/reports", "report")
+        self._add_crud(P + r"/bookmarks", "bookmark")
 
-    # -------------------------------------------------------- handlers
+    # ----------------------------------------------------- CRUD plumbing
+
+    def _add_crud(self, base: str, kind: str, scoped: bool = True,
+                  with_name: bool = False, create: Optional[Callable] = None):
+        """Register the reference's CRUD route set for one entity kind:
+        POST+GET on the collection, GET/PUT/DELETE on /{id}, optional
+        GET /name/{name} (events + properties have name lookups)."""
+
+        def pid_of(m) -> int:
+            return int(m["pid"]) if scoped else 0
+
+        def _create(body, m, q):
+            fn = create or (lambda b, p: self.catalog.create(kind, b, project_id=p))
+            return 201, fn(body, pid_of(m))
+
+        def _list(body, m, q):
+            return 200, self.catalog.list(kind, project_id=pid_of(m))
+
+        def _get(body, m, q):
+            return 200, self.catalog.get(kind, int(m["id"]), project_id=pid_of(m))
+
+        def _put(body, m, q):
+            return 200, self.catalog.update(
+                kind, int(m["id"]), body, project_id=pid_of(m))
+
+        def _delete(body, m, q):
+            return 200, self.catalog.delete(kind, int(m["id"]), project_id=pid_of(m))
+
+        def _get_by_name(body, m, q):
+            return 200, self.catalog.get_by_name(kind, m["name"], project_id=pid_of(m))
+
+        self._routes += [
+            ("POST", re.compile(base + r"$"), _create),
+            ("GET", re.compile(base + r"$"), _list),
+            ("GET", re.compile(base + r"/(?P<id>\d+)$"), _get),
+            ("PUT", re.compile(base + r"/(?P<id>\d+)$"), _put),
+            ("DELETE", re.compile(base + r"/(?P<id>\d+)$"), _delete),
+        ]
+        if with_name:
+            self._routes.append(
+                ("GET", re.compile(base + r"/name/(?P<name>[^/]+)$"), _get_by_name))
+
+    def _create_event_property(self, body: dict, pid: int) -> dict:
+        return self.catalog.create_property(pid, body, typ="event")
+
+    def _create_group_property(self, body: dict, pid: int) -> dict:
+        # gid captured by the route pattern rides in via a closure-free
+        # re-parse: the catalog stores it on the property row
+        return self.catalog.create_property(
+            pid, body, typ="group", group_id=int(body.get("groupId", 0)))
+
+    # ------------------------------------------------------ auth handlers
+
+    def _key(self) -> str:
+        if not self.token_key:
+            raise HttpError(404, "auth is not enabled (no token_key configured)")
+        return self.token_key
+
+    def _auth_signup(self, body, m, q):
+        return 200, auth_mod.sign_up(self.catalog, body, self._key())
+
+    def _auth_login(self, body, m, q):
+        return 200, auth_mod.log_in(self.catalog, body, self._key())
+
+    def _auth_refresh(self, body, m, q):
+        return 200, auth_mod.refresh(self.catalog, body, self._key())
+
+    def _authorize(self, environ, path: str) -> None:
+        """Bearer-token guard over every non-auth, non-ingest route
+        (reference: axum Extension(auth) middleware on all platform
+        routes, platform/src/auth/provider.rs)."""
+        if self.token_key is None:
+            return
+        if path.startswith("/api/v1/auth/") or path.startswith("/api/v1/ingest/"):
+            return
+        header = environ.get("HTTP_AUTHORIZATION", "")
+        if not header.startswith("Bearer "):
+            raise HttpError(401, "missing bearer token")
+        try:
+            claims = auth_mod.parse_token(header[len("Bearer "):], self.token_key)
+        except auth_mod.AuthError as e:
+            raise HttpError(401, str(e))
+        if "accountId" not in claims or "organizationId" not in claims:
+            # a refresh token is not an access token (reference
+            # AccessClaims vs RefreshClaims, auth/token.rs:18-30)
+            raise HttpError(403, "not an access token")
+
+    # -------------------------------------------------- query handlers
 
     def _events(self) -> DataFrame:
         return load_table(self.spark, self.sf_dir, "events")
 
+    def _pid(self, m) -> int:
+        pid = m.get("pid", "")
+        return int(pid) if pid.isdigit() else 0
+
+    def _custom_events(self, pid: int) -> dict:
+        out = self.catalog.custom_events_map(pid)
+        out.update(self.custom_events or {})
+        return out or {}
+
+    def _props(self, pid: int) -> dict:
+        return self.catalog.properties_dtypes(pid)
+
     def _event_segmentation(self, body, m, q):
+        pid = self._pid(m)
         req = api.parse_event_segmentation(
-            body, now=self.now, custom_events=self.custom_events
+            body, now=self.now, custom_events=self._custom_events(pid),
+            props=self._props(pid),
         )
         return 200, run_event_segmentation(self._events(), req)
 
     def _funnel(self, body, m, q):
-        req = api.parse_funnel(body, now=self.now, custom_events=self.custom_events)
+        pid = self._pid(m)
+        req = api.parse_funnel(
+            body, now=self.now, custom_events=self._custom_events(pid),
+            props=self._props(pid),
+        )
         return 200, funnel_report(self._events(), req)
 
     def _event_records_search(self, body, m, q):
+        pid = self._pid(m)
+        props = self._props(pid)
         specs = tuple(
             api.EventFilterSpec(
-                api.parse_event_ref(e, custom_events=self.custom_events),
-                tuple(api.parse_filter(f) for f in e.get("filters") or ()),
+                api.parse_event_ref(e, custom_events=self._custom_events(pid),
+                                    props=props),
+                tuple(api.parse_filter(f, props=props) for f in e.get("filters") or ()),
             )
             for e in body.get("events") or ()
         )
         time = api.parse_time(body["time"], self.now) if body.get("time") else None
-        filters = api._grouped_filters(body, api.EVENT_COLUMNS)
+        filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
         return 200, event_records_search(
             self._events(), time=time, event_specs=specs, filters=filters
         )
@@ -248,17 +432,23 @@ class App:
         )
 
     def _property_values(self, body, m, q):
-        prop = api.parse_property(body)
+        prop = api.parse_property(body, props=self._props(self._pid(m)))
         return 200, property_values(
             self._events(), prop, filter_like=body.get("like")
         )
 
     def _track(self, body, m, q):
-        self.tracked.append(parse_track(body, m["token"]))
+        row = parse_track(body, m["token"])
+        if self.wal is not None:
+            self.wal.append("track", row)  # fsync'd before the 201 ack
+        self.tracked.append(row)
         return 201, None
 
     def _identify(self, body, m, q):
-        self.identified.append(parse_identify(body, m["token"]))
+        row = parse_identify(body, m["token"])
+        if self.wal is not None:
+            self.wal.append("identify", row)
+        self.identified.append(row)
         return 201, None
 
     # ------------------------------------------------- ingest draining
@@ -280,6 +470,13 @@ class App:
     def identified_df(self) -> DataFrame:
         return self.spark.createDataFrame(self.identified or [], _IDENTIFY_SCHEMA)
 
+    def checkpoint_ingest(self) -> None:
+        """Truncate the WAL after the buffered rows are durably flushed
+        into the events table — the reference's flush→truncate step
+        (storage/src/db.rs:779-790)."""
+        if self.wal is not None:
+            self.wal.truncate()
+
     # ----------------------------------------------------------- WSGI
 
     def __call__(self, environ, start_response):
@@ -287,6 +484,14 @@ class App:
             status, payload = self._dispatch(environ)
         except HttpError as e:
             status, payload = e.status, {"error": e.message}
+        except auth_mod.AuthError as e:
+            status, payload = 401, {"error": str(e)}
+        except NotFound as e:
+            status, payload = 404, {"error": str(e)}
+        except Conflict as e:
+            status, payload = 409, {"error": str(e)}
+        except CatalogError as e:
+            status, payload = 400, {"error": str(e)}
         except (KeyError, ValueError, TypeError) as e:
             # parser-level contract violations → client error, like the
             # reference's serde rejection path
@@ -309,8 +514,9 @@ class App:
             matched_path = True
             if method != route_method:
                 continue
+            self._authorize(environ, path)
             body = {}
-            if method == "POST":
+            if method in ("POST", "PUT"):
                 try:
                     n = int(environ.get("CONTENT_LENGTH") or 0)
                 except ValueError:
@@ -324,8 +530,10 @@ class App:
             status, result = handler(body, m.groupdict(), query)
             if result is None:
                 return status, None
-            compact = "format=jsonCompact" in query
-            return status, frame_to_response(result, compact=compact)
+            if isinstance(result, DataFrame):
+                compact = "format=jsonCompact" in query
+                return status, frame_to_response(result, compact=compact)
+            return status, result
         if matched_path:
             raise HttpError(405, f"method {method} not allowed for {path}")
         raise HttpError(404, f"no route for {path}")
@@ -336,8 +544,12 @@ def make_app(
     sf_dir: str,
     custom_events: Optional[dict] = None,
     now: Optional[dt.datetime] = None,
+    catalog: Optional[Catalog] = None,
+    token_key: Optional[str] = None,
+    wal_dir: Optional[str] = None,
 ) -> App:
-    return App(spark, sf_dir, custom_events=custom_events, now=now)
+    return App(spark, sf_dir, custom_events=custom_events, now=now,
+               catalog=catalog, token_key=token_key, wal_dir=wal_dir)
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:

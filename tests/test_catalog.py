@@ -1,0 +1,405 @@
+"""Metadata catalog, auth, and durable-ingest tests.
+
+Covers the reference's admin plane re-expressed over sqlite
+(catalog.py ≙ metadata/src/*, RocksDB namespaces), JWT auth
+(auth.py ≙ platform/src/auth), the WAL-backed ingest journal
+(wal.py ≙ storage/src/db.rs:214-265), and the end-to-end admin loop:
+create a property / custom event through HTTP CRUD, then query on it.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import pytest
+
+from optiprism_spark import auth as auth_mod
+from optiprism_spark.catalog import Catalog, Conflict, NotFound
+from optiprism_spark.server import make_app
+from optiprism_spark.wal import IngestWal
+
+from .test_server import SF_DIR, T_JAN, call, _col
+
+
+# ------------------------------------------------------------- catalog core
+
+def test_catalog_crud_roundtrip(tmp_path):
+    cat = Catalog(str(tmp_path / "md.db"))
+    p = cat.create("project", {"name": "demo"})
+    assert p["id"] == 1 and p["createdAt"]
+    assert cat.get("project", 1) == p
+    assert cat.get_by_name("project", "demo")["id"] == 1
+    p2 = cat.update("project", 1, {"name": "demo2", "sessionDurationSeconds": 900})
+    assert p2["name"] == "demo2" and p2["updatedAt"]
+    assert cat.list("project") == [p2]
+    with pytest.raises(Conflict):
+        cat.create("project", {"name": "demo2"})
+    cat.delete("project", 1)
+    with pytest.raises(NotFound):
+        cat.get("project", 1)
+
+
+def test_catalog_persistence_across_reopen(tmp_path):
+    """The durability contract of the reference's RocksDB store: state
+    survives process restart."""
+    path = str(tmp_path / "md.db")
+    cat = Catalog(path)
+    cat.create("event", {"name": "purchase"}, project_id=1)
+    cat.create_property(1, {"name": "plan", "dataType": "string"})
+    cat.close()
+
+    cat2 = Catalog(path)
+    assert cat2.get_by_name("event", "purchase", project_id=1)["id"] == 1
+    prop = cat2.get_by_name("event_property", "plan", project_id=1)
+    assert prop["dataType"] == "string"
+    # id sequence continues, no reuse
+    e2 = cat2.create("event", {"name": "refund"}, project_id=1)
+    assert e2["id"] == 2
+
+
+def test_property_column_name_protocol():
+    """Property::column_name() (reference properties.rs:609-632):
+    system properties snake_case their name; user properties get
+    e_{dtype_short}_{order} with a per-dtype order counter."""
+    cat = Catalog()
+    sys_p = cat.create_property(1, {"name": "event_type", "dataType": "string"})
+    assert sys_p["isSystem"] and sys_p["columnName"] == "event_type"
+    s0 = cat.create_property(1, {"name": "plan", "dataType": "string"})
+    s1 = cat.create_property(1, {"name": "tier", "dataType": "string"})
+    d0 = cat.create_property(1, {"name": "spend", "dataType": "decimal"})
+    assert not s0["isSystem"]
+    # order counts per (type, dtype): event_type took str order 0
+    assert s0["columnName"] == "e_str_1"
+    assert s1["columnName"] == "e_str_2"
+    assert d0["columnName"] == "e_dec_0"
+    g = cat.create_property(1, {"name": "industry", "dataType": "string"},
+                            typ="group", group_id=2)
+    assert g["columnName"] == "g_2_str_0"
+    # dtype validation
+    from optiprism_spark.catalog import CatalogError
+
+    with pytest.raises(CatalogError):
+        cat.create_property(1, {"name": "bad", "dataType": "float128"})
+
+
+def test_property_resolution_and_dtypes():
+    cat = Catalog()
+    cat.create_property(1, {"name": "ts", "dataType": "timestamp"})
+    cat.create_property(1, {"name": "k", "dataType": "int64"})
+    ref = cat.resolve_property(1, "ts")
+    assert ref.kind.value == "column"
+    ref = cat.resolve_property(1, "k")
+    assert ref.kind.value == "json" and ref.dtype == "int64"
+    assert cat.properties_dtypes(1) == {"k": "int64"}
+
+
+def test_custom_events_map():
+    cat = Catalog()
+    ce = cat.create(
+        "custom_event",
+        {"name": "engagement", "events": [
+            {"eventName": "view", "eventType": "regular"},
+            {"eventName": "click", "eventType": "regular"},
+        ]},
+        project_id=1,
+    )
+    m = cat.custom_events_map(1)
+    assert m[ce["id"]] == m["engagement"] and len(m["engagement"]) == 2
+
+
+# ---------------------------------------------------------------- auth unit
+
+def test_jwt_roundtrip_and_tamper():
+    tok = auth_mod.make_access_token(7, 1, "k1")
+    claims = auth_mod.parse_token(tok, "k1")
+    assert claims["accountId"] == 7 and claims["organizationId"] == 1
+    with pytest.raises(auth_mod.AuthError):
+        auth_mod.parse_token(tok, "other-key")
+    with pytest.raises(auth_mod.AuthError):
+        auth_mod.parse_token(tok[:-4] + "AAAA", "k1")
+    expired = auth_mod.make_access_token(7, 1, "k1", ttl_s=-10)
+    with pytest.raises(auth_mod.AuthError):
+        auth_mod.parse_token(expired, "k1")
+
+
+def test_password_hash():
+    h = auth_mod.make_password_hash("s3cret-enough")
+    assert auth_mod.verify_password("s3cret-enough", h)
+    assert not auth_mod.verify_password("wrong", h)
+    # salted: two hashes of the same password differ
+    assert h != auth_mod.make_password_hash("s3cret-enough")
+
+
+# ------------------------------------------------------------------ WAL unit
+
+def test_wal_append_replay_truncate(tmp_path):
+    wal = IngestWal(str(tmp_path))
+    wal.append("track", {"event_type": "a", "user_id": "u1"})
+    wal.append("identify", {"group": "user", "id": "u1"})
+    wal.append("track", {"event_type": "b", "user_id": "u2"})
+    tracked, identified = IngestWal(str(tmp_path)).replay()
+    assert [r["event_type"] for r in tracked] == ["a", "b"]
+    assert identified == [{"group": "user", "id": "u1"}]
+    wal.truncate()
+    assert IngestWal(str(tmp_path)).replay() == ([], [])
+
+
+def test_wal_torn_tail_recovery(tmp_path):
+    """A crash mid-write leaves a torn record; recovery keeps every
+    acked record and drops the unacked tail (reference WAL rule)."""
+    wal = IngestWal(str(tmp_path))
+    wal.append("track", {"event_type": "a"})
+    wal.append("track", {"event_type": "b"})
+    with open(wal.path, "ab") as f:
+        f.write(b"\x00\x00\x00\xffgarbage")  # torn: length says 255, payload 7B
+    tracked, _ = IngestWal(str(tmp_path)).replay()
+    assert [r["event_type"] for r in tracked] == ["a", "b"]
+
+
+# --------------------------------------------------------- HTTP admin plane
+
+@pytest.fixture()
+def app(spark):
+    return make_app(spark, SF_DIR)
+
+
+def test_http_crud_properties_and_events(app):
+    st, ev = call(app, "POST", "/api/v1/projects/1/schema/events",
+                  {"name": "purchase", "displayName": "Purchase"})
+    assert st == 201 and ev["id"] == 1
+    st, got = call(app, "GET", "/api/v1/projects/1/schema/events/name/purchase")
+    assert st == 200 and got["id"] == 1
+    st, lst = call(app, "GET", "/api/v1/projects/1/schema/events")
+    assert st == 200 and len(lst) == 1
+    st, upd = call(app, "PUT", "/api/v1/projects/1/schema/events/1",
+                   {"displayName": "Purchase!"})
+    assert st == 200 and upd["displayName"] == "Purchase!"
+    st, _ = call(app, "DELETE", "/api/v1/projects/1/schema/events/1")
+    assert st == 200
+    st, _ = call(app, "GET", "/api/v1/projects/1/schema/events/1")
+    assert st == 404
+
+    st, prop = call(app, "POST", "/api/v1/projects/1/schema/event-properties",
+                    {"name": "plan", "dataType": "string"})
+    assert st == 201 and prop["columnName"] == "e_str_0"
+    st, dup = call(app, "POST", "/api/v1/projects/1/schema/event-properties",
+                   {"name": "plan", "dataType": "string"})
+    assert st == 409
+    st, bad = call(app, "POST", "/api/v1/projects/1/schema/event-properties",
+                   {"name": "x", "dataType": "float128"})
+    assert st == 400
+    st, gp = call(app, "POST",
+                  "/api/v1/projects/1/schema/group-properties/2",
+                  {"name": "industry", "dataType": "string", "groupId": 2})
+    assert st == 201 and gp["columnName"] == "g_2_str_0"
+
+
+def test_http_dashboards_reports_bookmarks(app):
+    st, rep = call(app, "POST", "/api/v1/projects/1/reports",
+                   {"name": "weekly kpis", "type": "eventSegmentation",
+                    "query": {"intervalUnit": "day"}})
+    assert st == 201
+    st, dash = call(app, "POST", "/api/v1/projects/1/dashboards",
+                    {"name": "main", "panels": [
+                        {"type": "report", "reportId": rep["id"],
+                         "x": 0, "y": 0, "w": 6, "h": 4}]})
+    assert st == 201
+    st, got = call(app, "GET", f"/api/v1/projects/1/dashboards/{dash['id']}")
+    assert st == 200 and got["panels"][0]["reportId"] == rep["id"]
+    st, bm = call(app, "POST", "/api/v1/projects/1/bookmarks",
+                  {"name": "q", "query": {"foo": 1}})
+    assert st == 201
+    st, got = call(app, "GET", f"/api/v1/projects/1/bookmarks/{bm['id']}")
+    assert st == 200
+    # organizations + projects (unscoped collections)
+    st, org = call(app, "POST", "/api/v1/organizations", {"name": "acme"})
+    assert st == 201
+    st, proj = call(app, "POST", "/api/v1/projects", {"name": "demo"})
+    assert st == 201
+    st, lst = call(app, "GET", "/api/v1/projects")
+    assert st == 200 and [p["name"] for p in lst] == ["demo"]
+
+
+def test_admin_loop_create_property_then_query(app):
+    """The reference's core admin loop: create a property through the
+    CRUD API, then filter/break down on it in the very next query —
+    the catalog's declared dtype (int64) drives the JSON cast, not
+    literal inference (a string-literal filter would otherwise
+    mis-cast)."""
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/event-properties",
+                 {"name": "k", "dataType": "int64"})
+    assert st == 201
+    body = {
+        "time": T_JAN, "group": "user", "intervalUnit": "day",
+        "chartType": "line",
+        "events": [{
+            "eventName": None, "eventType": "regular",
+            "queries": [{"type": "countEvents"}],
+            "filters": [{"type": "property", "propertyType": "event",
+                         "propertyName": "k", "operation": "gte",
+                         "value": [50]}],
+        }],
+    }
+    st, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/event-segmentation", body)
+    assert st == 200
+    n = sum(_col(payload, "0_0_count_events")["data"])
+    assert n > 0
+    # same body in a project with no such property: inference still
+    # resolves it (back-compat path), results equal for int literals
+    st2, payload2 = call(
+        app, "POST", "/api/v1/projects/2/queries/event-segmentation", body)
+    assert st2 == 200
+    assert sum(_col(payload2, "0_0_count_events")["data"]) == n
+
+
+def test_admin_loop_custom_event_then_query(app):
+    st, ce = call(app, "POST", "/api/v1/projects/1/schema/custom-events",
+                  {"name": "engagement", "events": [
+                      {"eventName": "view", "eventType": "regular"},
+                      {"eventName": "click", "eventType": "regular"},
+                  ]})
+    assert st == 201
+    body = {
+        "time": T_JAN, "group": "user", "intervalUnit": "day",
+        "chartType": "line",
+        "events": [{"eventType": "custom", "eventId": ce["id"],
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    st, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/event-segmentation", body)
+    assert st == 200
+    assert sum(_col(payload, "0_0_count_events")["data"]) > 0
+
+
+def test_report_save_rerun_same_frame(app):
+    """Report persistence loop: save a query body as a report, reload
+    it from the catalog, re-run — identical response."""
+    body = {
+        "time": T_JAN, "group": "user", "intervalUnit": "day",
+        "chartType": "line",
+        "events": [{"eventName": "purchase", "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    st, first = call(
+        app, "POST", "/api/v1/projects/1/queries/event-segmentation", body)
+    assert st == 200
+    st, rep = call(app, "POST", "/api/v1/projects/1/reports",
+                   {"name": "purchases", "type": "eventSegmentation",
+                    "query": body})
+    assert st == 201
+    st, loaded = call(app, "GET", f"/api/v1/projects/1/reports/{rep['id']}")
+    assert st == 200
+    st, second = call(
+        app, "POST", "/api/v1/projects/1/queries/event-segmentation",
+        loaded["query"])
+    assert st == 200 and second == first
+
+
+# ----------------------------------------------------------------- auth e2e
+
+def test_auth_enforced_routes(spark):
+    app = make_app(spark, SF_DIR, token_key="test-key")
+    # no token → 401 on query and admin routes
+    st, _ = call(app, "GET", "/api/v1/projects/1/schema/events")
+    assert st == 401
+    st, _ = call(app, "POST", "/api/v1/projects/1/queries/funnel", {})
+    assert st == 401
+    # ingest stays token-in-path (reference ingester auth model)
+    st, _ = call(app, "POST", "/api/v1/ingest/tok/track",
+                 {"event": "x", "userId": "u"})
+    assert st == 201
+
+    st, pair = call(app, "POST", "/api/v1/auth/signup",
+                    {"email": "a@b.c", "password": "hunter2hunter2"})
+    assert st == 200 and "accessToken" in pair
+    # duplicate signup → 401 (reference: conflict surfaced via auth error)
+    st, _ = call(app, "POST", "/api/v1/auth/signup",
+                 {"email": "a@b.c", "password": "x"})
+    assert st == 401
+    st, pair2 = call(app, "POST", "/api/v1/auth/login",
+                     {"email": "a@b.c", "password": "hunter2hunter2"})
+    assert st == 200
+    st, _ = call(app, "POST", "/api/v1/auth/login",
+                 {"email": "a@b.c", "password": "wrong"})
+    assert st == 401
+
+    def authed(method, path, body=None):
+        raw = b"" if body is None else json.dumps(body).encode()
+        environ = {
+            "REQUEST_METHOD": method, "PATH_INFO": path, "QUERY_STRING": "",
+            "CONTENT_LENGTH": str(len(raw)), "wsgi.input": io.BytesIO(raw),
+            "HTTP_AUTHORIZATION": f"Bearer {pair2['accessToken']}",
+        }
+        captured = {}
+
+        def sr(status, headers):
+            captured["status"] = int(status.split()[0])
+
+        chunks = b"".join(app(environ, sr))
+        return captured["status"], json.loads(chunks) if chunks else None
+
+    st, ev = authed("POST", "/api/v1/projects/1/schema/events", {"name": "e1"})
+    assert st == 201
+    st, lst = authed("GET", "/api/v1/projects/1/schema/events")
+    assert st == 200 and len(lst) == 1
+    # a refresh token is NOT an access token → 403
+    environ = {
+        "REQUEST_METHOD": "GET", "PATH_INFO": "/api/v1/projects/1/schema/events",
+        "QUERY_STRING": "", "CONTENT_LENGTH": "0",
+        "wsgi.input": io.BytesIO(b""),
+        "HTTP_AUTHORIZATION": f"Bearer {pair2['refreshToken']}",
+    }
+    captured = {}
+    app(environ, lambda s, h: captured.update(status=int(s.split()[0])))
+    assert captured["status"] == 403
+    # refresh flow issues a fresh pair
+    st, pair3 = call(app, "POST", "/api/v1/auth/refresh-token",
+                     {"refreshToken": pair2["refreshToken"]})
+    assert st == 200 and "accessToken" in pair3
+
+
+# ------------------------------------------------------------- WAL e2e
+
+def test_ingest_wal_survives_restart(spark, tmp_path):
+    """Kill the app (drop the object), recreate it over the same
+    wal_dir: the replayed buffers equal the pre-crash state and
+    tracked_df produces the same frame."""
+    wal_dir = str(tmp_path / "wal")
+    app1 = make_app(spark, SF_DIR, wal_dir=wal_dir)
+    track = {"userId": "u-1", "event": "Buy", "timestamp": "2024-02-01T10:00:00Z",
+             "properties": {"revenue": 5.5},
+             "context": {"ip": "8.8.8.8", "page": {"path": "/x"}}}
+    st, _ = call(app1, "POST", "/api/v1/ingest/tok/track", track)
+    assert st == 201
+    st, _ = call(app1, "POST", "/api/v1/ingest/tok/identify",
+                 {"group": "user", "id": "u-1", "properties": {"plan": "pro"}})
+    assert st == 201
+    before_tracked = list(app1.tracked)
+    before_rows = app1.tracked_df(enrich=False).collect()
+    del app1  # crash
+
+    app2 = make_app(spark, SF_DIR, wal_dir=wal_dir)
+    assert app2.tracked == before_tracked
+    assert app2.identified_df().collect()[0]["id"] == "u-1"
+    assert app2.tracked_df(enrich=False).collect() == before_rows
+    # flush → truncate → restart: buffers start empty
+    app2.checkpoint_ingest()
+    app3 = make_app(spark, SF_DIR, wal_dir=wal_dir)
+    assert app3.tracked == [] and app3.identified == []
+
+
+# ------------------------------------------------- response-size guard
+
+def test_response_size_guard(spark):
+    from optiprism_spark.schema import load_table
+    from optiprism_spark.server import HttpError, frame_to_response
+
+    events = load_table(spark, SF_DIR, "events")
+    with pytest.raises(HttpError) as ei:
+        frame_to_response(events, max_rows=10)
+    assert ei.value.status == 500 and "exceeds" in ei.value.message
+    out = frame_to_response(events.limit(5), max_rows=10)
+    assert len(out["columns"][0]["data"]) == 5
