@@ -103,9 +103,10 @@ def pack_sequences(
     df: DataFrame,
     budget: int,
     token_col: Column | str = None,
-    n_buckets: int = 32,
+    n_buckets: int = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seed: str = "pack",
 ) -> DataFrame:
     """Streaming concat-and-chunk sequence packing: assign each doc to
     a fixed-token-budget pack. Docs are sharded into ``n_buckets``
@@ -115,18 +116,41 @@ def pack_sequences(
     at most one document (no bin-packing search, which is neither
     streamable nor deterministic under reordering).
 
+    Bucketing hashes the id (md5-derived, so string ids work and the
+    DuckDB oracle reproduces the assignment bit-for-bit — no xxhash in
+    DuckDB). ``n_buckets=None`` scales to the session's
+    defaultParallelism so packing parallelism follows the cluster, not
+    a fixture-sized constant; pass an explicit value for reproducible
+    pack ids across differently-sized clusters.
+
     Returns (doc_id, n_tokens, bucket, pack_id, pack_offset) with
-    pack_id globally unique (bucket-prefixed). One shuffle on the
-    bucket id; packing is embarrassingly parallel across buckets.
+    pack_id globally unique: ``(bucket << 40) | pack_index`` — 2^40
+    (~10^12) packs per bucket before collision, vs the token count of
+    a bucket at 100 TB (~10^10 packs at budget=512), with headroom for
+    2^23 buckets in the long. One shuffle on the bucket id; packing is
+    embarrassingly parallel across buckets.
     """
     from pyspark.sql import Window
 
+    if n_buckets is None:
+        n_buckets = df.sparkSession.sparkContext.defaultParallelism
+    if n_buckets >= 1 << 23:
+        raise ValueError(f"n_buckets={n_buckets} exceeds the 2^23 pack-id namespace")
     tokens = (
         F.size(F.split(F.col(text_col), " "))
         if token_col is None
         else (F.col(token_col) if isinstance(token_col, str) else token_col)
     )
-    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long")
+    # md5-prefix hash (like unit_hash): string-id safe, oracle-reproducible
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
     w = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
     out = (
         df.select(F.col(id_col), tokens.alias("n_tokens"), bucket.alias("bucket"))
@@ -142,7 +166,7 @@ def pack_sequences(
         id_col,
         "n_tokens",
         "bucket",
-        (F.col("bucket") * F.lit(1_000_000) + F.floor(F.col("__start") / F.lit(budget)))
+        (F.shiftleft(F.col("bucket"), 40) + F.floor(F.col("__start") / F.lit(budget)))
         .alias("pack_id"),
         F.pmod(F.col("__start"), F.lit(budget)).alias("pack_offset"),
     )

@@ -298,6 +298,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iters: int = 25,
+    checkpoint_dir: str = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list →
     (node, component), where component = min node id in the component.
@@ -309,28 +310,42 @@ def connected_components(
     practice.
 
     Scale notes: one shuffle per round (edge⋈label equi-join + min
-    groupBy); lineage is cut per round with localCheckpoint(eager) so
-    the plan stays flat instead of doubling each iteration (the edge
-    frame is checkpointed once up front — it may sit on an expensive
-    LSH pipeline and is re-read every round). Convergence is detected
-    via the label sum: labels only ever decrease per node, so an
-    unchanged sum ⇔ a fixed point — one scalar agg per round instead
-    of a full-frame diff join. For graphs with long chains (web
-    graphs, not dup clusters) the escalation path is
-    large-star/small-star [Kiveris et al., CIKM'14], which contracts
-    the diameter geometrically per round.
+    groupBy); lineage is cut per round so the plan stays flat instead
+    of doubling each iteration (the edge frame is checkpointed once up
+    front — it may sit on an expensive LSH pipeline and is re-read
+    every round). Convergence is detected via the label sum: labels
+    only ever decrease per node, so an unchanged sum ⇔ a fixed point —
+    one scalar agg per round instead of a full-frame diff join. For
+    graphs with long chains (web graphs, not dup clusters) the
+    escalation path is large-star/small-star [Kiveris et al.,
+    CIKM'14], which contracts the diameter geometrically per round.
+
+    Fault tolerance: ``checkpoint_dir=None`` cuts lineage with
+    ``localCheckpoint`` — blocks live on executors with NO recompute
+    path, so losing one executor in a late round kills the job. Fine
+    on local[*]; on a cluster pass a reliable ``checkpoint_dir``
+    (HDFS/S3) and each round writes a recoverable ``df.checkpoint()``
+    there instead — the standard trade (extra FS round-trip per
+    round) for iterative jobs that must survive executor loss.
     """
-    sym = (
+    if checkpoint_dir is not None:
+        sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=True)
+
+    sym = _cut(
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _cut(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     if prev_sum is None:  # no edges at all
@@ -341,13 +356,12 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("label").alias("nbr"))
         )
-        labels = (
+        labels = _cut(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
@@ -365,18 +379,20 @@ def neardup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = None,
+    checkpoint_dir: str = None,
 ) -> DataFrame:
     """Near-duplicate clusters: LSH near-dup pairs → connected
     components → (doc_id, component, cluster_size). The component id
     (min doc id in the cluster) IS the survivor a dedup pass keeps;
     docs in no pair are their own trivial cluster and are omitted
-    (survivors by definition)."""
+    (survivors by definition). ``checkpoint_dir``: reliable checkpoint
+    location for cluster runs (see connected_components)."""
     from pyspark.sql import Window
 
     pairs = lsh_near_dup_pairs(
         docs, threshold, k, bands, n, text_col, id_col, max_bucket
     )
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     return cc.select(
         F.col("node").alias(id_col),
         "component",

@@ -6,11 +6,16 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so each Python worker touches one columnar
 batch at a time (bounded memory, no per-row serde).
 
-The actual codec work (PIL/librosa/ffmpeg) is STUBBED — the image and
-audio libraries are not in this container. The Spark-side plumbing
-(schema, partitioning, UDF signature, batch shape) is real and
-tested; `decode_stub=True` swaps in a deterministic fake decoder so
-pipelines are testable end-to-end.
+Decode is REAL for PNG and WAV via media_codec.py (stdlib zlib/wave
+decoders — full baseline 8-bit PNG with all five scanline filters,
+16-bit PCM WAV): ``decode_stub=False`` round-trips genuine format
+bytes inside the mapInPandas stage, and ``synthesize_media`` builds
+real PNG/WAV payloads to feed it. Formats that need external codecs
+(JPEG, MP3, MP4 frame extraction — PIL/librosa/ffmpeg are not in
+this container) raise a clear ValueError at the same seam; plug a
+real library into ``_decode_array`` when available.
+``decode_stub=True`` keeps the deterministic fake decoder for
+payloads that are not media at all (e.g. text-derived fixtures).
 """
 
 from __future__ import annotations
@@ -70,10 +75,37 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a real decoder: md5-seeded floats.
-    Replace with PIL/torchvision decode when available."""
+    """Deterministic stand-in for payloads that are not real media
+    (text-derived fixtures): md5-seeded floats."""
     h = hashlib.md5(payload).digest()
     return [((h[i % 16] * 31 + i) % 256) / 255.0 for i in range(dim)]
+
+
+def _decode_array(payload: bytes):
+    """Sniff + REALLY decode a media payload -> (kind, float ndarray,
+    normalization scale). The extension seam for further codecs."""
+    import numpy as np
+
+    from .media_codec import decode_png, decode_wav
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image", decode_png(payload).astype("float64").ravel(), 255.0
+    if payload[:4] == b"RIFF":
+        _, samples = decode_wav(payload)
+        return "audio", samples.astype("float64").ravel(), 32768.0
+    raise ValueError(
+        "unsupported media format (PNG/WAV decode natively; JPEG/MP3/MP4 "
+        "need PIL/librosa/ffmpeg — not in this image)"
+    )
+
+
+def _real_decode(payload: bytes, dim: int) -> list[float]:
+    """Real decode -> fixed-dim feature: first ``dim`` normalized
+    values, zero-padded (a stand-in featurizer over genuinely decoded
+    arrays; swap in an embedding model at the same seam)."""
+    _, arr, scale = _decode_array(payload)
+    vals = [float(v) / scale for v in arr[:dim]]
+    return vals + [0.0] * (dim - len(vals))
 
 
 def extract_features(
@@ -81,33 +113,141 @@ def extract_features(
 ) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches).
 
-    With ``decode_stub=False`` this raises NotImplementedError at
-    execution time — the seam where a real image/audio decoder plugs
-    in. The plumbing (schema, batching, column pruning of the payload
-    column into the UDF) is the production shape either way.
+    ``decode_stub=False`` REALLY decodes each payload (PNG/WAV via
+    media_codec; unsupported formats raise ValueError at the same
+    seam). ``decode_stub=True`` uses the deterministic fake for
+    non-media fixture payloads. The plumbing (schema, batching,
+    column pruning of the payload column into the UDF) is the
+    production shape either way.
     """
 
     from ..shipping import ensure_shipped
 
     ensure_shipped(media.sparkSession)
+    decode = _fake_decode if decode_stub else _real_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/librosa — not in this image"
-                )
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "content_hash": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                    "feature": payloads.map(lambda b: _fake_decode(bytes(b), dim)),
+                    "feature": payloads.map(lambda b: decode(bytes(b), dim)),
                 }
             )
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+#: synthesis parameters: 16x16 gray PNGs, 256-sample 16 kHz WAVs
+SYNTH_SIDE = 16
+SYNTH_SAMPLES = 256
+SYNTH_RATE = 16000
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("value_min", T.LongType()),
+        T.StructField("value_max", T.LongType()),
+    ]
+)
+
+
+def synthesize_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a media table with REAL format payloads: even ids get a
+    16x16 grayscale PNG whose pixel[i] = (id*31 + i) % 256 (encoder
+    cycles scanline filters, so decoding requires true unfiltering);
+    odd ids get a 256-sample WAV with sample[i] = ((id*7 + i*13) %
+    65536) - 32768. Closed-form content is what makes decoded output
+    independently checkable (the DuckDB oracle recomputes the same
+    stats arithmetically — it cannot decode PNG, but it doesn't need
+    to: the pipeline's decode must reproduce the formula or the hash
+    check fails)."""
+    import numpy as np
+
+    from ..shipping import ensure_shipped
+    from .media_codec import encode_png, encode_wav
+
+    ensure_shipped(ids.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        side, n_s = SYNTH_SIDE, SYNTH_SAMPLES
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                if mid % 2 == 0:
+                    px = ((mid * 31 + np.arange(side * side)) % 256).astype(np.uint8)
+                    rows.append(
+                        (mid, encode_png(px.reshape(side, side)),
+                         {"kind": "image", "format": "png", "width": side,
+                          "height": side, "duration_ms": None})
+                    )
+                else:
+                    s = (((mid * 7 + np.arange(n_s) * 13) % 65536) - 32768).astype(
+                        np.int16
+                    )
+                    rows.append(
+                        (mid, encode_wav(s, SYNTH_RATE),
+                         {"kind": "audio", "format": "wav", "width": None,
+                          "height": None,
+                          "duration_ms": n_s * 1000 // SYNTH_RATE})
+                    )
+            yield pd.DataFrame(
+                {"media_id": [r[0] for r in rows],
+                 "payload": [r[1] for r in rows],
+                 "meta": [r[2] for r in rows]}
+            )
+
+    return ids.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decoded_stats(media: DataFrame) -> DataFrame:
+    """REALLY decode every payload (PNG/WAV) and emit exact integer
+    stats of the decoded array — the correctness surface for the
+    decode stage (integer sums/extrema are bit-stable cross-engine,
+    unlike float features)."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    from .media_codec import decode_png, decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "kind", "width", "height",
+                    "n_values", "value_sum", "value_min", "value_max")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    arr = decode_png(b)
+                    kind = "image"
+                    height, width = arr.shape[0], arr.shape[1]
+                elif b[:4] == b"RIFF":
+                    _, arr = decode_wav(b)
+                    kind, width, height = "audio", None, None
+                else:
+                    raise ValueError("unsupported media payload (PNG/WAV)")
+                ivals = arr.astype("int64").ravel()
+                out["media_id"].append(int(mid))
+                out["kind"].append(kind)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["n_values"].append(len(ivals))
+                out["value_sum"].append(int(ivals.sum()))
+                out["value_min"].append(int(ivals.min()))
+                out["value_max"].append(int(ivals.max()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, DECODED_SCHEMA)
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:

@@ -95,7 +95,7 @@ def asm_stratified_sample_exact(spark, sf_dir):
     "asm_pack_sequences",
     oracle="""
     SELECT doc_id, n_tokens, bucket,
-           bucket * 1000000 + CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+           bucket * 1099511627776 + CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
            start % 512 AS pack_offset
     FROM (
       SELECT doc_id, n_tokens, bucket,
@@ -105,7 +105,8 @@ def asm_stratified_sample_exact(spark, sf_dir):
                AS start
       FROM (
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-               doc_id % 32 AS bucket
+               CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 32 AS bucket
         FROM documents
       )
     )
@@ -113,7 +114,8 @@ def asm_stratified_sample_exact(spark, sf_dir):
 )
 def asm_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing into 512-token packs across
-    32 hash buckets — packing is parallel across buckets (one shuffle
-    on bucket id), never globally ordered."""
+    32 hash buckets (md5 id hash — string-id safe, bucket << 40 pack
+    namespace) — packing is parallel across buckets (one shuffle on
+    bucket id), never globally ordered."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, budget=512, n_buckets=32)

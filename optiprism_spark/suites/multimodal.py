@@ -47,3 +47,44 @@ def multimodal_features(spark, sf_dir):
             ",",
         ).alias("feature_codes"),
     )
+
+
+@query(
+    "multimodal_decoded_stats",
+    oracle="""
+    WITH img AS (
+      SELECT d.doc_id AS media_id, 'image' AS kind,
+             16 AS width, 16 AS height,
+             256::BIGINT AS n_values,
+             SUM((d.doc_id * 31 + g.i) % 256)::BIGINT AS value_sum,
+             MIN((d.doc_id * 31 + g.i) % 256)::BIGINT AS value_min,
+             MAX((d.doc_id * 31 + g.i) % 256)::BIGINT AS value_max
+      FROM documents d, generate_series(0, 255) AS g(i)
+      WHERE d.doc_id % 2 = 0 GROUP BY d.doc_id
+    ), aud AS (
+      SELECT d.doc_id AS media_id, 'audio' AS kind,
+             NULL::INT AS width, NULL::INT AS height,
+             256::BIGINT AS n_values,
+             SUM(((d.doc_id * 7 + g.i * 13) % 65536) - 32768)::BIGINT AS value_sum,
+             MIN(((d.doc_id * 7 + g.i * 13) % 65536) - 32768)::BIGINT AS value_min,
+             MAX(((d.doc_id * 7 + g.i * 13) % 65536) - 32768)::BIGINT AS value_max
+      FROM documents d, generate_series(0, 255) AS g(i)
+      WHERE d.doc_id % 2 = 1 GROUP BY d.doc_id
+    )
+    SELECT * FROM img UNION ALL SELECT * FROM aud
+    """,
+)
+def multimodal_decoded_stats(spark, sf_dir):
+    """REAL media decode, differentially checked: synthesize_media
+    writes genuine PNG (filter-cycled scanlines) / WAV payloads with
+    closed-form content; decoded_stats round-trips them through the
+    stdlib-based decoders (media_codec.py) inside mapInPandas and
+    emits exact integer stats. DuckDB cannot decode PNG — it verifies
+    the same stats arithmetically from the content formula, so any
+    decode bug (filter math, chunk parsing, sample width) breaks the
+    hash match."""
+    from ..operators.multimodal import decoded_stats, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return decoded_stats(media)

@@ -90,11 +90,59 @@ def test_multimodal_feature_plumbing(spark, tmp_path):
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
 
 
-def test_multimodal_decode_stub_raises_when_real(spark):
+def test_multimodal_real_decode_rejects_non_media(spark):
+    """decode_stub=False REALLY decodes; a raw text payload is not
+    PNG/WAV and must fail loudly at the codec seam."""
     docs = docs_df(spark, [(1, "hello")])
     media = media_from_documents(docs)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="unsupported media format"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_multimodal_real_decode_roundtrip(spark):
+    """synthesize_media emits genuine PNG/WAV; extract_features with
+    decode_stub=False decodes them and the features equal the known
+    synthesis formula."""
+    from optiprism_spark.operators.multimodal import (
+        decoded_stats,
+        synthesize_media,
+    )
+
+    ids = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    media = synthesize_media(ids)
+    metas = {r.media_id: r.meta for r in media.collect()}
+    assert metas[2].kind == "image" and metas[2].format == "png"
+    assert metas[3].kind == "audio" and metas[3].duration_ms == 16
+
+    feats = {r.media_id: r for r in
+             extract_features(media, dim=4, decode_stub=False).collect()}
+    # image 2: pixel[i] = (2*31 + i) % 256 -> 62, 63, 64, 65
+    assert [round(v * 255) for v in feats[2].feature] == [62, 63, 64, 65]
+    # audio 3: sample[i] = ((21 + 13 i) % 65536) - 32768
+    expect = [((21 + 13 * i) % 65536 - 32768) / 32768.0 for i in range(4)]
+    assert feats[3].feature == pytest.approx(expect)
+
+    stats = {r.media_id: r for r in decoded_stats(media).collect()}
+    assert stats[2].width == 16 and stats[2].n_values == 256
+    assert stats[2].value_sum == sum((62 + i) % 256 for i in range(256))
+    assert stats[3].width is None and stats[3].n_values == 256
+
+
+def test_png_codec_all_filters():
+    """The PNG decoder is a real baseline decoder: all five scanline
+    filters, gray/RGB/RGBA, crc validation."""
+    import numpy as np
+
+    from optiprism_spark.operators.media_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(16, 16), (5, 9, 3), (4, 4, 4)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (decode_png(encode_png(a)) == a).all()
+    corrupt = bytearray(encode_png(rng.integers(0, 256, (4, 4), dtype=np.uint8)))
+    corrupt[40] ^= 0xFF  # flip a byte inside a chunk -> crc must catch
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
 
 
 def test_resize_and_frame_sampling(spark):
@@ -135,3 +183,53 @@ def test_ivf_kmeans_centroids_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches lineage cuts from localCheckpoint to
+    reliable df.checkpoint() (survives executor loss on a cluster);
+    results identical, checkpoint files actually land in the dir."""
+    import os
+
+    from optiprism_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 8)], "doc_a long, doc_b long"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = {
+        r.node: r.component
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "reliable checkpoint wrote no files"
+
+
+def test_pack_sequences_string_ids(spark):
+    """Hash bucketing must accept non-numeric doc ids (the round-3
+    pmod-on-id shape threw); namespace is bucket << 40."""
+    from optiprism_spark.operators.assembly import pack_sequences
+
+    df = spark.createDataFrame(
+        [("doc-a", "w " * 300), ("doc-b", "w " * 300), ("doc-c", "w " * 300)],
+        "doc_id string, text string",
+    )
+    rows = pack_sequences(df, budget=512, n_buckets=4).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.pack_id >> 40 == r.bucket
+        assert 0 <= r.pack_offset < 512
+
+
+def test_pack_sequences_default_buckets_scale(spark):
+    from optiprism_spark.operators.assembly import pack_sequences
+
+    df = spark.createDataFrame([(i, "w " * 10) for i in range(20)],
+                               "doc_id long, text string")
+    out = pack_sequences(df, budget=64)
+    n_buckets = out.select("bucket").distinct().count()
+    # defaultParallelism-scaled: buckets land in [1, defaultParallelism]
+    assert 1 <= n_buckets <= spark.sparkContext.defaultParallelism
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=64, n_buckets=1 << 24)
