@@ -132,14 +132,27 @@ def parse_user_agent(ua: Column) -> Column:
     )
 
 
-def ua_enrich(df: DataFrame, ua_col: str = "user_agent", via_distinct: bool = True) -> DataFrame:
+def ua_enrich(
+    df: DataFrame,
+    ua_col: str = "user_agent",
+    via_distinct: bool = True,
+    known_uas: "Sequence[str] | None" = None,
+) -> DataFrame:
     """Stamp parsed UA fields onto rows.
 
     ``via_distinct`` (default) runs the regex chain over DISTINCT UA
     strings and broadcast-joins the result back — UA cardinality is
     orders of magnitude below row count, so the regex work drops from
     O(rows) to O(distinct UAs). Set False to evaluate inline (cheaper
-    when UAs are near-unique)."""
+    when UAs are near-unique).
+
+    ``known_uas``: skip the distinct scan entirely by parsing a
+    caller-provided UA catalog (ingest tiers typically maintain one —
+    the analogue of the reference's dictionary tables). Unlisted UA
+    strings resolve to null fields via the left join, so the hint is
+    an optimization, never a correctness dependency. This halves the
+    input scans: the distinct pass over a 100 TB events table exists
+    only to discover strings the catalog already knows."""
     parsed = parse_user_agent(F.col(ua_col))
     fields = {
         "browser": parsed["browser"],
@@ -148,9 +161,15 @@ def ua_enrich(df: DataFrame, ua_col: str = "user_agent", via_distinct: bool = Tr
         "is_mobile": parsed["is_mobile"],
         "device": parsed["device"],
     }
-    if not via_distinct:
+    if not via_distinct and known_uas is None:
         return df.withColumns(fields)
-    dim = df.select(ua_col).distinct().withColumns(fields)
+    if known_uas is not None:
+        base = df.sparkSession.createDataFrame(
+            [(u,) for u in known_uas], f"{ua_col} string"
+        )
+    else:
+        base = df.select(ua_col).distinct()
+    dim = base.withColumns(fields)
     return df.join(F.broadcast(dim), ua_col, "left")
 
 

@@ -20,6 +20,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ._util import spread
+from .sizing import ivf_params, lsh_planes, validate_ann_params
+
+
+def _auto_planes(planes, embeddings: DataFrame) -> int:
+    """Resolve planes="auto" from corpus size (sizing.lsh_planes);
+    numeric values pass through validated. The count is parquet-
+    footer metadata — no data scan."""
+    if planes == "auto":
+        planes = lsh_planes(embeddings.count())
+    validate_ann_params(planes=planes)
+    return planes
+
+
+def _auto_ivf(n_centroids, nprobe, embeddings: DataFrame) -> tuple[int, int]:
+    """Resolve n_centroids/nprobe="auto" (sizing.ivf_params:
+    n_centroids ~ sqrt N)."""
+    if n_centroids == "auto" or nprobe == "auto":
+        p = ivf_params(embeddings.count())
+        if n_centroids == "auto":
+            n_centroids = p["n_centroids"]
+        if nprobe == "auto":
+            nprobe = min(p["nprobe"], n_centroids)
+    validate_ann_params(n_centroids=n_centroids, nprobe=nprobe)
+    return n_centroids, nprobe
 
 
 def _as_double(col: Column) -> Column:
@@ -153,6 +177,8 @@ def embedding_near_pairs(
     # shuffle join on the bucket key, where the scan is already
     # parallel and spread() is a no-op. No forced broadcast hints: a
     # corpus self-join side must never carry one.
+    if not exact:
+        planes = _auto_planes(planes, embeddings)
     a = spread(embeddings).select(
         F.col(id_col).alias("doc_a"), _as_double(F.col(vec_col)).alias("av")
     ).withColumn("na", _norm(F.col("av")))
@@ -287,6 +313,7 @@ def embedding_near_pairs_ivf(
     long-lived session."""
     from ._util import track_persist
 
+    n_centroids, _ = _auto_ivf(n_centroids, 1, embeddings)
     cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
     # spread BEFORE the assignment so the persisted index frame — and
     # therefore the within-bucket pair join that dominates (Σ bucket²)
@@ -338,6 +365,8 @@ def cosine_topk_ivf(
     identical plan shape."""
     from pyspark.sql import Window
 
+    n_centroids, nprobe = _auto_ivf(n_centroids, nprobe, embeddings)
+    validate_ann_params(k=k)
     cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
     e = _assign_to_centroids(spread(embeddings), cent, "neighbor_id", "ev", 1, id_col, vec_col)
     q = _assign_to_centroids(queries, cent, "query_id", "qv", nprobe, id_col, vec_col)
@@ -375,6 +404,8 @@ def cosine_topk_lsh(
             .withColumnRenamed("__v", vec_alias)
         )
 
+    planes = _auto_planes(planes, embeddings)
+    validate_ann_params(k=k)
     q = with_bucket(queries, "query_id", "qv")
     e = with_bucket(spread(embeddings), "neighbor_id", "ev")
     sims = (

@@ -59,6 +59,18 @@ EVENT_ID_COL = "event_id"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table.
+
+    SIDE EFFECT (deliberate, session-wide): sets nanosAsLong,
+    inferTimestampNTZ=false, and session timeZone=UTC on the session.
+    These confs are consulted at EXECUTION time, not just at read():
+    restoring them after this call would silently change how the
+    returned (lazy) DataFrame decodes its TIMESTAMP(NANOS) column
+    when it finally runs — per-read scoping is unsafe by
+    construction. The engine's convention is UTC-everywhere with
+    nanos-as-long + explicit µs conversion below; every session that
+    touches these tables (including the driver's own) needs the same
+    three settings, so the first load stamps them."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # runtime-set for sessions not built by session.get_spark (e.g. the

@@ -233,3 +233,69 @@ def test_pack_sequences_default_buckets_scale(spark):
     assert 1 <= n_buckets <= spark.sparkContext.defaultParallelism
     with pytest.raises(ValueError):
         pack_sequences(df, budget=64, n_buckets=1 << 24)
+
+
+def test_sizing_rules():
+    from optiprism_spark.operators.sizing import (
+        ivf_params,
+        lsh_planes,
+        max_bucket_default,
+        minhash_bands,
+    )
+
+    assert ivf_params(1_000_000)["n_centroids"] == 1000
+    assert ivf_params(10)["n_centroids"] == 8  # clamp floor
+    assert ivf_params(10**10)["n_centroids"] == 65536  # clamp ceiling
+    p = ivf_params(1_000_000)
+    assert 1 <= p["nprobe"] <= p["n_centroids"]
+    # planes: 1M rows / 1024 target bucket -> 2^10 buckets
+    assert lsh_planes(1_048_576) == 10
+    assert lsh_planes(100) == 2  # clamp floor
+    assert lsh_planes(10**12) == 24  # clamp ceiling
+    # bands: S-curve midpoint (1/b)^(b/k) nearest the threshold
+    assert minhash_bands(8, 1.0) == 1  # b=1 -> midpoint 1.0
+    assert minhash_bands(8, 0.2) == 8  # many bands -> low threshold
+    b = minhash_bands(16, 0.6)
+    assert 16 % b == 0
+    assert max_bucket_default(1_000_000, 1000) == 100_000
+    with pytest.raises(ValueError):
+        ivf_params(0)
+    with pytest.raises(ValueError):
+        minhash_bands(8, 1.5)
+
+
+def test_ann_param_validation(spark):
+    from optiprism_spark.operators.similarity import cosine_topk_ivf, cosine_topk_lsh
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.limit(1)
+    with pytest.raises(ValueError, match="nprobe"):
+        cosine_topk_ivf(emb, q, n_centroids=4, nprobe=9).collect()
+    with pytest.raises(ValueError, match="planes"):
+        cosine_topk_lsh(emb, q, planes=0).collect()
+    with pytest.raises(ValueError, match="k must be"):
+        cosine_topk_lsh(emb, q, k=0).collect()
+
+
+def test_ann_auto_sizing_sf01(spark):
+    """The sizing rules applied to the real sf0.1 embeddings table:
+    "auto" resolves from the corpus row count (sqrt-N centroids), and
+    the auto-sized query returns well-formed top-k."""
+    import math
+
+    from optiprism_spark.operators.similarity import _auto_ivf, cosine_topk_ivf
+    from optiprism_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n = emb.count()
+    n_centroids, nprobe = _auto_ivf("auto", "auto", emb)
+    assert n_centroids == max(8, min(65536, round(math.sqrt(n))))
+    assert 1 <= nprobe <= n_centroids
+    out = cosine_topk_ivf(
+        emb, emb.limit(2), k=3, n_centroids="auto", nprobe="auto"
+    ).collect()
+    assert 0 < len(out) <= 2 * 3
+    assert all(r.rank <= 3 for r in out)
