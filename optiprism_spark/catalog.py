@@ -52,6 +52,7 @@ KINDS = (
     "organization",
     "project",
     "account",
+    "group",
     "event",
     "custom_event",
     "event_property",

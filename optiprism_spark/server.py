@@ -17,8 +17,11 @@ Admin plane (reference platform/src/http/mod.rs:51-65), all backed by
 the persisted sqlite catalog (catalog.py):
 
     POST /api/v1/auth/{signup,login,refresh-token}
+    POST+GET /api/v1/admin/backups           (catalog+WAL archive, backup.py)
     POST+GET /api/v1/organizations           (+ GET/PUT/DELETE /{id})
     POST+GET /api/v1/projects                (+ GET/PUT/DELETE /{id})
+    POST+GET /api/v1/accounts                (+ GET/PUT/DELETE /{id})
+    POST+GET /api/v1/projects/{pid}/groups   (+ /{id})
     POST+GET /api/v1/projects/{pid}/schema/events           (+ /{id}, /name/{name})
     POST+GET /api/v1/projects/{pid}/schema/custom-events    (+ /{id})
     POST+GET /api/v1/projects/{pid}/schema/event-properties (+ /{id}, /name/{name})
@@ -67,6 +70,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 import re
 from decimal import Decimal
 from typing import Callable, Optional
@@ -221,6 +225,7 @@ class App:
         catalog: Optional[Catalog] = None,
         token_key: Optional[str] = None,
         wal_dir: Optional[str] = None,
+        backup_dir: Optional[str] = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -231,6 +236,10 @@ class App:
         self.tracked: list[dict] = []
         self.identified: list[dict] = []
         self.wal = None
+        self._wal_dir = wal_dir
+        self.backup_dir = backup_dir or (
+            os.path.join(wal_dir, "backups") if wal_dir else None
+        )
         if wal_dir is not None:
             from .wal import IngestWal
 
@@ -261,9 +270,16 @@ class App:
             ("POST", re.compile(r"^/api/v1/ingest/(?P<token>[^/]+)/identify$"),
              self._identify),
         ]
+        # ---- backups (reference http/backups.rs /api/v1/admin/backups) ----
+        self._routes += [
+            ("POST", re.compile(r"^/api/v1/admin/backups$"), self._backup_create),
+            ("GET", re.compile(r"^/api/v1/admin/backups$"), self._backup_list),
+        ]
         # ---- admin-plane CRUD (reference http/mod.rs:51-65) ----
         self._add_crud(r"^/api/v1/organizations", "organization", scoped=False)
         self._add_crud(r"^/api/v1/projects", "project", scoped=False)
+        self._add_crud(r"^/api/v1/accounts", "account", scoped=False)
+        self._add_crud(P + r"/groups", "group")
         self._add_crud(P + r"/schema/events", "event", with_name=True)
         self._add_crud(P + r"/schema/custom-events", "custom_event")
         self._add_crud(P + r"/schema/event-properties", "event_property",
@@ -285,25 +301,34 @@ class App:
         def pid_of(m) -> int:
             return int(m["pid"]) if scoped else 0
 
+        def scrub(row):
+            # secrets never leave through CRUD responses (the reference
+            # account DTO likewise omits password_hash)
+            if kind == "account":
+                if isinstance(row, list):
+                    return [scrub(r) for r in row]
+                row = {k: v for k, v in row.items() if k != "passwordHash"}
+            return row
+
         def _create(body, m, q):
             fn = create or (lambda b, p: self.catalog.create(kind, b, project_id=p))
-            return 201, fn(body, pid_of(m))
+            return 201, scrub(fn(body, pid_of(m)))
 
         def _list(body, m, q):
-            return 200, self.catalog.list(kind, project_id=pid_of(m))
+            return 200, scrub(self.catalog.list(kind, project_id=pid_of(m)))
 
         def _get(body, m, q):
-            return 200, self.catalog.get(kind, int(m["id"]), project_id=pid_of(m))
+            return 200, scrub(self.catalog.get(kind, int(m["id"]), project_id=pid_of(m)))
 
         def _put(body, m, q):
-            return 200, self.catalog.update(
-                kind, int(m["id"]), body, project_id=pid_of(m))
+            return 200, scrub(self.catalog.update(
+                kind, int(m["id"]), body, project_id=pid_of(m)))
 
         def _delete(body, m, q):
-            return 200, self.catalog.delete(kind, int(m["id"]), project_id=pid_of(m))
+            return 200, scrub(self.catalog.delete(kind, int(m["id"]), project_id=pid_of(m)))
 
         def _get_by_name(body, m, q):
-            return 200, self.catalog.get_by_name(kind, m["name"], project_id=pid_of(m))
+            return 200, scrub(self.catalog.get_by_name(kind, m["name"], project_id=pid_of(m)))
 
         self._routes += [
             ("POST", re.compile(base + r"$"), _create),
@@ -324,6 +349,35 @@ class App:
         # re-parse: the catalog stores it on the property row
         return self.catalog.create_property(
             pid, body, typ="group", group_id=int(body.get("groupId", 0)))
+
+    # ---------------------------------------------------- backup handlers
+
+    def _backup_create(self, body, m, q):
+        """POST /api/v1/admin/backups — archive the control plane
+        (catalog + WAL) into backup_dir (reference http/backups.rs;
+        store backup storage/src/db.rs:1348-1546). Data dirs belong to
+        the object store at scale (see backup.py)."""
+        from .backup import create_backup
+
+        if not self.backup_dir:
+            raise HttpError(400, "backups require backup_dir= (or wal_dir=)")
+        os.makedirs(self.backup_dir, exist_ok=True)
+        n = len(os.listdir(self.backup_dir)) + 1
+        path = os.path.join(self.backup_dir, f"backup-{n:04d}.tar.gz")
+        manifest = create_backup(
+            path, catalog=self.catalog, wal_dir=self._wal_dir
+        )
+        return 201, {"id": n, "path": path,
+                     "entries": len(manifest["entries"]),
+                     "createdAt": manifest["createdAt"]}
+
+    def _backup_list(self, body, m, q):
+        if not self.backup_dir or not os.path.isdir(self.backup_dir):
+            return 200, []
+        return 200, [
+            {"name": n, "path": os.path.join(self.backup_dir, n)}
+            for n in sorted(os.listdir(self.backup_dir))
+        ]
 
     # ------------------------------------------------------ auth handlers
 

@@ -403,3 +403,116 @@ def test_response_size_guard(spark):
     assert ei.value.status == 500 and "exceeds" in ei.value.message
     out = frame_to_response(events.limit(5), max_rows=10)
     assert len(out["columns"][0]["data"]) == 5
+
+
+# ------------------------------------------------------- backup/restore
+
+def test_backup_restore_roundtrip(spark, tmp_path):
+    """Full store backup/restore (reference storage/src/db.rs:
+    1348-1546): catalog + WAL + a parquet data dir archived with
+    sha256 manifest; restore verifies integrity and state equals the
+    pre-backup snapshot even after post-backup mutations."""
+    from optiprism_spark.backup import create_backup, restore_backup
+
+    cat = Catalog(str(tmp_path / "md.db"))
+    cat.create("project", {"name": "demo"})
+    cat.create_property(1, {"name": "plan", "dataType": "string"})
+    wal_dir = str(tmp_path / "wal")
+    wal = IngestWal(wal_dir)
+    wal.append("track", {"event_type": "a", "user_id": "u1"})
+    data_dir = str(tmp_path / "events_data")
+    spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string") \
+        .write.parquet(data_dir)
+
+    out = str(tmp_path / "bk" / "backup-1.tar.gz")
+    manifest = create_backup(out, catalog=cat, wal_dir=wal_dir,
+                             data_dirs={"events": data_dir})
+    assert "catalog.db" in manifest["entries"]
+    assert any(e.startswith("wal/") for e in manifest["entries"])
+
+    # post-backup mutations that the restore must NOT see
+    cat.create("project", {"name": "after-backup"})
+    wal.append("track", {"event_type": "b", "user_id": "u2"})
+
+    dest = str(tmp_path / "restored")
+    r = restore_backup(out, dest)
+    rcat = Catalog(r["catalog"])
+    assert [p["name"] for p in rcat.list("project")] == ["demo"]
+    assert rcat.properties_dtypes(1) == {"plan": "string"}
+    tracked, _ = IngestWal(r["wal_dir"]).replay()
+    assert [t["event_type"] for t in tracked] == ["a"]
+    rows = spark.read.parquet(r["data_dirs"]["events"]).orderBy("id").collect()
+    assert [(x.id, x.v) for x in rows] == [(1, "x"), (2, "y")]
+
+
+def test_backup_integrity_check(tmp_path):
+    import tarfile
+
+    from optiprism_spark.backup import create_backup, restore_backup
+
+    cat = Catalog()
+    cat.create("project", {"name": "p"})
+    out = str(tmp_path / "b.tar.gz")
+    create_backup(out, catalog=cat)
+    # corrupt the archived catalog, keep the manifest: restore must fail
+    evil = str(tmp_path / "evil.tar.gz")
+    with tarfile.open(out, "r:gz") as src, tarfile.open(evil, "w:gz") as dst:
+        for m in src.getmembers():
+            data = src.extractfile(m).read()
+            if m.name == "catalog.db":
+                data = data[:-4] + b"\x00\x00\x00\x00"
+            import io as _io
+            info = tarfile.TarInfo(m.name)
+            info.size = len(data)
+            dst.addfile(info, _io.BytesIO(data))
+    with pytest.raises(ValueError, match="integrity"):
+        restore_backup(evil, str(tmp_path / "r"))
+
+
+def test_backup_http_routes(spark, tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    app = make_app(spark, SF_DIR, wal_dir=wal_dir)
+    st, _ = call(app, "POST", "/api/v1/ingest/tok/track",
+                 {"event": "x", "userId": "u"})
+    assert st == 201
+    st, created = call(app, "POST", "/api/v1/admin/backups", {})
+    assert st == 201 and created["entries"] >= 2  # catalog + wal
+    st, lst = call(app, "GET", "/api/v1/admin/backups")
+    assert st == 200 and len(lst) == 1
+    # second backup must not recursively archive the first
+    st, c2 = call(app, "POST", "/api/v1/admin/backups", {})
+    assert st == 201 and c2["entries"] == created["entries"]
+    # no backup_dir configured -> 400
+    app2 = make_app(spark, SF_DIR)
+    st, _ = call(app2, "POST", "/api/v1/admin/backups", {})
+    assert st == 400
+
+
+def test_accounts_and_groups_routes(spark):
+    app = make_app(spark, SF_DIR, token_key="k")
+    st, pair = call(app, "POST", "/api/v1/auth/signup",
+                    {"email": "x@y.z", "password": "pw-pw-pw-pw"})
+    assert st == 200
+
+    def authed(method, path, body=None):
+        raw = b"" if body is None else json.dumps(body).encode()
+        environ = {
+            "REQUEST_METHOD": method, "PATH_INFO": path, "QUERY_STRING": "",
+            "CONTENT_LENGTH": str(len(raw)), "wsgi.input": io.BytesIO(raw),
+            "HTTP_AUTHORIZATION": f"Bearer {pair['accessToken']}",
+        }
+        captured = {}
+        chunks = b"".join(app(environ, lambda s, h: captured.update(
+            status=int(s.split()[0]))))
+        return captured["status"], json.loads(chunks) if chunks else None
+
+    st, accounts = authed("GET", "/api/v1/accounts")
+    assert st == 200 and len(accounts) == 1
+    # password hash never leaves through CRUD (reference DTO omits it)
+    assert "passwordHash" not in accounts[0]
+    st, one = authed("GET", f"/api/v1/accounts/{accounts[0]['id']}")
+    assert st == 200 and "passwordHash" not in one
+    st, g = authed("POST", "/api/v1/projects/1/groups", {"name": "company"})
+    assert st == 201
+    st, gl = authed("GET", "/api/v1/projects/1/groups")
+    assert st == 200 and [x["name"] for x in gl] == ["company"]
