@@ -284,13 +284,24 @@ class Catalog:
 
     def resolve_property(self, project_id: int, name: str) -> PropertyRef:
         """Catalog-driven property resolution for the query layer:
-        system properties -> the physical column; user properties ->
-        the ``props`` JSON map with the declared dtype (see module
-        docstring for the materialization contract)."""
+        system properties -> the physical column; materialized user
+        properties -> their ``column_name()`` physical column;
+        unmaterialized ones -> the ``props`` JSON map with the
+        declared dtype (see module docstring)."""
         prop = self.get_by_name("event_property", name, project_id)
-        if prop["isSystem"]:
+        if prop["isSystem"] or prop.get("materialized"):
             return PropertyRef.column(prop["columnName"])
         return PropertyRef.json(name, prop["dataType"])
+
+    def mark_materialized(self, project_id: int, name: str) -> dict:
+        """Flip a property to materialized after its physical column
+        has been written (ingest.materialize_properties) — the
+        bookkeeping half of the reference's ``add_field`` dynamic
+        schema (storage/src/db.rs:1233): from then on queries read the
+        physical column, not the JSON map."""
+        prop = self.get_by_name("event_property", name, project_id)
+        return self.update("event_property", prop["id"],
+                           {"materialized": True}, project_id)
 
     def properties_dtypes(self, project_id: int) -> dict[str, str]:
         """{property name -> declared dtype} for every non-system

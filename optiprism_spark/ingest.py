@@ -199,14 +199,54 @@ def ip_to_int(ip: Column) -> Column:
     )
 
 
+def geo_range_table_from_csv(
+    spark: SparkSession, blocks_csv: str, locations_csv: str
+) -> DataFrame:
+    """(start_ip, end_ip, country) from a REAL GeoLite2-Country CSV
+    export — the production data path. Column contract (MaxMind's
+    published export format, the same database the reference reads
+    through maxminddb, ingester/src/transformers/geo/mod.rs:1-54):
+
+    - ``GeoLite2-Country-Blocks-IPv4.csv``: ``network`` ("1.2.3.0/24"
+      CIDR), ``geoname_id``, ``registered_country_geoname_id``, …
+    - ``GeoLite2-Country-Locations-<lang>.csv``: ``geoname_id``,
+      ``country_iso_code``, …
+
+    CIDR → [start, end] integer range entirely in column expressions
+    (no UDF); the locations dim broadcasts into the blocks join. Feed
+    the result to geoip_enrich(geo=...) — identical mechanics to the
+    synthetic table, real data."""
+    blocks = spark.read.csv(blocks_csv, header=True)
+    locs = spark.read.csv(locations_csv, header=True)
+    net = F.split(F.col("network"), "/")
+    prefix_len = net.getItem(1).cast("int")
+    base = ip_to_int(net.getItem(0))
+    # shiftleft's bit count must be a literal in this API; 2^(32-p) is
+    # exact in a double for p in [0, 32]
+    size = F.pow(F.lit(2.0), (F.lit(32) - prefix_len)).cast("long")
+    # fall back to registered_country when the block has no geoname
+    gid = F.coalesce(F.col("geoname_id"), F.col("registered_country_geoname_id"))
+    return (
+        blocks.select(
+            base.alias("start_ip"),
+            (base + size - 1).alias("end_ip"),
+            gid.alias("geoname_id"),
+        )
+        .join(
+            F.broadcast(locs.select("geoname_id", "country_iso_code")),
+            "geoname_id",
+            "left",
+        )
+        .select("start_ip", "end_ip", F.col("country_iso_code").alias("country"))
+    )
+
+
 def geo_range_table(spark: SparkSession) -> DataFrame:
-    """(start_ip, end_ip, country) IPv4-integer ranges — the shape of a
-    public GeoLite2 country CSV export (the reference resolves IPs
-    against the same data via maxminddb,
-    ingester/src/transformers/geo/mod.rs:1-54). TEST data: one range
-    per /8 block, countries cycling — deterministic so the oracle can
-    reproduce the lookup; production swaps in a real export with no
-    caller changes (the range-join mechanics are identical)."""
+    """(start_ip, end_ip, country) IPv4-integer ranges. TEST data: one
+    range per /8 block, countries cycling — deterministic so the
+    oracle can reproduce the lookup. Production loads a real GeoLite2
+    export via geo_range_table_from_csv (same schema, no caller
+    changes — the range-join mechanics are identical)."""
     return spark.range(256).select(
         (F.col("id") * (1 << 24)).alias("start_ip"),
         ((F.col("id") + 1) * (1 << 24) - 1).alias("end_ip"),
@@ -266,6 +306,46 @@ def denormalize_group_attrs(
     queries stay join-free."""
     dim = profiles.select(on, *attrs)
     return events.join(F.broadcast(dim), on, "left")
+
+
+def materialize_properties(
+    events: DataFrame,
+    catalog,
+    project_id: int,
+    names: Optional[Sequence[str]] = None,
+    mark: bool = True,
+) -> DataFrame:
+    """Materialize catalog properties as physical columns — the Spark
+    half of the reference's dynamic schema (``add_field`` appends a
+    column at runtime, old parquet parts are null-filled on merge;
+    storage/src/db.rs:1233, parquet_merger.rs:14).
+
+    For each named (default: all unmaterialized, non-system) event
+    property, adds a column ``Property::column_name()`` =
+    json-extracted + dtype-cast value — a pure per-row projection, no
+    shuffle; a compaction pass (compact_events) persists it, after
+    which parquet schema merge plays the null-fill role for old
+    files. ``mark=True`` flips the catalog flag so resolve_property
+    serves the physical column from now on (late readers of
+    un-rewritten data still succeed: the JSON key remains)."""
+    from .dsl import PropertyRef
+    from .exprs import prop_col
+
+    props = [
+        p for p in catalog.list("event_property", project_id)
+        if not p["isSystem"]
+        and not p.get("materialized")
+        and (names is None or p["name"] in names)
+    ]
+    cols = {
+        p["columnName"]: prop_col(PropertyRef.json(p["name"], p["dataType"]))
+        for p in props
+    }
+    out = events.withColumns(cols)
+    if mark:
+        for p in props:
+            catalog.mark_materialized(project_id, p["name"])
+    return out
 
 
 # ------------------------------------------------------------------ upsert

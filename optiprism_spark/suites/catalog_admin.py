@@ -91,3 +91,42 @@ def catalog_property_query(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     out = run_event_segmentation(events, req)
     return out.select(F.col("bucket"), F.col("0_0_count_events").alias("n"))
+
+
+@query(
+    "catalog_materialized_property",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_mod,
+           COUNT(*) AS n
+    FROM events WHERE {S.ts_between(*S.T_FULL)}
+    GROUP BY 1
+    """,
+)
+def catalog_materialized_property(spark, sf_dir):
+    """The materialization half of the admin loop (reference dynamic
+    schema, storage/src/db.rs:1233 add_field): create property ->
+    materialize_properties writes the Property::column_name() physical
+    column (pure projection, no shuffle) -> resolve_property now
+    serves the COLUMN ref -> the query groups by the physical column.
+    The oracle reads the same values straight from the JSON map, so a
+    materialization bug (wrong cast, wrong column, stale resolution)
+    breaks the hash."""
+    from ..catalog import Catalog
+    from ..dsl import PropKind
+    from ..exprs import full_filter, prop_col
+    from ..ingest import materialize_properties
+    from ..schema import load_table
+    from ..suites.segmentation import _FULL
+
+    cat = Catalog()
+    cat.create_property(1, {"name": "k", "dataType": "int64"})
+    events = load_table(spark, sf_dir, "events")
+    events = materialize_properties(events, cat, 1)
+    assert "e_i64_0" in events.columns
+    ref = cat.resolve_property(1, "k")
+    assert ref.kind == PropKind.COLUMN and ref.name == "e_i64_0"
+    return (
+        events.filter(full_filter(time=_FULL))
+        .groupBy((prop_col(ref) % 5).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

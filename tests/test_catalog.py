@@ -516,3 +516,33 @@ def test_accounts_and_groups_routes(spark):
     assert st == 201
     st, gl = authed("GET", "/api/v1/projects/1/groups")
     assert st == 200 and [x["name"] for x in gl] == ["company"]
+
+
+# ---------------------------------------------------- materialization
+
+def test_materialize_property_compaction_roundtrip(spark, tmp_path):
+    """create property -> materialize (projection) -> persist via the
+    compaction-style rewrite -> the reread table carries the physical
+    column with correct values; resolve_property serves the column."""
+    from optiprism_spark.dsl import PropKind
+    from optiprism_spark.ingest import materialize_properties
+    from optiprism_spark.schema import load_table
+
+    cat = Catalog()
+    cat.create_property(1, {"name": "k", "dataType": "int64"})
+    events = load_table(spark, SF_DIR, "events").limit(50)
+    out = materialize_properties(events, cat, 1)
+    dst = str(tmp_path / "events_rewritten")
+    out.write.parquet(dst)
+
+    reread = spark.read.parquet(dst)
+    assert "e_i64_0" in reread.columns
+    import json as _json
+
+    for r in reread.select("props", "e_i64_0").collect():
+        assert r.e_i64_0 == _json.loads(r.props).get("k")
+    ref = cat.resolve_property(1, "k")
+    assert ref.kind == PropKind.COLUMN and ref.name == "e_i64_0"
+    # idempotent: a second pass sees nothing unmaterialized
+    again = materialize_properties(reread, cat, 1)
+    assert again.columns == reread.columns

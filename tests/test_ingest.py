@@ -180,3 +180,41 @@ def test_load_csv_explicit_schema(spark, tmp_path):
     out = load_csv(spark, str(p), schema)
     assert out.schema == schema
     assert {(r.id, r.name) for r in out.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_geo_range_table_from_csv(spark, tmp_path):
+    """Real GeoLite2-Country export format (CIDR blocks + locations)
+    loads into the same (start_ip, end_ip, country) shape and drives
+    geoip_enrich unchanged — the production data path for the geo
+    transformer."""
+    from optiprism_spark.ingest import geo_range_table_from_csv, geoip_enrich
+
+    blocks = tmp_path / "GeoLite2-Country-Blocks-IPv4.csv"
+    blocks.write_text(
+        "network,geoname_id,registered_country_geoname_id,"
+        "represented_country_geoname_id,is_anonymous_proxy,is_satellite_provider\n"
+        "8.8.8.0/24,6252001,6252001,,0,0\n"
+        "1.0.0.0/8,,2077456,,0,0\n"          # geoname null -> registered fallback
+        "91.198.174.0/31,2921044,2921044,,0,0\n"
+    )
+    locs = tmp_path / "GeoLite2-Country-Locations-en.csv"
+    locs.write_text(
+        "geoname_id,locale_code,continent_code,continent_name,"
+        "country_iso_code,country_name,is_in_european_union\n"
+        "6252001,en,NA,\"North America\",US,\"United States\",0\n"
+        "2077456,en,OC,Oceania,AU,Australia,0\n"
+        "2921044,en,EU,Europe,DE,Germany,0\n"
+    )
+    geo = geo_range_table_from_csv(spark, str(blocks), str(locs))
+    rows = {(r.start_ip, r.end_ip): r.country for r in geo.collect()}
+    assert rows[(8 * 2**24 + 8 * 2**16 + 8 * 2**8, 8 * 2**24 + 8 * 2**16 + 8 * 2**8 + 255)] == "US"
+    assert rows[(1 * 2**24, 2 * 2**24 - 1)] == "AU"  # /8 + registered fallback
+    # /31: two addresses
+    base31 = 91 * 2**24 + 198 * 2**16 + 174 * 2**8
+    assert rows[(base31, base31 + 1)] == "DE"
+
+    df = spark.createDataFrame(
+        [("a", "8.8.8.8"), ("b", "1.2.3.4"), ("c", "9.9.9.9")], "id string, ip string"
+    )
+    out = {r.id: r.country for r in geoip_enrich(df, geo=geo).collect()}
+    assert out == {"a": "US", "b": "AU", "c": None}
