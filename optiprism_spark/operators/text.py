@@ -146,3 +146,59 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         + F.when(mwl.between(2.0, 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
     )
     return with_words.select(F.col(id_col), score.alias("quality_score"))
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    max_dup_word_frac: float = 0.9,
+) -> DataFrame:
+    """Gopher-style document quality rules [Rae et al. 2021, public]:
+    word-count bounds, mean word length bounds, symbol-to-word ratio
+    (# and ellipsis), fraction of words containing an alphabetic
+    character, and a word-repetition fraction (the fixture-friendly
+    stand-in for Gopher's duplicate line/paragraph fractions — same
+    signal, works on single-line docs too). Emits the per-rule
+    metrics plus the composite ``keep`` flag.
+
+    All pure column expressions over ONE split(text) projection — at
+    100 TB this is a narrow map stage, no shuffle, no Python."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    mwl = mean_word_len(text_col, words=words)
+    t = F.col(text_col)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words.cast("double")
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words.cast("double")
+    )
+    dup_word_frac = F.lit(1.0) - (
+        F.size(F.array_distinct(words)).cast("double") / n_words.cast("double")
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & mwl.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio < max_symbol_word_ratio)
+        & (alpha_frac > min_alpha_word_frac)
+        & (dup_word_frac < max_dup_word_frac)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        dup_word_frac.alias("dup_word_frac"),
+        keep.alias("keep"),
+    )

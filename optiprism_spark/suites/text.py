@@ -128,3 +128,41 @@ def text_pii_redact(spark, sf_dir):
         ),
     )
     return pii_redact(docs)
+
+
+_GQ_WORDS = "string_split(text, ' ')"
+_GQ_MWL = (f"CAST(list_sum(list_transform({_GQ_WORDS}, w -> length(w))) AS DOUBLE)"
+           f" / CAST(len({_GQ_WORDS}) AS DOUBLE)")
+_GQ_SYM = ("(CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)"
+           " + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE)/3)"
+           f" / CAST(len({_GQ_WORDS}) AS DOUBLE)")
+_GQ_ALPHA = (f"CAST(len(list_filter({_GQ_WORDS}, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)"
+             f" / CAST(len({_GQ_WORDS}) AS DOUBLE)")
+_GQ_DUP = f"1.0 - CAST(len(list_distinct({_GQ_WORDS})) AS DOUBLE) / CAST(len({_GQ_WORDS}) AS DOUBLE)"
+
+
+@query(
+    "text_gopher_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len({_GQ_WORDS}) AS n_words,
+           {_GQ_MWL} AS mean_word_len,
+           {_GQ_SYM} AS symbol_word_ratio,
+           {_GQ_ALPHA} AS alpha_word_frac,
+           {_GQ_DUP} AS dup_word_frac,
+           (len({_GQ_WORDS}) BETWEEN 50 AND 100000
+            AND {_GQ_MWL} BETWEEN 3.0 AND 10.0
+            AND {_GQ_SYM} < 0.1
+            AND {_GQ_ALPHA} > 0.8
+            AND {_GQ_DUP} < 0.9) AS keep
+    FROM documents
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality filters (word bounds, mean word length,
+    symbol ratio, alpha-word fraction, word-repetition) with the
+    composite keep flag — every rule differentially checked."""
+    from ..operators.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality(docs)

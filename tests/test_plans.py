@@ -208,3 +208,49 @@ def test_tracked_persists_are_released(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
     assert unpersist_tracked() == 2
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_materialize_properties_is_narrow(spark):
+    """Property materialization must stay a pure projection: no
+    Exchange anywhere — at 100 TB a shuffle here would turn a
+    schema-evolution rewrite into a full re-cluster."""
+    from optiprism_spark.catalog import Catalog
+    from optiprism_spark.ingest import materialize_properties
+    from optiprism_spark.schema import load_table
+
+    cat = Catalog()
+    cat.create_property(1, {"name": "k", "dataType": "int64"})
+    cat.create_property(1, {"name": "tag", "dataType": "string"})
+    out = materialize_properties(load_table(spark, SF_SMOKE, "events"), cat, 1)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "e_i64_0" in out.columns and "e_str_0" in out.columns
+
+
+def test_gopher_quality_is_narrow_and_prunes(spark):
+    """Quality filtering is a narrow map stage reading only (doc_id,
+    text) — no shuffle, no extra columns into the scan."""
+    from optiprism_spark.operators.text import gopher_quality
+    from optiprism_spark.schema import load_table
+
+    out = gopher_quality(load_table(spark, SF_SMOKE, "documents"))
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    schemas = _scan_read_schemas(plan)
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_geo_csv_loader_broadcasts_locations(spark, tmp_path):
+    """The GeoLite2 locations dim must broadcast into the blocks join
+    — a shuffle join on a dim of country names would be absurd at any
+    scale."""
+    from optiprism_spark.ingest import geo_range_table_from_csv
+
+    blocks = tmp_path / "b.csv"
+    blocks.write_text("network,geoname_id,registered_country_geoname_id\n"
+                      "8.8.8.0/24,1,1\n")
+    locs = tmp_path / "l.csv"
+    locs.write_text("geoname_id,country_iso_code\n1,US\n")
+    plan = _plan(geo_range_table_from_csv(spark, str(blocks), str(locs)))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
