@@ -170,3 +170,35 @@ def pack_sequences(
         .alias("pack_id"),
         F.pmod(F.col("__start"), F.lit(budget)).alias("pack_offset"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_words: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size word windows —
+    the standard context-window chunking step between "document" and
+    "training sequence" (overlap preserves cross-boundary context).
+
+    Returns (doc_id, chunk_idx, chunk_text, chunk_words); the last
+    chunk per doc may be short. A narrow map + posexplode (row
+    expansion, no shuffle) — chunking 100 TB is scan-bound by
+    construction."""
+    if not 0 <= overlap < chunk_words:
+        raise ValueError(
+            f"need 0 <= overlap({overlap}) < chunk_words({chunk_words})"
+        )
+    step = chunk_words - overlap
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(words, s + 1, chunk_words), " ")
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).withColumn("chunk_words", F.size(F.split(F.col("chunk_text"), " ")))

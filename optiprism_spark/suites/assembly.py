@@ -12,6 +12,8 @@ double.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators.assembly import (
     dataset_split,
     pack_sequences,
@@ -119,3 +121,91 @@ def asm_pack_sequences(spark, sf_dir):
     bucket id), never globally ordered."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, budget=512, n_buckets=32)
+
+
+@query(
+    "asm_chunk_documents",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS g FROM w)
+    SELECT doc_id,
+           CAST(g / 48 AS INT) AS chunk_idx,
+           array_to_string(ws[g + 1 : g + 64], ' ') AS chunk_text,
+           len(ws[g + 1 : g + 64]) AS chunk_words
+    FROM c
+    """,
+)
+def asm_chunk_documents(spark, sf_dir):
+    """Overlapping 64-word chunks with 16-word overlap (stride 48) —
+    the document→training-sequence chunking step; row expansion, no
+    shuffle."""
+    from ..operators.assembly import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_words=64, overlap=16)
+
+
+def _pipeline_oracle() -> str:
+    from .text import _GQ_ALPHA, _GQ_DUP, _GQ_MWL, _GQ_SYM, _GQ_WORDS
+
+    keep = (f"(len({_GQ_WORDS}) BETWEEN 50 AND 100000"
+            f" AND {_GQ_MWL} BETWEEN 3.0 AND 10.0"
+            f" AND {_GQ_SYM} < 0.1 AND {_GQ_ALPHA} > 0.8 AND {_GQ_DUP} < 0.9)")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+               {keep} AS keep
+        FROM documents)
+      WHERE rn = 1 AND keep
+    ), s AS (
+      SELECT doc_id, text, {_split_case_sql()} AS split
+      FROM (SELECT doc_id, text, {_u_sql('doc_id', 'split')} AS u FROM base)
+    ), t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 8 AS bucket
+      FROM s WHERE split = 'train'
+    ), p AS (
+      SELECT doc_id,
+             bucket * 1099511627776
+               + CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+             start % 512 AS pack_offset
+      FROM (
+        SELECT doc_id, bucket,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS start
+        FROM t)
+    )
+    SELECT s.doc_id, s.split, p.pack_id, p.pack_offset
+    FROM s LEFT JOIN p USING (doc_id)
+    """
+
+
+@query("asm_training_pipeline", oracle=_pipeline_oracle())
+def asm_training_pipeline(spark, sf_dir):
+    """The end-to-end assembly pipeline COMPOSED: Gopher quality
+    filter -> exact-dedup survivors -> deterministic split -> train
+    split packed into 512-token packs (8 hash buckets). Each stage is
+    individually oracle-checked elsewhere; this query checks the
+    composition — stage boundaries (semi-joins on the original ids,
+    packing only the train split) are where pipelines silently
+    diverge."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = gopher_quality(docs).filter("keep").select("doc_id")
+    survivors = exact_dedup(docs).select("doc_id")
+    base = (
+        docs.join(keep, "doc_id", "left_semi")
+        .join(survivors, "doc_id", "left_semi")
+    )
+    s = dataset_split(base, _WEIGHTS)
+    packed = pack_sequences(
+        s.filter(F.col("split") == "train"), budget=512, n_buckets=8
+    ).select("doc_id", "pack_id", "pack_offset")
+    return s.select("doc_id", "split").join(packed, "doc_id", "left")
