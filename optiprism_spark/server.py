@@ -128,14 +128,24 @@ def _json_value(v):
 
 
 def frame_to_response(
-    df: DataFrame, compact: bool = False, max_rows: int = MAX_RESPONSE_ROWS
+    df: DataFrame,
+    compact: bool = False,
+    max_rows: int = MAX_RESPONSE_ROWS,
+    dimensions: Optional[set] = None,
 ) -> dict | list:
-    """DataFrame → reference columnar response (lib.rs:592-640).
+    """DataFrame → reference columnar response (lib.rs:592-640), each
+    column tagged dimension|metric like the reference ColumnarDataTable
+    (query/src/lib.rs:360-373). ``dimensions``: explicit dimension
+    column names (the seg/funnel handlers pass the request's breakdown
+    /bucket columns); without it, non-numeric columns are dimensions —
+    the same split the reference derives from the request.
 
     The collect is bounded structurally: ``limit(max_rows + 1)`` rides
     into the plan (a TakeOrderedAndProject/CollectLimit, never a full
     materialization), and an overflow raises instead of silently
     truncating — no future route can collect unbounded rows."""
+    from pyspark.sql import types as T
+
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise HttpError(
@@ -143,9 +153,16 @@ def frame_to_response(
             f"response exceeds {max_rows} rows; the route's plan lost its "
             "limit (operator caps: top-50 series / 100 records / 1000 values)",
         )
+
+    def col_type(f) -> str:
+        if dimensions is not None:
+            return "dimension" if f.name in dimensions else "metric"
+        return "metric" if isinstance(f.dataType, T.NumericType) else "dimension"
+
     cols = [
         {
             "name": f.name,
+            "type": col_type(f),
             "dataType": f.dataType.simpleString(),
             "data": [_json_value(r[f.name]) for r in rows],
         }
@@ -438,7 +455,11 @@ class App:
             body, now=self.now, custom_events=self._custom_events(pid),
             props=self._props(pid),
         )
-        return 200, run_event_segmentation(self._events(), req)
+        dims = {"bucket", "event", "segment"}
+        dims.update(b.name for b in req.breakdowns)
+        for e in req.events:
+            dims.update(b.name for b in e.breakdowns)
+        return 200, (run_event_segmentation(self._events(), req), dims)
 
     def _funnel(self, body, m, q):
         pid = self._pid(m)
@@ -446,7 +467,9 @@ class App:
             body, now=self.now, custom_events=self._custom_events(pid),
             props=self._props(pid),
         )
-        return 200, funnel_report(self._events(), req)
+        dims = {"bucket", "step"}
+        dims.update(b.name for b in req.breakdowns)
+        return 200, (funnel_report(self._events(), req), dims)
 
     def _event_records_search(self, body, m, q):
         pid = self._pid(m)
@@ -584,9 +607,14 @@ class App:
             status, result = handler(body, m.groupdict(), query)
             if result is None:
                 return status, None
+            dims = None
+            if isinstance(result, tuple):
+                result, dims = result
             if isinstance(result, DataFrame):
                 compact = "format=jsonCompact" in query
-                return status, frame_to_response(result, compact=compact)
+                return status, frame_to_response(
+                    result, compact=compact, dimensions=dims
+                )
             return status, result
         if matched_path:
             raise HttpError(405, f"method {method} not allowed for {path}")

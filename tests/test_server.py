@@ -197,3 +197,30 @@ def test_errors(app):
     assert status == 400 and "error" in payload
     status, payload = call(app, "POST", "/api/v1/ingest/tok/track", {"noevent": 1})
     assert status == 400
+
+
+def test_response_column_typing(app):
+    """Columns carry the reference's dimension/metric tag
+    (ColumnarDataTable, query/src/lib.rs:360-373): bucket/breakdowns
+    are dimensions, aggregate outputs metrics."""
+    body = {
+        "time": T_JAN, "group": "user", "intervalUnit": "day",
+        "chartType": "line",
+        "breakdowns": [{"type": "property", "propertyType": "event",
+                        "propertyName": "event_type"}],
+        "events": [{"eventName": None, "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/event-segmentation", body)
+    assert status == 200
+    types = {c["name"]: c["type"] for c in payload["columns"]}
+    assert types["bucket"] == "dimension"
+    assert types["event_type"] == "dimension"
+    assert types["0_0_count_events"] == "metric"
+    # records search (no dims hint): heuristic — numeric=metric, else dimension
+    status, rec = call(app, "POST", "/api/v1/projects/1/event-records/search",
+                       {"time": T_JAN, "events": []})
+    assert status == 200
+    rt = {c["name"]: c["type"] for c in rec["columns"]}
+    assert rt["event_type"] == "dimension" and rt["event_id"] == "metric"
