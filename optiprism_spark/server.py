@@ -17,6 +17,7 @@ Admin plane (reference platform/src/http/mod.rs:51-65), all backed by
 the persisted sqlite catalog (catalog.py):
 
     POST /api/v1/auth/{signup,login,refresh-token}
+    GET  /api/v1/profile; PUT /api/v1/profile/{name,email,password}
     POST+GET /api/v1/admin/backups           (catalog+WAL archive, backup.py)
     POST+GET /api/v1/organizations           (+ GET/PUT/DELETE /{id})
     POST+GET /api/v1/projects                (+ GET/PUT/DELETE /{id})
@@ -268,6 +269,11 @@ class App:
             ("POST", re.compile(r"^/api/v1/auth/signup$"), self._auth_signup),
             ("POST", re.compile(r"^/api/v1/auth/login$"), self._auth_login),
             ("POST", re.compile(r"^/api/v1/auth/refresh-token$"), self._auth_refresh),
+            # profile (reference http/auth.rs:217-220; requires bearer)
+            ("GET", re.compile(r"^/api/v1/profile$"), self._profile_get),
+            ("PUT", re.compile(r"^/api/v1/profile/name$"), self._profile_name),
+            ("PUT", re.compile(r"^/api/v1/profile/email$"), self._profile_email),
+            ("PUT", re.compile(r"^/api/v1/profile/password$"), self._profile_password),
             # ---- queries ----
             ("POST", re.compile(P + r"/queries/event-segmentation$"),
              self._event_segmentation),
@@ -412,14 +418,15 @@ class App:
     def _auth_refresh(self, body, m, q):
         return 200, auth_mod.refresh(self.catalog, body, self._key())
 
-    def _authorize(self, environ, path: str) -> None:
+    def _authorize(self, environ, path: str) -> Optional[dict]:
         """Bearer-token guard over every non-auth, non-ingest route
         (reference: axum Extension(auth) middleware on all platform
-        routes, platform/src/auth/provider.rs)."""
+        routes, platform/src/auth/provider.rs). Returns the access
+        claims when a valid token is presented."""
         if self.token_key is None:
-            return
+            return None
         if path.startswith("/api/v1/auth/") or path.startswith("/api/v1/ingest/"):
-            return
+            return None
         header = environ.get("HTTP_AUTHORIZATION", "")
         if not header.startswith("Bearer "):
             raise HttpError(401, "missing bearer token")
@@ -431,6 +438,54 @@ class App:
             # a refresh token is not an access token (reference
             # AccessClaims vs RefreshClaims, auth/token.rs:18-30)
             raise HttpError(403, "not an access token")
+        return claims
+
+    # --------------------------------------------------- profile handlers
+
+    def _me(self, m) -> dict:
+        claims = m.get("__claims") or {}
+        if "accountId" not in claims:
+            raise HttpError(401, "profile routes require a bearer token")
+        return self.catalog.get("account", int(claims["accountId"]))
+
+    @staticmethod
+    def _scrub_account(acct: dict) -> dict:
+        return {k: v for k, v in acct.items() if k != "passwordHash"}
+
+    def _profile_get(self, body, m, q):
+        return 200, self._scrub_account(self._me(m))
+
+    def _profile_name(self, body, m, q):
+        acct = self._me(m)
+        upd = self.catalog.update(
+            "account", acct["id"],
+            {"firstName": body.get("firstName"), "lastName": body.get("lastName")},
+        )
+        return 200, self._scrub_account(upd)
+
+    def _profile_email(self, body, m, q):
+        acct = self._me(m)
+        email = body.get("email")
+        if not email:
+            raise HttpError(400, "email required")
+        # account name IS the email (login key) — both move together
+        upd = self.catalog.update(
+            "account", acct["id"], {"name": email, "email": email})
+        return 200, self._scrub_account(upd)
+
+    def _profile_password(self, body, m, q):
+        acct = self._me(m)
+        if not auth_mod.verify_password(
+            body.get("password", ""), acct.get("passwordHash", "")
+        ):
+            raise HttpError(401, "current password is wrong")
+        if not body.get("newPassword"):
+            raise HttpError(400, "newPassword required")
+        self.catalog.update(
+            "account", acct["id"],
+            {"passwordHash": auth_mod.make_password_hash(body["newPassword"])},
+        )
+        return 200, {"status": "ok"}
 
     # -------------------------------------------------- query handlers
 
@@ -591,7 +646,7 @@ class App:
             matched_path = True
             if method != route_method:
                 continue
-            self._authorize(environ, path)
+            claims = self._authorize(environ, path)
             body = {}
             if method in ("POST", "PUT"):
                 try:
@@ -604,7 +659,10 @@ class App:
                         body = json.loads(raw)
                     except json.JSONDecodeError as e:
                         raise HttpError(400, f"invalid JSON body: {e}")
-            status, result = handler(body, m.groupdict(), query)
+            md = m.groupdict()
+            if claims is not None:
+                md["__claims"] = claims
+            status, result = handler(body, md, query)
             if result is None:
                 return status, None
             dims = None

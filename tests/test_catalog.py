@@ -546,3 +546,47 @@ def test_materialize_property_compaction_roundtrip(spark, tmp_path):
     # idempotent: a second pass sees nothing unmaterialized
     again = materialize_properties(reread, cat, 1)
     assert again.columns == reread.columns
+
+
+def test_profile_routes(spark):
+    """Reference profile plane (http/auth.rs:217-220): GET /profile
+    from bearer claims; PUT name/email/password with old-password
+    verification; email move keeps login working."""
+    app = make_app(spark, SF_DIR, token_key="k")
+    st, pair = call(app, "POST", "/api/v1/auth/signup",
+                    {"email": "p@q.r", "password": "first-pass-123",
+                     "firstName": "Ada"})
+    assert st == 200
+
+    def authed(method, path, body=None, token=None):
+        raw = b"" if body is None else json.dumps(body).encode()
+        environ = {
+            "REQUEST_METHOD": method, "PATH_INFO": path, "QUERY_STRING": "",
+            "CONTENT_LENGTH": str(len(raw)), "wsgi.input": io.BytesIO(raw),
+            "HTTP_AUTHORIZATION": f"Bearer {token or pair['accessToken']}",
+        }
+        captured = {}
+        chunks = b"".join(app(environ, lambda s, h: captured.update(
+            status=int(s.split()[0]))))
+        return captured["status"], json.loads(chunks) if chunks else None
+
+    st, prof = authed("GET", "/api/v1/profile")
+    assert st == 200 and prof["email"] == "p@q.r" and "passwordHash" not in prof
+    st, prof = authed("PUT", "/api/v1/profile/name",
+                      {"firstName": "Grace", "lastName": "H"})
+    assert st == 200 and prof["firstName"] == "Grace"
+    st, prof = authed("PUT", "/api/v1/profile/email", {"email": "new@q.r"})
+    assert st == 200 and prof["email"] == "new@q.r"
+    # wrong old password -> 401; right one rotates and relogin works
+    st, _ = authed("PUT", "/api/v1/profile/password",
+                   {"password": "wrong", "newPassword": "x"})
+    assert st == 401
+    st, _ = authed("PUT", "/api/v1/profile/password",
+                   {"password": "first-pass-123", "newPassword": "second-pass-456"})
+    assert st == 200
+    st, _ = call(app, "POST", "/api/v1/auth/login",
+                 {"email": "new@q.r", "password": "first-pass-123"})
+    assert st == 401
+    st, pair2 = call(app, "POST", "/api/v1/auth/login",
+                     {"email": "new@q.r", "password": "second-pass-456"})
+    assert st == 200 and "accessToken" in pair2
