@@ -308,6 +308,68 @@ def denormalize_group_attrs(
     return events.join(F.broadcast(dim), on, "left")
 
 
+def tracked_to_events(
+    tracked: DataFrame,
+    base_event_id: int = 0,
+    user_resolver: Optional[Column] = None,
+) -> DataFrame:
+    """Facade /track batch → events-table rows — the ingester
+    DESTINATION step (reference ingester/src/destinations/local/
+    track.rs:44-130 writes the typed event row; enrichment columns
+    ride along as properties). Produces the driver events schema
+    (event_id, ts, user_id, event_type, value, props):
+
+    - event_id: ``base_event_id + monotonically_increasing_id()`` —
+      monotonic within a batch like the reference's record id; the
+      caller threads the high-water mark between batches.
+    - user_id: numeric ids pass through; non-numeric (anonymous ids,
+      external ids) hash into the id space — the reference resolves
+      them against its identify store, ``user_resolver`` is the seam
+      for the same lookup here.
+    - value: the ``revenue`` property if present (the fixture's
+      metric column); everything else stays in ``props``.
+    - enrichment columns (browser/os/country/...) merge INTO props so
+      downstream JSON-property queries see them — the reference
+      materializes them as physical property columns; here they ride
+      the props map until materialize_properties lifts them.
+    """
+    uid = F.col("user_id")
+    if user_resolver is None:
+        # try_cast, not cast: ANSI mode throws on non-numeric ids
+        user_resolver = F.coalesce(
+            uid.try_cast("long"),
+            F.conv(F.substring(F.md5(F.coalesce(uid, F.col("anonymous_id"))), 1, 15),
+                   16, 10).cast("long"),
+        )
+    enrich_cols = [
+        c for c in ("browser", "browser_version", "os", "is_mobile", "device",
+                    "country", "page_path", "page_url", "utm_source")
+        if c in tracked.columns
+    ]
+    props = F.to_json(
+        F.map_filter(
+            F.map_concat(
+                F.from_json(F.coalesce(F.col("props"), F.lit("{}")),
+                            "map<string,string>"),
+                F.map_from_arrays(
+                    F.array(*[F.lit(c) for c in enrich_cols]),
+                    F.array(*[F.col(c).cast("string") for c in enrich_cols]),
+                ),
+            ),
+            lambda k, v: v.isNotNull(),
+        )
+    )
+    return tracked.select(
+        (F.lit(base_event_id) + F.monotonically_increasing_id()).alias(EVENT_ID_COL),
+        F.to_timestamp(F.col("ts")).alias(EVENT_TIME_COL),
+        user_resolver.alias(EVENT_USER_COL),
+        F.col("event_type").alias("event_type"),
+        F.get_json_object(F.coalesce(F.col("props"), F.lit("{}")), "$.revenue")
+        .cast("double").alias("value"),
+        props.alias("props"),
+    )
+
+
 def materialize_properties(
     events: DataFrame,
     catalog,

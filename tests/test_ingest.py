@@ -218,3 +218,49 @@ def test_geo_range_table_from_csv(spark, tmp_path):
     )
     out = {r.id: r.country for r in geoip_enrich(df, geo=geo).collect()}
     assert out == {"a": "US", "b": "AU", "c": None}
+
+
+def test_tracked_to_events_destination(spark, tmp_path):
+    """End-to-end ingester pipeline: HTTP facade buffer (WAL-backed) →
+    UA/Geo enrichment → tracked_to_events destination mapping →
+    date-partitioned append → reload + Session Begin synthesis — the
+    reference source → transformers → destination chain."""
+    import json as _json
+
+    from optiprism_spark.ingest import tracked_to_events
+    from optiprism_spark.server import make_app
+    from optiprism_spark.streaming.sessionize import (
+        append_events,
+        synthesize_session_begin,
+    )
+    from .test_server import call
+
+    app = make_app(spark, "/root/testdata/sf0.001", wal_dir=str(tmp_path / "wal"))
+    for i, (uid, ev) in enumerate([("7", "view"), ("7", "purchase"), ("anon-x", "view")]):
+        st, _ = call(app, "POST", "/api/v1/ingest/tok/track", {
+            "userId": uid, "event": ev,
+            "timestamp": f"2024-03-01T10:0{i}:00Z",
+            "properties": {"revenue": 5.0} if ev == "purchase" else {},
+            "context": {"ip": "8.8.8.8", "userAgent": "Mozilla/5.0 Chrome/120.0"},
+        })
+        assert st == 201
+
+    events = tracked_to_events(app.tracked_df(), base_event_id=1000)
+    rows = {r.event_id: r for r in events.collect()}
+    assert len(rows) == 3 and all(eid >= 1000 for eid in rows)
+    by_type = sorted((r.event_type, r.user_id, r.value) for r in rows.values())
+    assert ("purchase", 7, 5.0) in by_type
+    anon = [r for r in rows.values() if r.event_type == "view" and r.user_id != 7]
+    assert anon and anon[0].user_id > 0  # hashed into the id space
+    p = _json.loads(next(r for r in rows.values() if r.event_type == "purchase").props)
+    assert p["country"] is not None and p["browser"] == "Chrome"
+    assert p["revenue"] == "5.0" or p["revenue"] == "5"  # rides along in props
+
+    dst = str(tmp_path / "events")
+    append_events(events, dst)
+    reread = spark.read.parquet(dst)
+    assert reread.count() == 3
+    with_sessions = synthesize_session_begin(reread.drop("dt"))
+    # one session per user -> +2 Session Begin rows
+    assert with_sessions.count() == 5
+    app.checkpoint_ingest()
