@@ -304,6 +304,15 @@ class App:
         self._add_crud(r"^/api/v1/accounts", "account", scoped=False)
         self._add_crud(P + r"/groups", "group")
         self._add_crud(P + r"/schema/events", "event", with_name=True)
+        # event<->property links (reference http/events.rs:110-115)
+        self._routes += [
+            ("POST", re.compile(
+                P + r"/schema/events/(?P<id>\d+)/properties/(?P<prop_id>\d+)$"),
+             self._attach_property),
+            ("DELETE", re.compile(
+                P + r"/schema/events/(?P<id>\d+)/properties/(?P<prop_id>\d+)$"),
+             self._detach_property),
+        ]
         self._add_crud(P + r"/schema/custom-events", "custom_event")
         self._add_crud(P + r"/schema/event-properties", "event_property",
                        with_name=True, create=self._create_event_property)
@@ -366,6 +375,24 @@ class App:
 
     def _create_event_property(self, body: dict, pid: int) -> dict:
         return self.catalog.create_property(pid, body, typ="event")
+
+    def _attach_property(self, body, m, q):
+        """Link a property to an event (reference events.rs
+        attach_property — the catalog edge the UI uses to offer
+        per-event property pickers)."""
+        pid, prop_id = self._pid(m), int(m["prop_id"])
+        self.catalog.get("event_property", prop_id, project_id=pid)  # must exist
+        ev = self.catalog.get("event", int(m["id"]), project_id=pid)
+        ids = list(dict.fromkeys((ev.get("propertyIds") or []) + [prop_id]))
+        return 200, self.catalog.update(
+            "event", ev["id"], {"propertyIds": ids}, project_id=pid)
+
+    def _detach_property(self, body, m, q):
+        pid = self._pid(m)
+        ev = self.catalog.get("event", int(m["id"]), project_id=pid)
+        ids = [i for i in (ev.get("propertyIds") or []) if i != int(m["prop_id"])]
+        return 200, self.catalog.update(
+            "event", ev["id"], {"propertyIds": ids}, project_id=pid)
 
     def _create_group_property(self, body: dict, pid: int) -> dict:
         # gid captured by the route pattern rides in via a closure-free

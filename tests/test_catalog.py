@@ -590,3 +590,29 @@ def test_profile_routes(spark):
     st, pair2 = call(app, "POST", "/api/v1/auth/login",
                      {"email": "new@q.r", "password": "second-pass-456"})
     assert st == 200 and "accessToken" in pair2
+
+
+def test_attach_detach_property(app):
+    st, ev = call(app, "POST", "/api/v1/projects/3/schema/events",
+                  {"name": "checkout"})
+    assert st == 201
+    st, prop = call(app, "POST", "/api/v1/projects/3/schema/event-properties",
+                    {"name": "cart_size", "dataType": "int64"})
+    assert st == 201
+    st, linked = call(
+        app, "POST",
+        f"/api/v1/projects/3/schema/events/{ev['id']}/properties/{prop['id']}")
+    assert st == 200 and linked["propertyIds"] == [prop["id"]]
+    # idempotent attach, missing property -> 404
+    st, linked = call(
+        app, "POST",
+        f"/api/v1/projects/3/schema/events/{ev['id']}/properties/{prop['id']}")
+    assert st == 200 and linked["propertyIds"] == [prop["id"]]
+    st, _ = call(
+        app, "POST",
+        f"/api/v1/projects/3/schema/events/{ev['id']}/properties/999")
+    assert st == 404
+    st, unlinked = call(
+        app, "DELETE",
+        f"/api/v1/projects/3/schema/events/{ev['id']}/properties/{prop['id']}")
+    assert st == 200 and unlinked["propertyIds"] == []
