@@ -73,7 +73,8 @@ def add_average_and_sort(df: DataFrame, metric_cols: Sequence[str],
 
 
 def limit_groups(df: DataFrame, group_cols: Sequence[str], limit: int = 50,
-                 order_col: Optional[str] = None) -> DataFrame:
+                 order_col: Optional[str] = None,
+                 persist: bool = True) -> DataFrame:
     """Keep rows belonging to the first `limit` distinct group tuples
     (top-N chart series) — reference LimitGroupsNode
     (logical_plan/limit_groups.rs:17-104, default 50 series).
@@ -82,7 +83,18 @@ def limit_groups(df: DataFrame, group_cols: Sequence[str], limit: int = 50,
     orderBy().limit() (TakeOrdered — per-partition top-N merged on the
     driver, no single-task global window), then broadcast back as a
     null-safe semi-join. A deterministic order column should be
-    supplied (e.g. the Average column) — falls back to key order."""
+    supplied (e.g. the Average column) — falls back to key order.
+
+    ``persist`` (default) materializes ``df`` once so the top-keys
+    derivation AND the semi-join probe read the same small
+    post-aggregation frame — without it the whole upstream lineage
+    (scan → aggregate → pivot) executes twice, one full extra pass
+    over the fact table at 100 TB. The persist is registered with
+    `_util.unpersist_tracked` for deterministic release."""
+    if persist:
+        from ._util import track_persist
+
+        df = track_persist(df)
     order_val = F.max(order_col).alias("__ord") if order_col else F.lit(0).alias("__ord")
     order = [F.desc("__ord")] if order_col else []
     # the top frame's key columns are renamed (__g_<c>) so the join
