@@ -365,9 +365,17 @@ def cosine_topk_ivf(
     identical plan shape."""
     from pyspark.sql import Window
 
+    from ._util import track_persist
+
     n_centroids, nprobe = _auto_ivf(n_centroids, nprobe, embeddings)
     validate_ann_params(k=k)
-    cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
+    # persist the centroid table: it is derived from the full corpus
+    # (TakeOrdered sample or a KMeans fit) and consumed by BOTH the
+    # corpus-side and query-side assignments — unpersisted, each side
+    # re-executes that full-corpus derivation
+    cent = track_persist(
+        _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
+    )
     e = _assign_to_centroids(spread(embeddings), cent, "neighbor_id", "ev", 1, id_col, vec_col)
     q = _assign_to_centroids(queries, cent, "query_id", "qv", nprobe, id_col, vec_col)
     sims = (
