@@ -60,6 +60,7 @@ KINDS = (
     "dashboard",
     "report",
     "bookmark",
+    "setting",
 )
 
 #: properties whose name matches a physical events column are system

@@ -297,6 +297,9 @@ class App:
         self._routes += [
             ("POST", re.compile(r"^/api/v1/admin/backups$"), self._backup_create),
             ("GET", re.compile(r"^/api/v1/admin/backups$"), self._backup_list),
+            # admin settings singleton (reference http/settings.rs:28-30)
+            ("GET", re.compile(r"^/api/v1/admin/settings$"), self._settings_get),
+            ("PUT", re.compile(r"^/api/v1/admin/settings$"), self._settings_put),
         ]
         # ---- admin-plane CRUD (reference http/mod.rs:51-65) ----
         self._add_crud(r"^/api/v1/organizations", "organization", scoped=False)
@@ -428,6 +431,22 @@ class App:
             {"name": n, "path": os.path.join(self.backup_dir, n)}
             for n in sorted(os.listdir(self.backup_dir))
         ]
+
+    # -------------------------------------------------- settings handlers
+
+    def _settings_row(self) -> dict:
+        try:
+            return self.catalog.get_by_name("setting", "settings")
+        except NotFound:
+            return self.catalog.create("setting", {"name": "settings"})
+
+    def _settings_get(self, body, m, q):
+        return 200, self._settings_row()
+
+    def _settings_put(self, body, m, q):
+        row = self._settings_row()
+        body.pop("name", None)  # the singleton key is fixed
+        return 200, self.catalog.update("setting", row["id"], body)
 
     # ------------------------------------------------------ auth handlers
 

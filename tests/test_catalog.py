@@ -616,3 +616,14 @@ def test_attach_detach_property(app):
         app, "DELETE",
         f"/api/v1/projects/3/schema/events/{ev['id']}/properties/{prop['id']}")
     assert st == 200 and unlinked["propertyIds"] == []
+
+
+def test_admin_settings_singleton(app):
+    st, s = call(app, "GET", "/api/v1/admin/settings")
+    assert st == 200 and s["name"] == "settings"
+    st, s2 = call(app, "PUT", "/api/v1/admin/settings",
+                  {"backupEnabled": True, "backupProviderLocalPath": "/b"})
+    assert st == 200 and s2["backupEnabled"] is True
+    st, s3 = call(app, "GET", "/api/v1/admin/settings")
+    assert st == 200 and s3["backupProviderLocalPath"] == "/b"
+    assert s3["id"] == s["id"]  # singleton, not a new row
