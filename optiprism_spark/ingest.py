@@ -308,6 +308,33 @@ def denormalize_group_attrs(
     return events.join(F.broadcast(dim), on, "left")
 
 
+def write_events_bucketed(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int = 32,
+    bucket_col: str = EVENT_USER_COL,
+    sort_cols: Sequence[str] = (EVENT_USER_COL, EVENT_TIME_COL, EVENT_ID_COL),
+    mode: str = "overwrite",
+) -> None:
+    """Write the events table bucketed by the group column — the
+    write layout that lets sequence operators skip their shuffle
+    (funnel_attempts(assume_partitioned=True)): a bucketed read puts
+    every user's rows in one partition, which is exactly the
+    reference's (project, user) LSM sort invariant re-expressed as a
+    lake layout. Requires a metastore table (bucketBy is a
+    saveAsTable feature); the bucket count is the funnel's max
+    parallelism, so size it to the cluster (reading combines each
+    bucket's files into one task)."""
+    (
+        df.repartition(n_buckets, F.col(bucket_col))
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(*sort_cols)
+        .saveAsTable(table_name)
+    )
+
+
 def tracked_to_events(
     tracked: DataFrame,
     base_event_id: int = 0,

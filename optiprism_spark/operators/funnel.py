@@ -187,9 +187,20 @@ def funnel_attempts(
     events: DataFrame,
     req: FunnelRequest,
     segment_users: Optional[DataFrame] = None,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """Per-attempt funnel results: one row per attempt with per-step
-    timestamps (epoch µs), completion flag and touch-attributed ts."""
+    timestamps (epoch µs), completion flag and touch-attributed ts.
+
+    ``assume_partitioned``: the caller guarantees every user's rows
+    already live in one partition (events read from a table bucketed
+    by the group column — see ingest.write_events_bucketed). Skips
+    the funnel's single shuffle: the machine then only sorts within
+    partitions, which is the write-time-bucketing payoff the
+    reference gets from its (project, user) LSM sort order. Wrong use
+    (unbucketed input) silently splits users across partitions and
+    undercounts conversions — only set it when the write layout
+    enforces the invariant."""
     k = len(req.steps)
     if k < 1:
         raise ValueError("funnel needs at least one step")
@@ -320,9 +331,8 @@ def funnel_attempts(
                 run_rows(span, user, ())
         yield pd.DataFrame(results, columns=out_cols)
 
-    sorted_by_user = proj.repartition(F.col(EVENT_USER_COL)).sortWithinPartitions(
-        EVENT_USER_COL, "__ts", "__eid"
-    )
+    base = proj if assume_partitioned else proj.repartition(F.col(EVENT_USER_COL))
+    sorted_by_user = base.sortWithinPartitions(EVENT_USER_COL, "__ts", "__eid")
     return sorted_by_user.mapInPandas(run_partition, schema)
 
 

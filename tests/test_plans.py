@@ -273,3 +273,49 @@ def test_geo_csv_loader_broadcasts_locations(spark, tmp_path):
     locs.write_text("geoname_id,country_iso_code\n1,US\n")
     plan = _plan(geo_range_table_from_csv(spark, str(blocks), str(locs)))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_funnel_bucketed_table_elides_shuffle(spark, tmp_path):
+    """Write-time bucketing by user elides the funnel's only shuffle:
+    assume_partitioned=True over a bucketed table produces NO Exchange
+    before the state machine AND identical results to the default
+    path — the reference's storage-sort invariant as a lake layout."""
+    import datetime as dt
+
+    from optiprism_spark.dsl import (
+        EventFilterSpec,
+        EventRef,
+        FunnelRequest,
+        FunnelStep,
+        QueryTime,
+        TimeIntervalUnit,
+    )
+    from optiprism_spark.ingest import write_events_bucketed
+    from optiprism_spark.operators.funnel import funnel_attempts
+    from optiprism_spark.schema import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    write_events_bucketed(events, "events_bucketed_test", n_buckets=4)
+    try:
+        bucketed = spark.table("events_bucketed_test")
+        req = FunnelRequest(
+            time=QueryTime.between(
+                dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59)),
+            interval=TimeIntervalUnit.DAY,
+            steps=[
+                FunnelStep([EventFilterSpec(EventRef("view"))]),
+                FunnelStep([EventFilterSpec(EventRef("purchase"))]),
+            ],
+            window_ms=7 * 86_400_000,
+        )
+        fast = funnel_attempts(bucketed, req, assume_partitioned=True)
+        plan = _plan(fast)
+        assert "Exchange" not in plan, plan
+        slow = funnel_attempts(events, req)
+
+        def key(r):
+            return (r.user_id, r.steps_completed, r.is_completed, r.attempt_ts)
+
+        assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
