@@ -299,3 +299,66 @@ def test_ann_auto_sizing_sf01(spark):
     ).collect()
     assert 0 < len(out) <= 2 * 3
     assert all(r.rank <= 3 for r in out)
+
+
+def test_chunk_documents_invariants(spark):
+    """Structural invariants: with overlap=0 the chunks concatenate
+    back to the original text; with overlap>0 consecutive chunks
+    share exactly `overlap` words (except a short tail); chunk sizes
+    never exceed chunk_words."""
+    from optiprism_spark.operators.assembly import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(150))),
+         (2, " ".join(f"v{i}" for i in range(7))),
+         (3, "single")],
+        "doc_id long, text string",
+    )
+    flat = chunk_documents(docs, chunk_words=64, overlap=0)
+    by_doc = {}
+    for r in flat.collect():
+        assert r.chunk_words <= 64
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    originals = {r.doc_id: r.text for r in docs.collect()}
+    for did, chunks in by_doc.items():
+        joined = " ".join(t for _, t in sorted(chunks))
+        assert joined == originals[did], did
+
+    lap = chunk_documents(docs, chunk_words=64, overlap=16)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text) for r in lap.collect())
+    )
+    seq = [r for r in rows if r[0] == 1]
+    for (_, i1, t1), (_, i2, t2) in zip(seq, seq[1:]):
+        w1, w2 = t1.split(" "), t2.split(" ")
+        if len(w2) >= 16:
+            assert w1[-16:] == w2[:16], (i1, i2)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_words=8, overlap=8)
+
+
+def test_pack_sequences_invariants(spark):
+    """Every pack's member offsets tile the token budget in id order:
+    offsets are the running token sum mod budget, and a pack never
+    starts mid-budget (first member of each pack has offset < budget;
+    members stay in doc-id order within a pack)."""
+    from optiprism_spark.operators.assembly import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" * 1 for _ in range(37 + (i * 13) % 90)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, budget=128, n_buckets=4).collect()
+    by_bucket = {}
+    for r in rows:
+        assert 0 <= r.pack_offset < 128
+        assert r.pack_id >> 40 == r.bucket
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, members in by_bucket.items():
+        members.sort(key=lambda r: r.doc_id)
+        start = 0
+        for r in members:
+            assert r.pack_offset == start % 128, r
+            assert r.pack_id == (bucket << 40) + start // 128, r
+            start += r.n_tokens
