@@ -68,14 +68,22 @@ def make_access_token(account_id: int, organization_id: int, key: str,
                       ttl_s: int = ACCESS_TOKEN_TTL_S) -> str:
     return make_token(
         {"exp": int(time.time()) + ttl_s, "accountId": account_id,
-         "organizationId": organization_id},
+         "organizationId": organization_id, "typ": "access"},
         key,
     )
 
 
 def make_refresh_token(account_id: int, key: str,
                        ttl_s: int = REFRESH_TOKEN_TTL_S) -> str:
-    return make_token({"exp": int(time.time()) + ttl_s, "accountId": account_id}, key)
+    """The ``typ`` claim makes access and refresh tokens structurally
+    distinct, mirroring the reference's separate AccessClaims /
+    RefreshClaims types (auth/token.rs:18-30) — without it a leaked
+    1-hour access token could mint fresh token pairs forever."""
+    return make_token(
+        {"exp": int(time.time()) + ttl_s, "accountId": account_id,
+         "typ": "refresh"},
+        key,
+    )
 
 
 # ------------------------------------------------------------ passwords
@@ -137,8 +145,13 @@ def log_in(catalog, body: dict, key: str) -> dict:
 
 
 def refresh(catalog, body: dict, key: str) -> dict:
-    """POST /api/v1/auth/refresh-token (reference http/auth.rs:212)."""
+    """POST /api/v1/auth/refresh-token (reference http/auth.rs:212).
+    Only a true refresh token is accepted: the ``typ`` claim must say
+    so, and anything carrying organizationId (an access token) is
+    rejected outright."""
     claims = parse_token(body.get("refreshToken", ""), key)
+    if claims.get("typ") != "refresh" or "organizationId" in claims:
+        raise AuthError("not a refresh token")
     acct = catalog.get("account", int(claims["accountId"]))
     return _token_pair(acct, key)
 

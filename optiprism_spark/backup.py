@@ -119,6 +119,13 @@ def restore_backup(backup_path: str, dest_dir: str) -> dict:
                 raise ValueError(f"backup entry escapes dest dir: {m.name!r}")
             if not (m.isfile() or m.isdir()):
                 raise ValueError(f"unsupported backup entry type: {m.name!r}")
+            # every file must be covered by the manifest's hashes — an
+            # archive member outside the manifest (an injected WAL
+            # segment, a second catalog) would otherwise restore
+            # unverified, weaker than the reference's per-entry crc
+            if m.isfile() and m.name != MANIFEST_NAME \
+                    and m.name not in manifest["entries"]:
+                raise ValueError(f"backup entry {m.name!r} not in manifest")
         tar.extractall(dest_dir, filter="data")
     for arc, digest in manifest["entries"].items():
         actual = _sha256(os.path.join(dest_dir, arc))

@@ -148,6 +148,22 @@ class Catalog:
         )
         return cur.fetchone()[0]
 
+    def _next_order(self, key: str, floor: int) -> int:
+        """Monotonic 0-based counter stored in the sequences table
+        (keyed by a namespace string, not an entity kind). Returns at
+        least ``floor`` so counters seeded on a pre-counter catalog
+        never collide with orders already handed out."""
+        with self._lock:
+            cur = self._db.execute(
+                "INSERT INTO sequences(kind, next_id) VALUES (?, ?) "
+                "ON CONFLICT(kind) DO UPDATE SET next_id = MAX(next_id + 1, ?) "
+                "RETURNING next_id",
+                (key, floor + 1, floor + 1),
+            )
+            n = cur.fetchone()[0]
+            self._db.commit()
+        return n - 1
+
     def _check_kind(self, kind: str) -> None:
         if kind not in KINDS:
             raise CatalogError(f"unknown entity kind {kind!r}; known: {KINDS}")
@@ -250,14 +266,21 @@ class Catalog:
             )
         kind = "group_property" if typ == "group" else "event_property"
         is_system = typ == "event" and name in SYSTEM_EVENT_COLUMNS
-        # order counter per (type, dtype) namespace, like the reference's
-        # per-data_type order that feeds e_{short}_{order}
+        # Persistent monotonic order counter per (kind, dtype, group)
+        # namespace, like the reference's next_zero_seq on
+        # properties/order/{dtype} (properties.rs:240-263). Never derived
+        # from the live property count: after a DELETE, len() would reuse
+        # an existing columnName and materialize one property's values
+        # into another's physical column. The floor seeds the counter at
+        # max(existing order)+1 for catalogs created before the counter
+        # existed.
+        gid = group_id if typ == "group" else 0
         same = [
             p for p in self.list(kind, project_id)
-            if p.get("dataType") == dtype
-            and (p.get("groupId") or 0) == (group_id if typ == "group" else 0)
+            if p.get("dataType") == dtype and (p.get("groupId") or 0) == gid
         ]
-        order = len(same)
+        floor = max((p.get("order", -1) for p in same), default=-1) + 1
+        order = self._next_order(f"order:{kind}:{project_id}:{dtype}:{gid}", floor)
         if is_system:
             column_name = _snake(name)
         elif typ == "group":

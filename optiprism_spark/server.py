@@ -480,7 +480,8 @@ class App:
             claims = auth_mod.parse_token(header[len("Bearer "):], self.token_key)
         except auth_mod.AuthError as e:
             raise HttpError(401, str(e))
-        if "accountId" not in claims or "organizationId" not in claims:
+        if ("accountId" not in claims or "organizationId" not in claims
+                or claims.get("typ") == "refresh"):
             # a refresh token is not an access token (reference
             # AccessClaims vs RefreshClaims, auth/token.rs:18-30)
             raise HttpError(403, "not an access token")
@@ -648,12 +649,19 @@ class App:
     def identified_df(self) -> DataFrame:
         return self.spark.createDataFrame(self.identified or [], _IDENTIFY_SCHEMA)
 
-    def checkpoint_ingest(self) -> None:
-        """Truncate the WAL after the buffered rows are durably flushed
-        into the events table — the reference's flush→truncate step
-        (storage/src/db.rs:779-790)."""
+    def checkpoint_ingest(self) -> tuple[list[dict], list[dict]]:
+        """Drain the ingest buffers and truncate the WAL after the
+        buffered rows are durably flushed into the events table — the
+        reference's flush→truncate step (storage/src/db.rs:779-790).
+        Buffers and WAL move together: clearing only the WAL would
+        re-flush the same in-memory rows into the events table on the
+        next batch, duplicating events. Returns the drained
+        (tracked, identified) lists."""
+        drained = (self.tracked, self.identified)
+        self.tracked, self.identified = [], []
         if self.wal is not None:
             self.wal.truncate()
+        return drained
 
     # ----------------------------------------------------------- WSGI
 

@@ -52,9 +52,16 @@ class IngestWal:
     def replay(self) -> tuple[list[dict], list[dict]]:
         """Rebuild (tracked, identified) buffers from the journal.
         Stops at the first torn/corrupt record — everything before it
-        was acked and is recovered; the tail was never acked."""
+        was acked and is recovered; the tail was never acked. The torn
+        tail is then TRUNCATED away: the append handle writes at end
+        of file, so leaving corrupt bytes in place would strand every
+        subsequent fsync'd-and-acked record behind an unreadable
+        region on the next replay (the reference recovery path
+        rewrites the log from the last valid LSN for the same
+        reason)."""
         tracked: list[dict] = []
         identified: list[dict] = []
+        valid_end = 0
         try:
             with open(self.path, "rb") as f:
                 while True:
@@ -67,8 +74,17 @@ class IngestWal:
                         break  # torn tail: crash mid-write, pre-ack
                     rec = json.loads(payload)
                     (tracked if rec["op"] == "track" else identified).append(rec["row"])
+                    valid_end = f.tell()
         except FileNotFoundError:
-            pass
+            return tracked, identified
+        if os.path.getsize(self.path) > valid_end:
+            # drop the torn tail so new appends follow valid data
+            self._f.close()
+            with open(self.path, "r+b") as f:
+                f.truncate(valid_end)
+                f.flush()
+                os.fsync(f.fileno())
+            self._f = open(self.path, "ab")
         return tracked, identified
 
     def truncate(self) -> None:
