@@ -188,6 +188,7 @@ def funnel_attempts(
     req: FunnelRequest,
     segment_users: Optional[DataFrame] = None,
     assume_partitioned: bool = False,
+    max_rows_per_user: Optional[int] = None,
 ) -> DataFrame:
     """Per-attempt funnel results: one row per attempt with per-step
     timestamps (epoch µs), completion flag and touch-attributed ts.
@@ -200,7 +201,15 @@ def funnel_attempts(
     reference gets from its (project, user) LSM sort order. Wrong use
     (unbucketed input) silently splits users across partitions and
     undercounts conversions — only set it when the write layout
-    enforces the invariant."""
+    enforces the invariant.
+
+    ``max_rows_per_user``: whale-user guard. A pathological user (bot
+    traffic) can carry millions of rows; the kernel would buffer all
+    of them across Arrow batches. With a cap, only the FIRST
+    ``max_rows_per_user`` rows (time order) of each user feed the
+    machine; the rest are dropped with an executor-log warning. The
+    reference inherits the same hazard from its (project, user) sort
+    order and has no cap — this exceeds it. Default None (no cap)."""
     k = len(req.steps)
     if k < 1:
         raise ValueError("funnel needs at least one step")
@@ -268,17 +277,13 @@ def funnel_attempts(
 
     out_cols = [f.name for f in schema.fields]
 
-    def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """One sorted partition, many users: numpy boundary detection
-        instead of per-group pandas frames (one Arrow batch out per
-        input partition — the per-user-call overhead of
-        groupBy().applyInPandas is the dominant cost at scale)."""
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        if len(pdf) == 0:
-            return
+    cap = max_rows_per_user
+
+    def process_frame(pdf: pd.DataFrame) -> list:
+        """All attempts for a frame of COMPLETE users (index reset):
+        numpy boundary detection instead of per-group pandas frames —
+        the per-user-call overhead of groupBy().applyInPandas is the
+        dominant cost at scale."""
         users = pdf[EVENT_USER_COL].to_numpy()
         all_ts = pdf["__ts"].to_numpy()
         all_steps = [pdf[f"__s{i}"].fillna(False).to_numpy() for i in range(k)]
@@ -320,7 +325,9 @@ def funnel_attempts(
 
         for st, en in zip(starts, ends):
             user = int(users[st])
-            span = np.arange(st, en)
+            if cap is not None and en - st > cap:
+                _warn_whale(user, en - st)
+                en = st + cap
             if bd_names:
                 sub = bd_frames.iloc[st:en]
                 for bd_vals, grp in sub.groupby(bd_names, dropna=False, sort=False):
@@ -328,8 +335,57 @@ def funnel_attempts(
                         bd_vals = (bd_vals,)
                     run_rows(grp.index.to_numpy(), user, bd_vals)
             else:
-                run_rows(span, user, ())
-        yield pd.DataFrame(results, columns=out_cols)
+                run_rows(np.arange(st, en), user, ())
+        return results
+
+    def _warn_whale(user: int, n: int) -> None:
+        import warnings
+
+        warnings.warn(
+            f"funnel: user {user} has {n} rows, truncating to first "
+            f"{cap} (max_rows_per_user)", RuntimeWarning)
+
+    def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """STREAM the sorted partition batch-by-batch: memory is
+        O(Arrow batch + one boundary user), not O(partition). Rows
+        are (user, ts) sorted, so only the LAST user of each batch
+        can continue into the next — that user's rows are carried
+        over; everything before the boundary is processed and
+        emitted immediately. The reference streams 4096-row batches
+        through its state machine the same way (funnel.rs:457-660)."""
+        carry: Optional[pd.DataFrame] = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                if int(pdf[EVENT_USER_COL].iat[0]) == int(carry[EVENT_USER_COL].iat[-1]):
+                    # boundary user straddles the batch edge: buffer
+                    # ONLY their rows, keep streaming everything else
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                else:
+                    res = process_frame(carry)
+                    if res:
+                        yield pd.DataFrame(res, columns=out_cols)
+                carry = None
+            users = pdf[EVENT_USER_COL].to_numpy()
+            last = users[-1]
+            neq = np.flatnonzero(users != last)
+            cut = int(neq[-1]) + 1 if len(neq) else 0
+            carry = pdf.iloc[cut:]
+            if cap is not None and len(carry) > cap:
+                # bound the carry buffer itself: concat above would
+                # otherwise re-grow a whale across many batches
+                _warn_whale(int(last), len(carry))
+                carry = carry.iloc[:cap]
+            carry = carry.reset_index(drop=True)
+            if cut:
+                res = process_frame(pdf.iloc[:cut].reset_index(drop=True))
+                if res:
+                    yield pd.DataFrame(res, columns=out_cols)
+        if carry is not None and len(carry):
+            res = process_frame(carry)
+            if res:
+                yield pd.DataFrame(res, columns=out_cols)
 
     base = proj if assume_partitioned else proj.repartition(F.col(EVENT_USER_COL))
     sorted_by_user = base.sortWithinPartitions(EVENT_USER_COL, "__ts", "__eid")

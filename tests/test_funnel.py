@@ -241,3 +241,76 @@ def test_bucket_attribution_by_first_step(spark):
             (1, 24 * 60 + 2 - 11 * 60, "e3", 1)]
     rep = funnel_report(mk_events(spark, rows), req3()).collect()
     assert len(rep) == 1 and rep[0].bucket == dt.date(2024, 1, 1)
+
+
+# ------------------------------------------ streaming-kernel guarantees
+
+def _grid_rows(n_users=10, rows_per_user=60):
+    """Deterministic multi-user stream: event cycles through
+    e1/e2/e3/noise offset by user, 3-minute spacing (window expiries
+    and restarts included)."""
+    rows = []
+    for u in range(1, n_users + 1):
+        for i in range(rows_per_user):
+            ev = ["e1", "e2", "e3", "noise"][(i + u) % 4]
+            rows.append((u, i * 3, ev, (i // 20) + 1))
+    return rows
+
+
+def _collect_attempts(df):
+    return sorted(
+        tuple(r) for r in
+        df.select("user_id", "steps_completed", "is_completed",
+                  "attempt_ts", "ts_0", "ts_1", "ts_2").collect()
+    )
+
+
+@pytest.mark.parametrize("extra", [
+    {},  # relevance-filtered path
+    {"constants": [PropertyRef.column("value")]},  # full-stream path
+    {"count_mode": FunnelCountMode.SESSION},       # sessionized path
+])
+def test_tiny_arrow_batches_match_default(spark, extra):
+    """The streamed kernel (per-Arrow-batch + boundary-user carry)
+    must be byte-identical to whole-partition processing. Forcing
+    64-row batches makes every user straddle batch edges; running on
+    one pre-sorted partition (assume_partitioned over repartition(1))
+    makes batches contain many users AND split users mid-batch."""
+    events = mk_events(spark, _grid_rows())
+    req = req3(**extra)
+    want = _collect_attempts(funnel_attempts(events, req))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got_shuffled = _collect_attempts(funnel_attempts(events, req))
+        got_single = _collect_attempts(
+            funnel_attempts(events.repartition(1), req, assume_partitioned=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got_shuffled == want
+    assert got_single == want
+
+
+def test_whale_user_cap_truncates_and_isolates(spark):
+    """max_rows_per_user: a pathological user is truncated to their
+    first N rows (deterministic — time order) without touching other
+    users, even when the whale spans many tiny Arrow batches."""
+    whale = [(1, m, ["e1", "e2", "e3"][m % 3], 1) for m in range(2000)]
+    normal = [(2, 0, "e1", 1), (2, 1, "e2", 1), (2, 2, "e3", 1)]
+    events = mk_events(spark, whale + normal)
+    capped_input = mk_events(spark, whale[:300] + normal)
+    req = req3(count_mode=FunnelCountMode.NON_UNIQUE)
+
+    want = _collect_attempts(funnel_attempts(capped_input, req))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got = _collect_attempts(
+            funnel_attempts(events, req, max_rows_per_user=300))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want
+    # the normal user's conversion is intact
+    assert any(r[0] == 2 and r[2] for r in got)
