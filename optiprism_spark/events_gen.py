@@ -137,7 +137,7 @@ def generate_events(
                                     -1.0 if action == "refund" else 1.0
                                 )
                         out["event_id"].append(
-                            (user * 1000 + sess) * MAX_STEPS + step
+                            (user * sessions_per_user + sess) * MAX_STEPS + step
                         )
                         out["ts"].append(t)
                         out["user_id"].append(user)

@@ -58,26 +58,54 @@ EVENT_NAME_COL = "event_type"
 EVENT_ID_COL = "event_id"
 
 
+#: session confs the engine's tables require. Consulted at EXECUTION
+#: time, not just at read(): restoring a prior value after load_table
+#: returned would silently change how the (lazy) DataFrame decodes its
+#: TIMESTAMP(NANOS) column when it finally runs — per-read scoping is
+#: unsafe by construction, so these are stamped session-wide.
+_IO_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
+def ensure_io_confs(spark: SparkSession) -> None:
+    """Stamp the engine's required session confs (idempotent). If a
+    conf was already set to a CONFLICTING value, it is still
+    overridden — the tables are unreadable otherwise — but with a
+    visible warning, so the session-wide mutation is never silent."""
+    import warnings
+
+    for key, want in _IO_CONFS:
+        try:
+            cur = spark.conf.get(key)
+        except Exception:
+            cur = None
+        if cur == want:
+            continue
+        if key == "spark.sql.session.timeZone" and cur not in (None, "UTC"):
+            warnings.warn(
+                f"optiprism_spark overrides {key}={cur!r} with 'UTC' "
+                "(engine convention: UTC everywhere; driver tables carry "
+                "TIMESTAMP(NANOS) decoded under these confs)",
+                RuntimeWarning,
+            )
+        spark.conf.set(key, want)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table.
 
-    SIDE EFFECT (deliberate, session-wide): sets nanosAsLong,
-    inferTimestampNTZ=false, and session timeZone=UTC on the session.
-    These confs are consulted at EXECUTION time, not just at read():
-    restoring them after this call would silently change how the
-    returned (lazy) DataFrame decodes its TIMESTAMP(NANOS) column
-    when it finally runs — per-read scoping is unsafe by
-    construction. The engine's convention is UTC-everywhere with
-    nanos-as-long + explicit µs conversion below; every session that
-    touches these tables (including the driver's own) needs the same
-    three settings, so the first load stamps them."""
+    SIDE EFFECT (deliberate, session-wide, loud on conflict): stamps
+    the ``_IO_CONFS`` above via ``ensure_io_confs`` — every session
+    that touches these tables (including the driver's own) needs the
+    same three settings, so the first load sets them."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # runtime-set for sessions not built by session.get_spark (e.g. the
     # driver's own session): events.parquet carries TIMESTAMP(NANOS)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_io_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as long (see session.py
     # nanosAsLong); floor-convert to µs timestamps — the same

@@ -173,3 +173,41 @@ def test_restore_rejects_unmanifested_entries(tmp_path):
     # the untampered archive still restores
     out = restore_backup(bpath, str(tmp_path / "restored2"))
     assert out["catalog"] is not None
+
+
+# ------------------------------------------------ round-4 verdict nits
+
+def test_events_gen_ids_unique_beyond_1000_sessions(spark):
+    """event_id packs (user, session, step) with the ACTUAL
+    sessions_per_user multiplier — a literal 1000 silently collided
+    past 1000 sessions per user."""
+    from optiprism_spark.events_gen import generate_events
+
+    df = generate_events(spark, n_users=2, sessions_per_user=1100)
+    total = df.count()
+    assert df.select("event_id").distinct().count() == total
+
+
+def test_io_conf_override_warns(spark):
+    """ensure_io_confs stamps session confs loudly: overriding a
+    conflicting user timezone produces a visible warning instead of a
+    silent mutation (the confs are execution-time, so restoring them
+    per-read would corrupt lazy frames)."""
+    import warnings as _w
+
+    from optiprism_spark.schema import ensure_io_confs
+
+    ensure_io_confs(spark)  # idempotent: no warning when already UTC
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            ensure_io_confs(spark)
+        assert any("overrides" in str(r.message) for r in rec)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        with _w.catch_warnings(record=True) as rec2:
+            _w.simplefilter("always")
+            ensure_io_confs(spark)
+        assert not rec2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
