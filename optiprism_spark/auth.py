@@ -111,19 +111,27 @@ def verify_password(password: str, password_hash: str) -> bool:
 
 def sign_up(catalog, body: dict, key: str) -> dict:
     """POST /api/v1/auth/signup (reference http/auth.rs:210). Creates
-    the account in the catalog and returns a token pair."""
+    the account in the catalog and returns a token pair.
+
+    The FIRST account in an empty catalog bootstraps as root admin —
+    the analogue of the reference's init step that seeds an admin
+    account; every later signup starts with NO roles (reference
+    provider.rs:75-77 creates role: None) and must be granted
+    organization/project roles through the accounts CRUD."""
     email = body.get("email")
     password = body.get("password")
     if not email or not password:
         raise AuthError("signup requires email and password")
     from .catalog import Conflict
 
+    bootstrap_admin = not catalog.list("account")
     try:
         acct = catalog.create(
             "account",
             {"name": email, "email": email,
              "passwordHash": make_password_hash(password),
              "organizationId": int(body.get("organizationId", 1)),
+             "role": "admin" if bootstrap_admin else None,
              "firstName": body.get("firstName"), "lastName": body.get("lastName")},
         )
     except Conflict:

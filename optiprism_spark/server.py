@@ -78,8 +78,9 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import api, auth as auth_mod
+from . import api, auth as auth_mod, rbac
 from .catalog import Catalog, CatalogError, Conflict, NotFound
+from .rbac import Forbidden
 from .operators.funnel import funnel_report
 from .operators.records import (
     event_record_by_id,
@@ -264,74 +265,142 @@ class App:
             self.wal = IngestWal(wal_dir)
             self.tracked, self.identified = self.wal.replay()
         P = r"^/api/v1/projects/(?P<pid>[^/]+)"
-        self._routes: list[tuple[str, re.Pattern, Callable]] = [
+
+        # ---- permission specs (reference per-handler checks;
+        # platform/src/events.rs:32,57 etc). A spec is None (bearer
+        # suffices — profile plane) or a callable(ctx, md) raising
+        # rbac.Forbidden. Enforcement is active whenever auth is
+        # (token_key set); without auth there is no principal to check,
+        # exactly the reference's dev mode.
+        def proj(perm):
+            def chk(ctx, md):
+                pid = int(md.get("pid") or md.get("id") or 0)
+                ctx.check_project_permission(ctx.organization_id, pid, perm)
+            return chk
+
+        def org(perm):
+            def chk(ctx, md):
+                ctx.check_organization_permission(
+                    int(md.get("id") or ctx.organization_id), perm)
+            return chk
+
+        def root(perm):
+            def chk(ctx, md):
+                ctx.check_permission(perm)
+            return chk
+
+        explore = proj(rbac.EXPLORE_REPORTS)
+        schema_perms = dict(
+            create=proj(rbac.MANAGE_SCHEMA), put=proj(rbac.MANAGE_SCHEMA),
+            delete=proj(rbac.DELETE_SCHEMA),
+            list=proj(rbac.VIEW_SCHEMA), get=proj(rbac.VIEW_SCHEMA),
+            name=proj(rbac.VIEW_SCHEMA),
+        )
+        report_perms = dict(
+            create=proj(rbac.MANAGE_REPORTS), put=proj(rbac.MANAGE_REPORTS),
+            delete=proj(rbac.MANAGE_REPORTS), list=explore, get=explore,
+        )
+
+        self._routes: list[tuple[str, re.Pattern, Callable, Optional[Callable]]] = [
             # ---- auth (open) ----
-            ("POST", re.compile(r"^/api/v1/auth/signup$"), self._auth_signup),
-            ("POST", re.compile(r"^/api/v1/auth/login$"), self._auth_login),
-            ("POST", re.compile(r"^/api/v1/auth/refresh-token$"), self._auth_refresh),
-            # profile (reference http/auth.rs:217-220; requires bearer)
-            ("GET", re.compile(r"^/api/v1/profile$"), self._profile_get),
-            ("PUT", re.compile(r"^/api/v1/profile/name$"), self._profile_name),
-            ("PUT", re.compile(r"^/api/v1/profile/email$"), self._profile_email),
-            ("PUT", re.compile(r"^/api/v1/profile/password$"), self._profile_password),
-            # ---- queries ----
+            ("POST", re.compile(r"^/api/v1/auth/signup$"), self._auth_signup, None),
+            ("POST", re.compile(r"^/api/v1/auth/login$"), self._auth_login, None),
+            ("POST", re.compile(r"^/api/v1/auth/refresh-token$"),
+             self._auth_refresh, None),
+            # profile (reference http/auth.rs:217-220; requires bearer only)
+            ("GET", re.compile(r"^/api/v1/profile$"), self._profile_get, None),
+            ("PUT", re.compile(r"^/api/v1/profile/name$"), self._profile_name, None),
+            ("PUT", re.compile(r"^/api/v1/profile/email$"), self._profile_email, None),
+            ("PUT", re.compile(r"^/api/v1/profile/password$"),
+             self._profile_password, None),
+            # ---- queries (ExploreReports, reference funnel.rs:55 etc) ----
             ("POST", re.compile(P + r"/queries/event-segmentation$"),
-             self._event_segmentation),
-            ("POST", re.compile(P + r"/queries/funnel$"), self._funnel),
+             self._event_segmentation, explore),
+            ("POST", re.compile(P + r"/queries/funnel$"), self._funnel, explore),
             ("POST", re.compile(P + r"/event-records/search$"),
-             self._event_records_search),
+             self._event_records_search, explore),
             ("GET", re.compile(P + r"/event-records/(?P<id>\d+)$"),
-             self._event_record_by_id),
+             self._event_record_by_id, explore),
             ("POST", re.compile(P + r"/group-records/search$"),
-             self._group_records_search),
+             self._group_records_search, explore),
             ("GET", re.compile(P + r"/group-records/(?P<group>[^/]+)/(?P<id>\d+)$"),
-             self._group_record_by_id),
-            ("POST", re.compile(P + r"/property-values$"), self._property_values),
+             self._group_record_by_id, explore),
+            ("POST", re.compile(P + r"/property-values$"),
+             self._property_values, explore),
             # ---- ingest (token-in-path auth, as the reference ingester) ----
             ("POST", re.compile(r"^/api/v1/ingest/(?P<token>[^/]+)/track$"),
-             self._track),
+             self._track, None),
             ("POST", re.compile(r"^/api/v1/ingest/(?P<token>[^/]+)/identify$"),
-             self._identify),
+             self._identify, None),
         ]
-        # ---- backups (reference http/backups.rs /api/v1/admin/backups) ----
+        # ---- server plane: ManageServer (reference backups.rs:28) ----
+        manage_server = root(rbac.MANAGE_SERVER)
         self._routes += [
-            ("POST", re.compile(r"^/api/v1/admin/backups$"), self._backup_create),
-            ("GET", re.compile(r"^/api/v1/admin/backups$"), self._backup_list),
+            ("POST", re.compile(r"^/api/v1/admin/backups$"),
+             self._backup_create, manage_server),
+            ("GET", re.compile(r"^/api/v1/admin/backups$"),
+             self._backup_list, manage_server),
             # admin settings singleton (reference http/settings.rs:28-30)
-            ("GET", re.compile(r"^/api/v1/admin/settings$"), self._settings_get),
-            ("PUT", re.compile(r"^/api/v1/admin/settings$"), self._settings_put),
+            ("GET", re.compile(r"^/api/v1/admin/settings$"),
+             self._settings_get, manage_server),
+            ("PUT", re.compile(r"^/api/v1/admin/settings$"),
+             self._settings_put, manage_server),
         ]
         # ---- admin-plane CRUD (reference http/mod.rs:51-65) ----
-        self._add_crud(r"^/api/v1/organizations", "organization", scoped=False)
-        self._add_crud(r"^/api/v1/projects", "project", scoped=False)
-        self._add_crud(r"^/api/v1/accounts", "account", scoped=False)
-        self._add_crud(P + r"/groups", "group")
-        self._add_crud(P + r"/schema/events", "event", with_name=True)
+        self._add_crud(r"^/api/v1/organizations", "organization", scoped=False,
+                       perms=dict(
+                           create=root(rbac.MANAGE_ORGANIZATIONS),
+                           delete=root(rbac.MANAGE_ORGANIZATIONS),
+                           put=org(rbac.ORG_MANAGE),
+                           get=org(rbac.ORG_VIEW), list=None,
+                       ))
+        self._add_crud(r"^/api/v1/projects", "project", scoped=False,
+                       perms=dict(
+                           create=org(rbac.ORG_MANAGE_PROJECTS),
+                           delete=proj(rbac.DELETE_PROJECT),
+                           put=proj(rbac.MANAGE_PROJECT),
+                           get=proj(rbac.VIEW_PROJECT), list=None,
+                       ))
+        manage_accounts = root(rbac.MANAGE_ACCOUNTS)
+        self._add_crud(r"^/api/v1/accounts", "account", scoped=False,
+                       perms=dict(create=manage_accounts, list=manage_accounts,
+                                  get=manage_accounts, put=manage_accounts,
+                                  delete=manage_accounts))
+        self._add_crud(P + r"/groups", "group", perms=schema_perms)
+        self._add_crud(P + r"/schema/events", "event", with_name=True,
+                       perms=schema_perms)
         # event<->property links (reference http/events.rs:110-115)
         self._routes += [
             ("POST", re.compile(
                 P + r"/schema/events/(?P<id>\d+)/properties/(?P<prop_id>\d+)$"),
-             self._attach_property),
+             self._attach_property, proj(rbac.MANAGE_SCHEMA)),
             ("DELETE", re.compile(
                 P + r"/schema/events/(?P<id>\d+)/properties/(?P<prop_id>\d+)$"),
-             self._detach_property),
+             self._detach_property, proj(rbac.MANAGE_SCHEMA)),
         ]
-        self._add_crud(P + r"/schema/custom-events", "custom_event")
+        self._add_crud(P + r"/schema/custom-events", "custom_event",
+                       perms=schema_perms)
         self._add_crud(P + r"/schema/event-properties", "event_property",
-                       with_name=True, create=self._create_event_property)
+                       with_name=True, create=self._create_event_property,
+                       perms=schema_perms)
         self._add_crud(P + r"/schema/group-properties/(?P<gid>\d+)",
-                       "group_property", create=self._create_group_property)
-        self._add_crud(P + r"/dashboards", "dashboard")
-        self._add_crud(P + r"/reports", "report")
-        self._add_crud(P + r"/bookmarks", "bookmark")
+                       "group_property", create=self._create_group_property,
+                       perms=schema_perms)
+        self._add_crud(P + r"/dashboards", "dashboard", perms=report_perms)
+        self._add_crud(P + r"/reports", "report", perms=report_perms)
+        self._add_crud(P + r"/bookmarks", "bookmark", perms=report_perms)
 
     # ----------------------------------------------------- CRUD plumbing
 
     def _add_crud(self, base: str, kind: str, scoped: bool = True,
-                  with_name: bool = False, create: Optional[Callable] = None):
+                  with_name: bool = False, create: Optional[Callable] = None,
+                  perms: Optional[dict] = None):
         """Register the reference's CRUD route set for one entity kind:
         POST+GET on the collection, GET/PUT/DELETE on /{id}, optional
-        GET /name/{name} (events + properties have name lookups)."""
+        GET /name/{name} (events + properties have name lookups).
+        ``perms`` maps create/list/get/put/delete/name to a permission
+        spec (see __init__)."""
+        perms = perms or {}
 
         def pid_of(m) -> int:
             return int(m["pid"]) if scoped else 0
@@ -366,15 +435,17 @@ class App:
             return 200, scrub(self.catalog.get_by_name(kind, m["name"], project_id=pid_of(m)))
 
         self._routes += [
-            ("POST", re.compile(base + r"$"), _create),
-            ("GET", re.compile(base + r"$"), _list),
-            ("GET", re.compile(base + r"/(?P<id>\d+)$"), _get),
-            ("PUT", re.compile(base + r"/(?P<id>\d+)$"), _put),
-            ("DELETE", re.compile(base + r"/(?P<id>\d+)$"), _delete),
+            ("POST", re.compile(base + r"$"), _create, perms.get("create")),
+            ("GET", re.compile(base + r"$"), _list, perms.get("list")),
+            ("GET", re.compile(base + r"/(?P<id>\d+)$"), _get, perms.get("get")),
+            ("PUT", re.compile(base + r"/(?P<id>\d+)$"), _put, perms.get("put")),
+            ("DELETE", re.compile(base + r"/(?P<id>\d+)$"), _delete,
+             perms.get("delete")),
         ]
         if with_name:
             self._routes.append(
-                ("GET", re.compile(base + r"/name/(?P<name>[^/]+)$"), _get_by_name))
+                ("GET", re.compile(base + r"/name/(?P<name>[^/]+)$"),
+                 _get_by_name, perms.get("name")))
 
     def _create_event_property(self, body: dict, pid: int) -> dict:
         return self.catalog.create_property(pid, body, typ="event")
@@ -672,6 +743,8 @@ class App:
             status, payload = e.status, {"error": e.message}
         except auth_mod.AuthError as e:
             status, payload = 401, {"error": str(e)}
+        except Forbidden as e:
+            status, payload = 403, {"error": str(e) or "forbidden"}
         except NotFound as e:
             status, payload = 404, {"error": str(e)}
         except Conflict as e:
@@ -693,7 +766,7 @@ class App:
         path = environ.get("PATH_INFO", "")
         query = environ.get("QUERY_STRING", "")
         matched_path = False
-        for route_method, pat, handler in self._routes:
+        for route_method, pat, handler, perm in self._routes:
             m = pat.match(path)
             if not m:
                 continue
@@ -701,6 +774,19 @@ class App:
             if method != route_method:
                 continue
             claims = self._authorize(environ, path)
+            if claims is not None and perm is not None:
+                # RBAC (reference per-handler ctx.check_*_permission):
+                # the principal's roles come from the live account row,
+                # so a grant/revoke applies to existing tokens too
+                try:
+                    acct = self.catalog.get("account", int(claims["accountId"]))
+                except NotFound:
+                    raise HttpError(401, "unknown account")
+                ctx = rbac.Context.from_account(acct)
+                try:
+                    perm(ctx, m.groupdict())
+                except Forbidden:
+                    raise HttpError(403, "forbidden")
             body = {}
             if method in ("POST", "PUT"):
                 try:
