@@ -335,6 +335,53 @@ def write_events_bucketed(
     )
 
 
+def compact_appends_into_bucketed(
+    spark,
+    table_name: str,
+    appends_path: str,
+    n_buckets: int = 32,
+    bucket_col: str = EVENT_USER_COL,
+    sort_cols: Sequence[str] = (EVENT_USER_COL, EVENT_TIME_COL, EVENT_ID_COL),
+) -> int:
+    """Fold date-partitioned appends into the bucketed table — the
+    maintenance loop that keeps ``funnel_attempts(assume_partitioned=
+    True)`` valid under continuous ingest. Fresh events land
+    date-partitioned (streaming/sessionize.append_events: cheap,
+    partition-pruned); the bucketed layout is what elides the funnel
+    shuffle. This job reads both, unions, and rewrites the bucketed
+    table — the reference's LSM compaction invariant (parts are merged
+    back into sorted runs, storage/src/parquet/parquet_merger.rs:
+    403-714) re-expressed as a lake rewrite.
+
+    The rewrite goes through a staging table + rename because Spark
+    cannot overwrite a table it is reading from — the same
+    write-new-parts-then-swap move the reference merger makes. On a
+    production lake the swap is a transactional-format commit (Delta/
+    Iceberg rewrite) and the union is incremental per bucket; the
+    plan shape (one shuffle on the bucket column, then a sorted
+    bucketed write) is identical.
+
+    Returns the number of appended rows folded in.
+    """
+    bucketed = spark.table(table_name)
+    appends = spark.read.parquet(appends_path)
+    if "dt" in appends.columns and "dt" not in bucketed.columns:
+        appends = appends.drop("dt")
+    appends = appends.select(*bucketed.columns)
+    n = appends.count()
+    if n == 0:
+        return 0
+    staging = f"{table_name}__compact_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    write_events_bucketed(
+        bucketed.unionByName(appends), staging,
+        n_buckets=n_buckets, bucket_col=bucket_col, sort_cols=sort_cols,
+    )
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    return n
+
+
 def tracked_to_events(
     tracked: DataFrame,
     base_event_id: int = 0,

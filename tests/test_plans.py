@@ -317,5 +317,30 @@ def test_funnel_bucketed_table_elides_shuffle(spark, tmp_path):
             return (r.user_id, r.steps_completed, r.is_completed, r.attempt_ts)
 
         assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+
+        # ---- maintenance loop: fresh appends land date-partitioned,
+        # compaction folds them in, and the invariant (no Exchange,
+        # same results as the default path) still holds
+        from optiprism_spark.ingest import compact_appends_into_bucketed
+        from optiprism_spark.streaming.sessionize import append_events
+
+        fresh = (
+            events.orderBy("event_id").limit(40)
+            .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+        )
+        appends_path = str(tmp_path / "appends")
+        append_events(fresh, appends_path)
+        n = compact_appends_into_bucketed(
+            spark, "events_bucketed_test", appends_path, n_buckets=4)
+        assert n == 40
+
+        bucketed2 = spark.table("events_bucketed_test")
+        assert bucketed2.count() == events.count() + 40
+        fast2 = funnel_attempts(bucketed2, req, assume_partitioned=True)
+        plan2 = _plan(fast2)
+        assert "Exchange" not in plan2, plan2
+        slow2 = funnel_attempts(events.unionByName(fresh), req)
+        assert sorted(map(key, fast2.collect())) == sorted(map(key, slow2.collect()))
     finally:
         spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
+        spark.sql("DROP TABLE IF EXISTS events_bucketed_test__compact_staging")
