@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from optiprism_spark.streaming.sessionize import (
@@ -169,3 +170,76 @@ def test_append_events_partitioned_and_pruned(spark, tmp_path):
         .executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(dt" in plan
+
+
+@pytest.mark.parametrize("splits", [[20], [10, 40], [5, 25, 45], [1, 2, 3]])
+def test_batch_streaming_funnel_differential(spark, tmp_path, splits):
+    """The SAME event stream fed to the batch machine and to the
+    incremental streaming machine (in several micro-batch splits) must
+    yield identical per-user conversion counts — the cross-batch
+    carry state is exactly what can drift (reference semantics
+    funnel.rs:630-637; the streaming machine holds the registers in
+    the state store instead)."""
+    import datetime as dtm
+
+    from optiprism_spark.dsl import (
+        EventFilterSpec, EventRef, FunnelCountMode, FunnelRequest,
+        FunnelStep, QueryTime, TimeIntervalUnit,
+    )
+    from optiprism_spark.operators.funnel import funnel_attempts
+    from optiprism_spark.streaming.funnel import streaming_funnel_counts
+
+    t0 = dtm.datetime(2024, 1, 1, 10, 0, 0)
+    steps = ["signup", "view", "purchase"]
+    rows = []
+    for i in range(60):  # global time order; users interleaved
+        for u in range(1, 6):
+            ev = (steps + ["noise"])[(i + u) % 4]
+            rows.append((i * 10 + u, t0 + dtm.timedelta(minutes=3 * i),
+                         u, ev, 1.0, "{}"))
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    # ---- batch truth: NON_UNIQUE exact-order conversions per user
+    req = FunnelRequest(
+        time=QueryTime.between(dtm.datetime(2024, 1, 1), dtm.datetime(2024, 1, 2)),
+        interval=TimeIntervalUnit.DAY,
+        steps=[FunnelStep([EventFilterSpec(EventRef(s))]) for s in steps],
+        window_ms=10 * 60 * 1000,
+        count_mode=FunnelCountMode.NON_UNIQUE,
+    )
+    attempts = funnel_attempts(spark.createDataFrame(rows, schema), req)
+    want = {
+        r.user_id: r.n for r in
+        attempts.filter(F.col("steps_completed") == 3)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    # ---- streaming: same rows in len(splits)+1 micro-batches
+    src = os.path.join(str(tmp_path), f"diff_src_{'_'.join(map(str, splits))}")
+    os.makedirs(src)
+    bounds = [0] + [s * 5 for s in splits] + [len(rows)]
+    chunks = [rows[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+    spark.createDataFrame(chunks[0], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    out = streaming_funnel_counts(
+        spark, spark.createDataFrame([], schema).schema, src,
+        step_names=steps, window_ms=10 * 60 * 1000,
+    )
+    name = f"sfunnel_diff_{abs(hash(tuple(splits))) % 10**8}"
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+        for chunk in chunks[1:]:
+            spark.createDataFrame(chunk, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q.processAllAvailable()
+        got_rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in got_rows:
+        latest[r.user_id] = r.completed_total
+    got = {u: n for u, n in latest.items() if n > 0}
+    assert got == want, (got, want, splits)
