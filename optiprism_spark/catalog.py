@@ -130,6 +130,16 @@ class Catalog:
             CREATE TABLE IF NOT EXISTS sequences (
               kind TEXT PRIMARY KEY, next_id INTEGER NOT NULL
             );
+            CREATE TABLE IF NOT EXISTS dict_entries (
+              project_id INTEGER NOT NULL,
+              tbl TEXT NOT NULL,
+              col TEXT NOT NULL,
+              key INTEGER NOT NULL,
+              value TEXT NOT NULL,
+              PRIMARY KEY (project_id, tbl, col, key)
+            );
+            CREATE UNIQUE INDEX IF NOT EXISTS dict_entries_value
+              ON dict_entries(project_id, tbl, col, value);
             """
         )
         self._db.commit()
@@ -355,6 +365,74 @@ class Catalog:
     def _project_ids(self) -> list[int]:
         cur = self._db.execute("SELECT DISTINCT project_id FROM entities")
         return [r[0] for r in cur.fetchall()]
+
+    # ------------------------------------------------------ dictionaries
+
+    def dict_register_values(
+        self, project_id: int, tbl: str, col: str, values
+    ) -> dict[str, int]:
+        """Persisted per-(project, table, column) string→int map — the
+        reference's dictionaries store (metadata/src/dictionaries.rs:
+        40,121-145 get_key_or_create): existing values keep their keys
+        FOREVER; unseen values get the next keys from a monotonic
+        per-column sequence (1-based, like the reference). New values
+        are assigned in sorted order so one sync from the same data is
+        deterministic. Returns the full value→key map for the column.
+        """
+        values = {v for v in values if v is not None}
+        with self._lock:
+            cur = self._db.execute(
+                "SELECT value, key FROM dict_entries "
+                "WHERE project_id=? AND tbl=? AND col=?",
+                (project_id, tbl, col),
+            )
+            mapping = {v: k for v, k in cur.fetchall()}
+            fresh = sorted(v for v in values if v not in mapping)
+            if fresh:
+                seq_key = f"dict:{project_id}:{tbl}:{col}"
+                cur = self._db.execute(
+                    "INSERT INTO sequences(kind, next_id) VALUES (?, ?) "
+                    "ON CONFLICT(kind) DO UPDATE SET next_id = next_id + ? "
+                    "RETURNING next_id",
+                    (seq_key, len(fresh) + 1, len(fresh)),
+                )
+                next_id = cur.fetchone()[0]  # first unassigned key AFTER this batch
+                start = next_id - len(fresh)
+                self._db.executemany(
+                    "INSERT INTO dict_entries(project_id, tbl, col, key, value)"
+                    " VALUES (?,?,?,?,?)",
+                    [(project_id, tbl, col, start + i, v)
+                     for i, v in enumerate(fresh)],
+                )
+                mapping.update({v: start + i for i, v in enumerate(fresh)})
+            self._db.commit()
+        return mapping
+
+    def dict_get_key(self, project_id: int, tbl: str, col: str, value: str):
+        cur = self._db.execute(
+            "SELECT key FROM dict_entries "
+            "WHERE project_id=? AND tbl=? AND col=? AND value=?",
+            (project_id, tbl, col, value),
+        )
+        row = cur.fetchone()
+        return row[0] if row else None
+
+    def dict_get_value(self, project_id: int, tbl: str, col: str, key: int):
+        cur = self._db.execute(
+            "SELECT value FROM dict_entries "
+            "WHERE project_id=? AND tbl=? AND col=? AND key=?",
+            (project_id, tbl, col, key),
+        )
+        row = cur.fetchone()
+        return row[0] if row else None
+
+    def dict_entries_for(self, project_id: int, tbl: str, col: str) -> list[tuple[int, str]]:
+        cur = self._db.execute(
+            "SELECT key, value FROM dict_entries "
+            "WHERE project_id=? AND tbl=? AND col=? ORDER BY key",
+            (project_id, tbl, col),
+        )
+        return [(k, v) for k, v in cur.fetchall()]
 
     # ---------------------------------------------------- custom events
 

@@ -72,6 +72,48 @@ def build_dictionary(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def persisted_dictionary(
+    catalog,
+    project_id: int,
+    table: str,
+    col: str,
+    df: DataFrame = None,
+    spark=None,
+) -> DataFrame:
+    """Catalog-backed dictionary for (project, table, column) — the
+    persisted variant of ``build_dictionary`` (reference
+    metadata/src/dictionaries.rs:121-145): keys live in the metadata
+    store, so encode/decode is STABLE ACROSS RUNS instead of derived
+    per query. If ``df`` is given, its unseen distinct values are
+    first registered (append-only: existing values keep their keys
+    forever, new ones take the next keys from the per-column
+    sequence). Returns the (key, value) mapping frame for
+    ``dict_encode`` / ``dict_decode``.
+
+    Scale note: only the DISTINCT label set crosses the driver — a
+    dictionary column is small by construction (that is what makes it
+    dictionary-encodable; the reference holds the same map in
+    RocksDB). The fact table never moves.
+    """
+    spark = spark or (df.sparkSession if df is not None else None)
+    if spark is None:
+        raise ValueError("persisted_dictionary needs df or spark")
+    if df is not None:
+        vals = [
+            r[0] for r in
+            df.select(F.col(col)).filter(F.col(col).isNotNull())
+            .distinct().collect()
+        ]
+        mapping = catalog.dict_register_values(project_id, table, col, vals)
+    else:
+        mapping = dict(
+            (v, k) for k, v in catalog.dict_entries_for(project_id, table, col)
+        )
+    return spark.createDataFrame(
+        [(int(k), v) for v, k in sorted(mapping.items())], "key long, value string"
+    )
+
+
 def dict_encode(
     df: DataFrame, col: str, dictionary: DataFrame, key_col: str = None
 ) -> DataFrame:

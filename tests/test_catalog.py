@@ -460,7 +460,9 @@ def test_backup_integrity_check(tmp_path):
         for m in src.getmembers():
             data = src.extractfile(m).read()
             if m.name == "catalog.db":
-                data = data[:-4] + b"\x00\x00\x00\x00"
+                # XOR-flip so the corruption is real regardless of what
+                # the file happens to end with (sqlite pads with zeros)
+                data = data[:-4] + bytes(b ^ 0xFF for b in data[-4:])
             import io as _io
             info = tarfile.TarInfo(m.name)
             info.size = len(data)
@@ -627,3 +629,56 @@ def test_admin_settings_singleton(app):
     st, s3 = call(app, "GET", "/api/v1/admin/settings")
     assert st == 200 and s3["backupProviderLocalPath"] == "/b"
     assert s3["id"] == s["id"]  # singleton, not a new row
+
+
+# ----------------------------------------------- persisted dictionaries
+
+def test_dictionary_store_persists_keys(tmp_path):
+    """Reference dictionaries.rs contract: a value's key never changes
+    once assigned — across re-registration, new values, and process
+    restarts; keys are 1-based and monotonic per (project, tbl, col)."""
+    path = str(tmp_path / "md.db")
+    cat = Catalog(path)
+    m1 = cat.dict_register_values(1, "events", "event_type", ["view", "buy"])
+    assert m1 == {"buy": 1, "view": 2}  # sorted assignment, 1-based
+    # idempotent
+    assert cat.dict_register_values(1, "events", "event_type",
+                                    ["buy", "view"]) == m1
+    # new values continue the sequence, old keys untouched
+    m2 = cat.dict_register_values(1, "events", "event_type", ["add", "view"])
+    assert m2 == {"buy": 1, "view": 2, "add": 3}
+    # per-column namespaces are independent
+    assert cat.dict_register_values(1, "events", "country", ["se"]) == {"se": 1}
+    assert cat.dict_get_key(1, "events", "event_type", "add") == 3
+    assert cat.dict_get_value(1, "events", "event_type", 1) == "buy"
+    cat.close()
+
+    cat2 = Catalog(path)
+    assert cat2.dict_entries_for(1, "events", "event_type") == [
+        (1, "buy"), (2, "view"), (3, "add")]
+    m3 = cat2.dict_register_values(1, "events", "event_type", ["zzz"])
+    assert m3["zzz"] == 4
+
+
+def test_persisted_dictionary_encode_decode_roundtrip(spark, tmp_path):
+    from optiprism_spark.operators.dictionary import (
+        dict_decode, dict_encode, persisted_dictionary)
+
+    cat = Catalog(str(tmp_path / "md.db"))
+    df = spark.createDataFrame(
+        [(1, "view"), (2, "buy"), (3, "view"), (4, None)], "id long, et string")
+    dim = persisted_dictionary(cat, 1, "events", "et", df=df)
+    enc = dict_encode(df, "et", dim)
+    dec = dict_decode(enc, "et_key", dim, out_col="et")
+    got = {r.id: r.et for r in dec.collect()}
+    assert got == {1: "view", 2: "buy", 3: "view", 4: None}
+    # a later run with MORE data keeps the original keys
+    df2 = spark.createDataFrame([(5, "add"), (6, "buy")], "id long, et string")
+    dim2 = persisted_dictionary(cat, 1, "events", "et", df=df2)
+    keys1 = {r.value: r.key for r in dim.collect()}
+    keys2 = {r.value: r.key for r in dim2.collect()}
+    assert {v: k for v, k in keys2.items() if v in keys1} == keys1
+    assert keys2["add"] == max(keys1.values()) + 1
+    # mapping-only load (no df): same frame
+    dim3 = persisted_dictionary(cat, 1, "events", "et", spark=spark)
+    assert sorted(map(tuple, dim3.collect())) == sorted(map(tuple, dim2.collect()))
