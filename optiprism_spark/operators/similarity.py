@@ -297,6 +297,7 @@ def embedding_near_pairs_ivf(
     vec_col: str = "embedding",
     centroids: str = "sample",
     persist_assignment: bool = True,
+    max_bucket=None,
 ) -> DataFrame:
     """IVF-bucketed near-dup pairs — the scale path for all-pairs
     similarity: assign every vector to its nearest coarse centroid,
@@ -310,10 +311,23 @@ def embedding_near_pairs_ivf(
     re-running the quantizer twice — at scale the assignment is a
     persisted index table; the persist is tracked, call
     `_util.unpersist_tracked()` to free executor storage in a
-    long-lived session."""
+    long-lived session.
+
+    ``max_bucket`` (int or "auto"): drop centroid buckets larger than
+    the cap BEFORE the self-join — the same degenerate-cluster guard
+    as the text-LSH path (`dedup._banded_pairs`): one dense cluster
+    (zero vectors, near-identical spam embeddings) makes the Σ bucket²
+    join quadratic in that cluster's size; the 10×-scale harness
+    (scale_check.py) is what flagged the hazard. "auto" resolves via
+    sizing.max_bucket_default(N, n_centroids). Default None keeps full
+    recall (and the fixture-sized oracle hashes) for small corpora."""
     from ._util import track_persist
 
     n_centroids, _ = _auto_ivf(n_centroids, 1, embeddings)
+    if max_bucket == "auto":
+        from .sizing import max_bucket_default
+
+        max_bucket = max_bucket_default(embeddings.count(), n_centroids)
     cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
     # spread BEFORE the assignment so the persisted index frame — and
     # therefore the within-bucket pair join that dominates (Σ bucket²)
@@ -321,6 +335,18 @@ def embedding_near_pairs_ivf(
     assigned = _assign_to_centroids(
         spread(embeddings), cent, id_col, "v", 1, id_col, vec_col
     ).withColumn("n", _norm(F.col("v")))
+    if max_bucket is not None:
+        # partial-agg count per centroid (tiny: ≤ n_centroids rows),
+        # broadcast anti-join drops members of oversized buckets —
+        # no extra shuffle of the assignment frame
+        oversized = (
+            assigned.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket)
+            .select("centroid_id")
+        )
+        assigned = assigned.join(
+            F.broadcast(oversized), "centroid_id", "left_anti")
     if persist_assignment:
         assigned = track_persist(assigned)
     a = assigned.select(

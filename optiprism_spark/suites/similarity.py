@@ -235,3 +235,57 @@ def sim_cosine_topk_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
+@query(
+    "dedup_embedding_cosine_ivf_auto",
+    oracle="""
+    WITH params AS (
+      SELECT n,
+             CAST(GREATEST(8, LEAST(65536, ROUND(SQRT(n)))) AS BIGINT) AS c,
+             GREATEST(100, (n // CAST(GREATEST(8, LEAST(65536, ROUND(SQRT(n)))) AS BIGINT)) * 100) AS cap
+      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT (SELECT c FROM params)
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    ea AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    eb AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY centroid_id) AS bn FROM ea
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM eb a JOIN eb b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE a.bn <= (SELECT cap FROM params)
+      AND b.bn <= (SELECT cap FROM params)
+      AND list_cosine_similarity(a.v, b.v) >= 0.40
+    """,
+)
+def dedup_embedding_cosine_ivf_auto(spark, sf_dir):
+    """The IVF near-dup SCALE configuration, oracle-checked: auto
+    n_centroids (~sqrt N, sizing.ivf_params) and the auto max_bucket
+    degenerate-cluster guard (sizing.max_bucket_default), both
+    reproduced arithmetically in the DuckDB oracle. The fixture-sized
+    sibling above stays as the small-N determinism pin; this entry is
+    the configuration a 100 TB corpus would actually run (the 10×
+    scale harness flagged the fixture sizing as quadratic —
+    scale_check.py, SCALE_r05.json)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs_ivf(
+        emb, threshold=0.40, n_centroids="auto", max_bucket="auto")

@@ -211,3 +211,31 @@ def test_io_conf_override_warns(spark):
         assert not rec2
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_ivf_near_pairs_max_bucket_guard(spark):
+    """A degenerate dense cluster must not drive the IVF pair join
+    quadratic: with max_bucket set, oversized centroid buckets are
+    dropped whole (same guard as the text-LSH path) while normal
+    buckets keep their pairs."""
+    import math
+
+    from optiprism_spark.operators.similarity import embedding_near_pairs_ivf
+
+    dim = 8
+    # sampled centroids are the lowest-2 ids: id 0 represents the
+    # dense cluster, id 1 the normal pair's neighborhood
+    rows = [(0, [1.0] + [0.0] * (dim - 1), 0),
+            (1, [0.0] * (dim - 1) + [1.0], 1),
+            (101, [0.001] * (dim - 1) + [1.0], 1)]
+    for i in range(2, 62):  # 60 more near-identical cluster members
+        rows.append((i, [1.0] + [0.001 * (i % 7)] * (dim - 1), 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    uncapped = embedding_near_pairs_ivf(emb, threshold=0.95, n_centroids=2)
+    capped = embedding_near_pairs_ivf(emb, threshold=0.95, n_centroids=2,
+                                      max_bucket=10)
+    n_un = uncapped.count()
+    assert n_un >= math.comb(61, 2)  # the cluster's quadratic blowup
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(1, 101)}  # normal bucket survives, oversized dropped whole
