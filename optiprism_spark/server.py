@@ -217,6 +217,19 @@ def parse_identify(body: dict, token: str = "") -> dict:
     }
 
 
+def _ts_to_us(ts: Optional[str]) -> int:
+    """ISO timestamp string → epoch µs; missing timestamps use the
+    wall clock (the reference track destination stamps Utc::now())."""
+    if not ts:
+        import time as _time
+
+        return int(_time.time() * 1_000_000)
+    parsed = dt.datetime.fromisoformat(str(ts).replace("Z", "+00:00"))
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=dt.timezone.utc)
+    return int(parsed.timestamp() * 1_000_000)
+
+
 _TRACK_SCHEMA = (
     "token string, user_id string, anonymous_id string, ts string, "
     "event_type string, props string, groups string, user_agent string, "
@@ -245,6 +258,7 @@ class App:
         token_key: Optional[str] = None,
         wal_dir: Optional[str] = None,
         backup_dir: Optional[str] = None,
+        session_store: bool = False,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -259,11 +273,25 @@ class App:
         self.backup_dir = backup_dir or (
             os.path.join(wal_dir, "backups") if wal_dir else None
         )
+        self.sessions = None
+        if session_store:
+            from .sessions import SessionStore
+
+            self.sessions = SessionStore()
         if wal_dir is not None:
             from .wal import IngestWal
 
             self.wal = IngestWal(wal_dir)
             self.tracked, self.identified = self.wal.replay()
+            if self.sessions is not None:
+                # rebuild live-session state from the journal; injected
+                # Session Begin rows are already IN the replayed buffer
+                from .streaming.sessionize import EVENT_SESSION_BEGIN
+
+                for row in self.tracked:
+                    if row.get("event_type") != EVENT_SESSION_BEGIN:
+                        user = row.get("user_id") or row.get("anonymous_id") or ""
+                        self.sessions.touch(0, str(user), _ts_to_us(row.get("ts")))
         P = r"^/api/v1/projects/(?P<pid>[^/]+)"
 
         # ---- permission specs (reference per-handler checks;
@@ -689,10 +717,31 @@ class App:
 
     def _track(self, body, m, q):
         row = parse_track(body, m["token"])
-        if self.wal is not None:
-            self.wal.append("track", row)  # fsync'd before the 201 ack
-        self.tracked.append(row)
+        for out in self._with_session_begin(row):
+            if self.wal is not None:
+                self.wal.append("track", out)  # fsync'd before the 201 ack
+            self.tracked.append(out)
         return 201, None
+
+    def _with_session_begin(self, row: dict) -> list[dict]:
+        """Ingest-time Session Begin injection (reference track
+        destination, ingester/src/destinations/local/track.rs:46-52):
+        when the live-session store says this event starts a new
+        session, a synthesized `Session Begin` row precedes it. The
+        injected row is WAL'd like any other, so crash replay
+        reproduces it verbatim instead of re-deriving it (replay
+        rebuilds the STORE by touching replayed non-Begin rows)."""
+        if self.sessions is None:
+            return [row]
+        from .streaming.sessionize import EVENT_SESSION_BEGIN
+
+        ts_us = _ts_to_us(row.get("ts"))
+        user = row.get("user_id") or row.get("anonymous_id") or ""
+        if row["event_type"] != EVENT_SESSION_BEGIN and \
+                self.sessions.touch(0, str(user), ts_us):
+            begin = dict(row, event_type=EVENT_SESSION_BEGIN, props="{}")
+            return [begin, row]
+        return [row]
 
     def _identify(self, body, m, q):
         row = parse_identify(body, m["token"])
@@ -827,9 +876,11 @@ def make_app(
     catalog: Optional[Catalog] = None,
     token_key: Optional[str] = None,
     wal_dir: Optional[str] = None,
+    session_store: bool = False,
 ) -> App:
     return App(spark, sf_dir, custom_events=custom_events, now=now,
-               catalog=catalog, token_key=token_key, wal_dir=wal_dir)
+               catalog=catalog, token_key=token_key, wal_dir=wal_dir,
+               session_store=session_store)
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:

@@ -264,3 +264,72 @@ def test_tracked_to_events_destination(spark, tmp_path):
     # one session per user -> +2 Session Begin rows
     assert with_sessions.count() == 5
     app.checkpoint_ingest()
+
+
+# ------------------------------------------ ingest-time session store
+
+def test_session_store_touch_and_expire():
+    """Reference sessions.rs semantics: first activity or a
+    gap-exceeding return starts a new session; expire() drops idle
+    records (check_for_deletion) so memory tracks ACTIVE users only."""
+    from optiprism_spark.sessions import SessionStore
+
+    s = SessionStore(gap_us=1_000_000)  # 1s gap
+    assert s.touch(1, "u1", 0) is True           # first ever
+    assert s.touch(1, "u1", 500_000) is False    # within gap
+    assert s.touch(1, "u1", 1_600_000) is True   # gap exceeded
+    assert s.touch(1, "u2", 0) is True           # per-user state
+    assert s.active_count() == 2
+    assert s.expire(now_us=10_000_000) == 2
+    assert s.active_count() == 0
+    assert s.touch(1, "u1", 10_100_000) is True  # post-expiry restart
+
+
+def test_track_injects_session_begin_synchronously(spark, tmp_path):
+    """With the opt-in store, a new session's track carries a
+    synthesized Session Begin row AHEAD of it in the buffer (the
+    reference track destination's synchronous injection) — and crash
+    replay reproduces exactly the same rows without double-injection."""
+    from optiprism_spark.server import make_app
+    from optiprism_spark.streaming.sessionize import EVENT_SESSION_BEGIN
+
+    from .test_server import call
+
+    SF_DIR = "/root/testdata/sf0.001"
+    wal_dir = str(tmp_path / "wal")
+    app = make_app(spark, SF_DIR, wal_dir=wal_dir, session_store=True)
+
+    def track(ts, uid="u1", ev="view"):
+        st, _ = call(app, "POST", "/api/v1/ingest/tok/track",
+                     {"userId": uid, "event": ev, "timestamp": ts})
+        assert st == 201
+
+    track("2024-03-01T10:00:00Z")
+    track("2024-03-01T10:05:00Z")           # same session
+    track("2024-03-01T12:00:00Z")           # >30 min gap: new session
+    track("2024-03-01T10:00:00Z", uid="u2", ev="signup")
+
+    seq = [(r["event_type"], r["user_id"]) for r in app.tracked]
+    assert seq == [
+        (EVENT_SESSION_BEGIN, "u1"), ("view", "u1"),
+        ("view", "u1"),
+        (EVENT_SESSION_BEGIN, "u1"), ("view", "u1"),
+        (EVENT_SESSION_BEGIN, "u2"), ("signup", "u2"),
+    ]
+    # crash + replay: buffer identical, store state rebuilt (a track
+    # within u1's live session does NOT re-inject)
+    before = list(app.tracked)
+    del app
+    app2 = make_app(spark, SF_DIR, wal_dir=wal_dir, session_store=True)
+    assert app2.tracked == before
+    st, _ = call(app2, "POST", "/api/v1/ingest/tok/track",
+                 {"userId": "u1", "event": "click",
+                  "timestamp": "2024-03-01T12:10:00Z"})
+    assert st == 201
+    assert [r["event_type"] for r in app2.tracked[len(before):]] == ["click"]
+    # without the store, no injection (default unchanged)
+    app3 = make_app(spark, SF_DIR)
+    st, _ = call(app3, "POST", "/api/v1/ingest/tok/track",
+                 {"userId": "u9", "event": "view",
+                  "timestamp": "2024-03-01T10:00:00Z"})
+    assert [r["event_type"] for r in app3.tracked] == ["view"]
