@@ -375,20 +375,51 @@ class App:
              self._settings_put, manage_server),
         ]
         # ---- admin-plane CRUD (reference http/mod.rs:51-65) ----
+        def visible_orgs(ctx, rows):
+            # reference organizations.rs:46-53: root ViewOrganizations
+            # sees all, else per-org ViewOrganization filters the list
+            def ok(r):
+                try:
+                    ctx.check_organization_permission(r["id"], rbac.ORG_VIEW)
+                    return True
+                except Forbidden:
+                    return False
+            return [r for r in rows if ok(r)]
+
+        def visible_projects(ctx, rows):
+            # reference projects.rs:137-153: org ExploreProjects sees
+            # the org's projects, else per-project ViewProject
+            def ok(r):
+                try:
+                    ctx.check_organization_permission(
+                        ctx.organization_id, rbac.ORG_EXPLORE_PROJECTS)
+                    return True
+                except Forbidden:
+                    pass
+                try:
+                    ctx.check_project_permission(
+                        ctx.organization_id, r["id"], rbac.VIEW_PROJECT)
+                    return True
+                except Forbidden:
+                    return False
+            return [r for r in rows if ok(r)]
+
         self._add_crud(r"^/api/v1/organizations", "organization", scoped=False,
                        perms=dict(
                            create=root(rbac.MANAGE_ORGANIZATIONS),
                            delete=root(rbac.MANAGE_ORGANIZATIONS),
                            put=org(rbac.ORG_MANAGE),
                            get=org(rbac.ORG_VIEW), list=None,
-                       ))
+                       ),
+                       list_filter=visible_orgs)
         self._add_crud(r"^/api/v1/projects", "project", scoped=False,
                        perms=dict(
                            create=org(rbac.ORG_MANAGE_PROJECTS),
                            delete=proj(rbac.DELETE_PROJECT),
                            put=proj(rbac.MANAGE_PROJECT),
                            get=proj(rbac.VIEW_PROJECT), list=None,
-                       ))
+                       ),
+                       list_filter=visible_projects)
         manage_accounts = root(rbac.MANAGE_ACCOUNTS)
         self._add_crud(r"^/api/v1/accounts", "account", scoped=False,
                        perms=dict(create=manage_accounts, list=manage_accounts,
@@ -422,12 +453,16 @@ class App:
 
     def _add_crud(self, base: str, kind: str, scoped: bool = True,
                   with_name: bool = False, create: Optional[Callable] = None,
-                  perms: Optional[dict] = None):
+                  perms: Optional[dict] = None,
+                  list_filter: Optional[Callable] = None):
         """Register the reference's CRUD route set for one entity kind:
         POST+GET on the collection, GET/PUT/DELETE on /{id}, optional
         GET /name/{name} (events + properties have name lookups).
         ``perms`` maps create/list/get/put/delete/name to a permission
-        spec (see __init__)."""
+        spec (see __init__); ``list_filter(ctx, rows)`` narrows the
+        collection listing to what the principal may view (reference
+        organizations.rs:46-53 / projects.rs:137-153 filter instead of
+        403ing the whole list)."""
         perms = perms or {}
 
         def pid_of(m) -> int:
@@ -447,7 +482,11 @@ class App:
             return 201, scrub(fn(body, pid_of(m)))
 
         def _list(body, m, q):
-            return 200, scrub(self.catalog.list(kind, project_id=pid_of(m)))
+            rows = scrub(self.catalog.list(kind, project_id=pid_of(m)))
+            ctx = m.get("__ctx")
+            if list_filter is not None and ctx is not None:
+                rows = list_filter(ctx, rows)
+            return 200, rows
 
         def _get(body, m, q):
             return 200, scrub(self.catalog.get(kind, int(m["id"]), project_id=pid_of(m)))
@@ -823,7 +862,8 @@ class App:
             if method != route_method:
                 continue
             claims = self._authorize(environ, path)
-            if claims is not None and perm is not None:
+            ctx = None
+            if claims is not None:
                 # RBAC (reference per-handler ctx.check_*_permission):
                 # the principal's roles come from the live account row,
                 # so a grant/revoke applies to existing tokens too
@@ -832,10 +872,11 @@ class App:
                 except NotFound:
                     raise HttpError(401, "unknown account")
                 ctx = rbac.Context.from_account(acct)
-                try:
-                    perm(ctx, m.groupdict())
-                except Forbidden:
-                    raise HttpError(403, "forbidden")
+                if perm is not None:
+                    try:
+                        perm(ctx, m.groupdict())
+                    except Forbidden:
+                        raise HttpError(403, "forbidden")
             body = {}
             if method in ("POST", "PUT"):
                 try:
@@ -851,6 +892,8 @@ class App:
             md = m.groupdict()
             if claims is not None:
                 md["__claims"] = claims
+            if ctx is not None:
+                md["__ctx"] = ctx
             status, result = handler(body, md, query)
             if result is None:
                 return status, None

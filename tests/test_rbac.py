@@ -202,3 +202,36 @@ def test_grant_revoke_applies_to_live_tokens(rbac_app):
     st, _ = _authed(app, pair["accessToken"], "DELETE",
                     f"/api/v1/projects/1/schema/events/{ev['id']}")
     assert st == 403
+
+
+def test_org_and_project_lists_are_filtered(rbac_app):
+    """Collection listings narrow to what the principal may view
+    (reference organizations.rs:46-53, projects.rs:137-153) instead of
+    403ing: the admin sees everything, a project owner sees exactly
+    their project, a role-less account sees nothing."""
+    app, admin, viewer, _ = rbac_app
+    st, p1 = _authed(app, admin, "POST", "/api/v1/projects", {"name": "proj-a"})
+    assert st == 201
+    st, p2 = _authed(app, admin, "POST", "/api/v1/projects", {"name": "proj-b"})
+    assert st == 201
+    st, o1 = _authed(app, admin, "POST", "/api/v1/organizations", {"name": "org-a"})
+    assert st == 201
+
+    st, all_projects = _authed(app, admin, "GET", "/api/v1/projects")
+    assert st == 200 and {p["name"] for p in all_projects} >= {"proj-a", "proj-b"}
+    st, all_orgs = _authed(app, admin, "GET", "/api/v1/organizations")
+    assert st == 200 and any(o["name"] == "org-a" for o in all_orgs)
+
+    # grant the viewer owner on proj-b only (proj-a's CRUD id collides
+    # with the fixture's project-1 reader grant — first match wins)
+    st, accounts = _authed(app, admin, "GET", "/api/v1/accounts")
+    vid = next(a["id"] for a in accounts if a["email"] == "viewer@x.y")
+    _authed(app, admin, "PUT", f"/api/v1/accounts/{vid}",
+            {"projects": [[1, "reader"], [p2["id"], "owner"]]})
+    st, vis = _authed(app, viewer, "GET", "/api/v1/projects")
+    assert st == 200 and [p["name"] for p in vis] == ["proj-b"]
+    st, vis_orgs = _authed(app, viewer, "GET", "/api/v1/organizations")
+    assert st == 200 and vis_orgs == []
+    # restore the fixture's grant for test-order independence
+    _authed(app, admin, "PUT", f"/api/v1/accounts/{vid}",
+            {"projects": [[1, "reader"]]})
