@@ -285,13 +285,21 @@ class App:
             self.tracked, self.identified = self.wal.replay()
             if self.sessions is not None:
                 # rebuild live-session state from the journal; injected
-                # Session Begin rows are already IN the replayed buffer
-                from .streaming.sessionize import EVENT_SESSION_BEGIN
+                # Session Begin/End rows are already IN the replayed
+                # buffer and must not feed the store again
+                from .streaming.sessionize import (
+                    EVENT_SESSION_BEGIN,
+                    EVENT_SESSION_END,
+                )
 
                 for row in self.tracked:
-                    if row.get("event_type") != EVENT_SESSION_BEGIN:
-                        user = row.get("user_id") or row.get("anonymous_id") or ""
-                        self.sessions.touch(0, str(user), _ts_to_us(row.get("ts")))
+                    user = str(row.get("user_id") or row.get("anonymous_id") or "")
+                    et = row.get("event_type")
+                    if et == EVENT_SESSION_END:
+                        # the sweeper already closed this session
+                        self.sessions.close(0, user)
+                    elif et != EVENT_SESSION_BEGIN:
+                        self.sessions.touch(0, user, _ts_to_us(row.get("ts")))
         P = r"^/api/v1/projects/(?P<pid>[^/]+)"
 
         # ---- permission specs (reference per-handler checks;
@@ -781,6 +789,40 @@ class App:
             begin = dict(row, event_type=EVENT_SESSION_BEGIN, props="{}")
             return [begin, row]
         return [row]
+
+    def sweep_sessions(self, now_us: Optional[int] = None) -> int:
+        """Expire idle sessions and emit one `Session End` row each,
+        carrying the session's span as ``session_length`` seconds —
+        the reference's session-cleaner loop (init_session_cleaner,
+        cmd/src/lib.rs:357-430) as an explicit method: call it from a
+        scheduler at the reference's session_cleaner_interval. Emitted
+        rows are WAL'd like tracked events. Returns the number of
+        sessions ended."""
+        if self.sessions is None:
+            return 0
+        from .streaming.sessionize import EVENT_SESSION_END
+
+        if now_us is None:
+            import time as _time
+
+            now_us = int(_time.time() * 1_000_000)
+        ended = self.sessions.expire(now_us)
+        for _pid, user, first_us, last_us in ended:
+            row = {
+                "token": "", "user_id": user, "anonymous_id": None,
+                "ts": dt.datetime.fromtimestamp(
+                    last_us / 1e6, dt.timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "event_type": EVENT_SESSION_END,
+                "props": json.dumps(
+                    {"session_length": (last_us - first_us) // 1_000_000}),
+                "groups": "{}", "user_agent": None, "ip": None,
+                "page_path": None, "page_url": None, "utm_source": None,
+            }
+            if self.wal is not None:
+                self.wal.append("track", row)
+            self.tracked.append(row)
+        return len(ended)
 
     def _identify(self, body, m, q):
         row = parse_identify(body, m["token"])

@@ -38,12 +38,13 @@ from .streaming.sessionize import SESSION_GAP_US
 
 
 class SessionStore:
-    """Per-project live sessions: {(project_id, user_key) -> last_ts_us}."""
+    """Per-project live sessions:
+    {(project_id, user_key) -> (first_ts_us, last_ts_us)}."""
 
     def __init__(self, gap_us: int = SESSION_GAP_US):
         self.gap_us = gap_us
         self._lock = threading.Lock()
-        self._last: dict[tuple[int, str], int] = {}
+        self._live: dict[tuple[int, str], tuple[int, int]] = {}
 
     def touch(self, project_id: int, user_key: str, ts_us: int) -> bool:
         """Record activity; True if this event starts a NEW session
@@ -53,23 +54,39 @@ class SessionStore:
         on sweep timing)."""
         key = (project_id, user_key)
         with self._lock:
-            prev = self._last.get(key)
-            self._last[key] = ts_us
-            return prev is None or ts_us - prev > self.gap_us
+            rec = self._live.get(key)
+            if rec is None or ts_us - rec[1] > self.gap_us:
+                self._live[key] = (ts_us, ts_us)
+                return True
+            self._live[key] = (rec[0], max(rec[1], ts_us))
+            return False
 
-    def expire(self, now_us: int) -> int:
+    def close(self, project_id: int, user_key: str) -> None:
+        """Drop one live record — used when replaying a journal whose
+        Session End row already marked the session closed."""
+        with self._lock:
+            self._live.pop((project_id, user_key), None)
+
+    def expire(self, now_us: int) -> list[tuple[int, str, int, int]]:
         """Drop records idle past the TTL (reference
         check_for_deletion) — bounds memory to active users. Returns
-        the number of sessions expired."""
+        the expired (project_id, user_key, first_ts_us, last_ts_us)
+        records so the caller can emit Session End events (reference
+        init_session_cleaner, cmd/src/lib.rs:357-430). Deliberate
+        deviation: the reference reports session length as
+        now − last-activity (its set_current_time overwrites
+        created_at on every event, so the 'length' is really the idle
+        timeout); we return first AND last activity so the emitted
+        length is the session's actual span."""
         with self._lock:
-            dead = [k for k, ts in self._last.items()
-                    if now_us - ts > self.gap_us]
-            for k in dead:
-                del self._last[k]
-        return len(dead)
+            dead = [(pid, u, f, l) for (pid, u), (f, l) in self._live.items()
+                    if now_us - l > self.gap_us]
+            for pid, u, _, _ in dead:
+                del self._live[(pid, u)]
+        return sorted(dead)
 
     def active_count(self, project_id: Optional[int] = None) -> int:
         with self._lock:
             if project_id is None:
-                return len(self._last)
-            return sum(1 for (pid, _) in self._last if pid == project_id)
+                return len(self._live)
+            return sum(1 for (pid, _) in self._live if pid == project_id)

@@ -26,6 +26,7 @@ from ..schema import EVENT_ID_COL, EVENT_NAME_COL, EVENT_TIME_COL, EVENT_USER_CO
 SESSION_GAP = "30 minutes"
 SESSION_GAP_US = 30 * 60 * 1_000_000
 EVENT_SESSION_BEGIN = "Session Begin"  # reference common/src/types.rs:70-71
+EVENT_SESSION_END = "Session End"
 
 
 def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:

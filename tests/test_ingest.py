@@ -277,10 +277,13 @@ def test_session_store_touch_and_expire():
     s = SessionStore(gap_us=1_000_000)  # 1s gap
     assert s.touch(1, "u1", 0) is True           # first ever
     assert s.touch(1, "u1", 500_000) is False    # within gap
-    assert s.touch(1, "u1", 1_600_000) is True   # gap exceeded
+    assert s.touch(1, "u1", 1_600_000) is True   # gap exceeded (new session)
+    assert s.touch(1, "u1", 1_900_000) is False
     assert s.touch(1, "u2", 0) is True           # per-user state
     assert s.active_count() == 2
-    assert s.expire(now_us=10_000_000) == 2
+    # expire returns the records (first/last activity) for Session End
+    ended = s.expire(now_us=10_000_000)
+    assert ended == [(1, "u1", 1_600_000, 1_900_000), (1, "u2", 0, 0)]
     assert s.active_count() == 0
     assert s.touch(1, "u1", 10_100_000) is True  # post-expiry restart
 
@@ -333,3 +336,43 @@ def test_track_injects_session_begin_synchronously(spark, tmp_path):
                  {"userId": "u9", "event": "view",
                   "timestamp": "2024-03-01T10:00:00Z"})
     assert [r["event_type"] for r in app3.tracked] == ["view"]
+
+
+def test_sweep_emits_session_end_rows(spark, tmp_path):
+    """The session sweeper emits one Session End row per expired
+    session with the session's span as session_length seconds
+    (reference init_session_cleaner loop) — WAL'd, so it survives a
+    crash, and replay does not feed synthetic rows back into the
+    store."""
+    import json as _json
+
+    from optiprism_spark.server import make_app
+    from optiprism_spark.streaming.sessionize import (
+        EVENT_SESSION_BEGIN, EVENT_SESSION_END)
+
+    from .test_server import call
+
+    wal_dir = str(tmp_path / "wal")
+    app = make_app(spark, "/root/testdata/sf0.001", wal_dir=wal_dir,
+                   session_store=True)
+    for ts in ("2024-03-01T10:00:00Z", "2024-03-01T10:10:00Z"):
+        st, _ = call(app, "POST", "/api/v1/ingest/tok/track",
+                     {"userId": "u1", "event": "view", "timestamp": ts})
+        assert st == 201
+    # nothing idle yet at 10:20
+    t = lambda s: int(__import__("datetime").datetime.fromisoformat(
+        s.replace("Z", "+00:00")).timestamp() * 1_000_000)
+    assert app.sweep_sessions(now_us=t("2024-03-01T10:20:00Z")) == 0
+    # at 11:00 the session (10:00-10:10) is idle past the 30-min gap
+    assert app.sweep_sessions(now_us=t("2024-03-01T11:00:00Z")) == 1
+    end_rows = [r for r in app.tracked if r["event_type"] == EVENT_SESSION_END]
+    assert len(end_rows) == 1
+    assert _json.loads(end_rows[0]["props"])["session_length"] == 600
+    assert end_rows[0]["user_id"] == "u1"
+    # crash + replay: Session End row persists, store is empty of u1
+    del app
+    app2 = make_app(spark, "/root/testdata/sf0.001", wal_dir=wal_dir,
+                    session_store=True)
+    assert [r["event_type"] for r in app2.tracked] == [
+        EVENT_SESSION_BEGIN, "view", "view", EVENT_SESSION_END]
+    assert app2.sessions.active_count() == 0
