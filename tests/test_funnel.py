@@ -269,6 +269,10 @@ def _collect_attempts(df):
     {},  # relevance-filtered path
     {"constants": [PropertyRef.column("value")]},  # full-stream path
     {"count_mode": FunnelCountMode.SESSION},       # sessionized path
+    # breakdown path: per-(user, value) machines — exercises the pandas
+    # positional-index grouping across batch-sliced frames
+    {"breakdowns": [PropertyRef.column("value")],
+     "count_mode": FunnelCountMode.NON_UNIQUE},
 ])
 def test_tiny_arrow_batches_match_default(spark, extra):
     """The streamed kernel (per-Arrow-batch + boundary-user carry)
