@@ -160,3 +160,38 @@ def dict_roundtrip_event_type(spark, sf_dir):
     return dict_decode(agg, "event_type_key", d, keep_key=True).select(
         "event_type_key", "event_type", "n"
     )
+
+
+@query(
+    "dict_persisted_roundtrip",
+    oracle="""
+    WITH d AS (
+      SELECT dense_rank() OVER (ORDER BY event_type) AS key, event_type AS value
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT d.key AS event_type_key, e.event_type, COUNT(*) AS n
+    FROM events e JOIN d ON e.event_type = d.value
+    GROUP BY 1, 2
+    """,
+)
+def dict_persisted_roundtrip(spark, sf_dir):
+    """Catalog-PERSISTED dictionary roundtrip (reference
+    metadata/src/dictionaries.rs:121-145): values register once in the
+    metadata store and keep their keys across queries and restarts
+    (reopen coverage: tests/test_catalog.py). On an empty store the
+    sorted batch registration assigns 1-based keys in value order ≡
+    dense_rank() OVER (ORDER BY value), which is what makes this
+    DuckDB-reproducible; the second sync below proves key stability."""
+    from ..catalog import Catalog
+    from ..operators.dictionary import persisted_dictionary
+
+    events = load_table(spark, sf_dir, "events")
+    cat = Catalog()
+    persisted_dictionary(cat, 1, "events", "event_type", df=events)
+    # re-sync: already-registered values keep their keys
+    d = persisted_dictionary(cat, 1, "events", "event_type", df=events)
+    encoded = dict_encode(events, "event_type", d)
+    agg = encoded.groupBy("event_type_key").agg(F.count(F.lit(1)).alias("n"))
+    return dict_decode(agg, "event_type_key", d, keep_key=True).select(
+        "event_type_key", "event_type", "n"
+    )
