@@ -128,6 +128,29 @@ DRIVER_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "wh_top_brands_by_region", "win_cumulative", "win_logarithmic",
         "win_period_compare", "win_rolling_avg",
     }),
+    5: frozenset({
+        "api_json_custom_event", "api_json_funnel", "api_json_group_segmentation",
+        "api_json_segmentation", "asm_pack_sequences",
+        "asm_sample_fraction_by_lang", "asm_split_train_val_test",
+        "asm_stratified_sample_exact", "dedup_decontaminate",
+        "dedup_embedding_cosine_ivf_auto", "dedup_neardup_clusters",
+        "dict_persisted_roundtrip", "event_records_search_purchases",
+        "funnel_frequency", "funnel_machine_any_order_touch_last",
+        "funnel_machine_breakdown", "funnel_machine_session_mode",
+        "funnel_steps_chart", "funnel_time_to_convert_dist",
+        "ingest_ua_browser_counts", "latest_profile_all", "multimodal_features",
+        "property_values_json_like", "seg_breakdown_json_prop",
+        "seg_chart_pipeline", "seg_count_daily_by_type",
+        "seg_count_daily_segmented", "seg_count_per_user_avg", "seg_custom_event",
+        "seg_dau", "seg_dau_by_week", "seg_filter_json_prop", "seg_filter_ops",
+        "seg_formula_value_per_event", "seg_group_analytics_org", "seg_mau",
+        "seg_mixed_levels", "seg_multi_agg_weekly", "seg_multi_event_merge",
+        "seg_percentiles_by_type", "seg_sum_per_user_outer",
+        "seg_sum_value_daily_by_type", "seg_time_from_minute_buckets",
+        "seg_wau", "seg_year_buckets", "segment_has_property_value",
+        "session_begin_daily", "sim_cosine_topk", "sim_cosine_topk_ivf",
+        "text_pii_redact",
+    }),
 }
 
 
