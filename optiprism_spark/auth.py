@@ -154,11 +154,15 @@ def log_in(catalog, body: dict, key: str) -> dict:
 
 def refresh(catalog, body: dict, key: str) -> dict:
     """POST /api/v1/auth/refresh-token (reference http/auth.rs:212).
-    Only a true refresh token is accepted: the ``typ`` claim must say
-    so, and anything carrying organizationId (an access token) is
-    rejected outright."""
+    Only a true refresh token is accepted: anything carrying
+    organizationId (an access token) is rejected outright, and a
+    ``typ`` claim, when present, must say ``refresh``. Legacy refresh
+    tokens minted before the ``typ`` claim existed carry neither field
+    and stay valid for their remaining TTL, so a deploy doesn't force
+    every session to re-login (they age out within one TTL window)."""
     claims = parse_token(body.get("refreshToken", ""), key)
-    if claims.get("typ") != "refresh" or "organizationId" in claims:
+    typ = claims.get("typ")
+    if (typ is not None and typ != "refresh") or "organizationId" in claims:
         raise AuthError("not a refresh token")
     acct = catalog.get("account", int(claims["accountId"]))
     return _token_pair(acct, key)

@@ -72,9 +72,11 @@ _IO_CONFS = (
 
 def ensure_io_confs(spark: SparkSession) -> None:
     """Stamp the engine's required session confs (idempotent). If a
-    conf was already set to a CONFLICTING value, it is still
-    overridden — the tables are unreadable otherwise — but with a
-    visible warning, so the session-wide mutation is never silent."""
+    conf was already EXPLICITLY set to a conflicting value, it is
+    still overridden — the tables are unreadable otherwise — but with
+    a visible warning, so the session-wide mutation is never silent.
+    (Confs merely at their Spark defaults are stamped without noise:
+    ``conf.get(key, None)`` returns None unless the user set them.)"""
     import warnings
 
     for key, want in _IO_CONFS:
@@ -84,11 +86,15 @@ def ensure_io_confs(spark: SparkSession) -> None:
             cur = None
         if cur == want:
             continue
-        if key == "spark.sql.session.timeZone" and cur not in (None, "UTC"):
+        try:
+            explicit = spark.conf.get(key, None)
+        except Exception:
+            explicit = None
+        if explicit is not None and explicit != want:
             warnings.warn(
-                f"optiprism_spark overrides {key}={cur!r} with 'UTC' "
-                "(engine convention: UTC everywhere; driver tables carry "
-                "TIMESTAMP(NANOS) decoded under these confs)",
+                f"optiprism_spark overrides {key}={explicit!r} with {want!r} "
+                "(engine convention: driver tables carry TIMESTAMP(NANOS) "
+                "decoded under these confs, UTC everywhere)",
                 RuntimeWarning,
             )
         spark.conf.set(key, want)

@@ -187,6 +187,8 @@ def parse_track(body: dict, token: str = "") -> dict:
     ctx = body.get("context") or {}
     page = ctx.get("page") or {}
     camp = ctx.get("campaign") or {}
+    if body.get("timestamp") is not None:
+        _ts_to_us(str(body["timestamp"]))  # 400 on malformed, BEFORE the WAL
     return {
         "token": token,
         "user_id": body.get("userId"),
@@ -208,6 +210,8 @@ def parse_identify(body: dict, token: str = "") -> dict:
     for k in ("group", "id"):
         if k not in body:
             raise HttpError(400, f"identify body requires {k!r}")
+    if body.get("timestamp") is not None:
+        _ts_to_us(str(body["timestamp"]))  # 400 on malformed, BEFORE the WAL
     return {
         "token": token,
         "group": body["group"],
@@ -219,12 +223,19 @@ def parse_identify(body: dict, token: str = "") -> dict:
 
 def _ts_to_us(ts: Optional[str]) -> int:
     """ISO timestamp string → epoch µs; missing timestamps use the
-    wall clock (the reference track destination stamps Utc::now())."""
+    wall clock (the reference track destination stamps Utc::now()).
+    A malformed timestamp raises HttpError(400) — callers on the
+    ingest path let it propagate to the client; WAL replay (which may
+    hold rows journaled before ingest-time validation existed) must
+    catch it and skip instead (see App.__init__)."""
     if not ts:
         import time as _time
 
         return int(_time.time() * 1_000_000)
-    parsed = dt.datetime.fromisoformat(str(ts).replace("Z", "+00:00"))
+    try:
+        parsed = dt.datetime.fromisoformat(str(ts).replace("Z", "+00:00"))
+    except ValueError:
+        raise HttpError(400, f"invalid timestamp {str(ts)!r}: expected ISO-8601")
     if parsed.tzinfo is None:
         parsed = parsed.replace(tzinfo=dt.timezone.utc)
     return int(parsed.timestamp() * 1_000_000)
@@ -295,11 +306,20 @@ class App:
                 for row in self.tracked:
                     user = str(row.get("user_id") or row.get("anonymous_id") or "")
                     et = row.get("event_type")
+                    pid = self._project_of_token(row.get("token") or "")
                     if et == EVENT_SESSION_END:
                         # the sweeper already closed this session
-                        self.sessions.close(0, user)
+                        self.sessions.close(pid, user)
                     elif et != EVENT_SESSION_BEGIN:
-                        self.sessions.touch(0, user, _ts_to_us(row.get("ts")))
+                        try:
+                            ts_us = _ts_to_us(row.get("ts"))
+                        except HttpError:
+                            # journaled before ingest-time ts validation
+                            # existed; skip the touch rather than fail
+                            # startup (wall-clock would fake recent
+                            # activity for a stale session)
+                            continue
+                        self.sessions.touch(pid, user, ts_us)
         P = r"^/api/v1/projects/(?P<pid>[^/]+)"
 
         # ---- permission specs (reference per-handler checks;
@@ -420,7 +440,21 @@ class App:
                            get=org(rbac.ORG_VIEW), list=None,
                        ),
                        list_filter=visible_orgs)
+        def create_project(body, pid):
+            # every project carries a generated sdk/ingest token
+            # (reference platform/src/projects.rs:92: 64-char
+            # alphanumeric at create); an explicit one is kept
+            if not body.get("token"):
+                import secrets
+                import string
+
+                alphabet = string.ascii_letters + string.digits
+                body = dict(body, token="".join(
+                    secrets.choice(alphabet) for _ in range(64)))
+            return self.catalog.create("project", body, project_id=pid)
+
         self._add_crud(r"^/api/v1/projects", "project", scoped=False,
+                       create=create_project,
                        perms=dict(
                            create=org(rbac.ORG_MANAGE_PROJECTS),
                            delete=proj(rbac.DELETE_PROJECT),
@@ -762,6 +796,33 @@ class App:
             self._events(), prop, filter_like=body.get("like")
         )
 
+    def _project_of_token(self, token: str) -> int:
+        """Resolve an ingest token to its project id — the reference's
+        ``projects.get_by_token`` (metadata/src/projects.rs:101), where
+        every project carries a generated sdk token. Unknown or empty
+        tokens fall back to project 0 (dev mode: no registered
+        projects, single implicit project). Looked up live from the
+        catalog (one local sqlite query over a small table) so token
+        rotation via PUT applies immediately — a cache here would
+        mis-key sessions after an update/delete."""
+        if not token:
+            return 0
+        for p in self.catalog.list("project"):
+            if p.get("token") == token:
+                return int(p["id"])
+        return 0
+
+    def _token_of_project(self, pid: int) -> str:
+        """Inverse of ``_project_of_token`` for synthesized rows (the
+        sweeper's Session End), so crash replay re-derives the same
+        project keying."""
+        if pid == 0:
+            return ""
+        try:
+            return self.catalog.get("project", pid).get("token") or ""
+        except Exception:
+            return ""
+
     def _track(self, body, m, q):
         row = parse_track(body, m["token"])
         for out in self._with_session_begin(row):
@@ -784,8 +845,9 @@ class App:
 
         ts_us = _ts_to_us(row.get("ts"))
         user = row.get("user_id") or row.get("anonymous_id") or ""
+        pid = self._project_of_token(row.get("token") or "")
         if row["event_type"] != EVENT_SESSION_BEGIN and \
-                self.sessions.touch(0, str(user), ts_us):
+                self.sessions.touch(pid, str(user), ts_us):
             begin = dict(row, event_type=EVENT_SESSION_BEGIN, props="{}")
             return [begin, row]
         return [row]
@@ -807,9 +869,10 @@ class App:
 
             now_us = int(_time.time() * 1_000_000)
         ended = self.sessions.expire(now_us)
-        for _pid, user, first_us, last_us in ended:
+        for pid, user, first_us, last_us in ended:
             row = {
-                "token": "", "user_id": user, "anonymous_id": None,
+                "token": self._token_of_project(pid),
+                "user_id": user, "anonymous_id": None,
                 "ts": dt.datetime.fromtimestamp(
                     last_us / 1e6, dt.timezone.utc
                 ).strftime("%Y-%m-%dT%H:%M:%SZ"),
@@ -850,18 +913,46 @@ class App:
     def identified_df(self) -> DataFrame:
         return self.spark.createDataFrame(self.identified or [], _IDENTIFY_SCHEMA)
 
-    def checkpoint_ingest(self) -> tuple[list[dict], list[dict]]:
-        """Drain the ingest buffers and truncate the WAL after the
-        buffered rows are durably flushed into the events table — the
-        reference's flush→truncate step (storage/src/db.rs:779-790).
-        Buffers and WAL move together: clearing only the WAL would
-        re-flush the same in-memory rows into the events table on the
-        next batch, duplicating events. Returns the drained
-        (tracked, identified) lists."""
-        drained = (self.tracked, self.identified)
-        self.tracked, self.identified = [], []
+    def begin_checkpoint(self) -> tuple[list[dict], list[dict]]:
+        """Phase 1 of the flush→truncate step (reference
+        storage/src/db.rs:779-790): snapshot the buffered rows for the
+        caller to durably write into the events table. Nothing is
+        dropped yet — buffers and WAL keep everything, so a crash
+        before ``commit_checkpoint`` replays the full set (at-least-
+        once, exactly the reference's recovery contract). Rows tracked
+        AFTER this call are not in the snapshot and survive the
+        commit."""
+        self._ckpt_mark = (len(self.tracked), len(self.identified))
+        return (self.tracked[: self._ckpt_mark[0]],
+                self.identified[: self._ckpt_mark[1]])
+
+    def commit_checkpoint(self) -> None:
+        """Phase 2: the caller reports the snapshot is durable. Drops
+        the snapshotted prefix from the buffers and rewrites the WAL
+        with only the rows tracked since ``begin_checkpoint`` — those
+        stay durable; nothing acked is ever lost to the truncate."""
+        mark = getattr(self, "_ckpt_mark", None)
+        if mark is None:
+            raise RuntimeError("commit_checkpoint without begin_checkpoint")
+        self._ckpt_mark = None
+        self.tracked = self.tracked[mark[0]:]
+        self.identified = self.identified[mark[1]:]
         if self.wal is not None:
-            self.wal.truncate()
+            self.wal.rewrite(
+                [("track", r) for r in self.tracked]
+                + [("identify", r) for r in self.identified]
+            )
+
+    def checkpoint_ingest(self) -> tuple[list[dict], list[dict]]:
+        """One-shot drain: buffers and WAL are cleared in the SAME
+        call that returns the rows, so the ONLY safe order is to flush
+        the buffers durably (e.g. write ``tracked_df()`` out) BEFORE
+        calling this — a crash between this call and the caller's
+        write loses acked rows, and rows tracked during the caller's
+        flush are dropped. For the crash-safe order use
+        ``begin_checkpoint()`` → durable write → ``commit_checkpoint()``."""
+        drained = self.begin_checkpoint()
+        self.commit_checkpoint()
         return drained
 
     # ----------------------------------------------------------- WSGI

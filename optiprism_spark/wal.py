@@ -94,5 +94,26 @@ class IngestWal:
         self._f.close()
         self._f = open(self.path, "ab")
 
+    def rewrite(self, records: list[tuple[str, dict]]) -> None:
+        """Replace the journal contents with ``records`` (one fsync at
+        the end) — the checkpoint-commit step: rows flushed durably
+        elsewhere are dropped, rows acked since the checkpoint began
+        stay journaled. Written via a temp file + atomic rename so a
+        crash mid-rewrite leaves the OLD journal intact (at-least-once
+        replay), never a half-written one."""
+        tmp = self.path + ".rewrite"
+        with open(tmp, "wb") as f:
+            for op, row in records:
+                payload = json.dumps(
+                    {"op": op, "row": row}, sort_keys=True
+                ).encode()
+                f.write(_HEADER.pack(len(payload), zlib.crc32(payload)))
+                f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        self._f.close()
+        os.replace(tmp, self.path)
+        self._f = open(self.path, "ab")
+
     def close(self) -> None:
         self._f.close()

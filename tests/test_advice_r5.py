@@ -101,11 +101,13 @@ def test_refresh_rejects_access_token():
     fresh = auth_mod.refresh(cat, {"refreshToken": pair["refreshToken"]}, "k")
     claims = auth_mod.parse_token(fresh["refreshToken"], "k")
     assert claims["typ"] == "refresh" and "organizationId" not in claims
-    # a legacy typ-less token (pre-upgrade) is also refused
+    # a legacy typ-less token (pre-upgrade) stays valid for its TTL so
+    # a deploy doesn't force re-login (round-5 ADVICE revision; the
+    # access-token rejection above is what the binding is FOR —
+    # details in tests/test_advice_r6.py)
     legacy = auth_mod.make_token(
         {"exp": 9999999999, "accountId": 1}, "k")
-    with pytest.raises(auth_mod.AuthError):
-        auth_mod.refresh(cat, {"refreshToken": legacy}, "k")
+    assert "accessToken" in auth_mod.refresh(cat, {"refreshToken": legacy}, "k")
 
 
 def test_refresh_token_is_not_a_bearer_token(spark):
