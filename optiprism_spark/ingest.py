@@ -371,14 +371,18 @@ def compact_appends_into_bucketed(
     n = appends.count()
     if n == 0:
         return 0
-    staging = f"{table_name}__compact_staging"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    write_events_bucketed(
-        bucketed.unionByName(appends), staging,
-        n_buckets=n_buckets, bucket_col=bucket_col, sort_cols=sort_cols,
-    )
-    spark.sql(f"DROP TABLE {table_name}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    from . import metrics
+
+    with metrics.store_compaction_time().time():
+        staging = f"{table_name}__compact_staging"
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        write_events_bucketed(
+            bucketed.unionByName(appends), staging,
+            n_buckets=n_buckets, bucket_col=bucket_col, sort_cols=sort_cols,
+        )
+        spark.sql(f"DROP TABLE {table_name}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    metrics.store_compactions_total().inc()
     return n
 
 

@@ -112,7 +112,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runtime-set for sessions not built by session.get_spark (e.g. the
     # driver's own session): events.parquet carries TIMESTAMP(NANOS)
     ensure_io_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from . import metrics
+
+    metrics.store_scans_total().inc(table=name)
+    with metrics.store_scan_time().time(table=name):
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as long (see session.py
     # nanosAsLong); floor-convert to µs timestamps — the same
     # truncation DuckDB applies reading nanos into its µs timestamps.

@@ -78,7 +78,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import api, auth as auth_mod, rbac
+from . import api, auth as auth_mod, metrics, rbac
 from .catalog import Catalog, CatalogError, Conflict, NotFound
 from .rbac import Forbidden
 from .operators.funnel import funnel_report
@@ -241,6 +241,19 @@ def _ts_to_us(ts: Optional[str]) -> int:
     return int(parsed.timestamp() * 1_000_000)
 
 
+def _timed_query(qtype: str, handler: Callable) -> Callable:
+    """Per-query-type counter + latency histogram around an explore
+    handler (the reference's METRIC_QUERY_* series, recorded around
+    each query execution in its http layer)."""
+
+    def h(body, md, qs):
+        metrics.query_queries_total().inc(query_type=qtype)
+        with metrics.query_execution_time().time(query_type=qtype):
+            return handler(body, md, qs)
+
+    return h
+
+
 _TRACK_SCHEMA = (
     "token string, user_id string, anonymous_id string, ts string, "
     "event_type string, props string, groups string, user_agent string, "
@@ -293,7 +306,10 @@ class App:
             from .wal import IngestWal
 
             self.wal = IngestWal(wal_dir)
-            self.tracked, self.identified = self.wal.replay()
+            with metrics.store_recovery_time().time():
+                self.tracked, self.identified = self.wal.replay()
+            metrics.store_memtable_rows().set(
+                len(self.tracked) + len(self.identified))
             if self.sessions is not None:
                 # rebuild live-session state from the journal; injected
                 # Session Begin/End rows are already IN the replayed
@@ -371,18 +387,22 @@ class App:
              self._profile_password, None),
             # ---- queries (ExploreReports, reference funnel.rs:55 etc) ----
             ("POST", re.compile(P + r"/queries/event-segmentation$"),
-             self._event_segmentation, explore),
-            ("POST", re.compile(P + r"/queries/funnel$"), self._funnel, explore),
+             _timed_query("event_segmentation", self._event_segmentation),
+             explore),
+            ("POST", re.compile(P + r"/queries/funnel$"),
+             _timed_query("funnel", self._funnel), explore),
             ("POST", re.compile(P + r"/event-records/search$"),
-             self._event_records_search, explore),
+             _timed_query("event_records_search", self._event_records_search),
+             explore),
             ("GET", re.compile(P + r"/event-records/(?P<id>\d+)$"),
-             self._event_record_by_id, explore),
+             _timed_query("event_record", self._event_record_by_id), explore),
             ("POST", re.compile(P + r"/group-records/search$"),
-             self._group_records_search, explore),
+             _timed_query("group_records_search", self._group_records_search),
+             explore),
             ("GET", re.compile(P + r"/group-records/(?P<group>[^/]+)/(?P<id>\d+)$"),
-             self._group_record_by_id, explore),
+             _timed_query("group_record", self._group_record_by_id), explore),
             ("POST", re.compile(P + r"/property-values$"),
-             self._property_values, explore),
+             _timed_query("property_values", self._property_values), explore),
             # ---- ingest (token-in-path auth, as the reference ingester) ----
             ("POST", re.compile(r"^/api/v1/ingest/(?P<token>[^/]+)/track$"),
              self._track, None),
@@ -597,9 +617,11 @@ class App:
         os.makedirs(self.backup_dir, exist_ok=True)
         n = len(os.listdir(self.backup_dir)) + 1
         path = os.path.join(self.backup_dir, f"backup-{n:04d}.tar.gz")
-        manifest = create_backup(
-            path, catalog=self.catalog, wal_dir=self._wal_dir
-        )
+        with metrics.backup_time().time():
+            manifest = create_backup(
+                path, catalog=self.catalog, wal_dir=self._wal_dir
+            )
+        metrics.backups_total().inc()
         return 201, {"id": n, "path": path,
                      "entries": len(manifest["entries"]),
                      "createdAt": manifest["createdAt"]}
@@ -824,11 +846,15 @@ class App:
             return ""
 
     def _track(self, body, m, q):
-        row = parse_track(body, m["token"])
-        for out in self._with_session_begin(row):
-            if self.wal is not None:
-                self.wal.append("track", out)  # fsync'd before the 201 ack
-            self.tracked.append(out)
+        with metrics.ingester_track_time().time():
+            row = parse_track(body, m["token"])
+            for out in self._with_session_begin(row):
+                if self.wal is not None:
+                    self.wal.append("track", out)  # fsync'd before the 201 ack
+                self.tracked.append(out)
+        metrics.ingester_tracked_total().inc()
+        metrics.store_memtable_rows().set(
+            len(self.tracked) + len(self.identified))
         return 201, None
 
     def _with_session_begin(self, row: dict) -> list[dict]:
@@ -888,10 +914,14 @@ class App:
         return len(ended)
 
     def _identify(self, body, m, q):
-        row = parse_identify(body, m["token"])
-        if self.wal is not None:
-            self.wal.append("identify", row)
-        self.identified.append(row)
+        with metrics.ingester_identify_time().time():
+            row = parse_identify(body, m["token"])
+            if self.wal is not None:
+                self.wal.append("identify", row)
+            self.identified.append(row)
+        metrics.ingester_identified_total().inc()
+        metrics.store_memtable_rows().set(
+            len(self.tracked) + len(self.identified))
         return 201, None
 
     # ------------------------------------------------- ingest draining
@@ -934,14 +964,18 @@ class App:
         mark = getattr(self, "_ckpt_mark", None)
         if mark is None:
             raise RuntimeError("commit_checkpoint without begin_checkpoint")
-        self._ckpt_mark = None
-        self.tracked = self.tracked[mark[0]:]
-        self.identified = self.identified[mark[1]:]
-        if self.wal is not None:
-            self.wal.rewrite(
-                [("track", r) for r in self.tracked]
-                + [("identify", r) for r in self.identified]
-            )
+        with metrics.store_flush_time().time():
+            self._ckpt_mark = None
+            self.tracked = self.tracked[mark[0]:]
+            self.identified = self.identified[mark[1]:]
+            if self.wal is not None:
+                self.wal.rewrite(
+                    [("track", r) for r in self.tracked]
+                    + [("identify", r) for r in self.identified]
+                )
+        metrics.store_flushes_total().inc()
+        metrics.store_memtable_rows().set(
+            len(self.tracked) + len(self.identified))
 
     def checkpoint_ingest(self) -> tuple[list[dict], list[dict]]:
         """One-shot drain: buffers and WAL are cleared in the SAME
@@ -958,6 +992,19 @@ class App:
     # ----------------------------------------------------------- WSGI
 
     def __call__(self, environ, start_response):
+        import time as _time
+
+        method = environ.get("REQUEST_METHOD", "GET")
+        if method == "GET" and environ.get("PATH_INFO") == "/metrics":
+            # text exposition, outside auth — the reference serves its
+            # recorder from the server binary the same way (src/cmd);
+            # scrapers are perimeter-controlled, not bearer clients
+            body = metrics.REGISTRY.render().encode()
+            start_response(_STATUS[200], [
+                ("Content-Type", "text/plain; version=0.0.4; charset=utf-8"),
+                ("Content-Length", str(len(body)))])
+            return [body]
+        t0 = _time.monotonic()
         try:
             status, payload = self._dispatch(environ)
         except HttpError as e:
@@ -976,6 +1023,9 @@ class App:
             # parser-level contract violations → client error, like the
             # reference's serde rejection path
             status, payload = 400, {"error": f"{type(e).__name__}: {e}"}
+        metrics.http_requests_total().inc(method=method, status=str(status))
+        metrics.http_request_time().observe(
+            _time.monotonic() - t0, method=method)
         body = b"" if payload is None else json.dumps(payload).encode()
         headers = [("Content-Type", "application/json"),
                    ("Content-Length", str(len(body)))]

@@ -101,10 +101,14 @@ def append_events(df: DataFrame, path: str, mode: str = "append") -> None:
     """Date-partitioned append — the write layout that gives
     partition-pruned time-range scans (reference's LSM time-ordering
     analogue, SURVEY §1.3 Spark mapping)."""
-    (
-        df.withColumn("dt", F.to_date(F.col(EVENT_TIME_COL)))
-        .repartition(F.col("dt"))
-        .write.mode(mode)
-        .partitionBy("dt")
-        .parquet(path)
-    )
+    from .. import metrics
+
+    with metrics.store_insert_time().time():
+        (
+            df.withColumn("dt", F.to_date(F.col(EVENT_TIME_COL)))
+            .repartition(F.col("dt"))
+            .write.mode(mode)
+            .partitionBy("dt")
+            .parquet(path)
+        )
+    metrics.store_inserts_total().inc()

@@ -1,0 +1,138 @@
+"""Ops-metrics plane: the process-global registry and the /metrics
+route, carrying the reference's series names (common/src/types.rs:
+86-121) incremented from the server's query/track/backup paths and
+the ingest compaction job."""
+
+from __future__ import annotations
+
+import pytest
+
+from optiprism_spark import metrics
+from optiprism_spark.server import make_app
+
+from .test_server import call
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def fresh_registry():
+    metrics.REGISTRY.reset()
+    yield
+    metrics.REGISTRY.reset()
+
+
+# ----------------------------------------------------- primitives
+
+def test_counter_and_labels():
+    c = metrics.REGISTRY.counter("t_total", "h", ("k",))
+    c.inc(k="a")
+    c.inc(2, k="a")
+    c.inc(k="b")
+    assert c.value(k="a") == 3 and c.value(k="b") == 1
+    with pytest.raises(ValueError):
+        c.inc(-1, k="a")
+    with pytest.raises(ValueError):
+        c.inc(wrong="a")
+    # same name re-registered with different labels is an error
+    with pytest.raises(ValueError):
+        metrics.REGISTRY.counter("t_total", "h", ())
+
+
+def test_histogram_exposition_format():
+    h = metrics.REGISTRY.histogram("t_seconds", "h", buckets=(0.1, 1.0))
+    h.observe(0.05)
+    h.observe(0.5)
+    h.observe(5.0)
+    text = metrics.REGISTRY.render()
+    assert '# TYPE t_seconds histogram' in text
+    assert 't_seconds_bucket{le="0.1"} 1' in text
+    assert 't_seconds_bucket{le="1"} 2' in text
+    assert 't_seconds_bucket{le="+Inf"} 3' in text
+    assert 't_seconds_count 3' in text
+    assert 't_seconds_sum 5.55' in text
+
+
+# ------------------------------------------------- the /metrics route
+
+def test_metrics_route_reflects_track_and_query(spark):
+    app = make_app(spark, SF_DIR)
+
+    def scrape():
+        st, _, text = call(app, "GET", "/metrics", raw=True)
+        assert st == 200
+        return text
+
+    # nothing yet: names appear only once incremented (prometheus
+    # convention — unobserved series are absent, not zero)
+    base = scrape()
+    assert "optiprism_ingester_tracked_total 1" not in base
+
+    st, _ = call(app, "POST", "/api/v1/ingest/tok/track",
+                 {"userId": "u1", "event": "view",
+                  "timestamp": "2024-03-01T10:00:00Z"})
+    assert st == 201
+    st, _ = call(app, "POST", "/api/v1/projects/1/queries/event-segmentation",
+                 {"time": {"type": "between", "from": "2024-01-01T00:00:00",
+                           "to": "2024-01-31T23:59:59"},
+                  "group": "user", "intervalUnit": "day",
+                  "events": [{"eventName": None, "eventType": "regular",
+                              "queries": [{"type": "countEvents"}]}]})
+    assert st == 200
+
+    text = scrape()
+    assert "optiprism_ingester_tracked_total 1" in text
+    assert 'optiprism_query_queries_total{query_type="event_segmentation"} 1' in text
+    assert 'optiprism_query_execution_time_seconds_count{query_type="event_segmentation"} 1' in text
+    assert 'optiprism_http_requests_total{method="POST",status="201"} 1' in text
+    assert 'optiprism_store_scans_total{table="events"}' in text
+    assert "optiprism_store_memtable_rows 1" in text
+
+    # a second track increments, not resets
+    call(app, "POST", "/api/v1/ingest/tok/track",
+         {"userId": "u2", "event": "view",
+          "timestamp": "2024-03-01T10:00:00Z"})
+    assert "optiprism_ingester_tracked_total 2" in scrape()
+
+
+def test_metrics_route_is_outside_auth(spark):
+    app = make_app(spark, SF_DIR, token_key="k")
+    st, _, text = call(app, "GET", "/metrics", raw=True)
+    assert st == 200  # no bearer needed; scrape perimeter-controlled
+
+
+def test_flush_and_recovery_series(spark, tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    app = make_app(spark, SF_DIR, wal_dir=wal_dir)
+    assert metrics.store_recovery_time().count() == 1
+    call(app, "POST", "/api/v1/ingest/tok/track",
+         {"userId": "u1", "event": "view",
+          "timestamp": "2024-03-01T10:00:00Z"})
+    app.begin_checkpoint()
+    app.commit_checkpoint()
+    text = metrics.REGISTRY.render()
+    assert "optiprism_store_flushes_total 1" in text
+    assert "optiprism_store_memtable_rows 0" in text
+
+
+def test_compaction_series(spark, tmp_path):
+    from optiprism_spark.ingest import (
+        compact_appends_into_bucketed,
+        write_events_bucketed,
+    )
+    from optiprism_spark.schema import load_table
+    from optiprism_spark.streaming.sessionize import append_events
+
+    events = load_table(spark, SF_DIR, "events").limit(200).cache()
+    tbl = "t_metrics_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_events_bucketed(events, tbl, n_buckets=4)
+    appends = str(tmp_path / "appends")
+    append_events(events.limit(50), appends)
+    assert "optiprism_store_inserts_total 1" in metrics.REGISTRY.render()
+    n = compact_appends_into_bucketed(spark, tbl, appends, n_buckets=4)
+    assert n == 50
+    text = metrics.REGISTRY.render()
+    assert "optiprism_store_compactions_total 1" in text
+    assert "optiprism_store_compaction_time_seconds_count 1" in text
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -21,14 +21,16 @@ T_JAN = {"type": "between", "from": "2024-01-01T00:00:00",
          "to": "2024-01-31T23:59:59"}
 
 
-def call(app, method, path, body=None, query=""):
-    raw = b"" if body is None else json.dumps(body).encode()
+def call(app, method, path, body=None, query="", raw=False):
+    """Drive the WSGI app; ``raw=True`` additionally returns the
+    un-decoded body text (non-JSON routes like /metrics)."""
+    payload_b = b"" if body is None else json.dumps(body).encode()
     environ = {
         "REQUEST_METHOD": method,
         "PATH_INFO": path,
         "QUERY_STRING": query,
-        "CONTENT_LENGTH": str(len(raw)),
-        "wsgi.input": io.BytesIO(raw),
+        "CONTENT_LENGTH": str(len(payload_b)),
+        "wsgi.input": io.BytesIO(payload_b),
     }
     captured = {}
 
@@ -37,6 +39,8 @@ def call(app, method, path, body=None, query=""):
         captured["headers"] = dict(headers)
 
     chunks = b"".join(app(environ, start_response))
+    if raw:
+        return captured["status"], captured["headers"], chunks.decode()
     payload = json.loads(chunks) if chunks else None
     return captured["status"], payload
 
