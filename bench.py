@@ -59,6 +59,21 @@ def main() -> None:
     QUERIES["seg_dau"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     QUERIES["multimodal_features"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Host-drift control: a fixed JVM-only query (codegen'd range sum
+    # — no parquet, no Python, no shuffle, none of our code) measured
+    # the same way as the suite. Cross-round comparisons should read
+    # `queries_normalized` (per-query time ÷ control) — the r4→r5
+    # "regression" was pure host drift (every query slid a uniform
+    # ~20%, including untouched ones), which this denominator cancels.
+    def control_pass() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1) as s").write \
+            .format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    control_pass()  # warm
+    control = round(min(control_pass() for _ in range(5)), 3)
+
     # multiple passes, min per query: the host shows heavy run-to-run
     # interference (same query 1.2s..10s); the min reports the
     # engine's steady-state capability instead of co-tenant noise.
@@ -85,6 +100,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "control_sec": control,
+                "queries_normalized": {
+                    n: round(t / control, 2) for n, t in timings.items()
+                },
+                "total_normalized": round(total / control, 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
