@@ -39,6 +39,7 @@ job.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -335,6 +336,19 @@ def write_events_bucketed(
     )
 
 
+def _append_part_files(appends_path: str) -> list[str]:
+    """Leaf parquet files currently in the appends dir (the L0 part
+    listing — one walk on the driver; an object store swaps this for
+    one LIST call)."""
+    out: list[str] = []
+    for root, _dirs, files in os.walk(appends_path):
+        out.extend(
+            os.path.join(root, f) for f in files
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    return sorted(out)
+
+
 def compact_appends_into_bucketed(
     spark,
     table_name: str,
@@ -342,6 +356,7 @@ def compact_appends_into_bucketed(
     n_buckets: int = 32,
     bucket_col: str = EVENT_USER_COL,
     sort_cols: Sequence[str] = (EVENT_USER_COL, EVENT_TIME_COL, EVENT_ID_COL),
+    clear_appends: bool = True,
 ) -> int:
     """Fold date-partitioned appends into the bucketed table — the
     maintenance loop that keeps ``funnel_attempts(assume_partitioned=
@@ -361,10 +376,21 @@ def compact_appends_into_bucketed(
     plan shape (one shuffle on the bucket column, then a sorted
     bucketed write) is identical.
 
+    Sustained-ingest safety: the appends are read from a SNAPSHOT of
+    the part files listed at entry, and (with ``clear_appends``, the
+    default for a maintenance loop) exactly those files are deleted
+    after the swap — append files landing while the rewrite runs are
+    neither folded nor deleted, so no row is ever lost or folded
+    twice across repeated cycles (the reference merger likewise only
+    merges the parts it selected, table.rs compactor loop).
+
     Returns the number of appended rows folded in.
     """
+    part_files = _append_part_files(appends_path)
+    if not part_files:
+        return 0
     bucketed = spark.table(table_name)
-    appends = spark.read.parquet(appends_path)
+    appends = spark.read.parquet(*part_files)
     if "dt" in appends.columns and "dt" not in bucketed.columns:
         appends = appends.drop("dt")
     appends = appends.select(*bucketed.columns)
@@ -383,7 +409,56 @@ def compact_appends_into_bucketed(
         spark.sql(f"DROP TABLE {table_name}")
         spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
     metrics.store_compactions_total().inc()
+    if clear_appends:
+        for f in part_files:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+        # prune now-empty dt= partition dirs (cosmetic)
+        for root, dirs, files in list(os.walk(appends_path, topdown=False)):
+            if root != appends_path and not dirs and not files:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
     return n
+
+
+class CompactionPolicy:
+    """When to run the fold — the reference's size-tiered trigger
+    (storage/src/table.rs:24-63: ``l0_max_parts`` fresh parts force an
+    L0 merge; levels grow by ``level_size_multiplier``) collapsed to
+    the two tiers a lake layout actually has: the date-partitioned
+    appends dir is L0, the bucketed table is the merged sorted run.
+    A compaction rewrites the whole bucketed table, so the policy's
+    job is amortization: fold when enough L0 parts or bytes have
+    accumulated, never per-append (write amplification) and never
+    so rarely that the funnel's shuffle-free read loses freshness.
+    """
+
+    def __init__(self, l0_max_parts: int = 4,
+                 l0_max_bytes: int = 64 * 1024 * 1024):
+        self.l0_max_parts = l0_max_parts
+        self.l0_max_bytes = l0_max_bytes
+
+    def l0_stats(self, appends_path: str) -> tuple[int, int]:
+        files = _append_part_files(appends_path)
+        return len(files), sum(os.path.getsize(f) for f in files)
+
+    def should_compact(self, appends_path: str) -> bool:
+        parts, size = self.l0_stats(appends_path)
+        return parts >= self.l0_max_parts or size >= self.l0_max_bytes
+
+    def maybe_compact(self, spark, table_name: str, appends_path: str,
+                      **kw) -> int:
+        """One tick of the maintenance loop: fold iff the trigger
+        fires. Returns rows folded (0 = below threshold or no data).
+        Call from a scheduler at the reference's compactor cadence."""
+        if not self.should_compact(appends_path):
+            return 0
+        return compact_appends_into_bucketed(
+            spark, table_name, appends_path, **kw)
 
 
 def tracked_to_events(
