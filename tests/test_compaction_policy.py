@@ -39,7 +39,12 @@ def _plan(df) -> str:
 
 @pytest.fixture
 def base_events(spark):
-    return load_table(spark, SF_DIR, "events").cache()
+    # unpersist on teardown: a leftover cache entry would substitute
+    # the full-schema InMemoryRelation into later tests' plans,
+    # breaking the column-pruning assertions in test_plans.py
+    df = load_table(spark, SF_DIR, "events").cache()
+    yield df
+    df.unpersist()
 
 
 def _fresh(events, n, id_offset):

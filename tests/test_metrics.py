@@ -135,4 +135,5 @@ def test_compaction_series(spark, tmp_path):
     text = metrics.REGISTRY.render()
     assert "optiprism_store_compactions_total 1" in text
     assert "optiprism_store_compaction_time_seconds_count 1" in text
+    events.unpersist()
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
