@@ -109,6 +109,69 @@ def generate_events(
                               + (F.xxhash64("user_id") % 86400).cast("double")),
         )
     )
+    return _walk_sessions(base, seed, sessions_per_user)
+
+
+def generate_events_skewed(
+    spark: SparkSession,
+    n_users: int,
+    zipf_s: float = 1.1,
+    head_sessions: int = 64,
+    whales: dict[int, int] | None = None,
+    seed: str = "gen",
+    start_ts: str = "2024-01-01 00:00:00",
+    session_gap_s: int = 3600,
+) -> DataFrame:
+    """Skewed corpus: per-user session counts follow a zipf-ish decay
+    ``max(1, round(head_sessions / (user_id+1)**zipf_s))`` — a heavy
+    head of power users and a long tail of one-session users — plus
+    optional ``whales`` overrides ({user_id: n_sessions}) to plant
+    pathological users (bot traffic) of arbitrary size.
+
+    This is the adversarial-input generator for the scale harness:
+    real event corpora are zipf-distributed over users (the
+    reference's (project, user) sort order concentrates a whale into
+    one range the same way a user-hash shuffle concentrates it into
+    one task), so uniform-corpus measurements alone say nothing about
+    straggler behavior. The (user, session) walk rows are
+    ``repartition``-ed before the kernel so generation itself stays
+    balanced — skew is in the DATA (one user's rows land in one task
+    of any user-keyed shuffle), not in the generation job."""
+    whales = whales or {}
+    n_sess = F.greatest(
+        F.lit(1),
+        F.round(F.lit(float(head_sessions))
+                / F.pow(F.col("user_id") + 1, F.lit(zipf_s))).cast("int"),
+    )
+    for uid, cnt in whales.items():
+        n_sess = F.when(F.col("user_id") == uid, F.lit(cnt)).otherwise(n_sess)
+    s_max = max([head_sessions, *whales.values()])
+    base = (
+        spark.range(n_users)
+        .select(F.col("id").alias("user_id"))
+        .withColumn("__n", n_sess)
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("session_idx"),
+        )
+        # spread a whale's sessions across tasks: each (user, session)
+        # walk is independent, so generation is balanced even though
+        # the emitted corpus is maximally skewed by user
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn(
+            "session_start",
+            F.to_timestamp(F.lit(start_ts))
+            + F.make_interval(secs=F.col("session_idx") * session_gap_s
+                              + (F.xxhash64("user_id") % 86400).cast("double")),
+        )
+    )
+    return _walk_sessions(base, seed, s_max)
+
+
+def _walk_sessions(base: DataFrame, seed: str, s_max: int) -> DataFrame:
+    """Run the Markov session walk over (user_id, session_idx,
+    session_start) rows; ``s_max`` is the session-count upper bound
+    used for collision-free event_id packing."""
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,7 +200,7 @@ def generate_events(
                                     -1.0 if action == "refund" else 1.0
                                 )
                         out["event_id"].append(
-                            (user * sessions_per_user + sess) * MAX_STEPS + step
+                            (user * s_max + sess) * MAX_STEPS + step
                         )
                         out["ts"].append(t)
                         out["user_id"].append(user)

@@ -189,6 +189,7 @@ def funnel_attempts(
     segment_users: Optional[DataFrame] = None,
     assume_partitioned: bool = False,
     max_rows_per_user: Optional[int] = None,
+    whale_acc=None,
 ) -> DataFrame:
     """Per-attempt funnel results: one row per attempt with per-step
     timestamps (epoch µs), completion flag and touch-attributed ts.
@@ -209,7 +210,13 @@ def funnel_attempts(
     ``max_rows_per_user`` rows (time order) of each user feed the
     machine; the rest are dropped with an executor-log warning. The
     reference inherits the same hazard from its (project, user) sort
-    order and has no cap — this exceeds it. Default None (no cap)."""
+    order and has no cap — this exceeds it. Default None (no cap).
+
+    ``whale_acc``: optional Spark accumulator
+    (``sc.accumulator(0)``). Executor warnings are invisible to the
+    driver, so the truncation path also adds the number of dropped
+    rows here — harnesses and monitors read it after an action to
+    assert the guard actually fired (skew_check.py does)."""
     k = len(req.steps)
     if k < 1:
         raise ValueError("funnel needs at least one step")
@@ -278,6 +285,48 @@ def funnel_attempts(
     out_cols = [f.name for f in schema.fields]
 
     cap = max_rows_per_user
+    if cap is not None:
+        # PRE-SHUFFLE whale prune: the kernel-side cap alone would
+        # still ship every whale row through the user-hash shuffle
+        # into one task (a 100M-row bot user = one monster task no
+        # matter what the kernel drops afterwards). Instead: find
+        # over-cap users with a narrow count (map-side combined),
+        # compute each whale's cap-th (ts, eid) cutoff on a
+        # (user, ts, eid)-only projection — the per-whale sort touches
+        # 3 columns, not the wide row — then broadcast the few cutoffs
+        # and filter the main scan. The big shuffle now carries at
+        # most ``cap`` rows per user. Cost: two extra column-pruned
+        # passes over the filtered events, only when the guard is on.
+        from pyspark.sql import Window
+
+        narrow = proj.select(EVENT_USER_COL, "__ts", "__eid")
+        over = (
+            narrow.groupBy(EVENT_USER_COL)
+            .agg(F.count(F.lit(1)).alias("__wn"))
+            .filter(F.col("__wn") > cap)
+        )
+        w = Window.partitionBy(EVENT_USER_COL).orderBy("__ts", "__eid")
+        cut = (
+            narrow.join(F.broadcast(over), EVENT_USER_COL)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == cap)
+            .select(
+                EVENT_USER_COL,
+                F.col("__ts").alias("__cut_ts"),
+                F.col("__eid").alias("__cut_eid"),
+                "__wn",
+            )
+        )
+        proj = (
+            proj.join(F.broadcast(cut), EVENT_USER_COL, "left")
+            .filter(
+                F.col("__cut_ts").isNull()
+                | (F.col("__ts") < F.col("__cut_ts"))
+                | ((F.col("__ts") == F.col("__cut_ts"))
+                   & (F.col("__eid") <= F.col("__cut_eid")))
+            )
+            .drop("__cut_ts", "__cut_eid")
+        )  # __wn rides along (null for non-whales) so the kernel can warn
 
     def process_frame(pdf: pd.DataFrame) -> list:
         """All attempts for a frame of COMPLETE users (index reset):
@@ -285,6 +334,7 @@ def funnel_attempts(
         the per-user-call overhead of groupBy().applyInPandas is the
         dominant cost at scale."""
         users = pdf[EVENT_USER_COL].to_numpy()
+        wn_arr = pdf["__wn"].to_numpy() if "__wn" in pdf.columns else None
         all_ts = pdf["__ts"].to_numpy()
         all_steps = [pdf[f"__s{i}"].fillna(False).to_numpy() for i in range(k)]
         all_excls = [pdf[f"__x{j}"].fillna(False).to_numpy() for j in range(n_excl)]
@@ -325,7 +375,13 @@ def funnel_attempts(
 
         for st, en in zip(starts, ends):
             user = int(users[st])
-            if cap is not None and en - st > cap:
+            if wn_arr is not None and not np.isnan(wn_arr[st]):
+                # pre-shuffle prune already truncated this whale to
+                # cap rows; __wn carries their TRUE row count
+                _warn_whale(user, int(wn_arr[st]))
+            elif cap is not None and en - st > cap:
+                # backstop — unreachable when the prune ran, but keeps
+                # the kernel safe if called on a hand-built frame
                 _warn_whale(user, en - st)
                 en = st + cap
             if bd_names:
@@ -344,6 +400,8 @@ def funnel_attempts(
         warnings.warn(
             f"funnel: user {user} has {n} rows, truncating to first "
             f"{cap} (max_rows_per_user)", RuntimeWarning)
+        if whale_acc is not None:
+            whale_acc.add(n - cap)
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         """STREAM the sorted partition batch-by-batch: memory is
@@ -439,12 +497,22 @@ def funnel_report(
     events: DataFrame,
     req: FunnelRequest,
     segment_users: Optional[DataFrame] = None,
+    assume_partitioned: bool = False,
+    max_rows_per_user: Optional[int] = None,
+    whale_acc=None,
 ) -> DataFrame:
     """ConversionOverTime chart: per (bucket, *breakdowns) one row with
     per-step metrics (reference ChartType::ConversionOverTime,
-    common/src/funnel.rs:134-153)."""
+    common/src/funnel.rs:134-153). ``assume_partitioned`` /
+    ``max_rows_per_user`` / ``whale_acc`` pass through to
+    funnel_attempts (bucketed-layout shuffle elision and the
+    whale-user guard apply to chart queries the same way)."""
     k = len(req.steps)
-    attempts = funnel_attempts(events, req, segment_users)
+    attempts = funnel_attempts(
+        events, req, segment_users,
+        assume_partitioned=assume_partitioned,
+        max_rows_per_user=max_rows_per_user, whale_acc=whale_acc,
+    )
 
     bucket = F.date_trunc(req.interval.value, F.timestamp_micros(F.col("attempt_ts")))
     if req.interval.value in ("day", "week", "month", "year"):

@@ -14,7 +14,11 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def get_spark(app_name: str = "optiprism_spark", cpus: str | int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "optiprism_spark",
+    cpus: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults.
 
     On a real cluster, drop ``master`` and let spark-submit set it; every
@@ -51,6 +55,11 @@ def get_spark(app_name: str = "optiprism_spark", cpus: str | int | None = None) 
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
+    # last-wins overrides (e.g. skew_check enables the UI so it can
+    # read per-task timings from the monitoring REST API); only
+    # effective before the first getOrCreate of the JVM
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]").config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")

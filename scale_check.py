@@ -155,7 +155,7 @@ def events_queries():
 
     from optiprism_spark.dsl import (
         EventFilterSpec, EventRef, FunnelCountMode, FunnelExclude,
-        FunnelRequest, FunnelStep, QueryTime, TimeIntervalUnit,
+        FunnelRequest, FunnelStep, PropertyRef, QueryTime, TimeIntervalUnit,
     )
     from optiprism_spark.operators.funnel import funnel_report
     from optiprism_spark.streaming.sessionize import session_stats
@@ -167,6 +167,21 @@ def events_queries():
     def funnel_3step(spark, d):
         req = FunnelRequest(time=time, interval=TimeIntervalUnit.DAY,
                             steps=list(steps), window_ms=3_600_000)
+        return funnel_report(_ev(spark, d), req)
+
+    def funnel_breakdown(spark, d):
+        req = FunnelRequest(
+            time=time, interval=TimeIntervalUnit.DAY, steps=list(steps),
+            window_ms=3_600_000,
+            breakdowns=[PropertyRef.json("product_id", "int64")],
+        )
+        return funnel_report(_ev(spark, d), req)
+
+    def funnel_session_mode(spark, d):
+        req = FunnelRequest(
+            time=time, interval=TimeIntervalUnit.DAY, steps=list(steps),
+            window_ms=3_600_000, count_mode=FunnelCountMode.SESSION,
+        )
         return funnel_report(_ev(spark, d), req)
 
     def funnel_excludes_nonunique(spark, d):
@@ -206,6 +221,8 @@ def events_queries():
 
     return {
         "funnel_3step_gen": funnel_3step,
+        "funnel_breakdown_gen": funnel_breakdown,
+        "funnel_session_mode_gen": funnel_session_mode,
         "funnel_excludes_nonunique_gen": funnel_excludes_nonunique,
         "session_stats_gen": session_stats_q,
         "seg_count_daily_by_type_gen": seg_count_daily_by_type,
@@ -228,6 +245,9 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--dir", default="/tmp/optiprism_scale")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--passes", type=int, default=PASSES)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substrings; run only matching queries")
     args = ap.parse_args()
 
     from optiprism_spark.registry import QUERIES
@@ -262,15 +282,24 @@ def main() -> None:
     for name in DOC_EMB_QUERIES:
         suite[name] = QUERIES[name]
     suite.update(embedding_scale_queries())
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",") if p.strip()]
+        suite = {k: v for k, v in suite.items()
+                 if any(p in k for p in pats)}
+        if not suite:
+            raise SystemExit(f"--only {args.only!r} matched no queries")
 
     # warm JVM + Python worker pool (same rationale as bench.py)
-    suite["text_stats_all"](spark, d1).write.format("noop").mode("overwrite").save()
-    suite["multimodal_features"](spark, d1).write.format("noop").mode("overwrite").save()
+    warm = ("text_stats_all" if "text_stats_all" in suite
+            else next(iter(suite)))
+    suite[warm](spark, d1).write.format("noop").mode("overwrite").save()
+    if "multimodal_features" in suite:
+        suite["multimodal_features"](spark, d1).write.format("noop").mode("overwrite").save()
 
     results = {}
     for name, fn in suite.items():
-        t1 = time_query(fn, spark, d1)
-        tN = time_query(fn, spark, dN)
+        t1 = time_query(fn, spark, d1, passes=args.passes)
+        tN = time_query(fn, spark, dN, passes=args.passes)
         results[name] = {"t1": t1, f"t{args.factor}": tN,
                          "ratio": round(tN / t1, 2) if t1 > 0 else None}
         print(f"{name}: {t1}s -> {tN}s (x{results[name]['ratio']})",

@@ -89,3 +89,51 @@ def test_transition_weights_are_stochastic_rows():
         for nxt, _, dwell in edges:
             assert nxt in TRANSITIONS or nxt == "end", (action, nxt)
             assert dwell >= 0
+
+
+def test_skewed_generator_zipf_whale_and_guard(spark):
+    """generate_events_skewed: zipf head/tail shape, whale override,
+    unique event_ids across the skew, and the funnel whale guard
+    truncating the whale (whale_acc proves the executor-side warn
+    path fired — the skew harness relies on this hook)."""
+    import datetime as dt
+
+    from optiprism_spark.dsl import (
+        EventFilterSpec, EventRef, FunnelRequest, FunnelStep, QueryTime,
+        TimeIntervalUnit,
+    )
+    from optiprism_spark.events_gen import generate_events_skewed
+    from optiprism_spark.operators.funnel import funnel_attempts
+
+    events = generate_events_skewed(
+        spark, 150, whales={0: 300}, head_sessions=16).cache()
+    try:
+        per_user = {r.user_id: r.n for r in
+                    events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+        # whale dominates; zipf head > tail; ids collision-free
+        tail_max = max(n for u, n in per_user.items() if u >= 100)
+        assert per_user[0] > 10 * tail_max
+        assert per_user[1] > tail_max
+        assert events.count() == events.select("event_id").distinct().count()
+        # determinism
+        assert (generate_events_skewed(spark, 150, whales={0: 300},
+                                       head_sessions=16).count() == events.count())
+
+        req = FunnelRequest(
+            time=QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2026, 1, 1)),
+            interval=TimeIntervalUnit.DAY,
+            steps=[FunnelStep([EventFilterSpec(EventRef("product"))]),
+                   FunnelStep([EventFilterSpec(EventRef("add_to_cart"))]),
+                   FunnelStep([EventFilterSpec(EventRef("purchase"))])],
+            window_ms=3600_000,
+        )
+        acc = spark.sparkContext.accumulator(0)
+        cap = 50
+        out = funnel_attempts(events, req, max_rows_per_user=cap,
+                              whale_acc=acc).collect()
+        assert acc.value >= per_user[0] - cap - 65536  # fired, Arrow-batch slack
+        assert acc.value > 0
+        # guarded run still produces attempts for non-whale users
+        assert any(r.user_id != 0 for r in out)
+    finally:
+        events.unpersist()
