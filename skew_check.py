@@ -1,0 +1,301 @@
+#!/usr/bin/env python
+"""Skewed-corpus robustness: the adversarial companion to
+scale_check.py.
+
+Every scale_check measurement uses uniformly-shaped users and
+balanced LSH buckets; skew is the canonical 100 TB killer those runs
+cannot see. This harness builds deliberately pathological corpora and
+measures what the guards actually bound:
+
+- events: a 10x-scale corpus with zipf-distributed session counts
+  (heavy head, long one-session tail) plus ONE whale user carrying
+  >= 1M rows (bot traffic). The funnel family runs guarded
+  (max_rows_per_user) and unguarded; the guard's pre-shuffle prune
+  must keep the wide user-hash shuffle bounded, the whale_acc
+  accumulator must prove the truncation path fired, and per-task
+  runtimes (read from the Spark monitoring REST API) must show no
+  qualifying task above THRESH x the stage median.
+- documents: a 10x perturbed-replica corpus with a planted
+  near-identical template cluster (boilerplate) that lands thousands
+  of docs in the same LSH band buckets. lsh_near_dup_pairs runs with
+  and without max_bucket; the cap must hold runtime near the
+  uniform-corpus shape while the uncapped run shows the bucket^2
+  blowup the guard exists for.
+
+Straggler ratio methodology: for every stage completed during the
+measured pass with >= MIN_TASKS tasks AND a median executorRunTime
+>= MIN_MEDIAN_MS (stages with trivial medians are fixed-overhead
+noise where a ratio is meaningless — their absolute max task time is
+still recorded and bounded), ratio = max / median task runtime. The
+reported number is the worst qualifying stage. The whale-cutoff sort
+inside the guard intentionally runs one narrow (user, ts, eid)-only
+task over the whale's rows; it is sub-second at this scale and grows
+with whale size only in 3-column volume.
+
+Output: one JSON line {"metric": "skew_robustness", ...} merged into
+SCALE_r06.json alongside the 100x sweep.
+
+Usage: python skew_check.py [--dir /tmp/optiprism_skew] [--out ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF01 = "/root/testdata/sf0.1"
+UI_PORT = 4049
+MIN_TASKS = 8
+MIN_MEDIAN_MS = 100.0
+STRAGGLER_THRESH = 4.0
+CAP = 20_000  # max_rows_per_user for guarded runs
+MAX_BUCKET = 500
+WHALE_TARGET_ROWS = 1_200_000
+N_USERS_X10 = 83_000  # ~10x the sf0.1 event volume before the whale
+
+
+# ------------------------------------------------------------- corpora
+
+def build_skewed_events(spark, out_dir: str) -> str:
+    from optiprism_spark.events_gen import generate_events_skewed
+
+    path = os.path.join(out_dir, "events_skew.parquet")
+    if os.path.exists(path):
+        return path
+    # calibrate events/session, then size the whale to >= 1M rows
+    trial = generate_events_skewed(spark, 200, head_sessions=8, whales={})
+    n_sessions = (
+        spark.range(200)
+        .select(F.greatest(F.lit(1), F.round(F.lit(8.0) / F.pow(F.col("id") + 1,
+                F.lit(1.1))).cast("int")).alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    per_session = trial.count() / n_sessions
+    whale_sessions = int(WHALE_TARGET_ROWS / per_session) + 1
+    print(f"calibration: {per_session:.2f} events/session -> whale "
+          f"{whale_sessions} sessions", file=sys.stderr)
+    generate_events_skewed(
+        spark, N_USERS_X10, zipf_s=1.1, head_sessions=64,
+        whales={0: whale_sessions}, session_gap_s=60,
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def build_skewed_docs(spark, out_dir: str, factor: int = 10,
+                      cluster_every: int = 25) -> str:
+    """Perturbed 10x replication (same recipe as scale_check) with a
+    planted boilerplate cluster: every ``cluster_every``-th doc's text
+    is replaced by a shared ~120-word template plus one per-doc token
+    — near-identical texts whose MinHash band keys collide, landing
+    ~N/cluster_every docs in the same buckets."""
+    import scale_check
+
+    path = os.path.join(out_dir, "documents_skew.parquet")
+    if os.path.exists(path):
+        return path
+    tmp = os.path.join(out_dir, "_docs_uniform")
+    os.makedirs(tmp, exist_ok=True)
+    scale_check.build_docs_embeddings(spark, tmp, factor)
+    docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+    template = " ".join(f"tok{(i * 7) % 97}" for i in range(120))
+    clustered_text = F.concat_ws(
+        " ", F.lit(template), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    )
+    in_cluster = F.col("doc_id") % cluster_every == 7
+    (
+        docs.withColumn("text", F.when(in_cluster, clustered_text)
+                        .otherwise(F.col("text")))
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite").parquet(path)
+    )
+    return path
+
+
+# ----------------------------------------------- REST straggler probe
+
+def _rest(path: str):
+    with urllib.request.urlopen(f"http://localhost:{UI_PORT}{path}") as r:
+        return json.load(r)
+
+
+def _parse_ts(s: str) -> float:
+    return (dt.datetime.strptime(s.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
+            .replace(tzinfo=dt.timezone.utc).timestamp())
+
+
+def stage_stats_since(app_id: str, t0: float) -> dict:
+    """Worst straggler ratio over qualifying stages completed since
+    t0, plus the absolute max task time over ALL stages since t0."""
+    stages = _rest(f"/api/v1/applications/{app_id}/stages?status=complete")
+    worst = {"ratio": 0.0, "stage": None, "median_ms": None, "max_ms": None}
+    abs_max_ms = 0.0
+    n_qualifying = 0
+    for st in stages:
+        sub = st.get("submissionTime")
+        if not sub or _parse_ts(sub) < t0 - 0.5:
+            continue
+        try:
+            q = _rest(
+                f"/api/v1/applications/{app_id}/stages/{st['stageId']}/"
+                f"{st['attemptId']}/taskSummary?quantiles=0.5,1.0"
+            )
+        except Exception:
+            continue
+        med, mx = q["executorRunTime"]
+        abs_max_ms = max(abs_max_ms, mx)
+        if st["numTasks"] < MIN_TASKS or med < MIN_MEDIAN_MS:
+            continue
+        n_qualifying += 1
+        ratio = mx / med if med else 0.0
+        if ratio > worst["ratio"]:
+            worst = {"ratio": round(ratio, 2), "stage": st["stageId"],
+                     "median_ms": round(med, 1), "max_ms": round(mx, 1)}
+    worst["abs_max_task_ms"] = round(abs_max_ms, 1)
+    worst["n_qualifying_stages"] = n_qualifying
+    return worst
+
+
+def measure(name: str, fn, app_id: str, results: dict, warm: bool = True):
+    if warm:
+        fn().write.format("noop").mode("overwrite").save()
+    t0 = time.time()
+    fn().write.format("noop").mode("overwrite").save()
+    t = round(time.time() - t0, 3)
+    stats = stage_stats_since(app_id, t0)
+    results[name] = {"t": t, "straggler": stats}
+    print(f"{name}: {t}s straggler={stats}", file=sys.stderr)
+
+
+# ------------------------------------------------------------- queries
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/optiprism_skew")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    os.makedirs(args.dir, exist_ok=True)
+
+    from optiprism_spark.dsl import (
+        EventFilterSpec, EventRef, FunnelCountMode, FunnelExclude,
+        FunnelRequest, FunnelStep, PropertyRef, QueryTime, TimeIntervalUnit,
+    )
+    from optiprism_spark.operators.dedup import lsh_near_dup_pairs
+    from optiprism_spark.operators.funnel import funnel_report
+    from optiprism_spark.session import get_spark
+    from optiprism_spark.streaming.sessionize import session_stats
+
+    spark = get_spark(
+        "optiprism_skew_check",
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)},
+    )
+    app_id = _rest("/api/v1/applications")[0]["id"]
+
+    ev_path = build_skewed_events(spark, args.dir)
+    doc_path = build_skewed_docs(spark, args.dir)
+    events = spark.read.parquet(ev_path)
+    docs = spark.read.parquet(doc_path)
+
+    top = (events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n")).limit(5).collect())
+    corpus = {
+        "events_total": events.count(),
+        "whale_rows": int(top[0].n),
+        "top5_user_rows": [int(r.n) for r in top],
+        "docs_total": docs.count(),
+        "cluster_docs": docs.filter(F.col("doc_id") % 25 == 7).count(),
+    }
+    assert corpus["whale_rows"] >= 1_000_000, corpus
+    print(f"corpus: {corpus}", file=sys.stderr)
+
+    qt = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2041, 1, 1))
+    steps = [FunnelStep([EventFilterSpec(EventRef(n))])
+             for n in ("product", "add_to_cart", "purchase")]
+
+    def req(**kw):
+        return FunnelRequest(time=qt, interval=TimeIntervalUnit.DAY,
+                             steps=list(steps), window_ms=3_600_000, **kw)
+
+    acc = spark.sparkContext.accumulator(0)
+    results: dict = {}
+
+    measure("funnel_3step_guarded",
+            lambda: funnel_report(events, req(), max_rows_per_user=CAP,
+                                  whale_acc=acc),
+            app_id, results)
+    whale_truncated = int(acc.value)
+    results["funnel_3step_guarded"]["whale_truncated_rows"] = whale_truncated
+    assert whale_truncated > 0, "whale guard did not fire"
+
+    measure("funnel_3step_unguarded",
+            lambda: funnel_report(events, req()), app_id, results)
+    measure("funnel_breakdown_guarded",
+            lambda: funnel_report(
+                events, req(breakdowns=[PropertyRef.json("product_id", "int64")]),
+                max_rows_per_user=CAP),
+            app_id, results)
+    measure("funnel_excludes_nonunique_guarded",
+            lambda: funnel_report(
+                events, req(excludes=[FunnelExclude(EventFilterSpec(EventRef("refund")))],
+                            count_mode=FunnelCountMode.NON_UNIQUE),
+                max_rows_per_user=CAP),
+            app_id, results)
+    measure("funnel_session_mode_guarded",
+            lambda: funnel_report(events, req(count_mode=FunnelCountMode.SESSION),
+                                  max_rows_per_user=CAP),
+            app_id, results)
+    # two-level agg + sessionization under the same skew: partial agg
+    # (map-side combine) and the session window are the mitigations —
+    # recorded, no guard parameter involved
+    measure("seg_per_user_two_level_skew",
+            lambda: events.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("event_type")
+            .agg(F.avg("n").alias("avg_n"), F.max("n").alias("max_n")),
+            app_id, results)
+    measure("session_stats_skew", lambda: session_stats(events), app_id, results)
+
+    measure("lsh_near_pairs_capped",
+            lambda: lsh_near_dup_pairs(docs, threshold=0.6, max_bucket=MAX_BUCKET),
+            app_id, results)
+    measure("lsh_near_pairs_uncapped",
+            lambda: lsh_near_dup_pairs(docs, threshold=0.6, max_bucket=None),
+            app_id, results)
+
+    guarded = [k for k in results
+               if k.endswith("_guarded") or k == "lsh_near_pairs_capped"
+               or k in ("seg_per_user_two_level_skew", "session_stats_skew")]
+    worst_guarded = max(results[k]["straggler"]["ratio"] for k in guarded)
+    payload = {
+        "metric": "skew_robustness",
+        "factor": 10,
+        "unit": "sec",
+        "cap_rows_per_user": CAP,
+        "max_bucket": MAX_BUCKET,
+        "corpus": corpus,
+        "queries": results,
+        "gate": {
+            "straggler_threshold": STRAGGLER_THRESH,
+            "worst_guarded_ratio": worst_guarded,
+            "pass": worst_guarded <= STRAGGLER_THRESH,
+            "whale_guard_fired": whale_truncated > 0,
+        },
+    }
+    line = json.dumps(payload)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
