@@ -339,7 +339,21 @@ def funnel_attempts(
         all_steps = [pdf[f"__s{i}"].fillna(False).to_numpy() for i in range(k)]
         all_excls = [pdf[f"__x{j}"].fillna(False).to_numpy() for j in range(n_excl)]
         all_consts = [pdf[f"__c{j}"].to_numpy() for j in range(n_const)]
-        bd_frames = pdf[bd_names] if bd_names else None
+        if bd_names:
+            # rows arrive sorted by (user, *breakdowns, ts): each
+            # (user, bd) machine input is CONTIGUOUS, so group starts
+            # fall out of one vectorized row-vs-previous comparison —
+            # no per-user pandas groupby (whose per-group machinery
+            # dominated when users x breakdown-values was large)
+            bdf = pdf[bd_names]
+            prev = bdf.shift()
+            bd_change = (bdf.ne(prev) & ~(bdf.isna() & prev.isna())) \
+                .any(axis=1).to_numpy()
+            if len(bd_change):
+                bd_change[0] = True
+            bd_arrs = [pdf[c].to_numpy() for c in bd_names]
+        else:
+            bd_change = bd_arrs = None
 
         bounds = np.flatnonzero(users[1:] != users[:-1]) + 1
         starts = np.concatenate(([0], bounds))
@@ -385,11 +399,13 @@ def funnel_attempts(
                 _warn_whale(user, en - st)
                 en = st + cap
             if bd_names:
-                sub = bd_frames.iloc[st:en]
-                for bd_vals, grp in sub.groupby(bd_names, dropna=False, sort=False):
-                    if not isinstance(bd_vals, tuple):
-                        bd_vals = (bd_vals,)
-                    run_rows(grp.index.to_numpy(), user, bd_vals)
+                cs = np.flatnonzero(bd_change[st:en])
+                if len(cs) == 0 or cs[0] != 0:
+                    cs = np.concatenate(([0], cs))
+                ce = np.append(cs[1:], en - st)
+                for s, e in zip(cs, ce):
+                    bd_vals = tuple(a[st + s] for a in bd_arrs)
+                    run_rows(np.arange(st + s, st + e), user, bd_vals)
             else:
                 run_rows(np.arange(st, en), user, ())
         return results
@@ -446,7 +462,12 @@ def funnel_attempts(
                 yield pd.DataFrame(res, columns=out_cols)
 
     base = proj if assume_partitioned else proj.repartition(F.col(EVENT_USER_COL))
-    sorted_by_user = base.sortWithinPartitions(EVENT_USER_COL, "__ts", "__eid")
+    # breakdown columns join the sort key so each (user, bd) machine
+    # input is contiguous and ts-ordered — the kernel then finds group
+    # boundaries with one vectorized comparison instead of a pandas
+    # groupby per user (see process_frame)
+    sorted_by_user = base.sortWithinPartitions(
+        EVENT_USER_COL, *bd_names, "__ts", "__eid")
     return sorted_by_user.mapInPandas(run_partition, schema)
 
 
