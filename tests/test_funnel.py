@@ -234,6 +234,28 @@ def test_breakdowns(spark):
     assert by_bd == {("A", 3, True), ("B", 2, False)}
 
 
+def test_breakdown_null_values_form_their_own_group(spark):
+    # rows whose breakdown property is absent (null) must run in ONE
+    # machine of their own, distinct from every non-null value — the
+    # vectorized boundary detection treats consecutive NaNs as
+    # no-change (old pandas groupby(dropna=False) semantics)
+    data = [
+        (0, T0, 1, "e1", 1.0, '{"d": "A"}'),
+        (1, T0 + dt.timedelta(minutes=1), 1, "e1", 1.0, '{}'),
+        (2, T0 + dt.timedelta(minutes=2), 1, "e2", 1.0, '{}'),
+        (3, T0 + dt.timedelta(minutes=3), 1, "e2", 1.0, '{"d": "A"}'),
+        (4, T0 + dt.timedelta(minutes=4), 1, "e3", 1.0, '{}'),
+        (5, T0 + dt.timedelta(minutes=5), 1, "e3", 1.0, '{"d": "A"}'),
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    req = req3(breakdowns=[PropertyRef.json("d")], count_mode=FunnelCountMode.NON_UNIQUE)
+    out = funnel_attempts(df, req).select("d", "steps_completed", "is_completed").collect()
+    by_bd = {(r.d, r.steps_completed, r.is_completed) for r in out}
+    assert by_bd == {("A", 3, True), (None, 3, True)}
+
+
 def test_bucket_attribution_by_first_step(spark):
     # attempt starting 23:58 Jan-1 completing 00:02 Jan-2 lands in the
     # Jan-1 bucket (attribution by step-0 ts, reference funnel.rs:208-214)
