@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._util import spread
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -138,7 +140,11 @@ def extract_features(
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    # spread: the Python decode kernel is per-row CPU; compact media
+    # parquet (one row group per file) would otherwise pin the whole
+    # mapInPandas stage to n_files cores. No-op once splits >= cores.
+    return spread(media.select("media_id", "payload")).mapInPandas(
+        run, FEATURE_SCHEMA)
 
 
 #: synthesis parameters: 16x16 gray PNGs, 256-sample 16 kHz WAVs

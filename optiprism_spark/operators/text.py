@@ -20,6 +20,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import spread
+
 STOPWORDS_EN = ("the", "a", "of", "and", "is", "to", "in")
 
 #: BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
@@ -139,11 +141,17 @@ def redact_pii(c: Column) -> Column:
 def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, redacted text) — emails, dashed/dotted phone numbers and
     IPv4 literals replaced by typed placeholder tokens."""
-    return docs.select(F.col(id_col), redact_pii(F.col(text_col)).alias("redacted"))
+    return spread(docs).select(
+        F.col(id_col), redact_pii(F.col(text_col)).alias("redacted"))
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    # spread: per-char regex + per-shingle md5 is the most CPU-dense
+    # map in the repo; a compact parquet (one row group per file) caps
+    # scan parallelism at n_files no matter the split size, so small
+    # inputs run one-core without this. No-op once splits >= cores.
     c = text_col
+    docs = spread(docs)
     with_words = docs.select(F.col(id_col), F.col(c), F.split(F.col(c), " ").alias("__w"))
     w = F.col("__w")
     return with_words.select(
@@ -163,7 +171,8 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """Composite [0,1] quality score from length/stopword/word-length
     signals (deterministic: exact ratios combined linearly)."""
     c = text_col
-    with_words = docs.select(F.col(id_col), F.col(c), F.split(F.col(c), " ").alias("__w"))
+    with_words = spread(docs).select(
+        F.col(id_col), F.col(c), F.split(F.col(c), " ").alias("__w"))
     w = F.col("__w")
     length_ok = (F.length(F.col(c)) >= 64) & (F.length(F.col(c)) <= 100000)
     sw = stopword_ratio(c, words=w)
@@ -221,7 +230,7 @@ def gopher_quality(
         & (alpha_frac > min_alpha_word_frac)
         & (dup_word_frac < max_dup_word_frac)
     )
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col),
         n_words.alias("n_words"),
         mwl.alias("mean_word_len"),

@@ -254,7 +254,11 @@ def test_gopher_quality_is_narrow_and_prunes(spark):
 
     out = gopher_quality(load_table(spark, SF_SMOKE, "documents"))
     plan = _plan(out)
-    assert "Exchange" not in plan, plan
+    # spread() may inject ONE round-robin redistribution when the scan
+    # has fewer splits than cores (no-op at scale); what must never
+    # appear is a KEY shuffle — the op has no grouping to pay for.
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
     schemas = _scan_read_schemas(plan)
     cols = {c.split(":")[0] for c in schemas[0].split(",")}
     assert cols == {"doc_id", "text"}, cols
