@@ -185,6 +185,39 @@ def test_ivf_kmeans_centroids_recall(spark):
     assert recall >= 0.6, f"recall {recall:.2f}"
 
 
+def test_lsh_near_dup_recall_vs_exact(spark):
+    """MinHash-LSH banding is the approximate half of the near-dup
+    pipeline; this pins its quality, not just its speed. Ground truth
+    is the exact inverted-index path (candidates='all' — every pair
+    sharing a shingle, exactly verified). Two invariants:
+
+    - PRECISION is exact by construction (every LSH candidate is
+      re-verified with true Jaccard), so lsh ⊆ exact — asserted as
+      an empty difference, not a ratio.
+    - RECALL at the default (k=8, bands=4) stays high at the 0.5
+      threshold: the banding s-curve midpoint is (1/bands)^(bands/k)
+      = 0.5, and the fixture corpus's 28 planted near-dup pairs sit
+      well above it. The floor is 0.8 to leave room for minhash
+      collisions on future fixture regenerations; measured today: 1.0.
+    """
+    from optiprism_spark.operators.dedup import lsh_near_dup_pairs
+    from optiprism_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, threshold=0.5, candidates="all").collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert len(exact) >= 10, f"fixture lost its near-dup pairs ({len(exact)})"
+    assert lsh - exact == set(), "verification must make precision exact"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f}"
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir= switches lineage cuts from localCheckpoint to
     reliable df.checkpoint() (survives executor loss on a cluster);
