@@ -243,3 +243,54 @@ def test_batch_streaming_funnel_differential(spark, tmp_path, splits):
         latest[r.user_id] = r.completed_total
     got = {u: n for u, n in latest.items() if n > 0}
     assert got == want, (got, want, splits)
+
+
+@pytest.mark.parametrize("splits", [(4,), (2, 7)])
+def test_batch_streaming_dedup_differential(spark, tmp_path, splits):
+    """The SAME document stream fed to batch first-arrival dedup and
+    to streaming dropDuplicatesWithinWatermark (in several micro-batch
+    splits) must yield the same survivor set — duplicates that span a
+    micro-batch boundary are exactly what the state store exists for."""
+    import datetime as dtm
+
+    from optiprism_spark.streaming.dedup import (
+        batch_exact_dedup_first_arrival,
+        streaming_exact_dedup,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1, 10, 0, 0)
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon",
+             "gamma delta", "alpha beta", "zeta eta", "epsilon",
+             "theta", "zeta eta", "iota kappa", "theta"]
+    rows = [(i, t0 + dtm.timedelta(seconds=30 * i), texts[i % len(texts)])
+            for i in range(36)]  # every text repeats across boundaries
+    schema = "doc_id long, ingest_ts timestamp, text string"
+
+    docs = spark.createDataFrame(rows, schema)
+    want = {r.doc_id for r in batch_exact_dedup_first_arrival(docs).collect()}
+    # sanity: the corpus genuinely contains cross-batch duplicates
+    assert len(want) == 6 and len(rows) == 36
+
+    src = os.path.join(str(tmp_path), f"sdedup_{'_'.join(map(str, splits))}")
+    os.makedirs(src)
+    bounds = [0] + [s * 3 for s in splits] + [len(rows)]
+    chunks = [rows[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+    spark.createDataFrame(chunks[0], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    out = streaming_exact_dedup(
+        spark, spark.createDataFrame([], schema).schema, src,
+        watermark="1 hour",  # all 18 minutes of data inside one horizon
+    )
+    name = f"sdedup_diff_{abs(hash(tuple(splits))) % 10**8}"
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+        for chunk in chunks[1:]:
+            spark.createDataFrame(chunk, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q.processAllAvailable()
+        got = {r.doc_id for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    finally:
+        q.stop()
+    assert got == want, (sorted(got), sorted(want), splits)
