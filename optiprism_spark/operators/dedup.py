@@ -27,6 +27,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -117,15 +119,9 @@ def minhash_signatures(
     return _base_signatures(docs, k, n, text_col, id_col).drop("sh")
 
 
-def _banded_pairs(sigs: DataFrame, k: int, bands: int, id_col: str,
-                  max_bucket: int = None) -> DataFrame:
-    """Banding over a signature frame → distinct candidate pairs.
-
-    ``max_bucket`` drops band buckets larger than the cap BEFORE the
-    self-join: a boilerplate-heavy corpus puts thousands of docs in
-    one bucket, and the join output grows with bucket² — the standard
-    web-scale LSH guard (oversized buckets are almost always template
-    text whose members are caught by other bands or exact dedup)."""
+def _banded(sigs: DataFrame, k: int, bands: int, id_col: str) -> DataFrame:
+    """(id, band, key) rows: one row per doc per band, the band key
+    being the concatenation of that band's k/bands signature slots."""
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
@@ -138,9 +134,21 @@ def _banded_pairs(sigs: DataFrame, k: int, bands: int, id_col: str,
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
+    return sigs.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def _banded_pairs(sigs: DataFrame, k: int, bands: int, id_col: str,
+                  max_bucket: int = None) -> DataFrame:
+    """Banding over a signature frame → distinct candidate pairs.
+
+    ``max_bucket`` drops band buckets larger than the cap BEFORE the
+    self-join: a boilerplate-heavy corpus puts thousands of docs in
+    one bucket, and the join output grows with bucket² — the standard
+    web-scale LSH guard (oversized buckets are almost always template
+    text whose members are caught by other bands or exact dedup)."""
+    banded = _banded(sigs, k, bands, id_col)
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -221,6 +229,78 @@ def lsh_near_dup_pairs(
     base = track_persist(_base_signatures(docs, k, n, text_col, id_col))
     cands = _banded_pairs(base, k, bands, id_col, max_bucket)
     return _verify_candidates(cands, base.select(id_col, "sh"), threshold)
+
+
+def lsh_incremental_pairs(
+    new_docs: DataFrame, store: Optional[DataFrame],
+    threshold: float = 0.6, k: int = 8, bands: int = 4, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup: dedup an ingest batch against a settled
+    corpus WITHOUT re-shingling the corpus.
+
+    ``store`` is the settled corpus's signature table — the
+    ``new_base`` frame a previous call returned (or
+    ``_base_signatures`` of a backfill), persisted as parquet by the
+    caller; it carries (id, sh, sig_0..k-1), so the corpus text is
+    never touched again. Returns ``(pairs, new_base)``:
+
+    - ``pairs``: near-dup pairs involving >= 1 new doc (new x new and
+      new x old), verified with exact Jaccard — exactly the full
+      pipeline's pair set restricted to pairs touching the batch,
+      since band-key collision is pairwise.
+    - ``new_base``: signature rows to append to the store.
+
+    Scale shape (the reason this exists): the store is FIRST
+    semi-joined on the new batch's distinct band keys — a broadcast
+    of O(|batch| x bands) keys — so everything downstream (bucket
+    cap, pair join, Jaccard verify) touches only store rows that
+    collide with the batch. Per-batch cost follows the batch size
+    and the collision count, never the corpus; the full corpus-wide
+    rerun (`lsh_near_dup_pairs`) is reserved for the periodic
+    compaction sweep. ``max_bucket`` keeps full-pipeline semantics:
+    for any key the batch probes, the store contributes ALL its rows
+    with that key, so the observed bucket size is the true corpus
+    bucket size and the cap drops the same buckets either way."""
+    new_base = track_persist(_base_signatures(new_docs, k, n, text_col, id_col))
+    new_banded = _banded(new_base, k, bands, id_col)
+    if store is None:
+        cands = _banded_pairs(new_base, k, bands, id_col, max_bucket)
+        return (
+            _verify_candidates(cands, new_base.select(id_col, "sh"), threshold),
+            new_base,
+        )
+    new_keys = new_banded.select("band", "key").distinct()
+    store_hits = _banded(store, k, bands, id_col).join(
+        F.broadcast(new_keys), ["band", "key"]
+    )
+    probed = store_hits.unionByName(new_banded)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        probed = (
+            probed.withColumn("__bn", bucket_n)
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+        new_banded = new_banded.join(
+            probed.select(id_col, "band", "key"), [id_col, "band", "key"],
+            "left_semi",
+        )
+    a, b = new_banded.alias("a"), probed.alias("b")
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_map = store.select(id_col, "sh").unionByName(new_base.select(id_col, "sh"))
+    return _verify_candidates(cands, sh_map, threshold), new_base
 
 
 def jaccard_pairs(

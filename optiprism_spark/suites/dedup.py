@@ -141,6 +141,34 @@ def dedup_lsh_near_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_lsh_incremental_pairs",
+    oracle=f"""
+    WITH {_LSH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    WHERE doc_a >= 400 OR doc_b >= 400
+    """,
+)
+def dedup_lsh_incremental_pairs(spark, sf_dir):
+    """Ingest-batch near-dup against a settled signature store: docs
+    with id >= 400 arrive as the batch, ids < 400 are the settled
+    corpus represented ONLY by its (id, shingles, signatures) store —
+    the corpus text is never re-shingled. Must equal the full
+    pipeline's pair set restricted to pairs touching the batch, which
+    is exactly what the oracle computes."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _base_signatures, lsh_incremental_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = _base_signatures(
+        docs.filter(F.col("doc_id") < 400), 8, 3, "text", "doc_id")
+    pairs, _ = lsh_incremental_pairs(
+        docs.filter(F.col("doc_id") >= 400), store, threshold=0.6,
+        k=8, bands=4)
+    return pairs
+
+
+@query(
     "dedup_neardup_clusters",
     oracle=f"""
     WITH RECURSIVE {_LSH_PAIR_CTES},

@@ -395,3 +395,86 @@ def test_pack_sequences_invariants(spark):
             assert r.pack_offset == start % 128, r
             assert r.pack_id == (bucket << 40) + start // 128, r
             start += r.n_tokens
+
+
+def test_lsh_incremental_matches_full_and_chains(spark):
+    """Three invariants of the incremental near-dup path:
+
+    1. full-pipeline equivalence: incremental(batch, store(settled))
+       == lsh_near_dup_pairs(all) restricted to pairs touching the
+       batch (band-key collision is pairwise, so probing the store
+       with the batch's keys loses nothing);
+    2. chaining: feeding batch1's returned new_base back as (part of)
+       the store lets batch2 find its pairs against batch1;
+    3. cold start: store=None degrades to the batch-only pipeline.
+    """
+    from optiprism_spark.operators.dedup import (
+        _base_signatures,
+        lsh_incremental_pairs,
+        lsh_near_dup_pairs,
+    )
+    from optiprism_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    want = {p for p in full if p[0] >= 400 or p[1] >= 400}
+
+    settled = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    store = _base_signatures(settled, 8, 3, "text", "doc_id")
+    pairs, new_base = lsh_incremental_pairs(batch, store, threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == want and len(want) > 0, (sorted(got), sorted(want))
+    assert set(new_base.columns) == set(store.columns)
+
+    # chaining: split the batch in two; batch2 must see batch1 pairs
+    b1 = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450))
+    b2 = docs.filter(F.col("doc_id") >= 450)
+    p1, nb1 = lsh_incremental_pairs(b1, store, threshold=0.5)
+    p2, _ = lsh_incremental_pairs(b2, store.unionByName(nb1), threshold=0.5)
+    got2 = {(r.doc_a, r.doc_b) for r in p1.collect()} | {
+        (r.doc_a, r.doc_b) for r in p2.collect()
+    }
+    assert got2 == want, (sorted(got2 ^ want))
+
+    # cold start
+    cold, _ = lsh_incremental_pairs(batch, None, threshold=0.5)
+    want_cold = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_near_dup_pairs(batch, threshold=0.5).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in cold.collect()} == want_cold
+
+
+def test_lsh_incremental_max_bucket_parity(spark):
+    """For every band key the batch probes, the store contributes ALL
+    its rows with that key, so the incremental bucket count equals the
+    full-corpus bucket count and max_bucket drops the same buckets as
+    the full pipeline would."""
+    from optiprism_spark.operators.dedup import (
+        _base_signatures,
+        lsh_incremental_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    # 6 near-identical template docs (one LSH bucket) + 2 distinct
+    tmpl = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, tmpl + f" v{i % 2}") for i in range(6)] + [
+        (10, "completely different content one two three four five six"),
+        (11, "another unrelated document body seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 4
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_near_dup_pairs(docs, threshold=0.3, max_bucket=cap).collect()
+    }
+    want = {p for p in full if p[0] >= 3 or p[1] >= 3}
+    store = _base_signatures(docs.filter(F.col("doc_id") < 3), 8, 3, "text", "doc_id")
+    pairs, _ = lsh_incremental_pairs(
+        docs.filter(F.col("doc_id") >= 3), store, threshold=0.3, max_bucket=cap
+    )
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == want
