@@ -348,3 +348,28 @@ def test_funnel_bucketed_table_elides_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
         spark.sql("DROP TABLE IF EXISTS events_bucketed_test__compact_staging")
+
+
+def test_lsh_incremental_store_probe_is_broadcast(spark):
+    """The incremental near-dup path must probe the signature store
+    with a BROADCAST of the batch's band keys — the store side (the
+    100 TB side) joins without a cartesian and without being shuffled
+    for the key probe."""
+    from optiprism_spark.operators._util import unpersist_tracked
+    from optiprism_spark.operators.dedup import (
+        _base_signatures,
+        lsh_incremental_pairs,
+    )
+    from optiprism_spark.schema import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    store = _base_signatures(
+        docs.filter(F.col("doc_id") < 400), 8, 3, "text", "doc_id")
+    pairs, _ = lsh_incremental_pairs(
+        docs.filter(F.col("doc_id") >= 400), store, threshold=0.6)
+    plan = _plan(pairs)
+    try:
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    finally:
+        unpersist_tracked()
