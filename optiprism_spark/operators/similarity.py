@@ -289,6 +289,97 @@ def _assign_to_centroids(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame, cent: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF index frame: (id, v double[], n norm, centroid_id) —
+    every vector assigned to its nearest coarse centroid. Persisted as
+    a table, this IS the inverted file; `embedding_near_pairs_ivf`
+    builds it per call, `embedding_incremental_pairs_ivf` appends to
+    it batch by batch. spread() BEFORE the assignment keeps the frame
+    — and the within-bucket pair join that dominates (Σ bucket²) —
+    partition-parallel regardless of the input file layout."""
+    return _assign_to_centroids(
+        spread(embeddings), cent, id_col, "v", 1, id_col, vec_col
+    ).withColumn("n", _norm(F.col("v")))
+
+
+def embedding_incremental_pairs_ivf(
+    new_embeddings: DataFrame,
+    store: "DataFrame | None",
+    cent: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket=None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental embedding near-dup: compare an ingest batch against
+    the settled corpus's persisted IVF index WITHOUT re-quantizing the
+    corpus — the vector twin of `dedup.lsh_incremental_pairs`.
+
+    ``store`` is a prior `ivf_assign` frame (None = cold start);
+    ``cent`` is the SAME persisted quantizer the store was built with
+    — reusing it is what makes old and new assignments comparable.
+    Returns ``(pairs, new_assigned)``: near-dup pairs involving >= 1
+    new vector, and the assignment rows to append to the store.
+
+    Scale shape: the store is first semi-joined on the batch's
+    distinct centroid ids (broadcast — at most n_centroids values),
+    so the bucketed pair join touches only store buckets the batch
+    lands in; per-batch cost follows the batch and its bucket sizes,
+    never the corpus. ``max_bucket`` keeps full-pipeline semantics:
+    a probed centroid contributes its complete bucket (store + batch
+    rows), so the observed size is the true bucket size and oversized
+    buckets are dropped wholesale exactly as the full run drops them."""
+    from ._util import track_persist
+
+    new_assigned = track_persist(ivf_assign(new_embeddings, cent, id_col, vec_col))
+    if store is None:
+        probed = new_assigned
+    else:
+        new_cids = new_assigned.select("centroid_id").distinct()
+        probed = store.join(F.broadcast(new_cids), "centroid_id").unionByName(
+            new_assigned
+        )
+    if max_bucket is not None:
+        oversized = (
+            probed.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket)
+            .select("centroid_id")
+        )
+        probed = probed.join(F.broadcast(oversized), "centroid_id", "left_anti")
+        new_side = new_assigned.join(
+            F.broadcast(oversized), "centroid_id", "left_anti")
+    else:
+        new_side = new_assigned
+    a = new_side.select(
+        F.col(id_col).alias("__ida"), F.col("v").alias("av"),
+        F.col("n").alias("na"), "centroid_id",
+    )
+    b = probed.select(
+        F.col(id_col).alias("__idb"), F.col("v").alias("bv"),
+        F.col("n").alias("nb"), "centroid_id",
+    )
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()  # new x new pairs arrive in both orders; the dot
+        # product is term-order-identical either way, so (a, b, sim)
+        # is bitwise-duplicated and distinct() is exact
+        .select("doc_a", "doc_b", F.round("sim", 6).alias("sim"))
+    )
+    return pairs, new_assigned
+
+
 def embedding_near_pairs_ivf(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -329,12 +420,7 @@ def embedding_near_pairs_ivf(
 
         max_bucket = max_bucket_default(embeddings.count(), n_centroids)
     cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
-    # spread BEFORE the assignment so the persisted index frame — and
-    # therefore the within-bucket pair join that dominates (Σ bucket²)
-    # — is partition-parallel regardless of the input file layout
-    assigned = _assign_to_centroids(
-        spread(embeddings), cent, id_col, "v", 1, id_col, vec_col
-    ).withColumn("n", _norm(F.col("v")))
+    assigned = ivf_assign(embeddings, cent, id_col, vec_col)
     if max_bucket is not None:
         # partial-agg count per centroid (tiny: ≤ n_centroids rows),
         # broadcast anti-join drops members of oversized buckets —

@@ -183,6 +183,61 @@ def dedup_embedding_cosine_ivf(spark, sf_dir):
 
 
 @query(
+    "dedup_embedding_incremental_ivf",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    ea AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM ea a JOIN ea b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.40
+      AND (a.vec_id >= 400 OR b.vec_id >= 400)
+    """,
+)
+def dedup_embedding_incremental_ivf(spark, sf_dir):
+    """Ingest-batch embedding near-dup against a persisted IVF index:
+    vec_id >= 400 arrives as the batch, ids < 400 are the settled
+    corpus represented only by its ivf_assign store (the corpus is
+    never re-quantized). The quantizer is the settled corpus's lowest-8
+    sample — identical to the full pipeline's, since ids 0-7 are
+    settled — so the result must equal the full IVF pair set
+    restricted to pairs touching the batch."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import (
+        _coarse_centroids,
+        embedding_incremental_pairs_ivf,
+        ivf_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    settled = emb.filter(F.col("vec_id") < 400)
+    cent = _coarse_centroids(settled, 8, "vec_id", "embedding", "sample")
+    store = ivf_assign(settled, cent)
+    pairs, _ = embedding_incremental_pairs_ivf(
+        emb.filter(F.col("vec_id") >= 400), store, cent, threshold=0.40)
+    return pairs
+
+
+@query(
     "sim_cosine_topk_ivf",
     oracle="""
     WITH cent AS (

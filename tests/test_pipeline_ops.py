@@ -478,3 +478,85 @@ def test_lsh_incremental_max_bucket_parity(spark):
         docs.filter(F.col("doc_id") >= 3), store, threshold=0.3, max_bucket=cap
     )
     assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == want
+
+
+def test_ivf_incremental_matches_full_and_chains(spark):
+    """Vector twin of the incremental-LSH invariants: incremental
+    against the settled index == full IVF pairs restricted to pairs
+    touching the batch; chaining two batches through the growing store
+    recovers the same set; store=None degrades to batch-only."""
+    from optiprism_spark.operators.similarity import (
+        _coarse_centroids,
+        embedding_incremental_pairs_ivf,
+        embedding_near_pairs_ivf,
+        ivf_assign,
+    )
+    from optiprism_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_pairs_ivf(
+            emb, threshold=0.40, n_centroids=8).collect()
+    }
+    want = {p for p in full if p[0] >= 400 or p[1] >= 400}
+    assert len(want) > 0
+
+    settled = emb.filter(F.col("vec_id") < 400)
+    cent = _coarse_centroids(settled, 8, "vec_id", "embedding", "sample")
+    store = ivf_assign(settled, cent)
+    pairs, new_assigned = embedding_incremental_pairs_ivf(
+        emb.filter(F.col("vec_id") >= 400), store, cent, threshold=0.40)
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == want
+    assert set(new_assigned.columns) == set(store.columns)
+
+    b1 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    b2 = emb.filter(F.col("vec_id") >= 450)
+    p1, nb1 = embedding_incremental_pairs_ivf(b1, store, cent, threshold=0.40)
+    p2, _ = embedding_incremental_pairs_ivf(
+        b2, store.unionByName(nb1), cent, threshold=0.40)
+    got2 = {(r.doc_a, r.doc_b) for r in p1.collect()} | {
+        (r.doc_a, r.doc_b) for r in p2.collect()
+    }
+    assert got2 == want, sorted(got2 ^ want)
+
+    # cold start (store=None) still quantizes with the SAME centroids,
+    # so the reference set is the full run restricted to new x new
+    cold, _ = embedding_incremental_pairs_ivf(
+        emb.filter(F.col("vec_id") >= 400), None, cent, threshold=0.40)
+    want_nn = {p for p in full if p[0] >= 400 and p[1] >= 400}
+    assert {(r.doc_a, r.doc_b) for r in cold.collect()} == want_nn
+
+
+def test_ivf_incremental_max_bucket_parity(spark):
+    """A probed centroid contributes its complete bucket, so the
+    incremental bucket count equals the full-corpus count and
+    max_bucket drops the same buckets as embedding_near_pairs_ivf."""
+    from optiprism_spark.operators.similarity import (
+        _coarse_centroids,
+        embedding_incremental_pairs_ivf,
+        embedding_near_pairs_ivf,
+        ivf_assign,
+    )
+
+    # ids chosen so the lowest-2 ids (the "sample" quantizer) span the
+    # clusters: bucket A = {0,2,3,4,5,6} (oversized), B = {1,10,11}
+    rows = [(i, [1.0, 0.0, 0.01 * i]) for i in (0, 2, 3, 4, 5, 6)] + [
+        (j, [0.0, 1.0, 0.01 * j]) for j in (1, 10, 11)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cap = 4
+    cent = _coarse_centroids(emb, 2, "vec_id", "embedding")
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_pairs_ivf(
+            emb, threshold=0.9, n_centroids=2, max_bucket=cap).collect()
+    }
+    want = {p for p in full if p[0] >= 3 or p[1] >= 3}
+    store = ivf_assign(emb.filter(F.col("vec_id") < 3), cent)
+    pairs, _ = embedding_incremental_pairs_ivf(
+        emb.filter(F.col("vec_id") >= 3), store, cent,
+        threshold=0.9, max_bucket=cap)
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == want
+    # sanity: the healthy bucket produced pairs, the oversized did not
+    assert want == {(1, 10), (1, 11), (10, 11)}
