@@ -299,7 +299,16 @@ def lsh_incremental_pairs(
         )
         .distinct()
     )
-    sh_map = store.select(id_col, "sh").unionByName(new_base.select(id_col, "sh"))
+    # Verification needs store shingles only for docs that COLLIDED
+    # with the batch (store-side candidates ⊆ store_hits ids). The
+    # restriction is persisted so the store's sh column — the wide,
+    # corpus-sized column — is scanned ONCE here instead of once per
+    # verify join; the verify joins then probe a collision-sized frame.
+    hit_ids = store_hits.select(id_col).distinct()
+    sh_store = track_persist(
+        store.select(id_col, "sh").join(F.broadcast(hit_ids), id_col, "left_semi")
+    )
+    sh_map = sh_store.unionByName(new_base.select(id_col, "sh"))
     return _verify_candidates(cands, sh_map, threshold), new_base
 
 
