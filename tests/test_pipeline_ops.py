@@ -560,3 +560,48 @@ def test_ivf_incremental_max_bucket_parity(spark):
     assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == want
     # sanity: the healthy bucket produced pairs, the oversized did not
     assert want == {(1, 10), (1, 11), (10, 11)}
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_lsh_incremental_randomized_equivalence(spark, seed):
+    """Randomized corpora (deterministic per seed): for ANY split
+    point, incremental(batch, store(settled)) must equal the full
+    pipeline restricted to pairs touching the batch — the structural
+    invariant behind the oracle query, exercised on corpora the
+    fixture never shaped."""
+    import random
+
+    from optiprism_spark.operators.dedup import (
+        _base_signatures,
+        lsh_incremental_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(80):
+        if rows and rng.random() < 0.4:
+            # perturbed copy of an earlier doc -> planted near-dups
+            base = rng.choice(rows)[1].split()
+            k = max(1, len(base) // 5)
+            for _ in range(k):
+                base[rng.randrange(len(base))] = rng.choice(vocab)
+            text = " ".join(base)
+        else:
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 18)))
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cutoff = rng.randint(20, 60)
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_near_dup_pairs(docs, threshold=0.4).collect()
+    }
+    want = {p for p in full if p[0] >= cutoff or p[1] >= cutoff}
+    store = _base_signatures(
+        docs.filter(F.col("doc_id") < cutoff), 8, 3, "text", "doc_id")
+    pairs, _ = lsh_incremental_pairs(
+        docs.filter(F.col("doc_id") >= cutoff), store, threshold=0.4)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == want, (seed, cutoff, sorted(got ^ want))
