@@ -152,17 +152,33 @@ def log_in(catalog, body: dict, key: str) -> dict:
     return _token_pair(acct, key)
 
 
+#: the epoch when the ``typ`` claim shipped. A legacy (typ-less)
+#: refresh token was necessarily minted before this, so its exp is at
+#: most DEPLOY + REFRESH_TTL — the deadline below. This makes the
+#: migration carve-out actually expire: after one TTL window from the
+#: deploy, NO typ-less token verifies, closing the otherwise-permanent
+#: hole where any signed typ-less claims could mint token pairs.
+_TYP_CLAIM_DEPLOY_EPOCH = 1_786_700_000  # 2026-08-14, typ claim release
+_LEGACY_TYP_DEADLINE = _TYP_CLAIM_DEPLOY_EPOCH + REFRESH_TOKEN_TTL_S
+
+
 def refresh(catalog, body: dict, key: str) -> dict:
     """POST /api/v1/auth/refresh-token (reference http/auth.rs:212).
     Only a true refresh token is accepted: anything carrying
     organizationId (an access token) is rejected outright, and a
     ``typ`` claim, when present, must say ``refresh``. Legacy refresh
     tokens minted before the ``typ`` claim existed carry neither field
-    and stay valid for their remaining TTL, so a deploy doesn't force
-    every session to re-login (they age out within one TTL window)."""
+    and stay valid for their remaining TTL — but ONLY tokens whose exp
+    proves pre-deploy minting (see ``_LEGACY_TYP_DEADLINE``), so the
+    grace window genuinely closes after one TTL."""
     claims = parse_token(body.get("refreshToken", ""), key)
     typ = claims.get("typ")
-    if (typ is not None and typ != "refresh") or "organizationId" in claims:
+    if "organizationId" in claims:
+        raise AuthError("not a refresh token")
+    if typ is None:
+        if claims.get("exp", 0) > _LEGACY_TYP_DEADLINE:
+            raise AuthError("not a refresh token")
+    elif typ != "refresh":
         raise AuthError("not a refresh token")
     acct = catalog.get("account", int(claims["accountId"]))
     return _token_pair(acct, key)

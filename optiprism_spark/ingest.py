@@ -339,9 +339,18 @@ def write_events_bucketed(
 def _append_part_files(appends_path: str) -> list[str]:
     """Leaf parquet files currently in the appends dir (the L0 part
     listing — one walk on the driver; an object store swaps this for
-    one LIST call)."""
+    one LIST call).
+
+    ``_temporary`` subtrees are pruned: a Spark write job that is
+    still running keeps its task files under
+    ``_temporary/<attempt>/...`` until the committer renames them into
+    place. Listing those would fold in-flight (possibly half-written)
+    data — and after the commit rename, the SAME rows would be listed
+    again at their final path and folded twice. Only committed files
+    are part of the snapshot."""
     out: list[str] = []
-    for root, _dirs, files in os.walk(appends_path):
+    for root, dirs, files in os.walk(appends_path):
+        dirs[:] = [d for d in dirs if d != "_temporary" and not d.startswith(".")]
         out.extend(
             os.path.join(root, f) for f in files
             if f.endswith(".parquet") and not f.startswith(".")
@@ -444,7 +453,13 @@ class CompactionPolicy:
 
     def l0_stats(self, appends_path: str) -> tuple[int, int]:
         files = _append_part_files(appends_path)
-        return len(files), sum(os.path.getsize(f) for f in files)
+        total = 0
+        for f in files:
+            try:
+                total += os.path.getsize(f)
+            except OSError:  # deleted by a concurrent compaction tick
+                pass
+        return len(files), total
 
     def should_compact(self, appends_path: str) -> bool:
         parts, size = self.l0_stats(appends_path)

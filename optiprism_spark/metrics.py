@@ -206,8 +206,13 @@ class Registry:
 
     def histogram(self, name, help_="", labelnames=(),
                   buckets=_BUCKETS) -> Histogram:
-        return self._get_or_create(
+        m = self._get_or_create(
             Histogram, name, help_, labelnames, buckets=buckets)
+        if m.buckets[:-1] != tuple(buckets):
+            # same guarantee as the labelnames check: a second caller
+            # must not silently observe into boundaries it never chose
+            raise ValueError(f"metric {name!r} re-registered differently")
+        return m
 
     def get(self, name: str) -> Optional[object]:
         return self._metrics.get(name)

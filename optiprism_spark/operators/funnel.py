@@ -548,13 +548,22 @@ def funnel_steps_report(
     events: DataFrame,
     req: FunnelRequest,
     segment_users: Optional[DataFrame] = None,
+    assume_partitioned: bool = False,
+    max_rows_per_user: Optional[int] = None,
+    whale_acc=None,
 ) -> DataFrame:
     """Steps chart: bucketless per-step totals — the reference's
     ChartType::Steps maps to time_interval None, i.e. one global
     bucket (common/src/funnel.rs:146-153, funnel.rs push_result takes
-    the single pre-created bucket when time_unit is None)."""
+    the single pre-created bucket when time_unit is None). The layout
+    and whale-guard knobs pass through like every report wrapper —
+    a Steps chart over a whale corpus needs the guard just as much."""
     k = len(req.steps)
-    attempts = funnel_attempts(events, req, segment_users)
+    attempts = funnel_attempts(
+        events, req, segment_users,
+        assume_partitioned=assume_partitioned,
+        max_rows_per_user=max_rows_per_user, whale_acc=whale_acc,
+    )
     keys = [F.col(b.name) for b in req.breakdowns]
     return _report_from_attempts(attempts, k, keys, [b.name for b in req.breakdowns])
 
@@ -566,6 +575,9 @@ def funnel_time_to_convert_dist(
     min_interval: int = 0,
     max_interval: Optional[int] = None,
     segment_users: Optional[DataFrame] = None,
+    assume_partitioned: bool = False,
+    max_rows_per_user: Optional[int] = None,
+    whale_acc=None,
 ) -> DataFrame:
     """TimeToConvert chart: histogram of completed attempts by
     conversion duration, bucketed into ``interval_ms`` bins clamped to
@@ -577,7 +589,11 @@ def funnel_time_to_convert_dist(
     k = len(req.steps)
     if max_interval is None:
         max_interval = req.window_ms // interval_ms + 1
-    attempts = funnel_attempts(events, req, segment_users)
+    attempts = funnel_attempts(
+        events, req, segment_users,
+        assume_partitioned=assume_partitioned,
+        max_rows_per_user=max_rows_per_user, whale_acc=whale_acc,
+    )
     # exact integer µs division — float flooring could misbin boundary
     # values differently than a SQL oracle's integer division
     interval_us = interval_ms * 1000
@@ -595,6 +611,9 @@ def funnel_frequency(
     events: DataFrame,
     req: FunnelRequest,
     segment_users: Optional[DataFrame] = None,
+    assume_partitioned: bool = False,
+    max_rows_per_user: Optional[int] = None,
+    whale_acc=None,
 ) -> DataFrame:
     """Frequency chart: distribution of users by how many times they
     completed the funnel (reference ChartType::Frequency,
@@ -606,7 +625,11 @@ def funnel_frequency(
 
     k = len(req.steps)
     req_nu = dataclasses.replace(req, count_mode=FunnelCountMode.NON_UNIQUE)
-    attempts = funnel_attempts(events, req_nu, segment_users)
+    attempts = funnel_attempts(
+        events, req_nu, segment_users,
+        assume_partitioned=assume_partitioned,
+        max_rows_per_user=max_rows_per_user, whale_acc=whale_acc,
+    )
     per_user = attempts.groupBy(EVENT_USER_COL).agg(
         F.sum((F.col("steps_completed") == k).cast("long")).alias("n_conversions")
     )

@@ -292,6 +292,14 @@ class App:
         self.token_key = token_key
         self.tracked: list[dict] = []
         self.identified: list[dict] = []
+        # serializes buffer+WAL mutation across the multi-threaded
+        # WSGI ingest path and the checkpoint steps: without it, a row
+        # acked between commit_checkpoint's buffer slice and its WAL
+        # rewrite would vanish from both (and wal.rewrite's reopen
+        # could race a concurrent wal.append on a closed file)
+        import threading
+
+        self._ingest_lock = threading.Lock()
         self.wal = None
         self._wal_dir = wal_dir
         self.backup_dir = backup_dir or (
@@ -319,10 +327,19 @@ class App:
                     EVENT_SESSION_END,
                 )
 
+                # replay is point-in-time: the live-rotation argument
+                # for uncached lookups doesn't apply, so resolve each
+                # distinct token ONCE instead of one catalog scan per
+                # journaled row (a large WAL would otherwise turn
+                # startup into len(WAL) sqlite queries)
+                memo: dict = {}
                 for row in self.tracked:
                     user = str(row.get("user_id") or row.get("anonymous_id") or "")
                     et = row.get("event_type")
-                    pid = self._project_of_token(row.get("token") or "")
+                    tok = row.get("token") or ""
+                    if tok not in memo:
+                        memo[tok] = self._project_of_token(tok)
+                    pid = memo[tok]
                     if et == EVENT_SESSION_END:
                         # the sweeper already closed this session
                         self.sessions.close(pid, user)
@@ -848,10 +865,11 @@ class App:
     def _track(self, body, m, q):
         with metrics.ingester_track_time().time():
             row = parse_track(body, m["token"])
-            for out in self._with_session_begin(row):
-                if self.wal is not None:
-                    self.wal.append("track", out)  # fsync'd before the 201 ack
-                self.tracked.append(out)
+            with self._ingest_lock:
+                for out in self._with_session_begin(row):
+                    if self.wal is not None:
+                        self.wal.append("track", out)  # fsync'd before the 201 ack
+                    self.tracked.append(out)
         metrics.ingester_tracked_total().inc()
         metrics.store_memtable_rows().set(
             len(self.tracked) + len(self.identified))
@@ -895,7 +913,7 @@ class App:
 
             now_us = int(_time.time() * 1_000_000)
         ended = self.sessions.expire(now_us)
-        for pid, user, first_us, last_us in ended:
+        for pid, user, first_us, last_us in ended:  # noqa: B007 (row built below)
             row = {
                 "token": self._token_of_project(pid),
                 "user_id": user, "anonymous_id": None,
@@ -908,17 +926,19 @@ class App:
                 "groups": "{}", "user_agent": None, "ip": None,
                 "page_path": None, "page_url": None, "utm_source": None,
             }
-            if self.wal is not None:
-                self.wal.append("track", row)
-            self.tracked.append(row)
+            with self._ingest_lock:
+                if self.wal is not None:
+                    self.wal.append("track", row)
+                self.tracked.append(row)
         return len(ended)
 
     def _identify(self, body, m, q):
         with metrics.ingester_identify_time().time():
             row = parse_identify(body, m["token"])
-            if self.wal is not None:
-                self.wal.append("identify", row)
-            self.identified.append(row)
+            with self._ingest_lock:
+                if self.wal is not None:
+                    self.wal.append("identify", row)
+                self.identified.append(row)
         metrics.ingester_identified_total().inc()
         metrics.store_memtable_rows().set(
             len(self.tracked) + len(self.identified))
@@ -952,9 +972,10 @@ class App:
         once, exactly the reference's recovery contract). Rows tracked
         AFTER this call are not in the snapshot and survive the
         commit."""
-        self._ckpt_mark = (len(self.tracked), len(self.identified))
-        return (self.tracked[: self._ckpt_mark[0]],
-                self.identified[: self._ckpt_mark[1]])
+        with self._ingest_lock:
+            self._ckpt_mark = (len(self.tracked), len(self.identified))
+            return (self.tracked[: self._ckpt_mark[0]],
+                    self.identified[: self._ckpt_mark[1]])
 
     def commit_checkpoint(self) -> None:
         """Phase 2: the caller reports the snapshot is durable. Drops
@@ -964,7 +985,10 @@ class App:
         mark = getattr(self, "_ckpt_mark", None)
         if mark is None:
             raise RuntimeError("commit_checkpoint without begin_checkpoint")
-        with metrics.store_flush_time().time():
+        with metrics.store_flush_time().time(), self._ingest_lock:
+            # under the lock: a row acked between the slice and the
+            # rewrite would otherwise be dropped from BOTH memory and
+            # the rewritten journal despite its durable 201
             self._ckpt_mark = None
             self.tracked = self.tracked[mark[0]:]
             self.identified = self.identified[mark[1]:]

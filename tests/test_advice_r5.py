@@ -101,13 +101,24 @@ def test_refresh_rejects_access_token():
     fresh = auth_mod.refresh(cat, {"refreshToken": pair["refreshToken"]}, "k")
     claims = auth_mod.parse_token(fresh["refreshToken"], "k")
     assert claims["typ"] == "refresh" and "organizationId" not in claims
-    # a legacy typ-less token (pre-upgrade) stays valid for its TTL so
-    # a deploy doesn't force re-login (round-5 ADVICE revision; the
-    # access-token rejection above is what the binding is FOR —
-    # details in tests/test_advice_r6.py)
-    legacy = auth_mod.make_token(
-        {"exp": 9999999999, "accountId": 1}, "k")
-    assert "accessToken" in auth_mod.refresh(cat, {"refreshToken": legacy}, "k")
+    # a legacy typ-less token (pre-upgrade) stays valid for its
+    # REMAINING TTL so a deploy doesn't force re-login — but only if
+    # its exp proves pre-deploy minting (exp <= deploy + refresh TTL);
+    # a typ-less token with an exp no genuine legacy token could carry
+    # is a forgery shape and must NOT mint pairs forever
+    import time as _time
+
+    if _time.time() < auth_mod._LEGACY_TYP_DEADLINE - 60:
+        # acceptance half only while the grace window is open (a
+        # legacy token is unexpired only inside it, by construction)
+        legacy = auth_mod.make_token(
+            {"exp": auth_mod._LEGACY_TYP_DEADLINE - 10, "accountId": 1}, "k")
+        assert "accessToken" in auth_mod.refresh(
+            cat, {"refreshToken": legacy}, "k")
+    forged = auth_mod.make_token(
+        {"exp": auth_mod._LEGACY_TYP_DEADLINE + 10, "accountId": 1}, "k")
+    with pytest.raises(auth_mod.AuthError):
+        auth_mod.refresh(cat, {"refreshToken": forged}, "k")
 
 
 def test_refresh_token_is_not_a_bearer_token(spark):

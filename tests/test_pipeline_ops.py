@@ -16,6 +16,18 @@ from optiprism_spark.operators.multimodal import (
 from optiprism_spark.operators.similarity import cosine_topk
 
 
+@pytest.fixture(autouse=True)
+def _free_tracked_persists():
+    """LSH/IVF operators track_persist their base frames; without an
+    unconditional unpersist the cached InMemoryRelations leak into
+    later plan-assertion sessions (the cross-test hazard a584e5e fixed
+    once) — every test in this module frees them on exit."""
+    yield
+    from optiprism_spark.operators._util import unpersist_tracked
+
+    unpersist_tracked()
+
+
 def docs_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
