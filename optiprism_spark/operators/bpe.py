@@ -1,0 +1,174 @@
+"""Distributed BPE tokenizer training (byte-pair encoding merges).
+
+`text.bpe_token_count` counts tokens with a FIXED pre-tokenizer; this
+module learns the merge table itself from the corpus — the training
+half of a tokenizer pipeline, beyond anything the reference ships
+(its scope ends at product analytics; training-data tooling is this
+repo's extension mandate).
+
+Algorithm (Sennrich et al. 2016, the standard greedy BPE): start from
+character-split words, repeatedly count adjacent symbol pairs weighted
+by word frequency, merge the globally most frequent pair everywhere,
+n_merges times.
+
+Scale shape — the part that matters at 100 TB:
+
+- The corpus is reduced ONCE to the distinct-word frequency frame
+  (one shuffle on word). Everything iterative happens on the VOCAB,
+  which is orders of magnitude smaller than the corpus and shrinks
+  further via `min_count` pruning — the same reduction every real BPE
+  trainer makes; here the vocab frame itself stays distributed
+  instead of being collected to one machine.
+- Each iteration is one distributed pair-count aggregation (explode
+  adjacent pairs → groupBy → sum, map-side combined) plus a driver
+  collect of exactly ONE row (the argmax pair) — bounded by
+  construction, never data-sized.
+- The merge rewrite is a JVM-side `aggregate` fold over each word's
+  symbol array (no Python). Lineage is cut with localCheckpoint every
+  `checkpoint_every` rounds, the same discipline as
+  `dedup.connected_components` — 50 chained transforms would
+  otherwise stack an unbounded plan.
+- Words that can no longer contain the merged pair are NOT pruned
+  (any pair can become frequent later); the vocab frame is persisted
+  once per checkpoint window instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ._util import spread
+
+#: end-of-word sentinel (paper's </w>): lets merges distinguish
+#: word-final from word-internal occurrences
+EOW = "</w>"
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(word, n) distinct-word frequencies — the one corpus-sized
+    reduction; everything after operates on this frame."""
+    out = (
+        spread(docs)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out
+
+
+def _char_split(word_col) -> "F.Column":
+    """word → [c1, c2, ..., ck, EOW] (regex splits between chars;
+    filter drops the empty edge artifacts)."""
+    return F.concat(
+        F.filter(F.split(word_col, ""), lambda c: c != ""),
+        F.array(F.lit(EOW)),
+    )
+
+
+def _merge_expr(a: str, b: str) -> str:
+    """SQL fold that rewrites one symbol array, merging every
+    LEFTMOST-first non-overlapping (a, b) into a||b — the paper's
+    greedy left-to-right replacement (after a merge, the new symbol
+    cannot chain with the next element in the same pass)."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    return f"""
+    aggregate(
+      syms,
+      named_struct('acc', cast(array() as array<string>), 'open', false),
+      (st, x) -> if(
+        st.open and x = '{qb}',
+        named_struct('acc', concat(slice(st.acc, 1, size(st.acc) - 1),
+                                   array('{qa}' || '{qb}')),
+                     'open', false),
+        named_struct('acc', concat(st.acc, array(x)), 'open', x = '{qa}')),
+      st -> st.acc
+    )"""
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_count: int = 1,
+    checkpoint_every: int = 10,
+) -> tuple[list, DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, segmented)``: the ordered merge list
+    ``[(a, b), ...]`` and the (word, n, syms) frame holding every
+    vocab word's final segmentation — join the corpus's words through
+    it to tokenize (`bpe_segment_table`), or count tokens without
+    re-segmenting. Stops early when no pair occurs twice."""
+    state = word_counts(docs, text_col, min_count).select(
+        "word", "n", _char_split(F.col("word")).alias("syms")
+    )
+    state = state.persist()
+    merges: list = []
+    for i in range(n_merges):
+        pairs = (
+            state.select(
+                "n",
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (s, i) -> struct(s as a, syms[i + 1] as b))"
+                ).alias("ps"),
+            )
+            .select("n", F.explode("ps").alias("p"))
+            .groupBy("p")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()  # exactly one row — the argmax pair
+        )
+        if not pairs or pairs[0]["cnt"] < 2:
+            break
+        top = pairs[0]["p"]
+        merges.append((top["a"], top["b"]))
+        nxt = state.withColumn("syms", F.expr(_merge_expr(top["a"], top["b"])))
+        if (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+        nxt.count()  # materialize before dropping the parent cache
+        state.unpersist()
+        state = nxt
+    return merges, state
+
+
+def bpe_segment_table(segmented: DataFrame) -> DataFrame:
+    """(word, tokens) lookup from a `bpe_train` state frame — broadcast
+    or shuffle-join the corpus's exploded words through it to tokenize;
+    unseen words fall back to character splits downstream."""
+    return segmented.select("word", F.col("syms").alias("tokens"))
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    segmented: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc learned-BPE token counts: explode words, join the
+    segment table (vocab-sized — broadcastable for real tokenizers,
+    which cap the vocab), sum sizes. Unseen words count as their
+    character length + 1 (the char-split fallback)."""
+    words = spread(docs).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    joined = words.join(
+        F.broadcast(bpe_segment_table(segmented)), "word", "left"
+    ).select(
+        id_col,
+        F.coalesce(
+            F.size("tokens"), F.length("word") + F.lit(1)
+        ).alias("k"),
+    )
+    return joined.groupBy(id_col).agg(F.sum("k").alias("n_bpe_tokens"))

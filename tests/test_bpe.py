@@ -1,0 +1,93 @@
+"""Distributed BPE training vs a pure-Python reference implementation
+(Sennrich et al. greedy BPE with the same deterministic tie-break)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optiprism_spark.operators.bpe import (
+    EOW,
+    bpe_token_counts,
+    bpe_train,
+    word_counts,
+)
+
+
+def ref_bpe(wc: dict, n_merges: int):
+    """Reference trainer on a word->count dict; tie-break
+    (count desc, a asc, b asc) mirrors the operator's orderBy."""
+    vocab = {w: [*list(w), EOW] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + wc[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        new: dict = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[w] = out
+        vocab = new
+    return merges, vocab
+
+
+WC = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def _docs(spark):
+    # one row per word occurrence keeps frequencies exact
+    rows, i = [], 0
+    for w, c in WC.items():
+        for _ in range(c):
+            rows.append((i, w))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_counts(spark):
+    got = {r.word: r.n for r in word_counts(_docs(spark)).collect()}
+    assert got == WC
+
+
+def test_bpe_train_matches_reference(spark):
+    want_merges, want_vocab = ref_bpe(WC, 10)
+    merges, seg = bpe_train(_docs(spark), n_merges=10, checkpoint_every=4)
+    assert merges == want_merges
+    got = {r.word: list(r.syms) for r in seg.collect()}
+    # reference vocab keys are reconstructed words; compare per word
+    for w in WC:
+        assert got[w] == want_vocab[w], (w, got[w], want_vocab[w])
+
+
+def test_bpe_train_early_stop(spark):
+    # all-unique characters: no pair ever reaches count 2 with these
+    # single-occurrence words -> training stops before n_merges
+    docs = spark.createDataFrame([(0, "abc xyz")], "doc_id long, text string")
+    merges, _ = bpe_train(docs, n_merges=10)
+    assert merges == []
+
+
+def test_bpe_token_counts_with_fallback(spark):
+    merges, seg = bpe_train(_docs(spark), n_merges=10)
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "unseen")], "doc_id long, text string")
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_counts(docs, seg).collect()}
+    _, vocab = ref_bpe(WC, 10)
+    assert got[1] == len(vocab["low"]) + len(vocab["lower"])
+    assert got[2] == len("unseen") + 1  # char-split fallback
