@@ -452,14 +452,16 @@ class CompactionPolicy:
         self.l0_max_bytes = l0_max_bytes
 
     def l0_stats(self, appends_path: str) -> tuple[int, int]:
-        files = _append_part_files(appends_path)
-        total = 0
-        for f in files:
+        parts, total = 0, 0
+        for f in _append_part_files(appends_path):
             try:
-                total += os.path.getsize(f)
+                sz = os.path.getsize(f)
             except OSError:  # deleted by a concurrent compaction tick
-                pass
-        return len(files), total
+                continue  # excluded from BOTH count and size — a
+                # gone file must not trip the l0_max_parts trigger
+            parts += 1
+            total += sz
+        return parts, total
 
     def should_compact(self, appends_path: str) -> bool:
         parts, size = self.l0_stats(appends_path)

@@ -40,7 +40,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._util import spread
+from ._util import spread, track_persist
 
 #: end-of-word sentinel (paper's </w>): lets merges distinguish
 #: word-final from word-internal occurrences
@@ -78,7 +78,14 @@ def _merge_expr(a: str, b: str) -> str:
     LEFTMOST-first non-overlapping (a, b) into a||b — the paper's
     greedy left-to-right replacement (after a merge, the new symbol
     cannot chain with the next element in the same pass)."""
-    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    def q(s: str) -> str:
+        # Spark SQL string literals treat backslash as an escape char;
+        # escape it FIRST, then the quote — a symbol like '\\' would
+        # otherwise emit an unterminated literal (ParseException) and
+        # '\n' would silently match the wrong character
+        return s.replace("\\", "\\\\").replace("'", "''")
+
+    qa, qb = q(a), q(b)
     return f"""
     aggregate(
       syms,
@@ -107,10 +114,9 @@ def bpe_train(
     vocab word's final segmentation — join the corpus's words through
     it to tokenize (`bpe_segment_table`), or count tokens without
     re-segmenting. Stops early when no pair occurs twice."""
-    state = word_counts(docs, text_col, min_count).select(
+    state = track_persist(word_counts(docs, text_col, min_count).select(
         "word", "n", _char_split(F.col("word")).alias("syms")
-    )
-    state = state.persist()
+    ))
     merges: list = []
     for i in range(n_merges):
         pairs = (
@@ -136,7 +142,7 @@ def bpe_train(
         if (i + 1) % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         else:
-            nxt = nxt.persist()
+            nxt = track_persist(nxt)
         nxt.count()  # materialize before dropping the parent cache
         state.unpersist()
         state = nxt
@@ -155,17 +161,25 @@ def bpe_token_counts(
     segmented: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """Per-doc learned-BPE token counts: explode words, join the
-    segment table (vocab-sized — broadcastable for real tokenizers,
-    which cap the vocab), sum sizes. Unseen words count as their
-    character length + 1 (the char-split fallback)."""
+    segment table, sum sizes. Unseen words count as their character
+    length + 1 (the char-split fallback).
+
+    ``broadcast_vocab``: force-broadcast the segment table. Only set
+    it when the vocab is known-capped (a trained tokenizer's is; a
+    min_count=1 vocab over a web corpus is distinct-word sized —
+    billions of rows — and force-broadcasting it would OOM the
+    driver). Default leaves the join strategy to Spark/AQE, which
+    broadcasts small tables on its own."""
     words = spread(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).filter(F.col("word") != "")
-    joined = words.join(
-        F.broadcast(bpe_segment_table(segmented)), "word", "left"
-    ).select(
+    seg = bpe_segment_table(segmented)
+    if broadcast_vocab:
+        seg = F.broadcast(seg)
+    joined = words.join(seg, "word", "left").select(
         id_col,
         F.coalesce(
             F.size("tokens"), F.length("word") + F.lit(1)

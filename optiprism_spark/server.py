@@ -865,8 +865,13 @@ class App:
     def _track(self, body, m, q):
         with metrics.ingester_track_time().time():
             row = parse_track(body, m["token"])
+            # token->project is a catalog lookup independent of buffer
+            # state: resolve it BEFORE taking the lock so concurrent
+            # ingest threads don't serialize behind sqlite
+            pid = (self._project_of_token(row.get("token") or "")
+                   if self.sessions is not None else 0)
             with self._ingest_lock:
-                for out in self._with_session_begin(row):
+                for out in self._with_session_begin(row, pid):
                     if self.wal is not None:
                         self.wal.append("track", out)  # fsync'd before the 201 ack
                     self.tracked.append(out)
@@ -875,7 +880,7 @@ class App:
             len(self.tracked) + len(self.identified))
         return 201, None
 
-    def _with_session_begin(self, row: dict) -> list[dict]:
+    def _with_session_begin(self, row: dict, pid: int = 0) -> list[dict]:
         """Ingest-time Session Begin injection (reference track
         destination, ingester/src/destinations/local/track.rs:46-52):
         when the live-session store says this event starts a new
@@ -889,7 +894,6 @@ class App:
 
         ts_us = _ts_to_us(row.get("ts"))
         user = row.get("user_id") or row.get("anonymous_id") or ""
-        pid = self._project_of_token(row.get("token") or "")
         if row["event_type"] != EVENT_SESSION_BEGIN and \
                 self.sessions.touch(pid, str(user), ts_us):
             begin = dict(row, event_type=EVENT_SESSION_BEGIN, props="{}")
@@ -912,21 +916,26 @@ class App:
             import time as _time
 
             now_us = int(_time.time() * 1_000_000)
-        ended = self.sessions.expire(now_us)
-        for pid, user, first_us, last_us in ended:  # noqa: B007 (row built below)
-            row = {
-                "token": self._token_of_project(pid),
-                "user_id": user, "anonymous_id": None,
-                "ts": dt.datetime.fromtimestamp(
-                    last_us / 1e6, dt.timezone.utc
-                ).strftime("%Y-%m-%dT%H:%M:%SZ"),
-                "event_type": EVENT_SESSION_END,
-                "props": json.dumps(
-                    {"session_length": (last_us - first_us) // 1_000_000}),
-                "groups": "{}", "user_agent": None, "ip": None,
-                "page_path": None, "page_url": None, "utm_source": None,
-            }
-            with self._ingest_lock:
+        # expire + journal under ONE lock hold: released between them,
+        # a concurrent /track for an expired user could journal its
+        # NEW Session Begin before the old session's End, and crash
+        # replay (which replays in journal order) would then close the
+        # live session and inject a duplicate Begin on the next event
+        with self._ingest_lock:
+            ended = self.sessions.expire(now_us)
+            for pid, user, first_us, last_us in ended:  # noqa: B007
+                row = {
+                    "token": self._token_of_project(pid),
+                    "user_id": user, "anonymous_id": None,
+                    "ts": dt.datetime.fromtimestamp(
+                        last_us / 1e6, dt.timezone.utc
+                    ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    "event_type": EVENT_SESSION_END,
+                    "props": json.dumps(
+                        {"session_length": (last_us - first_us) // 1_000_000}),
+                    "groups": "{}", "user_agent": None, "ip": None,
+                    "page_path": None, "page_url": None, "utm_source": None,
+                }
                 if self.wal is not None:
                     self.wal.append("track", row)
                 self.tracked.append(row)
@@ -982,13 +991,18 @@ class App:
         the snapshotted prefix from the buffers and rewrites the WAL
         with only the rows tracked since ``begin_checkpoint`` — those
         stay durable; nothing acked is ever lost to the truncate."""
-        mark = getattr(self, "_ckpt_mark", None)
-        if mark is None:
-            raise RuntimeError("commit_checkpoint without begin_checkpoint")
         with metrics.store_flush_time().time(), self._ingest_lock:
-            # under the lock: a row acked between the slice and the
-            # rewrite would otherwise be dropped from BOTH memory and
-            # the rewritten journal despite its durable 201
+            # mark is read AND cleared under the lock: read outside it,
+            # two concurrent commits could both pass the None check and
+            # each truncate the buffers/journal once — dropping rows
+            # acked after begin_checkpoint. Also under the lock: a row
+            # acked between the slice and the rewrite would otherwise
+            # be dropped from BOTH memory and the rewritten journal
+            # despite its durable 201.
+            mark = getattr(self, "_ckpt_mark", None)
+            if mark is None:
+                raise RuntimeError(
+                    "commit_checkpoint without begin_checkpoint")
             self._ckpt_mark = None
             self.tracked = self.tracked[mark[0]:]
             self.identified = self.identified[mark[1]:]

@@ -107,18 +107,20 @@ def test_refresh_rejects_access_token():
     # a typ-less token with an exp no genuine legacy token could carry
     # is a forgery shape and must NOT mint pairs forever
     import time as _time
+    from unittest import mock
 
-    if _time.time() < auth_mod._LEGACY_TYP_DEADLINE - 60:
-        # acceptance half only while the grace window is open (a
-        # legacy token is unexpired only inside it, by construction)
+    # pin the grace window open relative to NOW so both halves run
+    # forever (not just until 30 days after the hardcoded deploy epoch)
+    deadline = int(_time.time()) + 3600
+    with mock.patch.object(auth_mod, "_LEGACY_TYP_DEADLINE", deadline):
         legacy = auth_mod.make_token(
-            {"exp": auth_mod._LEGACY_TYP_DEADLINE - 10, "accountId": 1}, "k")
+            {"exp": deadline - 10, "accountId": 1}, "k")
         assert "accessToken" in auth_mod.refresh(
             cat, {"refreshToken": legacy}, "k")
-    forged = auth_mod.make_token(
-        {"exp": auth_mod._LEGACY_TYP_DEADLINE + 10, "accountId": 1}, "k")
-    with pytest.raises(auth_mod.AuthError):
-        auth_mod.refresh(cat, {"refreshToken": forged}, "k")
+        forged = auth_mod.make_token(
+            {"exp": deadline + 10, "accountId": 1}, "k")
+        with pytest.raises(auth_mod.AuthError):
+            auth_mod.refresh(cat, {"refreshToken": forged}, "k")
 
 
 def test_refresh_token_is_not_a_bearer_token(spark):

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from optiprism_spark.operators.bpe import (
@@ -44,6 +45,16 @@ def ref_bpe(wc: dict, n_merges: int):
             new[w] = out
         vocab = new
     return merges, vocab
+
+
+@pytest.fixture(autouse=True)
+def _free_tracked_persists():
+    """bpe_train track_persists its vocab frames; free them so cached
+    relations don't leak into later plan-assertion sessions."""
+    yield
+    from optiprism_spark.operators._util import unpersist_tracked
+
+    unpersist_tracked()
 
 
 WC = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
@@ -91,3 +102,19 @@ def test_bpe_token_counts_with_fallback(spark):
     _, vocab = ref_bpe(WC, 10)
     assert got[1] == len(vocab["low"]) + len(vocab["lower"])
     assert got[2] == len("unseen") + 1  # char-split fallback
+
+
+def test_bpe_merge_handles_backslash_and_quote_symbols(spark):
+    """Symbols containing SQL-special characters (backslash, single
+    quote) must survive the literal-escaped merge expression — a
+    backslash pair previously emitted an unterminated SQL string."""
+    docs = spark.createDataFrame(
+        [(i, "a\\b a\\b don't don't") for i in range(3)],
+        "doc_id long, text string")
+    merges, seg = bpe_train(docs, n_merges=6)
+    want_merges, want_vocab = ref_bpe(
+        {"a\\b": 6, "don't": 6}, 6)
+    assert merges == want_merges
+    got = {r.word: list(r.syms) for r in seg.collect()}
+    for w in ("a\\b", "don't"):
+        assert got[w] == want_vocab[w], (w, got[w], want_vocab[w])
