@@ -166,3 +166,24 @@ def text_gopher_quality(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_quality(docs)
+
+
+@query("text_bpe_segments")  # oracle=None: iterative algorithm (the
+# sanctioned no-oracle category) — greedy argmax-merge cannot be one
+# SQL query; correctness is pinned differentially against a pure-
+# Python reference trainer in tests/test_bpe.py instead
+def text_bpe_segments(spark, sf_dir):
+    """Distributed BPE tokenizer training over the corpus: 8 greedy
+    merges from character splits, returning every vocab word's final
+    segmentation (word, n, n_syms). Deterministic: the argmax
+    tie-break is (count desc, a asc, b asc)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, seg = bpe_train(docs, n_merges=8)
+    return seg.select(
+        "word", "n", F.size("syms").alias("n_syms"),
+        F.concat_ws(" ", "syms").alias("segmentation"),
+    )
