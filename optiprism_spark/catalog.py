@@ -110,6 +110,14 @@ class Catalog:
 
     def __init__(self, path: Optional[str] = None):
         self.path = path
+        # Thread model: the connection is shared across WSGI threads
+        # (check_same_thread=False) — safe because CPython's sqlite3
+        # is built serialized (sqlite3.threadsafety == 3: the C lib
+        # mutexes each call on the shared connection). The app lock
+        # below additionally serializes multi-STATEMENT write
+        # sequences (id allocation + insert + commit) so they stay
+        # atomic with respect to each other; single-statement reads
+        # need no app lock.
         self._lock = threading.Lock()
         self._db = sqlite3.connect(path or ":memory:", check_same_thread=False)
         self._db.execute("PRAGMA journal_mode=WAL") if path else None
