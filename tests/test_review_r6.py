@@ -94,3 +94,58 @@ def test_histogram_bucket_conflict_raises():
         reg.histogram("x_seconds", buckets=(5.0, 60.0))
     # same buckets: fine
     assert reg.histogram("x_seconds", buckets=(0.1, 1.0)) is not None
+
+
+def test_ingest_checkpoint_fuzz_no_loss_no_dup(spark, tmp_path):
+    """4 tracker threads race a begin/flush/commit checkpoint loop;
+    afterwards every acked row must appear EXACTLY once across
+    (simulated flushed writes) + (remaining buffer), and the journal a
+    fresh App replays must equal the remaining buffer."""
+    from collections import Counter
+
+    from optiprism_spark.server import make_app
+
+    wal_dir = str(tmp_path / "wal")
+    app = make_app(spark, "/root/testdata/sf0.001", wal_dir=wal_dir)
+    flushed: list = []
+    errors: list = []
+    stop = threading.Event()
+
+    def tracker(tid: int):
+        try:
+            for i in range(150):
+                app._track(
+                    {"event": f"e{tid}-{i}", "userId": f"u{tid}",
+                     "timestamp": "2024-01-01T00:00:00Z"},
+                    {"token": ""}, {})
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    def checkpointer():
+        try:
+            while not stop.is_set():
+                snap_t, _snap_i = app.begin_checkpoint()
+                flushed.extend(snap_t)  # the "durable write"
+                app.commit_checkpoint()
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=tracker, args=(t,)) for t in range(4)]
+    cp = threading.Thread(target=checkpointer)
+    cp.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    stop.set()
+    cp.join(60)
+    assert not errors, errors
+
+    got = Counter(r["event_type"] for r in flushed) + Counter(
+        r["event_type"] for r in app.tracked)
+    want = Counter(f"e{t}-{i}" for t in range(4) for i in range(150))
+    assert got == want
+
+    replayed = make_app(spark, "/root/testdata/sf0.001", wal_dir=wal_dir)
+    assert [r["event_type"] for r in replayed.tracked] == [
+        r["event_type"] for r in app.tracked]
