@@ -18,7 +18,6 @@ import hmac
 import json
 import os
 import time
-from typing import Optional
 
 ACCESS_TOKEN_TTL_S = 60 * 60  # reference cfg default: 1h access
 REFRESH_TOKEN_TTL_S = 30 * 24 * 60 * 60  # 30d refresh

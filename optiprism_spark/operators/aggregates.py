@@ -32,7 +32,7 @@ implemented here.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -44,8 +44,8 @@ from ..dsl import (
     SegQuery,
     TimeIntervalUnit,
 )
-from ..exprs import full_filter, multi_and, prop_col, property_expression
-from ..schema import EVENT_NAME_COL, EVENT_TIME_COL
+from ..exprs import full_filter, prop_col
+from ..schema import EVENT_TIME_COL
 
 #: numeric aggregation is performed on fixed-point decimal, echoing the
 #: reference's Decimal(28,16) arithmetic (common/src/types.rs:14-16) and —

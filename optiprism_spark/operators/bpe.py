@@ -35,8 +35,6 @@ Scale shape — the part that matters at 100 TB:
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

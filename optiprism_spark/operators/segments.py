@@ -29,7 +29,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..dsl import AggFn, PropOp, Segment, SegmentCondition
+from ..dsl import PropOp, Segment, SegmentCondition
 from ..exprs import full_filter, prop_col, property_expression
 from ..operators.aggregates import agg_expr
 from ..schema import EVENT_USER_COL

@@ -12,7 +12,6 @@ from ..operators.dedup import (
     MINHASH_P,
     exact_dedup,
     jaccard_pairs,
-    lsh_candidate_pairs,
     minhash_params,
     minhash_signatures,
     simhash,

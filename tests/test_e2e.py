@@ -16,7 +16,6 @@ import datetime as dt
 import io
 import json
 
-import pytest
 from pyspark.sql import functions as F
 
 from optiprism_spark.catalog import Catalog

@@ -43,7 +43,7 @@ def test_checkpoint_commit_does_not_drop_concurrent_track(spark, tmp_path):
     """Interleave: begin_checkpoint -> (commit starts, rewrite stalls)
     -> /track acks row R -> rewrite completes. R must remain in the
     buffer AND in the journal a fresh App replays."""
-    from optiprism_spark.server import make_app, parse_track
+    from optiprism_spark.server import make_app
 
     wal_dir = str(tmp_path / "wal")
     app = make_app(spark, "/root/testdata/sf0.001", wal_dir=wal_dir)
