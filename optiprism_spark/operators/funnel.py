@@ -144,18 +144,19 @@ def _run_machine(
     i = 0
     while i < n:
         if cur > 0:
+            # ORDER mirrors the reference loop (funnel.rs:545-591):
+            # excludes FIRST (reset without flush — an expired attempt
+            # ended by an exclude row is dropped unflushed, as the
+            # reference does), THEN window expiry (flush + reset, same
+            # row continues), THEN constants — so a constant-violating
+            # row arriving after expiry flushes the expired attempt
+            # before its deviating value can erase it.
             violated = False
             for arr, rng in excludes:
                 relevant = rng is None or (rng[0] <= cur <= rng[1])
                 if relevant and arr[i]:
                     violated = True
                     break
-            if not violated and consts:
-                for c in consts:
-                    a, b = c[const_idx], c[i]
-                    if not (a == b or (a != a and b != b)):  # NaN-safe equality
-                        violated = True
-                        break
             if violated:
                 cur = 0
                 completed_n = 0
@@ -167,6 +168,17 @@ def _run_machine(
                 # no continue: same row may start a new attempt below
         if cur == 0:
             const_idx = i
+        elif consts:
+            violated = False
+            for c in consts:
+                a, b = c[const_idx], c[i]
+                if not (a == b or (a != a and b != b)):  # NaN-safe equality
+                    violated = True
+                    break
+            if violated:
+                cur = 0
+                completed_n = 0
+                continue  # reprocess this row at step 0
         if matches(cur, i):
             step_ts[cur] = int(ts[i])
             completed_n += 1
@@ -230,17 +242,35 @@ def funnel_attempts(
     if segment_users is not None:
         df = df.join(segment_users.hint("broadcast"), req.group_col, "left_semi")
 
-    # step / exclude match expressions evaluated ONCE, JVM-side
+    # step / exclude match expressions evaluated ONCE, JVM-side.
+    # event_spec_expression returns None for a match-ALL spec
+    # (EventRef() with no name, no filters) — that None means TRUE,
+    # not "drop this member": an OR containing a match-all member is
+    # TRUE, and a match-all exclude excludes every row.
+    def _spec_or(specs) -> Column:
+        exprs = [event_spec_expression(s) for s in specs]
+        if any(e is None for e in exprs):
+            return F.lit(True)
+        return multi_or(exprs)
+
     step_cols = [
-        multi_or([event_spec_expression(s) for s in st.events]).alias(f"__s{i}")
-        for i, st in enumerate(req.steps)
+        _spec_or(st.events).alias(f"__s{i}") for i, st in enumerate(req.steps)
     ]
     excl_cols = [
-        event_spec_expression(ex.event).alias(f"__x{j}") for j, ex in enumerate(req.excludes)
+        (e if (e := event_spec_expression(ex.event)) is not None else F.lit(True)
+         ).alias(f"__x{j}")
+        for j, ex in enumerate(req.excludes)
     ]
     const_cols = [prop_col(c).alias(f"__c{j}") for j, c in enumerate(req.constants)]
     bd_cols = [prop_col(b).alias(b.name) for b in req.breakdowns]
 
+    # rows whose group key is null (anonymous events) or fails the
+    # long cast can't enter the per-user machine: the kernel's numpy
+    # int conversion would crash on the NaN they decode to, and
+    # NaN != NaN would make every such row its own "user". Drop them
+    # here, explicitly — the reference never sees them because its
+    # ingest always assigns a user id.
+    df = df.filter(F.col(req.group_col).cast("long").isNotNull())
     proj = df.select(
         F.col(req.group_col).cast("long").alias(EVENT_USER_COL),
         F.unix_micros(F.col(EVENT_TIME_COL)).alias("__ts"),
@@ -265,8 +295,36 @@ def funnel_attempts(
         )
         proj = proj.filter(relevant)
 
+    if req.count_mode == FunnelCountMode.SESSION and req.breakdowns:
+        # With breakdowns the kernel sorts (user, bd, ts) and sees one
+        # bd-group's timestamps at a time — gap detection there would
+        # fragment a user's REAL session (module contract: gaps are
+        # measured over all activity). Precompute the session id over
+        # the user's full stream; the window's (user) distribution is
+        # the same key the funnel shuffles on, so Catalyst satisfies
+        # it with that single exchange (plus a sort the kernel's
+        # sortWithinPartitions redoes by (user, bd, ts) afterwards).
+        from pyspark.sql import Window as _W
+
+        _w = _W.partitionBy(EVENT_USER_COL).orderBy("__ts", "__eid")
+        _gap = F.col("__ts") - F.lag("__ts").over(_w)
+        _new = F.when(
+            _gap.isNull() | (_gap > F.lit(SESSION_GAP_US)), F.lit(1)
+        ).otherwise(F.lit(0))
+        proj = proj.withColumn(
+            "__sess",
+            F.sum(_new).over(_w.rowsBetween(_W.unboundedPreceding, 0)),
+        )
+
     bd_types = [proj.schema[b.name].dataType for b in req.breakdowns]
     schema = _attempt_schema(req, bd_types)
+    for idx, st in enumerate(req.steps):
+        if st.order == StepOrder.ANY and not st.any_ranges:
+            # any() over zero ranges is constant-False: the funnel
+            # would silently stall at this step and report plausible
+            # zero conversions — reject at request validation instead
+            raise ValueError(
+                f"step {idx}: StepOrder.ANY requires non-empty any_ranges")
     step_orders = [
         ("any", [tuple(r) for r in st.any_ranges]) if st.order == StepOrder.ANY else "exact"
         for st in req.steps
@@ -293,10 +351,15 @@ def funnel_attempts(
         # over-cap users with a narrow count (map-side combined),
         # compute each whale's cap-th (ts, eid) cutoff on a
         # (user, ts, eid)-only projection — the per-whale sort touches
-        # 3 columns, not the wide row — then broadcast the few cutoffs
-        # and filter the main scan. The big shuffle now carries at
-        # most ``cap`` rows per user. Cost: two extra column-pruned
-        # passes over the filtered events, only when the guard is on.
+        # 3 columns, not the wide row — then join the cutoffs back and
+        # filter the main scan. The big shuffle now carries at most
+        # ``cap`` rows per user. Cost: two extra column-pruned passes
+        # over the filtered events, only when the guard is on.
+        # The cutoff frames are NOT force-broadcast: one row per
+        # over-cap user is usually tiny, but a small cap over a large
+        # bot population could make it arbitrarily large, and a forced
+        # broadcast bypasses autoBroadcastJoinThreshold — AQE picks
+        # broadcast on its own when the side is actually small.
         from pyspark.sql import Window
 
         narrow = proj.select(EVENT_USER_COL, "__ts", "__eid")
@@ -307,7 +370,7 @@ def funnel_attempts(
         )
         w = Window.partitionBy(EVENT_USER_COL).orderBy("__ts", "__eid")
         cut = (
-            narrow.join(F.broadcast(over), EVENT_USER_COL)
+            narrow.join(over, EVENT_USER_COL)
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == cap)
             .select(
@@ -318,7 +381,7 @@ def funnel_attempts(
             )
         )
         proj = (
-            proj.join(F.broadcast(cut), EVENT_USER_COL, "left")
+            proj.join(cut, EVENT_USER_COL, "left")
             .filter(
                 F.col("__cut_ts").isNull()
                 | (F.col("__ts") < F.col("__cut_ts"))
@@ -335,6 +398,7 @@ def funnel_attempts(
         dominant cost at scale."""
         users = pdf[EVENT_USER_COL].to_numpy()
         wn_arr = pdf["__wn"].to_numpy() if "__wn" in pdf.columns else None
+        all_sess = pdf["__sess"].to_numpy() if "__sess" in pdf.columns else None
         all_ts = pdf["__ts"].to_numpy()
         all_steps = [pdf[f"__s{i}"].fillna(False).to_numpy() for i in range(k)]
         all_excls = [pdf[f"__x{j}"].fillna(False).to_numpy() for j in range(n_excl)]
@@ -366,8 +430,13 @@ def funnel_attempts(
             excls = [(all_excls[j][idx], excl_ranges[j]) for j in range(n_excl)]
             consts = [c[idx] for c in all_consts]
             if sessionized:
-                gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0)
-                sess = np.cumsum(gaps > SESSION_GAP_US)
+                if all_sess is not None:
+                    # true sessions precomputed over the FULL user
+                    # stream (breakdown grouping fragments the ts view)
+                    sess = all_sess[idx]
+                else:
+                    gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0)
+                    sess = np.cumsum(gaps > SESSION_GAP_US)
             else:
                 sess = None
             sessions = np.unique(sess) if sess is not None else [None]
@@ -389,6 +458,7 @@ def funnel_attempts(
 
         for st, en in zip(starts, ends):
             user = int(users[st])
+            sel = None
             if wn_arr is not None and not np.isnan(wn_arr[st]):
                 # pre-shuffle prune already truncated this whale to
                 # cap rows; __wn carries their TRUE row count
@@ -397,15 +467,38 @@ def funnel_attempts(
                 # backstop — unreachable when the prune ran, but keeps
                 # the kernel safe if called on a hand-built frame
                 _warn_whale(user, en - st)
-                en = st + cap
+                if bd_names:
+                    # keep the cap time-EARLIEST rows: the frame is
+                    # (bd, ts)-sorted here, so a positional cut would
+                    # keep whole early-sorting breakdown groups instead
+                    # of the earliest events, diverging from the
+                    # prune's (ts, eid) cutoff. np.sort restores the
+                    # kept rows to (bd, ts) order for the grouping.
+                    order = np.argsort(
+                        all_ts[st:en], kind="stable")[:cap]
+                    sel = st + np.sort(order)
+                else:
+                    en = st + cap
             if bd_names:
-                cs = np.flatnonzero(bd_change[st:en])
-                if len(cs) == 0 or cs[0] != 0:
-                    cs = np.concatenate(([0], cs))
-                ce = np.append(cs[1:], en - st)
-                for s, e in zip(cs, ce):
-                    bd_vals = tuple(a[st + s] for a in bd_arrs)
-                    run_rows(np.arange(st + s, st + e), user, bd_vals)
+                if sel is None:
+                    cs = np.flatnonzero(bd_change[st:en])
+                    if len(cs) == 0 or cs[0] != 0:
+                        cs = np.concatenate(([0], cs))
+                    ce = np.append(cs[1:], en - st)
+                    for s, e in zip(cs, ce):
+                        bd_vals = tuple(a[st + s] for a in bd_arrs)
+                        run_rows(np.arange(st + s, st + e), user, bd_vals)
+                else:
+                    sub = pdf.iloc[sel][bd_names]
+                    prev = sub.shift()
+                    chg = (sub.ne(prev) & ~(sub.isna() & prev.isna())) \
+                        .any(axis=1).to_numpy()
+                    chg[0] = True
+                    cs = np.flatnonzero(chg)
+                    ce = np.append(cs[1:], len(sel))
+                    for s, e in zip(cs, ce):
+                        bd_vals = tuple(a[sel[s]] for a in bd_arrs)
+                        run_rows(sel[s:e], user, bd_vals)
             else:
                 run_rows(np.arange(st, en), user, ())
         return results
@@ -448,9 +541,15 @@ def funnel_attempts(
             carry = pdf.iloc[cut:]
             if cap is not None and len(carry) > cap:
                 # bound the carry buffer itself: concat above would
-                # otherwise re-grow a whale across many batches
+                # otherwise re-grow a whale across many batches. Keep
+                # the cap time-EARLIEST rows (matching the prune's
+                # cutoff semantics — a positional cut under the
+                # (bd, ts) sort would keep early breakdown groups
+                # instead), preserving their original relative order.
                 _warn_whale(int(last), len(carry))
-                carry = carry.iloc[:cap]
+                keep = np.sort(np.argsort(
+                    carry["__ts"].to_numpy(), kind="stable")[:cap])
+                carry = carry.iloc[keep]
             carry = carry.reset_index(drop=True)
             if cut:
                 res = process_frame(pdf.iloc[:cut].reset_index(drop=True))
@@ -475,8 +574,16 @@ def _report_from_attempts(attempts: DataFrame, k: int, keys: list,
                           key_names: Optional[list] = None) -> DataFrame:
     """Shared per-step metric block over an attempts frame: total,
     conversion_ratio, dropped_off, drop_off_ratio, time_to_convert
-    (ms sums), avg_time_to_convert — the reference's reserved result
-    columns (common/src/types.rs:73-80, finalize funnel.rs:699-860)."""
+    (+ the from-start twins), avg_time_to_convert — the reference's
+    reserved result columns (common/src/types.rs:73-80, finalize
+    funnel.rs:699-860).
+
+    Deliberately NOT filtered by FunnelRequest.filter — reference
+    parity: push_result (funnel.rs:209-235) accumulates EVERY attempt
+    into the bucket counters regardless of the filter; the filter's
+    is_completed verdict only controls Unique-mode early-stop
+    (funnel.rs:637-641) and the attempts frame's is_completed column,
+    which drop-off queries consume directly."""
     aggs = []
     for i in range(k):
         reached = F.col("steps_completed") > i
@@ -509,6 +616,13 @@ def _report_from_attempts(attempts: DataFrame, k: int, keys: list,
             cols.append(F.col(f"step{i}_time_to_convert").alias(f"step{i}_time_to_convert"))
             avg = F.when(ti > 0, F.col(f"step{i}_time_to_convert") / ti).otherwise(F.lit(0.0))
             cols.append(avg.alias(f"step{i}_avg_time_to_convert"))
+            # from-start twins — the reference's reserved columns
+            # (finalize funnel.rs:743-758 emits both per-step sums and
+            # averages measured from step 0, not just from step i-1)
+            fs = F.col(f"step{i}_time_to_convert_from_start")
+            cols.append(fs.alias(f"step{i}_time_to_convert_from_start"))
+            avg_fs = F.when(ti > 0, fs / ti).otherwise(F.lit(0.0))
+            cols.append(avg_fs.alias(f"step{i}_avg_time_to_convert_from_start"))
     cols.append(total0.alias("total"))
     cols.append(F.col(f"step{k-1}_total").alias("completed"))
     return out.select(*cols)

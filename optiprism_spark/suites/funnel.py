@@ -275,6 +275,7 @@ def _step_metric_parts() -> list[str]:
         prev_ts = "t0" if i == 1 else "ts1"
         ratio = f"(CAST({_cnt(i)} AS DOUBLE) / CAST({_cnt(0)} AS DOUBLE) * 100)"
         ttc = f"(SUM(CASE WHEN sc > {i} THEN ts{i} - {prev_ts} END) / 1000.0)"
+        fs = f"(SUM(CASE WHEN sc > {i} THEN ts{i} - t0 END) / 1000.0)"
         parts += [
             f"CAST({_cnt(i)} AS BIGINT) AS step{i}_total",
             f"{ratio} AS step{i}_conversion_ratio",
@@ -283,6 +284,9 @@ def _step_metric_parts() -> list[str]:
             f"{ttc} AS step{i}_time_to_convert",
             f"CASE WHEN {_cnt(i)} > 0 THEN {ttc} / {_cnt(i)}"
             f" ELSE CAST(0.0 AS DOUBLE) END AS step{i}_avg_time_to_convert",
+            f"{fs} AS step{i}_time_to_convert_from_start",
+            f"CASE WHEN {_cnt(i)} > 0 THEN {fs} / {_cnt(i)}"
+            f" ELSE CAST(0.0 AS DOUBLE) END AS step{i}_avg_time_to_convert_from_start",
         ]
     parts += [
         f"CAST({_cnt(0)} AS BIGINT) AS total",

@@ -340,3 +340,110 @@ def test_whale_user_cap_truncates_and_isolates(spark):
     assert got == want
     # the normal user's conversion is intact
     assert any(r[0] == 2 and r[2] for r in got)
+
+
+# --------------------------------------------- round-6 review fixes
+
+def test_match_all_step_and_exclude(spark):
+    """EventRef() with no name means match-ALL (reference: no event
+    predicate => every row matches): 'did anything -> e2' must build
+    and count, and a step mixing match-all with a named event must be
+    TRUE everywhere, not silently narrowed to the named event."""
+    rows = [(1, 0, "x", 0), (1, 1, "e2", 0), (2, 0, "e2", 0)]
+    req = req3(steps=[
+        FunnelStep([EventFilterSpec(EventRef())]),
+        FunnelStep([EventFilterSpec(EventRef("e2"))]),
+    ])
+    got = attempts_of(spark, rows, req)
+    # user 1: x (all) -> e2 completes; user 2: e2 matches step 0 (all)
+    # then no second e2 row -> drop-off at step 1
+    assert [(r.user_id, r.steps_completed) for r in got] == [(1, 2), (2, 1)]
+
+    mixed = req3(steps=[
+        FunnelStep([EventFilterSpec(EventRef()),
+                    EventFilterSpec(EventRef("e9"))]),
+        FunnelStep([EventFilterSpec(EventRef("e2"))]),
+    ])
+    got2 = attempts_of(spark, rows, mixed)
+    assert [(r.user_id, r.steps_completed) for r in got2] == [(1, 2), (2, 1)]
+
+
+def test_any_order_empty_ranges_rejected(spark):
+    req = req3(steps=[
+        FunnelStep([EventFilterSpec(EventRef("e1"))], order=StepOrder.ANY),
+        FunnelStep([EventFilterSpec(EventRef("e2"))]),
+    ])
+    with pytest.raises(ValueError, match="any_ranges"):
+        funnel_attempts(mk_events(spark, [(1, 0, "e1", 0)]), req).collect()
+
+
+def test_null_user_rows_are_dropped_not_crash(spark):
+    df = mk_events(spark, [(1, 0, "e1", 0), (1, 1, "e2", 0), (1, 2, "e3", 0)])
+    nulled = df.unionByName(
+        df.limit(1).select(
+            (F.col("event_id") + 100).alias("event_id"), "ts",
+            F.lit(None).cast("long").alias("user_id"),
+            "event_type", "value", "props")
+    )
+    got = funnel_attempts(nulled, req3()).collect()
+    assert [(r.user_id, r.steps_completed) for r in got] == [(1, 3)]
+
+
+def test_constant_violation_after_window_expiry_flushes_first(spark):
+    """Reference loop order (funnel.rs:545-591): window expiry flushes
+    BEFORE the constants check, so a deviating-constant row arriving
+    after expiry cannot erase the expired attempt."""
+    rows = [(1, 0, "e1", 1), (1, 16, "e1", 2)]  # window 15 min
+    req = req3(constants=[PropertyRef.column("value")])
+    got = attempts_of(spark, rows, req)
+    # old (wrong) order reset the first attempt without flushing -> 1
+    # attempt; reference order flushes it -> both attempts reported
+    assert [r.steps_completed for r in got] == [1, 1]
+
+
+def test_session_mode_with_breakdown_uses_full_stream_gaps(spark):
+    """A user alternating breakdown values every 20 min has NO real
+    30-min session gap; per-(user, bd) gap detection would fabricate
+    one and split the attempt. Sessions must come from the user's
+    full stream."""
+    rows = [(1, 0, "e1", 7), (1, 20, "x", 8), (1, 40, "e2", 7),
+            (1, 60, "x", 8), (1, 80, "e3", 7)]
+    req = req3(window_min=120,
+               count_mode=FunnelCountMode.SESSION,
+               breakdowns=[PropertyRef.column("value")])
+    got = funnel_attempts(mk_events(spark, rows), req) \
+        .filter(F.col("steps_completed") == 3).collect()
+    # bd=7.0 rows e1(t0) e2(t40) e3(t80): one true session (gaps 20m)
+    assert len(got) == 1 and got[0]["value"] == 7.0
+
+
+def test_backstop_cap_with_breakdowns_truncates_in_time_order(spark):
+    """Duplicate (ts, eid) pairs defeat the pre-shuffle prune's
+    row_number cutoff, forcing the kernel backstop; with breakdowns it
+    must keep the cap time-earliest rows, not the first breakdown
+    group of the (user, bd, ts) sort."""
+    data = [
+        # one genuinely-earliest row in the LATE-sorting breakdown
+        # (9.0), then a 4-way (ts, eid) tie at the prune cutoff: the
+        # row_number cutoff keeps all 5 rows, forcing the kernel
+        # backstop with cap=2.
+        (0, T0 + dt.timedelta(minutes=0), 1, "e1", 9.0, "{}"),
+        (7, T0 + dt.timedelta(minutes=5), 1, "e1", 1.0, "{}"),
+        (7, T0 + dt.timedelta(minutes=5), 1, "e1", 1.0, "{}"),
+        (7, T0 + dt.timedelta(minutes=5), 1, "e1", 9.0, "{}"),
+        (7, T0 + dt.timedelta(minutes=5), 1, "e1", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    req = req3(steps=steps("e1"),
+               breakdowns=[PropertyRef.column("value")])
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        got = funnel_attempts(df, req, max_rows_per_user=2).collect()
+    # the kept 2 rows must include the time-earliest row (bd=9.0 at
+    # t+0); a positional cut under the (user, bd, ts) sort keeps two
+    # bd=1.0 rows (they sort first) and drops the earliest row
+    assert len(got) == 2 and 9.0 in {r["value"] for r in got}
