@@ -424,7 +424,10 @@ def funnel_attempts(
         ends = np.concatenate((bounds, [len(users)]))
         results = []
 
-        def run_rows(idx: np.ndarray, user: int, bd_vals: tuple):
+        def run_rows(idx, user: int, bd_vals: tuple):
+            # idx is a SLICE for the contiguous common case (numpy
+            # views, zero copies per group) and an int array only on
+            # the cold backstop path where kept rows are non-contiguous
             ts = all_ts[idx]
             steps = [a[idx] for a in all_steps]
             excls = [(all_excls[j][idx], excl_ranges[j]) for j in range(n_excl)]
@@ -487,7 +490,7 @@ def funnel_attempts(
                     ce = np.append(cs[1:], en - st)
                     for s, e in zip(cs, ce):
                         bd_vals = tuple(a[st + s] for a in bd_arrs)
-                        run_rows(np.arange(st + s, st + e), user, bd_vals)
+                        run_rows(slice(st + s, st + e), user, bd_vals)
                 else:
                     sub = pdf.iloc[sel][bd_names]
                     prev = sub.shift()
@@ -500,7 +503,7 @@ def funnel_attempts(
                         bd_vals = tuple(a[sel[s]] for a in bd_arrs)
                         run_rows(sel[s:e], user, bd_vals)
             else:
-                run_rows(np.arange(st, en), user, ())
+                run_rows(slice(st, en), user, ())
         return results
 
     def _warn_whale(user: int, n: int) -> None:
