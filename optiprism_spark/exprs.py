@@ -35,7 +35,13 @@ def multi_and(exprs: Sequence[Column]) -> Optional[Column]:
 
 
 def multi_or(exprs: Sequence[Column]) -> Optional[Column]:
-    exprs = [e for e in exprs if e is not None]
+    """None means TRUE (an unrestricted predicate): a None OPERAND
+    makes the whole OR true, so the result is None — dropping it, as
+    multi_and correctly does for AND, would silently NARROW the match
+    (e.g. a custom event with one match-all member). Empty input is
+    also None (no restriction)."""
+    if any(e is None for e in exprs):
+        return None
     return reduce(lambda a, b: a | b, exprs) if exprs else None
 
 
@@ -49,7 +55,14 @@ def prop_col(prop: PropertyRef) -> Column:
     """
     if prop.kind == PropKind.COLUMN:
         return F.col(prop.name)
-    c = F.get_json_object(F.col("props"), f"$.{prop.name}")
+    if any(ch in prop.name for ch in ".[]'\""):
+        # a flat key literally named "utm.source" would otherwise be
+        # read as nested utm->source and extract NULL everywhere;
+        # bracket-quote it (JSONPath) so the literal key resolves
+        path = "$['" + prop.name.replace("'", "\\'") + "']"
+    else:
+        path = f"$.{prop.name}"
+    c = F.get_json_object(F.col("props"), path)
     dtype = DTYPE_TO_SPARK.get(prop.dtype)
     return c.cast(dtype) if dtype is not None and prop.dtype != "string" else c
 
@@ -58,7 +71,13 @@ def _ts_lit(v) -> Column:
     # Serialize datetime bounds as strings cast in the session timezone
     # (UTC): a naive-datetime F.lit() goes through the *host* timezone
     # during plan serialization, which would shift query ranges on a
-    # non-UTC driver host.
+    # non-UTC driver host. Timezone-AWARE datetimes are converted to
+    # UTC first — strftime would silently drop the offset and shift
+    # the bound by it.
+    if v.tzinfo is not None:
+        import datetime as _dt
+
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     return F.lit(v.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp")
 
 
@@ -82,6 +101,12 @@ def property_expression(f: PropFilter) -> Column:
             raise ValueError(f"{op} needs at least one value")
         e = c.isin(list(f.values)) if len(f.values) > 1 else (c == F.lit(f.values[0]))
         return ~e if op == PropOp.NEQ else e
+    if op in (PropOp.GT, PropOp.GTE, PropOp.LT, PropOp.LTE, PropOp.LIKE,
+              PropOp.NOT_LIKE, PropOp.REGEX, PropOp.NOT_REGEX) \
+            and len(f.values) == 0:
+        # uniform with EQ/NEQ: an empty list silently passing all rows
+        # (or crashing on ~None for the negated ops) hides a caller bug
+        raise ValueError(f"{op} needs at least one value")
     if op in (PropOp.GT, PropOp.GTE, PropOp.LT, PropOp.LTE):
         cmp = {
             PropOp.GT: lambda v: c > F.lit(v),

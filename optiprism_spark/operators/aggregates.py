@@ -190,6 +190,8 @@ def event_segmentation_one(
         raise ValueError(
             "a formula query needs sibling metric queries to reference"
         )
+    if not (simple_aggs or two_level):
+        raise ValueError("event query needs at least one metric query")
     parts: list[DataFrame] = []
     if simple_aggs:
         parts.append(df.groupBy(*keys).agg(*simple_aggs))
@@ -208,7 +210,23 @@ def event_segmentation_one(
 
     out = parts[0]
     for p in parts[1:]:
-        out = out.join(p, key_names, "full_outer")
+        if not key_names:
+            out = out.join(p, key_names, "full_outer")
+        else:
+            # NULL-SAFE key equality: a NULL breakdown value (missing
+            # JSON key) is one group on both sides; a plain equi-join
+            # (NULL != NULL) would split it into two half-empty rows
+            # and NULL out any formula spanning both parts
+            cond = None
+            for kn in key_names:
+                c = out[kn].eqNullSafe(p[kn])
+                cond = c if cond is None else cond & c
+            joined = out.join(p, cond, "full_outer")
+            out = joined.select(
+                *[F.coalesce(out[kn], p[kn]).alias(kn) for kn in key_names],
+                *[out[c] for c in out.columns if c not in key_names],
+                *[p[c] for c in p.columns if c not in key_names],
+            )
     for alias, formula in formulas:
         out = out.withColumn(alias, F.expr(formula))
     if segment_name is not None:

@@ -50,7 +50,8 @@ def funnel_first_touch_users(
 
     def step_events(i: int) -> DataFrame:
         expr = multi_or([event_spec_expression(s) for s in req.steps[i].events])
-        return df.filter(expr).select(user.alias("user_id"), ts.alias("ts"))
+        step_df = df.filter(expr) if expr is not None else df  # None = match-all
+        return step_df.select(user.alias("user_id"), ts.alias("ts"))
 
     cur = step_events(0).groupBy("user_id").agg(F.min("ts").alias("t_0"))
     window = F.expr(f"INTERVAL {req.window_ms * 1000} MICROSECOND")

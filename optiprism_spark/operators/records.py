@@ -38,7 +38,9 @@ def event_records_search(
     cond = full_filter(time, None, filters)
     df = events.filter(cond) if cond is not None else events
     if event_specs:
-        df = df.filter(multi_or([event_spec_expression(s) for s in event_specs]))
+        spec_cond = multi_or([event_spec_expression(s) for s in event_specs])
+        if spec_cond is not None:  # None = a match-all spec: no filter
+            df = df.filter(spec_cond)
     return df.orderBy(F.desc(EVENT_ID_COL)).limit(limit)
 
 

@@ -56,6 +56,14 @@ def _cmp(col, op: PropOp, right):
     }[op]
 
 
+def _user_universe(events: DataFrame, group_col: str) -> DataFrame:
+    """Every user in the scanned stream — the base for conditions
+    where absent-from-filter users still qualify (count 0). A full
+    distinct scan of the events table: only build it when zero really
+    qualifies."""
+    return events.select(F.col(group_col).alias(group_col)).distinct()
+
+
 def condition_users(events: DataFrame, cond: SegmentCondition,
                     group_col: str = EVENT_USER_COL) -> DataFrame:
     """One condition → 1-column DataFrame of qualifying user ids (the
@@ -81,18 +89,26 @@ def condition_users(events: DataFrame, cond: SegmentCondition,
             df = events.filter(flt) if flt is not None else events
             return df.groupBy(user.alias(group_col)).agg(F.count(F.lit(1)).alias("__c"))
 
-        left = _count(cond.event, cond.filters)
-        right = _count(cond.relative_event, cond.relative_filters)
-        universe = events.select(user.alias(group_col)).distinct()
-        both = (
-            universe
-            .join(left.withColumnRenamed("__c", "__l"), group_col, "left")
-            .join(right.withColumnRenamed("__c", "__r"), group_col, "left")
-            .select(
-                group_col,
-                F.coalesce(F.col("__l"), F.lit(0)).alias("__l"),
-                F.coalesce(F.col("__r"), F.lit(0)).alias("__r"),
+        left = _count(cond.event, cond.filters).withColumnRenamed("__c", "__l")
+        right = _count(cond.relative_event, cond.relative_filters) \
+            .withColumnRenamed("__c", "__r")
+        # 0-vs-0 users appear on NEITHER count side; they only matter
+        # when 0 <op> 0 qualifies (EQ/GTE/LTE). Otherwise a full_outer
+        # of the two (already tiny) count frames covers every user that
+        # can qualify — skipping a whole distinct scan of the events
+        # table per condition.
+        if cond.compare_op in (PropOp.EQ, PropOp.GTE, PropOp.LTE):
+            both = (
+                _user_universe(events, group_col)
+                .join(left, group_col, "left")
+                .join(right, group_col, "left")
             )
+        else:
+            both = left.join(right, [group_col], "full_outer")
+        both = both.select(
+            group_col,
+            F.coalesce(F.col("__l"), F.lit(0)).alias("__l"),
+            F.coalesce(F.col("__r"), F.lit(0)).alias("__r"),
         )
         return both.filter(_cmp(F.col("__l"), cond.compare_op, F.col("__r"))).select(group_col)
 
@@ -115,8 +131,8 @@ def condition_users(events: DataFrame, cond: SegmentCondition,
             # onto the full user universe and coalesce to 0 (the
             # reference's per-user streaming exprs walk every user in
             # the scanned stream, count.rs:29-212)
-            universe = events.select(user.alias(group_col)).distinct()
-            per_user = universe.join(per_user, group_col, "left").select(
+            per_user = _user_universe(events, group_col) \
+                .join(per_user, group_col, "left").select(
                 group_col, F.coalesce(F.col("__v"), F.lit(0)).alias("__v")
             )
         return per_user.filter(_cmp(F.col("__v"), cond.compare_op, cond.right)).select(group_col)
@@ -127,8 +143,12 @@ def condition_users(events: DataFrame, cond: SegmentCondition,
 def segment_users(events: DataFrame, segment: Segment,
                   group_col: str = EVENT_USER_COL) -> DataFrame:
     """Or<And<condition>> composition → user set."""
+    if not segment.conditions:
+        raise ValueError("segment needs at least one condition group")
     ors = []
     for and_group in segment.conditions:
+        if not and_group:
+            raise ValueError("segment AND group needs at least one condition")
         sets = [condition_users(events, c, group_col) for c in and_group]
         ors.append(reduce(lambda a, b: a.join(b, group_col, "inner"), sets))
     return reduce(lambda a, b: a.unionByName(b), ors).distinct()

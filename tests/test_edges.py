@@ -91,3 +91,147 @@ def test_dedup_single_and_empty(spark):
 
 def funnel_like_empty_ok(df) -> bool:
     return df.count() == 0
+
+
+# ------------------------------------------- round-6 review regressions
+
+def test_mixed_levels_merge_null_breakdown_groups(spark):
+    """A NULL breakdown value (missing JSON key) is ONE group: the
+    single-level and two-level metric frames must merge on it
+    null-safely instead of splitting into two half-empty rows."""
+    from optiprism_spark.dsl import PropertyRef, SegQuery
+    from optiprism_spark.dsl import AggFn
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "buy", 5.0, '{"seg": "a"}'),
+        (2, dt.datetime(2024, 1, 1, 11), 1, "buy", 7.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 12), 2, "buy", 9.0, "{}"),
+    ]
+    req = EventSegmentationRequest(
+        time=_TIME, interval=TimeIntervalUnit.DAY,
+        events=[EventQuery(EventRef("buy"), queries=[
+            SegQuery("count_events", alias="n"),
+            SegQuery("count_per_group", agg=AggFn.AVG, alias="avg_per_user"),
+        ])],
+        breakdowns=[PropertyRef.json("seg")],
+    )
+    out = event_segmentation_one(_events(spark, rows), req, req.events[0])
+    got = {r["seg"]: (r["n"], r["avg_per_user"]) for r in out.collect()}
+    assert out.count() == 2, out.collect()
+    # null group: 2 events over users {1: 1 event, 2: 1 event} -> avg 1
+    assert got[None] == (2, 1.0)
+    assert got["a"] == (1, 1.0)
+
+
+def test_custom_event_with_match_all_member(spark):
+    """A custom event containing one unrestricted member (EventRef()
+    with no name) matches EVERY event — multi_or must not narrow it to
+    the named members."""
+    from optiprism_spark.dsl import SegQuery
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "buy", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11), 1, "view", 1.0, "{}"),
+    ]
+    custom = EventRef(custom=[
+        EventFilterSpec(EventRef()),          # all events
+        EventFilterSpec(EventRef("buy")),
+    ])
+    req = EventSegmentationRequest(
+        time=_TIME, interval=TimeIntervalUnit.DAY,
+        events=[EventQuery(custom, queries=[SegQuery("count_events", alias="n")])],
+    )
+    out = event_segmentation_one(_events(spark, rows), req, req.events[0])
+    assert [r["n"] for r in out.collect()] == [2]
+
+
+def test_empty_values_filter_ops_raise(spark):
+    from optiprism_spark.dsl import PropFilter, PropOp, PropertyRef
+    from optiprism_spark.exprs import property_expression
+
+    import pytest
+
+    for op in (PropOp.GT, PropOp.LIKE, PropOp.NOT_LIKE, PropOp.REGEX,
+               PropOp.NOT_REGEX):
+        with pytest.raises(ValueError, match="at least one value"):
+            property_expression(PropFilter(PropertyRef.column("value"), op, ()))
+
+
+def test_ts_lit_converts_aware_datetimes_to_utc(spark):
+    """A timezone-aware bound must shift to UTC, not silently drop its
+    offset (which would move the query range by the offset)."""
+    from optiprism_spark.exprs import _ts_lit
+
+    aware = dt.datetime(2024, 1, 1, 5, 0, 0,
+                        tzinfo=dt.timezone(dt.timedelta(hours=5)))
+    naive_utc = dt.datetime(2024, 1, 1, 0, 0, 0)
+    row = spark.range(1).select(
+        _ts_lit(aware).alias("a"), _ts_lit(naive_utc).alias("b")).collect()[0]
+    assert row.a == row.b
+
+
+def test_segment_without_conditions_raises(spark):
+    from optiprism_spark.dsl import Segment
+    from optiprism_spark.operators.segments import segment_users
+
+    import pytest
+
+    ev = _events(spark, [(1, dt.datetime(2024, 1, 1, 10), 1, "buy", 1.0, "{}")])
+    with pytest.raises(ValueError, match="condition"):
+        segment_users(ev, Segment("empty"))
+    with pytest.raises(ValueError, match="condition"):
+        segment_users(ev, Segment("empty-and", conditions=[[]]))
+
+
+def test_relative_count_gt_skips_universe_scan_and_is_correct(spark):
+    """GT can never admit a 0-vs-0 user, so the full distinct-user
+    universe scan is skipped — and users on neither count side stay
+    excluded while one-sided users still compare against 0."""
+    from optiprism_spark.dsl import Segment, SegmentCondition, PropOp
+    from optiprism_spark.operators.segments import condition_users
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "buy", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 12), 2, "buy", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 13), 3, "refund", 1.0, "{}"),
+    ]
+    ev = _events(spark, rows)
+    cond = SegmentCondition(
+        kind="did_event_relative_count", time=_TIME,
+        event=EventRef("buy"), relative_event=EventRef("view"),
+        compare_op=PropOp.GT,
+    )
+    got = {r.user_id for r in condition_users(ev, cond).collect()}
+    # user 1: buy=1 view=1 -> not >; user 2: buy=1 view=0 -> qualifies;
+    # user 3: 0 vs 0 -> must NOT qualify (and needs no universe scan)
+    assert got == {2}
+    plan = condition_users(ev, cond)._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    # EQ variant: 0-vs-0 qualifies, so user 3 appears via the universe
+    cond_eq = SegmentCondition(
+        kind="did_event_relative_count", time=_TIME,
+        event=EventRef("buy"), relative_event=EventRef("view"),
+        compare_op=PropOp.EQ,
+    )
+    got_eq = {r.user_id for r in condition_users(ev, cond_eq).collect()}
+    assert got_eq == {1, 3}
+
+
+def test_json_property_with_dotted_name(spark):
+    """A flat JSON key literally containing a dot must resolve via the
+    bracket-quoted JSONPath, not be read as a nested path."""
+    from optiprism_spark.dsl import PropertyRef, SegQuery
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "buy", 1.0,
+         '{"utm.source": "ads", "utm": {"source": "nested"}}'),
+    ]
+    req = EventSegmentationRequest(
+        time=_TIME, interval=TimeIntervalUnit.DAY,
+        events=[EventQuery(EventRef("buy"),
+                           queries=[SegQuery("count_events", alias="n")])],
+        breakdowns=[PropertyRef.json("utm.source")],
+    )
+    out = event_segmentation_one(_events(spark, rows), req, req.events[0])
+    assert [r["utm.source"] for r in out.collect()] == ["ads"]
