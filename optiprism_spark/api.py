@@ -93,6 +93,7 @@ _AGGS = {
 }
 
 _WINDOW_MS = {
+    "second": 1_000, "minute": 60_000,
     "hour": 3_600_000, "day": 86_400_000, "week": 7 * 86_400_000,
     "month": 31 * 86_400_000, "year": 365 * 86_400_000,
 }
@@ -192,7 +193,11 @@ def parse_event_ref(
     if d.get("eventType", "regular") == "regular":
         return EventRef(d["eventName"])
     if d.get("eventType") == "custom":
-        key = d.get("eventId", d.get("eventName"))
+        # explicit null eventId (full-DTO serializers) falls back to
+        # eventName like a missing key does
+        key = d.get("eventId")
+        if key is None:
+            key = d.get("eventName")
         if not custom_events or key not in custom_events:
             raise ValueError(
                 f"unknown custom event {key!r}; pass custom_events="

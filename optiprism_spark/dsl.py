@@ -67,7 +67,11 @@ class QueryTime:
         now = self.now
         n = self.last
         if self.unit == TimeIntervalUnit.YEAR:
-            start = now.replace(year=now.year - n)
+            # clamp like the MONTH branch: Feb 29 minus N years is
+            # otherwise a ValueError on every non-leap target year
+            year = now.year - n
+            day = min(now.day, _days_in_month(year, now.month))
+            start = now.replace(year=year, day=day)
         elif self.unit == TimeIntervalUnit.MONTH:
             month = now.month - n
             year = now.year + (month - 1) // 12

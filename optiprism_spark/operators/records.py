@@ -81,11 +81,25 @@ def group_records_search(
     sort_prop: str,
     ascending: bool = True,
     limit: int = RECORDS_LIMIT,
+    user_col: str = EVENT_USER_COL,
 ) -> DataFrame:
-    prof = latest_profile(events)
-    order = F.asc(sort_prop) if ascending else F.desc(sort_prop)
-    # deterministic tie-break on the user key
-    return prof.orderBy(order, F.asc(EVENT_USER_COL)).limit(limit)
+    """``user_col`` selects the group entity (org_id for group 1, ...):
+    the replacing-read dedups one profile per ENTITY of that group —
+    searching orgs must not return one row per user. ``sort_prop``
+    resolves as a physical column when present, else as a JSON props
+    key (same fallback the query plane uses) so sorting by an
+    unmaterialized property is an ordered scan, not an
+    unresolved-column crash."""
+    prof = latest_profile(events, user_col)
+    if sort_prop in prof.columns:
+        sort_col = F.col(sort_prop)
+    else:
+        from ..dsl import PropertyRef
+
+        sort_col = prop_col(PropertyRef.json(sort_prop))
+    order = sort_col.asc() if ascending else sort_col.desc()
+    # deterministic tie-break on the entity key
+    return prof.orderBy(order, F.asc(user_col)).limit(limit)
 
 
 def property_values(

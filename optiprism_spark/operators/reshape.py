@@ -61,15 +61,21 @@ def pivot_buckets(df: DataFrame, dims: Sequence[str], bucket_col: str,
 
 
 def add_average_and_sort(df: DataFrame, metric_cols: Sequence[str],
-                         avg_col: str = "Average") -> DataFrame:
+                         avg_col: str = "Average", sort: bool = True) -> DataFrame:
     """Row-wise mean of the per-bucket metric columns + sort desc —
-    reference AggregateAndSortColumnsNode (aggregate_columns.rs:23-120)."""
+    reference AggregateAndSortColumnsNode (aggregate_columns.rs:23-120).
+
+    ``sort=False`` skips the global orderBy: the chart pipeline feeds
+    this straight into ``limit_groups``, whose groupBy destroys the
+    order and re-sorts by the same column anyway — paying a full
+    distributed sort here buys nothing there."""
     n = len(metric_cols)
     s = reduce(lambda a, b: a + b, [F.coalesce(F.col(c), F.lit(0)) for c in metric_cols])
     # exact (decimal/int) row-sum cast to double, then ONE double
     # division — deterministic and oracle-reproducible
     avg = (s.cast("double") / F.lit(float(n))).cast("double")
-    return df.withColumn(avg_col, avg).orderBy(F.desc(avg_col))
+    out = df.withColumn(avg_col, avg)
+    return out.orderBy(F.desc(avg_col)) if sort else out
 
 
 def limit_groups(df: DataFrame, group_cols: Sequence[str], limit: int = 50,
@@ -125,7 +131,10 @@ def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
 
 
 def rename_column_rows(df: DataFrame, col: str, mapping: dict) -> DataFrame:
-    """Remap values inside one column — reference RenameColumnRowsNode."""
+    """Remap values inside one column — reference RenameColumnRowsNode.
+    An empty mapping is a no-op (not an AttributeError)."""
+    if not mapping:
+        return df
     expr = None
     for old, new in mapping.items():
         cond = F.col(col) == F.lit(old)

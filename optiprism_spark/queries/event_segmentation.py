@@ -124,13 +124,18 @@ def _apply_analysis(long_df: DataFrame, req: EventSegmentationRequest, ei, eq, s
     parts = [c for c in long_df.columns if c != BUCKET_COL and c not in metric_aliases]
     out = long_df
     if req.analysis == Analysis.ROLLING_AVERAGE:
-        out = rolling_average(out, metric_aliases, partition_cols=parts, window=req.rolling_window)
+        out = rolling_average(out, metric_aliases, partition_cols=parts,
+                              window=req.rolling_window,
+                              interval=req.interval.value)
     elif req.analysis == Analysis.CUMULATIVE:
         out = cumulative(out, metric_aliases, partition_cols=parts)
     elif req.analysis == Analysis.LOGARITHMIC:
         out = logarithmic(out, metric_aliases)
     if req.compare is not None:
-        out = compare_previous(out, metric_aliases, offset=req.compare.offset, partition_cols=parts)
+        out = compare_previous(out, metric_aliases, offset=req.compare.offset,
+                               partition_cols=parts,
+                               unit=req.compare.unit.value,
+                               interval=req.interval.value)
     return out
 
 
@@ -141,5 +146,7 @@ def _to_chart(long_df: DataFrame, req: EventSegmentationRequest, ei, eq, series_
     buckets = expected_buckets(req)
     wide = pivot_buckets(melted, dims + ["agg_name"], BUCKET_COL, buckets)
     bucket_cols = [c for c in wide.columns if c not in dims and c != "agg_name"]
-    wide = add_average_and_sort(wide, bucket_cols)
+    # sort=False: limit_groups re-sorts by Average after its own
+    # groupBy — a global sort here would be paid and then discarded
+    wide = add_average_and_sort(wide, bucket_cols, sort=False)
     return limit_groups(wide, dims + ["agg_name"], series_limit, order_col="Average")

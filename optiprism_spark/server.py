@@ -814,10 +814,15 @@ class App:
 
     def _group_records_search(self, body, m, q):
         sort = body.get("sort") or {}
-        prop = sort.get("propertyName", api.GROUP_COLS[body.get("group", 0)])
+        group = body.get("group", 0)
+        if group not in api.GROUP_COLS:
+            raise HttpError(404, f"unknown group {group!r}")
+        entity_col = api.GROUP_COLS[group]
+        prop = sort.get("propertyName", entity_col)
         ascending = sort.get("direction", "asc") != "desc"
         return 200, group_records_search(
-            self._events(), sort_prop=prop, ascending=ascending
+            self._events(), sort_prop=prop, ascending=ascending,
+            user_col=entity_col,
         )
 
     def _group_record_by_id(self, body, m, q):

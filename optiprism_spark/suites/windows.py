@@ -40,8 +40,9 @@ def _daily_counts(spark, sf_dir):
     oracle=f"""
     WITH {_BASE}
     SELECT bucket, event_type,
-           AVG(n) OVER (PARTITION BY event_type ORDER BY bucket
-                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n
+           AVG(n) OVER (PARTITION BY event_type
+                        ORDER BY CAST(epoch(bucket) / 86400 AS BIGINT)
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n
     FROM base
     """,
 )
@@ -88,11 +89,11 @@ def win_cumulative(spark, sf_dir):
     oracle=f"""
     WITH {_BASE}
     SELECT bucket, event_type, n,
-           LAG(n, 7) OVER (PARTITION BY event_type ORDER BY bucket) AS n_prev,
-           CASE WHEN LAG(n, 7) OVER (PARTITION BY event_type ORDER BY bucket) IS NOT NULL
-                 AND LAG(n, 7) OVER (PARTITION BY event_type ORDER BY bucket) <> 0
-                THEN CAST(n - LAG(n, 7) OVER (PARTITION BY event_type ORDER BY bucket) AS DOUBLE)
-                     / CAST(LAG(n, 7) OVER (PARTITION BY event_type ORDER BY bucket) AS DOUBLE) * 100
+           MAX(n) OVER (PARTITION BY event_type ORDER BY CAST(epoch(bucket) / 86400 AS BIGINT) RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS n_prev,
+           CASE WHEN MAX(n) OVER (PARTITION BY event_type ORDER BY CAST(epoch(bucket) / 86400 AS BIGINT) RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) IS NOT NULL
+                 AND MAX(n) OVER (PARTITION BY event_type ORDER BY CAST(epoch(bucket) / 86400 AS BIGINT) RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) <> 0
+                THEN CAST(n - MAX(n) OVER (PARTITION BY event_type ORDER BY CAST(epoch(bucket) / 86400 AS BIGINT) RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS DOUBLE)
+                     / CAST(MAX(n) OVER (PARTITION BY event_type ORDER BY CAST(epoch(bucket) / 86400 AS BIGINT) RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS DOUBLE) * 100
            END AS n_change_pct
     FROM base
     """,

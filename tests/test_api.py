@@ -125,8 +125,12 @@ def test_parse_edge_validation():
     bad_group = dict(_SEG_BODY, group=3)
     with pytest.raises(ValueError, match="unknown group"):
         parse_event_segmentation(bad_group)
-    # unsupported funnel window unit gets a clear error
-    bad_window = dict(_FUNNEL_BODY, timeWindow={"n": 30, "unit": "minute"})
+    # sub-hour windows are valid (reference TimeIntervalUnitSession
+    # includes minute/second); a genuinely unknown unit still errors
+    assert parse_funnel(dict(
+        _FUNNEL_BODY, timeWindow={"n": 30, "unit": "minute"}
+    )).window_ms == 30 * 60_000
+    bad_window = dict(_FUNNEL_BODY, timeWindow={"n": 3, "unit": "fortnight"})
     with pytest.raises(ValueError, match="timeWindow unit"):
         parse_funnel(bad_window)
 

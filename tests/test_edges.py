@@ -235,3 +235,90 @@ def test_json_property_with_dotted_name(spark):
     )
     out = event_segmentation_one(_events(spark, rows), req, req.events[0])
     assert [r["utm.source"] for r in out.collect()] == ["ads"]
+
+
+def test_compare_previous_honors_unit_and_gaps(spark):
+    """compare {offset: 1, unit: week} over day buckets must reach 7
+    calendar days back — and a zero-event gap must yield NO prev value
+    rather than silently comparing against the last present row."""
+    from optiprism_spark.operators.windows import compare_previous
+
+    rows = [
+        (dt.date(2024, 1, 1), 10.0),
+        (dt.date(2024, 1, 8), 30.0),   # exactly 1 week after day 1
+        (dt.date(2024, 1, 9), 40.0),   # 1 week after a MISSING day 2
+    ]
+    df = spark.createDataFrame(rows, "bucket date, n double")
+    out = {r.bucket: r.n_prev for r in compare_previous(
+        df, ["n"], offset=1, unit="week", interval="day").collect()}
+    assert out[dt.date(2024, 1, 8)] == 10.0
+    assert out[dt.date(2024, 1, 9)] is None  # day 2 had no bucket
+    assert out[dt.date(2024, 1, 1)] is None
+
+
+def test_rolling_average_skips_gap_buckets(spark):
+    """A 2-bucket trailing mean over a gappy daily series must only
+    look 1 calendar day back: with day 2 missing, day 3's window is
+    just day 3 — a ROWS frame would wrongly pull in day 1."""
+    from optiprism_spark.operators.windows import rolling_average
+
+    rows = [(dt.date(2024, 1, 1), 10.0), (dt.date(2024, 1, 3), 30.0)]
+    df = spark.createDataFrame(rows, "bucket date, n double")
+    out = {r.bucket: r.n for r in rolling_average(
+        df, ["n"], window=2, interval="day").collect()}
+    assert out[dt.date(2024, 1, 3)] == 30.0  # NOT (10+30)/2
+
+
+def test_last_n_years_from_leap_day():
+    from optiprism_spark.dsl import QueryTime, TimeIntervalUnit
+
+    qt = QueryTime.last(1, TimeIntervalUnit.YEAR,
+                        now=dt.datetime(2028, 2, 29, 12, 0))
+    start, end = qt.range()
+    assert start == dt.datetime(2027, 2, 28, 12, 0)
+
+
+def test_rename_column_rows_empty_mapping_is_noop(spark):
+    from optiprism_spark.operators.reshape import rename_column_rows
+
+    df = spark.createDataFrame([("a",)], "x string")
+    assert rename_column_rows(df, "x", {}).collect() == df.collect()
+
+
+def test_group_records_search_dedups_by_entity(spark):
+    """Searching group 1 (org) must return one latest profile per ORG,
+    not one per user — and sorting by a JSON property must resolve via
+    props instead of crashing on an unresolved column."""
+    from optiprism_spark.operators.records import group_records_search
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, 100, "profile", '{"plan": "b"}'),
+        (2, dt.datetime(2024, 1, 1, 11), 2, 100, "profile", '{"plan": "a"}'),
+        (3, dt.datetime(2024, 1, 1, 12), 3, 200, "profile", '{"plan": "c"}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, org_id long,"
+        " event_type string, props string")
+    got = group_records_search(df, sort_prop="plan", user_col="org_id").collect()
+    # org 100's latest profile is user 2's row (plan a), org 200 -> c
+    assert [(r.org_id, r.user_id) for r in got] == [(100, 2), (200, 3)]
+
+
+def test_funnel_sub_hour_window_and_null_event_id():
+    from optiprism_spark import api
+
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00Z",
+                 "to": "2024-01-02T00:00:00Z"},
+        "group": "user",
+        "chartType": {"type": "steps", "intervalUnit": "day"},
+        "timeWindow": {"n": 90, "unit": "second"},
+        "steps": [
+            {"events": [{"eventType": "regular", "eventId": None,
+                         "eventName": "view"}]},
+            {"events": [{"eventType": "regular", "eventName": "buy"}]},
+        ],
+    }
+    req = api.parse_funnel(body)
+    assert req.window_ms == 90_000
+    assert req.steps[0].events[0].event.name == "view"
