@@ -50,3 +50,22 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if n_files >= target:
         return df
     return df.repartition(target)
+
+
+def cap_buckets(df: DataFrame, keys, max_bucket: int) -> DataFrame:
+    """Drop ALL rows belonging to join-key buckets larger than
+    ``max_bucket`` — the shared degenerate-bucket guard for every
+    candidate-pair self-join (LSH bands, IVF centroid lists): one
+    dense bucket makes the Σ bucket² join quadratic in its size.
+    Implemented as a pre-aggregated count + broadcast anti-join so the
+    main frame is NOT shuffled for the cap (the count aggregate is at
+    most one row per distinct bucket)."""
+    from pyspark.sql import functions as F
+
+    oversized = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > max_bucket)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(oversized), list(keys), "left_anti")

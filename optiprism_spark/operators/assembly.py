@@ -49,6 +49,14 @@ def dataset_split(
     cut at the cumulative weights. A document's split never changes
     when the corpus grows (hash-stable), unlike randomSplit whose
     assignment depends on partitioning."""
+    if not weights:
+        raise ValueError("dataset_split needs at least one (name, weight)")
+    if any(w <= 0 for _, w in weights):
+        raise ValueError(f"split weights must be > 0: {list(weights)}")
+    if sum(w for _, w in weights[:-1]) >= 1:
+        raise ValueError(
+            "non-last split weights must sum to < 1 — the last label "
+            f"would be unreachable: {list(weights)}")
     u = unit_hash(F.col(id_col), seed)
     expr = None
     acc = 0.0
@@ -71,8 +79,16 @@ def stratified_sample_fraction(
     """Keep ~fraction of each stratum by hash threshold — shuffle-free
     (per-row filter), the sampling shape that survives 100 TB. The
     stratum ships into the hash so the same id draws independently
-    across strata definitions."""
-    key = F.concat_ws("", *[F.col(c) for c in strata_cols], F.col(id_col))
+    across strata definitions.
+
+    The key joins parts with a unit-separator delimiter and a null
+    sentinel: bare concat_ws('') would collide distinct (strata, id)
+    combinations (('e','n42') vs ('en','42')) and SKIP null strata
+    entirely, correlating every strata definition's draw for
+    null-stratum rows."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))
+             for c in strata_cols]
+    key = F.concat_ws("\u001f", *parts, F.col(id_col))
     return df.filter(unit_hash(key, seed) < F.lit(float(fraction)))
 
 
@@ -132,6 +148,10 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    if budget < 1:
+        # floor(offset / 0) would otherwise fail per-row mid-job (ANSI)
+        # or emit all-null pack ids silently (non-ANSI)
+        raise ValueError(f"budget must be >= 1, got {budget}")
     if n_buckets is None:
         n_buckets = df.sparkSession.sparkContext.defaultParallelism
     if n_buckets >= 1 << 23:
@@ -193,8 +213,15 @@ def chunk_documents(
         )
     step = chunk_words - overlap
     words = F.split(F.col(text_col), " ")
+    # last useful start is size - overlap - 1: a start at or past
+    # size - overlap begins inside the previous chunk's overlap region
+    # and is fully contained in it — emitting it would duplicate the
+    # document tail into the training set (hit by 1/3 of doc lengths
+    # at the default stride)
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(step)
+        F.lit(0),
+        F.greatest(F.size(words) - overlap - 1, F.lit(0)),
+        F.lit(step),
     )
     chunks = F.transform(
         starts, lambda s: F.array_join(F.slice(words, s + 1, chunk_words), " ")

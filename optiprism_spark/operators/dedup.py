@@ -54,19 +54,14 @@ def tokens_col(text_col: str = "text") -> Column:
 
 
 def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-shingles, JVM-side. The words array is bound
-    once via a lambda variable (not re-split per shingle), and each
-    shingle is built from per-position ``try_element_at`` lookups
-    instead of ``slice`` — measured ~7x faster (slice allocates a
-    fresh n-array per position) with byte-identical output: a
-    past-the-end try_element_at is null and concat_ws skips nulls,
-    matching slice's short tail on sub-n-word docs."""
-    elems = ", ".join(f"try_element_at(w, i + {k})" for k in range(n))
-    return F.expr(
-        f"transform(array(split({text_col}, ' ')), w ->"
-        f" array_distinct(transform(sequence(1, greatest(size(w) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', {elems}))))[0]"
-    )
+    """Distinct word n-shingles, JVM-side — delegates to the ONE
+    shingling kernel (text.shingles_from_words: per-position
+    try_element_at, ~7x faster than slice, byte-identical) instead of
+    keeping a second raw-SQL copy that must be changed in lockstep;
+    F.col also handles column names that need quoting."""
+    from .text import shingles_from_words
+
+    return shingles_from_words(F.split(F.col(text_col), " "), n)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -150,14 +145,9 @@ def _banded_pairs(sigs: DataFrame, k: int, bands: int, id_col: str,
     text whose members are caught by other bands or exact dedup)."""
     banded = _banded(sigs, k, bands, id_col)
     if max_bucket is not None:
-        from pyspark.sql import Window
+        from ._util import cap_buckets
 
-        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-        banded = (
-            banded.withColumn("__bn", bucket_n)
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
-        )
+        banded = cap_buckets(banded, ("band", "key"), max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -277,14 +267,9 @@ def lsh_incremental_pairs(
     )
     probed = store_hits.unionByName(new_banded)
     if max_bucket is not None:
-        from pyspark.sql import Window
+        from ._util import cap_buckets
 
-        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-        probed = (
-            probed.withColumn("__bn", bucket_n)
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
-        )
+        probed = cap_buckets(probed, ("band", "key"), max_bucket)
         new_banded = new_banded.join(
             probed.select(id_col, "band", "key"), [id_col, "band", "key"],
             "left_semi",
@@ -408,9 +393,12 @@ def connected_components(
     groupBy); lineage is cut per round so the plan stays flat instead
     of doubling each iteration (the edge frame is checkpointed once up
     front — it may sit on an expensive LSH pipeline and is re-read
-    every round). Convergence is detected via the label sum: labels
-    only ever decrease per node, so an unchanged sum ⇔ a fixed point —
-    one scalar agg per round instead of a full-frame diff join. For
+    every round). Convergence is exact: labels only ever decrease per
+    node, so the round's join already knows whether ANY node improved
+    (nbr < label) — one boolean-sum agg per round over the frame being
+    checkpointed anyway, valid for numeric AND string node ids (a
+    label-sum fingerprint would crash or silently no-op on strings
+    under ANSI casts). For
     graphs with long chains (web graphs, not dup clusters) the
     escalation path is large-star/small-star [Kiveris et al.,
     CIKM'14], which contracts the diameter geometrically per round.
@@ -442,26 +430,34 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    if prev_sum is None:  # no edges at all
-        return labels.select("node", F.col("label").alias("component"))
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels.withColumnRenamed("node", "v"), "v")
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("label").alias("nbr"))
         )
+        improved = F.coalesce(F.col("nbr") < F.col("label"), F.lit(False))
         labels = _cut(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
+                improved.alias("__chg"),
             )
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        if new_sum == prev_sum:
+        changed = labels.agg(F.sum(F.col("__chg").cast("long"))).first()[0] or 0
+        labels = labels.drop("__chg")
+        if changed == 0:
+            converged = True
             break
-        prev_sum = new_sum
+    if not converged:
+        # partially-propagated labels would silently split one real
+        # component into several "survivors"
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter too large) — raise max_iters or contract "
+            "with large-star/small-star first")
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -108,9 +108,16 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, planes: int = 4, dim: int = 64) -> Column:
+def hyperplane_bucket(vec: Column, planes: int = 4) -> Column:
     """Deterministic sign-bit sketch: plane p's component d is
     md5-derived in [-0.5, 0.5); bucket = sum of sign bits.
+
+    The projection iterates the vector ITSELF (transform with index),
+    not a fixed-dim sequence: zip_with against sequence(0, dim-1)
+    null-padded any vector shorter than dim, nulling the fold and
+    collapsing EVERY vector into bucket 0 — the LSH join silently
+    became the quadratic cross join it exists to avoid. This also
+    matches the DuckDB oracle, which folds over the actual list.
 
     Built from the passed ``vec`` Column (not a fixed column name) so
     any caller frame works — e.g. embedding_near_pairs exposes av/bv.
@@ -124,7 +131,7 @@ def hyperplane_bucket(vec: Column, planes: int = 4, dim: int = 64) -> Column:
     """
     def _component(p):
         # NB: higher-order lambdas must take EXACTLY the arity Spark
-        # expects (2 for zip_with) — close over p, don't default it
+        # expects (2 for transform-with-index) — close over p
         def f(x, i):
             h = F.conv(
                 F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 8),
@@ -137,7 +144,7 @@ def hyperplane_bucket(vec: Column, planes: int = 4, dim: int = 64) -> Column:
     bucket = F.lit(0)
     for p in range(planes):
         comp = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _component(p)),
+            F.transform(vec, _component(p)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -150,7 +157,6 @@ def embedding_near_pairs(
     threshold: float = 0.95,
     exact: bool = False,
     planes: int = 4,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -177,19 +183,36 @@ def embedding_near_pairs(
     # shuffle join on the bucket key, where the scan is already
     # parallel and spread() is a no-op. No forced broadcast hints: a
     # corpus self-join side must never carry one.
-    if not exact:
-        planes = _auto_planes(planes, embeddings)
-    a = spread(embeddings).select(
-        F.col(id_col).alias("doc_a"), _as_double(F.col(vec_col)).alias("av")
-    ).withColumn("na", _norm(F.col("av")))
-    b = spread(embeddings).select(
-        F.col(id_col).alias("doc_b"), _as_double(F.col(vec_col)).alias("bv")
-    ).withColumn("nb", _norm(F.col("bv")))
     if exact:
+        a = spread(embeddings).select(
+            F.col(id_col).alias("doc_a"), _as_double(F.col(vec_col)).alias("av")
+        ).withColumn("na", _norm(F.col("av")))
+        b = spread(embeddings).select(
+            F.col(id_col).alias("doc_b"), _as_double(F.col(vec_col)).alias("bv")
+        ).withColumn("nb", _norm(F.col("bv")))
         joined = a.join(b, F.col("doc_a") < F.col("doc_b"))
     else:
-        a = a.withColumn("__bkt", hyperplane_bucket(F.col("av"), planes, dim))
-        b = b.withColumn("__bkt", hyperplane_bucket(F.col("bv"), planes, dim))
+        from ._util import track_persist
+
+        planes = _auto_planes(planes, embeddings)
+        # ONE persisted (id, v, norm, bucket) frame feeds both join
+        # sides — the per-row sketch (planes folds over the vector)
+        # and the corpus scan would otherwise run twice per call,
+        # exactly the doubled cost the IVF path documents avoiding
+        base = track_persist(
+            spread(embeddings).select(
+                F.col(id_col).alias("__id"),
+                _as_double(F.col(vec_col)).alias("__v"),
+            )
+            .withColumn("__n", _norm(F.col("__v")))
+            .withColumn("__bkt", hyperplane_bucket(F.col("__v"), planes))
+        )
+        a = base.select(
+            F.col("__id").alias("doc_a"), F.col("__v").alias("av"),
+            F.col("__n").alias("na"), "__bkt")
+        b = base.select(
+            F.col("__id").alias("doc_b"), F.col("__v").alias("bv"),
+            F.col("__n").alias("nb"), "__bkt")
         joined = a.join(b, "__bkt").filter(F.col("doc_a") < F.col("doc_b"))
     sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
     return (
@@ -343,15 +366,12 @@ def embedding_incremental_pairs_ivf(
             new_assigned
         )
     if max_bucket is not None:
-        oversized = (
-            probed.groupBy("centroid_id")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") > max_bucket)
-            .select("centroid_id")
-        )
-        probed = probed.join(F.broadcast(oversized), "centroid_id", "left_anti")
+        from ._util import cap_buckets
+
+        probed = cap_buckets(probed, ("centroid_id",), max_bucket)
         new_side = new_assigned.join(
-            F.broadcast(oversized), "centroid_id", "left_anti")
+            probed.select("centroid_id").distinct().hint("broadcast"),
+            "centroid_id", "left_semi")
     else:
         new_side = new_assigned
     a = new_side.select(
@@ -422,17 +442,9 @@ def embedding_near_pairs_ivf(
     cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
     assigned = ivf_assign(embeddings, cent, id_col, vec_col)
     if max_bucket is not None:
-        # partial-agg count per centroid (tiny: ≤ n_centroids rows),
-        # broadcast anti-join drops members of oversized buckets —
-        # no extra shuffle of the assignment frame
-        oversized = (
-            assigned.groupBy("centroid_id")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") > max_bucket)
-            .select("centroid_id")
-        )
-        assigned = assigned.join(
-            F.broadcast(oversized), "centroid_id", "left_anti")
+        from ._util import cap_buckets
+
+        assigned = cap_buckets(assigned, ("centroid_id",), max_bucket)
     if persist_assignment:
         assigned = track_persist(assigned)
     a = assigned.select(
@@ -509,7 +521,6 @@ def cosine_topk_lsh(
     queries: DataFrame,
     k: int = 5,
     planes: int = 4,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -520,7 +531,7 @@ def cosine_topk_lsh(
     def with_bucket(df, id_alias, vec_alias):
         return (
             df.select(F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias("__v"))
-            .withColumn("bucket", hyperplane_bucket(F.col("__v"), planes, dim))
+            .withColumn("bucket", hyperplane_bucket(F.col("__v"), planes))
             .withColumnRenamed("__v", vec_alias)
         )
 

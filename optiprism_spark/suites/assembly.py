@@ -61,7 +61,8 @@ def asm_split_train_val_test(spark, sf_dir):
     "asm_sample_fraction_by_lang",
     oracle=f"""
     SELECT doc_id, lang FROM (
-      SELECT doc_id, lang, {_u_sql("lang || doc_id", 'sample')} AS u
+      SELECT doc_id, lang,
+             {_u_sql("COALESCE(lang, chr(0)) || chr(31) || CAST(doc_id AS VARCHAR)", 'sample')} AS u
       FROM documents
     ) WHERE u < 0.25
     """,
@@ -127,7 +128,9 @@ def asm_pack_sequences(spark, sf_dir):
     "asm_chunk_documents",
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS g FROM w)
+    c AS (SELECT doc_id, ws,
+                 unnest(range(0, greatest(len(ws) - 17, 0) + 1, 48)) AS g
+          FROM w)
     SELECT doc_id,
            CAST(g / 48 AS INT) AS chunk_idx,
            array_to_string(ws[g + 1 : g + 64], ' ') AS chunk_text,

@@ -109,11 +109,11 @@ def test_embedding_near_pairs_lsh_runs_and_is_subset(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     exact = {
         (r.doc_a, r.doc_b)
-        for r in embedding_near_pairs(emb, threshold=0.99, exact=True, dim=8).collect()
+        for r in embedding_near_pairs(emb, threshold=0.99, exact=True).collect()
     }
     lsh = {
         (r.doc_a, r.doc_b)
-        for r in embedding_near_pairs(emb, threshold=0.99, dim=8).collect()
+        for r in embedding_near_pairs(emb, threshold=0.99).collect()
     }
     assert exact >= {(1, 2), (1, 5), (2, 5)}
     assert lsh <= exact  # LSH never invents pairs

@@ -617,3 +617,91 @@ def test_lsh_incremental_randomized_equivalence(spark, seed):
         docs.filter(F.col("doc_id") >= cutoff), store, threshold=0.4)
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert got == want, (seed, cutoff, sorted(got ^ want))
+
+
+
+def test_connected_components_string_ids(spark):
+    """Min-label propagation must work for STRING doc ids: the old
+    label-sum convergence fingerprint crashed (ANSI cast) or silently
+    returned singletons for non-numeric ids."""
+    from optiprism_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string")
+    out = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """Exhausting max_iters mid-propagation must raise, not silently
+    split one real component into several survivors."""
+    from optiprism_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2).collect()
+    ok = {r.component for r in connected_components(chain, max_iters=10).collect()}
+    assert ok == {0}
+
+
+def test_hyperplane_bucket_uses_actual_vector_length(spark):
+    """Vectors shorter than the old dim=64 default all collapsed into
+    bucket 0 (null-padded fold), silently turning the LSH join into a
+    cross join; the sketch must spread short vectors across buckets."""
+    from optiprism_spark.operators.similarity import hyperplane_bucket
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.5]), (3, [0.3, -2.0])],
+        "vec_id long, embedding array<double>")
+    buckets = {r.b for r in emb.select(
+        hyperplane_bucket(F.col("embedding"), planes=4).alias("b")).collect()}
+    assert len(buckets) > 1, buckets
+
+
+def test_chunk_documents_no_redundant_tail(spark):
+    """A 50-word doc with (64, 16) chunking fits entirely in chunk 0;
+    the old bound emitted a second chunk fully contained in the first,
+    duplicating tail text into the training set."""
+    from optiprism_spark.operators.assembly import chunk_documents
+
+    doc = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(50)))], "doc_id long, text string")
+    got = chunk_documents(doc, chunk_words=64, overlap=16).collect()
+    assert len(got) == 1 and got[0].chunk_words == 50
+    # 65 words: a tail chunk IS needed (one new word past the first)
+    doc2 = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(65)))], "doc_id long, text string")
+    got2 = chunk_documents(doc2, chunk_words=64, overlap=16).collect()
+    assert [r.chunk_words for r in sorted(got2, key=lambda r: r.chunk_idx)] == [64, 17]
+
+
+def test_stratified_sample_key_distinguishes_collision_shapes(spark):
+    """('e','n42') vs ('en','42') and a null stratum must produce
+    three DISTINCT sampling draws — the old undelimited concat_ws
+    collided the first two and skipped the null entirely."""
+    from optiprism_spark.operators.assembly import stratified_sample_fraction
+
+    df = spark.createDataFrame(
+        [("e", "n42"), ("en", "42"), (None, "42")],
+        "lang string, doc_id string")
+    # sweep fractions: if the three keys hash identically, every
+    # fraction keeps either all three or none; distinct keys produce
+    # at least one fraction separating them
+    seen = set()
+    for frac in (0.1, 0.25, 0.5, 0.75, 0.9):
+        kept = stratified_sample_fraction(df, ["lang"], frac).count()
+        seen.add(kept)
+    assert len(seen) > 1, seen
+
+
+def test_assembly_validation_errors(spark):
+    from optiprism_spark.operators.assembly import dataset_split, pack_sequences
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unreachable"):
+        dataset_split(df, (("train", 0.8), ("val", 0.3), ("test", 0.1)))
+    with pytest.raises(ValueError, match="> 0"):
+        dataset_split(df, (("train", -0.1), ("rest", 1.1)))
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, budget=0)
