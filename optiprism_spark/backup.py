@@ -24,6 +24,7 @@ import hashlib
 import io
 import json
 import os
+import shutil
 import sqlite3
 import tarfile
 from typing import Optional
@@ -72,14 +73,28 @@ def create_backup(
             files["catalog.db"] = cat_file
         out_dir = os.path.realpath(os.path.dirname(os.path.abspath(out_path)))
         if wal_dir is not None:
+            snap_root = os.path.join(tmp, "wal_snapshot")
             for root, _, names in os.walk(wal_dir):
-                # backups often live under wal_dir; never archive them
-                if os.path.realpath(root).startswith(out_dir):
+                # backups often live under wal_dir; never archive them.
+                # Boundary-aware: a bare prefix test would also skip
+                # sibling dirs like <out_dir>-archive.
+                real = os.path.realpath(root)
+                if real == out_dir or real.startswith(out_dir + os.sep):
                     continue
                 for n in names:
                     src = os.path.join(root, n)
                     rel = os.path.relpath(src, wal_dir)
-                    files[os.path.join("wal", rel)] = src
+                    # SNAPSHOT the journal before hashing: the live
+                    # WAL grows under concurrent ingest, and hashing
+                    # the file then tar-adding it later would archive
+                    # longer content than the manifest hash — every
+                    # backup taken under load would fail restore
+                    # verification. A mid-append copy at worst carries
+                    # a torn tail, which replay already truncates.
+                    dst = os.path.join(snap_root, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.copy2(src, dst)
+                    files[os.path.join("wal", rel)] = dst
         for name, d in (data_dirs or {}).items():
             if os.sep in name or name in ("..", "."):
                 raise ValueError(f"data dir name {name!r} must be a plain name")

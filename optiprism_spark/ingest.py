@@ -358,6 +358,54 @@ def _append_part_files(appends_path: str) -> list[str]:
     return sorted(out)
 
 
+_COMPACT_MANIFEST = ".compaction_folded.json"
+
+
+def _recover_compaction(spark, table_name: str, appends_path: str) -> None:
+    """Finish (or discard) a compaction cycle interrupted by a crash.
+
+    The swap (DROP old -> RENAME staging) is not atomic in a Hive-ish
+    catalog; the recovery protocol derives what happened from table
+    existence plus the folded-files marker:
+
+    - no marker: any leftover staging table is a stale fold from a
+      crash before the marker write — drop it, nothing was committed.
+    - marker + BOTH tables: crash before the DROP — the staged fold is
+      stale (appends may have grown); discard staging + marker.
+    - marker + staging only: crash between DROP and RENAME — complete
+      the rename, then the marker's files are folded: delete them.
+    - marker + main only: crash after the swap, before the append
+      cleanup — delete the marker's files.
+
+    Net effect with compact_appends_into_bucketed: every append file
+    is folded exactly once and the table always exists after recovery.
+    """
+    staging = f"{table_name}__compact_staging"
+    manifest = os.path.join(appends_path, _COMPACT_MANIFEST)
+    staging_exists = spark.catalog.tableExists(staging)
+    if not os.path.exists(manifest):
+        if staging_exists and spark.catalog.tableExists(table_name):
+            spark.sql(f"DROP TABLE {staging}")
+        return
+    import json as _json
+
+    with open(manifest) as f:
+        info = _json.load(f)
+    main_exists = spark.catalog.tableExists(table_name)
+    if main_exists and staging_exists:
+        spark.sql(f"DROP TABLE {staging}")
+        os.remove(manifest)
+        return
+    if not main_exists and staging_exists:
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    for f_path in info.get("files", ()):
+        try:
+            os.remove(f_path)
+        except FileNotFoundError:
+            pass
+    os.remove(manifest)
+
+
 def compact_appends_into_bucketed(
     spark,
     table_name: str,
@@ -395,6 +443,7 @@ def compact_appends_into_bucketed(
 
     Returns the number of appended rows folded in.
     """
+    _recover_compaction(spark, table_name, appends_path)
     part_files = _append_part_files(appends_path)
     if not part_files:
         return 0
@@ -402,21 +451,38 @@ def compact_appends_into_bucketed(
     appends = spark.read.parquet(*part_files)
     if "dt" in appends.columns and "dt" not in bucketed.columns:
         appends = appends.drop("dt")
-    appends = appends.select(*bucketed.columns)
+    # ONE scan of the append set: the count materializes the cache the
+    # union write then reads, instead of re-reading every part file
+    appends = appends.select(*bucketed.columns).persist()
     n = appends.count()
     if n == 0:
+        appends.unpersist()
         return 0
     from . import metrics
 
-    with metrics.store_compaction_time().time():
-        staging = f"{table_name}__compact_staging"
-        spark.sql(f"DROP TABLE IF EXISTS {staging}")
-        write_events_bucketed(
-            bucketed.unionByName(appends), staging,
-            n_buckets=n_buckets, bucket_col=bucket_col, sort_cols=sort_cols,
-        )
-        spark.sql(f"DROP TABLE {table_name}")
-        spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    staging = f"{table_name}__compact_staging"
+    manifest = os.path.join(appends_path, _COMPACT_MANIFEST)
+    try:
+        with metrics.store_compaction_time().time():
+            spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            write_events_bucketed(
+                bucketed.unionByName(appends), staging,
+                n_buckets=n_buckets, bucket_col=bucket_col, sort_cols=sort_cols,
+            )
+            if clear_appends:
+                # crash-recovery marker: written AFTER the staged fold
+                # and BEFORE the swap, listing exactly the folded
+                # files. _recover_compaction reads table existence +
+                # this marker to finish (or discard) an interrupted
+                # cycle without losing the table or folding twice.
+                import json as _json
+
+                with open(manifest, "w") as f:
+                    _json.dump({"staging": staging, "files": part_files}, f)
+            spark.sql(f"DROP TABLE {table_name}")
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    finally:
+        appends.unpersist()
     metrics.store_compactions_total().inc()
     if clear_appends:
         for f in part_files:
@@ -424,6 +490,10 @@ def compact_appends_into_bucketed(
                 os.remove(f)
             except FileNotFoundError:
                 pass
+        try:
+            os.remove(manifest)
+        except FileNotFoundError:
+            pass
         # prune now-empty dt= partition dirs (cosmetic)
         for root, dirs, files in list(os.walk(appends_path, topdown=False)):
             if root != appends_path and not dirs and not files:
@@ -516,16 +586,22 @@ def tracked_to_events(
                     "country", "page_path", "page_url", "utm_source")
         if c in tracked.columns
     ]
+    client_map = F.from_json(
+        F.coalesce(F.col("props"), F.lit("{}")), "map<string,string>")
+    enrich_map = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in enrich_cols]),
+        F.array(*[F.col(c).cast("string") for c in enrich_cols]),
+    )
+    # CLIENT keys win; enrichment only fills keys the client did not
+    # send. A bare map_concat would hit Spark's default
+    # mapKeyDedupPolicy=EXCEPTION the moment any client sends a prop
+    # named "os"/"country"/... — one overlapping payload failing the
+    # whole batch job.
+    enrich_only = F.map_filter(
+        enrich_map, lambda k, v: ~F.map_contains_key(client_map, k))
     props = F.to_json(
         F.map_filter(
-            F.map_concat(
-                F.from_json(F.coalesce(F.col("props"), F.lit("{}")),
-                            "map<string,string>"),
-                F.map_from_arrays(
-                    F.array(*[F.lit(c) for c in enrich_cols]),
-                    F.array(*[F.col(c).cast("string") for c in enrich_cols]),
-                ),
-            ),
+            F.map_concat(client_map, enrich_only),
             lambda k, v: v.isNotNull(),
         )
     )
@@ -558,8 +634,14 @@ def materialize_properties(
     shuffle; a compaction pass (compact_events) persists it, after
     which parquet schema merge plays the null-fill role for old
     files. ``mark=True`` flips the catalog flag so resolve_property
-    serves the physical column from now on (late readers of
-    un-rewritten data still succeed: the JSON key remains)."""
+    serves the physical column from now on.
+
+    CONTRACT: after marking, queries must run against the RETURNED
+    frame (which carries the column) or against data rewritten from
+    it. Marking and then querying the un-rewritten stored table
+    resolves a column that is not there (AnalysisException) — if the
+    durable rewrite happens later or might fail, pass ``mark=False``
+    and call ``catalog.mark_materialized`` after the write commits."""
     from .dsl import PropertyRef
     from .exprs import prop_col
 

@@ -107,6 +107,9 @@ def streaming_funnel_counts(
         spark.readStream.schema(schema)
         .parquet(source_dir)
         .filter(F.col(EVENT_NAME_COL).isin(step_names))
+        # a null ts would reach the kernel as NaN and int(NaN) kills
+        # the streaming query deterministically on retries
+        .filter(F.col(EVENT_TIME_COL).isNotNull())
         .withColumn("__ts_us", F.unix_micros(F.col(EVENT_TIME_COL)))
         .select(EVENT_USER_COL, EVENT_NAME_COL, "__ts_us")
     )

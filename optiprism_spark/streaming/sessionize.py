@@ -72,6 +72,12 @@ def synthesize_session_begin(events: DataFrame, gap_us: int = SESSION_GAP_US) ->
         .filter(F.col("__rn") == 1)
         .drop("__rn", "session_id")
         .withColumn(EVENT_NAME_COL, F.lit(EVENT_SESSION_BEGIN))
+        # a verbatim copy of the first event's id would TIE the
+        # (ts, event_id) sort key every ordering consumer uses — the
+        # Begin row must sort strictly BEFORE the event that started
+        # the session, and stay unique for id-keyed joins. -id-1 is
+        # injective from the non-negative id space and negative.
+        .withColumn(EVENT_ID_COL, -F.col(EVENT_ID_COL) - F.lit(1))
     )
     return events.unionByName(starts)
 

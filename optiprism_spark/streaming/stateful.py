@@ -86,6 +86,8 @@ def streaming_user_profiles(spark, schema, source_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(schema)
         .parquet(source_dir)
+        # null ts -> NaN -> int(NaN) ValueError in the state kernel
+        .filter(F.col(EVENT_TIME_COL).isNotNull())
         .withColumn("__ts_us", F.unix_micros(F.col(EVENT_TIME_COL)))
     )
     return stream.groupBy(F.col(EVENT_USER_COL)).applyInPandasWithState(

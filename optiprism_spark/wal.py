@@ -30,6 +30,14 @@ import os
 import struct
 import zlib
 
+def _frame(op: str, row: dict) -> bytes:
+    """ONE record-framing implementation (length + crc32 header, json
+    payload) shared by append and rewrite — framing drift between the
+    two would make rewritten journals unreadable by replay."""
+    payload = json.dumps({"op": op, "row": row}, sort_keys=True).encode()
+    return _HEADER.pack(len(payload), zlib.crc32(payload)) + payload
+
+
 _HEADER = struct.Struct(">II")  # payload length, crc32
 
 
@@ -43,9 +51,7 @@ class IngestWal:
     def append(self, op: str, row: dict) -> None:
         """Write one record and fsync — the durability point the ack
         depends on (reference: WAL write precedes memtable apply)."""
-        payload = json.dumps({"op": op, "row": row}, sort_keys=True).encode()
-        self._f.write(_HEADER.pack(len(payload), zlib.crc32(payload)))
-        self._f.write(payload)
+        self._f.write(_frame(op, row))
         self._f.flush()
         os.fsync(self._f.fileno())
 
@@ -104,11 +110,7 @@ class IngestWal:
         tmp = self.path + ".rewrite"
         with open(tmp, "wb") as f:
             for op, row in records:
-                payload = json.dumps(
-                    {"op": op, "row": row}, sort_keys=True
-                ).encode()
-                f.write(_HEADER.pack(len(payload), zlib.crc32(payload)))
-                f.write(payload)
+                f.write(_frame(op, row))
             f.flush()
             os.fsync(f.fileno())
         self._f.close()

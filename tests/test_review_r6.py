@@ -149,3 +149,134 @@ def test_ingest_checkpoint_fuzz_no_loss_no_dup(spark, tmp_path):
     replayed = make_app(spark, "/root/testdata/sf0.001", wal_dir=wal_dir)
     assert [r["event_type"] for r in replayed.tracked] == [
         r["event_type"] for r in app.tracked]
+
+
+
+def test_tracked_to_events_client_prop_collides_with_enrichment(spark):
+    """A client prop named like an enrichment key ("os") must not
+    crash map_concat (mapKeyDedupPolicy=EXCEPTION) — and the CLIENT
+    value wins."""
+    import json
+
+    from optiprism_spark.ingest import tracked_to_events, ua_enrich
+    from optiprism_spark.server import parse_track
+
+    row = parse_track(
+        {"event": "e1", "userId": "1",
+         "timestamp": "2024-01-01T00:00:00Z",
+         "properties": {"os": "CustomOS"},
+         "context": {"userAgent":
+                     "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36"}},
+        "tok")
+    from optiprism_spark.server import _TRACK_SCHEMA
+
+    df = ua_enrich(spark.createDataFrame([row], _TRACK_SCHEMA))
+    out = tracked_to_events(df).collect()[0]
+    props = json.loads(out.props)
+    assert props["os"] == "CustomOS"        # client wins
+    assert props.get("browser") == "Chrome"  # enrichment fills the rest
+
+
+def test_session_begin_sorts_before_first_event(spark):
+    """The synthesized Session Begin must sort strictly BEFORE the
+    session's first event under the (ts, event_id) key, with a unique
+    id — a verbatim id copy tied the sort nondeterministically."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F2
+
+    from optiprism_spark.streaming.sessionize import (
+        EVENT_SESSION_BEGIN,
+        synthesize_session_begin,
+    )
+
+    df = spark.createDataFrame(
+        [(5, dtm.datetime(2024, 1, 1, 10), 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    out = synthesize_session_begin(df).orderBy("ts", "event_id").collect()
+    assert [r.event_type for r in out] == [EVENT_SESSION_BEGIN, "view"]
+    assert len({r.event_id for r in out}) == 2
+    assert out[0].event_id == -6
+
+
+def test_compaction_recovery_protocol(spark, tmp_path):
+    """Each crash window of the DROP->RENAME swap recovers to 'table
+    exists, every append folded exactly once'."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from optiprism_spark.ingest import (
+        _COMPACT_MANIFEST,
+        _recover_compaction,
+        write_events_bucketed,
+    )
+
+    appends = str(tmp_path / "appends")
+    os.makedirs(appends)
+    part = os.path.join(appends, "part-0.parquet")
+    open(part, "wb").write(b"x")
+
+    def mk(name, n):
+        df = spark.range(n).select(
+            F2.col("id").alias("user_id"),
+            F2.current_timestamp().alias("ts"),
+            F2.col("id").alias("event_id"))
+        write_events_bucketed(df, name, n_buckets=2)
+
+    # window A: crash between DROP and RENAME (main missing, staging
+    # present, manifest present) -> rename completed, files deleted
+    spark.sql("DROP TABLE IF EXISTS rec_t"); spark.sql("DROP TABLE IF EXISTS rec_t__compact_staging")
+    mk("rec_t__compact_staging", 4)
+    json.dump({"files": [part]}, open(os.path.join(appends, _COMPACT_MANIFEST), "w"))
+    _recover_compaction(spark, "rec_t", appends)
+    assert spark.table("rec_t").count() == 4
+    assert not os.path.exists(part)
+    assert not os.path.exists(os.path.join(appends, _COMPACT_MANIFEST))
+
+    # window B: crash BEFORE the drop (both tables, manifest present)
+    # -> staging+manifest discarded, files kept (not yet folded)
+    open(part, "wb").write(b"x")
+    mk("rec_t__compact_staging", 9)
+    json.dump({"files": [part]}, open(os.path.join(appends, _COMPACT_MANIFEST), "w"))
+    _recover_compaction(spark, "rec_t", appends)
+    assert spark.table("rec_t").count() == 4
+    assert os.path.exists(part)
+    assert not spark.catalog.tableExists("rec_t__compact_staging")
+
+    # window C: crash after swap, before cleanup (main only + manifest)
+    json.dump({"files": [part]}, open(os.path.join(appends, _COMPACT_MANIFEST), "w"))
+    _recover_compaction(spark, "rec_t", appends)
+    assert not os.path.exists(part)
+    spark.sql("DROP TABLE rec_t")
+
+
+def test_streaming_funnel_survives_null_timestamp(spark, tmp_path):
+    import datetime as dtm
+    import os
+
+    from optiprism_spark.streaming.funnel import streaming_funnel_counts
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    rows = [
+        (1, dtm.datetime(2024, 1, 1, 10, 0), 1, "signup", 1.0, "{}"),
+        (2, None, 1, "view", 1.0, "{}"),        # malformed: null ts
+        (3, dtm.datetime(2024, 1, 1, 10, 1), 1, "view", 1.0, "{}"),
+    ]
+    src = os.path.join(str(tmp_path), "nullts")
+    os.makedirs(src)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    out = streaming_funnel_counts(
+        spark, spark.createDataFrame([], schema).schema, src,
+        step_names=["signup", "view"], window_ms=600000)
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("nullts_q").start())
+    try:
+        q.processAllAvailable()  # must not die on the NaN row
+        got = spark.sql("SELECT * FROM nullts_q").collect()
+    finally:
+        q.stop()
+    assert len(got) == 1 and got[0].completed_total == 1
