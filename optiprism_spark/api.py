@@ -31,6 +31,8 @@ from typing import Optional, Sequence
 
 from .dsl import (
     AggFn,
+    Segment,
+    SegmentCondition,
     Analysis,
     Compare,
     EventFilterSpec,
@@ -306,7 +308,95 @@ def parse_event_segmentation(
         analysis=analysis,
         rolling_window=int(analysis_d.get("window", 7)),
         compare=compare,
+        segments=parse_segments(body, columns, now, custom_events, props=props),
     )
+
+
+
+
+def _seg_time(d: Optional[dict], now=None):
+    """SegmentTime subset compatible with QueryTime (between/from/
+    last); the reference's afterFirstUse/windowEach windows are
+    per-user anchors with no engine implementation there either."""
+    if not d:
+        return None
+    if d.get("type") in ("between", "from", "last"):
+        return parse_time(d, now)
+    raise ValueError(f"unsupported segment time {d.get('type')!r}")
+
+
+def parse_segment_condition(
+    d: dict, columns=EVENT_COLUMNS, now=None,
+    custom_events: Optional[dict] = None, props: Optional[dict] = None,
+) -> SegmentCondition:
+    """One externally-tagged SegmentCondition (reference
+    common/src/query.rs:374-393; serde external tagging =>
+    {"HasPropertyValue": {...}} — camelCase first letters accepted)."""
+    if len(d) != 1:
+        raise ValueError(f"segment condition must have one variant key: {d}")
+    (tag, c), = d.items()
+    key = tag[0].lower() + tag[1:]
+    if key == "hasPropertyValue" or key == "hadPropertyValue":
+        return SegmentCondition(
+            kind="has_property_value" if key == "hasPropertyValue"
+            else "had_property_value",
+            prop=parse_property(c["property"], columns, props=props),
+            op=_OPS[c["operation"]],
+            values=tuple(c.get("value") or ()),
+            time=_seg_time(c.get("time"), now),
+        )
+    if key == "didEvent":
+        event = parse_event_ref(c["event"], columns, custom_events, props=props)
+        filters = tuple(parse_filter(f, columns, props=props)
+                        for f in c.get("filters") or ())
+        (atag, a), = c["aggregate"].items()
+        akey = atag[0].lower() + atag[1:]
+        if akey == "count":
+            return SegmentCondition(
+                kind="did_event", event=event, filters=filters,
+                compare_op=_OPS[a["operation"]], right=float(a["value"]),
+                time=_seg_time(a.get("time"), now))
+        if akey == "relativeCount":
+            return SegmentCondition(
+                kind="did_event_relative_count", event=event, filters=filters,
+                compare_op=_OPS[a["operation"]],
+                relative_event=parse_event_ref(
+                    a["event"], columns, custom_events, props=props),
+                relative_filters=tuple(parse_filter(f, columns, props=props)
+                                       for f in a.get("filters") or ()),
+                time=_seg_time(a.get("time"), now))
+        if akey == "aggregateProperty":
+            return SegmentCondition(
+                kind="did_event", event=event, filters=filters,
+                agg=_AGGS[a["aggregate"]],
+                agg_prop=parse_property(a["property"], columns, props=props),
+                compare_op=_OPS[a["operation"]],
+                right=float(a["value"]) if a.get("value") is not None else 0.0,
+                time=_seg_time(a.get("time"), now))
+        if akey == "historicalCount":
+            return SegmentCondition(
+                kind="did_event_historical_count", event=event,
+                filters=filters, compare_op=_OPS[a["operation"]],
+                right=float(a["value"]))
+        raise ValueError(f"unknown didEvent aggregate {atag!r}")
+    raise ValueError(f"unknown segment condition {tag!r}")
+
+
+def parse_segments(
+    body: dict, columns=EVENT_COLUMNS, now=None,
+    custom_events: Optional[dict] = None, props: Optional[dict] = None,
+) -> tuple:
+    """body["segments"] -> tuple[Segment] (Or<And<condition>>)."""
+    out = []
+    for s in body.get("segments") or ():
+        conditions = tuple(
+            tuple(parse_segment_condition(c, columns, now, custom_events, props)
+                  for c in and_group)
+            for and_group in s.get("conditions") or ()
+        )
+        out.append(Segment(s.get("name", f"segment_{len(out)}"),
+                           conditions=conditions))
+    return tuple(out)
 
 
 def parse_funnel(

@@ -82,6 +82,8 @@ def group_records_search(
     ascending: bool = True,
     limit: int = RECORDS_LIMIT,
     user_col: str = EVENT_USER_COL,
+    time=None,
+    filters: "Sequence" = (),
 ) -> DataFrame:
     """``user_col`` selects the group entity (org_id for group 1, ...):
     the replacing-read dedups one profile per ENTITY of that group —
@@ -90,6 +92,9 @@ def group_records_search(
     key (same fallback the query plane uses) so sorting by an
     unmaterialized property is an ordered scan, not an
     unresolved-column crash."""
+    cond = full_filter(time, None, filters)
+    if cond is not None:
+        events = events.filter(cond)
     prof = latest_profile(events, user_col)
     if sort_prop in prof.columns:
         sort_col = F.col(sort_prop)

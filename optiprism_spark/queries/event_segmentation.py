@@ -94,6 +94,16 @@ def run_event_segmentation(
     of every series (reference SegmentedAggregate one-output-per-
     segment, SURVEY §2.4).
     """
+    if segment_users is None and req.segments:
+        # the request's own segments (reference DSL body "segments"):
+        # compute each cohort's user set once; every (event, segment)
+        # pair yields its own series copy
+        from ..operators.segments import segment_users as _seg_users
+
+        segment_users = {
+            s.name: _seg_users(events, s, req.group_col)
+            for s in req.segments
+        }
     per_event: list[DataFrame] = []
     names: list[str] = []  # one entry per appended frame (event × segment)
     for ei, eq in enumerate(req.events):
@@ -103,8 +113,11 @@ def run_event_segmentation(
             long_df = event_segmentation_one(
                 events, req, eq, event_idx=ei, segment_users=seg_df, segment_name=seg_name
             )
+            # analysis/compare apply to BOTH output formats — the
+            # chart format previously skipped them silently
+            long_df = _apply_analysis(long_df, req, ei, eq, seg_name)
             if fmt == "compact":
-                per_event.append(_apply_analysis(long_df, req, ei, eq, seg_name))
+                per_event.append(long_df)
             else:
                 per_event.append(_to_chart(long_df, req, ei, eq, series_limit))
             names.append(ev_name)
@@ -141,6 +154,12 @@ def _apply_analysis(long_df: DataFrame, req: EventSegmentationRequest, ei, eq, s
 
 def _to_chart(long_df: DataFrame, req: EventSegmentationRequest, ei, eq, series_limit: int) -> DataFrame:
     metric_aliases = [_query_alias(ei, qi, q) for qi, q in enumerate(eq.queries)]
+    # compare_previous appends derived metric columns; they melt as
+    # their own series, never as dimensions
+    metric_aliases += [
+        c for c in long_df.columns
+        if c.endswith("_prev") or c.endswith("_change_pct")
+    ]
     dims = [c for c in long_df.columns if c != BUCKET_COL and c not in metric_aliases]
     melted = unpivot_metrics(long_df, [BUCKET_COL] + dims, metric_aliases)
     buckets = expected_buckets(req)

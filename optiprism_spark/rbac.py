@@ -53,6 +53,12 @@ ORG_DELETE = "delete_organization"
 
 ORGANIZATION_PERMISSIONS: dict[str, set[str]] = {
     "owner": {ALL},
+    # REFERENCE PARITY QUIRK (rbac.rs:66-68): org admin holds ONLY
+    # ManageProjects — no ViewOrganization — so an org admin can
+    # create/delete every project in the org (the project-check
+    # fallthrough grants all project actions) yet 403s on viewing the
+    # org itself. Kept as-is for parity; grant ORG_VIEW here if the
+    # asymmetry matters to your deployment.
     "admin": {ORG_MANAGE_PROJECTS},
     "member": set(),
 }

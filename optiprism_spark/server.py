@@ -177,6 +177,9 @@ def frame_to_response(
 
 # ------------------------------------------------------------------ ingest
 
+RESERVED_EVENT_TYPES = ("Session Begin", "Session End")
+
+
 def parse_track(body: dict, token: str = "") -> dict:
     """Reference TrackRequest (ingester/src/sources/http/mod.rs:93-102)
     → one flat event row. Context fields (UA string, IP, page, UTM)
@@ -184,6 +187,11 @@ def parse_track(body: dict, token: str = "") -> dict:
     Spark-side in ``App.tracked_df`` — per-batch, not per-request."""
     if "event" not in body:
         raise HttpError(400, "track body requires 'event'")
+    if body["event"] in RESERVED_EVENT_TYPES:
+        # the engine synthesizes these (session store / sweeper); a
+        # client-sent one would diverge WAL replay from live state
+        # (replay closes sessions on ANY "Session End" row)
+        raise HttpError(400, f"event type {body['event']!r} is reserved")
     ctx = body.get("context") or {}
     page = ctx.get("page") or {}
     camp = ctx.get("campaign") or {}
@@ -242,15 +250,17 @@ def _ts_to_us(ts: Optional[str]) -> int:
 
 
 def _timed_query(qtype: str, handler: Callable) -> Callable:
-    """Per-query-type counter + latency histogram around an explore
-    handler (the reference's METRIC_QUERY_* series, recorded around
-    each query execution in its http layer)."""
+    """Per-query-type counter around an explore handler, tagging it so
+    the dispatch site can time plan build AND the collect together —
+    handlers return LAZY DataFrames; timing only the handler would
+    report microseconds for every query (the Spark job runs inside
+    frame_to_response)."""
 
     def h(body, md, qs):
         metrics.query_queries_total().inc(query_type=qtype)
-        with metrics.query_execution_time().time(query_type=qtype):
-            return handler(body, md, qs)
+        return handler(body, md, qs)
 
+    h._query_type = qtype
     return h
 
 
@@ -364,7 +374,21 @@ class App:
         def proj(perm):
             def chk(ctx, md):
                 pid = int(md.get("pid") or md.get("id") or 0)
-                ctx.check_project_permission(ctx.organization_id, pid, perm)
+                # DELIBERATE DIVERGENCE from the reference, which
+                # passes ctx.organization_id here (bookmarks.rs:29 et
+                # al) — that lets an owner/admin of ANY org pass the
+                # org-role fallthrough for projects of EVERY other
+                # org. The check must run against the project's OWNING
+                # org; the caller's org only applies for unregistered
+                # (dev) project ids.
+                org_id = ctx.organization_id
+                try:
+                    org_id = int(
+                        self.catalog.get("project", pid).get(
+                            "organizationId") or org_id)
+                except Exception:
+                    pass
+                ctx.check_project_permission(org_id, pid, perm)
             return chk
 
         def org(perm):
@@ -455,15 +479,17 @@ class App:
             # reference projects.rs:137-153: org ExploreProjects sees
             # the org's projects, else per-project ViewProject
             def ok(r):
+                own_org = int(r.get("organizationId")
+                              or ctx.organization_id)
                 try:
                     ctx.check_organization_permission(
-                        ctx.organization_id, rbac.ORG_EXPLORE_PROJECTS)
+                        own_org, rbac.ORG_EXPLORE_PROJECTS)
                     return True
                 except Forbidden:
                     pass
                 try:
                     ctx.check_project_permission(
-                        ctx.organization_id, r["id"], rbac.VIEW_PROJECT)
+                        own_org, r["id"], rbac.VIEW_PROJECT)
                     return True
                 except Forbidden:
                     return False
@@ -723,10 +749,12 @@ class App:
 
     def _profile_name(self, body, m, q):
         acct = self._me(m)
-        upd = self.catalog.update(
-            "account", acct["id"],
-            {"firstName": body.get("firstName"), "lastName": body.get("lastName")},
-        )
+        # only the provided fields change: writing body.get() for both
+        # would null out whichever one a partial body omitted
+        patch = {k: body[k] for k in ("firstName", "lastName") if k in body}
+        if not patch:
+            raise HttpError(400, "firstName or lastName required")
+        upd = self.catalog.update("account", acct["id"], patch)
         return 200, self._scrub_account(upd)
 
     def _profile_email(self, body, m, q):
@@ -820,9 +848,15 @@ class App:
         entity_col = api.GROUP_COLS[group]
         prop = sort.get("propertyName", entity_col)
         ascending = sort.get("direction", "asc") != "desc"
+        pid = self._pid(m)
         return 200, group_records_search(
             self._events(), sort_prop=prop, ascending=ascending,
             user_col=entity_col,
+            time=api.parse_time(body["time"], self.now)
+            if body.get("time") else None,
+            filters=tuple(
+                api.parse_filter(f, props=self._props(pid))
+                for f in body.get("filters") or ()),
         )
 
     def _group_record_by_id(self, body, m, q):
@@ -898,11 +932,21 @@ class App:
         from .streaming.sessionize import EVENT_SESSION_BEGIN
 
         ts_us = _ts_to_us(row.get("ts"))
-        user = row.get("user_id") or row.get("anonymous_id") or ""
-        if row["event_type"] != EVENT_SESSION_BEGIN and \
-                self.sessions.touch(pid, str(user), ts_us):
-            begin = dict(row, event_type=EVENT_SESSION_BEGIN, props="{}")
-            return [begin, row]
+        user = str(row.get("user_id") or row.get("anonymous_id") or "")
+        if row["event_type"] != EVENT_SESSION_BEGIN:
+            is_new, displaced = self.sessions.touch(pid, user, ts_us)
+            if is_new:
+                out = []
+                if displaced is not None:
+                    # this event DISPLACED an idle session the sweeper
+                    # had not yet expired: emit its End first, or that
+                    # session's End row is lost forever (sweep-timing
+                    # dependence the store otherwise avoids)
+                    out.append(self._session_end_row(pid, user, *displaced))
+                out.append(dict(row, event_type=EVENT_SESSION_BEGIN,
+                                props="{}"))
+                out.append(row)
+                return out
         return [row]
 
     def sweep_sessions(self, now_us: Optional[int] = None) -> int:
@@ -929,22 +973,31 @@ class App:
         with self._ingest_lock:
             ended = self.sessions.expire(now_us)
             for pid, user, first_us, last_us in ended:  # noqa: B007
-                row = {
-                    "token": self._token_of_project(pid),
-                    "user_id": user, "anonymous_id": None,
-                    "ts": dt.datetime.fromtimestamp(
-                        last_us / 1e6, dt.timezone.utc
-                    ).strftime("%Y-%m-%dT%H:%M:%SZ"),
-                    "event_type": EVENT_SESSION_END,
-                    "props": json.dumps(
-                        {"session_length": (last_us - first_us) // 1_000_000}),
-                    "groups": "{}", "user_agent": None, "ip": None,
-                    "page_path": None, "page_url": None, "utm_source": None,
-                }
+                row = self._session_end_row(pid, user, first_us, last_us)
                 if self.wal is not None:
                     self.wal.append("track", row)
                 self.tracked.append(row)
         return len(ended)
+
+    def _session_end_row(self, pid: int, user: str,
+                         first_us: int, last_us: int) -> dict:
+        """One synthesized `Session End` event row carrying the
+        session's true span (shared by the sweeper and the
+        displaced-session path in _with_session_begin)."""
+        from .streaming.sessionize import EVENT_SESSION_END
+
+        return {
+            "token": self._token_of_project(pid),
+            "user_id": user, "anonymous_id": None,
+            "ts": dt.datetime.fromtimestamp(
+                last_us / 1e6, dt.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "event_type": EVENT_SESSION_END,
+            "props": json.dumps(
+                {"session_length": (last_us - first_us) // 1_000_000}),
+            "groups": "{}", "user_agent": None, "ip": None,
+            "page_path": None, "page_url": None, "utm_source": None,
+        }
 
     def _identify(self, body, m, q):
         with metrics.ingester_identify_time().time():
@@ -1120,18 +1173,24 @@ class App:
                 md["__claims"] = claims
             if ctx is not None:
                 md["__ctx"] = ctx
-            status, result = handler(body, md, query)
-            if result is None:
-                return status, None
-            dims = None
-            if isinstance(result, tuple):
-                result, dims = result
-            if isinstance(result, DataFrame):
-                compact = "format=jsonCompact" in query
-                return status, frame_to_response(
-                    result, compact=compact, dimensions=dims
-                )
-            return status, result
+            qtype = getattr(handler, "_query_type", None)
+            import contextlib
+
+            timer = (metrics.query_execution_time().time(query_type=qtype)
+                     if qtype else contextlib.nullcontext())
+            with timer:
+                status, result = handler(body, md, query)
+                if result is None:
+                    return status, None
+                dims = None
+                if isinstance(result, tuple):
+                    result, dims = result
+                if isinstance(result, DataFrame):
+                    compact = "format=jsonCompact" in query
+                    return status, frame_to_response(
+                        result, compact=compact, dimensions=dims
+                    )
+                return status, result
         if matched_path:
             raise HttpError(405, f"method {method} not allowed for {path}")
         raise HttpError(404, f"no route for {path}")
@@ -1146,10 +1205,11 @@ def make_app(
     token_key: Optional[str] = None,
     wal_dir: Optional[str] = None,
     session_store: bool = False,
+    backup_dir: Optional[str] = None,
 ) -> App:
     return App(spark, sf_dir, custom_events=custom_events, now=now,
                catalog=catalog, token_key=token_key, wal_dir=wal_dir,
-               session_store=session_store)
+               session_store=session_store, backup_dir=backup_dir)
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:

@@ -46,20 +46,24 @@ class SessionStore:
         self._lock = threading.Lock()
         self._live: dict[tuple[int, str], tuple[int, int]] = {}
 
-    def touch(self, project_id: int, user_key: str, ts_us: int) -> bool:
-        """Record activity; True if this event starts a NEW session
-        (no live record, or the gap since the last activity exceeds
-        the TTL — sessions.rs set_current_time + the sweeper's TTL
-        rule collapsed into one check, so correctness does not depend
-        on sweep timing)."""
+    def touch(self, project_id: int, user_key: str, ts_us: int):
+        """Record activity. Returns ``(is_new, displaced)``:
+        ``is_new`` True if this event starts a NEW session (no live
+        record, or the gap since the last activity exceeds the TTL —
+        sessions.rs set_current_time + the sweeper's TTL rule
+        collapsed into one check, so correctness does not depend on
+        sweep timing); ``displaced`` is the (first_ts_us, last_ts_us)
+        span of the PREVIOUS session when this event displaced one —
+        the caller must emit its Session End, otherwise any session
+        that ends between two sweeps loses its End row forever."""
         key = (project_id, user_key)
         with self._lock:
             rec = self._live.get(key)
             if rec is None or ts_us - rec[1] > self.gap_us:
                 self._live[key] = (ts_us, ts_us)
-                return True
+                return True, rec
             self._live[key] = (rec[0], max(rec[1], ts_us))
-            return False
+            return False, None
 
     def close(self, project_id: int, user_key: str) -> None:
         """Drop one live record — used when replaying a journal whose

@@ -167,7 +167,10 @@ def test_product_loop_end_to_end(spark, tmp_path):
     for e, n in zip(_col(seg, "event_type"), _col(seg, "0_0_count_events")):
         by_type[e] = by_type.get(e, 0) + int(n)
     assert by_type["purchase"] == 2 and by_type["view"] == 3
-    assert by_type["Session Begin"] == 4 and by_type["Session End"] == 2
+    # every session now gets its End: 2 from the sweeper, 2 emitted at
+    # displacement time (a later track starting a new session used to
+    # silently drop the old session's End if no sweep ran in between)
+    assert by_type["Session Begin"] == 4 and by_type["Session End"] == 4
 
     # property filter through catalog resolution: only the pro plan
     filt = dict(seg_body)

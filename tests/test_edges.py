@@ -27,6 +27,7 @@ _EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 )
 _TIME = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))
+_TIME2D = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3))
 
 
 def _events(spark, rows):
@@ -322,3 +323,69 @@ def test_funnel_sub_hour_window_and_null_event_id():
     req = api.parse_funnel(body)
     assert req.window_ms == 90_000
     assert req.steps[0].events[0].event.name == "view"
+
+
+
+def test_segments_flow_from_request_body(spark):
+    """req.segments (the reference DSL body "segments") must produce
+    per-segment series — previously parsed nowhere and silently
+    ignored."""
+    import datetime as dtm
+
+    from optiprism_spark import api
+    from optiprism_spark.queries.event_segmentation import (
+        run_event_segmentation,
+    )
+
+    rows = [
+        (1, dtm.datetime(2024, 1, 1, 10), 1, "buy", 1.0, "{}"),
+        (2, dtm.datetime(2024, 1, 1, 11), 1, "view", 1.0, "{}"),
+        (3, dtm.datetime(2024, 1, 1, 12), 2, "buy", 1.0, "{}"),
+    ]
+    ev = _events(spark, rows)
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00Z",
+                 "to": "2024-01-02T00:00:00Z"},
+        "group": "user",
+        "intervalUnit": "day",
+        "events": [{"eventName": "buy", "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+        "segments": [{
+            "name": "viewers",
+            "conditions": [[{"DidEvent": {
+                "event": {"eventName": "view", "eventType": "regular"},
+                "aggregate": {"Count": {"operation": "gte", "value": 1}},
+            }}]],
+        }],
+    }
+    req = api.parse_event_segmentation(body)
+    assert len(req.segments) == 1 and req.segments[0].name == "viewers"
+    out = run_event_segmentation(ev, req, fmt="compact").collect()
+    # only user 1 viewed; the viewers segment counts their single buy
+    assert [(r["segment"], int(r[2])) for r in out] == [("viewers", 1)]
+
+
+def test_chart_format_applies_analysis(spark):
+    """Cumulative analysis must transform the CHART format too — it
+    previously applied only on the compact path."""
+    import datetime as dtm
+
+    from optiprism_spark.dsl import Analysis, SegQuery
+    from optiprism_spark.queries.event_segmentation import (
+        run_event_segmentation,
+    )
+
+    rows = [
+        (1, dtm.datetime(2024, 1, 1, 10), 1, "buy", 1.0, "{}"),
+        (2, dtm.datetime(2024, 1, 2, 10), 1, "buy", 1.0, "{}"),
+    ]
+    req = EventSegmentationRequest(
+        time=_TIME2D, interval=TimeIntervalUnit.DAY,
+        events=[EventQuery(EventRef("buy"),
+                           queries=[SegQuery("count_events", alias="n")])],
+        analysis=Analysis.CUMULATIVE,
+    )
+    out = run_event_segmentation(_events(spark, rows), req, fmt="chart")
+    row = out.collect()[0]
+    # day-2 column must hold the running sum (2), not the linear 1
+    assert int(row["2024-01-02"]) == 2

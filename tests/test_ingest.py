@@ -275,17 +275,19 @@ def test_session_store_touch_and_expire():
     from optiprism_spark.sessions import SessionStore
 
     s = SessionStore(gap_us=1_000_000)  # 1s gap
-    assert s.touch(1, "u1", 0) is True           # first ever
-    assert s.touch(1, "u1", 500_000) is False    # within gap
-    assert s.touch(1, "u1", 1_600_000) is True   # gap exceeded (new session)
-    assert s.touch(1, "u1", 1_900_000) is False
-    assert s.touch(1, "u2", 0) is True           # per-user state
+    assert s.touch(1, "u1", 0)[0] is True        # first ever
+    assert s.touch(1, "u1", 500_000)[0] is False  # within gap
+    is_new, displaced = s.touch(1, "u1", 1_600_000)
+    assert is_new is True                        # gap exceeded (new session)
+    assert displaced == (0, 500_000)             # old span handed back
+    assert s.touch(1, "u1", 1_900_000)[0] is False
+    assert s.touch(1, "u2", 0)[0] is True        # per-user state
     assert s.active_count() == 2
     # expire returns the records (first/last activity) for Session End
     ended = s.expire(now_us=10_000_000)
     assert ended == [(1, "u1", 1_600_000, 1_900_000), (1, "u2", 0, 0)]
     assert s.active_count() == 0
-    assert s.touch(1, "u1", 10_100_000) is True  # post-expiry restart
+    assert s.touch(1, "u1", 10_100_000)[0] is True  # post-expiry restart
 
 
 def test_track_injects_session_begin_synchronously(spark, tmp_path):
@@ -312,10 +314,15 @@ def test_track_injects_session_begin_synchronously(spark, tmp_path):
     track("2024-03-01T12:00:00Z")           # >30 min gap: new session
     track("2024-03-01T10:00:00Z", uid="u2", ev="signup")
 
+    from optiprism_spark.streaming.sessionize import EVENT_SESSION_END
+
     seq = [(r["event_type"], r["user_id"]) for r in app.tracked]
     assert seq == [
         (EVENT_SESSION_BEGIN, "u1"), ("view", "u1"),
         ("view", "u1"),
+        # the 12:00 track displaced the idle 10:00-10:05 session: its
+        # End (with the true span) precedes the new session's Begin
+        (EVENT_SESSION_END, "u1"),
         (EVENT_SESSION_BEGIN, "u1"), ("view", "u1"),
         (EVENT_SESSION_BEGIN, "u2"), ("signup", "u2"),
     ]

@@ -235,3 +235,40 @@ def test_org_and_project_lists_are_filtered(rbac_app):
     # restore the fixture's grant for test-order independence
     _authed(app, admin, "PUT", f"/api/v1/accounts/{vid}",
             {"projects": [[1, "reader"]]})
+
+
+
+def test_foreign_org_admin_cannot_touch_other_orgs_project(spark):
+    """DELIBERATE DIVERGENCE from the reference (which passes the
+    CALLER's org into check_project_permission, bookmarks.rs:29): an
+    owner/admin of org B must NOT pass project checks for a project
+    owned by org A — the check runs against the project's OWNING org."""
+    app = make_app(spark, SF_DIR, token_key="xorg-key")
+    _, root = call(app, "POST", "/api/v1/auth/signup",
+                   {"email": "root@a.b", "password": "pw-root-123"})
+    # org 1 project, created by the bootstrap admin
+    st, proj = _authed(app, root["accessToken"], "POST", "/api/v1/projects",
+                       {"name": "org1-proj", "organizationId": 1})
+    assert st == 201
+    # an admin of a DIFFERENT org (2)
+    _, outsider = call(app, "POST", "/api/v1/auth/signup",
+                       {"email": "out@x.y", "password": "pw-out-1234",
+                        "organizationId": 2})
+    st, accounts = _authed(app, root["accessToken"], "GET", "/api/v1/accounts")
+    oid = {a["email"]: a["id"] for a in accounts}["out@x.y"]
+    st, _ = _authed(app, root["accessToken"], "PUT", f"/api/v1/accounts/{oid}",
+                    {"organizations": [[2, "admin"]]})
+    assert st == 200
+    # fresh token so the orgs claim is irrelevant (roles read live)
+    _, out2 = call(app, "POST", "/api/v1/auth/login",
+                   {"email": "out@x.y", "password": "pw-out-1234"})
+    pid = proj["id"]
+    st, _ = _authed(app, out2["accessToken"], "DELETE",
+                    f"/api/v1/projects/{pid}")
+    assert st == 403, "org-2 admin deleted an org-1 project"
+    st, _ = _authed(app, out2["accessToken"], "PUT",
+                    f"/api/v1/projects/{pid}", {"name": "stolen"})
+    assert st == 403
+    # and the org-1 project is invisible in their listing
+    st, rows = _authed(app, out2["accessToken"], "GET", "/api/v1/projects")
+    assert st == 200 and all(r["id"] != pid for r in rows)
