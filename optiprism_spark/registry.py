@@ -151,6 +151,31 @@ DRIVER_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "session_begin_daily", "sim_cosine_topk", "sim_cosine_topk_ivf",
         "text_pii_redact",
     }),
+    6: frozenset({
+        "asm_chunk_documents", "asm_training_pipeline",
+        "catalog_materialized_property", "catalog_property_query",
+        "dedup_embedding_cosine", "dedup_embedding_cosine_ivf",
+        "dedup_embedding_cosine_lsh", "dedup_embedding_incremental_ivf",
+        "dedup_exact_survivors", "dedup_jaccard_pairs",
+        "dedup_lsh_incremental_pairs", "dedup_lsh_near_pairs",
+        "dedup_minhash_signatures", "dict_roundtrip_event_type",
+        "event_record_by_id", "funnel_first_touch_3step",
+        "funnel_machine_3step", "funnel_machine_dropoff_step1",
+        "funnel_machine_excludes", "funnel_machine_nonunique",
+        "group_record_by_id", "group_records_top_value",
+        "ingest_geo_country_counts", "ingest_profile_upsert",
+        "multimodal_decoded_stats", "property_values_event_type",
+        "seg_agg_int_prop", "seg_agg_matrix_per_user",
+        "seg_count_hourly_purchase", "seg_time_last_n_days",
+        "seg_unpivot_compact", "segment_and_composition",
+        "segment_historical_count", "segment_or_composition",
+        "segment_relative_count", "session_stats_per_user",
+        "sim_cosine_topk_lsh", "sql_api_revenue_by_segment",
+        "text_bpe_segments", "text_gopher_quality", "text_lang_distribution",
+        "text_quality_scores", "text_stats_all", "wh_order_priority_pipeline",
+        "wh_revenue_by_nation", "wh_top_brands_by_region", "win_cumulative",
+        "win_logarithmic", "win_period_compare", "win_rolling_avg",
+    }),
 }
 
 
