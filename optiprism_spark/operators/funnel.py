@@ -347,15 +347,18 @@ def funnel_attempts(
         # PRE-SHUFFLE whale prune: the kernel-side cap alone would
         # still ship every whale row through the user-hash shuffle
         # into one task (a 100M-row bot user = one monster task no
-        # matter what the kernel drops afterwards). Instead: find
-        # over-cap users with a narrow count (map-side combined),
-        # compute each whale's cap-th (ts, eid) cutoff on a
-        # (user, ts, eid)-only projection — the per-whale sort touches
-        # 3 columns, not the wide row — then join the cutoffs back and
-        # filter the main scan. The big shuffle now carries at most
-        # ``cap`` rows per user. Cost: two extra column-pruned passes
-        # over the filtered events, only when the guard is on.
-        # The cutoff frames are NOT force-broadcast: one row per
+        # matter what the kernel drops afterwards). ONE pass over a
+        # (user, ts, eid)-only projection computes both the per-user
+        # total (count over the user partition) and the cap-th cutoff
+        # (ordered row_number) in the SAME user-hash exchange — the
+        # two window specs share partitioning and sort, so Catalyst
+        # plans one shuffle and one sort, two Window nodes on top.
+        # Cutoffs join back and filter the main scan, so the wide
+        # shuffle carries at most ``cap`` rows per user. Cost: one
+        # extra column-pruned pass over the filtered events (was two —
+        # a count pass plus a whale-only sort pass; the fold halves
+        # the scan work, which dominated the guard's premium).
+        # The cutoff frame is NOT force-broadcast: one row per
         # over-cap user is usually tiny, but a small cap over a large
         # bot population could make it arbitrarily large, and a forced
         # broadcast bypasses autoBroadcastJoinThreshold — AQE picks
@@ -363,16 +366,17 @@ def funnel_attempts(
         from pyspark.sql import Window
 
         narrow = proj.select(EVENT_USER_COL, "__ts", "__eid")
-        over = (
-            narrow.groupBy(EVENT_USER_COL)
-            .agg(F.count(F.lit(1)).alias("__wn"))
-            .filter(F.col("__wn") > cap)
-        )
         w = Window.partitionBy(EVENT_USER_COL).orderBy("__ts", "__eid")
+        wu = Window.partitionBy(EVENT_USER_COL)
         cut = (
-            narrow.join(over, EVENT_USER_COL)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == cap)
+            narrow.select(
+                EVENT_USER_COL,
+                "__ts",
+                "__eid",
+                F.row_number().over(w).alias("__rn"),
+                F.count(F.lit(1)).over(wu).alias("__wn"),
+            )
+            .filter((F.col("__wn") > cap) & (F.col("__rn") == cap))
             .select(
                 EVENT_USER_COL,
                 F.col("__ts").alias("__cut_ts"),
