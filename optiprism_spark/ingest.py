@@ -414,6 +414,7 @@ def compact_appends_into_bucketed(
     bucket_col: str = EVENT_USER_COL,
     sort_cols: Sequence[str] = (EVENT_USER_COL, EVENT_TIME_COL, EVENT_ID_COL),
     clear_appends: bool = True,
+    rollup_store=None,
 ) -> int:
     """Fold date-partitioned appends into the bucketed table — the
     maintenance loop that keeps ``funnel_attempts(assume_partitioned=
@@ -481,6 +482,16 @@ def compact_appends_into_bucketed(
                     _json.dump({"staging": staging, "files": part_files}, f)
             spark.sql(f"DROP TABLE {table_name}")
             spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+        if rollup_store is not None:
+            # advance the day-grain pre-aggregate with EXACTLY the
+            # folded snapshot (rollup.RollupStore.update — partition-
+            # pruned merge, bytes ∝ batch's day span). On a
+            # transactional lake this overwrite and the table swap
+            # above are one commit; here a crash in between leaves the
+            # rollup one batch behind — always repairable via
+            # rollup_store.rebuild(spark, spark.table(table_name)),
+            # which the maintenance loop can run on recovery.
+            rollup_store.update(spark, appends)
     finally:
         appends.unpersist()
     metrics.store_compactions_total().inc()
@@ -502,6 +513,224 @@ def compact_appends_into_bucketed(
                 except OSError:
                     pass
     return n
+
+
+# ------------------------------------------------------ two-tier compaction
+
+_MINOR_MANIFEST = ".minor_fold.json"
+_TIER_PREFIX = "tier_"
+
+
+def _committed_tiers(tiers_path: str) -> list[str]:
+    """Tier directories whose Spark write committed (``_SUCCESS``
+    present) — the only tiers a major fold may read."""
+    if not os.path.isdir(tiers_path):
+        return []
+    return sorted(
+        os.path.join(tiers_path, d)
+        for d in os.listdir(tiers_path)
+        if d.startswith(_TIER_PREFIX)
+        and os.path.exists(os.path.join(tiers_path, d, "_SUCCESS"))
+    )
+
+
+def _recover_minor_fold(tiers_path: str) -> None:
+    """Finish or discard a minor fold interrupted by a crash. The
+    manifest is written BEFORE the tier write (it lists the L0
+    snapshot + the tier path), so recovery is decidable:
+
+    - manifest + committed tier: crash before L0 cleanup — delete the
+      listed files (fold happened exactly once).
+    - manifest + missing/uncommitted tier: crash mid-write — drop the
+      partial tier, keep L0 (nothing folded).
+    - uncommitted tier without manifest: unreachable garbage — drop.
+    """
+    import json as _json
+    import shutil
+
+    manifest = os.path.join(tiers_path, _MINOR_MANIFEST)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            info = _json.load(f)
+        tier = info["tier"]
+        if os.path.exists(os.path.join(tier, "_SUCCESS")):
+            for fp in info["files"]:
+                try:
+                    os.remove(fp)
+                except FileNotFoundError:
+                    pass
+        elif os.path.isdir(tier):
+            shutil.rmtree(tier)
+        os.remove(manifest)
+    if os.path.isdir(tiers_path):
+        for d in os.listdir(tiers_path):
+            p = os.path.join(tiers_path, d)
+            if (
+                d.startswith(_TIER_PREFIX)
+                and os.path.isdir(p)
+                and not os.path.exists(os.path.join(p, "_SUCCESS"))
+            ):
+                shutil.rmtree(p)
+
+
+def minor_compact_appends(
+    spark,
+    appends_path: str,
+    tiers_path: str,
+    sort_cols: Sequence[str] = (EVENT_USER_COL, EVENT_TIME_COL, EVENT_ID_COL),
+    n_files: int = 4,
+) -> int:
+    """Minor fold: the L0 append snapshot → ONE sorted L1 tier,
+    WITHOUT touching the bucketed base — the reference's per-level
+    merge (storage/src/table.rs:44-63: l0 parts merge into a level-1
+    run; only level overflow cascades further). Cost ∝ L0 bytes, so
+    sustained ingest stops paying a full base rewrite per trigger —
+    that write amplification moves to the (rarer) major fold.
+
+    Returns rows folded into the new tier (0 = empty L0)."""
+    import json as _json
+
+    _recover_minor_fold(tiers_path)
+    part_files = _append_part_files(appends_path)
+    if not part_files:
+        return 0
+    os.makedirs(tiers_path, exist_ok=True)
+    existing = [
+        d for d in os.listdir(tiers_path) if d.startswith(_TIER_PREFIX)
+    ]
+    seq = 1 + max(
+        (int(d[len(_TIER_PREFIX):]) for d in existing), default=-1
+    )
+    tier = os.path.join(tiers_path, f"{_TIER_PREFIX}{seq:06d}")
+    manifest = os.path.join(tiers_path, _MINOR_MANIFEST)
+    with open(manifest, "w") as f:
+        _json.dump({"tier": tier, "files": part_files}, f)
+    df = spark.read.parquet(*part_files)
+    if "dt" in df.columns:
+        df = df.drop("dt")
+    n = df.count()
+    from . import metrics
+
+    with metrics.store_compaction_time().time():
+        (
+            df.repartition(n_files, F.col(EVENT_USER_COL))
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("errorifexists")
+            .parquet(tier)
+        )
+    for fp in part_files:
+        try:
+            os.remove(fp)
+        except FileNotFoundError:
+            pass
+    os.remove(manifest)
+    for root, dirs, files in list(os.walk(appends_path, topdown=False)):
+        if root != appends_path and not dirs and not files:
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
+    return n
+
+
+class TieredCompactionPolicy:
+    """Two-tier trigger loop ≙ the reference's leveled scheme
+    (storage/src/table.rs:24-63: ``l0_max_parts`` forces an L0 merge,
+    levels grow by ``level_size_multiplier`` before cascading). Tier
+    layout here:
+
+    - **L0**: the date-partitioned appends dir (cheap landing zone).
+    - **L1**: sorted tier runs under ``tiers_path`` — minor folds move
+      L0 here at L0-cost.
+    - **base**: the bucketed table — rewritten only when L1 overflows
+      (major fold), so bytes-rewritten-per-append-cycle is bounded by
+      L0+L1 size, not base size.
+
+    Queries needing unfolded freshness read
+    ``events_snapshot(...)`` (base ∪ tiers ∪ appends). Single
+    maintenance thread assumed, like the reference's compactor loop.
+    """
+
+    def __init__(
+        self,
+        l0_max_parts: int = 4,
+        l0_max_bytes: int = 64 * 1024 * 1024,
+        l1_max_tiers: int = 4,
+        l1_max_bytes: int = 512 * 1024 * 1024,
+    ):
+        self.l0 = CompactionPolicy(l0_max_parts, l0_max_bytes)
+        self.l1_max_tiers = l1_max_tiers
+        self.l1_max_bytes = l1_max_bytes
+
+    def l1_stats(self, tiers_path: str) -> tuple[int, int]:
+        tiers = _committed_tiers(tiers_path)
+        total = 0
+        for t in tiers:
+            for root, _dirs, files in os.walk(t):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        try:
+                            total += os.path.getsize(os.path.join(root, fn))
+                        except OSError:
+                            pass
+        return len(tiers), total
+
+    def should_major(self, tiers_path: str) -> bool:
+        n, size = self.l1_stats(tiers_path)
+        return n >= self.l1_max_tiers or size >= self.l1_max_bytes
+
+    def maybe_compact(
+        self,
+        spark,
+        table_name: str,
+        appends_path: str,
+        tiers_path: str,
+        rollup_store=None,
+        **kw,
+    ) -> dict:
+        """One maintenance tick: minor fold if L0 trips, then major
+        fold if L1 trips. The rollup advances at the MAJOR fold (when
+        rows reach the queryable base — compact_appends_into_bucketed
+        owns that moment and the tiers dir is a valid source listing
+        for it, same manifest/recovery protocol)."""
+        minor = major = 0
+        if self.l0.should_compact(appends_path):
+            minor = minor_compact_appends(spark, appends_path, tiers_path)
+        if self.should_major(tiers_path):
+            major = compact_appends_into_bucketed(
+                spark, table_name, tiers_path, rollup_store=rollup_store, **kw
+            )
+            # the fold deleted the tier PARQUET files; drop the now
+            # data-less tier dirs (their _SUCCESS markers would
+            # otherwise keep counting toward the l1_max_tiers trigger)
+            import shutil
+
+            for t in _committed_tiers(tiers_path):
+                if not any(
+                    fn.endswith(".parquet")
+                    for _r, _d, fns in os.walk(t)
+                    for fn in fns
+                ):
+                    shutil.rmtree(t)
+        return {"minor_rows": minor, "major_rows": major}
+
+
+def events_snapshot(spark, table_name: str, appends_path: str,
+                    tiers_path: Optional[str] = None) -> DataFrame:
+    """Freshness view: base ∪ committed tiers ∪ L0 appends — what a
+    query sees between folds (the reference likewise scans parts
+    across all levels, storage/src/db.rs:657-666)."""
+    df = spark.table(table_name)
+    sources: list[str] = []
+    if tiers_path:
+        sources.extend(_committed_tiers(tiers_path))
+    sources.extend(_append_part_files(appends_path))
+    if sources:
+        extra = spark.read.parquet(*sources)
+        if "dt" in extra.columns and "dt" not in df.columns:
+            extra = extra.drop("dt")
+        df = df.unionByName(extra.select(*df.columns))
+    return df
 
 
 class CompactionPolicy:

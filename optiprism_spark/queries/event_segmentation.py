@@ -36,6 +36,7 @@ from ..operators.reshape import (
     unpivot_metrics,
 )
 from ..operators.windows import compare_previous, cumulative, logarithmic, rolling_average
+from ..rollup import RollupSpec, event_segmentation_from_rollup, rollup_supports
 
 SERIES_LIMIT = 50  # reference event_segmentation.rs:723-730
 
@@ -86,6 +87,7 @@ def run_event_segmentation(
     fmt: str = "compact",
     series_limit: int = SERIES_LIMIT,
     segment_users: Optional[dict[str, DataFrame]] = None,
+    rollup: Optional[tuple[DataFrame, "RollupSpec"]] = None,
 ) -> DataFrame:
     """Execute a full event-segmentation request.
 
@@ -93,6 +95,12 @@ def run_event_segmentation(
     produced by operators.segments; each segment yields its own copy
     of every series (reference SegmentedAggregate one-output-per-
     segment, SURVEY §2.4).
+
+    ``rollup``: optional (rollup_df, RollupSpec) pre-aggregate (see
+    rollup.py). Each event-query that is rollup-expressible
+    (rollup_supports) is answered from the rollup — a scan orders of
+    magnitude smaller than raw events — with bit-identical results;
+    the rest fall back to the raw scan, per event-query.
     """
     if segment_users is None and req.segments:
         # the request's own segments (reference DSL body "segments"):
@@ -110,9 +118,18 @@ def run_event_segmentation(
         ev_name = eq.event.name or f"event_{ei}"
         segs = segment_users.items() if segment_users else [(None, None)]
         for seg_name, seg_df in segs:
-            long_df = event_segmentation_one(
-                events, req, eq, event_idx=ei, segment_users=seg_df, segment_name=seg_name
-            )
+            if (
+                rollup is not None
+                and seg_df is None
+                and rollup_supports(req, eq, rollup[1])
+            ):
+                long_df = event_segmentation_from_rollup(
+                    rollup[0], req, eq, event_idx=ei, spec=rollup[1]
+                )
+            else:
+                long_df = event_segmentation_one(
+                    events, req, eq, event_idx=ei, segment_users=seg_df, segment_name=seg_name
+                )
             # analysis/compare apply to BOTH output formats — the
             # chart format previously skipped them silently
             long_df = _apply_analysis(long_df, req, ei, eq, seg_name)

@@ -1,0 +1,171 @@
+"""Materialized-rollup oracle suite.
+
+The rollup layer (rollup.py) has no reference counterpart — the
+reference scans all parts per query (storage/src/db.rs:657-666); this
+is the pre-aggregate design a 100 TB deployment needs. Correctness
+story: every routed query must hash-match BOTH the DuckDB oracle on
+raw events AND the engine's own raw-scan path (the latter is asserted
+in tests/test_rollup.py; the oracle here covers the former).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from ..dsl import (
+    AggFn,
+    EventQuery,
+    EventRef,
+    EventSegmentationRequest,
+    PropFilter,
+    PropOp,
+    PropertyRef,
+    QueryTime,
+    SegQuery,
+    TimeIntervalUnit,
+)
+from ..queries.event_segmentation import run_event_segmentation
+from ..registry import query
+from ..rollup import RollupSpec, build_rollup
+from ..schema import load_table
+from . import _sql as S
+
+#: day-aligned bounds (µs-resolution end) — the alignment
+#: rollup_supports requires for routing; the oracle uses the SAME
+#: bounds so raw and rollup answers are identical by construction.
+_T_DAYS = ("2024-01-01 00:00:00", "2024-01-31 23:59:59.999999")
+_FULL_DAYS = QueryTime.between(
+    dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59, 999999)
+)
+
+_SPEC = RollupSpec()  # dims=(event_type,), numeric_props=(value,)
+
+
+def _with_rollup(spark, sf_dir, req, fmt="compact"):
+    events = load_table(spark, sf_dir, "events")
+    roll = build_rollup(events, _SPEC)
+    return run_event_segmentation(events, req, fmt=fmt, rollup=(roll, _SPEC))
+
+
+@query(
+    "seg_rollup_count_daily",
+    oracle=f"""
+    SELECT {S.bucket('day')} AS bucket, event_type,
+           COUNT(*) AS n, {S.sum_exact('value')} AS sum_v
+    FROM events WHERE {S.ts_between(*_T_DAYS)}
+    GROUP BY 1, 2
+    """,
+)
+def seg_rollup_count_daily(spark, sf_dir):
+    """Daily count + exact-decimal sum by event name, answered FROM
+    the day-grain rollup (rollup.event_segmentation_from_rollup): the
+    scan is the pre-aggregate, not raw events, yet the oracle runs on
+    raw events — proving the rollup is lossless for additive metrics."""
+    req = EventSegmentationRequest(
+        time=_FULL_DAYS,
+        interval=TimeIntervalUnit.DAY,
+        events=[
+            EventQuery(
+                EventRef(),
+                [
+                    SegQuery("count_events", alias="n"),
+                    SegQuery(
+                        "aggregate_property",
+                        agg=AggFn.SUM,
+                        prop=PropertyRef.column("value"),
+                        alias="sum_v",
+                    ),
+                ],
+            )
+        ],
+        breakdowns=[PropertyRef.column("event_type")],
+    )
+    return _with_rollup(spark, sf_dir, req)
+
+
+@query(
+    "seg_rollup_routed_weekly",
+    oracle=f"""
+    SELECT {S.bucket('week')} AS bucket,
+           COUNT(*) AS n, {S.avg_exact('value')} AS avg_v,
+           MIN(value) AS min_v, MAX(value) AS max_v
+    FROM events WHERE {S.ts_between(*_T_DAYS)} AND event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def seg_rollup_routed_weekly(spark, sf_dir):
+    """A routed EXISTING query shape (weekly purchase count/avg/min/
+    max — the seg_multi_agg_weekly family) served from the day rollup:
+    week buckets, the event filter, and avg = Σsum/Σcnt all fold out
+    of day-grain rows without touching raw events. Results are
+    bit-identical to the raw path (decimal arithmetic is associative
+    across the day pre-aggregation)."""
+    req = EventSegmentationRequest(
+        time=_FULL_DAYS,
+        interval=TimeIntervalUnit.WEEK,
+        events=[
+            EventQuery(
+                EventRef("purchase"),
+                [
+                    SegQuery("count_events", alias="n"),
+                    SegQuery(
+                        "aggregate_property",
+                        agg=AggFn.AVG,
+                        prop=PropertyRef.column("value"),
+                        alias="avg_v",
+                    ),
+                    SegQuery(
+                        "aggregate_property",
+                        agg=AggFn.MIN,
+                        prop=PropertyRef.column("value"),
+                        alias="min_v",
+                    ),
+                    SegQuery(
+                        "aggregate_property",
+                        agg=AggFn.MAX,
+                        prop=PropertyRef.column("value"),
+                        alias="max_v",
+                    ),
+                ],
+            )
+        ],
+    )
+    return _with_rollup(spark, sf_dir, req)
+
+
+@query(
+    "seg_rollup_mixed_fallback",
+    oracle=f"""
+    WITH routed AS (
+      SELECT {S.bucket('day')} AS bucket, COUNT(*) AS n
+      FROM events WHERE {S.ts_between(*_T_DAYS)} AND event_type = 'view'
+      GROUP BY 1
+    ), raw AS (
+      SELECT {S.bucket('day')} AS bucket, COUNT(DISTINCT user_id) AS uniq
+      FROM events WHERE {S.ts_between(*_T_DAYS)} AND event_type = 'view'
+      GROUP BY 1
+    )
+    SELECT routed.bucket AS bucket, 'view' AS event, n, NULL AS uniq FROM routed
+    UNION ALL
+    SELECT raw.bucket AS bucket, 'view' AS event, NULL AS n, uniq FROM raw
+    """,
+)
+def seg_rollup_mixed_fallback(spark, sf_dir):
+    """One request, two event-queries: the count folds from the rollup,
+    the exact distinct-user count is NOT rollup-expressible (HLL is an
+    estimate) and falls back to the raw scan — the per-event-query
+    routing decision run_event_segmentation makes."""
+    req = EventSegmentationRequest(
+        time=_FULL_DAYS,
+        interval=TimeIntervalUnit.DAY,
+        events=[
+            EventQuery(
+                EventRef("view", None), [SegQuery("count_events", alias="n")]
+            ),
+            EventQuery(
+                EventRef("view", None),
+                [SegQuery("count_unique_groups", alias="uniq")],
+            ),
+        ],
+    )
+    return _with_rollup(spark, sf_dir, req)

@@ -1,0 +1,263 @@
+"""Materialized day-grain rollup (rollup.py): build/merge losslessness,
+incremental store maintenance (append → merge ≡ full recompute),
+query-rewrite routing (routed plan reads the rollup, not raw events;
+unsupported shapes fall back), HLL distinct-user estimates, and the
+compaction-loop hook."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from optiprism_spark.dsl import (
+    AggFn,
+    EventQuery,
+    EventRef,
+    EventSegmentationRequest,
+    PropFilter,
+    PropOp,
+    PropertyRef,
+    QueryTime,
+    SegQuery,
+    TimeIntervalUnit,
+)
+from optiprism_spark.operators.aggregates import event_segmentation_one
+from optiprism_spark.queries.event_segmentation import run_event_segmentation
+from optiprism_spark.rollup import (
+    ROLLUP_DT_COL,
+    USERS_HLL_COL,
+    RollupSpec,
+    RollupStore,
+    build_rollup,
+    event_segmentation_from_rollup,
+    merge_rollups,
+    rollup_supports,
+    unique_groups_estimate,
+)
+from optiprism_spark.schema import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+SPEC = RollupSpec()
+
+T_DAYS = QueryTime.between(
+    dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59, 999999)
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    df = load_table(spark, SF_DIR, "events").cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def roll(spark, events):
+    df = build_rollup(events, SPEC).cache()
+    yield df
+    df.unpersist()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _metric_rows(df):
+    """Rollup rows minus the HLL binary (sketch bytes are not
+    canonical across build orders; estimates are compared instead)."""
+    cols = [c for c in df.columns if c != USERS_HLL_COL]
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _estimates(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            ROLLUP_DT_COL,
+            *SPEC.dims,
+            F.hll_sketch_estimate(USERS_HLL_COL).alias("est"),
+        ).collect()
+    )
+
+
+# ------------------------------------------------------------ losslessness
+
+
+def test_merge_of_split_equals_full_build(spark, events):
+    """Additive metrics and HLL estimates are invariant to how the
+    corpus is split — the property incremental maintenance relies on."""
+    cut = F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")
+    merged = merge_rollups(
+        [build_rollup(events.filter(cut), SPEC), build_rollup(events.filter(~cut), SPEC)],
+        SPEC,
+    )
+    full = build_rollup(events, SPEC)
+    assert _metric_rows(merged) == _metric_rows(full)
+    assert _estimates(merged) == _estimates(full)
+
+
+def test_routed_equals_raw_bit_for_bit(spark, events, roll):
+    req = EventSegmentationRequest(
+        time=T_DAYS,
+        interval=TimeIntervalUnit.WEEK,
+        events=[],
+        breakdowns=[PropertyRef.column("event_type")],
+    )
+    eq = EventQuery(
+        EventRef("purchase"),
+        [
+            SegQuery("count_events", alias="n"),
+            SegQuery("aggregate_property", agg=AggFn.SUM,
+                     prop=PropertyRef.column("value"), alias="s"),
+            SegQuery("aggregate_property", agg=AggFn.AVG,
+                     prop=PropertyRef.column("value"), alias="a"),
+            SegQuery("aggregate_property", agg=AggFn.MIN,
+                     prop=PropertyRef.column("value"), alias="mn"),
+            SegQuery("aggregate_property", agg=AggFn.MAX,
+                     prop=PropertyRef.column("value"), alias="mx"),
+        ],
+    )
+    assert rollup_supports(req, eq, SPEC)
+    routed = event_segmentation_from_rollup(roll, req, eq, spec=SPEC)
+    raw = event_segmentation_one(events, req, eq)
+    key = ["bucket", "event_type"]
+    assert sorted(map(tuple, routed.orderBy(*key).collect())) == sorted(
+        map(tuple, raw.orderBy(*key).collect())
+    )
+
+
+def test_routed_plan_never_scans_raw_events(spark, tmp_path):
+    """With a PERSISTED rollup (the production shape), the routed
+    query's physical plan reads the rollup parquet and never touches
+    events.parquet — the scan-size win that makes dashboards
+    interactive at 100 TB."""
+    raw_events = load_table(spark, SF_DIR, "events")  # uncached on purpose
+    store = RollupStore(str(tmp_path / "rollup"), SPEC)
+    store.rebuild(spark, raw_events)
+    req = EventSegmentationRequest(
+        time=T_DAYS, interval=TimeIntervalUnit.DAY,
+        events=[EventQuery(EventRef(), [SegQuery("count_events", alias="n")])],
+    )
+    out = run_event_segmentation(raw_events, req, rollup=(store.read(spark), SPEC))
+    plan = _plan(out)
+    assert "events.parquet" not in plan
+    # dt-partition pruning reaches the rollup scan, and the read is
+    # column-pruned to the one metric the query needs
+    assert "PartitionFilters" in plan and "dt#" in plan
+    assert "ReadSchema: struct<events_count:bigint>" in plan
+    # and it agrees with the raw path
+    raw = run_event_segmentation(raw_events, req)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, raw.collect()))
+
+
+@pytest.mark.parametrize(
+    "req_kw, eq",
+    [
+        # sub-day interval
+        (dict(interval=TimeIntervalUnit.HOUR), EventQuery(EventRef(), [SegQuery("count_events", alias="n")])),
+        # non-aligned time bound
+        (dict(time=QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))),
+         EventQuery(EventRef(), [SegQuery("count_events", alias="n")])),
+        # filter on a non-dim (JSON) property
+        (dict(), EventQuery(EventRef(), [SegQuery("count_events", alias="n")],
+                            filters=[PropFilter(PropertyRef.json("plan"), PropOp.EQ, ("pro",))])),
+        # exact distinct users
+        (dict(), EventQuery(EventRef(), [SegQuery("count_unique_groups", alias="u")])),
+        # per-user two-level metric
+        (dict(), EventQuery(EventRef(), [SegQuery("count_per_group", agg=AggFn.AVG, alias="c")])),
+        # breakdown outside the dim set
+        (dict(breakdowns=[PropertyRef.json("country")]),
+         EventQuery(EventRef(), [SegQuery("count_events", alias="n")])),
+    ],
+)
+def test_unsupported_shapes_fall_back(spark, events, roll, req_kw, eq):
+    kw = dict(time=T_DAYS, interval=TimeIntervalUnit.DAY, events=[])
+    kw.update(req_kw)
+    req = EventSegmentationRequest(**kw)
+    assert not rollup_supports(req, eq, SPEC)
+    # run_event_segmentation silently falls back and matches raw
+    req2 = EventSegmentationRequest(**{**kw, "events": [eq]})
+    out = run_event_segmentation(events, req2, rollup=(roll, SPEC))
+    raw = run_event_segmentation(events, req2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, raw.collect()))
+
+
+def test_unique_groups_estimate_close_to_exact(spark, events, roll):
+    est = {
+        (r[0],): r[1]
+        for r in unique_groups_estimate(roll, TimeIntervalUnit.WEEK).collect()
+    }
+    exact = {
+        (r[0],): r[1]
+        for r in events.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("b")
+        ).agg(F.count_distinct("user_id").alias("u")).collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])
+
+
+# ------------------------------------------------------ incremental store
+
+
+def test_store_incremental_update_equals_recompute(spark, events, tmp_path):
+    cut = F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp")
+    store = RollupStore(str(tmp_path / "rollup"), SPEC)
+    store.rebuild(spark, events.filter(cut))
+    touched = store.update(spark, events.filter(~cut))
+    assert touched > 0
+    got = store.read(spark)
+    want = build_rollup(events, SPEC)
+    assert _metric_rows(got) == _metric_rows(want)
+    assert _estimates(got) == _estimates(want)
+
+
+def test_store_update_prunes_to_affected_partitions(spark, events, tmp_path):
+    """The pre-overwrite read must scan only the batch's dt partitions
+    — bytes per maintenance cycle ∝ batch day span, not history."""
+    store = RollupStore(str(tmp_path / "rollup"), SPEC)
+    store.rebuild(spark, events)
+    one_day = events.filter(F.to_date("ts") == F.lit("2024-01-10").cast("date"))
+    import os
+
+    before = {
+        d: os.path.getmtime(os.path.join(store.path, d))
+        for d in os.listdir(store.path)
+        if d.startswith(f"{ROLLUP_DT_COL}=")
+    }
+    assert store.update(spark, one_day) == 1
+    after = {
+        d: os.path.getmtime(os.path.join(store.path, d))
+        for d in os.listdir(store.path)
+        if d.startswith(f"{ROLLUP_DT_COL}=")
+    }
+    rewritten = {d for d in before if after[d] != before[d]}
+    assert rewritten == {f"{ROLLUP_DT_COL}=2024-01-10"}
+
+
+def test_compaction_hook_advances_rollup(spark, events, tmp_path):
+    """append → fold (compact_appends_into_bucketed(rollup_store=)) →
+    rollup ≡ recompute from the post-fold table."""
+    from optiprism_spark.ingest import compact_appends_into_bucketed, write_events_bucketed
+
+    tbl = "events_rollup_hook_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    cut = F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp")
+    base, fresh = events.filter(cut), events.filter(~cut)
+    write_events_bucketed(base, tbl, n_buckets=4)
+    appends = str(tmp_path / "appends")
+    fresh.write.parquet(appends, mode="overwrite")
+    store = RollupStore(str(tmp_path / "rollup"), SPEC)
+    store.rebuild(spark, spark.table(tbl))
+    n = compact_appends_into_bucketed(
+        spark, tbl, appends, n_buckets=4, rollup_store=store
+    )
+    assert n == fresh.count()
+    got = store.read(spark)
+    want = build_rollup(spark.table(tbl), SPEC)
+    assert _metric_rows(got) == _metric_rows(want)
+    assert _estimates(got) == _estimates(want)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -294,3 +294,90 @@ def test_batch_streaming_dedup_differential(spark, tmp_path, splits):
     finally:
         q.stop()
     assert got == want, (sorted(got), sorted(want), splits)
+
+
+def test_streaming_funnel_checkpoint_recovery(spark, tmp_path):
+    """Stop the incremental funnel mid-corpus and restart it FROM ITS
+    CHECKPOINT: per-user state (current step, step timestamps,
+    completed count) must survive the restart via the state store, so
+    the finished run matches both an uninterrupted streaming run and
+    the batch machine. A conversion is planted to SPAN the stop
+    boundary (steps before, completion after) so a state wipe cannot
+    pass silently."""
+    import datetime as dtm
+
+    from optiprism_spark.streaming.funnel import streaming_funnel_counts
+
+    t0 = dtm.datetime(2024, 1, 1, 10, 0, 0)
+    steps = ["signup", "view", "purchase"]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    rows = []
+    for i in range(36):
+        for u in range(1, 6):
+            ev = (steps + ["noise"])[(i + u) % 4]
+            rows.append((i * 10 + u, t0 + dtm.timedelta(minutes=3 * i),
+                         u, ev, 1.0, "{}"))
+    # user 9: signup+view land BEFORE the stop, purchase AFTER —
+    # completes only if the registers survive the checkpoint restart
+    rows.insert(80, (9001, t0 + dtm.timedelta(minutes=40), 9, "signup", 1.0, "{}"))
+    rows.insert(81, (9002, t0 + dtm.timedelta(minutes=41), 9, "view", 1.0, "{}"))
+    rows.append((9003, t0 + dtm.timedelta(minutes=120), 9, "purchase", 1.0, "{}"))
+    cut = 90
+    chunks = [rows[:cut], rows[cut:]]
+
+    def run(src, ckpt, out_dir, feed: list):
+        """Start → feed each chunk → stop; foreachBatch appends every
+        update-mode row with its batch id (checkpoint-continuous)."""
+        def write_batch(bdf, bid):
+            bdf.withColumn("__bid", F.lit(bid)).write.mode("append").parquet(out_dir)
+
+        q = (
+            streaming_funnel_counts(
+                spark, spark.createDataFrame([], schema).schema, src,
+                step_names=steps, window_ms=90 * 60 * 1000,
+            )
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(write_batch)
+            .start()
+        )
+        try:
+            for chunk in feed:
+                spark.createDataFrame(chunk, schema).coalesce(1) \
+                    .write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def latest_counts(out_dir) -> dict:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("__bid").desc())
+        final = (
+            spark.read.parquet(out_dir)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .collect()
+        )
+        return {r.user_id: r.completed_total for r in final if r.completed_total > 0}
+
+    base = str(tmp_path)
+    # interrupted run: chunk 0, STOP, restart from checkpoint, chunk 1
+    src_a, ckpt_a, out_a = (os.path.join(base, d) for d in ("srcA", "ckptA", "outA"))
+    os.makedirs(src_a)
+    run(src_a, ckpt_a, out_a, [chunks[0]])
+    # mid-corpus state: user 9 must be parked at step 2, unconverted
+    mid = latest_counts(out_a)
+    assert 9 not in mid
+    run(src_a, ckpt_a, out_a, [chunks[1]])  # RESTART from checkpoint
+    got = latest_counts(out_a)
+
+    # uninterrupted control: same corpus, same splits, one query
+    src_b, ckpt_b, out_b = (os.path.join(base, d) for d in ("srcB", "ckptB", "outB"))
+    os.makedirs(src_b)
+    run(src_b, ckpt_b, out_b, chunks)
+    want = latest_counts(out_b)
+
+    assert got == want
+    assert got.get(9) == 1  # the boundary-spanning conversion survived
