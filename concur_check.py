@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""Concurrent-query serving evidence: N simultaneous mixed queries at
+the HTTP surface vs the same queries serial.
+
+A single analytics server multiplexes dashboards; with FIFO job
+scheduling every light query parks behind a running funnel's stages
+(head-of-line blocking — the first production complaint). The engine
+runs FAIR scheduler pools per query type (session.py
+spark.scheduler.mode=FAIR + server.py per-request pool tagging), so
+task slots are shared. This harness measures what that buys:
+
+- serial baseline: each query shape run alone, best-of-K wall time.
+- concurrent: N threads fire a mixed workload (segmentation + funnel
+  + records search) through a real threaded HTTP server at the same
+  instant, K rounds; per-shape p50/p95 latency.
+- gate (VERDICT r6 #3): p95 of the LIGHT queries while funnels run
+  concurrently must stay ≤ 3× their serial time.
+
+Output: one JSON line {"metric": "concurrent_serving", ...} — the
+driver records it as CONCUR_r{N}.json.
+
+Usage: python concur_check.py [--out CONCUR_r07.json] [--n 8] [--rounds 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+T_JAN = {"type": "between", "from": "2024-01-01T00:00:00",
+         "to": "2024-01-31T23:59:59"}
+
+#: the mixed workload — names must stay stable across rounds
+WORKLOAD = {
+    "segmentation_daily": (
+        "/api/v1/projects/1/queries/event-segmentation",
+        {
+            "time": T_JAN, "group": "user", "intervalUnit": "day",
+            "chartType": "line",
+            "events": [{
+                "eventName": None, "eventType": "regular",
+                "queries": [{"type": "countEvents"}],
+            }],
+        },
+    ),
+    "segmentation_breakdown": (
+        "/api/v1/projects/1/queries/event-segmentation",
+        {
+            "time": T_JAN, "group": "user", "intervalUnit": "day",
+            "chartType": "line",
+            "breakdowns": [{"propertyName": "event_type",
+                            "propertyType": "event", "type": "property"}],
+            "events": [{
+                "eventName": "purchase", "eventType": "regular",
+                "queries": [{"type": "countEvents"},
+                            {"type": "aggregateProperty", "aggregate": "avg",
+                             "propertyName": "value", "propertyType": "event"}],
+            }],
+        },
+    ),
+    "records_search": (
+        "/api/v1/projects/1/event-records/search",
+        {
+            "time": T_JAN,
+            "events": [{"eventName": "purchase", "eventType": "regular"}],
+        },
+    ),
+    "funnel_3step": (
+        "/api/v1/projects/1/queries/funnel",
+        {
+            "time": T_JAN, "group": "user", "intervalUnit": "day",
+            "timeWindow": {"n": 7, "unit": "day"},
+            "count": "unique", "touch": {"type": "first"},
+            "steps": [
+                {"events": [{"eventName": "view", "eventType": "regular"}]},
+                {"events": [{"eventName": "click", "eventType": "regular"}]},
+                {"events": [{"eventName": "purchase", "eventType": "regular"}]},
+            ],
+        },
+    ),
+}
+
+LIGHT = ("segmentation_daily", "segmentation_breakdown", "records_search")
+
+
+def post(base: str, path: str, body: dict) -> float:
+    data = json.dumps(body).encode()
+    req = urllib.request.Request(
+        base + path, data=data, headers={"Content-Type": "application/json"})
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(req) as resp:
+        resp.read()
+        assert resp.status == 200
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--rounds", type=int, default=5)
+    args = ap.parse_args()
+
+    from optiprism_spark.server import make_app, make_threaded_server
+    from optiprism_spark.session import get_spark
+
+    spark = get_spark("optiprism_spark_concur")
+    app = make_app(spark, SF_DIR)
+    srv = make_threaded_server(app)
+    port = srv.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+
+    # warm: every shape once (JVM, Python workers, parquet footers)
+    for name, (path, body) in WORKLOAD.items():
+        post(base, path, body)
+
+    # ---- serial baseline: best of `rounds` per shape, run alone
+    serial = {}
+    for name, (path, body) in WORKLOAD.items():
+        serial[name] = round(
+            min(post(base, path, body) for _ in range(args.rounds)), 3)
+
+    # ---- concurrent: N threads, mixed shapes, barrier start per round
+    # thread i runs WORKLOAD[i % len] so funnels and light queries
+    # always overlap
+    shapes = list(WORKLOAD)
+    lat: dict[str, list[float]] = {n: [] for n in shapes}
+    errors: list[str] = []
+
+    def worker(shape: str, barrier: threading.Barrier):
+        path, body = WORKLOAD[shape]
+        try:
+            barrier.wait()
+            lat[shape].append(post(base, path, body))
+        except Exception as e:  # recorded, fails the gate via count
+            errors.append(f"{shape}: {e}")
+
+    def one_round():
+        barrier = threading.Barrier(args.n)
+        threads = [
+            threading.Thread(target=worker,
+                             args=(shapes[i % len(shapes)], barrier))
+            for i in range(args.n)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+
+    # warm concurrent round (excluded): the first simultaneous burst
+    # pays one-time costs serial warm-up cannot reach — FAIR pool
+    # creation, per-thread py4j connections, codegen under contention
+    one_round()
+    for xs in lat.values():
+        xs.clear()
+    for _ in range(args.rounds):
+        one_round()
+
+    def pct(xs, q):
+        if len(xs) == 1:
+            return xs[0]
+        return statistics.quantiles(xs, n=100)[q - 1]
+
+    concurrent = {
+        n: {
+            "p50": round(pct(sorted(xs), 50), 3),
+            "p95": round(pct(sorted(xs), 95), 3),
+            "n": len(xs),
+        }
+        for n, xs in lat.items()
+        if xs
+    }
+    if os.environ.get("CONCUR_DEBUG"):
+        for n, xs in lat.items():
+            print(n, [round(x, 2) for x in xs], file=sys.stderr)
+    ratios = {
+        n: round(concurrent[n]["p95"] / serial[n], 2)
+        for n in LIGHT
+        if n in concurrent
+    }
+    worst_light = max(ratios.values())
+    result = {
+        "metric": "concurrent_serving",
+        "n_threads": args.n,
+        "rounds": args.rounds,
+        "sf_dir": SF_DIR,
+        "serial_sec": serial,
+        "concurrent_sec": concurrent,
+        "light_p95_over_serial": ratios,
+        "worst_light_ratio": worst_light,
+        "errors": errors,
+        "pass": worst_light <= 3.0 and not errors,
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -300,6 +300,7 @@ class App:
         self.now = now  # fixed clock for "last N" windows in tests
         self.catalog = catalog if catalog is not None else Catalog()
         self.token_key = token_key
+        self._events_cache: Optional[DataFrame] = None
         self.tracked: list[dict] = []
         self.identified: list[dict] = []
         # serializes buffer+WAL mutation across the multi-threaded
@@ -784,7 +785,20 @@ class App:
     # -------------------------------------------------- query handlers
 
     def _events(self) -> DataFrame:
-        return load_table(self.spark, self.sf_dir, "events")
+        """The served events frame, resolved once and reused: the
+        re-resolve (file listing + footer schema read) cost ~30% of a
+        light query's latency under concurrent load. The cache holds
+        the ANALYZED plan only — execution stays lazy per query.
+        Invalidated by refresh_tables() whenever the underlying data
+        changes (checkpoint commits; callers that swap the parquet
+        out-of-band must call it too, as a catalog REFRESH TABLE)."""
+        df = self._events_cache
+        if df is None:
+            df = self._events_cache = load_table(self.spark, self.sf_dir, "events")
+        return df
+
+    def refresh_tables(self) -> None:
+        self._events_cache = None
 
     def _pid(self, m) -> int:
         pid = m.get("pid", "")
@@ -1064,6 +1078,9 @@ class App:
             self._ckpt_mark = None
             self.tracked = self.tracked[mark[0]:]
             self.identified = self.identified[mark[1]:]
+            # the durable flush typically rewrote the events table —
+            # drop the cached analyzed plan so queries see the new files
+            self.refresh_tables()
             if self.wal is not None:
                 self.wal.rewrite(
                     [("track", r) for r in self.tracked]
@@ -1178,19 +1195,33 @@ class App:
 
             timer = (metrics.query_execution_time().time(query_type=qtype)
                      if qtype else contextlib.nullcontext())
-            with timer:
-                status, result = handler(body, md, query)
-                if result is None:
-                    return status, None
-                dims = None
-                if isinstance(result, tuple):
-                    result, dims = result
-                if isinstance(result, DataFrame):
-                    compact = "format=jsonCompact" in query
-                    return status, frame_to_response(
-                        result, compact=compact, dimensions=dims
-                    )
-                return status, result
+            sc = self.spark.sparkContext
+            if qtype:
+                # FAIR pool per query type (scheduler.mode=FAIR, see
+                # session.py): local properties are thread-scoped, so
+                # each WSGI worker thread tags its own jobs — a long
+                # funnel's stages share task slots with concurrent
+                # light queries instead of blocking them FIFO
+                # (reference serves each request on its own tokio
+                # task, query/src/lib.rs:432-446).
+                sc.setLocalProperty("spark.scheduler.pool", f"q_{qtype}")
+            try:
+                with timer:
+                    status, result = handler(body, md, query)
+                    if result is None:
+                        return status, None
+                    dims = None
+                    if isinstance(result, tuple):
+                        result, dims = result
+                    if isinstance(result, DataFrame):
+                        compact = "format=jsonCompact" in query
+                        return status, frame_to_response(
+                            result, compact=compact, dimensions=dims
+                        )
+                    return status, result
+            finally:
+                if qtype:
+                    sc.setLocalProperty("spark.scheduler.pool", None)
         if matched_path:
             raise HttpError(405, f"method {method} not allowed for {path}")
         raise HttpError(404, f"no route for {path}")
@@ -1213,9 +1244,35 @@ def make_app(
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:
-    """Blocking dev server (stdlib wsgiref). Production: any WSGI
-    server — the app object is framework-free."""
-    from wsgiref.simple_server import make_server
-
-    with make_server(host, port, app) as srv:
+    """Blocking THREADED dev server (stdlib wsgiref + ThreadingMixIn):
+    requests are handled concurrently, which is what lets the FAIR
+    scheduler pools actually overlap queries. Production: any threaded
+    WSGI server — the app object is framework-free."""
+    srv = make_threaded_server(app, host, port)
+    with srv:
         srv.serve_forever()
+
+
+def make_threaded_server(app: App, host: str = "127.0.0.1", port: int = 0):
+    """A thread-per-request WSGI server (port=0 picks a free port);
+    callers own serve_forever/shutdown — used by serve() and the
+    concurrency harness."""
+    import socketserver
+    from wsgiref.simple_server import WSGIRequestHandler, WSGIServer
+
+    class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+        # stdlib default listen backlog is 5: a burst of >5 simultaneous
+        # connects overflows it, the kernel drops the SYN, and the
+        # client retries after ~1s — which shows up as a constant ~1s
+        # p95 spike on otherwise-200ms queries. A dashboard burst is
+        # exactly that shape, so size the accept queue for it.
+        request_queue_size = 128
+
+    class QuietHandler(WSGIRequestHandler):
+        def log_message(self, *a):  # no per-request stderr spam
+            pass
+
+    srv = ThreadingWSGIServer((host, port), QuietHandler)
+    srv.set_app(app)
+    return srv

@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.default.parallelism", cpus)
+        # FAIR job scheduling: the HTTP server multiplexes dashboard
+        # queries from many threads onto this one context; FIFO would
+        # park every light query behind a long funnel's stages
+        # (head-of-line blocking). Pools are assigned per query type
+        # at the server dispatch (server.py); undeclared pools get
+        # equal weight, which is exactly the sharing we want.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
