@@ -281,6 +281,16 @@ def query_execution_time() -> Histogram:
         "query compile+execute wall time", ("query_type",))
 
 
+def query_rollup_routed_total() -> Counter:
+    """Per-event-query routing decisions: path=rollup when a request
+    folds out of the day-grain pre-aggregate, path=raw on fallback —
+    the rollup's hit rate is the first thing to look at when dashboard
+    latency regresses."""
+    return REGISTRY.counter(
+        "optiprism_query_rollup_routed_total",
+        "segmentation event-queries by answer path", ("path",))
+
+
 def store_scans_total() -> Counter:
     return REGISTRY.counter(
         METRIC_STORE_SCANS_TOTAL, "table scans opened", ("table",))

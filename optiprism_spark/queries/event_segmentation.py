@@ -118,11 +118,17 @@ def run_event_segmentation(
         ev_name = eq.event.name or f"event_{ei}"
         segs = segment_users.items() if segment_users else [(None, None)]
         for seg_name, seg_df in segs:
-            if (
+            routable = (
                 rollup is not None
                 and seg_df is None
                 and rollup_supports(req, eq, rollup[1])
-            ):
+            )
+            if rollup is not None:
+                from .. import metrics
+
+                metrics.query_rollup_routed_total().inc(
+                    path="rollup" if routable else "raw")
+            if routable:
                 long_df = event_segmentation_from_rollup(
                     rollup[0], req, eq, event_idx=ei, spec=rollup[1]
                 )

@@ -293,6 +293,7 @@ class App:
         wal_dir: Optional[str] = None,
         backup_dir: Optional[str] = None,
         session_store: bool = False,
+        rollup_store=None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -301,6 +302,12 @@ class App:
         self.catalog = catalog if catalog is not None else Catalog()
         self.token_key = token_key
         self._events_cache: Optional[DataFrame] = None
+        # optional day-grain pre-aggregate (rollup.RollupStore):
+        # segmentation requests that are rollup-expressible are served
+        # from it (run_event_segmentation routes per event-query);
+        # maintained by the ingest compaction loop
+        self.rollup_store = rollup_store
+        self._rollup_cache: Optional[DataFrame] = None
         self.tracked: list[dict] = []
         self.identified: list[dict] = []
         # serializes buffer+WAL mutation across the multi-threaded
@@ -799,6 +806,19 @@ class App:
 
     def refresh_tables(self) -> None:
         self._events_cache = None
+        self._rollup_cache = None
+
+    def _rollup(self):
+        """(rollup_df, spec) for run_event_segmentation, or None. The
+        read frame is cached like _events (analyzed plan only) and
+        invalidated together with it — a compaction tick that advanced
+        the store calls refresh_tables()."""
+        if self.rollup_store is None or not self.rollup_store.exists():
+            return None
+        df = self._rollup_cache
+        if df is None:
+            df = self._rollup_cache = self.rollup_store.read(self.spark)
+        return df, self.rollup_store.spec
 
     def _pid(self, m) -> int:
         pid = m.get("pid", "")
@@ -822,7 +842,10 @@ class App:
         dims.update(b.name for b in req.breakdowns)
         for e in req.events:
             dims.update(b.name for b in e.breakdowns)
-        return 200, (run_event_segmentation(self._events(), req), dims)
+        return 200, (
+            run_event_segmentation(self._events(), req, rollup=self._rollup()),
+            dims,
+        )
 
     def _funnel(self, body, m, q):
         pid = self._pid(m)
@@ -1237,10 +1260,12 @@ def make_app(
     wal_dir: Optional[str] = None,
     session_store: bool = False,
     backup_dir: Optional[str] = None,
+    rollup_store=None,
 ) -> App:
     return App(spark, sf_dir, custom_events=custom_events, now=now,
                catalog=catalog, token_key=token_key, wal_dir=wal_dir,
-               session_store=session_store, backup_dir=backup_dir)
+               session_store=session_store, backup_dir=backup_dir,
+               rollup_store=rollup_store)
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:

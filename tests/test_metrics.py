@@ -137,3 +137,45 @@ def test_compaction_series(spark, tmp_path):
     assert "optiprism_store_compaction_time_seconds_count 1" in text
     events.unpersist()
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_rollup_routing_metric(spark):
+    """Routing decisions increment the path-labeled counter."""
+    import datetime as dtm
+
+    from optiprism_spark import metrics
+    from optiprism_spark.dsl import (
+        EventQuery, EventRef, EventSegmentationRequest, QueryTime,
+        SegQuery, TimeIntervalUnit,
+    )
+    from optiprism_spark.queries.event_segmentation import run_event_segmentation
+    from optiprism_spark.rollup import RollupSpec, build_rollup
+    from optiprism_spark.schema import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    roll = (build_rollup(events), RollupSpec())
+    t = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31, 23, 59, 59, 999999))
+
+    def snapshot():
+        c = metrics.query_rollup_routed_total()
+        return {k: v for k, v in getattr(c, "_values", {}).items()}
+
+    before = metrics.REGISTRY.render()
+    run_event_segmentation(
+        events,
+        EventSegmentationRequest(
+            time=t, interval=TimeIntervalUnit.DAY,
+            events=[EventQuery(EventRef(), [SegQuery("count_events", alias="n")])]),
+        rollup=roll,
+    )
+    run_event_segmentation(
+        events,
+        EventSegmentationRequest(
+            time=t, interval=TimeIntervalUnit.HOUR,  # sub-day: falls back
+            events=[EventQuery(EventRef(), [SegQuery("count_events", alias="n")])]),
+        rollup=roll,
+    )
+    after = metrics.REGISTRY.render()
+    assert 'optiprism_query_rollup_routed_total{path="rollup"}' in after
+    assert 'optiprism_query_rollup_routed_total{path="raw"}' in after

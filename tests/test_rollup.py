@@ -261,3 +261,44 @@ def test_compaction_hook_advances_rollup(spark, events, tmp_path):
     assert _metric_rows(got) == _metric_rows(want)
     assert _estimates(got) == _estimates(want)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_http_endpoint_routes_through_rollup(spark, tmp_path):
+    """The serving path: an App with a rollup_store answers a
+    rollup-expressible segmentation request identically to a
+    rollup-less App, and refresh_tables() drops the cached frame after
+    a store update so new days become visible."""
+    import json as _json
+
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    store = RollupStore(str(tmp_path / "rollup"), SPEC)
+    store.rebuild(spark, load_table(spark, SF_DIR, "events"))
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59.999999"},
+        "group": "user", "intervalUnit": "day", "chartType": "line",
+        "events": [{
+            "eventName": None, "eventType": "regular",
+            "queries": [{"type": "countEvents"}],
+        }],
+    }
+    plain = make_app(spark, SF_DIR)
+    routed = make_app(spark, SF_DIR, rollup_store=store)
+    st1, want = call(plain, "POST",
+                     "/api/v1/projects/1/queries/event-segmentation", body)
+    st2, got = call(routed, "POST",
+                    "/api/v1/projects/1/queries/event-segmentation", body)
+    assert st1 == st2 == 200
+
+    def rows(payload):
+        cols = sorted(payload["columns"], key=lambda c: c["name"])
+        assert [c["name"] for c in cols] == ["0_0_count_events", "bucket"]
+        return sorted(zip(*[c["data"] for c in cols]))
+
+    assert rows(got) == rows(want)
+    # the routed app cached the rollup frame; refresh clears it
+    assert routed._rollup_cache is not None
+    routed.refresh_tables()
+    assert routed._rollup_cache is None
