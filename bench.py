@@ -44,6 +44,7 @@ HEADLINE = [
     "funnel_machine_excludes",       # funnel with exclude resets
     "ingest_ua_browser_counts",      # UA-parse enrichment
     "wh_revenue_by_nation",          # fact-fact shuffle join + dims
+    "retention_weekly_signup_purchase",  # cohort matrix (two-sided agg+join)
 ]
 
 

@@ -61,6 +61,7 @@ KINDS = (
     "report",
     "bookmark",
     "setting",
+    "rollup",
 )
 
 #: properties whose name matches a physical events column are system

@@ -218,6 +218,7 @@ from .suites import (  # noqa: E402,F401
     multimodal,
     records,
     reshape,
+    retention,
     rollup,
     segmentation,
     segments,

@@ -80,16 +80,32 @@ _DAY_OR_COARSER = (
 class RollupSpec:
     """Definition of one rollup table (≙ a materialized-view DDL).
 
-    ``dims``: physical event columns the rollup is grouped by — a
+    ``dims``: physical event columns the rollup is grouped by;
+    ``json_dims``: (name, dtype) JSON properties MATERIALIZED into
+    physical rollup columns at build time (the reference's
+    properties-as-columns move, applied to the pre-aggregate) — a
     query is routable only if its breakdowns and property filters stay
-    inside this set. ``numeric_props``: physical numeric columns that
-    get sum/min/max/cnt metrics.
+    inside these two sets. ``numeric_props``: physical numeric columns
+    that get sum/min/max/cnt metrics.
     """
 
     dims: tuple[str, ...] = (EVENT_NAME_COL,)
     numeric_props: tuple[str, ...] = ("value",)
     group_col: str = EVENT_USER_COL
     hll_lg_k: int = 14
+    json_dims: tuple[tuple[str, str], ...] = ()
+
+    @property
+    def all_dim_names(self) -> tuple[str, ...]:
+        return self.dims + tuple(n for n, _ in self.json_dims)
+
+    def dim_matches(self, prop: PropertyRef) -> bool:
+        """Does a property reference resolve to a rollup dim? Physical
+        columns match by name; JSON props by (name, dtype) — a dtype
+        mismatch would group/compare differently than the raw path."""
+        if prop.kind == PropKind.COLUMN:
+            return prop.name in self.dims
+        return (prop.name, prop.dtype) in self.json_dims
 
     def sum_col(self, p: str) -> str:
         return f"{p}_sum"
@@ -122,9 +138,15 @@ def build_rollup(events: DataFrame, spec: RollupSpec = RollupSpec()) -> DataFram
     aggs.append(
         F.hll_sketch_agg(F.col(spec.group_col), F.lit(spec.hll_lg_k)).alias(USERS_HLL_COL)
     )
+    from .exprs import prop_col as _prop_col
+
     return events.groupBy(
         F.to_date(F.col(EVENT_TIME_COL)).alias(ROLLUP_DT_COL),
         *[F.col(d) for d in spec.dims],
+        *[
+            _prop_col(PropertyRef.json(n, dtype)).alias(n)
+            for n, dtype in spec.json_dims
+        ],
     ).agg(*aggs)
 
 
@@ -144,7 +166,7 @@ def merge_rollups(parts: Sequence[DataFrame], spec: RollupSpec = RollupSpec()) -
             F.sum(spec.cnt_col(p)).alias(spec.cnt_col(p)),
         ]
     aggs.append(F.hll_union_agg(F.col(USERS_HLL_COL)).alias(USERS_HLL_COL))
-    return df.groupBy(ROLLUP_DT_COL, *spec.dims).agg(*aggs)
+    return df.groupBy(ROLLUP_DT_COL, *spec.all_dim_names).agg(*aggs)
 
 
 class RollupStore:
@@ -179,16 +201,61 @@ class RollupStore:
             "overwrite"
         ).partitionBy(ROLLUP_DT_COL).parquet(self.path)
 
-    def update(self, spark: SparkSession, new_events: DataFrame) -> int:
-        """Merge an append batch into the store; returns #days touched."""
+    def _ledger_path(self) -> str:
+        return os.path.join(self.path, "_applied_batches.json")
+
+    def _applied(self) -> dict:
+        try:
+            import json as _json
+
+            with open(self._ledger_path()) as f:
+                return _json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def update(
+        self,
+        spark: SparkSession,
+        new_events: DataFrame,
+        stream_id: Optional[str] = None,
+        batch_id: Optional[int] = None,
+    ) -> int:
+        """Merge an append batch into the store; returns #days touched.
+
+        ``stream_id``/``batch_id``: replay guard for streaming
+        maintenance (foreachBatch re-delivers the last uncommitted
+        batch after a checkpoint restart; merging it twice would
+        double-count). Applied ids are recorded in a ledger AFTER the
+        partition overwrite — a crash between the two reapplies one
+        batch, which ``rebuild`` repairs; on a transactional lake the
+        overwrite and the ledger write are one commit (the standard
+        idempotent-foreachBatch pattern)."""
+        if stream_id is not None and batch_id is not None:
+            if self._applied().get(stream_id, -1) >= batch_id:
+                return 0
         batch = build_rollup(new_events, self.spec)
+
+        def mark_applied() -> None:
+            if stream_id is None or batch_id is None:
+                return
+            import json as _json
+
+            applied = self._applied()
+            applied[stream_id] = batch_id
+            tmp = self._ledger_path() + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(applied, f)
+            os.replace(tmp, self._ledger_path())
+
         if not self.exists():
             batch.repartition(ROLLUP_DT_COL).write.mode("overwrite").partitionBy(
                 ROLLUP_DT_COL
             ).parquet(self.path)
+            mark_applied()
             return batch.select(ROLLUP_DT_COL).distinct().count()
         days = [r[0] for r in batch.select(ROLLUP_DT_COL).distinct().collect()]
         if not days:
+            mark_applied()
             return 0
         existing = self.read(spark).filter(F.col(ROLLUP_DT_COL).isin(days))
         merged = merge_rollups([existing, batch], self.spec)
@@ -205,6 +272,7 @@ class RollupStore:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             else:
                 spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        mark_applied()
         return len(days)
 
 
@@ -227,16 +295,32 @@ def _day_aligned(time: QueryTime) -> Optional[tuple[dt.date, Optional[dt.date]]]
 
 
 def _filters_routable(filters: Sequence[PropFilter], spec: RollupSpec) -> bool:
-    return all(
-        f.prop.kind == PropKind.COLUMN and f.prop.name in spec.dims for f in filters
-    )
+    return all(spec.dim_matches(f.prop) for f in filters)
+
+
+def _rollup_filter(f: PropFilter) -> "Column":
+    """A property filter evaluated against the ROLLUP's columns: a
+    JSON dim was materialized as a physical column at build time, so
+    the reference into ``props`` is rewritten to the plain column
+    (keeping the declared dtype's comparison semantics — the value was
+    already cast when materialized)."""
+    if f.prop.kind == PropKind.JSON:
+        f = PropFilter(PropertyRef.column(f.prop.name), f.op, f.values)
+    return property_expression(f)
 
 
 def _event_routable(eq: EventQuery, spec: RollupSpec) -> bool:
     ev = eq.event
     if ev.custom is not None:
+        # member filters stay inside event_expression (which resolves
+        # props via prop_col) — so custom events route only when every
+        # member filter is a PHYSICAL dim column, not a JSON dim
         return EVENT_NAME_COL in spec.dims and all(
-            m.event.custom is None and _filters_routable(m.filters, spec)
+            m.event.custom is None
+            and all(
+                f.prop.kind == PropKind.COLUMN and f.prop.name in spec.dims
+                for f in m.filters
+            )
             for m in ev.custom
         )
     return ev.name is None or EVENT_NAME_COL in spec.dims
@@ -261,7 +345,7 @@ def rollup_supports(
     if not _event_routable(eq, spec):
         return False
     for b in list(req.breakdowns) + list(eq.breakdowns):
-        if b.kind != PropKind.COLUMN or b.name not in spec.dims:
+        if not spec.dim_matches(b):
             return False
     for q in eq.queries:
         if q.kind == "count_events":
@@ -308,13 +392,13 @@ def event_segmentation_from_rollup(
     if ev is not None:
         conds.append(ev)
     conds += [
-        property_expression(f) for f in list(req.filters) + list(eq.filters)
+        _rollup_filter(f) for f in list(req.filters) + list(eq.filters)
     ]
     df = rollup.filter(multi_and(conds))
 
     breakdowns = list(req.breakdowns) + list(eq.breakdowns)
     keys = [bucket_col(req.interval, ts_col=ROLLUP_DT_COL).alias(BUCKET_COL)] + [
-        F.col(b.name) for b in breakdowns
+        F.col(b.name) for b in breakdowns  # JSON dims are materialized columns
     ]
     aggs: list[Column] = []
     formulas: list[tuple[str, str]] = []

@@ -294,6 +294,7 @@ class App:
         backup_dir: Optional[str] = None,
         session_store: bool = False,
         rollup_store=None,
+        rollup_dir: Optional[str] = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -307,7 +308,10 @@ class App:
         # from it (run_event_segmentation routes per event-query);
         # maintained by the ingest compaction loop
         self.rollup_store = rollup_store
-        self._rollup_cache: Optional[DataFrame] = None
+        #: directory for CATALOG-DECLARED per-project rollups (POST
+        #: /projects/{pid}/schema/rollups); None disables the feature
+        self.rollup_dir = rollup_dir
+        self._rollup_cache: dict = {}
         self.tracked: list[dict] = []
         self.identified: list[dict] = []
         # serializes buffer+WAL mutation across the multi-threaded
@@ -440,6 +444,8 @@ class App:
              explore),
             ("POST", re.compile(P + r"/queries/funnel$"),
              _timed_query("funnel", self._funnel), explore),
+            ("POST", re.compile(P + r"/queries/retention$"),
+             _timed_query("retention", self._retention), explore),
             ("POST", re.compile(P + r"/event-records/search$"),
              _timed_query("event_records_search", self._event_records_search),
              explore),
@@ -561,6 +567,8 @@ class App:
         self._add_crud(P + r"/dashboards", "dashboard", perms=report_perms)
         self._add_crud(P + r"/reports", "report", perms=report_perms)
         self._add_crud(P + r"/bookmarks", "bookmark", perms=report_perms)
+        self._add_crud(P + r"/schema/rollups", "rollup",
+                       create=self._create_rollup, perms=schema_perms)
 
     # ----------------------------------------------------- CRUD plumbing
 
@@ -629,6 +637,33 @@ class App:
 
     def _create_event_property(self, body: dict, pid: int) -> dict:
         return self.catalog.create_property(pid, body, typ="event")
+
+    def _create_rollup(self, body: dict, pid: int) -> dict:
+        """Declare a day-grain rollup (≙ a materialized-view DDL):
+        ``{name, dims?, jsonDims? [[name,dtype],...], numericProps?}``.
+        The initial build runs synchronously here (the served dataset
+        is one table; a cluster deployment hands the build to the
+        compaction/maintenance loop and flips routing on when the
+        store exists — _rollup() already keys on store.exists())."""
+        if self.rollup_dir is None:
+            raise HttpError(400, "rollup_dir not configured on this server")
+        name = body.get("name")
+        if not name or not re.fullmatch(r"[A-Za-z0-9_\-]+", name):
+            raise HttpError(400, "rollup needs a name of [A-Za-z0-9_-]+")
+        events = self._events()
+        for d in body.get("dims") or ():
+            if d not in events.columns:
+                raise HttpError(400, f"unknown dim column {d!r}")
+        for jd in body.get("jsonDims") or ():
+            if not (isinstance(jd, (list, tuple)) and len(jd) == 2):
+                raise HttpError(400, "jsonDims entries are [name, dtype] pairs")
+        for p in body.get("numericProps") or ():
+            if p not in events.columns:
+                raise HttpError(400, f"unknown numeric column {p!r}")
+        row = self.catalog.create("rollup", body, project_id=pid)
+        self._store_for_rollup_row(pid, row).rebuild(self.spark, events)
+        self._rollup_cache.pop(pid, None)
+        return row
 
     def _attach_property(self, body, m, q):
         """Link a property to an event (reference events.rs
@@ -806,19 +841,49 @@ class App:
 
     def refresh_tables(self) -> None:
         self._events_cache = None
-        self._rollup_cache = None
+        self._rollup_cache = {}
 
-    def _rollup(self):
-        """(rollup_df, spec) for run_event_segmentation, or None. The
-        read frame is cached like _events (analyzed plan only) and
-        invalidated together with it — a compaction tick that advanced
-        the store calls refresh_tables()."""
-        if self.rollup_store is None or not self.rollup_store.exists():
+    def _declared_rollup_store(self, pid: int):
+        """RollupStore for the project's first catalog-declared rollup
+        (schema/rollups CRUD), or None."""
+        if self.rollup_dir is None:
             return None
-        df = self._rollup_cache
-        if df is None:
-            df = self._rollup_cache = self.rollup_store.read(self.spark)
-        return df, self.rollup_store.spec
+        rows = self.catalog.list("rollup", pid)
+        if not rows:
+            return None
+        # one ACTIVE rollup per project: the first declared (routing
+        # tries a single pre-aggregate; extra declarations are stored
+        # but inert until the first is deleted)
+        return self._store_for_rollup_row(pid, rows[0])
+
+    def _store_for_rollup_row(self, pid: int, row: dict):
+        from .rollup import RollupSpec, RollupStore
+
+        spec = RollupSpec(
+            dims=tuple(row.get("dims") or ("event_type",)),
+            numeric_props=tuple(row.get("numericProps") or ("value",)),
+            json_dims=tuple((n, d) for n, d in (row.get("jsonDims") or ())),
+        )
+        return RollupStore(
+            os.path.join(self.rollup_dir, f"p{pid}_{row['name']}"), spec
+        )
+
+    def _rollup(self, pid: int = 0):
+        """(rollup_df, spec) for run_event_segmentation, or None —
+        the project's catalog-declared rollup first, then the
+        App-level store. The read frame is cached like _events
+        (analyzed plan only) and invalidated together with it — a
+        compaction tick that advanced the store calls
+        refresh_tables()."""
+        cached = self._rollup_cache.get(pid)
+        if cached is not None:
+            return cached
+        store = self._declared_rollup_store(pid) or self.rollup_store
+        if store is None or not store.exists():
+            return None
+        pair = (store.read(self.spark), store.spec)
+        self._rollup_cache[pid] = pair
+        return pair
 
     def _pid(self, m) -> int:
         pid = m.get("pid", "")
@@ -843,7 +908,7 @@ class App:
         for e in req.events:
             dims.update(b.name for b in e.breakdowns)
         return 200, (
-            run_event_segmentation(self._events(), req, rollup=self._rollup()),
+            run_event_segmentation(self._events(), req, rollup=self._rollup(pid)),
             dims,
         )
 
@@ -856,6 +921,32 @@ class App:
         dims = {"bucket", "step"}
         dims.update(b.name for b in req.breakdowns)
         return 200, (funnel_report(self._events(), req), dims)
+
+    def _retention(self, body, m, q):
+        """Cohort retention (beyond the reference — no retention
+        operator exists there). Body: ``{time, intervalUnit,
+        cohortEvent, returnEvent, maxPeriods?, unbounded?, filters?}``
+        with the same event/filter dicts as the other query routes."""
+        pid = self._pid(m)
+        from .dsl import TimeIntervalUnit
+        from .operators.retention import retention
+
+        props = self._props(pid)
+        ces = self._custom_events(pid)
+        req_filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
+        out = retention(
+            self._events(),
+            cohort_event=api.parse_event_ref(body["cohortEvent"],
+                                             custom_events=ces, props=props),
+            return_event=api.parse_event_ref(body["returnEvent"],
+                                             custom_events=ces, props=props),
+            time=api.parse_time(body["time"], self.now),
+            interval=TimeIntervalUnit(body.get("intervalUnit", "week")),
+            max_periods=int(body.get("maxPeriods", 12)),
+            unbounded=bool(body.get("unbounded", False)),
+            filters=req_filters,
+        )
+        return 200, (out, {"cohort_bucket", "period"})
 
     def _event_records_search(self, body, m, q):
         pid = self._pid(m)
@@ -1261,11 +1352,12 @@ def make_app(
     session_store: bool = False,
     backup_dir: Optional[str] = None,
     rollup_store=None,
+    rollup_dir: Optional[str] = None,
 ) -> App:
     return App(spark, sf_dir, custom_events=custom_events, now=now,
                catalog=catalog, token_key=token_key, wal_dir=wal_dir,
                session_store=session_store, backup_dir=backup_dir,
-               rollup_store=rollup_store)
+               rollup_store=rollup_store, rollup_dir=rollup_dir)
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:

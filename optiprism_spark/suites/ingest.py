@@ -145,3 +145,39 @@ def ingest_profile_upsert(spark, sf_dir):
     updates = latest_profile(events.filter(F.col("ts") >= cut))
     merged = upsert_profiles(base, updates)
     return merged.select("user_id", "ts", "event_type")
+
+
+@query(
+    "ingest_geo_mmdb_counts",
+    oracle="""
+    SELECT (['US','DE','BR','IN','JP','GB','FR','AU'])[
+             CAST(user_id % 256 AS INT) % 8 + 1] AS country,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def ingest_geo_mmdb_counts(spark, sf_dir):
+    """Same enrichment through the BINARY .mmdb path (reference reads
+    GeoLite2 via maxminddb, ingester/src/transformers/geo/mod.rs:1-54):
+    a spec-conformant fixture database carrying the synthetic /8
+    ranges is compiled, parsed back through the MaxMind-DB reader
+    (search tree walk → range enumeration), and fed to the SAME
+    bucketed broadcast range-join — the oracle is identical to the CSV
+    /synthetic path, so a tree/decoder bug breaks the hash."""
+    import os
+    import tempfile
+
+    from ..mmdb import build_mmdb, geo_range_table_from_mmdb
+
+    countries = ("US", "DE", "BR", "IN", "JP", "GB", "FR", "AU")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "geo.mmdb")
+        build_mmdb(path, [
+            (i << 24, 8, {"country": {"iso_code": countries[i % 8]}})
+            for i in range(256)
+        ])
+        geo = geo_range_table_from_mmdb(spark, path)
+    events = load_table(spark, sf_dir, "events")
+    ip = F.concat_ws(".", (F.col("user_id") % 256).cast("string"), F.lit("17.0.1"))
+    enriched = geoip_enrich(events.withColumn("ip", ip), geo=geo)
+    return enriched.groupBy("country").agg(F.count(F.lit(1)).alias("n"))

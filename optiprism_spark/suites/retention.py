@@ -1,0 +1,106 @@
+"""Retention / cohort-analysis oracle suite (beyond the reference —
+it ships no retention operator; see operators/retention.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from ..dsl import EventRef, QueryTime, TimeIntervalUnit
+from ..operators.retention import retention
+from ..registry import query
+from ..schema import load_table
+from . import _sql as S
+
+_FULL = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+
+
+def _oracle(cohort_ev: str, return_ev: str, unit_days: int, max_p: int,
+            unbounded: bool = False) -> str:
+    trunc = {1: "day", 7: "week"}[unit_days]
+    if not unbounded:
+        retained = f"""
+        SELECT cb AS cohort_bucket, p AS period,
+               COUNT(DISTINCT user_id) AS retained
+        FROM j GROUP BY 1, 2
+        """
+    else:
+        retained = f"""
+        SELECT cb AS cohort_bucket, gs.period, COUNT(*) AS retained
+        FROM (SELECT user_id, cb, MAX(p) AS h FROM j GROUP BY 1, 2) hs,
+             LATERAL (SELECT UNNEST(generate_series(1, hs.h)) AS period) gs
+        GROUP BY 1, 2
+        """
+    return f"""
+    WITH cohorts AS (
+      SELECT user_id, MIN({S.bucket(trunc)}) AS cb
+      FROM events
+      WHERE {S.ts_between(*S.T_FULL)} AND event_type = '{cohort_ev}'
+      GROUP BY 1
+    ), sizes AS (
+      SELECT cb AS cohort_bucket, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
+    ), rets AS (
+      SELECT DISTINCT user_id, {S.bucket(trunc)} AS rb
+      FROM events
+      WHERE {S.ts_between(*S.T_FULL)} AND event_type = '{return_ev}'
+    ), j AS (
+      SELECT c.cb, date_diff('day', c.cb, r.rb) // {unit_days} AS p, c.user_id
+      FROM cohorts c JOIN rets r USING (user_id)
+      WHERE date_diff('day', c.cb, r.rb) // {unit_days} BETWEEN 1 AND {max_p}
+    ), retained AS ({retained}),
+    z AS (
+      SELECT cohort_bucket, 0 AS period, cohort_size AS retained FROM sizes
+    ), unioned AS (
+      SELECT * FROM z UNION ALL SELECT * FROM retained
+    )
+    SELECT u.cohort_bucket, CAST(u.period AS INT) AS period, s.cohort_size,
+           u.retained, CAST(u.retained AS DOUBLE) / s.cohort_size AS pct
+    FROM unioned u JOIN sizes s USING (cohort_bucket)
+    """
+
+
+@query("retention_weekly_signup_purchase",
+       oracle=_oracle("signup", "purchase", 7, 8))
+def retention_weekly_signup_purchase(spark, sf_dir):
+    """Classic N-week retention triangle: users cohorted by their
+    first signup week, retained when they purchase in week W+k."""
+    return retention(
+        load_table(spark, sf_dir, "events"),
+        cohort_event=EventRef("signup"),
+        return_event=EventRef("purchase"),
+        time=_FULL,
+        interval=TimeIntervalUnit.WEEK,
+        max_periods=8,
+    )
+
+
+@query("retention_daily_view_click",
+       oracle=_oracle("view", "click", 1, 10))
+def retention_daily_view_click(spark, sf_dir):
+    """Day-grain retention with a high-frequency cohort event — the
+    return side reduces to distinct (user, day) pairs before the join,
+    so the join input is user×day-scale, not event-scale."""
+    return retention(
+        load_table(spark, sf_dir, "events"),
+        cohort_event=EventRef("view"),
+        return_event=EventRef("click"),
+        time=_FULL,
+        interval=TimeIntervalUnit.DAY,
+        max_periods=10,
+    )
+
+
+@query("retention_unbounded_weekly",
+       oracle=_oracle("signup", "view", 7, 8, unbounded=True))
+def retention_unbounded_weekly(spark, sf_dir):
+    """Unbounded retention ("still active at or after week k"): a user
+    counts at every period ≤ their max return period — the
+    churn-friendly monotone curve."""
+    return retention(
+        load_table(spark, sf_dir, "events"),
+        cohort_event=EventRef("signup"),
+        return_event=EventRef("view"),
+        time=_FULL,
+        interval=TimeIntervalUnit.WEEK,
+        max_periods=8,
+        unbounded=True,
+    )

@@ -216,6 +216,22 @@ def events_queries():
             .agg(F.count_distinct(F.col("user_id")).alias("dau"))
         )
 
+    def retention_weekly(spark, d):
+        import datetime as _dt
+
+        from optiprism_spark.dsl import EventRef, QueryTime, TimeIntervalUnit
+        from optiprism_spark.operators.retention import retention
+
+        return retention(
+            _ev(spark, d),
+            cohort_event=EventRef("index"),
+            return_event=EventRef("purchase"),
+            time=QueryTime.between(_dt.datetime(2024, 1, 1),
+                                   _dt.datetime(2024, 3, 31, 23, 59, 59)),
+            interval=TimeIntervalUnit.WEEK,
+            max_periods=12,
+        )
+
     def _ev(spark, d):
         return spark.read.parquet(os.path.join(d, "events.parquet"))
 
@@ -228,6 +244,7 @@ def events_queries():
         "seg_count_daily_by_type_gen": seg_count_daily_by_type,
         "seg_per_user_two_level_gen": seg_per_user_two_level,
         "seg_dau_gen": seg_dau,
+        "retention_weekly_gen": retention_weekly,
     }
 
 

@@ -299,6 +299,165 @@ def test_http_endpoint_routes_through_rollup(spark, tmp_path):
 
     assert rows(got) == rows(want)
     # the routed app cached the rollup frame; refresh clears it
-    assert routed._rollup_cache is not None
+    assert routed._rollup_cache
     routed.refresh_tables()
-    assert routed._rollup_cache is None
+    assert not routed._rollup_cache
+
+
+def test_streaming_rollup_maintenance_with_restart(spark, events, tmp_path):
+    """Micro-batched rollup maintenance survives a checkpoint restart
+    without double-counting: feed half the corpus, stop, restart from
+    the checkpoint (foreachBatch re-delivers the last batch; the
+    (stream_id, batch_id) ledger makes it a no-op), feed the rest —
+    final store ≡ one-shot batch rollup of everything."""
+    import os
+
+    from optiprism_spark.streaming.rollup import streaming_rollup_maintenance
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    store = RollupStore(str(tmp_path / "rollup"), SPEC)
+    cut = F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")
+    halves = [events.filter(cut), events.filter(~cut)]
+    schema = events.schema
+
+    halves[0].coalesce(1).write.mode("append").parquet(src)
+    q = streaming_rollup_maintenance(spark, schema, src, store, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    mid = {r[0] for r in store.read(spark).select(ROLLUP_DT_COL).collect()}
+    assert mid and max(mid) < dt.date(2024, 1, 15)
+
+    # restart from the same checkpoint; second half lands
+    halves[1].coalesce(1).write.mode("append").parquet(src)
+    q = streaming_rollup_maintenance(spark, schema, src, store, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = store.read(spark)
+    want = build_rollup(events, SPEC)
+    assert _metric_rows(got) == _metric_rows(want)
+    assert _estimates(got) == _estimates(want)
+
+
+def test_update_ledger_skips_replayed_batch(spark, events, tmp_path):
+    store = RollupStore(str(tmp_path / "rollup"), SPEC)
+    first = events.limit(200)
+    assert store.update(spark, first, stream_id="s", batch_id=0) > 0
+    before = _metric_rows(store.read(spark))
+    # replay of batch 0 must be a no-op
+    assert store.update(spark, first, stream_id="s", batch_id=0) == 0
+    assert _metric_rows(store.read(spark)) == before
+    # a new batch id applies
+    assert store.update(spark, events.limit(400), stream_id="s", batch_id=1) > 0
+
+
+def test_json_dims_route_breakdowns_and_filters(spark, events):
+    """A rollup declared with materialized JSON dims routes queries
+    that break down / filter on those props — bit-identical to raw."""
+    spec = RollupSpec(json_dims=(("plan", "string"),))
+    roll2 = build_rollup(events, spec)
+    assert "plan" in roll2.columns
+    req = EventSegmentationRequest(
+        time=T_DAYS, interval=TimeIntervalUnit.DAY, events=[],
+        breakdowns=[PropertyRef.json("plan")],
+    )
+    eq = EventQuery(
+        EventRef("purchase"),
+        [SegQuery("count_events", alias="n"),
+         SegQuery("aggregate_property", agg=AggFn.SUM,
+                  prop=PropertyRef.column("value"), alias="s")],
+        filters=[PropFilter(PropertyRef.json("plan"), PropOp.EXISTS)],
+    )
+    assert rollup_supports(req, eq, spec)
+    routed = event_segmentation_from_rollup(roll2, req, eq, spec=spec)
+    raw = event_segmentation_one(events, req, eq)
+    assert sorted(map(tuple, routed.collect())) == sorted(map(tuple, raw.collect()))
+    # dtype mismatch must NOT route (int64-cast grouping differs)
+    req_bad = EventSegmentationRequest(
+        time=T_DAYS, interval=TimeIntervalUnit.DAY, events=[],
+        breakdowns=[PropertyRef.json("plan", "int64")],
+    )
+    assert not rollup_supports(req_bad, eq, spec)
+    # merge over json dims stays lossless
+    cut = F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")
+    merged = merge_rollups(
+        [build_rollup(events.filter(cut), spec),
+         build_rollup(events.filter(~cut), spec)], spec)
+    cols = [c for c in merged.columns if c != USERS_HLL_COL]
+    assert sorted(map(tuple, merged.select(*cols).collect())) == sorted(
+        map(tuple, build_rollup(events, spec).select(*cols).collect()))
+
+
+def test_catalog_declared_rollup_crud_and_routing(spark, tmp_path):
+    """Product loop: declare a rollup through the schema CRUD →
+    initial build runs → segmentation requests route through it
+    (identical answers, rollup hit counted) → DELETE stops routing."""
+    from optiprism_spark import metrics
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    app = make_app(spark, SF_DIR, rollup_dir=str(tmp_path / "rollups"))
+    seg_body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59.999999"},
+        "group": "user", "intervalUnit": "day", "chartType": "line",
+        "breakdowns": [{"propertyName": "plan", "propertyType": "event",
+                        "type": "property"}],
+        "events": [{
+            "eventName": "purchase", "eventType": "regular",
+            "queries": [{"type": "countEvents"}],
+        }],
+    }
+    st, before = call(app, "POST",
+                      "/api/v1/projects/1/queries/event-segmentation", seg_body)
+    assert st == 200
+
+    # invalid declarations are rejected
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "bad dim", "dims": ["event_type"]})
+    assert st == 400
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "r1", "dims": ["nope"]})
+    assert st == 400
+
+    st, row = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                   {"name": "daily", "dims": ["event_type"],
+                    "jsonDims": [["plan", "string"]],
+                    "numericProps": ["value"]})
+    assert st == 201, row
+    st, listed = call(app, "GET", "/api/v1/projects/1/schema/rollups")
+    rows_listed = listed["data"] if isinstance(listed, dict) else listed
+    assert st == 200 and [r["name"] for r in rows_listed] == ["daily"]
+
+    def routed_count():
+        c = metrics.REGISTRY.render()
+        for line in c.splitlines():
+            if line.startswith('optiprism_query_rollup_routed_total{path="rollup"}'):
+                return float(line.rsplit(" ", 1)[1])
+        return 0.0
+
+    n0 = routed_count()
+    st, after = call(app, "POST",
+                     "/api/v1/projects/1/queries/event-segmentation", seg_body)
+    assert st == 200
+    assert routed_count() > n0  # the request actually hit the rollup
+
+    def rows(payload):
+        cols = sorted(payload["columns"], key=lambda c: c["name"])
+        return sorted(zip(*[c["data"] for c in cols]))
+
+    assert rows(after) == rows(before)
+
+    # delete → routing off, answers unchanged
+    st, _ = call(app, "DELETE", f"/api/v1/projects/1/schema/rollups/{row['id']}")
+    assert st == 200
+    app.refresh_tables()
+    assert app._rollup(1) is None
+    st, final = call(app, "POST",
+                     "/api/v1/projects/1/queries/event-segmentation", seg_body)
+    assert st == 200 and rows(final) == rows(before)

@@ -228,3 +228,39 @@ def test_response_column_typing(app):
     assert status == 200
     rt = {c["name"]: c["type"] for c in rec["columns"]}
     assert rt["event_type"] == "dimension" and rt["event_id"] == "metric"
+
+
+def test_retention_endpoint(app, spark):
+    """POST /queries/retention matches the directly-run operator."""
+    body = {
+        "time": T_JAN,
+        "intervalUnit": "week",
+        "cohortEvent": {"eventName": "signup", "eventType": "regular"},
+        "returnEvent": {"eventName": "purchase", "eventType": "regular"},
+        "maxPeriods": 8,
+    }
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/retention", body)
+    assert status == 200
+    import datetime as dtm
+
+    from optiprism_spark.dsl import EventRef, QueryTime, TimeIntervalUnit
+    from optiprism_spark.operators.retention import retention
+    from optiprism_spark.schema import load_table
+
+    direct = retention(
+        load_table(spark, SF_DIR, "events"),
+        cohort_event=EventRef("signup"), return_event=EventRef("purchase"),
+        time=QueryTime.between(dtm.datetime(2024, 1, 1),
+                               dtm.datetime(2024, 1, 31, 23, 59, 59)),
+        interval=TimeIntervalUnit.WEEK, max_periods=8,
+    ).collect()
+    want = sorted((str(r.cohort_bucket), r.period, r.cohort_size, r.retained)
+                  for r in direct)
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    got = sorted(zip(cols["cohort_bucket"], cols["period"],
+                     cols["cohort_size"], cols["retained"]))
+    assert got == want
+    # dimension tagging for the chart layer
+    types = {c["name"]: c["type"] for c in payload["columns"]}
+    assert types["cohort_bucket"] == "dimension" and types["period"] == "dimension"
