@@ -140,3 +140,71 @@ def retention(
         )
     )
     return out
+
+
+def revenue_cohorts(
+    events: DataFrame,
+    cohort_event: EventRef,
+    time: QueryTime,
+    value_col: str = "value",
+    interval: TimeIntervalUnit = TimeIntervalUnit.WEEK,
+    max_periods: int = 12,
+    filters: Sequence[PropFilter] = (),
+    group_col: str = EVENT_USER_COL,
+    revenue_event: Optional[EventRef] = None,
+) -> DataFrame:
+    """LTV-style cohort revenue: for each cohort (first cohort_event
+    bucket) and period k, the exact-decimal sum of ``value_col`` over
+    the cohort's events in bucket W+k, cumulative revenue, and
+    per-member average (the LTV curve). Same two-sided shape as
+    retention, but the return side pre-aggregates revenue to
+    (user, bucket) grain before the join — never event-scale.
+    """
+    if interval not in _PERIOD_UNITS:
+        raise ValueError(f"revenue_cohorts interval must be one of {_PERIOD_UNITS}")
+    from .aggregates import DECIMAL_T
+
+    b = bucket_col(interval)
+    cohort_cond = full_filter(time, cohort_event, filters)
+    cohorts = (
+        (events.filter(cohort_cond) if cohort_cond is not None else events)
+        .groupBy(group_col)
+        .agg(F.min(b).alias("__cohort_b"))
+    )
+    sizes = cohorts.groupBy(F.col("__cohort_b").alias("cohort_bucket")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    rev_cond = full_filter(time, revenue_event, filters)
+    rev = (
+        (events.filter(rev_cond) if rev_cond is not None else events)
+        .groupBy(group_col, b.alias("__return_b"))
+        .agg(F.sum(F.col(value_col).cast(DECIMAL_T)).alias("__rev"))
+    )
+    per = (
+        cohorts.join(rev, group_col)
+        .withColumn("__p", _period_expr(F.col("__cohort_b"), F.col("__return_b"), interval))
+        .filter((F.col("__p") >= 0) & (F.col("__p") <= max_periods))
+        .groupBy(F.col("__cohort_b").alias("cohort_bucket"), F.col("__p").alias("period"))
+        .agg(F.sum("__rev").alias("__rev_dec"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cohort_bucket")
+        .orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # cumulate on the DECIMAL then cast: exact fixed-point keeps the
+    # running sum engine- and order-independent (same trick as DECIMAL_T)
+    return (
+        per.withColumn("__cum_dec", F.sum("__rev_dec").over(w))
+        .join(F.broadcast(sizes), "cohort_bucket")
+        .select(
+            "cohort_bucket",
+            "period",
+            "cohort_size",
+            F.col("__rev_dec").cast("double").alias("revenue"),
+            F.col("__cum_dec").cast("double").alias("cum_revenue"),
+            (F.col("__cum_dec").cast("double") / F.col("cohort_size")).alias("ltv"),
+        )
+    )

@@ -96,12 +96,18 @@ def run_event_segmentation(
     of every series (reference SegmentedAggregate one-output-per-
     segment, SURVEY §2.4).
 
-    ``rollup``: optional (rollup_df, RollupSpec) pre-aggregate (see
-    rollup.py). Each event-query that is rollup-expressible
-    (rollup_supports) is answered from the rollup — a scan orders of
+    ``rollup``: optional (rollup_df, RollupSpec) pre-aggregate — or a
+    list of them, tried in order (first whose spec supports the
+    event-query wins; see rollup.py). Each rollup-expressible
+    event-query is answered from the pre-aggregate — a scan orders of
     magnitude smaller than raw events — with bit-identical results;
     the rest fall back to the raw scan, per event-query.
     """
+    rollups = (
+        [] if rollup is None
+        else [rollup] if isinstance(rollup, tuple)
+        else list(rollup)
+    )
     if segment_users is None and req.segments:
         # the request's own segments (reference DSL body "segments"):
         # compute each cohort's user set once; every (event, segment)
@@ -118,19 +124,19 @@ def run_event_segmentation(
         ev_name = eq.event.name or f"event_{ei}"
         segs = segment_users.items() if segment_users else [(None, None)]
         for seg_name, seg_df in segs:
-            routable = (
-                rollup is not None
-                and seg_df is None
-                and rollup_supports(req, eq, rollup[1])
-            )
-            if rollup is not None:
+            hit = None
+            if seg_df is None:
+                hit = next(
+                    (r for r in rollups if rollup_supports(req, eq, r[1])), None
+                )
+            if rollups:
                 from .. import metrics
 
                 metrics.query_rollup_routed_total().inc(
-                    path="rollup" if routable else "raw")
-            if routable:
+                    path="rollup" if hit is not None else "raw")
+            if hit is not None:
                 long_df = event_segmentation_from_rollup(
-                    rollup[0], req, eq, event_idx=ei, spec=rollup[1]
+                    hit[0], req, eq, event_idx=ei, spec=hit[1]
                 )
             else:
                 long_df = event_segmentation_one(

@@ -213,6 +213,7 @@ from .suites import (  # noqa: E402,F401
     assembly,
     catalog_admin,
     dedup,
+    engagement,
     funnel,
     ingest,
     multimodal,

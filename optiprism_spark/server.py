@@ -843,18 +843,15 @@ class App:
         self._events_cache = None
         self._rollup_cache = {}
 
-    def _declared_rollup_store(self, pid: int):
-        """RollupStore for the project's first catalog-declared rollup
-        (schema/rollups CRUD), or None."""
+    def _declared_rollup_stores(self, pid: int) -> list:
+        """RollupStores for the project's catalog-declared rollups
+        (schema/rollups CRUD), declaration order."""
         if self.rollup_dir is None:
-            return None
-        rows = self.catalog.list("rollup", pid)
-        if not rows:
-            return None
-        # one ACTIVE rollup per project: the first declared (routing
-        # tries a single pre-aggregate; extra declarations are stored
-        # but inert until the first is deleted)
-        return self._store_for_rollup_row(pid, rows[0])
+            return []
+        return [
+            self._store_for_rollup_row(pid, row)
+            for row in self.catalog.list("rollup", pid)
+        ]
 
     def _store_for_rollup_row(self, pid: int, row: dict):
         from .rollup import RollupSpec, RollupStore
@@ -869,21 +866,25 @@ class App:
         )
 
     def _rollup(self, pid: int = 0):
-        """(rollup_df, spec) for run_event_segmentation, or None —
-        the project's catalog-declared rollup first, then the
-        App-level store. The read frame is cached like _events
-        (analyzed plan only) and invalidated together with it — a
-        compaction tick that advanced the store calls
-        refresh_tables()."""
+        """[(rollup_df, spec), ...] for run_event_segmentation (tried
+        in order; first spec that supports an event-query wins), or
+        None — the project's catalog-declared rollups in declaration
+        order, then the App-level store. Read frames are cached like
+        _events (analyzed plans only) and invalidated together — a
+        compaction tick that advanced a store calls refresh_tables()."""
         cached = self._rollup_cache.get(pid)
         if cached is not None:
             return cached
-        store = self._declared_rollup_store(pid) or self.rollup_store
-        if store is None or not store.exists():
+        stores = self._declared_rollup_stores(pid)
+        if self.rollup_store is not None:
+            stores.append(self.rollup_store)
+        pairs = [
+            (s.read(self.spark), s.spec) for s in stores if s.exists()
+        ]
+        if not pairs:
             return None
-        pair = (store.read(self.spark), store.spec)
-        self._rollup_cache[pid] = pair
-        return pair
+        self._rollup_cache[pid] = pairs
+        return pairs
 
     def _pid(self, m) -> int:
         pid = m.get("pid", "")

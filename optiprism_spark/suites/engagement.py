@@ -1,0 +1,107 @@
+"""Engagement oracle suite: stickiness, activity histogram, and the
+LTV revenue-cohort matrix (operators/engagement.py, retention.py —
+beyond the reference)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from ..dsl import EventRef, QueryTime, TimeIntervalUnit
+from ..operators.engagement import active_days_histogram, stickiness
+from ..operators.retention import revenue_cohorts
+from ..registry import query
+from ..schema import load_table
+from . import _sql as S
+
+_FULL = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+
+
+@query(
+    "eng_stickiness_weekly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {S.bucket('week')} AS bucket, {S.bucket('day')} AS d,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events WHERE {S.ts_between(*S.T_FULL)}
+      GROUP BY 1, 2
+    ), avg_d AS (
+      SELECT bucket, AVG(dau) AS avg_dau FROM daily GROUP BY 1
+    ), weekly AS (
+      SELECT {S.bucket('week')} AS bucket, COUNT(DISTINCT user_id) AS period_active
+      FROM events WHERE {S.ts_between(*S.T_FULL)}
+      GROUP BY 1
+    )
+    SELECT a.bucket, a.avg_dau, w.period_active,
+           a.avg_dau / w.period_active AS stickiness
+    FROM avg_d a JOIN weekly w USING (bucket)
+    """,
+)
+def eng_stickiness_weekly(spark, sf_dir):
+    """DAU/WAU stickiness trend — the engagement-health ratio the
+    reference's DAU/WAU/MAU series stop short of."""
+    return stickiness(load_table(spark, sf_dir, "events"), _FULL,
+                      period=TimeIntervalUnit.WEEK)
+
+
+@query(
+    "eng_active_days_histogram",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, COUNT(DISTINCT {S.bucket('day')}) AS active_days
+      FROM events WHERE {S.ts_between(*S.T_FULL)}
+      GROUP BY 1
+    )
+    SELECT active_days, COUNT(*) AS n_users FROM per_user GROUP BY 1
+    """,
+)
+def eng_active_days_histogram(spark, sf_dir):
+    """Power-user curve: users by #distinct active days in January."""
+    return active_days_histogram(load_table(spark, sf_dir, "events"), _FULL)
+
+
+@query(
+    "retention_revenue_weekly",
+    oracle=f"""
+    WITH cohorts AS (
+      SELECT user_id, MIN({S.bucket('week')}) AS cb
+      FROM events WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'signup'
+      GROUP BY 1
+    ), sizes AS (
+      SELECT cb AS cohort_bucket, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
+    ), rev AS (
+      SELECT user_id, {S.bucket('week')} AS rb,
+             SUM(CAST(value AS {S.DECIMAL_T})) AS r
+      FROM events WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'purchase'
+      GROUP BY 1, 2
+    ), per AS (
+      SELECT c.cb AS cohort_bucket,
+             CAST(date_diff('day', c.cb, r.rb) // 7 AS INT) AS period,
+             SUM(r.r) AS rev_dec
+      FROM cohorts c JOIN rev r USING (user_id)
+      WHERE date_diff('day', c.cb, r.rb) // 7 BETWEEN 0 AND 8
+      GROUP BY 1, 2
+    )
+    SELECT p.cohort_bucket, p.period, s.cohort_size,
+           CAST(p.rev_dec AS DOUBLE) AS revenue,
+           CAST(SUM(p.rev_dec) OVER (
+             PARTITION BY p.cohort_bucket ORDER BY p.period
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cum_revenue,
+           CAST(SUM(p.rev_dec) OVER (
+             PARTITION BY p.cohort_bucket ORDER BY p.period
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / s.cohort_size AS ltv
+    FROM per p JOIN sizes s ON p.cohort_bucket = s.cohort_bucket
+    """,
+)
+def retention_revenue_weekly(spark, sf_dir):
+    """LTV curve: cohorted by first signup week, purchase revenue per
+    period (exact decimal sums; cumulative on decimal then cast)."""
+    return revenue_cohorts(
+        load_table(spark, sf_dir, "events"),
+        cohort_event=EventRef("signup"),
+        revenue_event=EventRef("purchase"),
+        time=_FULL,
+        interval=TimeIntervalUnit.WEEK,
+        max_periods=8,
+    )

@@ -461,3 +461,51 @@ def test_catalog_declared_rollup_crud_and_routing(spark, tmp_path):
     st, final = call(app, "POST",
                      "/api/v1/projects/1/queries/event-segmentation", seg_body)
     assert st == 200 and rows(final) == rows(before)
+
+
+def test_multiple_declared_rollups_route_by_spec(spark, tmp_path):
+    """Two declared rollups with different dim sets: a request only
+    the SECOND can answer routes through it (specs are tried in
+    declaration order, first supporting wins)."""
+    from optiprism_spark import metrics
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    app = make_app(spark, SF_DIR, rollup_dir=str(tmp_path / "rollups"))
+    for body in (
+        {"name": "by_event", "dims": ["event_type"]},
+        {"name": "by_plan", "dims": ["event_type"],
+         "jsonDims": [["plan", "string"]]},
+    ):
+        st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups", body)
+        assert st == 201
+    assert len(app._rollup(1)) == 2
+
+    def routed_count():
+        for line in metrics.REGISTRY.render().splitlines():
+            if line.startswith('optiprism_query_rollup_routed_total{path="rollup"}'):
+                return float(line.rsplit(" ", 1)[1])
+        return 0.0
+
+    seg_body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59.999999"},
+        "group": "user", "intervalUnit": "day", "chartType": "line",
+        "breakdowns": [{"propertyName": "plan", "propertyType": "event",
+                        "type": "property"}],
+        "events": [{"eventName": "purchase", "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    plain = make_app(spark, SF_DIR)
+    _, want = call(plain, "POST",
+                   "/api/v1/projects/1/queries/event-segmentation", seg_body)
+    n0 = routed_count()
+    st, got = call(app, "POST",
+                   "/api/v1/projects/1/queries/event-segmentation", seg_body)
+    assert st == 200 and routed_count() > n0
+
+    def rows(payload):
+        cols = sorted(payload["columns"], key=lambda c: c["name"])
+        return sorted(zip(*[c["data"] for c in cols]))
+
+    assert rows(got) == rows(want)
