@@ -217,6 +217,7 @@ from .suites import (  # noqa: E402,F401
     funnel,
     ingest,
     multimodal,
+    paths,
     records,
     reshape,
     retention,

@@ -446,6 +446,8 @@ class App:
              _timed_query("funnel", self._funnel), explore),
             ("POST", re.compile(P + r"/queries/retention$"),
              _timed_query("retention", self._retention), explore),
+            ("POST", re.compile(P + r"/queries/paths$"),
+             _timed_query("paths", self._paths), explore),
             ("POST", re.compile(P + r"/event-records/search$"),
              _timed_query("event_records_search", self._event_records_search),
              explore),
@@ -948,6 +950,38 @@ class App:
             filters=req_filters,
         )
         return 200, (out, {"cohort_bucket", "period"})
+
+    def _paths(self, body, m, q):
+        """Path / journey exploration (beyond the reference — no path
+        operator exists there). Body: ``{time, anchorEvent, steps?,
+        direction?, withinSeconds?, topK?, dropoff?, filters?,
+        excludeEvents?}`` with the same event/filter dicts as the
+        other query routes; ``dropoff: true`` returns the per-step
+        event distribution instead of top-k full paths."""
+        import datetime as _dt
+
+        pid = self._pid(m)
+        from .operators.paths import event_paths, path_dropoff
+
+        props = self._props(pid)
+        ces = self._custom_events(pid)
+        within_s = body.get("withinSeconds")
+        kw = dict(
+            anchor=api.parse_event_ref(body["anchorEvent"],
+                                       custom_events=ces, props=props),
+            time=api.parse_time(body["time"], self.now),
+            steps=int(body.get("steps", 4)),
+            direction=body.get("direction", "forward"),
+            within=(_dt.timedelta(seconds=int(within_s))
+                    if within_s is not None else None),
+            filters=api._grouped_filters(body, api.EVENT_COLUMNS, props=props),
+            exclude_events=tuple(body.get("excludeEvents") or ()),
+        )
+        if body.get("dropoff"):
+            return 200, (path_dropoff(self._events(), **kw),
+                         {"step", "next_event"})
+        out = event_paths(self._events(), top_k=int(body.get("topK", 50)), **kw)
+        return 200, (out, {"path"})
 
     def _event_records_search(self, body, m, q):
         pid = self._pid(m)

@@ -385,3 +385,61 @@ def test_lsh_incremental_store_probe_is_broadcast(spark):
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     finally:
         unpersist_tracked()
+
+
+def test_event_paths_shuffles_twice_and_fuses_topk(spark):
+    """Path analysis: one user-hash exchange feeds the lead() window,
+    one path exchange feeds the (count, count_distinct) aggregate —
+    the single-distinct rewrite folds the per-(path,user) partial into
+    the same exchange — and the top-k cut is TakeOrdered, never a
+    global sort."""
+    import datetime as dt
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.paths import event_paths
+    from optiprism_spark.schema import load_table
+
+    W = QueryTime.between(
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+    df = event_paths(
+        load_table(spark, SF_SMOKE, "events"),
+        EventRef("signup"), W, steps=4, top_k=15)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 2, plan
+    assert "hashpartitioning(user_id" in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # only the 4 sequence columns reach the scan
+    (schema,) = _scan_read_schemas(plan)
+    assert set(re.findall(r"(\w+):", schema)) == {
+        "event_id", "ts", "user_id", "event_type"}
+
+
+def test_event_paths_bucketed_table_elides_window_shuffle(spark):
+    """Over the user-bucketed events layout the window's distribution
+    requirement is satisfied by the scan itself — Catalyst drops the
+    user-hash Exchange without any operator hint, leaving only the
+    low-cardinality path aggregation."""
+    import datetime as dt
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.ingest import write_events_bucketed
+    from optiprism_spark.operators.paths import event_paths
+    from optiprism_spark.schema import load_table
+
+    W = QueryTime.between(
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+    events = load_table(spark, SF_SMOKE, "events")
+    write_events_bucketed(events, "events_paths_bucketed_test", n_buckets=4)
+    try:
+        fast = event_paths(
+            spark.table("events_paths_bucketed_test"),
+            EventRef("signup"), W, steps=4, top_k=15)
+        plan = _plan(fast)
+        assert plan.count("Exchange") == 1, plan
+        assert "hashpartitioning(user_id" not in plan, plan
+        # identical results to the raw-scan path
+        slow = event_paths(events, EventRef("signup"), W, steps=4, top_k=15)
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_paths_bucketed_test")

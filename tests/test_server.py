@@ -264,3 +264,46 @@ def test_retention_endpoint(app, spark):
     # dimension tagging for the chart layer
     types = {c["name"]: c["type"] for c in payload["columns"]}
     assert types["cohort_bucket"] == "dimension" and types["period"] == "dimension"
+
+
+def test_paths_endpoint(app, spark):
+    """POST /queries/paths matches the directly-run operator, in both
+    top-k and dropoff shapes."""
+    body = {
+        "time": T_JAN,
+        "anchorEvent": {"eventName": "signup", "eventType": "regular"},
+        "steps": 3,
+        "topK": 10,
+        "excludeEvents": ["error"],
+    }
+    status, payload = call(app, "POST", "/api/v1/projects/1/queries/paths", body)
+    assert status == 200
+    import datetime as dtm
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.paths import event_paths, path_dropoff
+    from optiprism_spark.schema import load_table
+
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31, 23, 59, 59))
+    direct = event_paths(
+        load_table(spark, SF_DIR, "events"), EventRef("signup"), W,
+        steps=3, top_k=10, exclude_events=("error",),
+    ).collect()
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    assert sorted(zip(cols["path"], cols["n_starts"], cols["n_users"])) == sorted(
+        (r.path, r.n_starts, r.n_users) for r in direct)
+    types = {c["name"]: c["type"] for c in payload["columns"]}
+    assert types["path"] == "dimension" and types["n_starts"] == "metric"
+
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/paths",
+        {**body, "dropoff": True, "withinSeconds": 3600})
+    assert status == 200
+    direct = path_dropoff(
+        load_table(spark, SF_DIR, "events"), EventRef("signup"), W,
+        steps=3, within=dtm.timedelta(hours=1), exclude_events=("error",),
+    ).collect()
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    assert sorted(zip(cols["step"], cols["next_event"], cols["n_starts"])) == sorted(
+        (r.step, r.next_event, r.n_starts) for r in direct)
