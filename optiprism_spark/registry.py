@@ -214,6 +214,7 @@ from .suites import (  # noqa: E402,F401
     catalog_admin,
     dedup,
     engagement,
+    estimate,
     funnel,
     ingest,
     multimodal,

@@ -910,6 +910,18 @@ class App:
         dims.update(b.name for b in req.breakdowns)
         for e in req.events:
             dims.update(b.name for b in e.breakdowns)
+        rate = float(body.get("samplingRate", 1.0))
+        if rate < 1.0:
+            # estimation mode: user-coherent sample, additive metrics
+            # Horvitz-Thompson scaled (operators/estimate.py); the
+            # rollup is bypassed — it holds exact pre-aggregates, not
+            # per-user state, so it cannot answer a sampled request
+            from .operators.estimate import estimated_event_segmentation
+
+            return 200, (
+                estimated_event_segmentation(self._events(), req, rate),
+                dims,
+            )
         return 200, (
             run_event_segmentation(self._events(), req, rollup=self._rollup(pid)),
             dims,

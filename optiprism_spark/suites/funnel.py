@@ -154,7 +154,7 @@ def _attempt_lateral(anchor: str, exclude_ets, step_ets=_STEP_ETS,
 
 def _machine_chain_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
                        const_key=None, session: bool = False,
-                       breakdown_key=None) -> str:
+                       breakdown_key=None, extra_pred: str = "") -> str:
     """Recursive anchor chain replaying the greedy machine: one row per
     recorded attempt (user_id, t0, ts1, ts2, sc). ``stop_cond`` is a
     predicate on the previous attempt row ``p`` that ends the user's
@@ -164,15 +164,17 @@ def _machine_chain_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
     session) instead of per user. ``breakdown_key``: JSON key whose
     value sub-partitions the machine (one independent run per
     (user, value), NULL being its own group — mirroring the kernel's
-    groupby(dropna=False))."""
+    groupby(dropna=False)). ``extra_pred``: extra " AND ..." clause on
+    the event stream (e.g. the estimation suite's user-sample
+    predicate)."""
     assert not (exclude_ets and const_key), "not combined in any query"
     breakdown = breakdown_key is not None
     full_stream = const_key is not None or session
     if full_stream:
-        et_filter = ""
+        et_filter = extra_pred
     else:
         all_ets = sorted({t for st in step_ets for t in st} | set(exclude_ets))
-        et_filter = f" AND event_type IN {_in(all_ets)}"
+        et_filter = f" AND event_type IN {_in(all_ets)}{extra_pred}"
     kv_sel = (
         f", CAST(json_extract_string(props, '$.{const_key}') AS BIGINT) AS kv"
         if const_key is not None else ""
@@ -297,12 +299,13 @@ def _step_metric_parts() -> list[str]:
 
 def _machine_oracle_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
                         touch: str = "first", const_key=None,
-                        session: bool = False, breakdown_key=None) -> str:
+                        session: bool = False, breakdown_key=None,
+                        extra_pred: str = "") -> str:
     """ConversionOverTime report oracle: anchor chain → per-day bucket
     report with the exact column names/types funnel_report emits.
     ``touch`` picks the bucket-attribution timestamp (first | last)."""
     chain = _machine_chain_sql(stop_cond, exclude_ets, step_ets, const_key,
-                               session, breakdown_key)
+                               session, breakdown_key, extra_pred)
     attr = (
         "t0" if touch == "first"
         else "(CASE WHEN sc = 1 THEN t0 WHEN sc = 2 THEN ts1 ELSE ts2 END)"

@@ -307,3 +307,39 @@ def test_paths_endpoint(app, spark):
     cols = {c["name"]: c["data"] for c in payload["columns"]}
     assert sorted(zip(cols["step"], cols["next_event"], cols["n_starts"])) == sorted(
         (r.step, r.next_event, r.n_starts) for r in direct)
+
+
+def test_event_segmentation_sampling_rate(app, spark):
+    """samplingRate < 1 routes through estimation mode: identical to
+    the directly-run sampled operator, and within sight of the exact
+    answer (scaled)."""
+    body = {
+        "time": T_JAN,
+        "intervalUnit": "month",
+        "events": [{
+            "eventName": None, "eventType": "regular",
+            "queries": [{"type": "countEvents"}],
+        }],
+        "samplingRate": 0.25,
+    }
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/event-segmentation", body)
+    assert status == 200
+    from optiprism_spark.api import parse_event_segmentation
+    from optiprism_spark.operators.estimate import estimated_event_segmentation
+    from optiprism_spark.schema import load_table
+
+    direct = estimated_event_segmentation(
+        load_table(spark, SF_DIR, "events"),
+        parse_event_segmentation(body), 0.25,
+    ).collect()
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    metric = [n for n in cols if n not in ("bucket", "event", "segment")][0]
+    assert sorted(cols[metric]) == sorted(float(r[metric]) for r in direct)
+    # the estimate is a scaled double, not a raw sampled count
+    exact_body = {k: v for k, v in body.items() if k != "samplingRate"}
+    _, exact = call(
+        app, "POST", "/api/v1/projects/1/queries/event-segmentation", exact_body)
+    exact_cols = {c["name"]: c["data"] for c in exact["columns"]}
+    est_total, exact_total = sum(cols[metric]), sum(exact_cols[metric])
+    assert est_total == pytest.approx(exact_total, rel=0.5)
