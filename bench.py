@@ -45,6 +45,8 @@ HEADLINE = [
     "ingest_ua_browser_counts",      # UA-parse enrichment
     "wh_revenue_by_nation",          # fact-fact shuffle join + dims
     "retention_weekly_signup_purchase",  # cohort matrix (two-sided agg+join)
+    "path_forward_from_signup",      # journey window + top-k paths
+    "est_funnel_3step_sampled",      # funnel over a 25% coherent sample
 ]
 
 

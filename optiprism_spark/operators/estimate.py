@@ -144,6 +144,28 @@ def estimated_funnel_report(
     return out
 
 
+def estimated_retention(
+    events: DataFrame,
+    rate: float,
+    seed: str = "est",
+    **retention_kwargs,
+) -> DataFrame:
+    """Cohort retention over a user-coherent sample: cohort_size and
+    retained (additive user counts) scale by 1/rate to population
+    estimates; pct is a ratio estimate and passes through — it is the
+    number a retention chart actually plots, and it is unchanged by
+    consistent scaling of numerator and denominator."""
+    from .retention import retention
+
+    out = retention(user_sample(events, rate, seed), **retention_kwargs)
+    if rate == 1.0:
+        return out
+    inv = 1.0 / float(rate)
+    for c in ("cohort_size", "retained"):
+        out = out.withColumn(c, (F.col(c) * F.lit(inv)).cast("double"))
+    return out
+
+
 def rel_err_hint(rate: float, sampled_users: int,
                  confidence_z: float = 1.96) -> Optional[float]:
     """Approximate relative error (± fraction at the given z) of a

@@ -949,8 +949,7 @@ class App:
         props = self._props(pid)
         ces = self._custom_events(pid)
         req_filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
-        out = retention(
-            self._events(),
+        kw = dict(
             cohort_event=api.parse_event_ref(body["cohortEvent"],
                                              custom_events=ces, props=props),
             return_event=api.parse_event_ref(body["returnEvent"],
@@ -961,6 +960,13 @@ class App:
             unbounded=bool(body.get("unbounded", False)),
             filters=req_filters,
         )
+        rate = float(body.get("samplingRate", 1.0))
+        if rate < 1.0:
+            from .operators.estimate import estimated_retention
+
+            out = estimated_retention(self._events(), rate, **kw)
+        else:
+            out = retention(self._events(), **kw)
         return 200, (out, {"cohort_bucket", "period"})
 
     def _paths(self, body, m, q):
@@ -989,11 +995,28 @@ class App:
             filters=api._grouped_filters(body, api.EVENT_COLUMNS, props=props),
             exclude_events=tuple(body.get("excludeEvents") or ()),
         )
+        events = self._events()
+        rate = float(body.get("samplingRate", 1.0))
+        if rate < 1.0:
+            # user-coherent sample: journeys stay whole; the top-k
+            # ORDER is invariant under uniform scaling, so scaled
+            # counts are population estimates over the same path set
+            from pyspark.sql import functions as _F
+
+            from .operators.estimate import user_sample
+
+            events = user_sample(events, rate)
         if body.get("dropoff"):
-            return 200, (path_dropoff(self._events(), **kw),
-                         {"step", "next_event"})
-        out = event_paths(self._events(), top_k=int(body.get("topK", 50)), **kw)
-        return 200, (out, {"path"})
+            out = path_dropoff(events, **kw)
+            dims = {"step", "next_event"}
+        else:
+            out = event_paths(events, top_k=int(body.get("topK", 50)), **kw)
+            dims = {"path"}
+        if rate < 1.0:
+            inv = 1.0 / rate
+            for c in ("n_starts", "n_users"):
+                out = out.withColumn(c, (_F.col(c) * _F.lit(inv)).cast("double"))
+        return 200, (out, dims)
 
     def _event_records_search(self, body, m, q):
         pid = self._pid(m)

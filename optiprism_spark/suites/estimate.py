@@ -30,6 +30,7 @@ from ..operators.estimate import (
 from ..registry import query
 from ..schema import load_table
 from . import _sql as S
+from .retention import _oracle as _retention_oracle
 
 _FULL = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
 
@@ -162,3 +163,28 @@ def est_funnel_3step_sampled(spark, sf_dir):
     )
     return estimated_funnel_report(
         load_table(spark, sf_dir, "events"), req, 0.25)
+
+
+@query(
+    "est_retention_weekly_sampled",
+    oracle=(
+        "SELECT cohort_bucket, period, cohort_size * 8.0 AS cohort_size, "
+        "retained * 8.0 AS retained, pct FROM (\n"
+        + _retention_oracle("signup", "purchase", 7, 8,
+                            extra_pred=f" AND {_sampled(0.125)}")
+        + "\n) x"
+    ),
+)
+def est_retention_weekly_sampled(spark, sf_dir):
+    """Weekly retention from a 12.5% sample: cohort_size/retained
+    scale to population estimates, pct (the charted number) passes
+    through unchanged — numerator and denominator scale together."""
+    from ..dsl import TimeIntervalUnit
+    from ..operators.estimate import estimated_retention
+
+    return estimated_retention(
+        load_table(spark, sf_dir, "events"), 0.125,
+        cohort_event=EventRef("signup"),
+        return_event=EventRef("purchase"),
+        time=_FULL, interval=TimeIntervalUnit.WEEK, max_periods=8,
+    )

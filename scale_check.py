@@ -232,6 +232,35 @@ def events_queries():
             max_periods=12,
         )
 
+    def paths_topk(spark, d):
+        import datetime as _dt
+
+        from optiprism_spark.operators.paths import event_paths
+
+        return event_paths(
+            _ev(spark, d), anchor=EventRef("product"), time=time,
+            steps=4, within=_dt.timedelta(hours=1), top_k=50)
+
+    def est_seg_sampled(spark, d):
+        from optiprism_spark.dsl import EventQuery, EventSegmentationRequest, SegQuery
+        from optiprism_spark.operators.estimate import estimated_event_segmentation
+
+        req = EventSegmentationRequest(
+            time=time, interval=TimeIntervalUnit.DAY,
+            events=[EventQuery(EventRef(),
+                               [SegQuery("count_events", alias="n_est"),
+                                SegQuery("count_unique_groups", alias="u_est")])],
+            breakdowns=[PropertyRef.column("event_type")],
+        )
+        return estimated_event_segmentation(_ev(spark, d), req, 0.125)
+
+    def est_funnel_sampled(spark, d):
+        from optiprism_spark.operators.estimate import estimated_funnel_report
+
+        req = FunnelRequest(time=time, interval=TimeIntervalUnit.DAY,
+                            steps=list(steps), window_ms=3_600_000)
+        return estimated_funnel_report(_ev(spark, d), req, 0.125)
+
     def _ev(spark, d):
         return spark.read.parquet(os.path.join(d, "events.parquet"))
 
@@ -245,6 +274,9 @@ def events_queries():
         "seg_per_user_two_level_gen": seg_per_user_two_level,
         "seg_dau_gen": seg_dau,
         "retention_weekly_gen": retention_weekly,
+        "paths_topk_gen": paths_topk,
+        "est_seg_sampled_gen": est_seg_sampled,
+        "est_funnel_sampled_gen": est_funnel_sampled,
     }
 
 

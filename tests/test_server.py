@@ -343,3 +343,48 @@ def test_event_segmentation_sampling_rate(app, spark):
     exact_cols = {c["name"]: c["data"] for c in exact["columns"]}
     est_total, exact_total = sum(cols[metric]), sum(exact_cols[metric])
     assert est_total == pytest.approx(exact_total, rel=0.5)
+
+
+def test_retention_and_paths_sampling_rate(app, spark):
+    """samplingRate on the retention and paths routes: scaled additive
+    columns, ratio/path structure preserved."""
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/retention",
+        {
+            "time": T_JAN, "intervalUnit": "week",
+            "cohortEvent": {"eventName": "signup", "eventType": "regular"},
+            "returnEvent": {"eventName": "purchase", "eventType": "regular"},
+            "maxPeriods": 8, "samplingRate": 0.125,
+        })
+    assert status == 200
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    # period-0 rows: retained == cohort_size and pct == 1.0 even scaled
+    for p, size, ret, pct in zip(cols["period"], cols["cohort_size"],
+                                 cols["retained"], cols["pct"]):
+        if p == 0:
+            assert ret == size and pct == 1.0
+        assert ret == ret * 1.0 and isinstance(ret, float)
+
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/paths",
+        {
+            "time": T_JAN, "steps": 3, "topK": 5, "samplingRate": 0.25,
+            "anchorEvent": {"eventName": "signup", "eventType": "regular"},
+        })
+    assert status == 200
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    assert cols["path"] and all(p.startswith("signup") for p in cols["path"])
+    import datetime as dtm
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.estimate import user_sample
+    from optiprism_spark.operators.paths import event_paths
+    from optiprism_spark.schema import load_table
+
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31, 23, 59, 59))
+    direct = event_paths(
+        user_sample(load_table(spark, SF_DIR, "events"), 0.25),
+        EventRef("signup"), W, steps=3, top_k=5).collect()
+    assert sorted(zip(cols["path"], cols["n_starts"])) == sorted(
+        (r.path, r.n_starts * 4.0) for r in direct)
