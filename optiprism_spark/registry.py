@@ -215,6 +215,7 @@ from .suites import (  # noqa: E402,F401
     dedup,
     engagement,
     estimate,
+    experiment,
     funnel,
     ingest,
     multimodal,

@@ -448,6 +448,8 @@ class App:
              _timed_query("retention", self._retention), explore),
             ("POST", re.compile(P + r"/queries/paths$"),
              _timed_query("paths", self._paths), explore),
+            ("POST", re.compile(P + r"/queries/experiment$"),
+             _timed_query("experiment", self._experiment), explore),
             ("POST", re.compile(P + r"/event-records/search$"),
              _timed_query("event_records_search", self._event_records_search),
              explore),
@@ -1017,6 +1019,31 @@ class App:
             for c in ("n_starts", "n_users"):
                 out = out.withColumn(c, (_F.col(c) * _F.lit(inv)).cast("double"))
         return 200, (out, dims)
+
+    def _experiment(self, body, m, q):
+        """A/B experiment readout (beyond the reference). Body:
+        ``{time, exposureEvent, conversionEvent, variantProperty,
+        control, filters?}`` — variantProperty is a standard property
+        dict (column or JSON prop) read off the exposure row."""
+        pid = self._pid(m)
+        from .exprs import prop_col
+        from .operators.experiment import experiment_report
+
+        props = self._props(pid)
+        ces = self._custom_events(pid)
+        out = experiment_report(
+            self._events(),
+            variant_col=prop_col(
+                api.parse_property(body["variantProperty"], props=props)),
+            exposure_event=api.parse_event_ref(body["exposureEvent"],
+                                               custom_events=ces, props=props),
+            conversion_event=api.parse_event_ref(body["conversionEvent"],
+                                                 custom_events=ces, props=props),
+            time=api.parse_time(body["time"], self.now),
+            control=str(body["control"]),
+            filters=api._grouped_filters(body, api.EVENT_COLUMNS, props=props),
+        )
+        return 200, (out, {"variant"})
 
     def _event_records_search(self, body, m, q):
         pid = self._pid(m)

@@ -1,0 +1,94 @@
+"""A/B experiment oracle suite (beyond the reference — it ships no
+experiment readout; see operators/experiment.py).
+
+The z-score arithmetic is mirrored expression-for-expression —
+(p·(1−p))·(1/n₁+1/n_c) with the same association — so the doubles
+match bit-for-bit across engines; no tolerance needed.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ..dsl import EventRef, PropertyRef, QueryTime
+from ..exprs import prop_col
+from ..operators.experiment import experiment_report
+from ..registry import query
+from ..schema import load_table
+from . import _sql as S
+
+_FULL = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+
+#: derived variant: the synthetic corpus carries no assignment prop,
+#: so bucket the int prop k into three arms (deterministic, mirrors
+#: what a real deployment puts in an $exp property)
+_N_ARMS = 3
+
+
+def _variant_sql() -> str:
+    return ("'v' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) "
+            f"% {_N_ARMS} AS VARCHAR)")
+
+
+def _variant_col():
+    k = prop_col(PropertyRef.json("k", "int64"))
+    return F.concat(F.lit("v"), (k % _N_ARMS).cast("string"))
+
+
+@query(
+    "exp_view_to_purchase",
+    oracle=f"""
+    WITH fe AS (
+      SELECT user_id, t0, variant FROM (
+        SELECT user_id, ts AS t0, {_variant_sql()} AS variant,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'view'
+      ) t WHERE rn = 1
+    ), cm AS (
+      SELECT user_id, MAX(ts) AS conv_max FROM events
+      WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'purchase'
+      GROUP BY 1
+    ), pu AS (
+      SELECT variant,
+             CASE WHEN conv_max > t0 THEN 1 ELSE 0 END AS converted
+      FROM fe LEFT JOIN cm USING (user_id)
+    ), pv AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted,
+             CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS cvr
+      FROM pu GROUP BY 1
+    ), c AS (
+      SELECT n_users AS cn, n_converted AS cx, cvr AS ccvr
+      FROM pv WHERE variant = 'v0'
+    )
+    SELECT variant, n_users, n_converted, cvr,
+           CASE WHEN variant <> 'v0' THEN cvr - ccvr END AS lift,
+           CASE WHEN variant <> 'v0'
+                     AND sqrt((p * (1.0 - p)) * (1.0 / n_users + 1.0 / cn)) > 0
+                THEN (cvr - ccvr)
+                     / sqrt((p * (1.0 - p)) * (1.0 / n_users + 1.0 / cn))
+           END AS z_score
+    FROM (
+      SELECT pv.*, c.*,
+             CAST(n_converted + cx AS DOUBLE) / (n_users + cn) AS p
+      FROM pv, c
+    ) x
+    """,
+)
+def exp_view_to_purchase(spark, sf_dir):
+    """Three-arm experiment: first-touch assignment at the user's
+    first view (variant = k % 3 over the exposure row's JSON prop),
+    conversion = any purchase strictly after it; per-arm conversion
+    rate, lift vs v0, pooled two-proportion z-score."""
+    return experiment_report(
+        load_table(spark, sf_dir, "events"),
+        variant_col=_variant_col(),
+        exposure_event=EventRef("view"),
+        conversion_event=EventRef("purchase"),
+        time=_FULL,
+        control="v0",
+    )

@@ -1,0 +1,106 @@
+"""Experiment-readout semantics pinned on a hand-computed fixture
+(first-touch assignment, strictly-after attribution, z arithmetic)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from optiprism_spark.dsl import EventRef, QueryTime
+from optiprism_spark.operators.experiment import experiment_report
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+WINDOW = QueryTime.between(dt.datetime(2024, 1, 1),
+                           dt.datetime(2024, 1, 31, 23, 59, 59))
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    def e(i, minutes, user, ev, variant=""):
+        return (i, T0 + dt.timedelta(minutes=minutes), user, ev,
+                0.0, '{"v": "%s"}' % variant)
+
+    rows = [
+        # control arm: u1 converts after exposure, u2 does not,
+        # u3's purchase PRECEDES exposure (not attributed)
+        e(1, 0, 1, "expose", "A"), e(2, 10, 1, "purchase"),
+        e(3, 0, 2, "expose", "A"),
+        e(4, 0, 3, "purchase"), e(5, 10, 3, "expose", "A"),
+        # treatment arm: u4 and u5 convert, u6 does not
+        e(6, 0, 4, "expose", "B"), e(7, 5, 4, "purchase"),
+        e(8, 0, 5, "expose", "B"), e(9, 1, 5, "purchase"),
+        e(10, 0, 6, "expose", "B"),
+        # u7: first touch B, later re-exposed as A — stays B
+        e(11, 0, 7, "expose", "B"), e(12, 5, 7, "expose", "A"),
+        e(13, 9, 7, "purchase"),
+        # u8: converts but never exposed — not in any arm
+        e(14, 0, 8, "purchase"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _report(events):
+    return {
+        r["variant"]: r
+        for r in experiment_report(
+            events,
+            variant_col=F.get_json_object("props", "$.v"),
+            exposure_event=EventRef("expose"),
+            conversion_event=EventRef("purchase"),
+            time=WINDOW,
+            control="A",
+        ).collect()
+    }
+
+
+def test_assignment_and_attribution(events):
+    out = _report(events)
+    assert set(out) == {"A", "B"}
+    a, b = out["A"], out["B"]
+    # A: u1 (converted), u2, u3 (purchase before exposure -> not converted)
+    assert (a["n_users"], a["n_converted"]) == (3, 1)
+    # B: u4, u5, u7 (first-touch B) converted; u6 not
+    assert (b["n_users"], b["n_converted"]) == (4, 3)
+    assert a["cvr"] == pytest.approx(1 / 3)
+    assert b["cvr"] == pytest.approx(3 / 4)
+
+
+def test_control_row_null_stats(events):
+    a = _report(events)["A"]
+    assert a["lift"] is None and a["z_score"] is None
+
+
+def test_z_score_matches_hand_formula(events):
+    b = _report(events)["B"]
+    n1, x1, n_c, x_c = 4, 3, 3, 1
+    cvr, ccvr = x1 / n1, x_c / n_c
+    p = (x1 + x_c) / (n1 + n_c)
+    se = math.sqrt((p * (1.0 - p)) * (1.0 / n1 + 1.0 / n_c))
+    assert b["lift"] == pytest.approx(cvr - ccvr)
+    assert b["z_score"] == pytest.approx((cvr - ccvr) / se)
+
+
+def test_plan_reduces_both_sides_before_join(events, spark):
+    from optiprism_spark.schema import load_table
+
+    df = experiment_report(
+        load_table(spark, "/root/testdata/sf0.001", "events"),
+        variant_col=F.get_json_object("props", "$.k"),
+        exposure_event=EventRef("view"),
+        conversion_event=EventRef("purchase"),
+        time=WINDOW,
+        control="0",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # conversions partial-aggregate map-side before their exchange,
+    # and the single-row control side joins by broadcast
+    assert "partial_max" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -388,3 +388,41 @@ def test_retention_and_paths_sampling_rate(app, spark):
         EventRef("signup"), W, steps=3, top_k=5).collect()
     assert sorted(zip(cols["path"], cols["n_starts"])) == sorted(
         (r.path, r.n_starts * 4.0) for r in direct)
+
+
+def test_experiment_endpoint(app, spark):
+    """POST /queries/experiment matches the directly-run operator."""
+    body = {
+        "time": T_JAN,
+        "exposureEvent": {"eventName": "view", "eventType": "regular"},
+        "conversionEvent": {"eventName": "purchase", "eventType": "regular"},
+        "variantProperty": {"propertyName": "k", "dtype": "int64"},
+        "control": "0",
+    }
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/experiment", body)
+    assert status == 200
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from optiprism_spark.dsl import EventRef, PropertyRef, QueryTime
+    from optiprism_spark.exprs import prop_col
+    from optiprism_spark.operators.experiment import experiment_report
+    from optiprism_spark.schema import load_table
+
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31, 23, 59, 59))
+    direct = experiment_report(
+        load_table(spark, SF_DIR, "events"),
+        variant_col=prop_col(PropertyRef.json("k", "int64")),
+        exposure_event=EventRef("view"),
+        conversion_event=EventRef("purchase"),
+        time=W, control="0",
+    ).collect()
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    got = sorted(zip(cols["variant"], cols["n_users"], cols["n_converted"]))
+    want = sorted((str(r.variant), r.n_users, r.n_converted) for r in direct)
+    assert got == want
+    types = {c["name"]: c["type"] for c in payload["columns"]}
+    assert types["variant"] == "dimension" and types["cvr"] == "metric"
