@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ._util import spread
-from .sizing import ivf_params, lsh_planes, validate_ann_params
+from .sizing import hyperplane_bands, ivf_params, lsh_planes, validate_ann_params
 
 
 def _auto_planes(planes, embeddings: DataFrame) -> int:
@@ -108,9 +108,12 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, planes: int = 4) -> Column:
+def hyperplane_bucket(vec: Column, planes: int = 4, offset: int = 0) -> Column:
     """Deterministic sign-bit sketch: plane p's component d is
     md5-derived in [-0.5, 0.5); bucket = sum of sign bits.
+    ``offset`` shifts the plane seed (plane p hashes as ``offset+p``)
+    so banded callers draw INDEPENDENT hyperplane sets per band while
+    offset=0 callers keep their historical buckets.
 
     The projection iterates the vector ITSELF (transform with index),
     not a fixed-dim sequence: zip_with against sequence(0, dim-1)
@@ -144,7 +147,7 @@ def hyperplane_bucket(vec: Column, planes: int = 4) -> Column:
     bucket = F.lit(0)
     for p in range(planes):
         comp = F.aggregate(
-            F.transform(vec, _component(p)),
+            F.transform(vec, _component(offset + p)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -398,6 +401,89 @@ def embedding_incremental_pairs_ivf(
         .select("doc_a", "doc_b", F.round("sim", 6).alias("sim"))
     )
     return pairs, new_assigned
+
+
+def embedding_near_pairs_banded(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bands="auto",
+    rows_per_band="auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded (OR-amplified) hyperplane LSH near-duplicate pairs —
+    the recall-sound evolution of `embedding_near_pairs`.
+
+    Single-table hyperplane LSH has recall p_plane^planes for a pair
+    at the threshold angle: at near-dup thresholds and the plane
+    counts a large corpus needs, that is 15–25% — three of four true
+    near-dups silently missed. Banding fixes it the same way MinHash
+    banding does: B independent bands of r planes each; a pair is a
+    candidate if it collides in ANY band, recall 1−(1−p_plane^r)^B,
+    sized to a target (sizing.hyperplane_bands) from corpus count +
+    threshold. Per-band buckets are smaller (target ~64 rows vs the
+    single table's ~1024), so total candidate work B·N·target is
+    comparable while recall goes from a coin flip to ≥90%. Measured
+    at sf0.01 (threshold 0.40, 12 total planes both ways): banded
+    4×3 recall 0.695 vs single-table 0.017 against the exact O(N²)
+    baseline (tests/test_pipeline_ops.py). The sizing targets
+    NEAR-DUP thresholds (≥0.9); at loose thresholds the band count
+    clamps and recall is bounded by the LSH family itself — no
+    hyperplane scheme separates 0.4-cosine pairs well.
+
+    Plan shape: ONE persisted (id, v, norm, buckets[B]) frame —
+    B·r sign-bit folds per row, computed once — posexploded to
+    (band, bucket) keys on both sides of a bucketed equi-join (never
+    all-pairs); a pair colliding in several bands is deduplicated
+    AFTER the threshold filter (same sim in every occurrence, so the
+    groupBy shuffles only surviving (id, id, sim) triples, not
+    vectors). Candidate generation stays an equi-join at any scale.
+    """
+    from ._util import track_persist
+
+    if bands == "auto" or rows_per_band == "auto":
+        sized = hyperplane_bands(embeddings.count(), threshold)
+        bands = sized["bands"] if bands == "auto" else bands
+        rows_per_band = (
+            sized["rows_per_band"] if rows_per_band == "auto" else rows_per_band)
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(f"bands/rows_per_band must be >= 1, got {bands}/{rows_per_band}")
+
+    base = track_persist(
+        spread(embeddings).select(
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__n", _norm(F.col("__v")))
+        .withColumn(
+            "__bkts",
+            F.array(*[
+                hyperplane_bucket(
+                    F.col("__v"), rows_per_band, offset=b * rows_per_band)
+                for b in range(bands)
+            ]),
+        )
+    )
+    keyed = base.select(
+        "__id", "__v", "__n",
+        F.posexplode("__bkts").alias("__band", "__bkt"),
+    )
+    a = keyed.select(
+        F.col("__id").alias("doc_a"), F.col("__v").alias("av"),
+        F.col("__n").alias("na"), "__band", "__bkt")
+    b = keyed.select(
+        F.col("__id").alias("doc_b"), F.col("__v").alias("bv"),
+        F.col("__n").alias("nb"), "__band", "__bkt")
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["__band", "__bkt"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("sim").alias("sim"))
+        .select("doc_a", "doc_b", F.round("sim", 6).alias("sim"))
+    )
 
 
 def embedding_near_pairs_ivf(

@@ -43,6 +43,40 @@ def lsh_planes(n_rows: int, target_bucket: int = 1024) -> int:
     return int(max(2, min(24, math.ceil(math.log2(max(2, n_rows / target_bucket))))))
 
 
+def hyperplane_bands(
+    n_rows: int,
+    threshold: float,
+    target_bucket: int = 64,
+    recall: float = 0.9,
+) -> dict:
+    """Size the banded hyperplane LSH (embedding_near_pairs_banded).
+
+    rows_per_band r: 2^r buckets per band ≈ N / target_bucket, so the
+    per-band candidate work stays ~N·target_bucket (clamped [2, 20]).
+    bands B: OR-amplification to hit the recall target at the given
+    cosine threshold — a pair at exactly `threshold` collides in one
+    band with p_band = p_plane^r, p_plane = 1 − θ/π (the hyperplane
+    split probability), so B = ceil(ln(1−recall) / ln(1−p_band)),
+    clamped [2, 16]. Pairs ABOVE the threshold do strictly better.
+    Single-table LSH at the same bucket size has recall p_band — for
+    near-dup thresholds and r ≥ 8 that is a coin flip at best, which
+    is why the banded variant exists."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0.0 < recall < 1.0:
+        raise ValueError(f"recall must be in (0, 1), got {recall}")
+    if n_rows <= 0:
+        raise ValueError(f"n_rows must be positive, got {n_rows}")
+    r = int(max(2, min(20, math.ceil(math.log2(max(2, n_rows / target_bucket))))))
+    p_plane = 1.0 - math.acos(threshold) / math.pi
+    p_band = p_plane ** r
+    if p_band >= 1.0:
+        b = 2
+    else:
+        b = int(math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_band)))
+    return {"bands": int(max(2, min(16, b))), "rows_per_band": r}
+
+
 def minhash_bands(k: int, threshold: float) -> int:
     """Pick bands dividing k whose S-curve midpoint (1/b)^(1/r),
     r = k/b, is nearest the target Jaccard threshold."""

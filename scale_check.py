@@ -67,7 +67,8 @@ DOC_EMB_QUERIES = [
 
 def embedding_scale_queries():
     from optiprism_spark.operators.similarity import (
-        embedding_near_pairs, embedding_near_pairs_ivf)
+        embedding_near_pairs, embedding_near_pairs_banded,
+        embedding_near_pairs_ivf)
 
     def _emb(spark, d):
         return spark.read.parquet(os.path.join(d, "embeddings.parquet"))
@@ -75,6 +76,8 @@ def embedding_scale_queries():
     return {
         "dedup_embedding_cosine_lsh_auto": lambda spark, d: embedding_near_pairs(
             _emb(spark, d), threshold=0.40, planes="auto"),
+        "dedup_embedding_cosine_banded_auto": lambda spark, d:
+            embedding_near_pairs_banded(_emb(spark, d), threshold=0.40),
         "dedup_embedding_cosine_ivf_auto": lambda spark, d: embedding_near_pairs_ivf(
             _emb(spark, d), threshold=0.40, n_centroids="auto",
             max_bucket="auto"),

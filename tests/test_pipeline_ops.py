@@ -705,3 +705,63 @@ def test_assembly_validation_errors(spark):
         dataset_split(df, (("train", -0.1), ("rest", 1.1)))
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, budget=0)
+
+
+def test_banded_embedding_lsh_beats_single_table_recall(spark):
+    """The banded variant exists for recall: at matched total planes
+    (4x3 banded vs 12 single-table) OR-amplification must recover
+    pairs the single AND-only table splits. Ground truth is the exact
+    O(N^2) path at the same threshold. Also pins precision-exactness
+    (candidates are exactly verified, so banded ⊆ exact) and sizing
+    sanity."""
+    from optiprism_spark.operators.similarity import (
+        embedding_near_pairs,
+        embedding_near_pairs_banded,
+    )
+    from optiprism_spark.operators.sizing import hyperplane_bands
+    from optiprism_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    t = 0.40
+    exact = {(r.doc_a, r.doc_b)
+             for r in embedding_near_pairs(emb, threshold=t, exact=True).collect()}
+    single = {(r.doc_a, r.doc_b)
+              for r in embedding_near_pairs(emb, threshold=t, planes=12).collect()}
+    banded = {(r.doc_a, r.doc_b)
+              for r in embedding_near_pairs_banded(
+                  emb, threshold=t, bands=4, rows_per_band=3).collect()}
+    assert len(exact) >= 10, f"fixture lost its near-dup pairs ({len(exact)})"
+    assert banded - exact == set(), "sim is exactly verified: banded ⊆ exact"
+    r_banded = len(banded & exact) / len(exact)
+    r_single = len(single & exact) / len(exact)
+    assert r_banded > r_single, (r_banded, r_single)
+    assert r_banded >= 0.5, f"banded recall {r_banded:.2f}"
+
+    sized = hyperplane_bands(1_000_000, 0.9)
+    assert 2 <= sized["bands"] <= 16 and 2 <= sized["rows_per_band"] <= 20
+    # tighter threshold (closer pairs) needs fewer bands at fixed r
+    import pytest as _pytest
+
+    assert (hyperplane_bands(1_000_000, 0.99)["bands"]
+            <= hyperplane_bands(1_000_000, 0.8)["bands"])
+    with _pytest.raises(ValueError):
+        hyperplane_bands(0, 0.9)
+
+
+def test_banded_embedding_lsh_plan_shape(spark):
+    """One persisted corpus scan feeds both join sides; candidates
+    come from a (band, bucket) equi-join — no cartesian anywhere."""
+    from optiprism_spark.operators._util import unpersist_tracked
+    from optiprism_spark.operators.similarity import embedding_near_pairs_banded
+    from optiprism_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = embedding_near_pairs_banded(emb, threshold=0.4, bands=4, rows_per_band=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+        # both join sides read the SAME persisted sketch frame (the
+        # raw parquet scan + B·r sign-bit folds run once, not twice)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        unpersist_tracked()
