@@ -295,6 +295,7 @@ class App:
         session_store: bool = False,
         rollup_store=None,
         rollup_dir: Optional[str] = None,
+        lake: Optional[dict] = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -311,6 +312,12 @@ class App:
         #: directory for CATALOG-DECLARED per-project rollups (POST
         #: /projects/{pid}/schema/rollups); None disables the feature
         self.rollup_dir = rollup_dir
+        #: lake layout for the admin lifecycle plane (user erasure /
+        #: retention): {"table_name", "appends_path", "tiers_path"?,
+        #: "extra_paths"?, "dated_paths"?}. None disables the routes
+        #: (they answer 409) — the maintenance deployment that owns
+        #: the bucketed table opts in.
+        self.lake = lake
         self._rollup_cache: dict = {}
         self.tracked: list[dict] = []
         self.identified: list[dict] = []
@@ -480,6 +487,12 @@ class App:
              self._settings_get, manage_server),
             ("PUT", re.compile(r"^/api/v1/admin/settings$"),
              self._settings_put, manage_server),
+            # data-lifecycle plane (lifecycle.py): right-to-erasure +
+            # retention over the configured lake layout
+            ("POST", re.compile(r"^/api/v1/admin/erase-user$"),
+             self._erase_user, manage_server),
+            ("POST", re.compile(r"^/api/v1/admin/retention$"),
+             self._retention_sweep, manage_server),
         ]
         # ---- admin-plane CRUD (reference http/mod.rs:51-65) ----
         def visible_orgs(ctx, rows):
@@ -739,6 +752,59 @@ class App:
         row = self._settings_row()
         body.pop("name", None)  # the singleton key is fixed
         return 200, self.catalog.update("setting", row["id"], body)
+
+    # ------------------------------------------------- lifecycle handlers
+
+    def _lake(self) -> dict:
+        if not self.lake:
+            raise HttpError(
+                409, "no lake configured (App(lake=...) opts into the "
+                     "lifecycle plane)")
+        return self.lake
+
+    def _erase_user(self, body, m, q):
+        """Right-to-erasure over every lake tier (lifecycle.erase_users)
+        — body ``{"userIds": [...]}``; production queues these and
+        batches them into the maintenance cadence."""
+        from .lifecycle import erase_users
+
+        lake = self._lake()
+        ids = body.get("userIds") or []
+        if not isinstance(ids, list) or not all(
+                isinstance(i, int) for i in ids):
+            raise HttpError(400, "userIds must be a list of ints")
+        out = erase_users(
+            self.spark, lake["table_name"], lake["appends_path"],
+            ids, tiers_path=lake.get("tiers_path"),
+            extra_paths=lake.get("extra_paths") or (),
+        )
+        self.refresh_tables()
+        return 200, out
+
+    def _retention_sweep(self, body, m, q):
+        """Time-based retention: partition drops on every dated store
+        (zero bytes scanned) + a filtered rewrite of the bucketed
+        base. Body ``{"olderThan": "YYYY-MM-DD[THH:MM:SS]"}``."""
+        import datetime as _dt
+
+        from .lifecycle import expire_base, expire_partitions
+
+        lake = self._lake()
+        raw = body.get("olderThan")
+        if not raw:
+            raise HttpError(400, "olderThan is required")
+        try:
+            cutoff = _dt.datetime.fromisoformat(raw)
+        except ValueError as e:
+            raise HttpError(400, f"bad olderThan: {e}")
+        dated = [
+            expire_partitions(p, cutoff.date())
+            for p in lake.get("dated_paths") or ()
+        ]
+        base_removed = expire_base(
+            self.spark, lake["table_name"], lake["appends_path"], cutoff)
+        self.refresh_tables()
+        return 200, {"base_rows_removed": base_removed, "dated": dated}
 
     # ------------------------------------------------------ auth handlers
 
@@ -1450,11 +1516,12 @@ def make_app(
     backup_dir: Optional[str] = None,
     rollup_store=None,
     rollup_dir: Optional[str] = None,
+    lake: Optional[dict] = None,
 ) -> App:
     return App(spark, sf_dir, custom_events=custom_events, now=now,
                catalog=catalog, token_key=token_key, wal_dir=wal_dir,
                session_store=session_store, backup_dir=backup_dir,
-               rollup_store=rollup_store, rollup_dir=rollup_dir)
+               rollup_store=rollup_store, rollup_dir=rollup_dir, lake=lake)
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:

@@ -1,0 +1,184 @@
+"""Data-lifecycle ops: user erasure across every store tier (base,
+L0, tiers, side stores), crash-safety via the shared staging
+protocol, and partition-drop / filtered-rewrite retention."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from optiprism_spark.ingest import (
+    _append_part_files,
+    _committed_tiers,
+    events_snapshot,
+    minor_compact_appends,
+    write_events_bucketed,
+)
+from optiprism_spark.lifecycle import (
+    erase_users,
+    expire_base,
+    expire_partitions,
+)
+from optiprism_spark.schema import load_table
+from optiprism_spark.streaming.sessionize import append_events
+
+SF_DIR = "/root/testdata/sf0.001"
+TBL = "events_lifecycle_test"
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    """Bucketed base (most events) + L0 appends + one committed tier,
+    so erasure has to hit every tier."""
+    events = load_table(spark, SF_DIR, "events").cache()
+    base = events.filter(F.col("event_id") % 5 != 0)
+    l0 = events.filter(F.col("event_id") % 5 == 0).filter(F.col("event_id") % 2 == 0)
+    tier_src = events.filter(F.col("event_id") % 5 == 0).filter(F.col("event_id") % 2 == 1)
+    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+    write_events_bucketed(base, TBL, n_buckets=4)
+    appends = str(tmp_path / "appends")
+    tiers = str(tmp_path / "tiers")
+    append_events(tier_src, appends)
+    minor_compact_appends(spark, appends, tiers)  # L0 -> committed tier
+    append_events(l0, appends)                    # fresh L0 on top
+    assert _append_part_files(appends) and _committed_tiers(tiers)
+    yield appends, tiers, events
+    events.unpersist()
+    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+    spark.sql(f"DROP TABLE IF EXISTS {TBL}__compact_staging")
+
+
+def test_erase_users_all_tiers(spark, store, tmp_path):
+    appends, tiers, events = store
+    victims = [r[0] for r in events.select("user_id").distinct().limit(3).collect()]
+    total_before = events_snapshot(spark, TBL, appends, tiers).count()
+    victim_rows = (
+        events_snapshot(spark, TBL, appends, tiers)
+        .filter(F.col("user_id").isin(victims)).count())
+    assert victim_rows > 0
+
+    # a side store keyed by user (stand-in for profiles)
+    side = str(tmp_path / "profiles.parquet")
+    events.select("user_id").distinct().toPandas().to_parquet(side)
+
+    out = erase_users(spark, TBL, appends, victims, tiers_path=tiers,
+                      extra_paths=[side])
+    snap = events_snapshot(spark, TBL, appends, tiers)
+    assert snap.filter(F.col("user_id").isin(victims)).count() == 0
+    # nothing else was lost
+    assert snap.count() == total_before - victim_rows
+    assert out["base"] + out["l0"] + out["tiers"] == victim_rows
+    assert out["extra"] == len(victims)
+    import pandas as pd
+
+    assert not pd.read_parquet(side)["user_id"].isin(victims).any()
+
+
+def test_erase_preserves_bucket_layout(spark, store):
+    appends, tiers, events = store
+    victims = [r[0] for r in events.select("user_id").distinct().limit(2).collect()]
+    erase_users(spark, TBL, appends, victims, tiers_path=tiers)
+    desc = {(r.col_name or "").strip(): (r.data_type or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {TBL}").collect()}
+    assert desc.get("Num Buckets") == "4", desc.get("Num Buckets")
+    # the bucketed read still elides the sequence shuffle
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.paths import event_paths
+
+    W = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 12, 31))
+    plan = (
+        event_paths(spark.table(TBL), EventRef("signup"), W, steps=3)
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "hashpartitioning(user_id" not in plan, plan
+
+
+def test_erase_crash_recovery_completes_swap(spark, store):
+    """Crash between DROP and RENAME: the shared recovery protocol
+    finishes the swap on the next maintenance entry — the table is
+    never lost."""
+    import json
+
+    appends, tiers, events = store
+    staging = f"{TBL}__compact_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    write_events_bucketed(
+        spark.table(TBL).filter(F.col("user_id") != -1), staging, n_buckets=4)
+    with open(os.path.join(appends, ".compaction_folded.json"), "w") as f:
+        json.dump({"staging": staging, "files": []}, f)
+    spark.sql(f"DROP TABLE {TBL}")  # crash happens here
+
+    from optiprism_spark.ingest import _recover_compaction
+
+    _recover_compaction(spark, TBL, appends)
+    assert spark.catalog.tableExists(TBL)
+    assert not spark.catalog.tableExists(staging)
+
+
+def test_expire_partitions_drops_only_old(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "dated")
+    append_events(events, path)
+    parts = sorted(d for d in os.listdir(path) if d.startswith("dt="))
+    assert len(parts) >= 3
+    cutoff = dt.date.fromisoformat(parts[2].split("=")[1])
+    out = expire_partitions(path, cutoff)
+    assert out["partitions_dropped"] == parts[:2]
+    assert out["bytes_freed"] > 0
+    left = sorted(d for d in os.listdir(path) if d.startswith("dt="))
+    assert left == parts[2:]
+    # survivors still readable with the expected rows
+    expect = events.filter(F.to_date("ts") >= F.lit(cutoff)).count()
+    assert spark.read.parquet(path).count() == expect
+
+
+def test_expire_base_filters_by_time(spark, store):
+    appends, tiers, events = store
+    cutoff = dt.datetime(2024, 1, 15)
+    removed = expire_base(spark, TBL, appends, cutoff)
+    base = spark.table(TBL)
+    assert base.filter(F.col("ts") < F.lit(cutoff)).count() == 0
+    assert removed > 0 and base.count() > 0
+
+
+def test_erase_empty_ids_is_noop(spark, store):
+    appends, tiers, _ = store
+    before = events_snapshot(spark, TBL, appends, tiers).count()
+    out = erase_users(spark, TBL, appends, [], tiers_path=tiers)
+    assert out == {"base": 0, "l0": 0, "tiers": 0, "extra": 0}
+    assert events_snapshot(spark, TBL, appends, tiers).count() == before
+
+
+def test_admin_lifecycle_endpoints(spark, store, tmp_path):
+    """POST /admin/erase-user and /admin/retention drive lifecycle.py
+    over the configured lake; unconfigured servers answer 409."""
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    appends, tiers, events = store
+    app = make_app(spark, SF_DIR, lake={
+        "table_name": TBL, "appends_path": appends, "tiers_path": tiers,
+    })
+    victim = events.select("user_id").distinct().limit(1).collect()[0][0]
+    status, out = call(app, "POST", "/api/v1/admin/erase-user",
+                       {"userIds": [int(victim)]})
+    assert status == 200 and sum(out.values()) > 0
+    snap = events_snapshot(spark, TBL, appends, tiers)
+    assert snap.filter(F.col("user_id") == victim).count() == 0
+
+    status, out = call(app, "POST", "/api/v1/admin/retention",
+                       {"olderThan": "2024-01-10"})
+    assert status == 200
+    assert spark.table(TBL).filter(
+        F.col("ts") < F.lit("2024-01-10")).count() == 0
+
+    status, _ = call(app, "POST", "/api/v1/admin/erase-user",
+                     {"userIds": ["not-an-int"]})
+    assert status == 400
+
+    bare = make_app(spark, SF_DIR)
+    status, _ = call(bare, "POST", "/api/v1/admin/erase-user",
+                     {"userIds": [1]})
+    assert status == 409
