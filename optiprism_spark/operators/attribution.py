@@ -1,0 +1,156 @@
+"""Revenue / conversion attribution — beyond the reference.
+
+The reference ships no attribution model (no attribution/touch types
+anywhere in common/src or query/src); pairing conversions with the
+marketing touches that preceded them is a core product-analytics
+workload. Built Spark-first:
+
+- touches: events matching the touch filter inside the query window,
+  each stamped with a channel expression (a column, a JSON prop, any
+  deterministic derivation);
+- conversions: events matching the conversion filter, carrying a
+  revenue column;
+- pairing: per user, a touch is eligible for a conversion when it
+  happens AT OR BEFORE the conversion and within ``lookback`` of it
+  — the standard attribution window;
+- models: ``first_touch`` (all credit to the earliest eligible
+  touch), ``last_touch`` (the latest), ``linear`` (credit split
+  evenly across eligible touches). Conversions with no eligible
+  touch are reported under the ``(none)`` channel rather than
+  silently dropped — unattributed revenue is a number marketers
+  watch.
+
+Determinism: first/last picking orders by (ts, event_id) — a total
+order — and first/last revenue sums whole conversion values through
+exact decimals, so those models hash-match the DuckDB oracle
+bit-for-bit. Linear splits value/cnt in doubles; its per-channel sum
+is order-sensitive in the last ulp, so the linear model is pinned by
+a tolerance differential test instead of a hash oracle (the one
+model where that is mathematically honest).
+
+Plan shape (the 100 TB story): touches and conversions are two
+narrow filtered projections of one events scan; the pairing is a
+user-key equi-join with a time-range predicate — per-user fan-out is
+touches/user × conversions/user inside the lookback, bounded in
+practice by the lookback itself; the rank for first/last is a window
+over (user, conversion) partitions — same user-hash partitioning as
+the join, so no extra exchange — and the final per-channel aggregate
+is partial-aggregated map-side. Nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..dsl import EventRef, PropFilter, QueryTime
+from ..exprs import full_filter
+from ..operators.aggregates import DECIMAL_T
+from ..schema import EVENT_ID_COL, EVENT_TIME_COL, EVENT_USER_COL
+
+_MODELS = ("first_touch", "last_touch", "linear")
+
+#: channel label for conversions with no eligible touch
+NONE_CHANNEL = "(none)"
+
+
+def attribution_report(
+    events: DataFrame,
+    channel_col: Column,
+    touch_event: EventRef,
+    conversion_event: EventRef,
+    time: QueryTime,
+    model: str = "last_touch",
+    lookback: dt.timedelta = dt.timedelta(days=30),
+    value_col: str = "value",
+    filters: tuple[PropFilter, ...] = (),
+    group_col: str = EVENT_USER_COL,
+) -> DataFrame:
+    """Per-channel attribution: (channel, n_conversions, revenue).
+
+    ``n_conversions`` counts conversions credited to the channel
+    (fractional under ``linear`` — a conversion split across k
+    channels contributes 1/k to each); ``revenue`` is the credited
+    sum of ``value_col``.
+    """
+    if model not in _MODELS:
+        raise ValueError(f"model must be one of {_MODELS}, got {model!r}")
+
+    t_cond = full_filter(time, touch_event, filters)
+    touches = (events.filter(t_cond) if t_cond is not None else events).select(
+        F.col(group_col),
+        channel_col.alias("__channel"),
+        F.col(EVENT_TIME_COL).alias("__t_ts"),
+        F.col(EVENT_ID_COL).alias("__t_id"),
+    )
+    c_cond = full_filter(time, conversion_event, filters)
+    convs = (events.filter(c_cond) if c_cond is not None else events).select(
+        F.col(group_col),
+        F.col(EVENT_ID_COL).alias("__c_id"),
+        F.col(EVENT_TIME_COL).alias("__c_ts"),
+        F.col(value_col).alias("__value"),
+    )
+
+    look = F.expr(f"INTERVAL {int(lookback.total_seconds())} SECOND")
+    matched = convs.join(touches, group_col).filter(
+        (F.col("__t_ts") <= F.col("__c_ts"))
+        & (F.col("__t_ts") >= F.col("__c_ts") - look)
+    )
+    # conversions with no eligible touch (none in lookback, or a user
+    # with no touches at all) — reported under NONE_CHANNEL
+    unmatched = convs.join(
+        matched.select("__c_id").distinct(), "__c_id", "left_anti")
+
+    if model in ("first_touch", "last_touch"):
+        order = (
+            [F.col("__t_ts").asc(), F.col("__t_id").asc()]
+            if model == "first_touch"
+            else [F.col("__t_ts").desc(), F.col("__t_id").desc()]
+        )
+        w = Window.partitionBy(group_col, "__c_id").orderBy(*order)
+        credited = (
+            matched.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__channel", "__c_id", "__value")
+        )
+        per_channel = credited.groupBy("__channel").agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col("__value").cast(DECIMAL_T)).cast("double")
+            .alias("revenue"),
+        )
+        none_rows = unmatched.agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col("__value").cast(DECIMAL_T)).cast("double")
+            .alias("revenue"),
+        ).select(F.lit(NONE_CHANNEL).alias("__channel"),
+                 "n_conversions", "revenue")
+        out = per_channel.unionByName(none_rows).filter(
+            F.col("n_conversions") > 0)
+        return out.select(
+            F.col("__channel").alias("channel"), "n_conversions", "revenue")
+
+    # linear: split each conversion's credit across eligible touches
+    wc = Window.partitionBy(group_col, "__c_id")
+    split = matched.withColumn("__k", F.count(F.lit(1)).over(wc)).select(
+        "__channel",
+        (F.lit(1.0) / F.col("__k")).alias("__share"),
+        (F.col("__value") / F.col("__k")).alias("__rev"),
+    )
+    per_channel = split.groupBy("__channel").agg(
+        F.sum("__share").alias("n_conversions"),
+        F.sum("__rev").alias("revenue"),
+    )
+    none_rows = unmatched.agg(
+        F.count(F.lit(1)).cast("double").alias("n_conversions"),
+        F.sum(F.col("__value").cast(DECIMAL_T)).cast("double").alias("revenue"),
+    ).select(F.lit(NONE_CHANNEL).alias("__channel"),
+             "n_conversions", "revenue")
+    return (
+        per_channel.unionByName(none_rows)
+        .filter(F.col("n_conversions") > 0)
+        .select(F.col("__channel").alias("channel"),
+                "n_conversions", "revenue")
+    )

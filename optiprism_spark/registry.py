@@ -211,6 +211,7 @@ def suite_round_robin(queries: dict) -> dict:
 # module must fail loudly.
 from .suites import (  # noqa: E402,F401
     assembly,
+    attribution,
     catalog_admin,
     dedup,
     engagement,

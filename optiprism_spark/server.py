@@ -457,6 +457,8 @@ class App:
              _timed_query("paths", self._paths), explore),
             ("POST", re.compile(P + r"/queries/experiment$"),
              _timed_query("experiment", self._experiment), explore),
+            ("POST", re.compile(P + r"/queries/attribution$"),
+             _timed_query("attribution", self._attribution), explore),
             ("POST", re.compile(P + r"/event-records/search$"),
              _timed_query("event_records_search", self._event_records_search),
              explore),
@@ -1110,6 +1112,34 @@ class App:
             filters=api._grouped_filters(body, api.EVENT_COLUMNS, props=props),
         )
         return 200, (out, {"variant"})
+
+    def _attribution(self, body, m, q):
+        """Revenue/conversion attribution (beyond the reference).
+        Body: ``{time, touchEvent, conversionEvent, channelProperty,
+        model?, lookbackDays?, filters?}``; model in first_touch |
+        last_touch | linear."""
+        import datetime as _dt
+
+        pid = self._pid(m)
+        from .exprs import prop_col
+        from .operators.attribution import attribution_report
+
+        props = self._props(pid)
+        ces = self._custom_events(pid)
+        out = attribution_report(
+            self._events(),
+            channel_col=prop_col(
+                api.parse_property(body["channelProperty"], props=props)),
+            touch_event=api.parse_event_ref(body["touchEvent"],
+                                            custom_events=ces, props=props),
+            conversion_event=api.parse_event_ref(body["conversionEvent"],
+                                                 custom_events=ces, props=props),
+            time=api.parse_time(body["time"], self.now),
+            model=body.get("model", "last_touch"),
+            lookback=_dt.timedelta(days=float(body.get("lookbackDays", 30))),
+            filters=api._grouped_filters(body, api.EVENT_COLUMNS, props=props),
+        )
+        return 200, (out, {"channel"})
 
     def _event_records_search(self, body, m, q):
         pid = self._pid(m)

@@ -1,0 +1,125 @@
+"""Attribution semantics pinned on a hand-computed fixture, plus a
+tolerance differential for the linear model (its double splits are
+order-sensitive in the last ulp, so it is the one model without a
+hash oracle)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from optiprism_spark.dsl import EventFilterSpec, EventRef, QueryTime
+from optiprism_spark.operators.attribution import attribution_report
+
+T0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+WINDOW = QueryTime.between(dt.datetime(2024, 1, 1),
+                           dt.datetime(2024, 1, 31, 23, 59, 59))
+TOUCHES = EventRef(custom=[
+    EventFilterSpec(EventRef("ad")),
+    EventFilterSpec(EventRef("email")),
+])
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    def e(i, hours, user, ev, value=0.0):
+        return (i, T0 + dt.timedelta(hours=hours), user, ev, value, "{}")
+
+    rows = [
+        # u1: ad(-50h), email(-2h), purchase($10) — last=email, first=ad
+        e(1, -50, 1, "ad"), e(2, -2, 1, "email"), e(3, 0, 1, "purchase", 10.0),
+        # u2: email(-200h: outside 7d lookback? 200h < 168h? no, 200h > 168h
+        #     => OUTSIDE), purchase($5) — unattributed
+        e(4, -200, 2, "email"), e(5, 0, 2, "purchase", 5.0),
+        # u3: no touches, purchase($3) — unattributed
+        e(6, 0, 3, "purchase", 3.0),
+        # u4: ad(-1h), two purchases ($7 at 0h, $2 at +1h) — both last=ad
+        e(7, -1, 4, "ad"), e(8, 0, 4, "purchase", 7.0),
+        e(9, 1, 4, "purchase", 2.0),
+        # u5: touch AFTER the purchase only — unattributed
+        e(10, 2, 5, "ad"), e(11, 0, 5, "purchase", 4.0),
+        # u6: tie ts — ad(id12) and email(id13) at the same instant,
+        #     last-touch picks higher event_id (email), first lower (ad)
+        e(12, -3, 6, "ad"), e(13, -3, 6, "email"),
+        e(14, 0, 6, "purchase", 6.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _report(events, model):
+    return {
+        r["channel"]: (r["n_conversions"], r["revenue"])
+        for r in attribution_report(
+            events, channel_col=F.col("event_type"),
+            touch_event=TOUCHES, conversion_event=EventRef("purchase"),
+            time=WINDOW, model=model, lookback=dt.timedelta(days=7),
+        ).collect()
+    }
+
+
+def test_last_touch(events):
+    assert _report(events, "last_touch") == {
+        "email": (2, 16.0),   # u1 ($10), u6 tie -> email ($6)
+        "ad": (2, 9.0),       # u4 both purchases
+        "(none)": (3, 12.0),  # u2 (outside lookback), u3, u5
+    }
+
+
+def test_first_touch(events):
+    assert _report(events, "first_touch") == {
+        "ad": (4, 25.0),      # u1 ($10), u4 ($9), u6 tie -> ad ($6)
+        "(none)": (3, 12.0),
+    }
+
+
+def test_linear_differential(events):
+    out = _report(events, "linear")
+    # u1: 10 split ad/email; u4: 9 all ad; u6: 6 split ad/email
+    assert out["ad"][1] == pytest.approx(5.0 + 9.0 + 3.0)
+    assert out["email"][1] == pytest.approx(5.0 + 3.0)
+    assert out["ad"][0] == pytest.approx(0.5 + 2.0 + 0.5)
+    assert out["email"][0] == pytest.approx(0.5 + 0.5)
+    assert out["(none)"] == (3.0, 12.0)
+    # credit conservation: channel revenue sums to total revenue
+    assert sum(v for _, v in out.values()) == pytest.approx(10 + 5 + 3 + 7 + 2 + 4 + 6)
+
+
+def test_bad_model_rejected(events):
+    with pytest.raises(ValueError):
+        attribution_report(
+            events, channel_col=F.col("event_type"),
+            touch_event=TOUCHES, conversion_event=EventRef("purchase"),
+            time=WINDOW, model="u_shaped")
+
+
+def test_linear_conservation_on_real_data(spark):
+    """On the sf0.01 corpus: every conversion's value lands somewhere
+    (channels + (none) sum to the exact total), under every model."""
+    from optiprism_spark.schema import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    W = QueryTime.between(dt.datetime(2024, 1, 1),
+                          dt.datetime(2024, 1, 31, 23, 59, 59))
+    touches = EventRef(custom=[
+        EventFilterSpec(EventRef("view")),
+        EventFilterSpec(EventRef("click")),
+    ])
+    total = events.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-01"))
+        & (F.col("ts") <= F.lit("2024-01-31 23:59:59"))
+    ).agg(F.sum("value"), F.count(F.lit(1))).collect()[0]
+    for model in ("first_touch", "last_touch", "linear"):
+        rep = attribution_report(
+            events, channel_col=F.col("event_type"),
+            touch_event=touches, conversion_event=EventRef("purchase"),
+            time=W, model=model, lookback=dt.timedelta(days=7),
+        ).collect()
+        assert sum(r["revenue"] for r in rep) == pytest.approx(total[0], rel=1e-9)
+        assert sum(r["n_conversions"] for r in rep) == pytest.approx(total[1])

@@ -426,3 +426,40 @@ def test_experiment_endpoint(app, spark):
     assert got == want
     types = {c["name"]: c["type"] for c in payload["columns"]}
     assert types["variant"] == "dimension" and types["cvr"] == "metric"
+
+
+def test_attribution_endpoint(app, spark):
+    """POST /queries/attribution matches the directly-run operator."""
+    body = {
+        "time": T_JAN,
+        "touchEvent": {"eventName": "view", "eventType": "regular"},
+        "conversionEvent": {"eventName": "purchase", "eventType": "regular"},
+        "channelProperty": {"propertyName": "event_type"},
+        "model": "last_touch",
+        "lookbackDays": 7,
+    }
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/attribution", body)
+    assert status == 200
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.attribution import attribution_report
+    from optiprism_spark.schema import load_table
+
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31, 23, 59, 59))
+    direct = attribution_report(
+        load_table(spark, SF_DIR, "events"),
+        channel_col=F.col("event_type"),
+        touch_event=EventRef("view"),
+        conversion_event=EventRef("purchase"),
+        time=W, model="last_touch", lookback=dtm.timedelta(days=7),
+    ).collect()
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    assert sorted(zip(cols["channel"], cols["n_conversions"])) == sorted(
+        (r.channel, r.n_conversions) for r in direct)
+    types = {c["name"]: c["type"] for c in payload["columns"]}
+    assert types["channel"] == "dimension" and types["revenue"] == "metric"
