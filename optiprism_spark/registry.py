@@ -210,6 +210,7 @@ def suite_round_robin(queries: dict) -> dict:
 # Extend this list as suites are added — no try/except, a broken suite
 # module must fail loudly.
 from .suites import (  # noqa: E402,F401
+    alerts,
     assembly,
     attribution,
     catalog_admin,
