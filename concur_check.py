@@ -88,9 +88,35 @@ WORKLOAD = {
             ],
         },
     ),
+    "paths_from_signup": (
+        "/api/v1/projects/1/queries/paths",
+        {
+            "time": T_JAN, "steps": 3, "topK": 15,
+            "anchorEvent": {"eventName": "signup", "eventType": "regular"},
+        },
+    ),
+    "retention_weekly": (
+        "/api/v1/projects/1/queries/retention",
+        {
+            "time": T_JAN, "intervalUnit": "week", "maxPeriods": 8,
+            "cohortEvent": {"eventName": "signup", "eventType": "regular"},
+            "returnEvent": {"eventName": "purchase", "eventType": "regular"},
+        },
+    ),
+    "attribution_last": (
+        "/api/v1/projects/1/queries/attribution",
+        {
+            "time": T_JAN, "model": "last_touch", "lookbackDays": 7,
+            "touchEvent": {"eventName": "view", "eventType": "regular"},
+            "conversionEvent": {"eventName": "purchase",
+                                "eventType": "regular"},
+            "channelProperty": {"propertyName": "event_type"},
+        },
+    ),
 }
 
-LIGHT = ("segmentation_daily", "segmentation_breakdown", "records_search")
+LIGHT = ("segmentation_daily", "segmentation_breakdown", "records_search",
+         "paths_from_signup", "attribution_last")
 
 
 def post(base: str, path: str, body: dict) -> float:

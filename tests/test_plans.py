@@ -443,3 +443,32 @@ def test_event_paths_bucketed_table_elides_window_shuffle(spark):
             map(tuple, slow.collect()))
     finally:
         spark.sql("DROP TABLE IF EXISTS events_paths_bucketed_test")
+
+
+def test_attribution_no_cartesian_and_partial_aggs(spark):
+    """Attribution pairing is a user-key equi-join (never cartesian),
+    the first/last rank shares the join's user-hash partitioning, and
+    the per-channel rollup partial-aggregates map-side."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.attribution import attribution_report
+    from optiprism_spark.schema import load_table
+
+    W = QueryTime.between(
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+    df = attribution_report(
+        load_table(spark, SF_SMOKE, "events"),
+        channel_col=F.col("event_type"),
+        touch_event=EventRef("view"),
+        conversion_event=EventRef("purchase"),
+        time=W, model="last_touch", lookback=dt.timedelta(days=7))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "partial_" in plan, plan
+    # scans are narrow: only the pairing columns reach parquet
+    for schema in _scan_read_schemas(plan):
+        cols = set(re.findall(r"(\w+):", schema))
+        assert cols <= {"event_id", "ts", "user_id", "event_type", "value"}, cols
