@@ -226,6 +226,7 @@ from .suites import (  # noqa: E402,F401
     reshape,
     retention,
     rollup,
+    rollup_hist,
     segmentation,
     segments,
     similarity,

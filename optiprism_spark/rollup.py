@@ -94,6 +94,11 @@ class RollupSpec:
     group_col: str = EVENT_USER_COL
     hll_lg_k: int = 14
     json_dims: tuple[tuple[str, str], ...] = ()
+    #: (prop, bin edges) — adds per-bin count columns, the mergeable
+    #: state behind percentile_estimate. Edges are fixed at DDL time
+    #: (like every histogram-backed materialized view); estimate
+    #: error is bounded by the local bin width.
+    histogram_props: tuple[tuple[str, tuple[float, ...]], ...] = ()
 
     @property
     def all_dim_names(self) -> tuple[str, ...]:
@@ -119,6 +124,12 @@ class RollupSpec:
     def cnt_col(self, p: str) -> str:
         return f"{p}_cnt"
 
+    def hist_col(self, p: str, i: int) -> str:
+        return f"{p}_h{i}"
+
+    def hist_edges(self, p: str) -> tuple[float, ...]:
+        return dict(self.histogram_props)[p]
+
 
 def build_rollup(events: DataFrame, spec: RollupSpec = RollupSpec()) -> DataFrame:
     """Aggregate raw events to the day × dims grain.
@@ -135,6 +146,19 @@ def build_rollup(events: DataFrame, spec: RollupSpec = RollupSpec()) -> DataFram
             F.max(c).alias(spec.max_col(p)),
             F.count(c).alias(spec.cnt_col(p)),
         ]
+    for p, edges in spec.histogram_props:
+        c = F.col(p)
+        for i in range(len(edges) + 1):
+            if i == 0:
+                cond = c < F.lit(edges[0])
+            elif i == len(edges):
+                cond = c >= F.lit(edges[-1])
+            else:
+                cond = (c >= F.lit(edges[i - 1])) & (c < F.lit(edges[i]))
+            # NULL values fall to otherwise(0) — excluded, same as cnt
+            aggs.append(
+                F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+                .alias(spec.hist_col(p, i)))
     aggs.append(
         F.hll_sketch_agg(F.col(spec.group_col), F.lit(spec.hll_lg_k)).alias(USERS_HLL_COL)
     )
@@ -165,6 +189,10 @@ def merge_rollups(parts: Sequence[DataFrame], spec: RollupSpec = RollupSpec()) -
             F.max(spec.max_col(p)).alias(spec.max_col(p)),
             F.sum(spec.cnt_col(p)).alias(spec.cnt_col(p)),
         ]
+    for p, edges in spec.histogram_props:
+        for i in range(len(edges) + 1):
+            name = spec.hist_col(p, i)
+            aggs.append(F.sum(name).alias(name))
     aggs.append(F.hll_union_agg(F.col(USERS_HLL_COL)).alias(USERS_HLL_COL))
     return df.groupBy(ROLLUP_DT_COL, *spec.all_dim_names).agg(*aggs)
 
@@ -447,4 +475,66 @@ def unique_groups_estimate(
         F.hll_sketch_estimate(F.hll_union_agg(F.col(USERS_HLL_COL))).alias(
             "unique_groups_est"
         )
+    )
+
+
+def percentile_estimate(
+    rollup: DataFrame,
+    spec: RollupSpec,
+    prop: str,
+    qs: Sequence[float],
+    dims: Sequence[str] = (),
+) -> DataFrame:
+    """Approximate percentiles from the rollup's histogram bins — the
+    rollup's answer to median/p90 without touching raw events.
+
+    Bins merge across days/dims by summation, then the estimate walks
+    the cumulative counts to the first bin holding rank ``q·N`` and
+    interpolates linearly inside it; mass below the lowest edge clamps
+    to it (likewise above the highest). Error ≤ the local bin width —
+    the DDL-time knob (sizing edges to the data's scale is the same
+    trade every histogram-backed metrics store makes). Deterministic
+    arithmetic (integer bin counts, one double expression per q), so
+    even the estimates are oracle-hashable.
+
+    Output: (*dims, n, p{q}_est per q). Rows with n = 0 return NULL
+    estimates.
+    """
+    edges = spec.hist_edges(prop)
+    n_bins = len(edges) + 1
+    g = rollup.groupBy(*[F.col(d) for d in dims]).agg(*[
+        F.sum(spec.hist_col(prop, i)).alias(f"__b{i}") for i in range(n_bins)
+    ])
+    bins = [F.col(f"__b{i}") for i in range(n_bins)]
+    total = bins[0]
+    for b in bins[1:]:
+        total = total + b
+    cums = []
+    acc = None
+    for b in bins:
+        acc = b if acc is None else acc + b
+        cums.append(acc)
+
+    def est(q: float):
+        target = F.lit(q) * total
+        expr = F.when(cums[0] >= target, F.lit(float(edges[0])))
+        for i in range(1, n_bins - 1):
+            lo, hi = float(edges[i - 1]), float(edges[i])
+            interp = (
+                F.lit(lo)
+                + (F.lit(hi) - F.lit(lo))
+                * (target - cums[i - 1]) / bins[i]
+            )
+            expr = expr.when(cums[i] >= target, interp)
+        expr = expr.otherwise(F.lit(float(edges[-1])))
+        return F.when(total > 0, expr)
+
+    return g.select(
+        *[F.col(d) for d in dims],
+        total.alias("n"),
+        # rounded to 6 decimals: the last-ulp of the interpolation is
+        # engine-specific (FMA contraction), and an estimate with
+        # bin-width error bars has no meaningful 1e-13 digits anyway
+        *[F.round(est(q), 6).alias(f"p{int(round(q * 100))}_est")
+          for q in qs],
     )
