@@ -459,6 +459,8 @@ class App:
              _timed_query("experiment", self._experiment), explore),
             ("POST", re.compile(P + r"/queries/attribution$"),
              _timed_query("attribution", self._attribution), explore),
+            ("POST", re.compile(P + r"/queries/percentiles$"),
+             _timed_query("percentiles", self._percentiles), explore),
             ("POST", re.compile(P + r"/event-records/search$"),
              _timed_query("event_records_search", self._event_records_search),
              explore),
@@ -679,6 +681,15 @@ class App:
         for p in body.get("numericProps") or ():
             if p not in events.columns:
                 raise HttpError(400, f"unknown numeric column {p!r}")
+        for hp in body.get("histogramProps") or ():
+            if not (isinstance(hp, (list, tuple)) and len(hp) == 2
+                    and hp[0] in events.columns
+                    and isinstance(hp[1], (list, tuple)) and len(hp[1]) >= 2
+                    and all(isinstance(e, (int, float)) for e in hp[1])
+                    and list(hp[1]) == sorted(set(hp[1]))):
+                raise HttpError(
+                    400, "histogramProps entries are [column, "
+                         "[strictly-increasing numeric edges...]] pairs")
         row = self.catalog.create("rollup", body, project_id=pid)
         self._store_for_rollup_row(pid, row).rebuild(self.spark, events)
         self._rollup_cache.pop(pid, None)
@@ -932,6 +943,10 @@ class App:
             dims=tuple(row.get("dims") or ("event_type",)),
             numeric_props=tuple(row.get("numericProps") or ("value",)),
             json_dims=tuple((n, d) for n, d in (row.get("jsonDims") or ())),
+            histogram_props=tuple(
+                (n, tuple(float(e) for e in edges))
+                for n, edges in (row.get("histogramProps") or ())
+            ),
         )
         return RollupStore(
             os.path.join(self.rollup_dir, f"p{pid}_{row['name']}"), spec
@@ -1140,6 +1155,35 @@ class App:
             filters=api._grouped_filters(body, api.EVENT_COLUMNS, props=props),
         )
         return 200, (out, {"channel"})
+
+    def _percentiles(self, body, m, q):
+        """Histogram-percentile estimates from a catalog-declared
+        rollup (rollup.percentile_estimate). Body: ``{rollup,
+        property, qs?, dims?}`` — the rollup must declare the
+        property in its histogramProps."""
+        pid = self._pid(m)
+        from .rollup import percentile_estimate
+
+        name = body.get("rollup")
+        rows = [r for r in self.catalog.list("rollup", pid)
+                if r.get("name") == name]
+        if not rows:
+            raise HttpError(404, f"no rollup named {name!r}")
+        store = self._store_for_rollup_row(pid, rows[0])
+        prop = body.get("property")
+        if prop not in dict(store.spec.histogram_props):
+            raise HttpError(
+                400, f"rollup {name!r} declares no histogram for {prop!r}")
+        dims = tuple(body.get("dims") or ())
+        bad = [d for d in dims if d not in store.spec.all_dim_names]
+        if bad:
+            raise HttpError(400, f"not rollup dims: {bad}")
+        qs = tuple(float(x) for x in (body.get("qs") or (0.5, 0.9)))
+        if not all(0.0 < x < 1.0 for x in qs):
+            raise HttpError(400, "qs must be in (0, 1)")
+        out = percentile_estimate(
+            store.read(self.spark), store.spec, prop, qs, dims=dims)
+        return 200, (out, set(dims))
 
     def _event_records_search(self, body, m, q):
         pid = self._pid(m)

@@ -72,3 +72,47 @@ def test_estimator_edges(spark):
         build_rollup(df.filter(F.lit(False)), SPEC), SPEC, "value", (0.5,))
     row = empty.collect()[0]
     assert row["n"] is None or row["n"] == 0  # global agg over nothing
+
+
+def test_percentiles_http_product_loop(spark, tmp_path):
+    """Declare a histogram rollup through the schema CRUD, then read
+    percentile estimates from POST /queries/percentiles — matching
+    the directly-run estimator; bad declarations and reads 4xx."""
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    app = make_app(spark, SF, rollup_dir=str(tmp_path / "rollups"))
+
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "hbad", "histogramProps": [["value", [5, 5, 1]]]})
+    assert st == 400
+
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "hist", "dims": ["event_type"],
+                  "histogramProps": [["value", list(EDGES)]]})
+    assert st == 201
+
+    st, payload = call(app, "POST", "/api/v1/projects/1/queries/percentiles",
+                       {"rollup": "hist", "property": "value",
+                        "qs": [0.5, 0.9], "dims": ["event_type"]})
+    assert st == 200
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    from optiprism_spark.rollup import RollupStore
+
+    store = RollupStore(str(tmp_path / "rollups" / "p1_hist"),
+                        RollupSpec(histogram_props=(("value", EDGES),)))
+    direct = percentile_estimate(
+        store.read(spark), store.spec, "value", (0.5, 0.9),
+        dims=("event_type",)).collect()
+    assert sorted(zip(cols["event_type"], cols["p50_est"], cols["p90_est"])) \
+        == sorted((r.event_type, r.p50_est, r.p90_est) for r in direct)
+
+    st, _ = call(app, "POST", "/api/v1/projects/1/queries/percentiles",
+                 {"rollup": "hist", "property": "nope"})
+    assert st == 400
+    st, _ = call(app, "POST", "/api/v1/projects/1/queries/percentiles",
+                 {"rollup": "missing", "property": "value"})
+    assert st == 404
+    st, _ = call(app, "POST", "/api/v1/projects/1/queries/percentiles",
+                 {"rollup": "hist", "property": "value", "qs": [1.5]})
+    assert st == 400
