@@ -43,6 +43,7 @@ def anomaly_flags(
     window: int = 7,
     z_threshold: float = 3.0,
     min_periods: int = 3,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Append (baseline_mean, z_score, is_anomaly) to a daily series.
 
@@ -50,9 +51,14 @@ def anomaly_flags(
     ``min_periods`` buckets or has zero variance (a flat baseline
     has no scale — a deviation from it is a level CHANGE, not a
     z-scored spike; callers wanting that add an equality check).
+    ``by``: dimension columns — each group gets its own independent
+    trailing baseline, and the window partitions by them (the
+    many-series frame stays distributed instead of single-partition).
     """
     idx = F.datediff(F.col(bucket_col), F.lit(_EPOCH))
-    w = Window.orderBy(idx).rangeBetween(-window, -1)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by]) if by else Window
+    ).orderBy(idx).rangeBetween(-window, -1)
     v = F.col(value_col)
     k = F.count(v).over(w)
     s = F.sum(v).over(w)
