@@ -264,6 +264,32 @@ def events_queries():
                             steps=list(steps), window_ms=3_600_000)
         return estimated_funnel_report(_ev(spark, d), req, 0.125)
 
+    def attribution_last(spark, d):
+        import datetime as _dt
+
+        from optiprism_spark.operators.attribution import attribution_report
+
+        return attribution_report(
+            _ev(spark, d), channel_col=F.col("event_type"),
+            touch_event=EventRef(custom=[
+                EventFilterSpec(EventRef("index")),
+                EventFilterSpec(EventRef("product")),
+            ]),
+            conversion_event=EventRef("purchase"),
+            time=time, model="last_touch",
+            lookback=_dt.timedelta(days=7))
+
+    def experiment_readout(spark, d):
+        from optiprism_spark.operators.experiment import experiment_report
+
+        variant = F.concat(
+            F.lit("v"), (F.col("user_id") % 3).cast("string"))
+        return experiment_report(
+            _ev(spark, d), variant_col=variant,
+            exposure_event=EventRef("index"),
+            conversion_event=EventRef("purchase"),
+            time=time, control="v0")
+
     def _ev(spark, d):
         return spark.read.parquet(os.path.join(d, "events.parquet"))
 
@@ -280,6 +306,8 @@ def events_queries():
         "paths_topk_gen": paths_topk,
         "est_seg_sampled_gen": est_seg_sampled,
         "est_funnel_sampled_gen": est_funnel_sampled,
+        "attribution_last_gen": attribution_last,
+        "experiment_readout_gen": experiment_readout,
     }
 
 
