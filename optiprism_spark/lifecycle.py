@@ -81,7 +81,14 @@ def _rewrite_base_filtered(
 
     _recover_compaction(spark, table_name, appends_path)
     base = spark.table(table_name)
-    before = base.count()
+    # one narrow pass computes total and kept together — at the scale
+    # this module targets, separate before/after counts would double
+    # the rewrite's scan cost just to report a number
+    counts = base.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(keep, F.lit(1)).otherwise(F.lit(0))).alias("kept"),
+    ).collect()[0]
+    removed = int(counts["total"] or 0) - int(counts["kept"] or 0)
     staging = f"{table_name}__compact_staging"
     manifest = os.path.join(appends_path, _ERASE_MANIFEST)
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
@@ -97,7 +104,7 @@ def _rewrite_base_filtered(
     spark.sql(f"DROP TABLE {table_name}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
     os.remove(manifest)
-    return before - spark.table(table_name).count()
+    return removed
 
 
 def _rewrite_file_excluding_users(path: str, user_ids, user_col: str) -> int:

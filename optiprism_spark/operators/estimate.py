@@ -78,7 +78,10 @@ def _is_additive(q: SegQuery) -> bool:
     if q.kind in _ADDITIVE_KINDS:
         return True
     if q.kind in ("aggregate_property", "aggregate_property_per_group"):
-        return q.agg == AggFn.SUM
+        # SUM totals and COUNT totals (of values / of groups) are both
+        # additive over sampled users; AVG/MIN/MAX/percentiles are
+        # ratio/order statistics and pass through
+        return q.agg in (AggFn.SUM, AggFn.COUNT)
     return False
 
 
@@ -98,6 +101,10 @@ def estimated_event_segmentation(
 
     sampled = user_sample(events, rate, seed, req.group_col)
     out = run_event_segmentation(sampled, req, **kwargs)
+    if rate == 1.0:
+        # exact passthrough: no scaling, and column dtypes unchanged
+        # (a dashboard toggling 100% <-> sampled keeps its schema)
+        return out
     inv = 1.0 / float(rate)
     for ei, eq in enumerate(req.events):
         for qi, q in enumerate(eq.queries):
@@ -134,10 +141,12 @@ def estimated_funnel_report(
     population estimates (doubles). Same schema as funnel_report."""
     from .funnel import funnel_report
 
-    out = funnel_report(user_sample(events, rate, seed), req, **kwargs)
-    inv = 1.0 / float(rate)
+    out = funnel_report(
+        user_sample(events, rate, seed, group_col=req.group_col), req,
+        **kwargs)
     if rate == 1.0:
         return out
+    inv = 1.0 / float(rate)
     for c in out.columns:
         if _FUNNEL_SCALED_RE.match(c):
             out = out.withColumn(c, (F.col(c) * F.lit(inv)).cast("double"))
@@ -157,7 +166,11 @@ def estimated_retention(
     consistent scaling of numerator and denominator."""
     from .retention import retention
 
-    out = retention(user_sample(events, rate, seed), **retention_kwargs)
+    out = retention(
+        user_sample(events, rate, seed,
+                    group_col=retention_kwargs.get("group_col",
+                                                   EVENT_USER_COL)),
+        **retention_kwargs)
     if rate == 1.0:
         return out
     inv = 1.0 / float(rate)

@@ -90,6 +90,13 @@ def experiment_report(
         F.col("n_converted").alias("__cx"),
         F.col("cvr").alias("__ccvr"),
     )
+    # a control that matches no exposures would cross-join the report
+    # against zero rows and return an EMPTY readout with no hint the
+    # control name was wrong — fail loudly instead (one bounded job
+    # over the user-grain aggregate; a readout query, not a pipeline)
+    if not ctrl.head(1):
+        raise ValueError(
+            f"control variant {control!r} matched no exposures")
     # two-proportion pooled z: p = (x1+x2)/(n1+n2),
     # z = (cvr - ccvr) / sqrt(p (1-p) (1/n1 + 1/n2)) — expression
     # structure mirrored verbatim in the oracle SQL so the doubles

@@ -76,7 +76,17 @@ def _sequence_frame(
     df = events.filter(base_cond) if base_cond is not None else events
     if exclude_events:
         df = df.filter(~F.col(name_col).isin(list(exclude_events)))
-    df = df.select(group_col, EVENT_TIME_COL, EVENT_ID_COL, name_col)
+    # the anchor predicate is evaluated BEFORE the narrow projection:
+    # a custom anchor's member filters may reference columns (JSON
+    # props) the sequence frame does not carry — the boolean rides
+    # through the window instead, and Catalyst still prunes the scan
+    # to the referenced columns only
+    anchor_cond = event_expression(anchor, name_col)
+    df = df.withColumn(
+        "__anchor",
+        anchor_cond if anchor_cond is not None else F.lit(True))
+    df = df.select(group_col, EVENT_TIME_COL, EVENT_ID_COL, name_col,
+                   "__anchor")
 
     w = Window.partitionBy(group_col).orderBy(EVENT_TIME_COL, EVENT_ID_COL)
     shift = F.lead if direction == "forward" else F.lag
@@ -87,7 +97,8 @@ def _sequence_frame(
     )
 
     step_cols: list[Column] = []
-    proj = [F.col(c) for c in (group_col, EVENT_TIME_COL, EVENT_ID_COL, name_col)]
+    proj = [F.col(c) for c in (group_col, EVENT_TIME_COL, EVENT_ID_COL,
+                               name_col, "__anchor")]
     for i in range(1, steps):
         ev_i = shift(F.col(name_col), i).over(w)
         if budget is not None:
@@ -102,10 +113,7 @@ def _sequence_frame(
         proj.append(ev_i.alias(name))
         step_cols.append(F.col(name))
 
-    seq = df.select(*proj)
-    anchor_cond = event_expression(anchor, name_col)
-    if anchor_cond is not None:
-        seq = seq.filter(anchor_cond)
+    seq = df.select(*proj).filter(F.col("__anchor")).drop("__anchor")
     return seq, step_cols
 
 

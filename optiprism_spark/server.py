@@ -249,6 +249,22 @@ def _ts_to_us(ts: Optional[str]) -> int:
     return int(parsed.timestamp() * 1_000_000)
 
 
+def _sampling_rate(body: dict) -> float:
+    """samplingRate in (0, 1]; anything else (a percent, a negative,
+    NaN) is a client error — silently routing 2.0 to the exact path
+    would hand back numbers the caller believes are scaled."""
+    raw = body.get("samplingRate", 1.0)
+    try:
+        rate = float(raw)
+    except (TypeError, ValueError):
+        raise HttpError(400, f"samplingRate must be a number, got {raw!r}")
+    if not 0.0 < rate <= 1.0:
+        raise HttpError(
+            400, f"samplingRate must be in (0, 1], got {raw!r} "
+                 "(a fraction, not a percent)")
+    return rate
+
+
 def _timed_query(qtype: str, handler: Callable) -> Callable:
     """Per-query-type counter around an explore handler, tagging it so
     the dispatch site can time plan build AND the collect together —
@@ -995,7 +1011,7 @@ class App:
         dims.update(b.name for b in req.breakdowns)
         for e in req.events:
             dims.update(b.name for b in e.breakdowns)
-        rate = float(body.get("samplingRate", 1.0))
+        rate = _sampling_rate(body)
         if rate < 1.0:
             # estimation mode: user-coherent sample, additive metrics
             # Horvitz-Thompson scaled (operators/estimate.py); the
@@ -1045,7 +1061,7 @@ class App:
             unbounded=bool(body.get("unbounded", False)),
             filters=req_filters,
         )
-        rate = float(body.get("samplingRate", 1.0))
+        rate = _sampling_rate(body)
         if rate < 1.0:
             from .operators.estimate import estimated_retention
 
@@ -1081,7 +1097,7 @@ class App:
             exclude_events=tuple(body.get("excludeEvents") or ()),
         )
         events = self._events()
-        rate = float(body.get("samplingRate", 1.0))
+        rate = _sampling_rate(body)
         if rate < 1.0:
             # user-coherent sample: journeys stay whole; the top-k
             # ORDER is invariant under uniform scaling, so scaled

@@ -164,3 +164,62 @@ def test_estimated_funnel_scaling_rules(spark):
         assert e["step2_total"] == r["step2_total"] * 4.0
         assert e["step2_conversion_ratio"] == r["step2_conversion_ratio"]
         assert e["step2_avg_time_to_convert"] == r["step2_avg_time_to_convert"]
+
+
+def test_count_aggregates_scale_too(spark):
+    """COUNT-family aggregateProperty metrics are additive totals and
+    must scale by 1/rate (review finding: they silently passed
+    through unscaled)."""
+    events = load_table(spark, SF, "events")
+    req = EventSegmentationRequest(
+        time=WINDOW, interval=TimeIntervalUnit.MONTH,
+        events=[EventQuery(
+            EventRef("purchase"),
+            [SegQuery("aggregate_property", agg=AggFn.COUNT,
+                      prop=PropertyRef.column("value"), alias="nv")],
+        )],
+    )
+    est = estimated_event_segmentation(events, req, 0.25).collect()[0]
+    from optiprism_spark.queries.event_segmentation import run_event_segmentation
+    sampled = run_event_segmentation(user_sample(events, 0.25), req).collect()[0]
+    assert est["nv"] == sampled["nv"] * 4.0
+
+
+def test_rate_one_keeps_dtypes(spark):
+    """rate=1.0 is a true passthrough: no scaling AND no dtype change
+    (longs stay longs)."""
+    events = load_table(spark, SF, "events")
+    req = EventSegmentationRequest(
+        time=WINDOW, interval=TimeIntervalUnit.MONTH,
+        events=[EventQuery(EventRef("view"),
+                           [SegQuery("count_events", alias="n")])],
+    )
+    exact = estimated_event_segmentation(events, req, 1.0)
+    assert dict(exact.dtypes)["n"] == "bigint"
+
+
+def test_sampled_funnel_respects_group_col(spark):
+    """The sample unit follows the funnel's group column — sampling
+    user_id while partitioning by another entity would hand the
+    machine truncated streams (review finding)."""
+    from optiprism_spark.dsl import (
+        EventFilterSpec, EventRef, FunnelRequest, FunnelStep, TimeIntervalUnit,
+    )
+    from optiprism_spark.operators.estimate import estimated_funnel_report
+    from optiprism_spark.operators.funnel import funnel_report
+
+    events = load_table(spark, SF, "events").withColumn(
+        "org_id", F.col("user_id") % 37)
+    req = FunnelRequest(
+        time=WINDOW, interval=TimeIntervalUnit.MONTH,
+        steps=[FunnelStep([EventFilterSpec(EventRef("view"))]),
+               FunnelStep([EventFilterSpec(EventRef("purchase"))])],
+        window_ms=7 * 86_400_000, group_col="org_id",
+    )
+    est = {r["bucket"]: r for r in
+           estimated_funnel_report(events, req, 0.25).collect()}
+    raw = {r["bucket"]: r for r in funnel_report(
+        user_sample(events, 0.25, group_col="org_id"), req).collect()}
+    assert set(est) == set(raw) and est
+    for b in est:
+        assert est[b]["total"] == raw[b]["total"] * 4.0

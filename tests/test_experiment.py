@@ -92,7 +92,8 @@ def test_plan_reduces_both_sides_before_join(events, spark):
 
     df = experiment_report(
         load_table(spark, "/root/testdata/sf0.001", "events"),
-        variant_col=F.get_json_object("props", "$.k"),
+        variant_col=(F.get_json_object("props", "$.k").cast("long") % 2)
+        .cast("string"),
         exposure_event=EventRef("view"),
         conversion_event=EventRef("purchase"),
         time=WINDOW,
@@ -104,3 +105,14 @@ def test_plan_reduces_both_sides_before_join(events, spark):
     assert "partial_max" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_missing_control_raises(events):
+    """A control matching no exposures fails loudly instead of
+    returning an empty readout (review finding)."""
+    with pytest.raises(ValueError, match="matched no exposures"):
+        experiment_report(
+            events, variant_col=F.get_json_object("props", "$.v"),
+            exposure_event=EventRef("expose"),
+            conversion_event=EventRef("purchase"),
+            time=WINDOW, control="no-such-arm")

@@ -128,3 +128,31 @@ def test_dropoff_monotone_on_real_data(spark):
         by_step[r["step"]] = by_step.get(r["step"], 0) + r["n_starts"]
     steps = sorted(by_step)
     assert all(by_step[a] >= by_step[b] for a, b in zip(steps, steps[1:]))
+
+
+def test_custom_anchor_with_property_filters(events, spark):
+    """A custom anchor whose members carry property filters works —
+    the anchor predicate is evaluated before the narrow projection
+    drops the filter's columns (review finding: it crashed with
+    UNRESOLVED_COLUMN)."""
+    from optiprism_spark.dsl import (
+        EventFilterSpec, PropFilter, PropOp, PropertyRef,
+    )
+
+    from optiprism_spark.schema import load_table
+
+    # events fixture has props="{}" — use the sf table, whose props
+    # carry the JSON int prop k
+    real = load_table(spark, "/root/testdata/sf0.001", "events")
+    anchor = EventRef(custom=[EventFilterSpec(
+        EventRef("signup"),
+        filters=(PropFilter(PropertyRef.json("k", "int64"),
+                            PropOp.GT, (50,)),),
+    )])
+    out = event_paths(real, anchor, WINDOW, steps=3, top_k=10).collect()
+    assert out and all(r["path"].startswith("signup") for r in out)
+    # fewer anchors than the unfiltered variant
+    all_out = event_paths(real, EventRef("signup"), WINDOW,
+                          steps=3, top_k=1000)
+    filt_total = sum(r["n_starts"] for r in out)
+    assert filt_total < sum(r["n_starts"] for r in all_out.collect())

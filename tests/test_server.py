@@ -391,19 +391,13 @@ def test_retention_and_paths_sampling_rate(app, spark):
 
 
 def test_experiment_endpoint(app, spark):
-    """POST /queries/experiment matches the directly-run operator."""
-    body = {
-        "time": T_JAN,
-        "exposureEvent": {"eventName": "view", "eventType": "regular"},
-        "conversionEvent": {"eventName": "purchase", "eventType": "regular"},
-        "variantProperty": {"propertyName": "k", "dtype": "int64"},
-        "control": "0",
-    }
-    status, payload = call(
-        app, "POST", "/api/v1/projects/1/queries/experiment", body)
-    assert status == 200
+    """POST /queries/experiment matches the directly-run operator.
+    The control is picked from the data's actual first-exposure
+    variants — an arbitrary value used to compare two vacuously-empty
+    reports (the pre-guard behavior this fix exposed)."""
     import datetime as dtm
 
+    from pyspark.sql import Window as Wn
     from pyspark.sql import functions as F
 
     from optiprism_spark.dsl import EventRef, PropertyRef, QueryTime
@@ -411,17 +405,41 @@ def test_experiment_endpoint(app, spark):
     from optiprism_spark.operators.experiment import experiment_report
     from optiprism_spark.schema import load_table
 
+    events = load_table(spark, SF_DIR, "events")
+    first = (
+        events.filter(F.col("event_type") == "view")
+        .withColumn("__rn", F.row_number().over(
+            Wn.partitionBy("user_id").orderBy("ts", "event_id")))
+        .filter(F.col("__rn") == 1)
+        .select(prop_col(PropertyRef.json("k", "int64")).alias("k"))
+    )
+    control = str(first.groupBy("k").count()
+                  .orderBy(F.desc("count"), "k").first()["k"])
+
+    body = {
+        "time": T_JAN,
+        "exposureEvent": {"eventName": "view", "eventType": "regular"},
+        "conversionEvent": {"eventName": "purchase", "eventType": "regular"},
+        "variantProperty": {"propertyName": "k", "dtype": "int64"},
+        "control": control,
+    }
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/experiment", body)
+    assert status == 200
+
     W = QueryTime.between(dtm.datetime(2024, 1, 1),
                           dtm.datetime(2024, 1, 31, 23, 59, 59))
     direct = experiment_report(
-        load_table(spark, SF_DIR, "events"),
+        events,
         variant_col=prop_col(PropertyRef.json("k", "int64")),
         exposure_event=EventRef("view"),
         conversion_event=EventRef("purchase"),
-        time=W, control="0",
+        time=W, control=control,
     ).collect()
+    assert direct  # non-vacuous: the control arm exists
     cols = {c["name"]: c["data"] for c in payload["columns"]}
-    got = sorted(zip(cols["variant"], cols["n_users"], cols["n_converted"]))
+    got = sorted(zip([str(v) for v in cols["variant"]],
+                     cols["n_users"], cols["n_converted"]))
     want = sorted((str(r.variant), r.n_users, r.n_converted) for r in direct)
     assert got == want
     types = {c["name"]: c["type"] for c in payload["columns"]}
@@ -463,3 +481,21 @@ def test_attribution_endpoint(app, spark):
         (r.channel, r.n_conversions) for r in direct)
     types = {c["name"]: c["type"] for c in payload["columns"]}
     assert types["channel"] == "dimension" and types["revenue"] == "metric"
+
+
+def test_sampling_rate_validation(app):
+    """samplingRate outside (0, 1] is a 400, not a silent exact-path
+    fallback (review finding: 2.0 — a percent mistake — was ignored)."""
+    body = {
+        "time": T_JAN, "intervalUnit": "month",
+        "events": [{"eventName": None, "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    for bad in (2.0, 0.0, -0.5, "huh"):
+        st, payload = call(
+            app, "POST", "/api/v1/projects/1/queries/event-segmentation",
+            {**body, "samplingRate": bad})
+        assert st == 400, (bad, payload)
+    st, _ = call(app, "POST", "/api/v1/projects/1/queries/event-segmentation",
+                 {**body, "samplingRate": 1.0})
+    assert st == 200
