@@ -350,7 +350,20 @@ def _append_part_files(appends_path: str) -> list[str]:
     are part of the snapshot."""
     out: list[str] = []
     for root, dirs, files in os.walk(appends_path):
-        dirs[:] = [d for d in dirs if d != "_temporary" and not d.startswith(".")]
+        # besides in-flight _temporary trees: an UNCOMMITTED tier dir
+        # (no _SUCCESS) is a torn minor fold whose rows still sit in
+        # L0 — folding it would ingest them twice once recovery
+        # re-folds the intact L0 (the should_major/_committed_tiers
+        # gating must hold for the fold's own file walk too)
+        dirs[:] = [
+            d for d in dirs
+            if d != "_temporary"
+            and not d.startswith(".")
+            and not (
+                d.startswith(_TIER_PREFIX)
+                and not os.path.exists(os.path.join(root, d, "_SUCCESS"))
+            )
+        ]
         out.extend(
             os.path.join(root, f) for f in files
             if f.endswith(".parquet") and not f.startswith(".")
@@ -608,16 +621,23 @@ def minor_compact_appends(
     df = spark.read.parquet(*part_files)
     if "dt" in df.columns:
         df = df.drop("dt")
-    n = df.count()
-    from . import metrics
+    # ONE scan of the L0 set: the count materializes the cache the
+    # tier write then reads (same rationale as the major fold's
+    # persist — without it every minor tick pays the L0 read twice)
+    df = df.persist()
+    try:
+        n = df.count()
+        from . import metrics
 
-    with metrics.store_compaction_time().time():
-        (
-            df.repartition(n_files, F.col(EVENT_USER_COL))
-            .sortWithinPartitions(*sort_cols)
-            .write.mode("errorifexists")
-            .parquet(tier)
-        )
+        with metrics.store_compaction_time().time():
+            (
+                df.repartition(n_files, F.col(EVENT_USER_COL))
+                .sortWithinPartitions(*sort_cols)
+                .write.mode("errorifexists")
+                .parquet(tier)
+            )
+    finally:
+        df.unpersist()
     for fp in part_files:
         try:
             os.remove(fp)

@@ -331,10 +331,20 @@ def build_mmdb(
 
     depth_bits = 32 if ip_version == 4 else 128
     for net, plen, rec in networks:
+        if plen <= 0:
+            # a /0 would be the whole address space; the loop below
+            # would silently skip it — reject explicitly
+            raise ValueError("prefix length must be >= 1")
         node = root
         for i in range(plen):
             bit = (net >> (depth_bits - 1 - i)) & 1
             if i == plen - 1:
+                # the overlap guard must fire in BOTH insertion
+                # orders: a leaf here (narrow-then-broad duplicate)
+                # AND an internal subtree here (broad-after-narrow —
+                # assigning a leaf would silently drop the subtree)
+                if node[bit] is not None:
+                    raise ValueError("overlapping networks unsupported")
                 node[bit] = ("leaf", payload_key(rec))
             else:
                 if isinstance(node[bit], tuple):

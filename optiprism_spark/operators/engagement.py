@@ -5,10 +5,16 @@ series but none of the derived engagement shapes): the two standard
 product-health reads, both single-pass declarative aggregations.
 
 - ``stickiness``: per period (week/month), mean daily active users ÷
-  period active users — the DAU/WAU or DAU/MAU ratio trend. Shape:
-  two groupBys over the same filtered scan (day grain then period
-  grain), joined on the period key; both are map-side-combined
-  count-distincts, the join sides are period-cardinality (tiny).
+  period active users — the DAU/WAU or DAU/MAU ratio trend. The mean
+  runs over ALL calendar days of the period (7 for weeks, the
+  month's length for months): zero-activity days count as zero, so a
+  once-a-week product reads ~1/7, not 1.0. Edge periods clipped by
+  the query window still divide by the full period length — the
+  convention every DAU/MAU chart uses; re-bound the window to whole
+  periods for exact edges. Shape: two groupBys over the same
+  filtered scan (day grain then period grain), joined on the period
+  key; both are map-side-combined count-distincts, the join sides
+  are period-cardinality (tiny).
 - ``active_days_histogram``: the L28-style curve — how many users
   were active on exactly k distinct days of the window. Shape: one
   (user → distinct-day-count) aggregate, then a count-by-k histogram;
@@ -43,11 +49,18 @@ def stickiness(
     df = events.filter(cond) if cond is not None else events
     pb = bucket_col(period).alias("bucket")
     db = bucket_col(TimeIntervalUnit.DAY).alias("__day")
+    days_in_period = (
+        F.lit(7)
+        if period == TimeIntervalUnit.WEEK
+        else F.dayofmonth(F.last_day(F.col("bucket")))
+    )
     daily = (
         df.groupBy(pb, db)
         .agg(F.count_distinct(F.col(group_col)).alias("__dau"))
         .groupBy("bucket")
-        .agg(F.avg("__dau").alias("avg_dau"))
+        # sum ÷ calendar days, NOT avg over active days: days with no
+        # rows must count as zero or a once-a-week product scores 1.0
+        .agg((F.sum("__dau") / days_in_period).alias("avg_dau"))
     )
     per = df.groupBy(pb).agg(
         F.count_distinct(F.col(group_col)).alias("period_active")

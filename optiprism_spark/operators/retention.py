@@ -57,6 +57,30 @@ def _period_expr(cohort_b: Column, return_b: Column, unit: TimeIntervalUnit) -> 
     return F.months_between(return_b, cohort_b).cast("int")
 
 
+def _cohorts_and_sizes(
+    events: DataFrame,
+    cohort_event: EventRef,
+    time: QueryTime,
+    interval: TimeIntervalUnit,
+    filters: Sequence[PropFilter],
+    group_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """First-touch cohort assignment shared by retention and
+    revenue_cohorts: (user → min cohort bucket) and the per-bucket
+    cohort sizes — one semantics, one implementation."""
+    b = bucket_col(interval)
+    cohort_cond = full_filter(time, cohort_event, filters)
+    cohorts = (
+        (events.filter(cohort_cond) if cohort_cond is not None else events)
+        .groupBy(group_col)
+        .agg(F.min(b).alias("__cohort_b"))
+    )
+    sizes = cohorts.groupBy(F.col("__cohort_b").alias("cohort_bucket")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return cohorts, sizes
+
+
 def retention(
     events: DataFrame,
     cohort_event: EventRef,
@@ -78,16 +102,8 @@ def retention(
     if interval not in _PERIOD_UNITS:
         raise ValueError(f"retention interval must be one of {_PERIOD_UNITS}")
     b = bucket_col(interval)
-
-    cohort_cond = full_filter(time, cohort_event, filters)
-    cohorts = (
-        (events.filter(cohort_cond) if cohort_cond is not None else events)
-        .groupBy(group_col)
-        .agg(F.min(b).alias("__cohort_b"))
-    )
-    sizes = cohorts.groupBy(F.col("__cohort_b").alias("cohort_bucket")).agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
+    cohorts, sizes = _cohorts_and_sizes(
+        events, cohort_event, time, interval, filters, group_col)
 
     ret_cond = full_filter(time, return_event, filters)
     returns = (
@@ -165,15 +181,8 @@ def revenue_cohorts(
     from .aggregates import DECIMAL_T
 
     b = bucket_col(interval)
-    cohort_cond = full_filter(time, cohort_event, filters)
-    cohorts = (
-        (events.filter(cohort_cond) if cohort_cond is not None else events)
-        .groupBy(group_col)
-        .agg(F.min(b).alias("__cohort_b"))
-    )
-    sizes = cohorts.groupBy(F.col("__cohort_b").alias("cohort_bucket")).agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
+    cohorts, sizes = _cohorts_and_sizes(
+        events, cohort_event, time, interval, filters, group_col)
     rev_cond = full_filter(time, revenue_event, filters)
     rev = (
         (events.filter(rev_cond) if rev_cond is not None else events)

@@ -261,7 +261,11 @@ class RollupStore:
         if stream_id is not None and batch_id is not None:
             if self._applied().get(stream_id, -1) >= batch_id:
                 return 0
-        batch = build_rollup(new_events, self.spec)
+        # persisted: the day-grain aggregation otherwise re-runs for
+        # the days collect AND the merge write (and the bootstrap's
+        # distinct count) — every maintenance tick paid the batch
+        # shuffle twice
+        batch = build_rollup(new_events, self.spec).persist()
 
         def mark_applied() -> None:
             if stream_id is None or batch_id is None:
@@ -275,6 +279,12 @@ class RollupStore:
                 _json.dump(applied, f)
             os.replace(tmp, self._ledger_path())
 
+        try:
+            return self._apply_batch(spark, batch, mark_applied)
+        finally:
+            batch.unpersist()
+
+    def _apply_batch(self, spark, batch, mark_applied) -> int:
         if not self.exists():
             batch.repartition(ROLLUP_DT_COL).write.mode("overwrite").partitionBy(
                 ROLLUP_DT_COL

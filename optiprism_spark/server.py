@@ -605,12 +605,15 @@ class App:
         self._add_crud(P + r"/reports", "report", perms=report_perms)
         self._add_crud(P + r"/bookmarks", "bookmark", perms=report_perms)
         self._add_crud(P + r"/schema/rollups", "rollup",
-                       create=self._create_rollup, perms=schema_perms)
+                       create=self._create_rollup, put=self._put_rollup,
+                       delete=self._delete_rollup, perms=schema_perms)
 
     # ----------------------------------------------------- CRUD plumbing
 
     def _add_crud(self, base: str, kind: str, scoped: bool = True,
                   with_name: bool = False, create: Optional[Callable] = None,
+                  put: Optional[Callable] = None,
+                  delete: Optional[Callable] = None,
                   perms: Optional[dict] = None,
                   list_filter: Optional[Callable] = None):
         """Register the reference's CRUD route set for one entity kind:
@@ -650,10 +653,14 @@ class App:
             return 200, scrub(self.catalog.get(kind, int(m["id"]), project_id=pid_of(m)))
 
         def _put(body, m, q):
+            if put is not None:
+                return 200, scrub(put(body, int(m["id"]), pid_of(m)))
             return 200, scrub(self.catalog.update(
                 kind, int(m["id"]), body, project_id=pid_of(m)))
 
         def _delete(body, m, q):
+            if delete is not None:
+                return 200, scrub(delete(int(m["id"]), pid_of(m)))
             return 200, scrub(self.catalog.delete(kind, int(m["id"]), project_id=pid_of(m)))
 
         def _get_by_name(body, m, q):
@@ -691,9 +698,16 @@ class App:
         for d in body.get("dims") or ():
             if d not in events.columns:
                 raise HttpError(400, f"unknown dim column {d!r}")
+        from .rollup import EVENTS_COUNT_COL, ROLLUP_DT_COL, USERS_HLL_COL
+
+        reserved = {ROLLUP_DT_COL, EVENTS_COUNT_COL, USERS_HLL_COL}
         for jd in body.get("jsonDims") or ():
             if not (isinstance(jd, (list, tuple)) and len(jd) == 2):
                 raise HttpError(400, "jsonDims entries are [name, dtype] pairs")
+            if jd[0] in reserved or jd[0] in (body.get("dims") or ()):
+                raise HttpError(
+                    400, f"jsonDim name {jd[0]!r} collides with a rollup "
+                         "column")
         for p in body.get("numericProps") or ():
             if p not in events.columns:
                 raise HttpError(400, f"unknown numeric column {p!r}")
@@ -707,9 +721,56 @@ class App:
                     400, "histogramProps entries are [column, "
                          "[strictly-increasing numeric edges...]] pairs")
         row = self.catalog.create("rollup", body, project_id=pid)
-        self._store_for_rollup_row(pid, row).rebuild(self.spark, events)
+        try:
+            self._store_for_rollup_row(pid, row).rebuild(self.spark, events)
+        except Exception:
+            # a failed build must not leave a phantom declaration that
+            # lists forever but never serves and blocks the name
+            self.catalog.delete("rollup", row["id"], project_id=pid)
+            raise
         self._rollup_cache.pop(pid, None)
         return row
+
+    def _put_rollup(self, body: dict, rid: int, pid: int) -> dict:
+        """Rollup definitions are immutable: mutating dims/props would
+        desync the declaration from the persisted parquet (routing
+        would accept breakdowns the store was never built with).
+        Delete and re-declare instead."""
+        raise HttpError(
+            405, "rollup definitions are immutable; DELETE and re-create")
+
+    def _delete_rollup(self, rid: int, pid: int) -> dict:
+        """Drop the declaration AND stop serving it immediately (the
+        read cache would otherwise keep routing to the deleted store
+        until an unrelated checkpoint cleared it)."""
+        import shutil
+
+        row = self.catalog.get("rollup", rid, project_id=pid)
+        store = self._store_for_rollup_row(pid, row)
+        out = self.catalog.delete("rollup", rid, project_id=pid)
+        self._rollup_cache.pop(pid, None)
+        shutil.rmtree(store.path, ignore_errors=True)
+        return out
+
+    def maintain_rollups(self, new_events, pid: int = 0) -> int:
+        """Advance every declared rollup store (and the app-level one)
+        with an append batch — the hook the maintenance loop calls at
+        the same moment it folds the batch into the lake (≙ passing
+        rollup_store= to compact_appends_into_bucketed, extended to
+        catalog-declared stores; without this, routed queries serve
+        the pre-ingest build forever while raw-path queries see fresh
+        rows). Returns the number of stores advanced."""
+        stores = self._declared_rollup_stores(pid)
+        if self.rollup_store is not None:
+            stores.append(self.rollup_store)
+        n = 0
+        for s in stores:
+            if s.exists():
+                s.update(self.spark, new_events)
+                n += 1
+        if n:
+            self._rollup_cache.pop(pid, None)
+        return n
 
     def _attach_property(self, body, m, q):
         """Link a property to an event (reference events.rs

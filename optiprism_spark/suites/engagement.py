@@ -25,7 +25,9 @@ _FULL = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 
       FROM events WHERE {S.ts_between(*S.T_FULL)}
       GROUP BY 1, 2
     ), avg_d AS (
-      SELECT bucket, AVG(dau) AS avg_dau FROM daily GROUP BY 1
+      -- sum over 7 calendar days, not AVG over active days: a week
+      -- with zero-activity days must read lower, not identical
+      SELECT bucket, SUM(dau) / 7 AS avg_dau FROM daily GROUP BY 1
     ), weekly AS (
       SELECT {S.bucket('week')} AS bucket, COUNT(DISTINCT user_id) AS period_active
       FROM events WHERE {S.ts_between(*S.T_FULL)}

@@ -189,3 +189,22 @@ def test_geoip_enrich_from_mmdb(spark, tmp_path):
             .select("ip", "country").collect())
     )
     assert got == want
+
+
+def test_build_rejects_overlap_in_both_orders(tmp_path):
+    """Review finding: inserting a broader network AFTER a narrower
+    one silently replaced the subtree (dropping the narrow record)
+    instead of raising; the guard now fires in both orders, and /0
+    prefixes are rejected explicitly."""
+    import pytest
+
+    from optiprism_spark.mmdb import build_mmdb
+
+    rec_a, rec_b = {"country": "AA"}, {"country": "BB"}
+    p = str(tmp_path / "x.mmdb")
+    with pytest.raises(ValueError, match="overlap"):
+        build_mmdb(p, [(0x0A000000, 16, rec_a), (0x0A000000, 8, rec_b)])
+    with pytest.raises(ValueError, match="overlap"):
+        build_mmdb(p, [(0x0A000000, 8, rec_b), (0x0A000000, 16, rec_a)])
+    with pytest.raises(ValueError, match="prefix length"):
+        build_mmdb(p, [(0, 0, rec_a)])

@@ -88,8 +88,9 @@ def test_stickiness_and_histogram(spark, events):
     st = {str(r.bucket): (r.avg_dau, r.period_active, r.stickiness)
           for r in stickiness(events, WINDOW, TimeIntervalUnit.WEEK).collect()}
     # week of Jan 1: days 0(u1,u2,u3... day0 has u1,u2), 1(u1,u9), 2(u3),
-    # 3(u1), 5(u3) -> daily actives [2,2,1,1,1], weekly actives {1,2,3,9}=4
-    assert st["2024-01-01"] == (1.4, 4, 1.4 / 4)
+    # 3(u1), 5(u3) -> daily actives [2,2,1,1,1] over SEVEN calendar
+    # days (two zero days count), weekly actives {1,2,3,9}=4
+    assert st["2024-01-01"] == (7 / 7, 4, (7 / 7) / 4)
     hist = {r.active_days: r.n_users
             for r in active_days_histogram(events, WINDOW).collect()}
     # u1: days 0,1,3 = 3; u2: 1; u3: days 2,5 = 2; u9: 1

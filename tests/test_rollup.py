@@ -509,3 +509,110 @@ def test_multiple_declared_rollups_route_by_spec(spark, tmp_path):
         return sorted(zip(*[c["data"] for c in cols]))
 
     assert rows(got) == rows(want)
+
+
+def test_declared_rollup_stays_fresh_via_maintain(spark, events, tmp_path):
+    """Review finding: declared rollups were built once at POST and
+    never advanced, so routed queries served stale pre-ingest data.
+    maintain_rollups is the maintenance hook that closes the loop."""
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    app = make_app(spark, SF_DIR, rollup_dir=str(tmp_path / "rollups"))
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "fresh", "dims": ["event_type"]})
+    assert st == 201
+
+    seg_body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-02-28T23:59:59.999999"},
+        "intervalUnit": "month",
+        "events": [{"eventName": "purchase", "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    _, before = call(app, "POST",
+                     "/api/v1/projects/1/queries/event-segmentation", seg_body)
+    n_before = sum(c["data"][0] for c in before["columns"]
+                   if c["name"] not in ("bucket", "event", "segment")
+                   for _ in [0]) if before["columns"] else 0
+
+    # a February append batch arrives; the maintenance hook advances
+    # every declared store
+    batch = events.limit(50).withColumn(
+        "ts", F.lit("2024-02-10 10:00:00").cast("timestamp"))
+    assert app.maintain_rollups(batch, pid=1) == 1
+
+    _, after = call(app, "POST",
+                    "/api/v1/projects/1/queries/event-segmentation", seg_body)
+    feb = [i for i, b in enumerate(
+        next(c["data"] for c in after["columns"] if c["name"] == "bucket"))
+        if str(b).startswith("2024-02")]
+    assert feb, "February bucket appears after maintenance"
+    # and the routed numbers match the raw path on the same frame
+    from optiprism_spark.api import parse_event_segmentation
+    from optiprism_spark.queries.event_segmentation import run_event_segmentation
+
+    raw = run_event_segmentation(
+        load_table(spark, SF_DIR, "events").unionByName(batch),
+        parse_event_segmentation(seg_body)).collect()
+    metric = [c for c in after["columns"]
+              if c["name"] not in ("bucket", "event", "segment")][0]
+    assert sorted(metric["data"]) == sorted(
+        r[metric["name"]] for r in raw)
+
+
+def test_rollup_put_rejected_delete_stops_routing(spark, events, tmp_path):
+    """Review finding: generic PUT mutated the spec without rebuild
+    (desyncing routing from the parquet) and DELETE left the cache
+    serving the dropped store."""
+    from optiprism_spark import metrics
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    app = make_app(spark, SF_DIR, rollup_dir=str(tmp_path / "rollups"))
+    st, row = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                   {"name": "imm", "dims": ["event_type"]})
+    assert st == 201
+    st, _ = call(app, "PUT", f"/api/v1/projects/1/schema/rollups/{row['id']}",
+                 {"dims": ["event_type", "nope"]})
+    assert st == 405
+
+    seg_body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59.999999"},
+        "intervalUnit": "day",
+        "events": [{"eventName": "purchase", "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    call(app, "POST", "/api/v1/projects/1/queries/event-segmentation", seg_body)
+    hits0 = metrics.rollup_hits_total().value() if hasattr(
+        metrics, "rollup_hits_total") else None
+
+    st, _ = call(app, "DELETE",
+                 f"/api/v1/projects/1/schema/rollups/{row['id']}")
+    assert st == 200
+    # the store dir is gone and the next query must NOT route to it
+    import os
+
+    assert not os.path.exists(str(tmp_path / "rollups" / "p1_imm"))
+    st, _ = call(app, "POST",
+                 "/api/v1/projects/1/queries/event-segmentation", seg_body)
+    assert st == 200  # falls back to raw without error
+
+
+def test_failed_rollup_build_leaves_no_phantom(spark, tmp_path):
+    """Review finding: a build failure after catalog.create left a
+    declaration that listed forever but never served."""
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    app = make_app(spark, SF_DIR, rollup_dir=str(tmp_path / "rollups"))
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "boom", "jsonDims": [["dt", "string"]]})
+    assert st == 400  # reserved-column collision rejected up front
+    st, rows = call(app, "GET", "/api/v1/projects/1/schema/rollups")
+    assert [r for r in rows if r["name"] == "boom"] == []
+    # the name is reusable with a valid dtype
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "boom", "jsonDims": [["plan", "string"]]})
+    assert st == 201

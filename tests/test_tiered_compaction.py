@@ -215,3 +215,32 @@ def test_rollup_advances_at_major_fold(spark, base_events, table, tmp_path):
         .drop("users_hll").collect()
     )
     assert got == want
+
+
+def test_major_fold_skips_uncommitted_tier(spark, base_events, table, tmp_path):
+    """Review finding: the major fold's file walk ingested torn
+    (no _SUCCESS) tier dirs whose rows still sit in L0 — recovery
+    would then re-fold the same rows, duplicating them. The walk now
+    applies the same commit gating as should_major."""
+    import shutil
+
+    from optiprism_spark.ingest import compact_appends_into_bucketed
+
+    appends = str(tmp_path / "appends")
+    tiers = str(tmp_path / "tiers")
+    fresh = _fresh(base_events, 60, 10_000_000)
+    append_events(fresh, appends)
+    # fold L0 into a tier, then TEAR it: drop _SUCCESS and put the
+    # rows back in L0 (the crash-window state: tier written, L0 not
+    # yet cleared, commit marker never placed)
+    minor_compact_appends(spark, appends, tiers)
+    tier_dir = _committed_tiers(tiers)[0]
+    os.remove(os.path.join(tier_dir, "_SUCCESS"))
+    append_events(fresh, appends)
+
+    before = spark.table(table).count()
+    folded = compact_appends_into_bucketed(
+        spark, table, appends, n_buckets=4)
+    assert folded == 60  # the L0 copy only, never the torn tier's
+    assert spark.table(table).count() == before + 60
+    shutil.rmtree(tiers, ignore_errors=True)
