@@ -48,11 +48,29 @@ from .ingest import (
     _append_part_files,
     _committed_tiers,
     _recover_compaction,
+    events_snapshot,
     write_events_bucketed,
 )
 from .schema import EVENT_ID_COL, EVENT_TIME_COL, EVENT_USER_COL
 
 _ERASE_MANIFEST = ".compaction_folded.json"  # shared with compaction
+
+
+def _repair_rollups(spark: SparkSession, rollup_stores, table_name: str,
+                    appends_path: str, tiers_path, days) -> int:
+    """Re-aggregate the affected days of every rollup store from the
+    post-rewrite lake view. Rollup maintenance (``RollupStore.update``)
+    is additive-only — counts and sums add, HLL sketches union — so a
+    deletion can never be merged in as a delta; without this repair a
+    routed dashboard query keeps counting erased users until a full
+    rebuild. Cost is O(affected days × stores), never O(store)."""
+    if not rollup_stores or not days:
+        return 0
+    snap = events_snapshot(spark, table_name, appends_path, tiers_path)
+    n = 0
+    for store in rollup_stores:
+        n += store.recompute_days(spark, snap, days)
+    return n
 
 
 def _table_num_buckets(spark: SparkSession, table_name: str, default: int = 32) -> int:
@@ -114,7 +132,17 @@ def _rewrite_file_excluding_users(path: str, user_ids, user_col: str) -> int:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    table = pq.read_table(path)
+    pf = pq.ParquetFile(path)
+    # Spark writes timestamps as INT96 by default; pyarrow reads those
+    # as timestamp[ns] and would re-encode them as INT64 nanos, which
+    # Spark then fails to decode against the union's merged schema
+    # (KD001 type mismatch) the first time a query materializes ts
+    # from a rewritten file. Preserve the source's physical encoding.
+    has_int96 = any(
+        pf.schema.column(i).physical_type == "INT96"
+        for i in range(len(pf.schema))
+    )
+    table = pf.read()
     if user_col not in table.column_names:
         return 0
     mask = pc.is_in(table[user_col], value_set=pa.array(list(user_ids)))
@@ -123,7 +151,7 @@ def _rewrite_file_excluding_users(path: str, user_ids, user_col: str) -> int:
         return 0
     kept = table.filter(pc.invert(pc.fill_null(mask, False)))
     tmp = os.path.join(os.path.dirname(path), "." + os.path.basename(path) + ".erase")
-    pq.write_table(kept, tmp)
+    pq.write_table(kept, tmp, use_deprecated_int96_timestamps=has_int96)
     os.replace(tmp, path)
     # Hadoop's ChecksumFileSystem keeps a sidecar .<name>.crc for
     # files Spark wrote locally; the rewritten bytes no longer match
@@ -144,19 +172,41 @@ def erase_users(
     tiers_path: Optional[str] = None,
     extra_paths: Sequence[str] = (),
     user_col: str = EVENT_USER_COL,
+    rollup_stores: Sequence = (),
 ) -> dict:
     """Right-to-erasure: remove every event of ``user_ids`` from the
     bucketed base, the L0 append parts, the committed L1 tiers, and
     any ``extra_paths`` parquet files keyed by the same user column
     (e.g. a profile store). Returns per-tier removed-row counts.
 
+    ``rollup_stores``: RollupStores maintained against this lake —
+    their affected dt partitions (the days the erased users were
+    active, computed before the rewrite) are re-aggregated from the
+    post-rewrite lake, because rollup maintenance is additive-only and
+    a routed query would otherwise keep counting the erased users.
+
     The L0/tier snapshot is the file list at entry — parts landing
     mid-erasure are untouched (re-run for stragglers; the standard
     queue-and-batch flow re-sweeps anyway)."""
     ids = sorted(set(user_ids))
     if not ids:
-        return {"base": 0, "l0": 0, "tiers": 0, "extra": 0}
-    out = {"base": 0, "l0": 0, "tiers": 0, "extra": 0}
+        return {"base": 0, "l0": 0, "tiers": 0, "extra": 0,
+                "rollup_days": 0}
+    out = {"base": 0, "l0": 0, "tiers": 0, "extra": 0, "rollup_days": 0}
+    # affected rollup days BEFORE any rewrite: the distinct event dates
+    # of the victims across the full lake view — one narrow
+    # (user, ts)-projected scan, pruned to two columns
+    days: list[dt.date] = []
+    if rollup_stores:
+        days = [
+            r[0]
+            for r in events_snapshot(spark, table_name, appends_path,
+                                     tiers_path)
+            .filter(F.col(user_col).isin(ids))
+            .select(F.to_date(F.col(EVENT_TIME_COL)).alias("d"))
+            .distinct()
+            .collect()
+        ]
     out["base"] = _rewrite_base_filtered(
         spark, table_name, appends_path,
         ~F.col(user_col).isin(ids), bucket_col=user_col,
@@ -185,6 +235,8 @@ def erase_users(
     for p in (appends_path, tiers_path, *extra_paths):
         if p:
             spark.catalog.refreshByPath(p)
+    out["rollup_days"] = _repair_rollups(
+        spark, rollup_stores, table_name, appends_path, tiers_path, days)
     return out
 
 
@@ -221,10 +273,26 @@ def expire_base(
     appends_path: str,
     older_than: dt.datetime,
     ts_col: str = EVENT_TIME_COL,
+    tiers_path: Optional[str] = None,
+    rollup_stores: Sequence = (),
 ) -> int:
     """Retention on the bucketed base (not date-partitioned, so a
     filtered rewrite): drops rows with ts < cutoff through the same
     crash-safe staged swap as erasure. Run at the compaction cadence
-    — on a transactional lake this and the fold are one commit."""
-    return _rewrite_base_filtered(
+    — on a transactional lake this and the fold are one commit.
+
+    ``rollup_stores``: stores maintained against this lake. Expired
+    rollup history is a partition DROP (``RollupStore.expire_before``,
+    zero bytes scanned); a mid-day cutoff additionally re-aggregates
+    the boundary day, which keeps its post-cutoff rows."""
+    removed = _rewrite_base_filtered(
         spark, table_name, appends_path, F.col(ts_col) >= F.lit(older_than))
+    for store in rollup_stores:
+        store.expire_before(older_than.date())
+        # the partition drop changed the file listing under the path —
+        # stale FileStatusCache entries fail the next scan
+        spark.catalog.refreshByPath(store.path)
+    if older_than.time() != dt.time.min:
+        _repair_rollups(spark, rollup_stores, table_name, appends_path,
+                        tiers_path, [older_than.date()])
+    return removed

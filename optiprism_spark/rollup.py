@@ -313,6 +313,78 @@ class RollupStore:
         mark_applied()
         return len(days)
 
+    def recompute_days(
+        self, spark: SparkSession, events: DataFrame, days: Sequence[dt.date]
+    ) -> int:
+        """Re-aggregate exactly the given dt partitions from ``events``
+        — the DELETION hook (user erasure / retention rewrites).
+        ``update()`` is additive by construction (counts and sums add,
+        HLL sketches union); removed rows can never be subtracted back
+        out of a sketch, so the only correct repair is re-aggregating
+        the affected days from the post-rewrite lake. Cost is
+        O(affected days), not O(store): erasing one user re-aggregates
+        only the days that user was active, and the scan of ``events``
+        is partition-prunable when the source is date-partitioned.
+
+        Days whose every raw row was removed yield no batch rows, so
+        the dynamic overwrite would leave the stale partition standing
+        — those partitions are dropped explicitly."""
+        day_list = sorted(set(days))
+        if not self.exists() or not day_list:
+            return 0
+        batch = build_rollup(
+            events.filter(
+                F.to_date(F.col(EVENT_TIME_COL)).isin(
+                    [d.isoformat() for d in day_list])),
+            self.spec,
+        ).persist()
+        try:
+            fresh = {
+                r[0] for r in batch.select(ROLLUP_DT_COL).distinct().collect()
+            }
+            if fresh:
+                prev = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", None)
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic")
+                try:
+                    batch.repartition(ROLLUP_DT_COL).write.mode(
+                        "overwrite"
+                    ).partitionBy(ROLLUP_DT_COL).parquet(self.path)
+                finally:
+                    if prev is not None:
+                        spark.conf.set(
+                            "spark.sql.sources.partitionOverwriteMode", prev)
+                    else:
+                        spark.conf.unset(
+                            "spark.sql.sources.partitionOverwriteMode")
+            import shutil
+
+            for d in day_list:
+                if d not in fresh:
+                    shutil.rmtree(
+                        os.path.join(
+                            self.path, f"{ROLLUP_DT_COL}={d.isoformat()}"),
+                        ignore_errors=True,
+                    )
+        finally:
+            batch.unpersist()
+        spark.catalog.refreshByPath(self.path)
+        return len(day_list)
+
+    def expire_before(self, older_than: dt.date) -> list[str]:
+        """Retention on the rollup itself: drop dt partitions strictly
+        older than the cutoff — the same zero-scan partition delete as
+        ``lifecycle.expire_partitions`` (the rollup is dt-partitioned
+        for exactly this moment). A mid-day cutoff additionally needs
+        ``recompute_days`` on the boundary day — the lifecycle wiring
+        does both."""
+        from .lifecycle import expire_partitions
+
+        return expire_partitions(
+            self.path, older_than, date_col=ROLLUP_DT_COL
+        )["partitions_dropped"]
+
 
 # ------------------------------------------------------------- query rewrite
 

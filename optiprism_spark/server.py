@@ -867,6 +867,7 @@ class App:
             self.spark, lake["table_name"], lake["appends_path"],
             ids, tiers_path=lake.get("tiers_path"),
             extra_paths=lake.get("extra_paths") or (),
+            rollup_stores=self._all_rollup_stores(),
         )
         self.refresh_tables()
         return 200, out
@@ -892,7 +893,9 @@ class App:
             for p in lake.get("dated_paths") or ()
         ]
         base_removed = expire_base(
-            self.spark, lake["table_name"], lake["appends_path"], cutoff)
+            self.spark, lake["table_name"], lake["appends_path"], cutoff,
+            tiers_path=lake.get("tiers_path"),
+            rollup_stores=self._all_rollup_stores())
         self.refresh_tables()
         return 200, {"base_rows_removed": base_removed, "dated": dated}
 
@@ -1002,6 +1005,21 @@ class App:
     def refresh_tables(self) -> None:
         self._events_cache = None
         self._rollup_cache = {}
+
+    def _all_rollup_stores(self) -> list:
+        """Every existing RollupStore this server serves — the
+        app-level one plus the catalog-declared stores of EVERY
+        project (erasure and retention are lake-global admin
+        operations, not per-project queries)."""
+        stores = []
+        if self.rollup_dir is not None:
+            pids = {0}
+            pids.update(p["id"] for p in self.catalog.list("project"))
+            for pid in sorted(pids):
+                stores.extend(self._declared_rollup_stores(pid))
+        if self.rollup_store is not None:
+            stores.append(self.rollup_store)
+        return [s for s in stores if s.exists()]
 
     def _declared_rollup_stores(self, pid: int) -> list:
         """RollupStores for the project's catalog-declared rollups

@@ -70,6 +70,10 @@ def test_erase_users_all_tiers(spark, store, tmp_path):
     assert snap.filter(F.col("user_id").isin(victims)).count() == 0
     # nothing else was lost
     assert snap.count() == total_before - victim_rows
+    # rewritten files must stay DECODABLE beyond row counts: the
+    # pyarrow rewrite once re-encoded Spark's INT96 timestamps as
+    # INT64 nanos, failing the first query that materialized ts
+    assert snap.select(F.max("ts")).collect()[0][0] is not None
     assert out["base"] + out["l0"] + out["tiers"] == victim_rows
     assert out["extra"] == len(victims)
     import pandas as pd
@@ -147,7 +151,8 @@ def test_erase_empty_ids_is_noop(spark, store):
     appends, tiers, _ = store
     before = events_snapshot(spark, TBL, appends, tiers).count()
     out = erase_users(spark, TBL, appends, [], tiers_path=tiers)
-    assert out == {"base": 0, "l0": 0, "tiers": 0, "extra": 0}
+    assert out == {"base": 0, "l0": 0, "tiers": 0, "extra": 0,
+                   "rollup_days": 0}
     assert events_snapshot(spark, TBL, appends, tiers).count() == before
 
 
@@ -182,3 +187,119 @@ def test_admin_lifecycle_endpoints(spark, store, tmp_path):
     status, _ = call(bare, "POST", "/api/v1/admin/erase-user",
                      {"userIds": [1]})
     assert status == 409
+
+# ---------------------------------------------------- rollup repair
+
+
+def _rollup_key(r):
+    return tuple(str(r[c]) for c in ("dt", "event_type"))
+
+
+def _rollup_flat(spark, store):
+    """Comparable view of a store: additive metrics exactly, the HLL
+    sketch through its estimate (serialized sketch bytes are
+    representation-dependent; the estimate is the contract)."""
+    return {
+        _rollup_key(r): (r["events_count"], r["value_sum"], r["users_est"])
+        for r in store.read(spark)
+        .withColumn("users_est", F.hll_sketch_estimate("users_hll"))
+        .collect()
+    }
+
+
+def test_erase_repairs_rollup_days(spark, store, tmp_path):
+    """Rollup maintenance is additive-only; erasure must re-aggregate
+    the victims' active days or routed queries keep counting them."""
+    from optiprism_spark.rollup import RollupSpec, RollupStore
+
+    appends, tiers, events = store
+    st = RollupStore(str(tmp_path / "rollup"), RollupSpec())
+    st.rebuild(spark, events_snapshot(spark, TBL, appends, tiers))
+
+    victims = [r[0] for r in events.select("user_id").distinct().limit(3).collect()]
+    victim_days = {
+        r[0] for r in events.filter(F.col("user_id").isin(victims))
+        .select(F.to_date("ts")).distinct().collect()
+    }
+    out = erase_users(spark, TBL, appends, victims, tiers_path=tiers,
+                      rollup_stores=[st])
+    assert out["rollup_days"] == len(victim_days)
+
+    # the repaired store is exactly a from-scratch rebuild of the
+    # post-erasure lake — on every day, not just the touched ones
+    ref = RollupStore(str(tmp_path / "rollup_ref"), RollupSpec())
+    ref.rebuild(spark, events_snapshot(spark, TBL, appends, tiers))
+    assert _rollup_flat(spark, st) == _rollup_flat(spark, ref)
+
+
+def test_recompute_days_drops_emptied_partition(spark, tmp_path):
+    """A day whose every raw row was removed yields no batch rows —
+    the stale partition must be dropped, not left standing."""
+    from optiprism_spark.rollup import RollupSpec, RollupStore
+
+    events = load_table(spark, SF_DIR, "events")
+    days = sorted(
+        r[0] for r in events.select(F.to_date("ts")).distinct().limit(2).collect())
+    two = events.filter(F.to_date("ts").isin([d.isoformat() for d in days]))
+    st = RollupStore(str(tmp_path / "rollup"), RollupSpec())
+    st.rebuild(spark, two)
+    assert {r[0] for r in st.read(spark).select("dt").distinct().collect()} == set(days)
+
+    survivors = two.filter(F.to_date("ts") != F.lit(days[0]))
+    assert st.recompute_days(spark, survivors, days) == 2
+    assert {r[0] for r in st.read(spark).select("dt").distinct().collect()} == {days[1]}
+    assert not os.path.isdir(str(tmp_path / "rollup" / f"dt={days[0]}"))
+
+
+def test_retention_expires_rollup_history(spark, store, tmp_path):
+    """Retention drops rollup partitions older than the cutoff with a
+    zero-scan partition delete; a mid-day cutoff re-aggregates the
+    boundary day from the post-rewrite lake."""
+    from optiprism_spark.rollup import RollupSpec, RollupStore, build_rollup
+
+    appends, tiers, events = store
+    st = RollupStore(str(tmp_path / "rollup"), RollupSpec())
+    st.rebuild(spark, events_snapshot(spark, TBL, appends, tiers))
+    cutoff = dt.datetime(2024, 1, 15, 12, 0)  # mid-day on purpose
+
+    expire_base(spark, TBL, appends, cutoff, tiers_path=tiers,
+                rollup_stores=[st])
+    left = {r[0] for r in st.read(spark).select("dt").distinct().collect()}
+    assert left and min(left) >= cutoff.date()
+    # boundary day ≡ a fresh day-aggregate of the live lake view
+    snap = events_snapshot(spark, TBL, appends, tiers)
+    want = {
+        tuple(str(r[c]) for c in ("dt", "event_type")): r["events_count"]
+        for r in build_rollup(
+            snap.filter(F.to_date("ts") == F.lit(cutoff.date()))).collect()
+    }
+    got = {
+        _rollup_key(r): r["events_count"]
+        for r in st.read(spark)
+        .filter(F.col("dt") == F.lit(cutoff.date())).collect()
+    }
+    assert got == want
+
+
+def test_admin_erase_repairs_served_rollup(spark, store, tmp_path):
+    """The admin erasure endpoint repairs the server's own rollup
+    store, so routed segmentation stops counting the victim without a
+    manual rebuild."""
+    from optiprism_spark.rollup import RollupSpec, RollupStore
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    appends, tiers, events = store
+    st = RollupStore(str(tmp_path / "rollup"), RollupSpec())
+    st.rebuild(spark, events_snapshot(spark, TBL, appends, tiers))
+    app = make_app(spark, SF_DIR, rollup_store=st, lake={
+        "table_name": TBL, "appends_path": appends, "tiers_path": tiers,
+    })
+    victim = int(events.select("user_id").distinct().limit(1).collect()[0][0])
+    status, out = call(app, "POST", "/api/v1/admin/erase-user",
+                       {"userIds": [victim]})
+    assert status == 200 and out["rollup_days"] > 0
+
+    ref = RollupStore(str(tmp_path / "rollup_ref"), RollupSpec())
+    ref.rebuild(spark, events_snapshot(spark, TBL, appends, tiers))
+    assert _rollup_flat(spark, st) == _rollup_flat(spark, ref)
