@@ -125,10 +125,11 @@ def _rewrite_base_filtered(
     return removed
 
 
-def _rewrite_file_excluding_users(path: str, user_ids, user_col: str) -> int:
-    """Atomic per-file filter: read with pyarrow, drop matching rows,
-    os.replace into place. Returns rows removed (0 → file untouched)."""
-    import pyarrow as pa
+def _rewrite_file_filtered(path: str, keep_mask_fn) -> int:
+    """Atomic per-file filter: read with pyarrow, keep the rows
+    ``keep_mask_fn(table)`` marks True, os.replace into place. The fn
+    returns None to leave the file untouched. Returns rows removed
+    (0 → file untouched)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -143,13 +144,14 @@ def _rewrite_file_excluding_users(path: str, user_ids, user_col: str) -> int:
         for i in range(len(pf.schema))
     )
     table = pf.read()
-    if user_col not in table.column_names:
+    keep = keep_mask_fn(table)
+    if keep is None:
         return 0
-    mask = pc.is_in(table[user_col], value_set=pa.array(list(user_ids)))
-    n_hit = pc.sum(mask).as_py() or 0
+    keep = pc.fill_null(keep, False)
+    n_hit = len(table) - (pc.sum(keep).as_py() or 0)
     if not n_hit:
         return 0
-    kept = table.filter(pc.invert(pc.fill_null(mask, False)))
+    kept = table.filter(keep)
     tmp = os.path.join(os.path.dirname(path), "." + os.path.basename(path) + ".erase")
     pq.write_table(kept, tmp, use_deprecated_int96_timestamps=has_int96)
     os.replace(tmp, path)
@@ -162,6 +164,38 @@ def _rewrite_file_excluding_users(path: str, user_ids, user_col: str) -> int:
     if os.path.exists(crc):
         os.remove(crc)
     return n_hit
+
+
+def _rewrite_file_excluding_users(path: str, user_ids, user_col: str) -> int:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def keep(table):
+        if user_col not in table.column_names:
+            return None
+        return pc.invert(pc.fill_null(
+            pc.is_in(table[user_col], value_set=pa.array(list(user_ids))),
+            False))
+
+    return _rewrite_file_filtered(path, keep)
+
+
+def _rewrite_file_excluding_before(path: str, cutoff: dt.datetime,
+                                   ts_col: str) -> int:
+    """Per-file retention: drop rows with ts < cutoff. Null-ts rows
+    are kept (they have no age). The naive cutoff is interpreted as
+    UTC — the engine convention every table is stamped with."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def keep(table):
+        if ts_col not in table.column_names:
+            return None
+        col = table[ts_col]
+        scalar = pa.scalar(cutoff).cast(col.type)
+        return pc.fill_null(pc.greater_equal(col, scalar), True)
+
+    return _rewrite_file_filtered(path, keep)
 
 
 def erase_users(
@@ -281,12 +315,27 @@ def expire_base(
     crash-safe staged swap as erasure. Run at the compaction cadence
     — on a transactional lake this and the fold are one commit.
 
+    ``tiers_path``: ALSO sweep the committed L1 tiers (per-file
+    atomic rewrite, like erasure). Tiers are user-sorted, not dated,
+    so a partition drop can't reach them — and without this sweep the
+    next major fold would fold their pre-cutoff rows back into the
+    freshly-expired base, resurrecting deleted history.
+
     ``rollup_stores``: stores maintained against this lake. Expired
     rollup history is a partition DROP (``RollupStore.expire_before``,
     zero bytes scanned); a mid-day cutoff additionally re-aggregates
-    the boundary day, which keeps its post-cutoff rows."""
+    the boundary day, which keeps its post-cutoff rows.
+
+    Returns total rows removed (base + tiers)."""
     removed = _rewrite_base_filtered(
         spark, table_name, appends_path, F.col(ts_col) >= F.lit(older_than))
+    if tiers_path:
+        for tier_dir in _committed_tiers(tiers_path):
+            for name in sorted(os.listdir(tier_dir)):
+                if name.endswith(".parquet") and not name.startswith("."):
+                    removed += _rewrite_file_excluding_before(
+                        os.path.join(tier_dir, name), older_than, ts_col)
+        spark.catalog.refreshByPath(tiers_path)
     for store in rollup_stores:
         store.expire_before(older_than.date())
         # the partition drop changed the file listing under the path —

@@ -892,12 +892,12 @@ class App:
             expire_partitions(p, cutoff.date())
             for p in lake.get("dated_paths") or ()
         ]
-        base_removed = expire_base(
+        removed = expire_base(
             self.spark, lake["table_name"], lake["appends_path"], cutoff,
             tiers_path=lake.get("tiers_path"),
             rollup_stores=self._all_rollup_stores())
         self.refresh_tables()
-        return 200, {"base_rows_removed": base_removed, "dated": dated}
+        return 200, {"rows_removed": removed, "dated": dated}
 
     # ------------------------------------------------------ auth handlers
 

@@ -303,3 +303,28 @@ def test_admin_erase_repairs_served_rollup(spark, store, tmp_path):
     ref = RollupStore(str(tmp_path / "rollup_ref"), RollupSpec())
     ref.rebuild(spark, events_snapshot(spark, TBL, appends, tiers))
     assert _rollup_flat(spark, st) == _rollup_flat(spark, ref)
+
+
+def test_retention_sweeps_tiers_no_resurrection(spark, store):
+    """Tiers are user-sorted, not dated — without the tier sweep, the
+    next major fold folds their pre-cutoff rows back into the freshly
+    expired base, resurrecting deleted history."""
+    from optiprism_spark.ingest import compact_appends_into_bucketed
+
+    appends, tiers, events = store
+    cutoff = dt.datetime(2024, 1, 15)
+    old_in_tier = (
+        spark.read.parquet(*_committed_tiers(tiers))
+        .filter(F.col("ts") < F.lit(cutoff)).count())
+    assert old_in_tier > 0
+
+    removed = expire_base(spark, TBL, appends, cutoff, tiers_path=tiers)
+    assert spark.read.parquet(*_committed_tiers(tiers)).filter(
+        F.col("ts") < F.lit(cutoff)).count() == 0
+    assert removed > old_in_tier  # base rows + tier rows both counted
+
+    # the fold that previously resurrected: major-fold the swept tier
+    # into the expired base (the tiers dir is the fold's source, as in
+    # TieredCompactionPolicy.maybe_compact)
+    compact_appends_into_bucketed(spark, TBL, tiers, n_buckets=4)
+    assert spark.table(TBL).filter(F.col("ts") < F.lit(cutoff)).count() == 0
