@@ -291,6 +291,16 @@ def query_rollup_routed_total() -> Counter:
         "segmentation event-queries by answer path", ("path",))
 
 
+def query_result_cache_total() -> Counter:
+    """Serving-layer result-cache outcomes per query type: hit = the
+    serialized response was replayed without touching Spark, miss =
+    executed and stored. A dashboard fleet re-firing identical
+    requests should show a hit ratio tracking its refresh cadence."""
+    return REGISTRY.counter(
+        "optiprism_query_result_cache_total",
+        "query result cache lookups", ("query_type", "outcome"))
+
+
 def store_scans_total() -> Counter:
     return REGISTRY.counter(
         METRIC_STORE_SCANS_TOTAL, "table scans opened", ("table",))

@@ -280,6 +280,52 @@ def _timed_query(qtype: str, handler: Callable) -> Callable:
     return h
 
 
+class _ResultCache:
+    """Version- and TTL-bounded LRU of serialized query responses.
+
+    The production observation: a dashboard fleet re-fires IDENTICAL
+    requests every refresh tick, and at 100 TB even a rollup-routed
+    answer costs a real Spark job. Keyed by the full request identity
+    (method, path, query string, canonical JSON body); an entry is
+    valid only for the data version it was computed at — any write
+    (ingest, checkpoint, CRUD, lifecycle) bumps the version, so a hit
+    can never serve pre-write data. The TTL bounds wall-clock
+    staleness for relative time windows ("last 7 days" drifts with
+    `now`) — version alone can't see the clock move."""
+
+    def __init__(self, max_entries: int = 256, ttl_sec: float = 60.0):
+        import collections
+        import threading
+
+        self.max_entries = max_entries
+        self.ttl_sec = ttl_sec
+        self._d: "dict" = collections.OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, key, version):
+        import time
+
+        with self._lock:
+            e = self._d.get(key)
+            if e is None:
+                return None
+            v, t, payload = e
+            if v != version or (time.monotonic() - t) > self.ttl_sec:
+                del self._d[key]
+                return None
+            self._d.move_to_end(key)
+            return payload
+
+    def put(self, key, version, payload) -> None:
+        import time
+
+        with self._lock:
+            self._d[key] = (version, time.monotonic(), payload)
+            self._d.move_to_end(key)
+            while len(self._d) > self.max_entries:
+                self._d.popitem(last=False)
+
+
 _TRACK_SCHEMA = (
     "token string, user_id string, anonymous_id string, ts string, "
     "event_type string, props string, groups string, user_agent string, "
@@ -312,6 +358,7 @@ class App:
         rollup_store=None,
         rollup_dir: Optional[str] = None,
         lake: Optional[dict] = None,
+        result_cache_ttl: Optional[float] = 60.0,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -334,6 +381,15 @@ class App:
         #: (they answer 409) — the maintenance deployment that owns
         #: the bucketed table opts in.
         self.lake = lake
+        #: serving-layer result cache (None = disabled): replays the
+        #: serialized response of an identical query route request at
+        #: the same data version within the TTL
+        self._result_cache = (
+            _ResultCache(ttl_sec=result_cache_ttl)
+            if result_cache_ttl is not None else None)
+        #: bumped by every write (ingest, CRUD, lifecycle, checkpoint)
+        #: — the result cache's correctness seam
+        self._data_version = 0
         self._rollup_cache: dict = {}
         self.tracked: list[dict] = []
         self.identified: list[dict] = []
@@ -1005,6 +1061,7 @@ class App:
     def refresh_tables(self) -> None:
         self._events_cache = None
         self._rollup_cache = {}
+        self._data_version += 1
 
     def _all_rollup_stores(self) -> list:
         """Every existing RollupStore this server serves — the
@@ -1637,6 +1694,16 @@ class App:
             if ctx is not None:
                 md["__ctx"] = ctx
             qtype = getattr(handler, "_query_type", None)
+            cache = self._result_cache if qtype else None
+            ckey = None
+            if cache is not None:
+                ckey = (method, path, query,
+                        json.dumps(body, sort_keys=True, default=str))
+                hit = cache.get(ckey, self._data_version)
+                if hit is not None:
+                    metrics.query_result_cache_total().inc(
+                        query_type=qtype, outcome="hit")
+                    return hit
             import contextlib
 
             timer = (metrics.query_execution_time().time(query_type=qtype)
@@ -1654,6 +1721,13 @@ class App:
             try:
                 with timer:
                     status, result = handler(body, md, query)
+                    # every successful non-query write advances the
+                    # data version: any mutation (ingest, checkpoint,
+                    # CRUD, lifecycle) drops all cached query results
+                    # — coarse, but a hit can then never serve
+                    # pre-write data
+                    if qtype is None and method in ("POST", "PUT", "DELETE"):
+                        self._data_version += 1
                     if result is None:
                         return status, None
                     dims = None
@@ -1661,9 +1735,13 @@ class App:
                         result, dims = result
                     if isinstance(result, DataFrame):
                         compact = "format=jsonCompact" in query
-                        return status, frame_to_response(
+                        result = frame_to_response(
                             result, compact=compact, dimensions=dims
                         )
+                    if cache is not None and status == 200:
+                        metrics.query_result_cache_total().inc(
+                            query_type=qtype, outcome="miss")
+                        cache.put(ckey, self._data_version, (status, result))
                     return status, result
             finally:
                 if qtype:
@@ -1686,11 +1764,13 @@ def make_app(
     rollup_store=None,
     rollup_dir: Optional[str] = None,
     lake: Optional[dict] = None,
+    result_cache_ttl: Optional[float] = 60.0,
 ) -> App:
     return App(spark, sf_dir, custom_events=custom_events, now=now,
                catalog=catalog, token_key=token_key, wal_dir=wal_dir,
                session_store=session_store, backup_dir=backup_dir,
-               rollup_store=rollup_store, rollup_dir=rollup_dir, lake=lake)
+               rollup_store=rollup_store, rollup_dir=rollup_dir, lake=lake,
+               result_cache_ttl=result_cache_ttl)
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:
