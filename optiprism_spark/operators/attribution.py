@@ -68,6 +68,7 @@ def attribution_report(
     value_col: str = "value",
     filters: tuple[PropFilter, ...] = (),
     group_col: str = EVENT_USER_COL,
+    max_touches_per_user: Optional[int] = None,
 ) -> DataFrame:
     """Per-channel attribution: (channel, n_conversions, revenue).
 
@@ -75,6 +76,20 @@ def attribution_report(
     (fractional under ``linear`` — a conversion split across k
     channels contributes 1/k to each); ``revenue`` is the credited
     sum of ``value_col``.
+
+    ``max_touches_per_user``: whale guard (OFF by default, lossy for
+    over-cap users — same contract as funnel_report's
+    ``max_rows_per_user``). The conversions×touches equi-join fans
+    out touches/user × conversions/user on ONE key; a bot user with
+    10^5 touches and 10^4 conversions inside the lookback is 10^9
+    join rows in one task. The cap bounds the touch side per user via
+    the funnel's one-pass cutoff fold (operators/whale.py), keeping
+    the touches the model credits from: the chronologically FIRST cap
+    under ``first_touch`` (the earliest eligible touch survives for
+    any conversion whose window reaches it), the LAST cap otherwise
+    (the latest eligible touch for recent conversions survives).
+    Capped-user counts surface as observed metrics
+    (``attr_touch_cap``) for the ops plane.
     """
     if model not in _MODELS:
         raise ValueError(f"model must be one of {_MODELS}, got {model!r}")

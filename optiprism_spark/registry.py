@@ -176,6 +176,33 @@ DRIVER_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "wh_revenue_by_nation", "wh_top_brands_by_region", "win_cumulative",
         "win_logarithmic", "win_period_compare", "win_rolling_avg",
     }),
+    7: frozenset({
+        "alert_purchase_count_daily", "asm_pack_sequences",
+        "asm_sample_fraction_by_lang", "asm_split_train_val_test",
+        "asm_stratified_sample_exact", "attr_first_touch_revenue",
+        "attr_last_touch_revenue", "dedup_decontaminate",
+        "dedup_embedding_cosine_lsh_banded", "dedup_neardup_clusters",
+        "dedup_simhash", "dict_persisted_roundtrip",
+        "eng_active_days_histogram", "eng_stickiness_weekly",
+        "est_count_daily_sampled", "est_dau_sampled",
+        "est_funnel_3step_sampled", "est_retention_weekly_sampled",
+        "est_revenue_weekly_sampled", "event_records_search_purchases",
+        "exp_view_to_purchase", "funnel_machine_any_order_touch_last",
+        "funnel_machine_constants", "ingest_geo_mmdb_counts",
+        "ingest_ua_browser_counts", "latest_profile_all",
+        "multimodal_features", "path_backward_to_purchase",
+        "path_dropoff_after_view", "path_forward_excl_errors",
+        "path_forward_from_signup", "property_values_json_like",
+        "retention_daily_view_click", "retention_revenue_weekly",
+        "retention_unbounded_weekly", "retention_weekly_signup_purchase",
+        "rollup_percentile_value_by_type", "seg_chart_pipeline",
+        "seg_count_daily_by_type", "seg_count_daily_segmented",
+        "seg_rollup_count_daily", "seg_rollup_mixed_fallback",
+        "seg_rollup_routed_weekly", "seg_time_from_minute_buckets",
+        "seg_year_buckets", "segment_has_property_value",
+        "session_begin_daily", "sim_cosine_topk", "sim_cosine_topk_ivf",
+        "text_pii_redact",
+    }),
 }
 
 

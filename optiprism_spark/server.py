@@ -825,7 +825,15 @@ class App:
                 s.update(self.spark, new_events)
                 n += 1
         if n:
+            # not refresh_tables(): the events cache is still valid
+            # (the lake fold that accompanies this batch invalidates
+            # it itself via commit_checkpoint → refresh_tables), but
+            # the result cache MUST drop — it is keyed on
+            # _data_version, and without the bump an identical routed
+            # query inside the TTL replays the pre-maintenance
+            # response (r7 red test)
             self._rollup_cache.pop(pid, None)
+            self._data_version += 1
         return n
 
     def _attach_property(self, body, m, q):

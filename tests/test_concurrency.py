@@ -116,3 +116,91 @@ def test_accept_backlog_sized_for_bursts(server):
     assert all(x is not None for x in lat)
     slow = [x for x in lat if x > 5.0]
     assert not slow, f"{len(slow)} requests stalled: {sorted(lat)[-3:]}"
+
+
+def test_result_cache_never_serves_pre_maintenance_data(spark, tmp_path):
+    """Fuzz the result-cache version seam (r7 bug: maintain_rollups
+    advanced stores without bumping _data_version, so the TTL cache
+    replayed pre-maintenance responses): 4 query threads hammer one
+    routed request while a maintenance thread applies epochs of 10
+    March purchases each; every response must reflect AT LEAST the
+    epochs completed before its request started — a cached replay of
+    an older epoch is exactly the bug."""
+    from pyspark.sql import functions as F
+
+    from optiprism_spark.schema import load_table
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    base = load_table(spark, SF_DIR, "events")
+    proto = base.filter(F.col("event_type") == "purchase").limit(10).cache()
+    proto.count()
+
+    app = make_app(spark, SF_DIR, rollup_dir=str(tmp_path / "rollups"))
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "fuzz", "dims": ["event_type"]})
+    assert st == 201
+
+    body = {
+        "time": {"type": "between", "from": "2024-03-01T00:00:00",
+                 "to": "2024-03-31T23:59:59.999999"},
+        "intervalUnit": "month",
+        "events": [{"eventName": "purchase", "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    url = "/api/v1/projects/1/queries/event-segmentation"
+
+    EPOCHS = 4
+    done = [0]          # epochs fully applied (store advanced + version bumped)
+    errors: list = []
+    stop = threading.Event()
+
+    def total_purchases(resp) -> int:
+        metrics = [c for c in resp["columns"]
+                   if c["name"] not in ("bucket", "event", "segment")]
+        return int(sum(metrics[0]["data"])) if metrics else 0
+
+    def querier():
+        while not stop.is_set():
+            e = done[0]  # read BEFORE the request fires
+            try:
+                st_, resp = call(app, "POST", url, body)
+                assert st_ == 200
+                got = total_purchases(resp)
+                if got < 10 * e:
+                    errors.append(
+                        f"stale response: saw {got} purchases after "
+                        f"{e} completed epochs (expected >= {10 * e})")
+            except Exception as exc:  # pragma: no cover - surfaced below
+                errors.append(repr(exc))
+
+    def maintainer():
+        for e in range(1, EPOCHS + 1):
+            batch = proto.withColumn(
+                "ts", F.lit(f"2024-03-0{e} 12:00:00").cast("timestamp"))
+            try:
+                assert app.maintain_rollups(batch, pid=1) == 1
+            except Exception as exc:  # pragma: no cover
+                errors.append(repr(exc))
+                break
+            done[0] = e
+
+    qs = [threading.Thread(target=querier) for _ in range(4)]
+    m = threading.Thread(target=maintainer)
+    for t in qs:
+        t.start()
+    m.start()
+    m.join()
+    # let the queriers observe the final epoch at least once more
+    import time
+
+    time.sleep(0.5)
+    stop.set()
+    for t in qs:
+        t.join()
+    proto.unpersist()
+    assert not errors, errors[:5]
+    # the final state is fully visible
+    st_, resp = call(app, "POST", url, body)
+    assert total_purchases(resp) == 10 * EPOCHS

@@ -616,3 +616,90 @@ def test_failed_rollup_build_leaves_no_phantom(spark, tmp_path):
     st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
                  {"name": "boom", "jsonDims": [["plan", "string"]]})
     assert st == 201
+
+
+def test_result_cache_fresh_after_real_ingest_and_maintenance(spark, tmp_path):
+    """r7 verdict regression: with the 60s result cache on, a routed
+    query answered BEFORE an ingest cycle must not be replayed AFTER
+    it. Drives the REAL path — HTTP /track → WAL buffer → two-phase
+    checkpoint (begin → durable write → commit) with maintain_rollups
+    advancing the declared store in between — then re-fires the
+    byte-identical request inside the TTL and requires fresh data at
+    every stage (post-maintenance pre-commit is the exact moment the
+    r7 bug replayed stale responses)."""
+    import os
+
+    from optiprism_spark.ingest import tracked_to_events
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    base = load_table(spark, SF_DIR, "events")
+    base.write.mode("overwrite").parquet(f"{data_dir}/events.parquet")
+
+    app = make_app(spark, data_dir, rollup_dir=str(tmp_path / "rollups"),
+                   wal_dir=str(tmp_path / "wal"))
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "fresh", "dims": ["event_type"]})
+    assert st == 201
+
+    seg_body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-03-31T23:59:59.999999"},
+        "intervalUnit": "month",
+        "events": [{"eventName": "purchase", "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    url = "/api/v1/projects/1/queries/event-segmentation"
+    _, first = call(app, "POST", url, seg_body)
+    _, again = call(app, "POST", url, seg_body)
+    assert again == first  # identical request inside the TTL: cache path
+    buckets0 = next(c["data"] for c in first["columns"]
+                    if c["name"] == "bucket")
+    assert not any(str(b).startswith("2024-03") for b in buckets0)
+
+    # real ingest: HTTP facade → WAL → checkpoint snapshot
+    for i in range(5):
+        st, _ = call(app, "POST", "/api/v1/ingest/tok/track", {
+            "userId": str(i + 1), "event": "purchase",
+            "timestamp": f"2024-03-05T10:0{i}:00Z",
+            "properties": {"revenue": 3.0}})
+        assert st == 201
+    snap_t, _snap_i = app.begin_checkpoint()
+    batch = tracked_to_events(
+        spark.createDataFrame(snap_t, app.tracked_df(enrich=False).schema),
+        base_event_id=10_000_000)
+    # maintenance advances the declared store from the append batch;
+    # the identical request must MISS the cache and see March NOW,
+    # before the base-table fold even commits (the store is ahead of
+    # the raw table by design — that's what routing is for)
+    assert app.maintain_rollups(batch, pid=1) == 1
+    _, mid = call(app, "POST", url, seg_body)
+    buckets1 = next(c["data"] for c in mid["columns"]
+                    if c["name"] == "bucket")
+    assert any(str(b).startswith("2024-03") for b in buckets1)
+
+    # durable fold into the served table + checkpoint commit (WAL
+    # truncate + refresh); reads come from SF_DIR so the overwrite of
+    # data_dir never reads-while-writing
+    base.unionByName(batch, allowMissingColumns=True).write.mode(
+        "overwrite").parquet(f"{data_dir}/events.parquet")
+    app.commit_checkpoint()
+    assert app.tracked == []
+
+    _, after = call(app, "POST", url, seg_body)
+    metric = [c for c in after["columns"]
+              if c["name"] not in ("bucket", "event", "segment")][0]
+    mid_metric = [c for c in mid["columns"]
+                  if c["name"] not in ("bucket", "event", "segment")][0]
+    assert metric["data"] == mid_metric["data"]  # store ≡ post-fold raw
+    # and the post-ingest answer matches a raw recompute on the new table
+    from optiprism_spark.api import parse_event_segmentation
+    from optiprism_spark.queries.event_segmentation import (
+        run_event_segmentation as _run,
+    )
+
+    raw = _run(load_table(spark, data_dir, "events"),
+               parse_event_segmentation(seg_body)).collect()
+    assert sorted(metric["data"]) == sorted(r[metric["name"]] for r in raw)
