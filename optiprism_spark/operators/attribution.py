@@ -101,6 +101,14 @@ def attribution_report(
         F.col(EVENT_TIME_COL).alias("__t_ts"),
         F.col(EVENT_ID_COL).alias("__t_id"),
     )
+    if max_touches_per_user is not None:
+        from .whale import cap_rows_per_key
+
+        touches = cap_rows_per_key(
+            touches, group_col, max_touches_per_user, "__t_ts", "__t_id",
+            keep="first" if model == "first_touch" else "last",
+            observe_as="attr_touch_cap",
+        )
     c_cond = full_filter(time, conversion_event, filters)
     convs = (events.filter(c_cond) if c_cond is not None else events).select(
         F.col(group_col),

@@ -60,6 +60,7 @@ def _sequence_frame(
     exclude_events: Sequence[str],
     group_col: str,
     name_col: str,
+    max_rows_per_user: Optional[int],
 ) -> tuple[DataFrame, list[Column]]:
     """Anchor rows + their ``steps-1`` conditional neighbour events.
 
@@ -87,6 +88,22 @@ def _sequence_frame(
         anchor_cond if anchor_cond is not None else F.lit(True))
     df = df.select(group_col, EVENT_TIME_COL, EVENT_ID_COL, name_col,
                    "__anchor")
+    if max_rows_per_user is not None:
+        # whale guard (OFF by default, lossy for over-cap users —
+        # funnel's max_rows_per_user contract): the sequence window
+        # sorts each user's whole filtered history in ONE partition,
+        # so a bot user with 10^6 rows is one monster sort task. The
+        # one-pass cutoff fold (operators/whale.py) keeps each user's
+        # chronologically-first cap rows BEFORE the shuffle; anchors
+        # past the cutoff are dropped, and the last kept anchor's
+        # steps may truncate where uncapped they would continue.
+        # Capped-user counts surface as observed metrics (path_cap).
+        from .whale import cap_rows_per_key
+
+        df = cap_rows_per_key(
+            df, group_col, max_rows_per_user, EVENT_TIME_COL,
+            EVENT_ID_COL, keep="first", observe_as="path_cap",
+        )
 
     w = Window.partitionBy(group_col).orderBy(EVENT_TIME_COL, EVENT_ID_COL)
     shift = F.lead if direction == "forward" else F.lag
@@ -129,6 +146,7 @@ def event_paths(
     exclude_events: Sequence[str] = (),
     group_col: str = EVENT_USER_COL,
     name_col: str = EVENT_NAME_COL,
+    max_rows_per_user: Optional[int] = None,
 ) -> DataFrame:
     """Top-k event paths from (forward) or into (backward) an anchor.
 
@@ -141,7 +159,7 @@ def event_paths(
     """
     seq, step_cols = _sequence_frame(
         events, anchor, time, steps, direction, within,
-        filters, exclude_events, group_col, name_col,
+        filters, exclude_events, group_col, name_col, max_rows_per_user,
     )
     # chronological rendering: forward = anchor, s1, s2…; backward =
     # …s2, s1, anchor. concat_ws skips NULLs, and NULL steps are
@@ -178,6 +196,7 @@ def path_dropoff(
     exclude_events: Sequence[str] = (),
     group_col: str = EVENT_USER_COL,
     name_col: str = EVENT_NAME_COL,
+    max_rows_per_user: Optional[int] = None,
 ) -> DataFrame:
     """Per-step event distribution after/before the anchor — the
     sankey feed. Output: (step, next_event, n_starts, n_users) where
@@ -187,7 +206,7 @@ def path_dropoff(
     """
     seq, step_cols = _sequence_frame(
         events, anchor, time, steps, direction, within,
-        filters, exclude_events, group_col, name_col,
+        filters, exclude_events, group_col, name_col, max_rows_per_user,
     )
     exploded = seq.select(
         F.col(group_col),

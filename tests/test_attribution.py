@@ -123,3 +123,70 @@ def test_linear_conservation_on_real_data(spark):
         ).collect()
         assert sum(r["revenue"] for r in rep) == pytest.approx(total[0], rel=1e-9)
         assert sum(r["n_conversions"] for r in rep) == pytest.approx(total[1])
+
+
+def test_touch_cap_no_op_when_under_cap(events):
+    """Guard with cap >= any user's touch count is a pure no-op for
+    every model (the cutoff frame is empty; the left join keeps
+    everything)."""
+    for model in ("last_touch", "first_touch", "linear"):
+        want = _report(events, model)
+        got = {
+            r["channel"]: (r["n_conversions"], r["revenue"])
+            for r in attribution_report(
+                events, channel_col=F.col("event_type"),
+                touch_event=TOUCHES, conversion_event=EventRef("purchase"),
+                time=WINDOW, model=model, lookback=dt.timedelta(days=7),
+                max_touches_per_user=100,
+            ).collect()
+        }
+        assert got == want, model
+
+
+def test_touch_cap_bounds_whale_and_keeps_model_side(spark):
+    """A whale user with 1000 touches before one purchase: cap=5 must
+    (a) bound the join fan-out to 5 rows, (b) preserve last_touch
+    exactly (keep='last' retains the latest touches — the credited
+    one), and (c) preserve first_touch exactly (keep='first' retains
+    the earliest)."""
+    t0 = dt.datetime(2024, 1, 20, 12, 0, 0)
+    rows = [(i, t0 - dt.timedelta(minutes=1000 - i), 9,
+             "ad" if i % 2 else "email", 0.0, "{}")
+            for i in range(1, 1001)]
+    rows.append((2000, t0, 9, "purchase", 50.0, "{}"))
+    whale = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    def rep(model, cap):
+        return {
+            r["channel"]: (r["n_conversions"], r["revenue"])
+            for r in attribution_report(
+                whale, channel_col=F.col("event_type"),
+                touch_event=TOUCHES, conversion_event=EventRef("purchase"),
+                time=WINDOW, model=model, lookback=dt.timedelta(days=7),
+                max_touches_per_user=cap,
+            ).collect()
+        }
+
+    # last touch = id 1000 (even -> email); first = id 1 (odd -> ad)
+    assert rep("last_touch", 5) == _cap_free(whale, "last_touch")
+    assert rep("first_touch", 5) == _cap_free(whale, "first_touch")
+    # linear under the cap credits only the 5 kept touches: shares
+    # sum to the one conversion, revenue to its full value
+    lin = rep("linear", 5)
+    assert abs(sum(v[0] for v in lin.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in lin.values()) - 50.0) < 1e-9
+
+
+def _cap_free(events, model):
+    return {
+        r["channel"]: (r["n_conversions"], r["revenue"])
+        for r in attribution_report(
+            events, channel_col=F.col("event_type"),
+            touch_event=TOUCHES, conversion_event=EventRef("purchase"),
+            time=WINDOW, model=model, lookback=dt.timedelta(days=7),
+        ).collect()
+    }

@@ -156,3 +156,41 @@ def test_custom_anchor_with_property_filters(events, spark):
                           steps=3, top_k=1000)
     filt_total = sum(r["n_starts"] for r in out)
     assert filt_total < sum(r["n_starts"] for r in all_out.collect())
+
+
+def test_max_rows_per_user_noop_and_truncation(spark, events):
+    """Whale guard: cap >= every user's rows is a pure no-op; a small
+    cap equals running the op on each user's chronologically-first
+    cap rows (the guard's documented lossy contract)."""
+    want = _paths(event_paths(events, EventRef("signup"), WINDOW, steps=3))
+    got = _paths(event_paths(events, EventRef("signup"), WINDOW, steps=3,
+                             max_rows_per_user=50))
+    assert got == want
+
+    # whale user: signup then 999 views; cap=10 keeps the first 10 rows
+    def e(i, minutes, user, ev):
+        return (i, T0 + dt.timedelta(minutes=minutes), user, ev, 0.0, "{}")
+
+    whale_rows = [e(1, 0, 9, "signup")] + [
+        e(i, i, 9, "view") for i in range(2, 1001)]
+    whale = spark.createDataFrame(
+        whale_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    capped = _paths(event_paths(whale, EventRef("signup"), WINDOW, steps=3,
+                                max_rows_per_user=10))
+    truncated = _paths(event_paths(
+        spark.createDataFrame(
+            whale_rows[:10],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"),
+        EventRef("signup"), WINDOW, steps=3))
+    assert capped == truncated == {"signup -> view -> view": (1, 1)}
+
+    # dropoff sees the same guard through its own entry point
+    d_capped = {(r["step"], r["next_event"]): r["n_starts"]
+                for r in path_dropoff(whale, EventRef("signup"), WINDOW,
+                                      steps=3,
+                                      max_rows_per_user=10).collect()}
+    assert d_capped == {(1, "view"): 1, (2, "view"): 1}
