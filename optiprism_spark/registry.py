@@ -203,6 +203,29 @@ DRIVER_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "session_begin_daily", "sim_cosine_topk", "sim_cosine_topk_ivf",
         "text_pii_redact",
     }),
+    8: frozenset({
+        "api_json_custom_event", "api_json_funnel", "api_json_group_segmentation",
+        "api_json_segmentation", "catalog_materialized_property",
+        "catalog_property_query", "dedup_embedding_cosine_ivf_auto",
+        "dedup_exact_survivors", "dedup_lsh_near_pairs",
+        "dedup_minhash_signatures", "funnel_first_touch_3step",
+        "funnel_frequency", "funnel_machine_3step", "funnel_machine_breakdown",
+        "funnel_machine_nonunique", "funnel_machine_session_mode",
+        "funnel_steps_chart", "funnel_time_to_convert_dist",
+        "group_records_top_value", "ingest_geo_country_counts",
+        "ingest_profile_upsert", "multimodal_decoded_stats",
+        "seg_breakdown_json_prop", "seg_count_hourly_purchase",
+        "seg_count_per_user_avg", "seg_custom_event", "seg_dau",
+        "seg_dau_by_week", "seg_filter_json_prop", "seg_filter_ops",
+        "seg_formula_value_per_event", "seg_group_analytics_org", "seg_mau",
+        "seg_mixed_levels", "seg_multi_agg_weekly", "seg_multi_event_merge",
+        "seg_percentiles_by_type", "seg_sum_per_user_outer",
+        "seg_sum_value_daily_by_type", "seg_unpivot_compact", "seg_wau",
+        "segment_and_composition", "sim_cosine_topk_lsh",
+        "text_lang_distribution", "text_quality_scores", "text_stats_all",
+        "wh_revenue_by_nation", "wh_top_brands_by_region", "win_logarithmic",
+        "win_rolling_avg",
+    }),
 }
 
 

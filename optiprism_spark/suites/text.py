@@ -168,10 +168,62 @@ def text_gopher_quality(spark, sf_dir):
     return gopher_quality(docs)
 
 
-@query("text_bpe_segments")  # oracle=None: iterative algorithm (the
-# sanctioned no-oracle category) — greedy argmax-merge cannot be one
-# SQL query; correctness is pinned differentially against a pure-
-# Python reference trainer in tests/test_bpe.py instead
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled greedy-BPE trainer in pure DuckDB SQL: each of the
+    ``n_merges`` iterations is one CTE pair — ``t{i}`` picks the argmax
+    adjacent pair (count desc, a asc, b asc — the operator's exact
+    tie-break, with the cnt>=2 early-stop expressed as HAVING so later
+    iterations no-op once training stops) and ``w{i}`` rewrites every
+    vocab word via a ``list_reduce`` fold. The fold encodes the symbol
+    list as a chr(31)-joined string (the corpus is printable ASCII, so
+    the separator can't collide); "merge leftmost non-overlapping" is
+    exactly "append b to the accumulator iff the accumulator's last
+    symbol equals a" — a merged symbol a||b can never equal a (b is
+    non-empty), so a fresh merge can never chain, matching the Spark
+    fold's open/closed flag (operators/bpe.py `_merge_expr`)."""
+    merge_fold = """
+      CASE WHEN t.a IS NULL THEN syms
+      ELSE string_split(
+        list_reduce(syms, (acc, x) -> CASE
+          WHEN x = t.b AND (acc = t.a OR ends_with(acc, chr(31) || t.a))
+          THEN acc || t.b
+          ELSE acc || chr(31) || x END),
+        chr(31))
+      END"""
+    sql = """WITH w0 AS (
+      SELECT word, n, list_append(string_split(word, ''), '</w>') AS syms
+      FROM (
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+      )
+    )"""
+    for i in range(1, n_merges + 1):
+        sql += f""",
+    t{i} AS (
+      SELECT p['a'] AS a, p['b'] AS b
+      FROM (
+        SELECT unnest(list_transform(syms[1:len(syms)-1],
+                      (s, i) -> struct_pack(a := s, b := syms[i+1]))) AS p, n
+        FROM w{i-1}
+      )
+      GROUP BY 1, 2
+      HAVING sum(n) >= 2
+      ORDER BY sum(n) DESC, a ASC, b ASC
+      LIMIT 1
+    ),
+    w{i} AS (
+      SELECT word, n, {merge_fold} AS syms
+      FROM w{i-1} LEFT JOIN t{i} t ON true
+    )"""
+    return sql + f"""
+    SELECT word, n, len(syms) AS n_syms,
+           array_to_string(syms, ' ') AS segmentation
+    FROM w{n_merges}"""
+
+
+@query("text_bpe_segments", oracle=_bpe_oracle_sql(8))
 def text_bpe_segments(spark, sf_dir):
     """Distributed BPE tokenizer training over the corpus: 8 greedy
     merges from character splits, returning every vocab word's final
