@@ -53,7 +53,16 @@ def cap_rows_per_key(
     first (``keep="first"``) or last (``keep="last"``) in the total
     order (ts_col, id_col). Under-cap keys pass through untouched
     (their cutoff row is absent; the left join leaves NULLs and the
-    filter keeps everything)."""
+    filter keeps everything).
+
+    NULL contract: ``id_col`` must be NON-NULL — it is the row
+    identity and the no-cut sentinel (the events schema's event_id
+    satisfies this). NULL ``ts_col`` values are handled and rank
+    exactly where the window ranks them (asc → nulls first, desc →
+    nulls last, tie-broken by id). Rows with a NULL ``key_col`` pass
+    through UNCAPPED: the equi-join back is null-unsafe, so they can
+    never match a cutoff row — callers keying on a nullable column
+    should filter or fill first."""
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
     if keep not in ("first", "last"):
@@ -87,18 +96,33 @@ def cap_rows_per_key(
             F.max("__wn").alias("max_key_rows"),
         )
     cut = cut.drop("__wn")
-    no_cut = F.col("__cut_ts").isNull()
+    # sentinel on the id, not the ts: id_col is non-null by contract,
+    # so __cut_eid IS NULL can only mean "no cutoff row joined" — a
+    # legitimately-NULL cutoff ts must not read as "cap disabled"
+    cut_ts, cut_eid = F.col("__cut_ts"), F.col("__cut_eid")
+    no_cut = cut_eid.isNull()
     if keep == "first":
+        # asc ranks NULL ts first: a NULL-ts row precedes every
+        # non-NULL cutoff ts; among NULL ts, tie-break by id
         keep_cond = (
             no_cut
-            | (ts < F.col("__cut_ts"))
-            | ((ts == F.col("__cut_ts")) & (eid <= F.col("__cut_eid")))
+            | (ts.isNull() & (cut_ts.isNotNull() | (eid <= cut_eid)))
+            | (
+                ts.isNotNull() & cut_ts.isNotNull()
+                & ((ts < cut_ts) | ((ts == cut_ts) & (eid <= cut_eid)))
+            )
         )
     else:
+        # desc ranks NULL ts last: a non-NULL-ts row precedes every
+        # NULL cutoff ts; among NULL ts, tie-break by id desc
         keep_cond = (
             no_cut
-            | (ts > F.col("__cut_ts"))
-            | ((ts == F.col("__cut_ts")) & (eid >= F.col("__cut_eid")))
+            | (
+                ts.isNotNull()
+                & (cut_ts.isNull() | (ts > cut_ts)
+                   | ((ts == cut_ts) & (eid >= cut_eid)))
+            )
+            | (ts.isNull() & cut_ts.isNull() & (eid >= cut_eid))
         )
     return (
         df.join(cut, key_col, "left")

@@ -1704,10 +1704,17 @@ class App:
             qtype = getattr(handler, "_query_type", None)
             cache = self._result_cache if qtype else None
             ckey = None
+            # snapshot the version BEFORE the handler runs: if a
+            # concurrent write (maintain_rollups, ingest — the server
+            # is threaded, no request lock) bumps it mid-execution,
+            # the result computed against pre-bump data must be cached
+            # under the pre-bump version so the next get() at the new
+            # version invalidates it instead of replaying stale data
+            cache_ver = self._data_version
             if cache is not None:
                 ckey = (method, path, query,
                         json.dumps(body, sort_keys=True, default=str))
-                hit = cache.get(ckey, self._data_version)
+                hit = cache.get(ckey, cache_ver)
                 if hit is not None:
                     metrics.query_result_cache_total().inc(
                         query_type=qtype, outcome="hit")
@@ -1749,7 +1756,7 @@ class App:
                     if cache is not None and status == 200:
                         metrics.query_result_cache_total().inc(
                             query_type=qtype, outcome="miss")
-                        cache.put(ckey, self._data_version, (status, result))
+                        cache.put(ckey, cache_ver, (status, result))
                     return status, result
             finally:
                 if qtype:

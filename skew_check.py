@@ -310,13 +310,23 @@ def main() -> None:
     # attr/paths guards bound the whale's join fan-out / sort volume;
     # their one bounded whale task can still exceed the generic ratio
     # gate on a corpus where the whale is 71% of ALL rows, so they get
-    # a time-based gate instead: guarded must beat unguarded
+    # time-based gates folded into the verdict instead: attribution's
+    # guard kills a quadratic join blowup and must WIN outright
+    # (speedup >= 1.0); the paths window is linear per user, so on a
+    # corpus without the monster-sort pathology the guard is pure
+    # overhead — gate that overhead at <= 30% (speedup >= 0.7) rather
+    # than pretending it wins here
     guard_wins = {
         f"{fam}_speedup": round(
             results[f"{fam}_unguarded"]["t"] / results[f"{fam}_guarded"]["t"], 2)
         for fam in ("attr_last_touch", "paths_forward")
     }
     worst_guarded = max(results[k]["straggler"]["ratio"] for k in guarded)
+    gate_pass = (
+        worst_guarded <= STRAGGLER_THRESH
+        and guard_wins["attr_last_touch_speedup"] >= 1.0
+        and guard_wins["paths_forward_speedup"] >= 0.7
+    )
     payload = {
         "metric": "skew_robustness",
         "factor": 10,
@@ -328,7 +338,7 @@ def main() -> None:
         "gate": {
             "straggler_threshold": STRAGGLER_THRESH,
             "worst_guarded_ratio": worst_guarded,
-            "pass": worst_guarded <= STRAGGLER_THRESH,
+            "pass": gate_pass,
             "whale_guard_fired": whale_truncated > 0,
             **guard_wins,
         },

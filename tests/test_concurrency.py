@@ -204,3 +204,51 @@ def test_result_cache_never_serves_pre_maintenance_data(spark, tmp_path):
     # the final state is fully visible
     st_, resp = call(app, "POST", url, body)
     assert total_purchases(resp) == 10 * EPOCHS
+
+
+def test_result_cache_put_uses_pre_execution_version_snapshot(spark):
+    """A write that lands WHILE a query executes must invalidate the
+    entry that query caches: the dispatch site snapshots
+    _data_version before invoking the handler and puts under that
+    snapshot — putting under the post-bump current version would
+    bless a pre-bump result for the new version and replay stale data
+    for the TTL window (the same staleness class as the r7
+    maintain_rollups bug, reached through the request/write race)."""
+    from optiprism_spark import metrics
+
+    app = make_app(spark, SF_DIR)
+    url = "/api/v1/projects/1/queries/event-segmentation"
+
+    bumped = [0]
+    for i, (m, pat, h, perm) in enumerate(app._routes):
+        if m == "POST" and getattr(h, "_query_type", None) and pat.match(url):
+            def wrapped(body_, md, qs, _h=h):
+                out = _h(body_, md, qs)
+                if not bumped[0]:
+                    app._data_version += 1  # simulated concurrent write
+                    bumped[0] = 1
+                return out
+
+            wrapped._query_type = h._query_type
+            app._routes[i] = (m, pat, wrapped, perm)
+            break
+    else:
+        pytest.fail(f"no query route matched {url}")
+
+    from .test_server import call
+
+    hits = metrics.query_result_cache_total()
+    qt = "event_segmentation"
+    h0 = hits.value(query_type=qt, outcome="hit")
+
+    st, r1 = call(app, "POST", url, SEG_BODY)
+    assert st == 200 and bumped[0] == 1
+    # identical request after the bump: the r1 entry must be invalid
+    st, r2 = call(app, "POST", url, SEG_BODY)
+    assert st == 200 and r2 == r1
+    assert hits.value(query_type=qt, outcome="hit") == h0, (
+        "stale pre-bump result served from cache")
+    # r2 cached under the (now-stable) version: third request hits
+    st, r3 = call(app, "POST", url, SEG_BODY)
+    assert st == 200 and r3 == r1
+    assert hits.value(query_type=qt, outcome="hit") == h0 + 1

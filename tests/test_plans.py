@@ -472,3 +472,24 @@ def test_attribution_no_cartesian_and_partial_aggs(spark):
     for schema in _scan_read_schemas(plan):
         cols = set(re.findall(r"(\w+):", schema))
         assert cols <= {"event_id", "ts", "user_id", "event_type", "value"}, cols
+
+
+def test_whale_guard_joinback_broadcasts_under_aqe(spark):
+    """The cap_rows_per_key cutoff frame (one row per over-cap key)
+    must come back as a BROADCAST join in AQE's final plan — if a
+    conf change ever demoted it to a second full shuffle, the guard
+    would double the exchange cost it exists to remove. The pre-AQE
+    plan can't show this (the join strategy is a runtime re-plan), so
+    execute and read the final adaptive plan."""
+    from optiprism_spark.operators.whale import cap_rows_per_key
+    from optiprism_spark.schema import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id")
+    capped = cap_rows_per_key(ev, "user_id", 5, "ts", "event_id")
+    # collect() runs THIS DataFrame's QueryExecution (count() would
+    # spawn a fresh one), so its AdaptiveSparkPlan finalizes in place
+    capped.collect()
+    final = capped._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, final
+    assert "BroadcastHashJoin" in final, final
