@@ -61,6 +61,10 @@ HEADLINE = [
     "ingest_ua_browser_counts",      # UA-parse enrichment
     "wh_revenue_by_nation",          # fact-fact shuffle join + dims
     "retention_weekly_signup_purchase",  # cohort matrix (two-sided agg+join)
+    "eng_stickiness_weekly",         # DAU/WAU ratio, raw scan
+    "eng_stickiness_weekly_rollup",  # same from the day rollup (store build
+                                     # amortized: first pass builds, min-of-3
+                                     # times the routed read)
     "path_forward_from_signup",      # journey window + top-k paths
     "est_funnel_3step_sampled",      # funnel over a 25% coherent sample
 ]

@@ -560,6 +560,151 @@ def unique_groups_estimate(
     )
 
 
+def activity_supports(
+    time: QueryTime,
+    event,
+    filters: Sequence[PropFilter],
+    spec: RollupSpec,
+) -> bool:
+    """Routability guard for the activity readers below (stickiness,
+    cohort sizes): day-aligned bounds, event filter expressible on the
+    rollup's event dim, property filters within the dim set."""
+    if _day_aligned(time) is None:
+        return False
+    if not _filters_routable(filters, spec):
+        return False
+    if event is not None:
+        if getattr(event, "custom", None) is not None:
+            return False
+        if event.name is not None and EVENT_NAME_COL not in spec.dims:
+            return False
+    return True
+
+
+def _activity_day_sketches(
+    rollup: DataFrame,
+    time: QueryTime,
+    spec: RollupSpec,
+    event=None,
+    filters: Sequence[PropFilter] = (),
+) -> DataFrame:
+    """(dt, __sk): one merged user-HLL sketch per day after event/dim
+    filtering — the shared scan for every activity-shaped rollup read.
+    The frame is at most #days-in-window rows regardless of data size;
+    everything downstream operates on it, never on raw events."""
+    aligned = _day_aligned(time)
+    assert aligned is not None, "caller must check activity_supports"
+    start_day, end_day = aligned
+    conds: list[Column] = [
+        F.col(ROLLUP_DT_COL) >= F.lit(str(start_day)).cast("date")
+    ]
+    if end_day is not None:
+        conds.append(F.col(ROLLUP_DT_COL) <= F.lit(str(end_day)).cast("date"))
+    if event is not None:
+        ev = event_expression(event, EVENT_NAME_COL)
+        if ev is not None:
+            conds.append(ev)
+    conds += [_rollup_filter(f) for f in filters]
+    return (
+        rollup.filter(multi_and(conds))
+        .groupBy(ROLLUP_DT_COL)
+        .agg(F.hll_union_agg(F.col(USERS_HLL_COL)).alias("__sk"))
+    )
+
+
+def stickiness_from_rollup(
+    rollup: DataFrame,
+    time: QueryTime,
+    period: TimeIntervalUnit = TimeIntervalUnit.WEEK,
+    spec: RollupSpec = RollupSpec(),
+    event=None,
+    filters: Sequence[PropFilter] = (),
+) -> DataFrame:
+    """`operators.engagement.stickiness` answered from the day-grain
+    store: daily actives are per-day sketch estimates, period actives
+    the estimate of the day-sketch union — the most-refreshed
+    engagement dashboard never touches raw events. Same output shape
+    and conventions as the raw path (sum ÷ calendar days of the
+    period, so zero-activity days count as zero). Estimates carry
+    HLL error (± ~1% at lg_k=14) at high cardinality; below the
+    sketch's sparse-mode threshold they are exact, which is what makes
+    the routed result hash-match the exact oracle at test scale."""
+    if period not in (TimeIntervalUnit.WEEK, TimeIntervalUnit.MONTH):
+        raise ValueError("stickiness period must be week or month")
+    day_sk = _activity_day_sketches(rollup, time, spec, event, filters)
+    pb = bucket_col(period, ts_col=ROLLUP_DT_COL).alias("bucket")
+    per_day = day_sk.select(pb, F.hll_sketch_estimate("__sk").alias("__dau"),
+                            F.col("__sk"))
+    days_in_period = (
+        F.lit(7)
+        if period == TimeIntervalUnit.WEEK
+        else F.dayofmonth(F.last_day(F.col("bucket")))
+    )
+    daily = per_day.groupBy("bucket").agg(
+        (F.sum("__dau") / days_in_period).alias("avg_dau")
+    )
+    per = per_day.groupBy("bucket").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("period_active")
+    )
+    return daily.join(per, "bucket").select(
+        "bucket",
+        "avg_dau",
+        "period_active",
+        (F.col("avg_dau") / F.col("period_active")).alias("stickiness"),
+    )
+
+
+def cohort_sizes_from_rollup(
+    rollup: DataFrame,
+    time: QueryTime,
+    interval: TimeIntervalUnit = TimeIntervalUnit.WEEK,
+    spec: RollupSpec = RollupSpec(),
+    cohort_event=None,
+    filters: Sequence[PropFilter] = (),
+) -> DataFrame:
+    """Retention cohort sizes from the day-grain store: a user's
+    first-touch bucket is recovered from CUMULATIVE sketch unions —
+    |first touch ≤ B| = estimate(union of day sketches ≤ end(B)), so
+    size(B) is the difference of consecutive cumulative estimates (the
+    standard first-seen estimator over mergeable distinct sketches).
+    The cumulative union runs on the per-bucket sketch frame (#buckets
+    rows), so the triangular self-join and the global lag window are
+    driver-trivial at any data scale. Buckets where the difference is
+    zero are dropped, matching the raw path (no row for a bucket with
+    no first-touch users)."""
+    if interval not in (
+        TimeIntervalUnit.DAY, TimeIntervalUnit.WEEK, TimeIntervalUnit.MONTH,
+    ):
+        raise ValueError("cohort interval must be day, week or month")
+    from pyspark.sql import Window
+
+    day_sk = _activity_day_sketches(rollup, time, spec, cohort_event, filters)
+    pb = bucket_col(interval, ts_col=ROLLUP_DT_COL).alias("cohort_bucket")
+    per_b = (
+        day_sk.select(pb, "__sk")
+        .groupBy("cohort_bucket")
+        .agg(F.hll_union_agg("__sk").alias("__bsk"))
+    )
+    a, b = per_b.alias("a"), per_b.alias("b")
+    cum = (
+        a.join(b, F.col("b.cohort_bucket") <= F.col("a.cohort_bucket"))
+        .groupBy(F.col("a.cohort_bucket").alias("cohort_bucket"))
+        .agg(F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("b.__bsk"))).alias("__cum"))
+    )
+    # global window over #buckets rows — bounded by the window's span
+    # in periods, never by data size
+    w = Window.orderBy("cohort_bucket")
+    return (
+        cum.withColumn(
+            "cohort_size",
+            F.col("__cum") - F.coalesce(F.lag("__cum").over(w), F.lit(0)),
+        )
+        .filter(F.col("cohort_size") > 0)
+        .select("cohort_bucket", "cohort_size")
+    )
+
+
 def percentile_estimate(
     rollup: DataFrame,
     spec: RollupSpec,

@@ -45,6 +45,53 @@ def eng_stickiness_weekly(spark, sf_dir):
                       period=TimeIntervalUnit.WEEK)
 
 
+#: day-aligned window (µs end) — required for rollup routing; the
+#: oracle uses the SAME bounds so both paths see identical rows
+_T_DAYS = ("2024-01-01 00:00:00", "2024-01-31 23:59:59.999999")
+_FULL_DAYS = QueryTime.between(
+    dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59, 999999)
+)
+
+
+@query(
+    "eng_stickiness_weekly_rollup",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {S.bucket('week')} AS bucket, {S.bucket('day')} AS d,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events WHERE {S.ts_between(*_T_DAYS)}
+      GROUP BY 1, 2
+    ), avg_d AS (
+      SELECT bucket, SUM(dau) / 7 AS avg_dau FROM daily GROUP BY 1
+    ), weekly AS (
+      SELECT {S.bucket('week')} AS bucket, COUNT(DISTINCT user_id) AS period_active
+      FROM events WHERE {S.ts_between(*_T_DAYS)}
+      GROUP BY 1
+    )
+    SELECT a.bucket, a.avg_dau, w.period_active,
+           a.avg_dau / w.period_active AS stickiness
+    FROM avg_d a JOIN weekly w USING (bucket)
+    """,
+)
+def eng_stickiness_weekly_rollup(spark, sf_dir):
+    """The SAME stickiness trend answered from the persisted day-grain
+    rollup (rollup.stickiness_from_rollup): daily actives from per-day
+    HLL sketches, weekly actives from their union — the scan is the
+    materialized parquet store, never raw events, yet the oracle runs
+    exact distincts on raw events. Hash-matching works because the
+    sketches stay in their exact sparse regime at test cardinalities;
+    at 100 TB the same query returns ± ~1% estimates (documented in
+    rollup.py), which is the right trade for the most-refreshed
+    dashboard surface."""
+    from ..rollup import stickiness_from_rollup
+    from .rollup import _SPEC, persisted_store
+
+    store = persisted_store(spark, sf_dir)
+    return stickiness_from_rollup(
+        store.read(spark), _FULL_DAYS,
+        period=TimeIntervalUnit.WEEK, spec=_SPEC)
+
+
 @query(
     "eng_active_days_histogram",
     oracle=f"""

@@ -91,6 +91,45 @@ def retention_daily_view_click(spark, sf_dir):
     )
 
 
+#: day-aligned window (µs end) — required for rollup routing
+_T_DAYS = ("2024-01-01 00:00:00", "2024-01-31 23:59:59.999999")
+_FULL_DAYS = QueryTime.between(
+    dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59, 999999)
+)
+
+
+@query(
+    "retention_cohort_sizes_rollup",
+    oracle=f"""
+    WITH cohorts AS (
+      SELECT user_id, MIN({S.bucket('week')}) AS cb
+      FROM events
+      WHERE {S.ts_between(*_T_DAYS)} AND event_type = 'signup'
+      GROUP BY 1
+    )
+    SELECT cb AS cohort_bucket, COUNT(*) AS cohort_size
+    FROM cohorts GROUP BY 1
+    """,
+)
+def retention_cohort_sizes_rollup(spark, sf_dir):
+    """Weekly signup-cohort sizes answered from the persisted day
+    rollup (rollup.cohort_sizes_from_rollup): first-touch counts
+    recovered as differences of CUMULATIVE day-sketch unions — the
+    cohort axis of the retention triangle without a raw-events scan.
+    The oracle computes exact per-user first-touch buckets on raw
+    events; they hash-match while the sketches are in their exact
+    sparse regime (test scale), and degrade to ± ~1% estimates at
+    100 TB cardinalities."""
+    from ..rollup import cohort_sizes_from_rollup
+    from .rollup import _SPEC, persisted_store
+
+    store = persisted_store(spark, sf_dir)
+    return cohort_sizes_from_rollup(
+        store.read(spark), _FULL_DAYS,
+        interval=TimeIntervalUnit.WEEK,
+        cohort_event=EventRef("signup"), spec=_SPEC)
+
+
 @query("retention_unbounded_weekly",
        oracle=_oracle("signup", "view", 7, 8, unbounded=True))
 def retention_unbounded_weekly(spark, sf_dir):

@@ -47,6 +47,31 @@ def _with_rollup(spark, sf_dir, req, fmt="compact"):
     return run_event_segmentation(events, req, fmt=fmt, rollup=(roll, _SPEC))
 
 
+#: persisted day-grain store, built once per (process, sf_dir):
+#: routed suite queries read THIS parquet — the materialized-view
+#: read path a dashboard hits — not an in-memory pre-aggregation
+#: whose lineage still reaches raw events
+_STORES: dict[str, "RollupStore"] = {}
+
+
+def persisted_store(spark, sf_dir: str) -> "RollupStore":
+    from ..rollup import RollupStore
+
+    st = _STORES.get(sf_dir)
+    if st is None:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="optiprism_rollup_suite_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        st = RollupStore(os.path.join(d, "rollup"), _SPEC)
+        st.rebuild(spark, load_table(spark, sf_dir, "events"))
+        _STORES[sf_dir] = st
+    return st
+
+
 @query(
     "seg_rollup_count_daily",
     oracle=f"""

@@ -703,3 +703,63 @@ def test_result_cache_fresh_after_real_ingest_and_maintenance(spark, tmp_path):
     raw = _run(load_table(spark, data_dir, "events"),
                parse_event_segmentation(seg_body)).collect()
     assert sorted(metric["data"]) == sorted(r[metric["name"]] for r in raw)
+
+
+def test_stickiness_routed_equals_raw_and_reads_rollup_only(spark, tmp_path):
+    """stickiness_from_rollup must reproduce the raw-path stickiness
+    bit-for-bit at test cardinality (sketches in their exact sparse
+    regime) while scanning ONLY the persisted rollup parquet — the
+    most-refreshed engagement dashboard is the first rollup client."""
+    from optiprism_spark.operators.engagement import stickiness
+    from optiprism_spark.rollup import stickiness_from_rollup
+
+    raw_events = load_table(spark, SF_DIR, "events")
+    store = RollupStore(str(tmp_path / "rollup"), SPEC)
+    store.rebuild(spark, raw_events)
+    routed = stickiness_from_rollup(
+        store.read(spark), T_DAYS, TimeIntervalUnit.WEEK, SPEC)
+    raw = stickiness(raw_events, T_DAYS, period=TimeIntervalUnit.WEEK)
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, raw.collect()))
+    plan = _plan(routed)
+    assert "events.parquet" not in plan
+    # the scan is pruned to (dt partition, users_hll)
+    assert "ReadSchema: struct<users_hll:binary>" in plan, plan
+
+
+def test_cohort_sizes_routed_equals_raw(spark, tmp_path):
+    """Cumulative-sketch first-touch sizes == exact per-user min-bucket
+    cohort sizes, from the rollup parquet only."""
+    from optiprism_spark.operators.retention import _cohorts_and_sizes
+    from optiprism_spark.rollup import cohort_sizes_from_rollup
+
+    raw_events = load_table(spark, SF_DIR, "events")
+    store = RollupStore(str(tmp_path / "rollup"), SPEC)
+    store.rebuild(spark, raw_events)
+    routed = cohort_sizes_from_rollup(
+        store.read(spark), T_DAYS, TimeIntervalUnit.WEEK, SPEC,
+        cohort_event=EventRef("signup"))
+    _, sizes = _cohorts_and_sizes(
+        raw_events, EventRef("signup"), T_DAYS, TimeIntervalUnit.WEEK,
+        (), "user_id")
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, sizes.collect()))
+    plan = _plan(routed)
+    assert "events.parquet" not in plan
+
+
+def test_activity_supports_guards(spark):
+    from optiprism_spark.rollup import activity_supports
+
+    ok = QueryTime.between(
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 1, 31, 23, 59, 59, 999999))
+    assert activity_supports(ok, None, (), SPEC)
+    assert activity_supports(ok, EventRef("signup"), (), SPEC)
+    # non-day-aligned bounds: not routable
+    ragged = QueryTime.between(
+        dt.datetime(2024, 1, 1, 12), dt.datetime(2024, 1, 31, 23, 59, 59))
+    assert not activity_supports(ragged, None, (), SPEC)
+    # property filter outside the dim set: not routable
+    f = PropFilter(PropertyRef.json("plan", "string"), PropOp.EQ, ["pro"])
+    assert not activity_supports(ok, None, (f,), SPEC)
