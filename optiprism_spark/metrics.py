@@ -291,6 +291,60 @@ def query_rollup_routed_total() -> Counter:
         "segmentation event-queries by answer path", ("path",))
 
 
+def whale_guard_keys_capped() -> Counter:
+    """Keys truncated by a whale guard (operators/whale.py
+    cap_rows_per_key observe() metrics), labeled by guard name
+    (attr_touch_cap, path_cap, ...). Non-zero means the lossy
+    approximation knob FIRED — the ops signal a 100 TB deployment
+    watches before trusting a capped attribution or paths report."""
+    return REGISTRY.counter(
+        "optiprism_whale_guard_keys_capped_total",
+        "keys truncated by a whale (skew) guard", ("guard",))
+
+
+def whale_guard_max_key_rows() -> Gauge:
+    """Largest per-key row count seen by a whale guard in the most
+    recent observed query — how big the whale actually was."""
+    return REGISTRY.gauge(
+        "optiprism_whale_guard_max_key_rows",
+        "largest per-key row count at the last guarded query", ("guard",))
+
+
+def harvest_observed(df) -> dict:
+    """Fold a COLLECTED DataFrame's observed metrics (CollectMetrics
+    nodes — the whale guards' ``observe_as`` names) into the registry;
+    returns {metric_name: {field: value}} for callers and tests.
+
+    The guards are pure-JVM plans (no Python task to update an
+    accumulator from), so their counters travel as named observe()
+    metrics on the query; the serving layer calls this after the
+    response collect, which is the moment the metrics exist. Reading
+    an un-executed frame yields an empty map (harmless no-op)."""
+    out: dict = {}
+    try:
+        it = df._jdf.queryExecution().observedMetrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            name, row = kv._1(), kv._2()
+            fields = row.schema().fields()
+            out[name] = {
+                fields[i].name(): (None if row.isNullAt(i) else row.get(i))
+                for i in range(row.size())
+            }
+    except Exception:
+        return out
+    for name, vals in out.items():
+        if not name.endswith("_cap"):  # whale-guard naming convention
+            continue
+        capped = vals.get("keys_capped")
+        if capped:
+            whale_guard_keys_capped().inc(float(capped), guard=name)
+        worst = vals.get("max_key_rows")
+        if worst is not None:
+            whale_guard_max_key_rows().set(float(worst), guard=name)
+    return out
+
+
 def query_result_cache_total() -> Counter:
     """Serving-layer result-cache outcomes per query type: hit = the
     serialized response was replayed without touching Spark, miss =

@@ -148,7 +148,11 @@ def frame_to_response(
     truncating — no future route can collect unbounded rows."""
     from pyspark.sql import types as T
 
-    rows = df.limit(max_rows + 1).collect()
+    limited = df.limit(max_rows + 1)
+    rows = limited.collect()
+    # observed metrics (whale-guard observe() nodes) exist exactly
+    # after this collect — fold them into the Prometheus plane
+    metrics.harvest_observed(limited)
     if len(rows) > max_rows:
         raise HttpError(
             500,
@@ -1218,9 +1222,11 @@ class App:
         """Path / journey exploration (beyond the reference — no path
         operator exists there). Body: ``{time, anchorEvent, steps?,
         direction?, withinSeconds?, topK?, dropoff?, filters?,
-        excludeEvents?}`` with the same event/filter dicts as the
-        other query routes; ``dropoff: true`` returns the per-step
-        event distribution instead of top-k full paths."""
+        excludeEvents?, maxRowsPerUser?}`` with the same event/filter
+        dicts as the other query routes; ``dropoff: true`` returns the
+        per-step event distribution instead of top-k full paths.
+        ``maxRowsPerUser`` enables the whale guard (lossy for over-cap
+        users; surfaces in /metrics as guard=path_cap)."""
         import datetime as _dt
 
         pid = self._pid(m)
@@ -1229,6 +1235,7 @@ class App:
         props = self._props(pid)
         ces = self._custom_events(pid)
         within_s = body.get("withinSeconds")
+        cap = body.get("maxRowsPerUser")
         kw = dict(
             anchor=api.parse_event_ref(body["anchorEvent"],
                                        custom_events=ces, props=props),
@@ -1239,6 +1246,7 @@ class App:
                     if within_s is not None else None),
             filters=api._grouped_filters(body, api.EVENT_COLUMNS, props=props),
             exclude_events=tuple(body.get("excludeEvents") or ()),
+            max_rows_per_user=(int(cap) if cap is not None else None),
         )
         events = self._events()
         rate = _sampling_rate(body)
@@ -1291,8 +1299,11 @@ class App:
     def _attribution(self, body, m, q):
         """Revenue/conversion attribution (beyond the reference).
         Body: ``{time, touchEvent, conversionEvent, channelProperty,
-        model?, lookbackDays?, filters?}``; model in first_touch |
-        last_touch | linear."""
+        model?, lookbackDays?, filters?, maxTouchesPerUser?}``; model
+        in first_touch | last_touch | linear. ``maxTouchesPerUser``
+        enables the whale guard (documented lossy approximation for
+        over-cap users; keys_capped/max_key_rows land in /metrics as
+        optiprism_whale_guard_* labeled guard=attr_touch_cap)."""
         import datetime as _dt
 
         pid = self._pid(m)
@@ -1301,6 +1312,7 @@ class App:
 
         props = self._props(pid)
         ces = self._custom_events(pid)
+        cap = body.get("maxTouchesPerUser")
         out = attribution_report(
             self._events(),
             channel_col=prop_col(
@@ -1313,6 +1325,7 @@ class App:
             model=body.get("model", "last_touch"),
             lookback=_dt.timedelta(days=float(body.get("lookbackDays", 30))),
             filters=api._grouped_filters(body, api.EVENT_COLUMNS, props=props),
+            max_touches_per_user=(int(cap) if cap is not None else None),
         )
         return 200, (out, {"channel"})
 

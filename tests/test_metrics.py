@@ -179,3 +179,59 @@ def test_rollup_routing_metric(spark):
     after = metrics.REGISTRY.render()
     assert 'optiprism_query_rollup_routed_total{path="rollup"}' in after
     assert 'optiprism_query_rollup_routed_total{path="raw"}' in after
+
+
+def test_whale_guard_knobs_reach_plan_and_metrics(spark):
+    """The HTTP DSL knobs (attribution maxTouchesPerUser, paths
+    maxRowsPerUser) must produce the CAPPED plan — proven by the
+    guard's observe() metrics existing for the request — and the
+    harvested counters must land in /metrics as
+    optiprism_whale_guard_* labeled by guard name."""
+    app = make_app(spark, SF_DIR)
+    t = {"type": "between", "from": "2024-01-01T00:00:00",
+         "to": "2024-01-31T23:59:59"}
+
+    st, _ = call(app, "POST", "/api/v1/projects/1/queries/attribution", {
+        "time": t,
+        "touchEvent": {"eventName": "view", "eventType": "regular"},
+        "conversionEvent": {"eventName": "purchase", "eventType": "regular"},
+        "channelProperty": {"propertyName": "event_type",
+                            "propertyType": "column"},
+        "model": "last_touch",
+        "lookbackDays": 30,
+        "maxTouchesPerUser": 1,  # cap below real activity so it fires
+    })
+    assert st == 200
+    assert metrics.whale_guard_keys_capped().value(guard="attr_touch_cap") > 0
+    assert metrics.whale_guard_max_key_rows().value(guard="attr_touch_cap") > 1
+
+    st, _ = call(app, "POST", "/api/v1/projects/1/queries/paths", {
+        "time": t,
+        "anchorEvent": {"eventName": "signup", "eventType": "regular"},
+        "steps": 3,
+        "maxRowsPerUser": 2,
+    })
+    assert st == 200
+    assert metrics.whale_guard_keys_capped().value(guard="path_cap") > 0
+
+    text = call(app, "GET", "/metrics", raw=True)[-1]
+    assert 'optiprism_whale_guard_keys_capped_total{guard="attr_touch_cap"}' in text
+    assert 'optiprism_whale_guard_keys_capped_total{guard="path_cap"}' in text
+    assert 'optiprism_whale_guard_max_key_rows{guard="attr_touch_cap"}' in text
+
+
+def test_whale_guard_metrics_absent_without_knob(spark):
+    """No knob, no guard: the same requests without the cap must not
+    create whale-guard series (the guard is OFF by default)."""
+    app = make_app(spark, SF_DIR)
+    t = {"type": "between", "from": "2024-01-01T00:00:00",
+         "to": "2024-01-31T23:59:59"}
+    st, _ = call(app, "POST", "/api/v1/projects/1/queries/attribution", {
+        "time": t,
+        "touchEvent": {"eventName": "view", "eventType": "regular"},
+        "conversionEvent": {"eventName": "purchase", "eventType": "regular"},
+        "channelProperty": {"propertyName": "event_type",
+                            "propertyType": "column"},
+    })
+    assert st == 200
+    assert metrics.whale_guard_keys_capped().value(guard="attr_touch_cap") == 0
