@@ -99,6 +99,14 @@ class RollupSpec:
     #: (like every histogram-backed materialized view); estimate
     #: error is bounded by the local bin width.
     histogram_props: tuple[tuple[str, tuple[float, ...]], ...] = ()
+    #: numeric columns that get a mergeable KLL-style quantile-sketch
+    #: column ({p}_qsk, binary — operators/qsketch.py): RANK-bounded
+    #: percentile error with no DDL-time bin edges, the
+    #: data-independent twin of histogram_props. The histogram path
+    #: stays the oracle-checkable one (deterministic arithmetic DuckDB
+    #: can mirror); the sketch path is pinned by error-bound tests.
+    sketch_props: tuple[str, ...] = ()
+    sketch_k: int = 200
 
     @property
     def all_dim_names(self) -> tuple[str, ...]:
@@ -164,14 +172,35 @@ def build_rollup(events: DataFrame, spec: RollupSpec = RollupSpec()) -> DataFram
     )
     from .exprs import prop_col as _prop_col
 
-    return events.groupBy(
+    value_cols = sorted(
+        set(spec.numeric_props)
+        | {p for p, _ in spec.histogram_props}
+        | set(spec.sketch_props)
+        | {spec.group_col}
+    )
+    keyed = events.select(
         F.to_date(F.col(EVENT_TIME_COL)).alias(ROLLUP_DT_COL),
         *[F.col(d) for d in spec.dims],
         *[
             _prop_col(PropertyRef.json(n, dtype)).alias(n)
             for n, dtype in spec.json_dims
         ],
-    ).agg(*aggs)
+        *[F.col(c) for c in value_cols],
+    )
+    keys = [ROLLUP_DT_COL, *spec.all_dim_names]
+    base = keyed.groupBy(*keys).agg(*aggs)
+    if spec.sketch_props:
+        # the quantile-sketch fold is stateful-per-group Python — it
+        # runs as a SECOND aggregation on the same keys and joins back
+        # co-partitioned; the corpus-sized metric aggregation above
+        # stays JVM-side
+        from .operators.qsketch import sketch_day_frame
+
+        base = base.join(
+            sketch_day_frame(keyed, keys, spec.sketch_props, spec.sketch_k),
+            keys, "left",
+        )
+    return base
 
 
 def merge_rollups(parts: Sequence[DataFrame], spec: RollupSpec = RollupSpec()) -> DataFrame:
@@ -194,7 +223,14 @@ def merge_rollups(parts: Sequence[DataFrame], spec: RollupSpec = RollupSpec()) -
             name = spec.hist_col(p, i)
             aggs.append(F.sum(name).alias(name))
     aggs.append(F.hll_union_agg(F.col(USERS_HLL_COL)).alias(USERS_HLL_COL))
-    return df.groupBy(ROLLUP_DT_COL, *spec.all_dim_names).agg(*aggs)
+    keys = [ROLLUP_DT_COL, *spec.all_dim_names]
+    base = df.groupBy(*keys).agg(*aggs)
+    if spec.sketch_props:
+        from .operators.qsketch import merged_sketch_frame
+
+        base = base.join(
+            merged_sketch_frame(df, keys, spec.sketch_props), keys, "left")
+    return base
 
 
 class RollupStore:

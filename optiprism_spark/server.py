@@ -780,6 +780,9 @@ class App:
                 raise HttpError(
                     400, "histogramProps entries are [column, "
                          "[strictly-increasing numeric edges...]] pairs")
+        for sp in body.get("sketchProps") or ():
+            if sp not in events.columns:
+                raise HttpError(400, f"unknown sketch column {sp!r}")
         row = self.catalog.create("rollup", body, project_id=pid)
         try:
             self._store_for_rollup_row(pid, row).rebuild(self.spark, events)
@@ -1111,6 +1114,7 @@ class App:
                 (n, tuple(float(e) for e in edges))
                 for n, edges in (row.get("histogramProps") or ())
             ),
+            sketch_props=tuple(row.get("sketchProps") or ()),
         )
         return RollupStore(
             os.path.join(self.rollup_dir, f"p{pid}_{row['name']}"), spec
@@ -1330,11 +1334,14 @@ class App:
         return 200, (out, {"channel"})
 
     def _percentiles(self, body, m, q):
-        """Histogram-percentile estimates from a catalog-declared
-        rollup (rollup.percentile_estimate). Body: ``{rollup,
-        property, qs?, dims?}`` — the rollup must declare the
-        property in its histogramProps."""
+        """Percentile estimates from a catalog-declared rollup. Body:
+        ``{rollup, property, qs?, dims?, method?}``; method
+        "histogram" (default — rollup.percentile_estimate, bin-width
+        error, needs the property in histogramProps) or "sketch"
+        (qsketch.sketch_percentile_estimate, rank-bounded error with
+        no DDL bin edges, needs it in sketchProps)."""
         pid = self._pid(m)
+        from .operators.qsketch import sketch_percentile_estimate
         from .rollup import percentile_estimate
 
         name = body.get("rollup")
@@ -1344,9 +1351,7 @@ class App:
             raise HttpError(404, f"no rollup named {name!r}")
         store = self._store_for_rollup_row(pid, rows[0])
         prop = body.get("property")
-        if prop not in dict(store.spec.histogram_props):
-            raise HttpError(
-                400, f"rollup {name!r} declares no histogram for {prop!r}")
+        method = body.get("method", "histogram")
         dims = tuple(body.get("dims") or ())
         bad = [d for d in dims if d not in store.spec.all_dim_names]
         if bad:
@@ -1354,8 +1359,20 @@ class App:
         qs = tuple(float(x) for x in (body.get("qs") or (0.5, 0.9)))
         if not all(0.0 < x < 1.0 for x in qs):
             raise HttpError(400, "qs must be in (0, 1)")
-        out = percentile_estimate(
-            store.read(self.spark), store.spec, prop, qs, dims=dims)
+        if method == "sketch":
+            if prop not in store.spec.sketch_props:
+                raise HttpError(
+                    400, f"rollup {name!r} declares no sketch for {prop!r}")
+            out = sketch_percentile_estimate(
+                store.read(self.spark), store.spec, prop, qs, dims=dims)
+        elif method == "histogram":
+            if prop not in dict(store.spec.histogram_props):
+                raise HttpError(
+                    400, f"rollup {name!r} declares no histogram for {prop!r}")
+            out = percentile_estimate(
+                store.read(self.spark), store.spec, prop, qs, dims=dims)
+        else:
+            raise HttpError(400, f"unknown method {method!r}")
         return 200, (out, set(dims))
 
     def _event_records_search(self, body, m, q):
