@@ -88,24 +88,33 @@ def _sequence_frame(
         anchor_cond if anchor_cond is not None else F.lit(True))
     df = df.select(group_col, EVENT_TIME_COL, EVENT_ID_COL, name_col,
                    "__anchor")
+    w = Window.partitionBy(group_col).orderBy(EVENT_TIME_COL, EVENT_ID_COL)
     if max_rows_per_user is not None:
         # whale guard (OFF by default, lossy for over-cap users —
-        # funnel's max_rows_per_user contract): the sequence window
-        # sorts each user's whole filtered history in ONE partition,
-        # so a bot user with 10^6 rows is one monster sort task. The
-        # one-pass cutoff fold (operators/whale.py) keeps each user's
-        # chronologically-first cap rows BEFORE the shuffle; anchors
-        # past the cutoff are dropped, and the last kept anchor's
-        # steps may truncate where uncapped they would continue.
-        # Capped-user counts surface as observed metrics (path_cap).
-        from .whale import cap_rows_per_key
-
-        df = cap_rows_per_key(
-            df, group_col, max_rows_per_user, EVENT_TIME_COL,
-            EVENT_ID_COL, keep="first", observe_as="path_cap",
+        # funnel's max_rows_per_user contract): keep each user's
+        # chronologically-first cap rows, truncating the whale's path
+        # material (anchors past the cutoff drop; the last kept
+        # anchor's steps may truncate where uncapped they would
+        # continue). Unlike attribution's cutoff-join guard
+        # (operators/whale.py — right for a frame that is NOT
+        # otherwise window-sorted), paths already sorts every user's
+        # history for the lead/lag pass below, so the cap rides the
+        # SAME window spec as a row_number filter: Catalyst plans one
+        # exchange and one sort with the rank Window, the filter, and
+        # the lead/lag Window stacked on top — no extra shuffle, no
+        # join, ~zero overhead when no whale exists. Capped-user
+        # counts surface as observed metrics (path_cap), emitted from
+        # the pre-filter node so over-cap keys are visible.
+        df = df.withColumn("__rn", F.row_number().over(w))
+        df = df.observe(
+            "path_cap",
+            F.sum(
+                F.when(F.col("__rn") == max_rows_per_user + 1, 1)
+                .otherwise(0)
+            ).alias("keys_capped"),
+            F.max("__rn").alias("max_key_rows"),
         )
-
-    w = Window.partitionBy(group_col).orderBy(EVENT_TIME_COL, EVENT_ID_COL)
+        df = df.filter(F.col("__rn") <= max_rows_per_user).drop("__rn")
     shift = F.lead if direction == "forward" else F.lag
     budget = (
         F.expr(f"INTERVAL {int(within.total_seconds())} SECOND")

@@ -312,10 +312,9 @@ def main() -> None:
     # gate on a corpus where the whale is 71% of ALL rows, so they get
     # time-based gates folded into the verdict instead: attribution's
     # guard kills a quadratic join blowup and must WIN outright
-    # (speedup >= 1.0); the paths window is linear per user, so on a
-    # corpus without the monster-sort pathology the guard is pure
-    # overhead — gate that overhead at <= 30% (speedup >= 0.7) rather
-    # than pretending it wins here
+    # (speedup >= 1.0); the paths guard rides the sequence window as a
+    # row_number filter (r9 — no extra shuffle/join), so it must be
+    # within noise of unguarded (speedup >= 0.8) and wins on a whale
     guard_wins = {
         f"{fam}_speedup": round(
             results[f"{fam}_unguarded"]["t"] / results[f"{fam}_guarded"]["t"], 2)
@@ -325,7 +324,7 @@ def main() -> None:
     gate_pass = (
         worst_guarded <= STRAGGLER_THRESH
         and guard_wins["attr_last_touch_speedup"] >= 1.0
-        and guard_wins["paths_forward_speedup"] >= 0.7
+        and guard_wins["paths_forward_speedup"] >= 0.8
     )
     payload = {
         "metric": "skew_robustness",

@@ -493,3 +493,26 @@ def test_whale_guard_joinback_broadcasts_under_aqe(spark):
     final = capped._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final, final
     assert "BroadcastHashJoin" in final, final
+
+
+def test_paths_guard_rides_sequence_window(spark):
+    """The paths whale guard must NOT add a shuffle or a join: the
+    row_number cap shares the lead/lag window's partitioning and sort,
+    so the guarded plan keeps exactly one Sort and gains no Join —
+    r8 measured the old cutoff-join guard at ~17% overhead on a
+    whale-free corpus; this shape is what makes it ~free."""
+    import re as _re
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.paths import event_paths
+    from optiprism_spark.schema import load_table
+
+    W = QueryTime.between(
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+    ev = load_table(spark, SF_SMOKE, "events")
+    guarded = event_paths(
+        ev, EventRef("signup"), W, steps=3, max_rows_per_user=10)
+    plan = _plan(guarded)
+    assert len(_re.findall(r"\bSort \[", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 2, plan  # rank window + lead window
