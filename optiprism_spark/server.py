@@ -537,6 +537,8 @@ class App:
              _timed_query("attribution", self._attribution), explore),
             ("POST", re.compile(P + r"/queries/percentiles$"),
              _timed_query("percentiles", self._percentiles), explore),
+            ("POST", re.compile(P + r"/queries/stickiness$"),
+             _timed_query("stickiness", self._stickiness), explore),
             ("POST", re.compile(P + r"/event-records/search$"),
              _timed_query("event_records_search", self._event_records_search),
              explore),
@@ -1221,6 +1223,45 @@ class App:
         else:
             out = retention(self._events(), **kw)
         return 200, (out, {"cohort_bucket", "period"})
+
+    def _stickiness(self, body, m, q):
+        """Engagement stickiness (DAU/WAU or DAU/MAU trend — beyond
+        the reference, whose DAU/WAU/MAU stop at chart series). Body:
+        ``{time, period? (week|month), event?, filters?}``.
+        Automatically answered from a catalog-declared day rollup when
+        the request is rollup-expressible (``activity_supports``: the
+        most-refreshed engagement surface is the first rollup client;
+        sketch estimates, ± ~1% at scale) and falls back to the exact
+        raw scan otherwise; the routing decision lands in
+        optiprism_query_rollup_routed_total like segmentation's."""
+        pid = self._pid(m)
+        from .dsl import TimeIntervalUnit
+        from .operators.engagement import stickiness
+        from .rollup import activity_supports, stickiness_from_rollup
+
+        props = self._props(pid)
+        ces = self._custom_events(pid)
+        time = api.parse_time(body["time"], self.now)
+        try:
+            period = TimeIntervalUnit(body.get("period", "week"))
+        except ValueError:
+            raise HttpError(400, "period must be week or month")
+        if period not in (TimeIntervalUnit.WEEK, TimeIntervalUnit.MONTH):
+            raise HttpError(400, "period must be week or month")
+        event = (
+            api.parse_event_ref(body["event"], custom_events=ces, props=props)
+            if body.get("event") else None)
+        filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
+        for roll, spec in self._rollup(pid) or ():
+            if activity_supports(time, event, filters, spec):
+                metrics.query_rollup_routed_total().inc(path="rollup")
+                out = stickiness_from_rollup(
+                    roll, time, period, spec, event, filters)
+                return 200, (out, {"bucket"})
+        metrics.query_rollup_routed_total().inc(path="raw")
+        out = stickiness(self._events(), time, period=period,
+                         event=event, filters=filters)
+        return 200, (out, {"bucket"})
 
     def _paths(self, body, m, q):
         """Path / journey exploration (beyond the reference — no path

@@ -763,3 +763,45 @@ def test_activity_supports_guards(spark):
     # property filter outside the dim set: not routable
     f = PropFilter(PropertyRef.json("plan", "string"), PropOp.EQ, ["pro"])
     assert not activity_supports(ok, None, (f,), SPEC)
+
+
+def test_http_stickiness_routes_through_rollup(spark, tmp_path):
+    """POST /queries/stickiness: raw-exact without a store, routed
+    through a declared day rollup when the request is day-aligned
+    (identical response at test cardinality), raw fallback on ragged
+    bounds — with the routing decision visible in the rollup metric."""
+    from optiprism_spark import metrics
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    metrics.REGISTRY.reset()
+    app = make_app(spark, SF_DIR, rollup_dir=str(tmp_path / "rollups"))
+    url = "/api/v1/projects/1/queries/stickiness"
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59.999999"},
+        "period": "week",
+    }
+    st, raw_resp = call(app, "POST", url, body)
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 0
+
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "eng", "dims": ["event_type"]})
+    assert st == 201
+    st, routed_resp = call(app, "POST", url, body)
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 1
+    # sketches are exact in their sparse regime here: identical answer
+    assert routed_resp == raw_resp
+
+    ragged = dict(body, time={"type": "between",
+                              "from": "2024-01-01T12:00:00",
+                              "to": "2024-01-31T23:59:59"})
+    st, _ = call(app, "POST", url, ragged)
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 1
+
+    st, _ = call(app, "POST", url, dict(body, period="day"))
+    assert st == 400
