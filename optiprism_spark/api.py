@@ -222,7 +222,10 @@ def _parse_query(q: dict, columns, props: Optional[dict] = None) -> SegQuery:
     if kind == "countEvents":
         return SegQuery("count_events")
     if kind == "countUniqueGroups":
-        return SegQuery("count_unique_groups")
+        # "approx": true opts the metric into rollup routing via the
+        # HLL day sketches (see rollup.rollup_supports) — the knob a
+        # dashboard sets to stop exact-distinct scans over raw events
+        return SegQuery("count_unique_groups", approx=bool(q.get("approx")))
     if kind in ("dailyActiveGroups", "weeklyActiveGroups", "monthlyActiveGroups"):
         snake = {"dailyActiveGroups": "daily_active_groups",
                  "weeklyActiveGroups": "weekly_active_groups",

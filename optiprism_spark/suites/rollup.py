@@ -159,6 +159,43 @@ def seg_rollup_routed_weekly(spark, sf_dir):
 
 
 @query(
+    "seg_rollup_uniques_approx",
+    oracle=f"""
+    SELECT {S.bucket('week')} AS bucket, event_type,
+           COUNT(DISTINCT user_id) AS uniq
+    FROM events WHERE {S.ts_between(*_T_DAYS)}
+    GROUP BY 1, 2
+    """,
+)
+def seg_rollup_uniques_approx(spark, sf_dir):
+    """Weekly unique users by event name with ``approx=True`` — the
+    metric ROUTES through the persisted day rollup (HLL union across
+    the week's day sketches, rollup.event_segmentation_from_rollup)
+    instead of an exact-distinct scan over raw events. The oracle runs
+    the exact COUNT(DISTINCT) on raw events: they hash-match because
+    the sketches are in their exact sparse regime at test cardinality;
+    at 100 TB the same request returns ± ~1% estimates, which is the
+    point — the most-refreshed uniques dashboard stops scanning raw
+    events. Without ``approx`` the identical request falls back to the
+    raw exact path (seg_rollup_mixed_fallback pins that)."""
+    from .rollup import persisted_store
+
+    req = EventSegmentationRequest(
+        time=_FULL_DAYS,
+        interval=TimeIntervalUnit.WEEK,
+        events=[EventQuery(
+            EventRef(),
+            [SegQuery("count_unique_groups", alias="uniq", approx=True)],
+        )],
+        breakdowns=[PropertyRef.column("event_type")],
+    )
+    store = persisted_store(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    return run_event_segmentation(
+        events, req, fmt="compact", rollup=(store.read(spark), _SPEC))
+
+
+@query(
     "seg_rollup_mixed_fallback",
     oracle=f"""
     WITH routed AS (

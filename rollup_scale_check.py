@@ -1,0 +1,290 @@
+#!/usr/bin/env python
+"""Rollup-routing scale evidence: raw-scan vs rollup-routed dashboards.
+
+Round 9 routed the most-refreshed dashboard surfaces (stickiness,
+retention cohort sizes, additive segmentation) through the persisted
+day-grain rollup store (rollup.py). The claim that justifies the
+routing at 100 TB is structural: the store has one row per
+(day, dims) — its size grows with calendar days x dimension
+cardinality, NOT with event volume — so a routed query's cost is flat
+in data scale while the raw scan grows linearly. This harness turns
+that claim into a measured datapoint:
+
+- two corpora from the same deterministic generator (events_gen) at
+  n_users and FACTOR*n_users — identical per-user shape, identical
+  calendar span, so the rollup store row count is (near-)constant
+  across corpora while raw events grow FACTOR-x;
+- per corpus: build + persist the day-grain store (build time reported
+  separately — it is the maintenance cost, paid once per ingest batch,
+  amortized over every dashboard refresh);
+- per query pair: min-of-PASSES noop-write timing of the raw path and
+  the routed path at both scales, plus an x1 value cross-check
+  (additive metrics exact; HLL-backed actives within EPS).
+
+Output: one JSON line. The gate demands (a) every routed query beats
+its raw twin at FACTOR-x, and (b) the routed growth ratio stays under
+ROUTED_FLAT_THRESH — i.e. the routed path is actually flat, not just
+cheaper by a constant.
+
+Usage: python rollup_scale_check.py [--factor 10] [--passes 3]
+       [--dir /tmp/optiprism_rollup_scale] [--out ROLLUP_SCALE_r09.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+PASSES = 3
+#: sessions per user — 6 weekly sessions spread activity over ~6
+#: calendar weeks so the dashboards have a real bucket axis (the
+#: generator's default 2 collapses stickiness to two weeks)
+SESSIONS = 6
+#: routed queries run on a #days x #event_types frame at every scale;
+#: allow 2x for fixed-overhead noise, far under a linear FACTOR ratio
+ROUTED_FLAT_THRESH = 2.0
+#: relative tolerance for HLL-backed actives at x1 cardinality
+EPS = 0.02
+
+#: generator calendar span, day-aligned (microsecond end) so
+#: activity_supports/rollup_supports route every query below
+_T0 = dt.datetime(2024, 1, 1)
+_T1 = dt.datetime(2024, 3, 31, 23, 59, 59, 999999)
+
+
+def _queries():
+    from optiprism_spark.dsl import (
+        AggFn, EventQuery, EventRef, EventSegmentationRequest, PropertyRef,
+        QueryTime, SegQuery, TimeIntervalUnit,
+    )
+    from optiprism_spark.exprs import full_filter
+    from optiprism_spark.operators.aggregates import bucket_col
+    from optiprism_spark.operators.engagement import stickiness
+    from optiprism_spark.queries.event_segmentation import run_event_segmentation
+    from optiprism_spark.rollup import (
+        cohort_sizes_from_rollup, stickiness_from_rollup,
+    )
+
+    T = QueryTime.between(_T0, _T1)
+    WEEK = TimeIntervalUnit.WEEK
+
+    seg_req = EventSegmentationRequest(
+        time=T,
+        interval=WEEK,
+        events=[EventQuery(
+            EventRef("purchase"),
+            [SegQuery("count_events", alias="n"),
+             SegQuery("aggregate_property", agg=AggFn.AVG,
+                      prop=PropertyRef.column("value"), alias="avg_v"),
+             SegQuery("aggregate_property", agg=AggFn.MAX,
+                      prop=PropertyRef.column("value"), alias="max_v")],
+        )],
+    )
+
+    def stick_raw(spark, ev, store, spec):
+        return stickiness(ev, T, period=WEEK)
+
+    def stick_routed(spark, ev, store, spec):
+        return stickiness_from_rollup(store.read(spark), T, period=WEEK,
+                                      spec=spec)
+
+    def cohort_raw(spark, ev, store, spec):
+        cond = full_filter(T, EventRef("index"), ())
+        b = bucket_col(WEEK)
+        return (
+            ev.filter(cond)
+            .groupBy("user_id").agg(F.min(b).alias("cohort_bucket"))
+            .groupBy("cohort_bucket")
+            .agg(F.count(F.lit(1)).alias("cohort_size"))
+        )
+
+    def cohort_routed(spark, ev, store, spec):
+        return cohort_sizes_from_rollup(
+            store.read(spark), T, interval=WEEK,
+            cohort_event=EventRef("index"), spec=spec)
+
+    def seg_raw(spark, ev, store, spec):
+        return run_event_segmentation(ev, seg_req, fmt="compact")
+
+    def seg_routed(spark, ev, store, spec):
+        return run_event_segmentation(
+            ev, seg_req, fmt="compact", rollup=(store.read(spark), spec))
+
+    return {
+        "stickiness_weekly": (stick_raw, stick_routed, "approx"),
+        "cohort_sizes_weekly": (cohort_raw, cohort_routed, "approx"),
+        "seg_purchase_weekly": (seg_raw, seg_routed, "exact"),
+    }
+
+
+def _time(fn, spark, ev, store, spec, passes: int) -> float:
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        fn(spark, ev, store, spec).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _crosscheck(raw_df, routed_df, mode: str) -> dict:
+    """x1 value check: routed answers must reproduce the raw path —
+    exactly for additive folds, within EPS for HLL-backed actives."""
+    def keyed(df):
+        rows = df.collect()
+        key_cols = [c for c in df.columns if c in (
+            "bucket", "cohort_bucket", "event")]
+        out = {}
+        for r in rows:
+            d = r.asDict()
+            k = tuple(str(d[c]) for c in key_cols)
+            out[k] = {c: d[c] for c in df.columns if c not in key_cols}
+        return out
+
+    a, b = keyed(raw_df), keyed(routed_df)
+    if set(a) != set(b):
+        return {"match": False, "why": "key sets differ",
+                "raw_rows": len(a), "routed_rows": len(b)}
+    worst = 0.0
+    for k, va in a.items():
+        vb = b[k]
+        for c, x in va.items():
+            y = vb.get(c)
+            if x is None or y is None:
+                if x != y:
+                    return {"match": False, "why": f"null mismatch {k}/{c}"}
+                continue
+            x, y = float(x), float(y)
+            rel = abs(x - y) / max(abs(x), 1e-12)
+            worst = max(worst, rel)
+            if mode == "exact" and rel > 1e-9:
+                return {"match": False, "why": f"exact mismatch {k}/{c}",
+                        "rel": rel}
+            if rel > EPS:
+                return {"match": False, "why": f"beyond eps {k}/{c}",
+                        "rel": rel}
+    return {"match": True, "rows": len(a), "worst_rel": round(worst, 6)}
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--dir", default="/tmp/optiprism_rollup_scale")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--passes", type=int, default=PASSES)
+    args = ap.parse_args()
+
+    from optiprism_spark.events_gen import generate_events
+    from optiprism_spark.rollup import RollupSpec, RollupStore
+    from optiprism_spark.session import get_spark
+
+    spark = get_spark("optiprism_rollup_scale",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spec = RollupSpec()
+
+    # same calibration as scale_check: x1 ~ sf0.1's event count
+    per_user = (
+        generate_events(spark, 1000, sessions_per_user=SESSIONS).count() / 1000
+    )
+    n1 = max(1, round(100_000 / per_user))
+    print(f"calibration: {per_user:.2f} events/user -> x1={n1} users, "
+          f"x{args.factor}={n1 * args.factor}", file=sys.stderr)
+
+    corpora = {}
+    for label, users in (("x1", n1), (f"x{args.factor}", n1 * args.factor)):
+        d = os.path.join(args.dir, label)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "events.parquet")
+        if not os.path.exists(path):
+            generate_events(
+                spark, n_users=users, sessions_per_user=SESSIONS
+            ).write.mode("overwrite").parquet(path)
+        ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+        store = RollupStore(os.path.join(d, "rollup"), spec)
+        t0 = time.perf_counter()
+        store.rebuild(spark, ev)
+        t_build = round(time.perf_counter() - t0, 3)
+        corpora[label] = {
+            "events": ev, "store": store,
+            "stats": {
+                "events_rows": ev.count(),
+                "events_bytes": _dir_bytes(os.path.join(d, "events.parquet")),
+                "store_rows": store.read(spark).count(),
+                "store_bytes": _dir_bytes(os.path.join(d, "rollup")),
+                "build_sec": t_build,
+            },
+        }
+        print(f"{label}: {corpora[label]['stats']}", file=sys.stderr)
+
+    suite = _queries()
+    x1, xN = corpora["x1"], corpora[f"x{args.factor}"]
+
+    # warm JVM
+    next(iter(suite.values()))[0](
+        spark, x1["events"], x1["store"], spec
+    ).write.format("noop").mode("overwrite").save()
+
+    results, gate_fail = {}, []
+    for name, (raw_fn, routed_fn, mode) in suite.items():
+        check = _crosscheck(
+            raw_fn(spark, x1["events"], x1["store"], spec),
+            routed_fn(spark, x1["events"], x1["store"], spec), mode)
+        r1 = _time(raw_fn, spark, x1["events"], x1["store"], spec, args.passes)
+        rN = _time(raw_fn, spark, xN["events"], xN["store"], spec, args.passes)
+        o1 = _time(routed_fn, spark, x1["events"], x1["store"], spec,
+                   args.passes)
+        oN = _time(routed_fn, spark, xN["events"], xN["store"], spec,
+                   args.passes)
+        entry = {
+            "raw": {"t1": r1, "tN": rN, "ratio": round(rN / r1, 2)},
+            "routed": {"t1": o1, "tN": oN, "ratio": round(oN / o1, 2)},
+            "speedup_at_N": round(rN / oN, 2),
+            "x1_values": check,
+        }
+        results[name] = entry
+        if not check["match"]:
+            gate_fail.append(f"{name}: x1 values diverge ({check})")
+        if entry["speedup_at_N"] <= 1.0:
+            gate_fail.append(f"{name}: routed not faster at x{args.factor}")
+        if entry["routed"]["ratio"] > ROUTED_FLAT_THRESH:
+            gate_fail.append(f"{name}: routed ratio {entry['routed']['ratio']}"
+                             f" > {ROUTED_FLAT_THRESH}")
+        print(f"{name}: raw {r1}->{rN}s (x{entry['raw']['ratio']}) "
+              f"routed {o1}->{oN}s (x{entry['routed']['ratio']}) "
+              f"speedup@N {entry['speedup_at_N']} check={check['match']}",
+              file=sys.stderr)
+
+    payload = {
+        "metric": "rollup_routing_scale",
+        "factor": args.factor,
+        "unit": "sec",
+        "routed_flat_threshold": ROUTED_FLAT_THRESH,
+        "corpora": {k: v["stats"] for k, v in corpora.items()},
+        "queries": results,
+        "gate": {"pass": not gate_fail, "failures": gate_fail},
+    }
+    line = json.dumps(payload)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    if gate_fail:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,7 @@ _SEG_BODY = {
             "eventType": "regular",
             "queries": [
                 {"type": "countEvents"},
+                {"type": "countUniqueGroups", "approx": True},
                 {"type": "aggregateProperty", "aggregate": "sum",
                  "propertyType": "event", "propertyName": "value"},
                 {"type": "aggregatePropertyPerGroup", "aggregate": "avg",
@@ -57,12 +58,15 @@ def test_parse_event_segmentation():
     (eq,) = req.events
     assert eq.event.name == "purchase"
     kinds = [q.kind for q in eq.queries]
-    assert kinds == ["count_events", "aggregate_property",
-                     "aggregate_property_per_group", "formula"]
-    assert eq.queries[1].agg == AggFn.SUM
-    assert eq.queries[2].inner_agg == AggFn.SUM and eq.queries[2].agg == AggFn.AVG
+    assert kinds == ["count_events", "count_unique_groups",
+                     "aggregate_property", "aggregate_property_per_group",
+                     "formula"]
+    assert eq.queries[1].approx is True  # rollup-routable uniques
+    assert eq.queries[0].approx is False
+    assert eq.queries[2].agg == AggFn.SUM
+    assert eq.queries[3].inner_agg == AggFn.SUM and eq.queries[3].agg == AggFn.AVG
     # value is a physical column; k resolves into the props JSON
-    assert eq.queries[1].prop.kind.value == "column"
+    assert eq.queries[2].prop.kind.value == "column"
     (flt,) = eq.filters
     assert flt.prop.kind.value == "json" and flt.op == PropOp.GTE
     (bd,) = eq.breakdowns

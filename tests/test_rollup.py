@@ -152,6 +152,43 @@ def test_routed_plan_never_scans_raw_events(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, raw.collect()))
 
 
+def test_approx_uniques_route_through_rollup(spark, tmp_path):
+    """count_unique_groups with approx=True folds out of the persisted
+    day store (HLL union across the bucket's day sketches) — the plan
+    never scans events.parquet, and the estimate equals the exact
+    distinct at test cardinality (sketches in their sparse regime).
+    The identical request WITHOUT approx keeps the exact semantics and
+    falls back to the raw scan."""
+    raw_events = load_table(spark, SF_DIR, "events")
+    store = RollupStore(str(tmp_path / "rollup"), SPEC)
+    store.rebuild(spark, raw_events)
+
+    def req(approx: bool) -> EventSegmentationRequest:
+        return EventSegmentationRequest(
+            time=T_DAYS, interval=TimeIntervalUnit.WEEK,
+            events=[EventQuery(EventRef(), [
+                SegQuery("count_unique_groups", alias="uniq", approx=approx),
+            ])],
+            breakdowns=[PropertyRef.column("event_type")],
+        )
+
+    routed = run_event_segmentation(
+        raw_events, req(True), rollup=(store.read(spark), SPEC))
+    assert "events.parquet" not in _plan(routed)
+    exact = run_event_segmentation(
+        raw_events, req(False), rollup=(store.read(spark), SPEC))
+    assert "events.parquet" in _plan(exact)
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, exact.collect()))
+    # a request whose group axis differs from the sketch's group can
+    # never route — the sketch counts the wrong thing
+    other = req(True)
+    other = EventSegmentationRequest(
+        time=other.time, interval=other.interval, events=other.events,
+        group_col="event_id", breakdowns=other.breakdowns)
+    assert not rollup_supports(other, other.events[0], SPEC)
+
+
 @pytest.mark.parametrize(
     "req_kw, eq",
     [
