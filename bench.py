@@ -67,6 +67,7 @@ HEADLINE = [
                                      # times the routed read)
     "path_forward_from_signup",      # journey window + top-k paths
     "est_funnel_3step_sampled",      # funnel over a 25% coherent sample
+    "seg_rollup_uniques_approx",     # HLL uniques from the day rollup
 ]
 
 

@@ -230,7 +230,7 @@ def _parse_query(q: dict, columns, props: Optional[dict] = None) -> SegQuery:
         snake = {"dailyActiveGroups": "daily_active_groups",
                  "weeklyActiveGroups": "weekly_active_groups",
                  "monthlyActiveGroups": "monthly_active_groups"}[kind]
-        return SegQuery(snake)
+        return SegQuery(snake, approx=bool(q.get("approx")))
     if kind == "countPerGroup":
         return SegQuery("count_per_group", agg=_AGGS[q["aggregate"]])
     if kind == "aggregateProperty":

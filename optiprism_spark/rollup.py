@@ -508,14 +508,20 @@ def rollup_supports(
         ):
             continue
         if (
-            q.kind == "count_unique_groups"
+            q.kind in (
+                "count_unique_groups", "daily_active_groups",
+                "weekly_active_groups", "monthly_active_groups",
+            )
             and q.approx
             and req.group_col == spec.group_col
         ):
             # opt-in estimate: per-(bucket, dims) uniques fold as the
             # union of the day sketches — the distinct-count a 100 TB
             # dashboard should be reading (± ~1% at lg_k=14; exact in
-            # the sparse regime, which is what the oracle checks)
+            # the sparse regime, which is what the oracle checks).
+            # *_active_groups additionally sub-bucket the union by the
+            # activity unit and sum the estimates (both buckets are
+            # functions of the day, so day grain loses nothing).
             continue
         # exact count_unique_groups / *_active_groups need raw-grain
         # distincts (HLL is an estimate — see unique_groups_estimate);
@@ -557,6 +563,7 @@ def event_segmentation_from_rollup(
         F.col(b.name) for b in breakdowns  # JSON dims are materialized columns
     ]
     aggs: list[Column] = []
+    actives: list[tuple[str, str]] = []
     formulas: list[tuple[str, str]] = []
     for qi, q in enumerate(eq.queries):
         alias = _query_alias(event_idx, qi, q)
@@ -570,6 +577,11 @@ def event_segmentation_from_rollup(
                     F.hll_union_agg(F.col(USERS_HLL_COL))
                 ).alias(alias)
             )
+        elif q.kind in (
+            "daily_active_groups", "weekly_active_groups",
+            "monthly_active_groups",
+        ):  # approx-gated in supports
+            actives.append((alias, q.kind))
         else:  # aggregate_property on a declared numeric prop
             p = q.prop.name
             agg = q.agg.value
@@ -587,7 +599,42 @@ def event_segmentation_from_rollup(
                     .cast("double")
                     .alias(alias)
                 )
-    out = df.groupBy(*keys).agg(*aggs)
+    join_keys = [BUCKET_COL] + [b.name for b in breakdowns]
+    parts: list[DataFrame] = []
+    if aggs:
+        parts.append(df.groupBy(*keys).agg(*aggs))
+    _ACTIVE_UNIT = {
+        "daily_active_groups": TimeIntervalUnit.DAY,
+        "weekly_active_groups": TimeIntervalUnit.WEEK,
+        "monthly_active_groups": TimeIntervalUnit.MONTH,
+    }
+    for alias, kind in actives:
+        # distinct (group, activity-bucket) pairs per chart bucket:
+        # union the day sketches per (chart bucket, activity bucket,
+        # dims) — both buckets are functions of dt — estimate each
+        # union, then sum the estimates per chart bucket. Frame sizes
+        # are #buckets x #activity-buckets x #dims at every step.
+        ab = bucket_col(
+            _ACTIVE_UNIT[kind], ts_col=ROLLUP_DT_COL
+        ).alias("__ab")
+        per_ab = df.groupBy(*keys, ab).agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col(USERS_HLL_COL))
+            ).alias("__e")
+        )
+        parts.append(
+            per_ab.groupBy(*join_keys).agg(F.sum("__e").alias(alias))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, join_keys)
+    # restore the metric column order the raw path produces
+    metric_cols = [
+        _query_alias(event_idx, qi, q)
+        for qi, q in enumerate(eq.queries)
+        if q.kind != "formula"
+    ]
+    out = out.select(*join_keys, *metric_cols)
     for alias, formula in formulas:
         out = out.withColumn(alias, F.expr(formula))
     return out

@@ -196,6 +196,48 @@ def seg_rollup_uniques_approx(spark, sf_dir):
 
 
 @query(
+    "seg_rollup_dau_by_week_approx",
+    oracle=f"""
+    WITH p AS (
+      SELECT {S.bucket('week')} AS bucket,
+             COUNT(DISTINCT user_id || ':' ||
+                   CAST({S.bucket('day')} AS VARCHAR)) AS wdau
+      FROM events WHERE {S.ts_between(*_T_DAYS)}
+      GROUP BY 1
+    ), c AS (
+      SELECT {S.bucket('week')} AS bucket, COUNT(*) AS n
+      FROM events WHERE {S.ts_between(*_T_DAYS)}
+      GROUP BY 1
+    )
+    SELECT p.bucket AS bucket, c.n, p.wdau FROM p JOIN c USING (bucket)
+    """,
+)
+def seg_rollup_dau_by_week_approx(spark, sf_dir):
+    """DAU summed per week (distinct (user, day) pairs — the classic
+    engagement series) alongside an event count, BOTH routed through
+    the day rollup with ``approx=True``: the count folds additively,
+    the active-pairs metric sub-buckets the HLL day sketches by day,
+    estimates each union, and sums — then the two #buckets-row frames
+    join. The oracle computes exact distinct pairs on raw events;
+    estimates match exactly in the sketches' sparse regime."""
+    from .rollup import persisted_store
+
+    req = EventSegmentationRequest(
+        time=_FULL_DAYS,
+        interval=TimeIntervalUnit.WEEK,
+        events=[EventQuery(
+            EventRef(),
+            [SegQuery("count_events", alias="n"),
+             SegQuery("daily_active_groups", alias="wdau", approx=True)],
+        )],
+    )
+    store = persisted_store(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    return run_event_segmentation(
+        events, req, fmt="compact", rollup=(store.read(spark), _SPEC))
+
+
+@query(
     "seg_rollup_mixed_fallback",
     oracle=f"""
     WITH routed AS (

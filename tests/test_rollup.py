@@ -189,6 +189,32 @@ def test_approx_uniques_route_through_rollup(spark, tmp_path):
     assert not rollup_supports(other, other.events[0], SPEC)
 
 
+def test_approx_active_groups_route_through_rollup(spark, tmp_path):
+    """daily_active_groups with approx=True (DAU summed per chart
+    bucket) routes: the day sketches are sub-bucketed by the activity
+    unit, each union estimated, estimates summed — mixed with an
+    additive count in the SAME event query, so the two routed frames
+    join. Plan never scans raw events; values equal the raw exact
+    path at test cardinality."""
+    raw_events = load_table(spark, SF_DIR, "events")
+    store = RollupStore(str(tmp_path / "rollup"), SPEC)
+    store.rebuild(spark, raw_events)
+    req = EventSegmentationRequest(
+        time=T_DAYS, interval=TimeIntervalUnit.WEEK,
+        events=[EventQuery(EventRef(), [
+            SegQuery("count_events", alias="n"),
+            SegQuery("daily_active_groups", alias="wdau", approx=True),
+        ])],
+    )
+    routed = run_event_segmentation(
+        raw_events, req, rollup=(store.read(spark), SPEC))
+    assert "events.parquet" not in _plan(routed)
+    raw = run_event_segmentation(raw_events, req)
+    assert routed.columns == raw.columns  # query-order metric columns
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, raw.collect()))
+
+
 @pytest.mark.parametrize(
     "req_kw, eq",
     [
@@ -335,6 +361,29 @@ def test_http_endpoint_routes_through_rollup(spark, tmp_path):
         return sorted(zip(*[c["data"] for c in cols]))
 
     assert rows(got) == rows(want)
+
+    # approx uniques through the same endpoint: the JSON knob reaches
+    # the routing decision, and at test cardinality the HLL answer
+    # equals the rollup-less app's exact distinct
+    abody = dict(body)
+    abody["intervalUnit"] = "week"
+    abody["events"] = [{
+        "eventName": None, "eventType": "regular",
+        "queries": [{"type": "countUniqueGroups", "approx": True}],
+    }]
+    st3, want_u = call(plain, "POST",
+                       "/api/v1/projects/1/queries/event-segmentation", abody)
+    st4, got_u = call(routed, "POST",
+                      "/api/v1/projects/1/queries/event-segmentation", abody)
+    assert st3 == st4 == 200
+
+    def urows(payload):
+        cols = sorted(payload["columns"], key=lambda c: c["name"])
+        assert [c["name"] for c in cols] == ["0_0_count_unique_groups",
+                                             "bucket"]
+        return sorted(zip(*[c["data"] for c in cols]))
+
+    assert urows(got_u) == urows(want_u)
     # the routed app cached the rollup frame; refresh clears it
     assert routed._rollup_cache
     routed.refresh_tables()
