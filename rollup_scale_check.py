@@ -76,18 +76,31 @@ def _queries():
     T = QueryTime.between(_T0, _T1)
     WEEK = TimeIntervalUnit.WEEK
 
+    # the overview dashboard shape: every event, weekly, by type —
+    # count + value stats; the raw path reads (ts, event_type, value)
+    # of EVERY row, the routed path folds #days x #types store rows
     seg_req = EventSegmentationRequest(
         time=T,
         interval=WEEK,
         events=[EventQuery(
-            EventRef("purchase"),
+            EventRef(),
             [SegQuery("count_events", alias="n"),
              SegQuery("aggregate_property", agg=AggFn.AVG,
                       prop=PropertyRef.column("value"), alias="avg_v"),
              SegQuery("aggregate_property", agg=AggFn.MAX,
                       prop=PropertyRef.column("value"), alias="max_v")],
         )],
+        breakdowns=[PropertyRef.column("event_type")],
     )
+
+    def uniq_req(approx: bool) -> EventSegmentationRequest:
+        return EventSegmentationRequest(
+            time=T, interval=WEEK,
+            events=[EventQuery(EventRef(), [
+                SegQuery("count_unique_groups", alias="uniq", approx=approx),
+            ])],
+            breakdowns=[PropertyRef.column("event_type")],
+        )
 
     def stick_raw(spark, ev, store, spec):
         return stickiness(ev, T, period=WEEK)
@@ -118,10 +131,21 @@ def _queries():
         return run_event_segmentation(
             ev, seg_req, fmt="compact", rollup=(store.read(spark), spec))
 
+    def uniq_raw(spark, ev, store, spec):
+        # the exact-distinct scan a dashboard runs without the rollup:
+        # a full shuffle of (week, type, user) triples
+        return run_event_segmentation(ev, uniq_req(False), fmt="compact")
+
+    def uniq_routed(spark, ev, store, spec):
+        return run_event_segmentation(
+            ev, uniq_req(True), fmt="compact",
+            rollup=(store.read(spark), spec))
+
     return {
         "stickiness_weekly": (stick_raw, stick_routed, "approx"),
         "cohort_sizes_weekly": (cohort_raw, cohort_routed, "approx"),
-        "seg_purchase_weekly": (seg_raw, seg_routed, "exact"),
+        "seg_overview_weekly": (seg_raw, seg_routed, "exact"),
+        "uniques_weekly_by_type": (uniq_raw, uniq_routed, "approx"),
     }
 
 
@@ -140,7 +164,7 @@ def _crosscheck(raw_df, routed_df, mode: str) -> dict:
     def keyed(df):
         rows = df.collect()
         key_cols = [c for c in df.columns if c in (
-            "bucket", "cohort_bucket", "event")]
+            "bucket", "cohort_bucket", "event", "event_type")]
         out = {}
         for r in rows:
             d = r.asDict()
@@ -196,11 +220,14 @@ def main() -> None:
                       cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spec = RollupSpec()
 
-    # same calibration as scale_check: x1 ~ sf0.1's event count
+    # x1 ~ 1M events (10x sf0.1): on local[32] a 100k-row scan never
+    # leaves the fixed-overhead regime, so raw-vs-routed would measure
+    # scheduler noise; at 1M -> 10M the raw scan's growth is real while
+    # the routed frame stays #days x #dims rows at any factor
     per_user = (
         generate_events(spark, 1000, sessions_per_user=SESSIONS).count() / 1000
     )
-    n1 = max(1, round(100_000 / per_user))
+    n1 = max(1, round(1_000_000 / per_user))
     print(f"calibration: {per_user:.2f} events/user -> x1={n1} users, "
           f"x{args.factor}={n1 * args.factor}", file=sys.stderr)
 
