@@ -70,6 +70,11 @@ class QuantileSketch:
         sk = cls(k)
         v = np.asarray(values, dtype=np.float64)
         v = v[~np.isnan(v)]
+        # canonicalize -0.0 to +0.0: sorts treat them as equal but
+        # their BYTES differ, so mixed zero signs would make the
+        # serialized sketch depend on partition order (found by the
+        # hypothesis fuzz). +0.0 is the identity on every other float.
+        v = v + 0.0
         if v.size:
             # sorted insertion order ⇒ byte-deterministic for a value
             # multiset regardless of scan/partition order
@@ -182,8 +187,10 @@ class QuantileSketch:
         for _ in range(n_levels):
             size, p = struct.unpack_from("<ii", b, off)
             off += 8
+            # + 0.0: canonicalize -0.0 in foreign/legacy bytes so a
+            # deserialize→merge→serialize cycle stays deterministic
             sk.levels.append(
-                np.frombuffer(b, dtype="<f8", count=size, offset=off).copy())
+                np.frombuffer(b, dtype="<f8", count=size, offset=off) + 0.0)
             sk.parity.append(p)
             off += size * 8
         return sk

@@ -168,3 +168,69 @@ def test_http_sketch_percentiles(spark, tmp_path):
         "rollup": "sk", "property": "user_id", "method": "sketch",
     })
     assert st == 400
+
+
+# ------------------------------------------------------- hypothesis fuzz
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_K = 32
+_vals = st.lists(
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    min_size=0, max_size=600,
+)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_vals, st.integers(min_value=0, max_value=600), st.integers(0, 3))
+def test_sketch_invariants_fuzz(values, pivot, chunks):
+    """Structural invariants under adversarial inputs and arbitrary
+    merge trees: exact total weight, byte round-trip identity,
+    quantiles monotone and inside the data range, multiset-determined
+    bytes regardless of insertion order."""
+    sk = QuantileSketch.from_values(values, _K)
+    assert sk.total_weight == len(values)
+    # byte round-trip is the identity on the wire format
+    b = sk.to_bytes()
+    assert QuantileSketch.from_bytes(b).to_bytes() == b
+    # bytes are a function of the value MULTISET, not insertion order
+    assert QuantileSketch.from_values(sorted(values), _K).to_bytes() == b
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = sk.quantiles(qs)
+    if not values:
+        assert got == [None] * len(qs)
+        return
+    lo, hi = min(values), max(values)
+    assert all(lo <= g <= hi for g in got)
+    assert got == sorted(got)
+    # split-merge at an arbitrary pivot, then a second split into
+    # CHUNKS parts merged left-to-right: weight stays exact
+    p = min(pivot, len(values))
+    merged = QuantileSketch.from_values(values[:p], _K).merge(
+        QuantileSketch.from_values(values[p:], _K))
+    assert merged.total_weight == len(values)
+    n_parts = chunks + 1
+    step = max(1, (len(values) + n_parts - 1) // n_parts)
+    parts = [values[i:i + step] for i in range(0, len(values), step)]
+    tree = QuantileSketch.merge_all(
+        (QuantileSketch.from_values(c, _K) for c in parts), _K)
+    assert tree.total_weight == len(values)
+    tq = tree.quantiles(qs)
+    assert all(lo <= g <= hi for g in tq) and tq == sorted(tq)
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32),
+                min_size=1, max_size=_K))
+def test_sketch_exact_below_capacity(values):
+    """n <= k means no compaction ever ran: every quantile is the
+    exact rank statistic vals[max(ceil(q*n), 1) - 1]."""
+    sk = QuantileSketch.from_values(values, _K)
+    v = sorted(values)
+    n = len(v)
+    for q in (0.0, 0.25, 0.5, 0.75, 0.99, 1.0):
+        import math
+
+        want = v[max(math.ceil(q * n), 1) - 1]
+        assert sk.quantile(q) == want

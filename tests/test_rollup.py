@@ -891,3 +891,60 @@ def test_http_stickiness_routes_through_rollup(spark, tmp_path):
 
     st, _ = call(app, "POST", url, dict(body, period="day"))
     assert st == 400
+
+
+def test_routing_grid_routed_equals_raw(spark):
+    """Sweep the (interval x metrics x breakdown x filter) grid: every
+    combination rollup_supports claims routable must produce results
+    identical to the raw path at test cardinality (additive metrics
+    bit-for-bit, sketch-backed metrics exact in the sparse regime) —
+    and the grid must exercise both routable and fallback shapes, so a
+    routing-predicate regression can't silently shrink coverage."""
+    events = load_table(spark, SF_DIR, "events").cache()
+    roll = build_rollup(events, SPEC).cache()
+
+    metric_sets = {
+        "count": [SegQuery("count_events", alias="m0")],
+        "sum_avg": [
+            SegQuery("aggregate_property", agg=AggFn.SUM,
+                     prop=PropertyRef.column("value"), alias="m0"),
+            SegQuery("aggregate_property", agg=AggFn.AVG,
+                     prop=PropertyRef.column("value"), alias="m1"),
+        ],
+        "uniq_approx": [SegQuery("count_unique_groups", alias="m0",
+                                 approx=True)],
+        "dau_approx": [
+            SegQuery("count_events", alias="m0"),
+            SegQuery("daily_active_groups", alias="m1", approx=True),
+        ],
+        "uniq_exact": [SegQuery("count_unique_groups", alias="m0")],
+        "per_group": [SegQuery("count_per_group", agg=AggFn.AVG,
+                               alias="m0")],
+    }
+    routable, fallback = 0, 0
+    for iv in (TimeIntervalUnit.DAY, TimeIntervalUnit.WEEK):
+        for mname, metrics in metric_sets.items():
+            for bds in ((), (PropertyRef.column("event_type"),)):
+                for flt in ((), (PropFilter(
+                        PropertyRef.column("event_type"), PropOp.EQ,
+                        ("purchase",)),)):
+                    eq = EventQuery(EventRef(), metrics, filters=flt)
+                    req = EventSegmentationRequest(
+                        time=T_DAYS, interval=iv, events=[eq],
+                        breakdowns=bds)
+                    tag = f"{iv.value}/{mname}/bd={len(bds)}/f={len(flt)}"
+                    if not rollup_supports(req, eq, SPEC):
+                        fallback += 1
+                        assert mname in ("uniq_exact", "per_group"), tag
+                        continue
+                    routable += 1
+                    routed = event_segmentation_from_rollup(
+                        roll, req, eq, spec=SPEC)
+                    raw = event_segmentation_one(events, req, eq)
+                    assert routed.columns == raw.columns, tag
+                    assert sorted(map(tuple, routed.collect())) == sorted(
+                        map(tuple, raw.collect())), tag
+    # the grid genuinely covered both sides of the routing predicate
+    assert routable == 32 and fallback == 16
+    events.unpersist()
+    roll.unpersist()
