@@ -625,6 +625,9 @@ def event_segmentation_from_rollup(
         parts.append(
             per_ab.groupBy(*join_keys).agg(F.sum("__e").alias(alias))
         )
+    if not parts:  # formulas-only — same contract as the raw path
+        raise ValueError(
+            "a formula query needs sibling metric queries to reference")
     out = parts[0]
     for p in parts[1:]:
         out = out.join(p, join_keys)

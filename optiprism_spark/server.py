@@ -785,6 +785,12 @@ class App:
         for sp in body.get("sketchProps") or ():
             if sp not in events.columns:
                 raise HttpError(400, f"unknown sketch column {sp!r}")
+        gc = body.get("groupCol")
+        if gc is not None and gc not in events.columns:
+            # group-grain rollup (org analytics): the HLL sketches
+            # count THIS column, and routing later requires the
+            # request's group axis to match it exactly
+            raise HttpError(400, f"unknown group column {gc!r}")
         row = self.catalog.create("rollup", body, project_id=pid)
         try:
             self._store_for_rollup_row(pid, row).rebuild(self.spark, events)
@@ -1108,6 +1114,9 @@ class App:
     def _store_for_rollup_row(self, pid: int, row: dict):
         from .rollup import RollupSpec, RollupStore
 
+        kw = {}
+        if row.get("groupCol"):  # org/group-grain sketches (validated
+            kw["group_col"] = row["groupCol"]  # on declare)
         spec = RollupSpec(
             dims=tuple(row.get("dims") or ("event_type",)),
             numeric_props=tuple(row.get("numericProps") or ("value",)),
@@ -1117,6 +1126,7 @@ class App:
                 for n, edges in (row.get("histogramProps") or ())
             ),
             sketch_props=tuple(row.get("sketchProps") or ()),
+            **kw,
         )
         return RollupStore(
             os.path.join(self.rollup_dir, f"p{pid}_{row['name']}"), spec

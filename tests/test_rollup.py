@@ -948,3 +948,63 @@ def test_routing_grid_routed_equals_raw(spark):
     assert routable == 32 and fallback == 16
     events.unpersist()
     roll.unpersist()
+
+
+def test_declared_group_grain_rollup_routes_org_uniques(spark, tmp_path):
+    """A deployment whose events carry a physical group column can
+    declare a GROUP-GRAIN rollup over HTTP (groupCol): the HLL
+    sketches count orgs, and a group-analytics segmentation with
+    approx uniques routes through it — matching the exact org
+    distincts of a rollup-less app at test cardinality. A groupCol
+    the events table lacks is rejected at declare time."""
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    load_table(spark, SF_DIR, "events").withColumn(
+        "org_id", F.col("user_id") % 20
+    ).write.parquet(str(sf / "events.parquet"))
+
+    app = make_app(spark, str(sf), rollup_dir=str(tmp_path / "rollups"))
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups", {
+        "name": "org_day", "dims": ["event_type"], "groupCol": "org_id",
+    })
+    assert st == 201
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups", {
+        "name": "bad", "groupCol": "no_such_col",
+    })
+    assert st == 400
+
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59.999999"},
+        "group": "org", "intervalUnit": "week", "chartType": "line",
+        "events": [{
+            "eventName": None, "eventType": "regular",
+            "queries": [{"type": "countUniqueGroups", "approx": True}],
+        }],
+    }
+    plain = make_app(spark, str(sf))
+    st1, want = call(plain, "POST",
+                     "/api/v1/projects/1/queries/event-segmentation", body)
+    st2, got = call(app, "POST",
+                    "/api/v1/projects/1/queries/event-segmentation", body)
+    assert st1 == st2 == 200
+
+    def rows(payload):
+        cols = sorted(payload["columns"], key=lambda c: c["name"])
+        return sorted(zip(*[c["data"] for c in cols]))
+
+    assert rows(got) == rows(want)
+    # the routed app really answered from the store, not raw events:
+    # the USER-grain default store must NOT serve an org-grain request
+    from optiprism_spark.rollup import rollup_supports
+    from optiprism_spark.api import parse_event_segmentation
+
+    req = parse_event_segmentation(body)
+    assert req.group_col == "org_id"
+    assert not rollup_supports(req, req.events[0], SPEC)  # user-grain spec
+    org_store = app._declared_rollup_stores(1)[0]
+    assert org_store.spec.group_col == "org_id"
+    assert rollup_supports(req, req.events[0], org_store.spec)
