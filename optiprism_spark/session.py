@@ -43,9 +43,17 @@ def get_spark(
         # queries from many threads onto this one context; FIFO would
         # park every light query behind a long funnel's stages
         # (head-of-line blocking). Pools are assigned per query type
-        # at the server dispatch (server.py); undeclared pools get
-        # equal weight, which is exactly the sharing we want.
+        # at the server dispatch (server.py); the allocation file
+        # tiers them — interactive shapes (lookups, searches,
+        # segmentation, rollup-routed stickiness) get weight 4 +
+        # minShare over funnel/paths/retention/attribution/experiment
+        # — and undeclared pools still get default equal weight.
         .config("spark.scheduler.mode", "FAIR")
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "fairscheduler.xml"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
