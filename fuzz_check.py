@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Differential fuzz sweep over the event-segmentation JSON DSL.
+
+Runs N seeded random request bodies (tests/_fuzz_seg.gen_spec) through
+the real serving path and compares each against independently-emitted
+DuckDB SQL at the driver's correctness scale (sf0.01 by default) —
+the query-level analogue of the driver's 50-query oracle gate, but
+over the combinatorial DSL space instead of enumerated queries:
+random time windows × global/per-event property filters (double,
+string, JSON-int) × breakdowns × 1-3 metrics (count, uniques, DAU,
+decimal-exact sum/avg/min/max over double and JSON-int properties,
+two-level per-group counts).
+
+Output: one JSON line {"metric": "dsl_fuzz", "n": N, "failed": [...],
+"pass": bool}. Failures carry the full spec so a seed reproduces with
+pytest tests/test_fuzz_api_segmentation.py or directly.
+
+Usage: python fuzz_check.py [--n 300] [--seed0 0] [--out FUZZ_rN.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=300)
+    ap.add_argument("--seed0", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from optiprism_spark.session import get_spark
+    from tests import _fuzz_seg
+    from tests._oracle import assert_frames_match, duckdb_connection
+
+    spark = get_spark("optiprism_spark_fuzz")
+    con = duckdb_connection(SF_DIR)
+    t0 = time.time()
+    failed, checked = [], 0
+    for seed in range(args.seed0, args.seed0 + args.n):
+        spec = _fuzz_seg.gen_spec(seed)
+        try:
+            sdf = _fuzz_seg.run_spec(spark, SF_DIR, spec).toPandas()
+            odf = con.sql(_fuzz_seg.spec_to_sql(spec)).df()
+            assert_frames_match(sdf, odf, name=f"seed={seed}")
+        except Exception as e:
+            failed.append({
+                "seed": seed,
+                "err": f"{type(e).__name__}: {e}"[:500],
+                "spec": {k: str(v) for k, v in spec.items()},
+            })
+        checked += 1
+        if checked % 50 == 0:
+            print(f"# {checked}/{args.n} checked, {len(failed)} failed, "
+                  f"{time.time() - t0:.0f}s", file=sys.stderr)
+
+    result = {
+        "metric": "dsl_fuzz",
+        "sf_dir": SF_DIR,
+        "n": checked,
+        "seed0": args.seed0,
+        "elapsed_sec": round(time.time() - t0, 1),
+        "failed": failed,
+        "pass": not failed,
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,262 @@
+"""Differential fuzzer for the event-segmentation JSON DSL.
+
+Generates random-but-seeded reference-shaped request bodies (random
+time windows, property filters over a double column / a string column
+/ a JSON-extracted int property, breakdowns, 1-3 metric queries per
+body), executes them through the REAL serving path
+(api.parse_event_segmentation → queries.run_event_segmentation), and
+emits the equivalent DuckDB SQL from the same spec. Any divergence —
+row count, schema, or value — is a bug in one of the two independent
+translations.
+
+This extends the reference's differential-testing strategy (its
+ClickHouse oracle suite pins ~fixed queries, reference
+tests/queries/*.py) from enumerated cases to the combinatorial space
+the DSL actually exposes. The SQL emitter here is intentionally
+written against the DSL *spec* (suites/_sql.py conventions), not
+against the Spark implementation, so the two sides stay independent.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+#: DuckDB expression for the JSON int property, matching the engine's
+#: PropertyRef.json("k", "int64") resolution (exprs.prop_col)
+K_INT = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+#: string-typed resolution (breakdowns carry no literals, so the DSL
+#: infers dtype=string — api._infer_dtype)
+K_STR = "json_extract_string(props, '$.k')"
+DECIMAL_T = "DECIMAL(28,6)"  # keep in sync with suites/_sql.py
+
+
+def _sum_exact(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS {DECIMAL_T})) AS DOUBLE)"
+
+
+def _avg_exact(col: str) -> str:
+    return f"(CAST(SUM(CAST({col} AS {DECIMAL_T})) AS DOUBLE) / COUNT({col}))"
+
+
+def _bucket(unit: str) -> str:
+    return f"CAST(date_trunc('{unit}', ts) AS DATE)"
+
+
+def gen_spec(seed: int) -> dict:
+    """One deterministic random query spec (the neutral description
+    both the JSON body and the oracle SQL are derived from)."""
+    rng = random.Random(seed)
+    d0 = rng.randint(1, 25)
+    start = dt.datetime(2024, 1, d0, rng.choice([0, rng.randint(0, 23)]),
+                        rng.choice([0, rng.randint(0, 59)]), 0)
+    d1 = rng.randint(d0, 30)
+    end = dt.datetime(2024, 1, d1, 23, 59, 59)
+    if end < start:
+        end = start.replace(hour=23, minute=59, second=59)
+    interval = rng.choice(("day", "day", "week", "month"))
+    event = rng.choice((None, None) + EVENT_TYPES)
+
+    filters = []
+    for _ in range(rng.randint(0, 2)):
+        which = rng.choice(("value", "etype", "k"))
+        if which == "value":
+            op = rng.choice(("gt", "gte", "lt", "lte", "neq"))
+            n = rng.choice((1, 1, 1, 2))
+            filters.append(
+                ("value", op, [round(rng.uniform(0.0, 500.0), 2) for _ in range(n)]))
+        elif which == "etype":
+            op = rng.choice(("eq", "eq", "neq", "like"))
+            if op == "like":
+                vals = [rng.choice(("%c%", "%u%", "s%", "%w", "%rror"))]
+            else:
+                vals = rng.sample(EVENT_TYPES, rng.randint(1, 2))
+            filters.append(("event_type", op, vals))
+        else:
+            op = rng.choice(("gt", "gte", "lt", "lte", "eq", "neq"))
+            n = 1 if op in ("gt", "gte", "lt", "lte") else rng.randint(1, 3)
+            filters.append(("k", op, [rng.randint(0, 99) for _ in range(n)]))
+
+    breakdown = rng.choice((None, None, "event_type", "k"))
+
+    pool = ("countEvents", "countUniqueGroups", "aggValue", "aggK",
+            "countPerGroup", "dailyActive")
+    queries = []
+    for _ in range(rng.randint(1, 3)):
+        kind = rng.choice(pool)
+        if kind == "aggValue":
+            queries.append((kind, rng.choice(("sum", "min", "max", "avg"))))
+        elif kind == "aggK":
+            queries.append((kind, rng.choice(("sum", "min", "max", "avg"))))
+        elif kind == "countPerGroup":
+            queries.append((kind, "avg"))
+        else:
+            queries.append((kind, None))
+
+    # split filters between the two DSL surfaces that must behave
+    # identically: body.filters.groups[0].filters (global) and
+    # events[0].filters (per-event) — both AND into the same scan
+    n_event_level = rng.randint(0, len(filters))
+    return {
+        "seed": seed, "start": start, "end": end, "interval": interval,
+        "event": event, "filters": filters, "breakdown": breakdown,
+        "queries": queries, "n_event_level": n_event_level,
+    }
+
+
+def _filter_dict(name: str, op: str, vals: list) -> dict:
+    return {"type": "property", "propertyType": "event",
+            "propertyName": name, "operation": op, "value": list(vals)}
+
+
+def spec_to_body(s: dict) -> dict:
+    """The camelCase reference-shaped JSON request body."""
+    qdicts = []
+    for kind, agg in s["queries"]:
+        if kind == "countEvents":
+            qdicts.append({"type": "countEvents"})
+        elif kind == "countUniqueGroups":
+            qdicts.append({"type": "countUniqueGroups"})
+        elif kind == "dailyActive":
+            qdicts.append({"type": "dailyActiveGroups"})
+        elif kind == "countPerGroup":
+            qdicts.append({"type": "countPerGroup", "aggregate": agg})
+        elif kind == "aggValue":
+            qdicts.append({"type": "aggregateProperty", "aggregate": agg,
+                           "propertyType": "event", "propertyName": "value"})
+        elif kind == "aggK":
+            qdicts.append({"type": "aggregateProperty", "aggregate": agg,
+                           "propertyType": "event", "propertyName": "k",
+                           "dtype": "int64"})
+    ev_filters = [_filter_dict(*f) for f in s["filters"][:s["n_event_level"]]]
+    global_filters = [_filter_dict(*f) for f in s["filters"][s["n_event_level"]:]]
+    body = {
+        "time": {"type": "between", "from": s["start"].isoformat(),
+                 "to": s["end"].isoformat()},
+        "group": "user",
+        "intervalUnit": s["interval"],
+        "chartType": "line",
+        "analysis": {"type": "linear"},
+        "events": [{"eventName": s["event"], "eventType": "regular",
+                    "queries": qdicts,
+                    **({"filters": ev_filters} if ev_filters else {})}],
+    }
+    if global_filters:
+        body["filters"] = {"groups": [{"filters": global_filters}]}
+    if s["breakdown"]:
+        body["breakdowns"] = [{"type": "property", "propertyType": "event",
+                               "propertyName": s["breakdown"]}]
+    return body
+
+
+def _sql_lit(name: str, v) -> str:
+    return f"'{v}'" if name == "event_type" else repr(v)
+
+
+def _sql_cond(name: str, op: str, vals: list) -> str:
+    col = {"value": "value", "event_type": "event_type", "k": K_INT}[name]
+    lits = [_sql_lit(name, v) for v in vals]
+    if op == "eq":
+        return (f"{col} IN ({', '.join(lits)})" if len(vals) > 1
+                else f"{col} = {lits[0]}")
+    if op == "neq":
+        return (f"NOT ({col} IN ({', '.join(lits)}))" if len(vals) > 1
+                else f"NOT ({col} = {lits[0]})")
+    if op in ("gt", "gte", "lt", "lte"):
+        sym = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}[op]
+        return "(" + " OR ".join(f"{col} {sym} {x}" for x in lits) + ")"
+    if op == "like":
+        return f"{col} LIKE {lits[0]}"
+    raise ValueError(op)
+
+
+def _metric_sql(kind: str, agg) -> str:
+    if kind == "countEvents":
+        return "COUNT(*)"
+    if kind == "countUniqueGroups":
+        return "COUNT(DISTINCT user_id)"
+    if kind == "dailyActive":
+        return f"COUNT(DISTINCT (user_id, {_bucket('day')}))"
+    if kind == "aggValue":
+        col = "value"
+    elif kind == "aggK":
+        col = K_INT
+    else:
+        raise ValueError(kind)
+    if agg == "sum":
+        return _sum_exact(col)
+    if agg == "avg":
+        return _avg_exact(col)
+    return f"{agg.upper()}({col})"
+
+
+def spec_to_sql(s: dict) -> str:
+    """Equivalent DuckDB SQL, derived from the spec (NOT from the
+    Spark plan): metric columns are q{i} in query order."""
+    conds = [
+        f"ts >= TIMESTAMP '{s['start']:%Y-%m-%d %H:%M:%S}' "
+        f"AND ts <= TIMESTAMP '{s['end']:%Y-%m-%d %H:%M:%S}'"
+    ]
+    if s["event"]:
+        conds.append(f"event_type = '{s['event']}'")
+    conds += [_sql_cond(*f) for f in s["filters"]]
+    where = " AND ".join(conds)
+
+    keys = ["bucket"]
+    key_exprs = [f"{_bucket(s['interval'])} AS bucket"]
+    if s["breakdown"] == "event_type":
+        keys.append("event_type")
+        key_exprs.append("event_type")
+    elif s["breakdown"] == "k":
+        keys.append("k")
+        key_exprs.append(f"{K_STR} AS k")
+
+    simple, two_level = [], []
+    for qi, (kind, agg) in enumerate(s["queries"]):
+        if kind == "countPerGroup":
+            two_level.append((qi, kind, agg))
+        else:
+            simple.append(f"{_metric_sql(kind, agg)} AS q{qi}")
+
+    key_list = ", ".join(keys)
+    base = f"SELECT * FROM events WHERE {where}"
+    if not two_level:
+        return (f"SELECT {', '.join(key_exprs + simple)} "
+                f"FROM ({base}) GROUP BY {key_list}")
+
+    # per-group inner count → outer avg, joined back onto the simple
+    # aggregates on the (bucket, breakdown) keys; both sides aggregate
+    # the same filtered rows, so the key sets are identical
+    outer = ", ".join(f"{_avg_exact('__c')} AS q{qi}" for qi, _, _ in two_level)
+    two_sql = (
+        f"SELECT {key_list}, {outer} FROM ("
+        f"  SELECT {', '.join(key_exprs)}, user_id, COUNT(*) AS __c"
+        f"  FROM ({base}) GROUP BY {key_list}, user_id"
+        f") GROUP BY {key_list}"
+    )
+    if not simple:
+        return two_sql
+    simple_sql = (f"SELECT {', '.join(key_exprs + simple)} "
+                  f"FROM ({base}) GROUP BY {key_list}")
+    return (f"SELECT * FROM ({simple_sql}) s JOIN ({two_sql}) t "
+            f"USING ({key_list})")
+
+
+def run_spec(spark, sf_dir: str, spec: dict):
+    """Execute the spec's JSON body through the serving path; return
+    the result with metric columns renamed q{i} to match the SQL."""
+    from optiprism_spark.api import parse_event_segmentation
+    from optiprism_spark.operators.aggregates import _query_alias
+    from optiprism_spark.queries.event_segmentation import run_event_segmentation
+    from optiprism_spark.schema import load_table
+
+    req = parse_event_segmentation(spec_to_body(spec))
+    events = load_table(spark, sf_dir, "events")
+    df = run_event_segmentation(events, req)
+    renames = {
+        _query_alias(0, qi, q): f"q{qi}"
+        for qi, q in enumerate(req.events[0].queries)
+    }
+    return df.withColumnsRenamed(renames)
