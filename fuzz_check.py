@@ -9,7 +9,12 @@ over the combinatorial DSL space instead of enumerated queries:
 random time windows × global/per-event property filters (double,
 string, JSON-int) × breakdowns × 1-3 metrics (count, uniques, DAU,
 decimal-exact sum/avg/min/max over double and JSON-int properties,
-two-level per-group counts).
+two-level per-group counts). --suite funnel fuzzes the funnel DSL
+instead (steps × windows × unique/non-unique/excludes/constants/
+breakdown/session/touch modes vs the recursive-anchor-chain oracle);
+--suite all runs both. The funnel sweep found a real oracle bug on
+its first run: the x-vs-y tie at the window boundary in constants
+mode (suites/funnel._attempt_lateral y_cmp).
 
 Output: one JSON line {"metric": "dsl_fuzz", "n": N, "failed": [...],
 "pass": bool}. Failures carry the full spec so a seed reproduces with
@@ -34,34 +39,46 @@ SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=300)
+    ap.add_argument("--n-funnel", type=int, default=70)
     ap.add_argument("--seed0", type=int, default=0)
+    ap.add_argument("--suite", default="all",
+                    choices=["seg", "funnel", "all"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from optiprism_spark.session import get_spark
-    from tests import _fuzz_seg
+    from tests import _fuzz_funnel, _fuzz_seg
     from tests._oracle import assert_frames_match, duckdb_connection
 
     spark = get_spark("optiprism_spark_fuzz")
     con = duckdb_connection(SF_DIR)
     t0 = time.time()
-    failed, checked = [], 0
-    for seed in range(args.seed0, args.seed0 + args.n):
-        spec = _fuzz_seg.gen_spec(seed)
-        try:
-            sdf = _fuzz_seg.run_spec(spark, SF_DIR, spec).toPandas()
-            odf = con.sql(_fuzz_seg.spec_to_sql(spec)).df()
-            assert_frames_match(sdf, odf, name=f"seed={seed}")
-        except Exception as e:
-            failed.append({
-                "seed": seed,
-                "err": f"{type(e).__name__}: {e}"[:500],
-                "spec": {k: str(v) for k, v in spec.items()},
-            })
-        checked += 1
-        if checked % 50 == 0:
-            print(f"# {checked}/{args.n} checked, {len(failed)} failed, "
-                  f"{time.time() - t0:.0f}s", file=sys.stderr)
+    failed, checked = [], {}
+    jobs = []
+    if args.suite in ("seg", "all"):
+        jobs.append(("seg", _fuzz_seg, args.n))
+    if args.suite in ("funnel", "all"):
+        jobs.append(("funnel", _fuzz_funnel, args.n_funnel))
+    for suite, mod, n in jobs:
+        done = 0
+        for seed in range(args.seed0, args.seed0 + n):
+            spec = mod.gen_spec(seed)
+            try:
+                sdf = mod.run_spec(spark, SF_DIR, spec).toPandas()
+                odf = con.sql(mod.spec_to_sql(spec)).df()
+                assert_frames_match(sdf, odf, name=f"{suite} seed={seed}")
+            except Exception as e:
+                failed.append({
+                    "suite": suite,
+                    "seed": seed,
+                    "err": f"{type(e).__name__}: {e}"[:500],
+                    "spec": {k: str(v) for k, v in spec.items()},
+                })
+            done += 1
+            if done % 50 == 0:
+                print(f"# {suite} {done}/{n} checked, {len(failed)} failed, "
+                      f"{time.time() - t0:.0f}s", file=sys.stderr)
+        checked[suite] = done
 
     result = {
         "metric": "dsl_fuzz",

@@ -81,16 +81,25 @@ from ..streaming.sessionize import SESSION_GAP_US as _SESSION_GAP_US
 
 
 def _attempt_lateral(anchor: str, exclude_ets, step_ets=_STEP_ETS,
-                     const_key=None, session=False, breakdown=False) -> str:
+                     const_key=None, session=False, breakdown=False,
+                     window_us: int = _W_US) -> str:
     """Attempt outcome for one anchor row (user_id[, sess], t0, e0
     [, k0]): first step-1 row after the anchor (s1), first step-2 row
     after that (s2), first aborting row (x: exclude event, or any row
     whose holding-constant deviates from the anchor's k0), first
     beyond-window flush-trigger row (y), then the machine's step count
-    + abort flag. The abort comparison is <= because the reference's
-    reset ``continue`` REPROCESSES the violating row at step 0 — a row
-    can't both abort and complete (check order: exclude → constants →
-    window → step match, funnel.rs:544-605)."""
+    + abort flag. The abort comparison vs the completed step is <=
+    because the reference's reset ``continue`` REPROCESSES the
+    violating row at step 0 — a row can't both abort and complete.
+    Mid-funnel check order is exclude → WINDOW → constants → step
+    (funnel.rs:544-605: the out-of-window branch push_results and
+    resets WITHOUT ``continue``, then the same row falls through to
+    the constants block at cur_step 0 where it only seeds const_row).
+    Hence the x-vs-y tie differs by abort kind: an exclude row that is
+    also the first beyond-window row still aborts (exclude checked
+    first → <=), but a constant-deviating row there does NOT — the
+    flush already recorded the attempt (strict <). Found by the
+    funnel DSL fuzzer (tests/_fuzz_funnel.py) at window=1d."""
     corr = f"e.user_id = {anchor}.user_id"
     if session:
         corr += f" AND e.sess = {anchor}.sess"
@@ -117,17 +126,20 @@ def _attempt_lateral(anchor: str, exclude_ets, step_ets=_STEP_ETS,
         AND (e.ts, e.eid) > ({anchor}.t0, {anchor}.e0)
       ORDER BY e.ts, e.eid LIMIT 1) x ON TRUE"""
         x_sel = "x.xts, x.xeid,"
+        # see docstring: exclude beats the window flush (<=), the
+        # window flush beats a constants violation (strict <)
+        y_cmp = "<=" if exclude_ets else "<"
         abort_expr = f"""(x.xts IS NOT NULL AND
-             CASE WHEN s1.ts1 IS NOT NULL AND s1.ts1 - {anchor}.t0 <= {_W_US}
-                       AND s2.ts2 IS NOT NULL AND s2.ts2 - {anchor}.t0 <= {_W_US}
+             CASE WHEN s1.ts1 IS NOT NULL AND s1.ts1 - {anchor}.t0 <= {window_us}
+                       AND s2.ts2 IS NOT NULL AND s2.ts2 - {anchor}.t0 <= {window_us}
                   THEN (x.xts, x.xeid) <= (s2.ts2, s2.eid2)
-                  WHEN y.yts IS NOT NULL THEN (x.xts, x.xeid) <= (y.yts, y.yeid)
+                  WHEN y.yts IS NOT NULL THEN (x.xts, x.xeid) {y_cmp} (y.yts, y.yeid)
                   ELSE TRUE END)"""
     return f"""
   CROSS JOIN LATERAL (
     SELECT s1.ts1, s1.eid1, s2.ts2, s2.eid2, {x_sel}
-           CASE WHEN s1.ts1 IS NOT NULL AND s1.ts1 - {anchor}.t0 <= {_W_US}
-                THEN CASE WHEN s2.ts2 IS NOT NULL AND s2.ts2 - {anchor}.t0 <= {_W_US}
+           CASE WHEN s1.ts1 IS NOT NULL AND s1.ts1 - {anchor}.t0 <= {window_us}
+                THEN CASE WHEN s2.ts2 IS NOT NULL AND s2.ts2 - {anchor}.t0 <= {window_us}
                           THEN 3 ELSE 2 END
                 ELSE 1 END AS sc,
            {abort_expr} AS aborted
@@ -140,13 +152,13 @@ def _attempt_lateral(anchor: str, exclude_ets, step_ets=_STEP_ETS,
     LEFT JOIN LATERAL (
       SELECT e.ts AS ts2, e.eid AS eid2 FROM e
       WHERE {corr} AND e.et IN {_in(step_ets[2])}
-        AND s1.ts1 IS NOT NULL AND s1.ts1 - {anchor}.t0 <= {_W_US}
+        AND s1.ts1 IS NOT NULL AND s1.ts1 - {anchor}.t0 <= {window_us}
         AND (e.ts, e.eid) > (s1.ts1, s1.eid1)
       ORDER BY e.ts, e.eid LIMIT 1) s2 ON TRUE{x_lat}
     LEFT JOIN LATERAL (
       SELECT e.ts AS yts, e.eid AS yeid FROM e
       WHERE {corr}{y_et}
-        AND (e.ts, e.eid) > ({anchor}.t0, {anchor}.e0) AND e.ts > {anchor}.t0 + {_W_US}
+        AND (e.ts, e.eid) > ({anchor}.t0, {anchor}.e0) AND e.ts > {anchor}.t0 + {window_us}
       ORDER BY e.ts, e.eid LIMIT 1) y ON TRUE
   ) a
 """
@@ -154,7 +166,8 @@ def _attempt_lateral(anchor: str, exclude_ets, step_ets=_STEP_ETS,
 
 def _machine_chain_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
                        const_key=None, session: bool = False,
-                       breakdown_key=None, extra_pred: str = "") -> str:
+                       breakdown_key=None, extra_pred: str = "",
+                       window_us: int = _W_US, time=S.T_FULL) -> str:
     """Recursive anchor chain replaying the greedy machine: one row per
     recorded attempt (user_id, t0, ts1, ts2, sc). ``stop_cond`` is a
     predicate on the previous attempt row ``p`` that ends the user's
@@ -197,13 +210,13 @@ def _machine_chain_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
     SELECT user_id, epoch_us(ts) AS ts, event_id AS eid, event_type AS et{kv_sel}{bd_sel},
            LAG(epoch_us(ts)) OVER (PARTITION BY user_id
                                    ORDER BY epoch_us(ts), event_id) AS prev_ts
-    FROM events WHERE {S.ts_between(*S.T_FULL)}{et_filter}) raw
+    FROM events WHERE {S.ts_between(*time)}{et_filter}) raw
 )"""
     else:
         e_cte = f"""e AS (
   SELECT user_id, epoch_us(ts) AS ts, event_id AS eid, event_type AS et{kv_sel}{bd_sel}
   FROM events
-  WHERE {S.ts_between(*S.T_FULL)}{et_filter}
+  WHERE {S.ts_between(*time)}{et_filter}
 )"""
     anchor_cols = ["user_id"] + extra_part + ["t0", "e0"] \
         + (["k0"] if const_key else [])
@@ -218,7 +231,7 @@ def _machine_chain_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
     if breakdown:
         next_corr += " AND e.bd IS NOT DISTINCT FROM p.bd"
     lat = lambda a: _attempt_lateral(a, exclude_ets, step_ets, const_key,
-                                     session, breakdown)
+                                     session, breakdown, window_us=window_us)
     chain = f"""
 WITH RECURSIVE
 {e_cte},
@@ -241,7 +254,7 @@ chain AS (
            CASE WHEN p.aborted THEN p.xeid
                 WHEN p.sc = 3 THEN p.eid2 ELSE NULL END AS after_eid,
            p.aborted AS was_aborted,
-           CASE WHEN p.aborted OR p.sc = 3 THEN NULL ELSE p.t0 + {_W_US} END AS min_ts
+           CASE WHEN p.aborted OR p.sc = 3 THEN NULL ELSE p.t0 + {window_us} END AS min_ts
     FROM chain p WHERE NOT ({stop_cond})
   ) p
   CROSS JOIN LATERAL (
@@ -300,12 +313,14 @@ def _step_metric_parts() -> list[str]:
 def _machine_oracle_sql(stop_cond: str, exclude_ets=(), step_ets=_STEP_ETS,
                         touch: str = "first", const_key=None,
                         session: bool = False, breakdown_key=None,
-                        extra_pred: str = "") -> str:
+                        extra_pred: str = "", window_us: int = _W_US,
+                        time=S.T_FULL) -> str:
     """ConversionOverTime report oracle: anchor chain → per-day bucket
     report with the exact column names/types funnel_report emits.
     ``touch`` picks the bucket-attribution timestamp (first | last)."""
     chain = _machine_chain_sql(stop_cond, exclude_ets, step_ets, const_key,
-                               session, breakdown_key, extra_pred)
+                               session, breakdown_key, extra_pred,
+                               window_us=window_us, time=time)
     attr = (
         "t0" if touch == "first"
         else "(CASE WHEN sc = 1 THEN t0 WHEN sc = 2 THEN ts1 ELSE ts2 END)"
