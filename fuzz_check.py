@@ -12,9 +12,14 @@ decimal-exact sum/avg/min/max over double and JSON-int properties,
 two-level per-group counts). --suite funnel fuzzes the funnel DSL
 instead (steps × windows × unique/non-unique/excludes/constants/
 breakdown/session/touch modes vs the recursive-anchor-chain oracle);
---suite all runs both. The funnel sweep found a real oracle bug on
-its first run: the x-vs-y tie at the window boundary in constants
-mode (suites/funnel._attempt_lateral y_cmp).
+--suite paths / retention / attribution fuzz the journey operators
+the same way (random anchors/steps/directions/budgets/excludes/time
+ranges; cohort-return pairs, day/week, bounded/unbounded; random
+touch sets x conversion x lookback x first/last model) vs their
+suites' parameterized oracles. --suite all runs everything. The funnel sweep
+found a real oracle bug on its first run: the x-vs-y tie at the
+window boundary in constants mode (suites/funnel._attempt_lateral
+y_cmp).
 
 Output: one JSON line {"metric": "dsl_fuzz", "n": N, "failed": [...],
 "pass": bool}. Failures carry the full spec so a seed reproduces with
@@ -40,14 +45,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=300)
     ap.add_argument("--n-funnel", type=int, default=70)
+    ap.add_argument("--n-journeys", type=int, default=60)
     ap.add_argument("--seed0", type=int, default=0)
     ap.add_argument("--suite", default="all",
-                    choices=["seg", "funnel", "all"])
+                    choices=["seg", "funnel", "paths", "retention",
+                             "attribution", "all"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from optiprism_spark.session import get_spark
     from tests import _fuzz_funnel, _fuzz_seg
+    from tests._fuzz_journeys import (attribution_suite, paths_suite,
+                                      retention_suite)
     from tests._oracle import assert_frames_match, duckdb_connection
 
     spark = get_spark("optiprism_spark_fuzz")
@@ -59,6 +68,12 @@ def main() -> None:
         jobs.append(("seg", _fuzz_seg, args.n))
     if args.suite in ("funnel", "all"):
         jobs.append(("funnel", _fuzz_funnel, args.n_funnel))
+    if args.suite in ("paths", "all"):
+        jobs.append(("paths", paths_suite, args.n_journeys))
+    if args.suite in ("retention", "all"):
+        jobs.append(("retention", retention_suite, args.n_journeys))
+    if args.suite in ("attribution", "all"):
+        jobs.append(("attribution", attribution_suite, args.n_journeys))
     for suite, mod, n in jobs:
         done = 0
         for seed in range(args.seed0, args.seed0 + n):

@@ -30,21 +30,24 @@ _TOUCHES = EventRef(custom=[
 _LOOKBACK_S = 7 * 86_400
 
 
-def _oracle(order: str) -> str:
+def _oracle(order: str, touch_ets=("view", "click"),
+            conv_et="purchase", lookback_s=_LOOKBACK_S,
+            time=S.T_FULL) -> str:
+    touches = ", ".join(f"'{t}'" for t in touch_ets)
     return f"""
     WITH t AS (
       SELECT user_id, event_type AS channel, ts AS t_ts, event_id AS t_id
       FROM events
-      WHERE {S.ts_between(*S.T_FULL)} AND event_type IN ('view', 'click')
+      WHERE {S.ts_between(*time)} AND event_type IN ({touches})
     ), c AS (
       SELECT user_id, event_id AS c_id, ts AS c_ts, value
       FROM events
-      WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'purchase'
+      WHERE {S.ts_between(*time)} AND event_type = '{conv_et}'
     ), m AS (
       SELECT c.user_id, c.c_id, c.value, t.channel, t.t_ts, t.t_id
       FROM c JOIN t USING (user_id)
       WHERE t.t_ts <= c.c_ts
-        AND t.t_ts >= c.c_ts - INTERVAL {_LOOKBACK_S} SECOND
+        AND t.t_ts >= c.c_ts - INTERVAL {lookback_s} SECOND
     ), credited AS (
       SELECT channel, c_id, value FROM (
         SELECT m.*, row_number() OVER (

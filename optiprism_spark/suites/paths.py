@@ -22,7 +22,7 @@ _FULL = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 
 
 
 def _seq_cte(steps: int, direction: str, within_s: int | None,
-             exclude: tuple[str, ...]) -> str:
+             exclude: tuple[str, ...], time=S.T_FULL) -> str:
     """CTE ``a``: anchor-filterable rows with __step_i columns."""
     fn = "lead" if direction == "forward" else "lag"
     cols = []
@@ -40,19 +40,19 @@ def _seq_cte(steps: int, direction: str, within_s: int | None,
     seq AS (
       SELECT user_id, event_type, {", ".join(cols)}
       FROM events
-      WHERE {S.ts_between(*S.T_FULL)}{excl}
+      WHERE {S.ts_between(*time)}{excl}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )"""
 
 
 def _paths_oracle(anchor: str, steps: int, direction: str,
                   within_s: int | None, top_k: int,
-                  exclude: tuple[str, ...] = ()) -> str:
+                  exclude: tuple[str, ...] = (), time=S.T_FULL) -> str:
     names = [f"s{i}" for i in range(1, steps)]
     parts = (["event_type"] + names if direction == "forward"
              else list(reversed(names)) + ["event_type"])
     return f"""
-    WITH {_seq_cte(steps, direction, within_s, exclude)}
+    WITH {_seq_cte(steps, direction, within_s, exclude, time)}
     SELECT concat_ws(' -> ', {", ".join(parts)}) AS path,
            COUNT(*) AS n_starts,
            COUNT(DISTINCT user_id) AS n_users
@@ -63,14 +63,14 @@ def _paths_oracle(anchor: str, steps: int, direction: str,
 
 def _dropoff_oracle(anchor: str, steps: int, direction: str,
                     within_s: int | None,
-                    exclude: tuple[str, ...] = ()) -> str:
+                    exclude: tuple[str, ...] = (), time=S.T_FULL) -> str:
     per_step = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS step, s{i} AS next_event, user_id "
         f"FROM seq WHERE event_type = '{anchor}' AND s{i} IS NOT NULL"
         for i in range(1, steps)
     )
     return f"""
-    WITH {_seq_cte(steps, direction, within_s, exclude)},
+    WITH {_seq_cte(steps, direction, within_s, exclude, time)},
     x AS ({per_step})
     SELECT step, next_event, COUNT(*) AS n_starts,
            COUNT(DISTINCT user_id) AS n_users

@@ -15,7 +15,8 @@ _FULL = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 
 
 
 def _oracle(cohort_ev: str, return_ev: str, unit_days: int, max_p: int,
-            unbounded: bool = False, extra_pred: str = "") -> str:
+            unbounded: bool = False, extra_pred: str = "",
+            time=S.T_FULL) -> str:
     """``extra_pred``: extra " AND ..." clause on both event scans
     (the estimation suite's user-sample predicate)."""
     trunc = {1: "day", 7: "week"}[unit_days]
@@ -36,14 +37,14 @@ def _oracle(cohort_ev: str, return_ev: str, unit_days: int, max_p: int,
     WITH cohorts AS (
       SELECT user_id, MIN({S.bucket(trunc)}) AS cb
       FROM events
-      WHERE {S.ts_between(*S.T_FULL)} AND event_type = '{cohort_ev}'{extra_pred}
+      WHERE {S.ts_between(*time)} AND event_type = '{cohort_ev}'{extra_pred}
       GROUP BY 1
     ), sizes AS (
       SELECT cb AS cohort_bucket, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
     ), rets AS (
       SELECT DISTINCT user_id, {S.bucket(trunc)} AS rb
       FROM events
-      WHERE {S.ts_between(*S.T_FULL)} AND event_type = '{return_ev}'{extra_pred}
+      WHERE {S.ts_between(*time)} AND event_type = '{return_ev}'{extra_pred}
     ), j AS (
       SELECT c.cb, date_diff('day', c.cb, r.rb) // {unit_days} AS p, c.user_id
       FROM cohorts c JOIN rets r USING (user_id)

@@ -1,0 +1,180 @@
+"""Differential fuzzers for the paths, retention and attribution
+operators.
+
+Same pattern as _fuzz_seg/_fuzz_funnel: a seeded random spec drives
+BOTH the Spark operator call and the DuckDB oracle generator the
+registered suite queries use (suites/paths._paths_oracle /
+_dropoff_oracle, suites/retention._oracle,
+suites/attribution._oracle), parameterized by the spec's time range.
+Exposed as suites: "paths", "retention", "attribution".
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+WITHIN_S = (None, 900, 1800, 3600, 7200, 14400)
+
+
+def _time_range(rng: random.Random):
+    d0 = rng.randint(1, 20)
+    d1 = rng.randint(d0, 30)
+    return d0, d1
+
+
+def _qt(d0: int, d1: int):
+    from optiprism_spark.dsl import QueryTime
+
+    return QueryTime.between(dt.datetime(2024, 1, d0),
+                             dt.datetime(2024, 1, d1, 23, 59, 59))
+
+
+def _sql_time(d0: int, d1: int):
+    return (f"2024-01-{d0:02d} 00:00:00", f"2024-01-{d1:02d} 23:59:59")
+
+
+# ---------------------------------------------------------------- paths
+
+class paths_suite:
+    @staticmethod
+    def gen_spec(seed: int) -> dict:
+        rng = random.Random(0x9A7_0000 + seed)
+        kind = "dropoff" if seed % 4 == 3 else "paths"
+        anchor = rng.choice(EVENT_TYPES)
+        exclude = ()
+        if rng.random() < 0.3:
+            pool = [t for t in EVENT_TYPES if t != anchor]
+            exclude = (rng.choice(pool),)
+        d0, d1 = _time_range(rng)
+        return {
+            "seed": seed, "kind": kind, "anchor": anchor,
+            "steps": rng.randint(3, 5),
+            "direction": rng.choice(("forward", "backward")),
+            "within_s": rng.choice(WITHIN_S),
+            "top_k": rng.choice((10, 15, 20, 25)),
+            "exclude": exclude, "d0": d0, "d1": d1,
+        }
+
+    @staticmethod
+    def spec_to_sql(s: dict) -> str:
+        import optiprism_spark.registry  # noqa: F401 — break import cycle
+        from optiprism_spark.suites.paths import _dropoff_oracle, _paths_oracle
+
+        t = _sql_time(s["d0"], s["d1"])
+        if s["kind"] == "dropoff":
+            return _dropoff_oracle(s["anchor"], s["steps"], s["direction"],
+                                   s["within_s"], exclude=s["exclude"], time=t)
+        return _paths_oracle(s["anchor"], s["steps"], s["direction"],
+                             s["within_s"], s["top_k"],
+                             exclude=s["exclude"], time=t)
+
+    @staticmethod
+    def run_spec(spark, sf_dir: str, s: dict):
+        from optiprism_spark.dsl import EventRef
+        from optiprism_spark.operators.paths import event_paths, path_dropoff
+        from optiprism_spark.schema import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        within = (dt.timedelta(seconds=s["within_s"])
+                  if s["within_s"] is not None else None)
+        common = dict(anchor=EventRef(s["anchor"]), time=_qt(s["d0"], s["d1"]),
+                      steps=s["steps"], direction=s["direction"],
+                      within=within, exclude_events=s["exclude"])
+        if s["kind"] == "dropoff":
+            return path_dropoff(events, **common)
+        return event_paths(events, top_k=s["top_k"], **common)
+
+
+# ------------------------------------------------------------- retention
+
+class retention_suite:
+    @staticmethod
+    def gen_spec(seed: int) -> dict:
+        rng = random.Random(0x8E7_0000 + seed)
+        d0, d1 = _time_range(rng)
+        return {
+            "seed": seed,
+            "cohort_ev": rng.choice(EVENT_TYPES),
+            "return_ev": rng.choice(EVENT_TYPES),
+            "unit_days": rng.choice((1, 7)),
+            "max_p": rng.randint(4, 12),
+            "unbounded": seed % 3 == 2,
+            "d0": d0, "d1": d1,
+        }
+
+    @staticmethod
+    def spec_to_sql(s: dict) -> str:
+        import optiprism_spark.registry  # noqa: F401 — break import cycle
+        from optiprism_spark.suites.retention import _oracle
+
+        return _oracle(s["cohort_ev"], s["return_ev"], s["unit_days"],
+                       s["max_p"], unbounded=s["unbounded"],
+                       time=_sql_time(s["d0"], s["d1"]))
+
+    @staticmethod
+    def run_spec(spark, sf_dir: str, s: dict):
+        from optiprism_spark.dsl import EventRef, TimeIntervalUnit
+        from optiprism_spark.operators.retention import retention
+        from optiprism_spark.schema import load_table
+
+        unit = (TimeIntervalUnit.DAY if s["unit_days"] == 1
+                else TimeIntervalUnit.WEEK)
+        return retention(
+            load_table(spark, sf_dir, "events"),
+            cohort_event=EventRef(s["cohort_ev"]),
+            return_event=EventRef(s["return_ev"]),
+            time=_qt(s["d0"], s["d1"]),
+            interval=unit,
+            max_periods=s["max_p"],
+            unbounded=s["unbounded"],
+        )
+
+
+# ----------------------------------------------------------- attribution
+
+class attribution_suite:
+    @staticmethod
+    def gen_spec(seed: int) -> dict:
+        rng = random.Random(0xA77_0000 + seed)
+        touches = tuple(sorted(rng.sample(EVENT_TYPES, rng.randint(1, 3))))
+        conv = rng.choice([t for t in EVENT_TYPES if t not in touches])
+        d0, d1 = _time_range(rng)
+        return {
+            "seed": seed, "touches": touches, "conv": conv,
+            "model": rng.choice(("first_touch", "last_touch")),
+            "lookback_s": rng.choice((3600, 86400, 3 * 86400, 7 * 86400)),
+            "d0": d0, "d1": d1,
+        }
+
+    @staticmethod
+    def spec_to_sql(s: dict) -> str:
+        import optiprism_spark.registry  # noqa: F401 — break import cycle
+        from optiprism_spark.suites.attribution import _oracle
+
+        order = ("t_ts ASC, t_id ASC" if s["model"] == "first_touch"
+                 else "t_ts DESC, t_id DESC")
+        return _oracle(order, touch_ets=s["touches"], conv_et=s["conv"],
+                       lookback_s=s["lookback_s"],
+                       time=_sql_time(s["d0"], s["d1"]))
+
+    @staticmethod
+    def run_spec(spark, sf_dir: str, s: dict):
+        from pyspark.sql import functions as F
+
+        from optiprism_spark.dsl import EventFilterSpec, EventRef
+        from optiprism_spark.operators.attribution import attribution_report
+        from optiprism_spark.schema import load_table
+
+        touch = EventRef(custom=[EventFilterSpec(EventRef(t))
+                                 for t in s["touches"]])
+        return attribution_report(
+            load_table(spark, sf_dir, "events"),
+            channel_col=F.col("event_type"),
+            touch_event=touch,
+            conversion_event=EventRef(s["conv"]),
+            time=_qt(s["d0"], s["d1"]),
+            model=s["model"],
+            lookback=dt.timedelta(seconds=s["lookback_s"]),
+        )
