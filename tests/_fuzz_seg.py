@@ -99,10 +99,31 @@ def gen_spec(seed: int) -> dict:
     # identically: body.filters.groups[0].filters (global) and
     # events[0].filters (per-event) — both AND into the same scan
     n_event_level = rng.randint(0, len(filters))
+
+    # optional behavioral segment (reference Or<And<condition>>): the
+    # series is then computed over the cohort's users only (semi-join)
+    segment = None
+    if rng.random() < 0.35:
+        conds = []
+        for _ in range(rng.randint(1, 2)):
+            ck = rng.choice(("count", "count", "sum_value", "hasprop_k"))
+            if ck == "count":
+                conds.append(("count", rng.choice(EVENT_TYPES),
+                              rng.choice(("gte", "gt", "lte", "eq")),
+                              rng.randint(1, 5)))
+            elif ck == "sum_value":
+                conds.append(("sum_value", rng.choice(EVENT_TYPES),
+                              rng.choice(("gt", "lte")),
+                              round(rng.uniform(50.0, 2000.0), 2)))
+            else:
+                conds.append(("hasprop_k", None,
+                              rng.choice(("gte", "lte")), rng.randint(0, 99)))
+        segment = conds
     return {
         "seed": seed, "start": start, "end": end, "interval": interval,
         "event": event, "filters": filters, "breakdown": breakdown,
         "queries": queries, "n_event_level": n_event_level,
+        "segment": segment,
     }
 
 
@@ -148,6 +169,32 @@ def spec_to_body(s: dict) -> dict:
     if s["breakdown"]:
         body["breakdowns"] = [{"type": "property", "propertyType": "event",
                                "propertyName": s["breakdown"]}]
+    if s.get("segment"):
+        tdict = dict(body["time"])
+        conds = []
+        for kind, ev, op, val in s["segment"]:
+            if kind == "count":
+                conds.append({"DidEvent": {
+                    "event": {"eventName": ev, "eventType": "regular"},
+                    "aggregate": {"Count": {"operation": op, "value": val,
+                                            "time": tdict}},
+                }})
+            elif kind == "sum_value":
+                conds.append({"DidEvent": {
+                    "event": {"eventName": ev, "eventType": "regular"},
+                    "aggregate": {"AggregateProperty": {
+                        "aggregate": "sum",
+                        "property": {"propertyType": "event",
+                                     "propertyName": "value"},
+                        "operation": op, "value": val, "time": tdict}},
+                }})
+            else:  # hasprop_k
+                conds.append({"HasPropertyValue": {
+                    "property": {"propertyType": "event",
+                                 "propertyName": "k", "dtype": "int64"},
+                    "operation": op, "value": [val], "time": tdict,
+                }})
+        body["segments"] = [{"name": "s0", "conditions": [conds]}]
     return body
 
 
@@ -195,17 +242,56 @@ def _metric_sql(kind: str, agg) -> str:
 def spec_to_sql(s: dict) -> str:
     """Equivalent DuckDB SQL, derived from the spec (NOT from the
     Spark plan): metric columns are q{i} in query order."""
-    conds = [
+    time_cond = (
         f"ts >= TIMESTAMP '{s['start']:%Y-%m-%d %H:%M:%S}' "
         f"AND ts <= TIMESTAMP '{s['end']:%Y-%m-%d %H:%M:%S}'"
-    ]
+    )
+    conds = [time_cond]
     if s["event"]:
         conds.append(f"event_type = '{s['event']}'")
     conds += [_sql_cond(*f) for f in s["filters"]]
-    where = " AND ".join(conds)
 
     keys = ["bucket"]
     key_exprs = [f"{_bucket(s['interval'])} AS bucket"]
+    if s.get("segment"):
+        sym = {"gte": ">=", "gt": ">", "lte": "<=", "eq": "="}
+        zero_ok = {"gte": lambda v: 0 >= v, "gt": lambda v: 0 > v,
+                   "lte": lambda v: 0 <= v, "eq": lambda v: 0 == v}
+        parts = []
+        for kind, ev, op, val in s["segment"]:
+            if kind == "count":
+                if zero_ok[op](val):
+                    # engine semantics (operators/segments.py
+                    # _zero_count_qualifies): "did at most N times"
+                    # includes users with ZERO matching events — the
+                    # cohort is the full distinct-user universe minus
+                    # the complement
+                    parts.append(
+                        f"SELECT DISTINCT user_id FROM events "
+                        f"EXCEPT SELECT user_id FROM events "
+                        f"WHERE {time_cond} AND event_type = '{ev}' "
+                        f"GROUP BY 1 HAVING NOT (COUNT(*) {sym[op]} {val})")
+                else:
+                    parts.append(
+                        f"SELECT user_id FROM events WHERE {time_cond} "
+                        f"AND event_type = '{ev}' GROUP BY 1 "
+                        f"HAVING COUNT(*) {sym[op]} {val}")
+            elif kind == "sum_value":
+                parts.append(
+                    f"SELECT user_id FROM events WHERE {time_cond} "
+                    f"AND event_type = '{ev}' GROUP BY 1 "
+                    f"HAVING {_sum_exact('value')} {sym[op]} {val}")
+            else:
+                parts.append(
+                    f"SELECT DISTINCT user_id FROM events WHERE {time_cond} "
+                    f"AND {K_INT} {sym[op]} {val}")
+        # parenthesize: INTERSECT binds tighter than the EXCEPT inside
+        # the zero-qualifying count part
+        conds.append(
+            "user_id IN (" + " INTERSECT ".join(f"({p})" for p in parts) + ")")
+        keys.append("segment")
+        key_exprs.append("'s0' AS segment")
+    where = " AND ".join(conds)
     if s["breakdown"] == "event_type":
         keys.append("event_type")
         key_exprs.append("event_type")
