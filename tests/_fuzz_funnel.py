@@ -4,7 +4,8 @@ Random-but-seeded funnel request bodies — 3 steps with 1-2 event
 types each (multi-type steps are OR, reference multi-event steps),
 random conversion windows, random full-day time sub-ranges, one
 structural mode per seed (round-robin: unique / non-unique / excludes
-/ holding-constants / breakdown / session count-mode / last-touch) —
+/ holding-constants / breakdown / session count-mode / last-touch /
+drop-off filters) —
 executed through the REAL serving path (api.parse_funnel →
 operators.funnel.funnel_report) and compared hash-exact against the
 recursive-anchor-chain DuckDB oracle (suites/funnel._machine_oracle_
@@ -23,7 +24,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 #: one structural mode per seed, round-robin so every mode gets
 #: coverage at any sweep size
 MODES = ("unique", "nonunique", "excludes", "constants", "breakdown",
-         "session", "touch_last")
+         "session", "touch_last", "dropoff")
 #: (n, unit) conversion windows; api._WINDOW_MS units
 WINDOWS = ((30, "minute"), (2, "hour"), (6, "hour"), (12, "hour"),
            (1, "day"), (3, "day"), (7, "day"))
@@ -49,9 +50,17 @@ def gen_spec(seed: int) -> dict:
     win_n, win_unit = WINDOWS[rng.randrange(len(WINDOWS))]
     d0 = rng.randint(1, 20)
     d1 = rng.randint(d0, 30)
+    # dropoff filter: gates ONLY the Unique-skip decision, which fires
+    # at completion flushes alone (sc == k). is_completed under
+    # dropOffOnStep s is (sc == s+1): for s < k-1 (and any-step) a
+    # full conversion fails it → attempts equal NonUnique's; for
+    # s == k-1 it SATISFIES it → the skip fires and attempts equal
+    # Unique's (the fuzzer's first dropoff sweep caught this)
+    dropoff = (rng.choice(("any", 0, 1, 2)) if mode == "dropoff" else None)
     return {
         "seed": seed, "mode": mode, "steps": steps, "excludes": excludes,
         "win_n": win_n, "win_unit": win_unit, "d0": d0, "d1": d1,
+        "dropoff": dropoff,
     }
 
 
@@ -83,6 +92,10 @@ def spec_to_body(s: dict) -> dict:
                                "propertyName": "k", "dtype": "int64"}]
     elif s["mode"] == "touch_last":
         body["touch"] = {"type": "last"}
+    elif s["mode"] == "dropoff":
+        body["filter"] = ({"type": "dropOffOnAnyStep"}
+                          if s["dropoff"] == "any"
+                          else {"type": "dropOffOnStep", "step": s["dropoff"]})
     return body
 
 
@@ -93,7 +106,14 @@ def spec_to_sql(s: dict) -> str:
     from optiprism_spark.suites.funnel import _machine_oracle_sql
 
     mode = s["mode"]
-    if mode in ("nonunique", "session"):
+    if mode == "dropoff":
+        # is_completed under dropOffOnStep s is (sc == s+1), and the
+        # Unique-skip fires at completion flushes alone (sc == k): for
+        # s == k-1 a full conversion SATISFIES the filter and the skip
+        # fires (unique attempt set); for s < k-1 and for any-step it
+        # never does (non-unique attempt set)
+        stop = "p.sc = 3" if s["dropoff"] == 2 else "FALSE"
+    elif mode in ("nonunique", "session"):
         stop = "FALSE"
     elif mode in ("excludes", "constants"):
         # unique-skip only fires on completed UNABORTED attempts

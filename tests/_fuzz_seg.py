@@ -89,11 +89,21 @@ def gen_spec(seed: int) -> dict:
         if kind == "aggValue":
             queries.append((kind, rng.choice(("sum", "min", "max", "avg"))))
         elif kind == "aggK":
-            queries.append((kind, rng.choice(("sum", "min", "max", "avg"))))
+            queries.append((kind, rng.choice(("sum", "min", "max", "avg",
+                                              "median"))))
         elif kind == "countPerGroup":
             queries.append((kind, "avg"))
         else:
             queries.append((kind, None))
+
+    # optional QueryFormula over sibling metric aliases: numerator is
+    # any metric, denominator a count-family one (never 0 in emitted
+    # groups); the 100e0 factor forces double arithmetic on both sides.
+    dens = [i for i, (k, _) in enumerate(queries)
+            if k in ("countEvents", "countUniqueGroups", "dailyActive")]
+    if dens and rng.random() < 0.3:
+        num = rng.randrange(len(queries))
+        queries.append(("formula", (num, rng.choice(dens))))
 
     # split filters between the two DSL surfaces that must behave
     # identically: body.filters.groups[0].filters (global) and
@@ -127,6 +137,20 @@ def gen_spec(seed: int) -> dict:
     }
 
 
+def _engine_alias(qi: int, kind: str, agg) -> str:
+    """Replicate operators/aggregates._query_alias for fuzzed queries."""
+    name = {
+        "countEvents": "count_events",
+        "countUniqueGroups": "count_unique_groups",
+        "dailyActive": "daily_active_groups",
+        "countPerGroup": "count_per_group_avg",
+        "aggValue": f"aggregate_property_{agg}",
+        "aggK": f"aggregate_property_{agg}",
+        "formula": "formula",
+    }[kind]
+    return f"0_{qi}_{name}"
+
+
 def _filter_dict(name: str, op: str, vals: list) -> dict:
     return {"type": "property", "propertyType": "event",
             "propertyName": name, "operation": op, "value": list(vals)}
@@ -151,6 +175,16 @@ def spec_to_body(s: dict) -> dict:
             qdicts.append({"type": "aggregateProperty", "aggregate": agg,
                            "propertyType": "event", "propertyName": "k",
                            "dtype": "int64"})
+        elif kind == "formula":
+            num, den = agg
+            nk, na = s["queries"][num]
+            dk, da = s["queries"][den]
+            # 100e0: a DOUBLE literal in both dialects (plain 100.0
+            # parses as DECIMAL in Spark SQL and would decimal-taint
+            # the whole expression)
+            qdicts.append({"type": "formula", "formula": (
+                f"`{_engine_alias(num, nk, na)}` * 100e0"
+                f" / `{_engine_alias(den, dk, da)}`")})
     ev_filters = [_filter_dict(*f) for f in s["filters"][:s["n_event_level"]]]
     global_filters = [_filter_dict(*f) for f in s["filters"][s["n_event_level"]:]]
     body = {
@@ -236,6 +270,11 @@ def _metric_sql(kind: str, agg) -> str:
         return _sum_exact(col)
     if agg == "avg":
         return _avg_exact(col)
+    if agg == "median":
+        # int-typed only: both engines interpolate the midpoint of two
+        # small ints exactly in double (suites seg_agg_int_prop
+        # precedent); double-typed medians would differ in ULPs
+        return f"median({col})"
     return f"{agg.upper()}({col})"
 
 
@@ -299,18 +338,28 @@ def spec_to_sql(s: dict) -> str:
         keys.append("k")
         key_exprs.append(f"{K_STR} AS k")
 
-    simple, two_level = [], []
+    simple, two_level, formulas = [], [], []
     for qi, (kind, agg) in enumerate(s["queries"]):
         if kind == "countPerGroup":
             two_level.append((qi, kind, agg))
+        elif kind == "formula":
+            num, den = agg
+            formulas.append(f"q{num} * 100e0 / q{den} AS q{qi}")
         else:
             simple.append(f"{_metric_sql(kind, agg)} AS q{qi}")
 
     key_list = ", ".join(keys)
     base = f"SELECT * FROM events WHERE {where}"
+
+    def _with_formulas(sql: str) -> str:
+        if not formulas:
+            return sql
+        return f"SELECT *, {', '.join(formulas)} FROM ({sql})"
+
     if not two_level:
-        return (f"SELECT {', '.join(key_exprs + simple)} "
-                f"FROM ({base}) GROUP BY {key_list}")
+        return _with_formulas(
+            f"SELECT {', '.join(key_exprs + simple)} "
+            f"FROM ({base}) GROUP BY {key_list}")
 
     # per-group inner count → outer avg, joined back onto the simple
     # aggregates on the (bucket, breakdown) keys; both sides aggregate
@@ -323,11 +372,12 @@ def spec_to_sql(s: dict) -> str:
         f") GROUP BY {key_list}"
     )
     if not simple:
-        return two_sql
+        return _with_formulas(two_sql)
     simple_sql = (f"SELECT {', '.join(key_exprs + simple)} "
                   f"FROM ({base}) GROUP BY {key_list}")
-    return (f"SELECT * FROM ({simple_sql}) s JOIN ({two_sql}) t "
-            f"USING ({key_list})")
+    return _with_formulas(
+        f"SELECT * FROM ({simple_sql}) s JOIN ({two_sql}) t "
+        f"USING ({key_list})")
 
 
 def run_spec(spark, sf_dir: str, spec: dict):
