@@ -12,6 +12,9 @@ decimal-exact sum/avg/min/max over double and JSON-int properties,
 two-level per-group counts). --suite funnel fuzzes the funnel DSL
 instead (steps × windows × unique/non-unique/excludes/constants/
 breakdown/session/touch modes vs the recursive-anchor-chain oracle);
+--suite estimate layers the sampled-estimation semantics (random
+md5 user-sample rate/seed, Horvitz-Thompson scaling of exactly the
+engine's additive columns) over the segmentation spec space.
 --suite paths / retention / attribution fuzz the journey operators
 the same way (random anchors/steps/directions/budgets/excludes/time
 ranges; cohort-return pairs, day/week, bounded/unbounded; random
@@ -49,12 +52,12 @@ def main() -> None:
     ap.add_argument("--seed0", type=int, default=0)
     ap.add_argument("--suite", default="all",
                     choices=["seg", "funnel", "paths", "retention",
-                             "attribution", "all"])
+                             "attribution", "estimate", "all"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from optiprism_spark.session import get_spark
-    from tests import _fuzz_funnel, _fuzz_seg
+    from tests import _fuzz_estimate, _fuzz_funnel, _fuzz_seg
     from tests._fuzz_journeys import (attribution_suite, paths_suite,
                                       retention_suite)
     from tests._oracle import assert_frames_match, duckdb_connection
@@ -74,6 +77,8 @@ def main() -> None:
         jobs.append(("retention", retention_suite, args.n_journeys))
     if args.suite in ("attribution", "all"):
         jobs.append(("attribution", attribution_suite, args.n_journeys))
+    if args.suite in ("estimate", "all"):
+        jobs.append(("estimate", _fuzz_estimate, args.n_journeys))
     for suite, mod, n in jobs:
         done = 0
         for seed in range(args.seed0, args.seed0 + n):

@@ -278,14 +278,18 @@ def _metric_sql(kind: str, agg) -> str:
     return f"{agg.upper()}({col})"
 
 
-def spec_to_sql(s: dict) -> str:
+def spec_to_sql(s: dict, extra_pred: str = None) -> str:
     """Equivalent DuckDB SQL, derived from the spec (NOT from the
-    Spark plan): metric columns are q{i} in query order."""
+    Spark plan): metric columns are q{i} in query order.
+    ``extra_pred``: extra WHERE conjunct on the events scan (the
+    estimation fuzzer's user-sample predicate)."""
     time_cond = (
         f"ts >= TIMESTAMP '{s['start']:%Y-%m-%d %H:%M:%S}' "
         f"AND ts <= TIMESTAMP '{s['end']:%Y-%m-%d %H:%M:%S}'"
     )
     conds = [time_cond]
+    if extra_pred:
+        conds.append(extra_pred)
     if s["event"]:
         conds.append(f"event_type = '{s['event']}'")
     conds += [_sql_cond(*f) for f in s["filters"]]

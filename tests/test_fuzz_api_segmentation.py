@@ -32,3 +32,13 @@ def test_fuzzed_segmentation_matches_oracle(spark, seed):
     sdf = _fuzz_seg.run_spec(spark, SF_DIR, spec).toPandas()
     odf = run_oracle(_fuzz_seg.spec_to_sql(spec), SF_DIR)
     assert_frames_match(sdf, odf, name=f"fuzz seed={seed} spec={spec}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_estimation_matches_oracle(spark, seed):
+    from . import _fuzz_estimate
+
+    spec = _fuzz_estimate.gen_spec(seed)
+    sdf = _fuzz_estimate.run_spec(spark, SF_DIR, spec).toPandas()
+    odf = run_oracle(_fuzz_estimate.spec_to_sql(spec), SF_DIR)
+    assert_frames_match(sdf, odf, name=f"estimate fuzz seed={seed} spec={spec}")
