@@ -226,6 +226,32 @@ DRIVER_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "wh_revenue_by_nation", "wh_top_brands_by_region", "win_logarithmic",
         "win_rolling_avg",
     }),
+    9: frozenset({
+        "alert_purchase_count_daily", "asm_chunk_documents",
+        "asm_sample_fraction_by_lang", "asm_split_train_val_test",
+        "asm_training_pipeline", "attr_first_touch_revenue",
+        "attr_last_touch_revenue", "dedup_embedding_cosine",
+        "dedup_embedding_cosine_ivf", "dedup_embedding_cosine_lsh",
+        "dedup_embedding_incremental_ivf", "dedup_jaccard_pairs",
+        "dedup_lsh_incremental_pairs", "dict_roundtrip_event_type",
+        "eng_stickiness_weekly", "eng_stickiness_weekly_rollup",
+        "est_count_daily_sampled", "event_record_by_id",
+        "event_records_search_purchases", "exp_view_to_purchase",
+        "funnel_machine_dropoff_step1", "funnel_machine_excludes",
+        "group_record_by_id", "ingest_ua_browser_counts",
+        "multimodal_features", "path_forward_from_signup",
+        "property_values_event_type", "retention_cohort_sizes_rollup",
+        "retention_weekly_signup_purchase", "rollup_percentile_value_by_type",
+        "seg_agg_int_prop", "seg_agg_matrix_per_user", "seg_chart_pipeline",
+        "seg_count_daily_by_type", "seg_rollup_count_daily",
+        "seg_rollup_dau_by_week_approx", "seg_rollup_uniques_approx",
+        "seg_time_last_n_days", "segment_has_property_value",
+        "segment_historical_count", "segment_or_composition",
+        "segment_relative_count", "session_stats_per_user", "sim_cosine_topk",
+        "sql_api_revenue_by_segment", "text_bpe_segments",
+        "text_gopher_quality", "wh_order_priority_pipeline", "win_cumulative",
+        "win_period_compare",
+    }),
 }
 
 
