@@ -170,8 +170,19 @@ class QuantileSketch:
     # ------------------------------------------------------ serialization
 
     def to_bytes(self) -> bytes:
-        parts = [_MAGIC, struct.pack("<ii", self.k, len(self.levels))]
-        for lvl, p in zip(self.levels, self.parity):
+        # trim trailing empty levels with no parity state: merge() of
+        # two empty sketches materializes an empty level 0, which would
+        # serialize differently (n_levels=1) than a fresh/from_values
+        # empty sketch (n_levels=0) — breaking the "same value
+        # multiset, same bytes" contract for all-empty/all-NaN groups
+        # reached via different fold shapes. A nonzero parity is real
+        # state (it steers the next compaction) and is never trimmed.
+        n = len(self.levels)
+        while n > 0 and self.levels[n - 1].size == 0 and self.parity[n - 1] == 0:
+            n -= 1
+        levels, parity = self.levels[:n], self.parity[:n]
+        parts = [_MAGIC, struct.pack("<ii", self.k, len(levels))]
+        for lvl, p in zip(levels, parity):
             a = np.ascontiguousarray(np.sort(lvl), dtype="<f8")
             parts.append(struct.pack("<ii", a.size, p))
             parts.append(a.tobytes())

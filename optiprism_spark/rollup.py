@@ -172,11 +172,17 @@ def build_rollup(events: DataFrame, spec: RollupSpec = RollupSpec()) -> DataFram
     )
     from .exprs import prop_col as _prop_col
 
+    # a column that is also a dim (e.g. group_col declared as a dim)
+    # is already in the key projection — selecting it twice would make
+    # every downstream reference ambiguous
     value_cols = sorted(
-        set(spec.numeric_props)
-        | {p for p, _ in spec.histogram_props}
-        | set(spec.sketch_props)
-        | {spec.group_col}
+        (
+            set(spec.numeric_props)
+            | {p for p, _ in spec.histogram_props}
+            | set(spec.sketch_props)
+            | {spec.group_col}
+        )
+        - set(spec.all_dim_names)
     )
     keyed = events.select(
         F.to_date(F.col(EVENT_TIME_COL)).alias(ROLLUP_DT_COL),
@@ -630,7 +636,28 @@ def event_segmentation_from_rollup(
             "a formula query needs sibling metric queries to reference")
     out = parts[0]
     for p in parts[1:]:
-        out = out.join(p, join_keys)
+        # NULL-SAFE key equality, mirroring the raw path
+        # (operators/aggregates.py): a NULL breakdown value (missing
+        # JSON key materialized as a NULL dim) is one group on both
+        # sides; a plain equi-join would drop that group entirely.
+        # The right side's keys are renamed first — both parts share
+        # the rollup scan's lineage, so out[k]/p[k] would be ambiguous.
+        rhs = p
+        for kn in join_keys:
+            rhs = rhs.withColumnRenamed(kn, f"__r_{kn}")
+        cond = None
+        for kn in join_keys:
+            c = F.col(kn).eqNullSafe(F.col(f"__r_{kn}"))
+            cond = c if cond is None else cond & c
+        joined = out.join(rhs, cond, "full_outer")
+        out = joined.select(
+            *[
+                F.coalesce(F.col(kn), F.col(f"__r_{kn}")).alias(kn)
+                for kn in join_keys
+            ],
+            *[F.col(c) for c in out.columns if c not in join_keys],
+            *[F.col(c) for c in p.columns if c not in join_keys],
+        )
     # restore the metric column order the raw path produces
     metric_cols = [
         _query_alias(event_idx, qi, q)
@@ -667,10 +694,17 @@ def activity_supports(
     event,
     filters: Sequence[PropFilter],
     spec: RollupSpec,
+    group_col: str = EVENT_USER_COL,
 ) -> bool:
     """Routability guard for the activity readers below (stickiness,
     cohort sizes): day-aligned bounds, event filter expressible on the
-    rollup's event dim, property filters within the dim set."""
+    rollup's event dim, property filters within the dim set, and the
+    rollup's user sketches built at the grain the caller is asking
+    about — an org-grain rollup must not answer a user-grain
+    stickiness question (mirrors ``rollup_supports``'s
+    ``req.group_col == spec.group_col`` check)."""
+    if spec.group_col != group_col:
+        return False
     if _day_aligned(time) is None:
         return False
     if not _filters_routable(filters, spec):
