@@ -49,12 +49,18 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=300)
     ap.add_argument("--n-funnel", type=int, default=70)
     ap.add_argument("--n-journeys", type=int, default=60)
-    ap.add_argument("--seed0", type=int, default=0)
+    ap.add_argument("--n-rollup", type=int, default=100)
+    ap.add_argument("--seed0", type=int, default=None,
+                    help="base seed; default round*100000 so each round "
+                         "explores new DSL space")
+    ap.add_argument("--round", type=int, default=0, dest="round_no")
     ap.add_argument("--suite", default="all",
                     choices=["seg", "funnel", "paths", "retention",
-                             "attribution", "estimate", "all"])
+                             "attribution", "estimate", "rollup", "all"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.seed0 is None:
+        args.seed0 = args.round_no * 100000
 
     from optiprism_spark.session import get_spark
     from tests import _fuzz_estimate, _fuzz_funnel, _fuzz_seg
@@ -79,14 +85,26 @@ def main() -> None:
         jobs.append(("attribution", attribution_suite, args.n_journeys))
     if args.suite in ("estimate", "all"):
         jobs.append(("estimate", _fuzz_estimate, args.n_journeys))
+    if args.suite in ("rollup", "all"):
+        from tests import _fuzz_rollup
+
+        jobs.append(("rollup", _fuzz_rollup, args.n_rollup))
+    routed_n = 0
     for suite, mod, n in jobs:
         done = 0
         for seed in range(args.seed0, args.seed0 + n):
             spec = mod.gen_spec(seed)
             try:
-                sdf = mod.run_spec(spark, SF_DIR, spec).toPandas()
-                odf = con.sql(mod.spec_to_sql(spec)).df()
-                assert_frames_match(sdf, odf, name=f"{suite} seed={seed}")
+                if hasattr(mod, "run_check"):
+                    # self-contained differential (routed-vs-raw): the
+                    # raw Spark path is the oracle, itself fuzzed vs
+                    # DuckDB by the seg suite
+                    routed_n += int(
+                        mod.run_check(spark, SF_DIR, spec)["routed"])
+                else:
+                    sdf = mod.run_spec(spark, SF_DIR, spec).toPandas()
+                    odf = con.sql(mod.spec_to_sql(spec)).df()
+                    assert_frames_match(sdf, odf, name=f"{suite} seed={seed}")
             except Exception as e:
                 failed.append({
                     "suite": suite,
@@ -104,6 +122,7 @@ def main() -> None:
         "metric": "dsl_fuzz",
         "sf_dir": SF_DIR,
         "n": checked,
+        "rollup_routed_n": routed_n,
         "seed0": args.seed0,
         "elapsed_sec": round(time.time() - t0, 1),
         "failed": failed,
