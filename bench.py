@@ -60,6 +60,9 @@ HEADLINE = [
     "funnel_machine_excludes",       # funnel with exclude resets
     "ingest_ua_browser_counts",      # UA-parse enrichment
     "wh_revenue_by_nation",          # fact-fact shuffle join + dims
+    "wh_revenue_by_nation_bucketed", # same join, co-bucketed layout
+                                     # (Exchange-free; layout build
+                                     # amortized by min-of-3)
     "retention_weekly_signup_purchase",  # cohort matrix (two-sided agg+join)
     "eng_stickiness_weekly",         # DAU/WAU ratio, raw scan
     "eng_stickiness_weekly_rollup",  # same from the day rollup (store build

@@ -516,3 +516,40 @@ def test_paths_guard_rides_sequence_window(spark):
     assert len(_re.findall(r"\bSort \[", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("Window") == 2, plan  # rank window + lead window
+
+
+def test_cobucketed_fact_join_elides_exchange(spark):
+    """wh_revenue_by_nation_bucketed: the orders⋈lineitem join over
+    the co-bucketed layout must plan with NO shuffle Exchange anywhere
+    below the final aggregate's own exchange — the write-time layout
+    carries the join's partitioning. Broadcast is disabled so the test
+    pins the co-partitioned sort-merge path (at real scale neither
+    fact side broadcasts anyway)."""
+    from optiprism_spark.warehouse_layout import cobucketed_order_facts
+
+    o, l = cobucketed_order_facts(spark, SF_SMOKE, n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+            "l_extendedprice", "o_custkey")
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # the full registered query: the ONLY shuffle left is the
+        # final groupBy(nation) aggregate exchange (25 rows wide) —
+        # the join itself contributes none
+        full = QUERIES["wh_revenue_by_nation_bucketed"](spark, SF_SMOKE)
+        fplan = _plan(full)
+        assert fplan.count("Exchange hashpartitioning") == 1, fplan
+        assert "SortMergeJoin" in fplan, fplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cobucketed_join_matches_plain(spark):
+    from optiprism_spark.registry import QUERIES as Q
+
+    a = sorted(map(tuple, Q["wh_revenue_by_nation"](spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, Q["wh_revenue_by_nation_bucketed"](spark, SF_SMOKE).collect()))
+    assert a == b
