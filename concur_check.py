@@ -153,6 +153,24 @@ def post(base: str, path: str, body: dict) -> float:
     return time.perf_counter() - t0
 
 
+def post_status(base: str, path: str, body: dict) -> tuple[int, float]:
+    """Like post() but returns (status, sec) — 429 is an expected
+    outcome in the overload scenario, not an error."""
+    import urllib.error
+
+    data = json.dumps(body).encode()
+    req = urllib.request.Request(
+        base + path, data=data, headers={"Content-Type": "application/json"})
+    t0 = time.perf_counter()
+    try:
+        with urllib.request.urlopen(req) as resp:
+            resp.read()
+            return resp.status, time.perf_counter() - t0
+    except urllib.error.HTTPError as e:
+        e.read()
+        return e.code, time.perf_counter() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -167,6 +185,8 @@ def main() -> None:
     # startup)
     ap.add_argument("--scheduler", default="FAIR",
                     choices=["FAIR", "FIFO"])
+    # overload scenario: per-pool in-flight cap; the burst offers 3x
+    ap.add_argument("--admission-limit", type=int, default=2)
     args = ap.parse_args()
 
     from optiprism_spark.server import make_app, make_threaded_server
@@ -291,6 +311,68 @@ def main() -> None:
         n for n, budget in gate_budget.items()
         if concurrent[n]["p95"] > budget
     ]
+    # ---- overload scenario: admission control under a burst of
+    # 3x the pool's in-flight budget, all one query type. Without
+    # shedding, every request queues and p95 grows with burst size;
+    # with the per-pool cap the excess is rejected immediately
+    # (429 + Retry-After) and the ADMITTED queries' p95 stays inside
+    # the same affine budget the main gate uses. The r9 gate above is
+    # untouched — this is an additional scenario on a separate server
+    # instance.
+    ov_app = make_app(spark, SF_DIR, rollup_store=store,
+                      result_cache_ttl=None,
+                      admission_limit=args.admission_limit)
+    ov_srv = make_threaded_server(ov_app)
+    ov_base = f"http://127.0.0.1:{ov_srv.server_address[1]}"
+    threading.Thread(target=ov_srv.serve_forever, daemon=True).start()
+    ov_shape = "segmentation_breakdown"
+    ov_path, ov_body = WORKLOAD[ov_shape]
+    post_status(ov_base, ov_path, ov_body)  # warm this server
+    ov_lat: list[float] = []
+    ov_rejected = 0
+    ov_other = 0
+    burst = 3 * args.admission_limit
+
+    def ov_worker(barrier):
+        nonlocal ov_rejected, ov_other
+        barrier.wait()
+        status, sec = post_status(ov_base, ov_path, ov_body)
+        if status == 200:
+            ov_lat.append(sec)
+        elif status == 429:
+            ov_rejected += 1
+        else:
+            ov_other += 1
+
+    for _ in range(args.rounds):
+        barrier = threading.Barrier(burst)
+        ths = [threading.Thread(target=ov_worker, args=(barrier,))
+               for _ in range(burst)]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
+    ov_p95 = round(pct(sorted(ov_lat), 95), 3) if ov_lat else None
+    ov_budget = round(GATE_RATIO * serial[ov_shape] + GATE_INTERCEPT, 3)
+    overload = {
+        "shape": ov_shape,
+        "admission_limit": args.admission_limit,
+        "burst_threads": burst,
+        "rounds": args.rounds,
+        "admitted_n": len(ov_lat),
+        "rejected_429": ov_rejected,
+        "other_status": ov_other,
+        "admitted_p95": ov_p95,
+        "admitted_budget_sec": ov_budget,
+        "pass": (
+            ov_rejected > 0
+            and ov_other == 0
+            and ov_p95 is not None
+            and ov_p95 <= ov_budget
+        ),
+    }
+    ov_srv.shutdown()
+
     result = {
         "metric": "concurrent_serving",
         "scheduler": args.scheduler,
@@ -306,8 +388,9 @@ def main() -> None:
             "budget_sec": gate_budget,
             "failing_shapes": failing,
         },
+        "overload": overload,
         "errors": errors,
-        "pass": not failing and not errors,
+        "pass": not failing and not errors and overload["pass"],
     }
     line = json.dumps(result)
     print(line)

@@ -281,6 +281,16 @@ def query_execution_time() -> Histogram:
         "query compile+execute wall time", ("query_type",))
 
 
+def query_rejected_total() -> Counter:
+    """Queries shed by admission control (429 + Retry-After), labeled
+    by FAIR pool: nonzero means the per-pool in-flight cap fired —
+    the overload signal that distinguishes bounded shedding from an
+    unbounded queue building toward timeout collapse."""
+    return REGISTRY.counter(
+        "optiprism_query_rejected_total",
+        "queries shed by per-pool admission control", ("pool",))
+
+
 def query_rollup_routed_total() -> Counter:
     """Per-event-query routing decisions: path=rollup when a request
     folds out of the day-grain pre-aggregate, path=raw on fallback —

@@ -73,6 +73,7 @@ import datetime as dt
 import json
 import os
 import re
+import threading
 from decimal import Decimal
 from typing import Callable, Optional
 
@@ -94,17 +95,19 @@ from .schema import load_table
 
 
 class HttpError(Exception):
-    def __init__(self, status: int, message: str):
+    def __init__(self, status: int, message: str, headers: Optional[list] = None):
         super().__init__(message)
         self.status = status
         self.message = message
+        self.headers = headers or []
 
 
 _STATUS = {
     200: "200 OK", 201: "201 Created", 204: "204 No Content",
     400: "400 Bad Request", 401: "401 Unauthorized", 403: "403 Forbidden",
     404: "404 Not Found", 405: "405 Method Not Allowed",
-    409: "409 Conflict", 500: "500 Internal Server Error",
+    409: "409 Conflict", 429: "429 Too Many Requests",
+    500: "500 Internal Server Error",
 }
 
 #: structural cap on rows any route may collect to the driver — far
@@ -363,6 +366,7 @@ class App:
         rollup_dir: Optional[str] = None,
         lake: Optional[dict] = None,
         result_cache_ttl: Optional[float] = 60.0,
+        admission_limit: Optional[int] = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -394,6 +398,17 @@ class App:
         #: bumped by every write (ingest, CRUD, lifecycle, checkpoint)
         #: — the result cache's correctness seam
         self._data_version = 0
+        #: admission control: max concurrently-EXECUTING queries per
+        #: FAIR pool (query type). Excess requests are shed with
+        #: 429 + Retry-After instead of queueing unboundedly — under a
+        #: sustained overload burst, bounded in-flight work is the
+        #: difference between slow and down. None disables shedding
+        #: (cache hits are never counted — they cost ~no executor
+        #: time). Sized per pool, not globally, so one hot query type
+        #: can't starve admission for the others.
+        self._admission_limit = admission_limit
+        self._admission_lock = threading.Lock()
+        self._admitted: dict[str, int] = {}
         self._rollup_cache: dict = {}
         self.tracked: list[dict] = []
         self.identified: list[dict] = []
@@ -402,8 +417,6 @@ class App:
         # acked between commit_checkpoint's buffer slice and its WAL
         # rewrite would vanish from both (and wal.rewrite's reopen
         # could race a concurrent wal.append on a closed file)
-        import threading
-
         self._ingest_lock = threading.Lock()
         self.wal = None
         self._wal_dir = wal_dir
@@ -1710,10 +1723,12 @@ class App:
                 ("Content-Length", str(len(body)))])
             return [body]
         t0 = _time.monotonic()
+        extra_headers: list = []
         try:
             status, payload = self._dispatch(environ)
         except HttpError as e:
             status, payload = e.status, {"error": e.message}
+            extra_headers = e.headers
         except auth_mod.AuthError as e:
             status, payload = 401, {"error": str(e)}
         except Forbidden as e:
@@ -1733,7 +1748,7 @@ class App:
             _time.monotonic() - t0, method=method)
         body = b"" if payload is None else json.dumps(payload).encode()
         headers = [("Content-Type", "application/json"),
-                   ("Content-Length", str(len(body)))]
+                   ("Content-Length", str(len(body)))] + extra_headers
         start_response(_STATUS.get(status, _STATUS[500]), headers)
         return [body]
 
@@ -1802,6 +1817,23 @@ class App:
                     return hit
             import contextlib
 
+            admitted_pool = None
+            if qtype and self._admission_limit is not None:
+                # shed, don't queue: beyond the per-pool in-flight cap
+                # a new query would only deepen every admitted query's
+                # latency — reject it now with a retry hint (the
+                # reference backpressures at its tokio runtime; a
+                # Spark driver needs the same bound ahead of the FAIR
+                # pools, which shape but never shed)
+                with self._admission_lock:
+                    inflight = self._admitted.get(qtype, 0)
+                    if inflight >= self._admission_limit:
+                        metrics.query_rejected_total().inc(pool=f"q_{qtype}")
+                        raise HttpError(
+                            429, "query admission limit reached; retry",
+                            headers=[("Retry-After", "1")])
+                    self._admitted[qtype] = inflight + 1
+                    admitted_pool = qtype
             timer = (metrics.query_execution_time().time(query_type=qtype)
                      if qtype else contextlib.nullcontext())
             sc = self.spark.sparkContext
@@ -1840,6 +1872,9 @@ class App:
                         cache.put(ckey, cache_ver, (status, result))
                     return status, result
             finally:
+                if admitted_pool is not None:
+                    with self._admission_lock:
+                        self._admitted[admitted_pool] -= 1
                 if qtype:
                     sc.setLocalProperty("spark.scheduler.pool", None)
         if matched_path:
@@ -1861,12 +1896,14 @@ def make_app(
     rollup_dir: Optional[str] = None,
     lake: Optional[dict] = None,
     result_cache_ttl: Optional[float] = 60.0,
+    admission_limit: Optional[int] = None,
 ) -> App:
     return App(spark, sf_dir, custom_events=custom_events, now=now,
                catalog=catalog, token_key=token_key, wal_dir=wal_dir,
                session_store=session_store, backup_dir=backup_dir,
                rollup_store=rollup_store, rollup_dir=rollup_dir, lake=lake,
-               result_cache_ttl=result_cache_ttl)
+               result_cache_ttl=result_cache_ttl,
+               admission_limit=admission_limit)
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:

@@ -499,3 +499,61 @@ def test_sampling_rate_validation(app):
     st, _ = call(app, "POST", "/api/v1/projects/1/queries/event-segmentation",
                  {**body, "samplingRate": 1.0})
     assert st == 200
+
+
+# ------------------------------------------------------- admission control
+
+
+def test_admission_control_sheds_beyond_pool_cap(spark):
+    """With a per-pool in-flight cap, the (cap+1)-th concurrent query
+    of one type is shed with 429 + Retry-After and counted in
+    optiprism_query_rejected_total{pool=}; a different pool and cache
+    hits stay admitted; the slot frees on completion."""
+    from optiprism_spark import metrics
+
+    app = make_app(spark, SF_DIR, result_cache_ttl=None, admission_limit=1)
+    body = {
+        "time": T_JAN, "group": "user", "intervalUnit": "day",
+        "chartType": "line",
+        "events": [{"eventName": None, "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    path = "/api/v1/projects/1/queries/event-segmentation"
+    # saturate the pool (deterministically — the gate reads this dict)
+    app._admitted["event_segmentation"] = 1
+    status, headers, raw = call(app, "POST", path, body, raw=True)
+    assert status == 429, raw
+    assert headers.get("Retry-After") == "1"
+    assert json.loads(raw)["error"].startswith("query admission")
+    assert ('optiprism_query_rejected_total{pool="q_event_segmentation"}'
+            in metrics.REGISTRY.render())
+    # a different pool is unaffected by this pool's saturation
+    fbody = {
+        "time": T_JAN, "group": "user",
+        "steps": [
+            {"events": [{"eventName": "signup", "eventType": "regular"}]},
+            {"events": [{"eventName": "purchase", "eventType": "regular"}]},
+        ],
+        "timeWindow": {"n": 7, "unit": "day"},
+    }
+    fstatus, _ = call(app, "POST", "/api/v1/projects/1/queries/funnel", fbody)
+    assert fstatus == 200
+    # free the slot: admission succeeds and decrements back to zero
+    app._admitted["event_segmentation"] = 0
+    status2, _ = call(app, "POST", path, body)
+    assert status2 == 200
+    assert app._admitted["event_segmentation"] == 0
+
+
+def test_admission_disabled_by_default(spark):
+    app = make_app(spark, SF_DIR, result_cache_ttl=None)
+    body = {
+        "time": T_JAN, "group": "user", "intervalUnit": "day",
+        "chartType": "line",
+        "events": [{"eventName": None, "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    app._admitted["event_segmentation"] = 10_000  # would shed if enabled
+    status, _ = call(
+        app, "POST", "/api/v1/projects/1/queries/event-segmentation", body)
+    assert status == 200
