@@ -328,3 +328,65 @@ def test_retention_sweeps_tiers_no_resurrection(spark, store):
     # TieredCompactionPolicy.maybe_compact)
     compact_appends_into_bucketed(spark, TBL, tiers, n_buckets=4)
     assert spark.table(TBL).filter(F.col("ts") < F.lit(cutoff)).count() == 0
+
+
+def test_erase_then_cached_routed_query_e2e(spark, store, tmp_path):
+    """The GDPR-auditor path, composed end-to-end at the HTTP plane:
+    a rollup-ROUTED query is served and result-CACHED; POST
+    /admin/erase-user repairs the rollup store AND bumps the data
+    version; immediately re-issuing the identical request must (a) not
+    replay the cached pre-erasure entry and (b) show the victim gone —
+    every bucket the victim was active in drops by exactly one unique
+    (sparse-regime HLL is exact at this cardinality)."""
+    from optiprism_spark.rollup import RollupSpec, RollupStore
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    appends, tiers, events = store
+    st = RollupStore(str(tmp_path / "rollup"), RollupSpec())
+    st.rebuild(spark, events_snapshot(spark, TBL, appends, tiers))
+    app = make_app(
+        spark, SF_DIR, rollup_store=st,
+        lake={"table_name": TBL, "appends_path": appends,
+              "tiers_path": tiers},
+        result_cache_ttl=60.0,  # cache ON: the seam under test
+    )
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59.999999"},
+        "group": "user", "intervalUnit": "week", "chartType": "line",
+        "events": [{"eventName": None, "eventType": "regular",
+                    "queries": [{"type": "countUniqueGroups",
+                                 "approx": True}]}],
+    }
+    path = "/api/v1/projects/1/queries/event-segmentation"
+
+    def series():
+        status, payload = call(app, "POST", path, body)
+        assert status == 200
+        cols = {c["name"]: c["data"] for c in payload["columns"]}
+        bucket_col = next(n for n in cols if "bucket" in n or n == "t")
+        metric_col = next(n for n in cols if "unique" in n)
+        return dict(zip(cols[bucket_col], cols[metric_col]))
+
+    before = series()
+    assert series() == before  # identical request → cached replay
+
+    victim = int(events.select("user_id").distinct().limit(1).collect()[0][0])
+    victim_weeks = {
+        str(r[0]) for r in events.filter(F.col("user_id") == victim)
+        .select(F.date_trunc("week", "ts").cast("date")).distinct().collect()
+    }
+    assert victim_weeks  # the victim is active in the window
+
+    status, out = call(app, "POST", "/api/v1/admin/erase-user",
+                       {"userIds": [victim]})
+    assert status == 200 and out["rollup_days"] > 0
+
+    after = series()
+    assert after != before, "cached pre-erasure result replayed after erase"
+    for bucket, n in before.items():
+        expect = n - 1 if str(bucket)[:10] in {w[:10] for w in victim_weeks} \
+            else n
+        assert after.get(bucket, 0) == expect, (
+            bucket, n, after.get(bucket), victim_weeks)
