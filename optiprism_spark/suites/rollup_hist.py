@@ -80,3 +80,53 @@ def rollup_percentile_value_by_type(spark, sf_dir):
     rollup = build_rollup(events, spec)
     return percentile_estimate(rollup, spec, "value", _QS,
                                dims=("event_type",))
+
+
+def _qsketch_oracle() -> str:
+    """Order-statistic oracle for the EXACT regime of the quantile
+    sketch: with per-group totals under the sketch capacity k no
+    compaction ever fires, so every level-0 buffer holds the full
+    value multiset and ``QuantileSketch.quantiles`` degenerates to the
+    deterministic rank statistic r = max(1, ceil(q*n)) (searchsorted
+    on unit weights). DuckDB reproduces exactly that rank — hash
+    equality, not a tolerance band. The compacting regime's rank-error
+    bound is pinned separately in tests/test_qsketch.py."""
+    arms = ", ".join(
+        f"MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL({q} * n) AS BIGINT)) "
+        f"THEN value END) AS p{int(round(q * 100))}_est"
+        for q in _QS
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WHERE {S.ts_between(*S.T_FULL)}
+    )
+    SELECT event_type, MAX(n) AS n, {arms}
+    FROM ranked GROUP BY event_type
+    """
+
+
+@query("qsketch_percentile_value_by_type", oracle=_qsketch_oracle())
+def qsketch_percentile_value_by_type(spark, sf_dir):
+    """p50/p90 of `value` per event type from the rollup's mergeable
+    KLL-style quantile-sketch column (operators/qsketch.py): per-day
+    per-type sketches fold at build time, merge across days at query
+    time, and answer quantiles without touching raw events. k is sized
+    above the per-group totals at oracle scales so the whole fold tree
+    stays in the sketch's exact regime and the driver can hash-match
+    the rank statistic (see _qsketch_oracle)."""
+    from ..dsl import QueryTime
+    from ..exprs import full_filter
+    from ..operators.qsketch import sketch_percentile_estimate
+    from ..rollup import RollupSpec, build_rollup
+
+    time = QueryTime.between(
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+    events = load_table(spark, sf_dir, "events").filter(full_filter(time))
+    spec = RollupSpec(sketch_props=("value",), sketch_k=32768)
+    rollup = build_rollup(events, spec)
+    return sketch_percentile_estimate(
+        rollup, spec, "value", _QS, dims=("event_type",))

@@ -50,6 +50,12 @@ PREFERRED = [
     # segmentation gets two: decimal-cast sums and percentile edges
     "seg_sum_value_daily_by_type",
     "seg_percentiles_by_type",
+    # r10: routed/approx surfaces + the co-bucketed fact join + the
+    # sketch-percentile path also carry 10x-scale evidence
+    "retention_cohort_sizes_rollup",
+    "seg_rollup_dau_by_week_approx",
+    "qsketch_percentile_value_by_type",
+    "wh_revenue_by_nation_bucketed",
 ]
 
 
