@@ -153,6 +153,32 @@ def wh_order_priority_pipeline(spark, sf_dir):
 
 
 @query(
+    "wh_order_priority_bucketed",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    )
+    GROUP BY 1
+    """,
+)
+def wh_order_priority_bucketed(spark, sf_dir):
+    """The EXISTS semi-join over the co-bucketed fact layout: both
+    sides carry the order-key partitioning on disk, so the left-semi
+    join — a fact⋈fact shuffle on plain parquet — runs Exchange-free
+    like wh_revenue_by_nation_bucketed (the returnflag filter still
+    pushes into the bucketed lineitem scan)."""
+    o, l = cobucketed_order_facts(spark, sf_dir)
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
     "sql_api_revenue_by_segment",
     oracle="""
     SELECT c.c_mktsegment AS segment,

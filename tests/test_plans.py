@@ -553,3 +553,20 @@ def test_cobucketed_join_matches_plain(spark):
     a = sorted(map(tuple, Q["wh_revenue_by_nation"](spark, SF_SMOKE).collect()))
     b = sorted(map(tuple, Q["wh_revenue_by_nation_bucketed"](spark, SF_SMOKE).collect()))
     assert a == b
+
+
+def test_cobucketed_semi_join_elides_exchange(spark):
+    """wh_order_priority_bucketed: the left-semi fact join over the
+    co-bucketed layout plans with only the final tiny aggregate
+    exchange, and the returnflag filter pushes into the bucketed
+    lineitem scan."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["wh_order_priority_bucketed"](spark, SF_SMOKE))
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "LeftSemi" in plan, plan
+        assert "EqualTo(l_returnflag,R)" in plan or "l_returnflag" in plan.split(
+            "PushedFilters")[1].split("]")[0], plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
