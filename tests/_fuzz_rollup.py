@@ -163,6 +163,13 @@ def gen_spec(seed: int) -> dict:
         queries.append(("formula", (rng.randrange(len(queries)),
                                     rng.choice(dens))))
     spec["queries"] = queries
+    # 25%: a SECOND event-query — the per-event-query routing seam
+    # (one may route while the other falls back; the merge must agree)
+    if rng.random() < 0.25:
+        spec["event2"] = rng.choice(EVENT_TYPES)
+        q2 = rng.choice(pool)
+        agg2 = rng.choice(("sum", "avg")) if q2 == "aggValue" else None
+        spec["queries2"] = [(q2, agg2)]
     return spec
 
 
@@ -219,16 +226,24 @@ def _seg_request(spec: dict) -> EventSegmentationRequest:
         breakdowns = (PropertyRef.column("event_type"),)
     elif spec["breakdown"] == "k":
         breakdowns = (PropertyRef.json("k", "int64"),)
+    eqs = [
+        EventQuery(
+            event=EventRef(spec["event"]) if spec["event"] else EventRef(None),
+            queries=tuple(qs),
+            breakdowns=breakdowns,
+        ),
+    ]
+    if spec.get("queries2"):
+        eqs.append(EventQuery(
+            event=EventRef(spec["event2"]),
+            queries=tuple(
+                _mk(qa) for qa in spec["queries2"]),
+            breakdowns=breakdowns,
+        ))
     return EventSegmentationRequest(
         time=QueryTime.between(spec["start"], spec["end"]),
         interval=TimeIntervalUnit(spec["interval"]),
-        events=(
-            EventQuery(
-                event=EventRef(spec["event"]) if spec["event"] else EventRef(None),
-                queries=tuple(qs),
-                breakdowns=breakdowns,
-            ),
-        ),
+        events=tuple(eqs),
         filters=_prop_filters(spec["filters"]),
     )
 
@@ -302,39 +317,51 @@ def run_check(spark, sf_dir: str, spec: dict) -> dict:
 
 
 def _check_seg(spark, sf_dir: str, spec: dict) -> dict:
-    from optiprism_spark.operators.aggregates import (
-        _query_alias,
-        event_segmentation_one,
+    """Drive the REAL serving seam: run_event_segmentation with the
+    rollup attached (per-event-query routing + fallback + multi-event
+    merge) vs the same call without it. The guard asserts below pin
+    the routability decision; the frame compare pins routed ≡ raw
+    through the full pipeline, including requests where one event
+    routes and the other falls back."""
+    from optiprism_spark.operators.aggregates import _query_alias
+    from optiprism_spark.queries.event_segmentation import (
+        run_event_segmentation,
     )
-    from optiprism_spark.rollup import (
-        event_segmentation_from_rollup,
-        rollup_supports,
-    )
+    from optiprism_spark.rollup import rollup_supports
 
     events, roll = _events_and_rollup(spark, sf_dir)
     req = _seg_request(spec)
-    eq = req.events[0]
-    routed_ok = rollup_supports(req, eq, _spec())
-    # hard refusals the guard must always make
+    routed_eqs = [
+        rollup_supports(req, eq, _spec()) for eq in req.events
+    ]
+    # hard refusals the guard must always make (first event-query
+    # carries the generated shape; the second is routable-shaped)
+    routed_ok = routed_eqs[0]
     if not spec["aligned"] or spec["interval"] == "hour":
-        assert not routed_ok, f"routed a non-routable window: {spec}"
+        assert not any(routed_eqs), f"routed a non-routable window: {spec}"
     if any(f[0] == "value" for f in spec["filters"]):
-        assert not routed_ok, f"routed a non-dim filter: {spec}"
+        assert not any(routed_eqs), f"routed a non-dim filter: {spec}"
     if any(q in ("uniquesExact", "countPerGroup")
            for q, _ in spec["queries"]):
         assert not routed_ok, f"routed a raw-grain metric: {spec}"
-    if not routed_ok:
+    if not any(routed_eqs) and spec["seed"] % 4:
+        # nothing routes: the attached-rollup call degenerates to the
+        # raw path — spot-check the fallback on a quarter of seeds
         return {"routed": False}
-    raw = event_segmentation_one(events, req, eq).toPandas()
-    routed = event_segmentation_from_rollup(
-        roll, req, eq, spec=_spec()).toPandas()
-    approx = {
-        _query_alias(0, qi, _mk(qa))
-        for qi, qa in enumerate(spec["queries"])
-        if qa[0] in ("uniquesApprox", "dailyActive", "weeklyActive")
-    }
+    raw = run_event_segmentation(events, req).toPandas()
+    routed = run_event_segmentation(
+        events, req, rollup=(roll, _spec())).toPandas()
+    approx = set()
+    for ei, eq_spec in enumerate(
+            [spec["queries"]] + ([spec["queries2"]]
+                                 if spec.get("queries2") else [])):
+        approx |= {
+            _query_alias(ei, qi, _mk(qa))
+            for qi, qa in enumerate(eq_spec)
+            if qa[0] in ("uniquesApprox", "dailyActive", "weeklyActive")
+        }
     _compare(routed, raw, approx, f"seg seed={spec['seed']}")
-    return {"routed": True}
+    return {"routed": any(routed_eqs)}
 
 
 def _check_activity(spark, sf_dir: str, spec: dict) -> dict:
