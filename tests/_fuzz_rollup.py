@@ -65,11 +65,34 @@ def _spec():
     return _SPEC
 
 
+_ORG_SPEC = None
+
+
+def _org_spec():
+    """A second, ORG-grain rollup spec (group_col != user): declared
+    FIRST in the multi-rollup list so the sweep continuously proves
+    the grain guard — its user sketches must never answer a
+    user-grain uniques/actives question, while its grain-free metrics
+    (count/sum/min/max) remain routable."""
+    global _ORG_SPEC
+    if _ORG_SPEC is None:
+        from optiprism_spark.rollup import RollupSpec
+
+        _ORG_SPEC = RollupSpec(
+            dims=("event_type",),
+            numeric_props=("value",),
+            json_dims=(("k", "int64"),),
+            group_col="org_id",
+        )
+    return _ORG_SPEC
+
+
 _CACHE: dict[str, tuple] = {}
 
 
 def _events_and_rollup(spark, sf_dir: str):
-    """(events, rollup) built once per sf_dir and cached for the sweep."""
+    """(events, user-grain rollup, org-grain rollup) built once per
+    sf_dir and cached for the sweep."""
     if sf_dir not in _CACHE:
         from optiprism_spark.rollup import build_rollup
         from optiprism_spark.schema import load_table
@@ -77,7 +100,12 @@ def _events_and_rollup(spark, sf_dir: str):
         events = load_table(spark, sf_dir, "events").cache()
         roll = build_rollup(events, _spec()).cache()
         roll.count()
-        _CACHE[sf_dir] = (events, roll)
+        org_roll = build_rollup(
+            events.withColumn("org_id", F.col("user_id") % 7),
+            _org_spec(),
+        ).cache()
+        org_roll.count()
+        _CACHE[sf_dir] = (events, roll, org_roll)
     return _CACHE[sf_dir]
 
 
@@ -329,11 +357,17 @@ def _check_seg(spark, sf_dir: str, spec: dict) -> dict:
     )
     from optiprism_spark.rollup import rollup_supports
 
-    events, roll = _events_and_rollup(spark, sf_dir)
+    events, roll, org_roll = _events_and_rollup(spark, sf_dir)
     req = _seg_request(spec)
     routed_eqs = [
         rollup_supports(req, eq, _spec()) for eq in req.events
     ]
+    # grain guard: the ORG rollup must never route a user-grain
+    # uniques/actives question (it MAY route grain-free count/agg)
+    for eq in req.events:
+        if any(q.kind.endswith("_groups") for q in eq.queries):
+            assert not rollup_supports(req, eq, _org_spec()), (
+                f"org rollup routed a user-grain sketch metric: {spec}")
     # hard refusals the guard must always make (first event-query
     # carries the generated shape; the second is routable-shaped)
     routed_ok = routed_eqs[0]
@@ -349,8 +383,12 @@ def _check_seg(spark, sf_dir: str, spec: dict) -> dict:
         # raw path — spot-check the fallback on a quarter of seeds
         return {"routed": False}
     raw = run_event_segmentation(events, req).toPandas()
+    # org-grain rollup declared FIRST: "first supporting spec wins"
+    # must pick it only for grain-free metrics, skip it for sketch
+    # metrics, and either way agree with raw
     routed = run_event_segmentation(
-        events, req, rollup=(roll, _spec())).toPandas()
+        events, req,
+        rollup=[(org_roll, _org_spec()), (roll, _spec())]).toPandas()
     approx = set()
     for ei, eq_spec in enumerate(
             [spec["queries"]] + ([spec["queries2"]]
@@ -373,10 +411,14 @@ def _check_activity(spark, sf_dir: str, spec: dict) -> dict:
         stickiness_from_rollup,
     )
 
-    events, roll = _events_and_rollup(spark, sf_dir)
+    events, roll, org_roll = _events_and_rollup(spark, sf_dir)
     time = QueryTime.between(spec["start"], spec["end"])
     event = EventRef(spec["event"]) if spec["event"] else None
     filters = _prop_filters(spec["filters"])
+    # the grain guard must refuse the org rollup for EVERY user-grain
+    # activity question, whatever the window/filter shape
+    assert not activity_supports(time, event, filters, _org_spec()), (
+        f"org rollup passed the user-grain activity guard: {spec}")
     routed_ok = activity_supports(time, event, filters, _spec())
     if not spec["aligned"]:
         assert not routed_ok, f"routed ragged window: {spec}"
