@@ -185,8 +185,6 @@ def main() -> None:
     # startup)
     ap.add_argument("--scheduler", default="FAIR",
                     choices=["FAIR", "FIFO"])
-    # overload scenario: per-pool in-flight cap; the burst offers 3x
-    ap.add_argument("--admission-limit", type=int, default=2)
     args = ap.parse_args()
 
     from optiprism_spark.server import make_app, make_threaded_server
@@ -312,65 +310,83 @@ def main() -> None:
         if concurrent[n]["p95"] > budget
     ]
     # ---- overload scenario: admission control under a burst of
-    # 3x the pool's in-flight budget, all one query type. Without
-    # shedding, every request queues and p95 grows with burst size;
-    # with the per-pool cap the excess is rejected immediately
+    # 3x the pool's in-flight budget per shape. Without shedding,
+    # every request queues and p95 grows with burst size; with the
+    # per-pool cap the excess is rejected immediately
     # (429 + Retry-After) and the ADMITTED queries' p95 stays inside
     # the same affine budget the main gate uses. The r9 gate above is
     # untouched — this is an additional scenario on a separate server
-    # instance.
+    # instance. The server here is DEFAULT config (no admission_limit
+    # passed): since r11 shedding ships on by default
+    # (server.DEFAULT_ADMISSION_LIMITS, sized off the FAIR tiers), so
+    # this is exactly what a production deployment gets. Two shapes:
+    # one interactive pool (segmentation, cap 4) and one heavy pool
+    # (funnel, fallback cap 2).
+    from optiprism_spark.server import DEFAULT_ADMISSION_LIMITS
+
     ov_app = make_app(spark, SF_DIR, rollup_store=store,
-                      result_cache_ttl=None,
-                      admission_limit=args.admission_limit)
+                      result_cache_ttl=None)
     ov_srv = make_threaded_server(ov_app)
     ov_base = f"http://127.0.0.1:{ov_srv.server_address[1]}"
     threading.Thread(target=ov_srv.serve_forever, daemon=True).start()
-    ov_shape = "segmentation_breakdown"
-    ov_path, ov_body = WORKLOAD[ov_shape]
-    post_status(ov_base, ov_path, ov_body)  # warm this server
-    ov_lat: list[float] = []
-    ov_rejected = 0
-    ov_other = 0
-    burst = 3 * args.admission_limit
+    overload = {}
+    for ov_shape, pool in (("segmentation_breakdown", "event_segmentation"),
+                           ("funnel_3step", "funnel")):
+        cap = DEFAULT_ADMISSION_LIMITS.get(
+            pool, DEFAULT_ADMISSION_LIMITS["*"])
+        ov_path, ov_body = WORKLOAD[ov_shape]
+        post_status(ov_base, ov_path, ov_body)  # warm this server
+        ov_lat: list[float] = []
+        ov_rejected = 0
+        ov_other = 0
+        # burst threads mutate the tallies concurrently — the
+        # non-atomic += lost updates without the lock (ADVICE r10),
+        # and the pass condition reads these counters
+        ov_lock = threading.Lock()
+        burst = 3 * cap
 
-    def ov_worker(barrier):
-        nonlocal ov_rejected, ov_other
-        barrier.wait()
-        status, sec = post_status(ov_base, ov_path, ov_body)
-        if status == 200:
-            ov_lat.append(sec)
-        elif status == 429:
-            ov_rejected += 1
-        else:
-            ov_other += 1
+        def ov_worker(barrier):
+            nonlocal ov_rejected, ov_other
+            barrier.wait()
+            status, sec = post_status(ov_base, ov_path, ov_body)
+            with ov_lock:
+                if status == 200:
+                    ov_lat.append(sec)
+                elif status == 429:
+                    ov_rejected += 1
+                else:
+                    ov_other += 1
 
-    for _ in range(args.rounds):
-        barrier = threading.Barrier(burst)
-        ths = [threading.Thread(target=ov_worker, args=(barrier,))
-               for _ in range(burst)]
-        for th in ths:
-            th.start()
-        for th in ths:
-            th.join()
-    ov_p95 = round(pct(sorted(ov_lat), 95), 3) if ov_lat else None
-    ov_budget = round(GATE_RATIO * serial[ov_shape] + GATE_INTERCEPT, 3)
-    overload = {
-        "shape": ov_shape,
-        "admission_limit": args.admission_limit,
-        "burst_threads": burst,
-        "rounds": args.rounds,
-        "admitted_n": len(ov_lat),
-        "rejected_429": ov_rejected,
-        "other_status": ov_other,
-        "admitted_p95": ov_p95,
-        "admitted_budget_sec": ov_budget,
-        "pass": (
-            ov_rejected > 0
-            and ov_other == 0
-            and ov_p95 is not None
-            and ov_p95 <= ov_budget
-        ),
-    }
+        for _ in range(args.rounds):
+            barrier = threading.Barrier(burst)
+            ths = [threading.Thread(target=ov_worker, args=(barrier,))
+                   for _ in range(burst)]
+            for th in ths:
+                th.start()
+            for th in ths:
+                th.join()
+        ov_p95 = round(pct(sorted(ov_lat), 95), 3) if ov_lat else None
+        ov_budget = round(
+            GATE_RATIO * serial[ov_shape] + GATE_INTERCEPT, 3)
+        overload[ov_shape] = {
+            "pool": pool,
+            "admission_limit": cap,
+            "burst_threads": burst,
+            "rounds": args.rounds,
+            "admitted_n": len(ov_lat),
+            "rejected_429": ov_rejected,
+            "other_status": ov_other,
+            "admitted_p95": ov_p95,
+            "admitted_budget_sec": ov_budget,
+            "pass": (
+                ov_rejected > 0
+                and ov_other == 0
+                and ov_p95 is not None
+                and ov_p95 <= ov_budget
+            ),
+        }
+    overload["pass"] = all(v["pass"] for k, v in overload.items()
+                           if k != "pass")
     ov_srv.shutdown()
 
     result = {

@@ -301,6 +301,17 @@ def query_rollup_routed_total() -> Counter:
         "segmentation event-queries by answer path", ("path",))
 
 
+def warehouse_layout_routed_total() -> Counter:
+    """Warehouse fact-pair routing decisions: path=layout when the
+    co-bucketed orders/lineitem tables answer (Exchange-free fact⋈fact
+    join), path=raw when the query fell back to plain parquet and
+    paid the two-table shuffle — at scale a sustained raw count on a
+    hot join is the signal to build the layout."""
+    return REGISTRY.counter(
+        "optiprism_warehouse_layout_routed_total",
+        "warehouse fact loads by answer path", ("path",))
+
+
 def whale_guard_keys_capped() -> Counter:
     """Keys truncated by a whale guard (operators/whale.py
     cap_rows_per_key observe() metrics), labeled by guard name

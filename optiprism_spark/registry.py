@@ -252,6 +252,34 @@ DRIVER_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "text_gopher_quality", "wh_order_priority_pipeline", "win_cumulative",
         "win_period_compare",
     }),
+    10: frozenset({
+        "asm_pack_sequences", "asm_stratified_sample_exact",
+        "catalog_materialized_property", "catalog_property_query",
+        "dedup_decontaminate", "dedup_embedding_cosine_lsh_banded",
+        "dedup_exact_survivors", "dedup_minhash_signatures",
+        "dedup_neardup_clusters", "dedup_simhash",
+        "dict_persisted_roundtrip", "eng_active_days_histogram",
+        "est_dau_sampled", "est_funnel_3step_sampled",
+        "est_retention_weekly_sampled", "est_revenue_weekly_sampled",
+        "funnel_first_touch_3step", "funnel_machine_3step",
+        "funnel_machine_any_order_touch_last",
+        "funnel_machine_constants", "group_records_top_value",
+        "ingest_geo_country_counts", "ingest_geo_mmdb_counts",
+        "latest_profile_all", "multimodal_decoded_stats",
+        "path_backward_to_purchase", "path_dropoff_after_view",
+        "path_forward_excl_errors", "property_values_json_like",
+        "qsketch_percentile_value_by_type",
+        "retention_daily_view_click", "retention_revenue_weekly",
+        "retention_unbounded_weekly", "seg_count_daily_segmented",
+        "seg_count_hourly_purchase", "seg_rollup_mixed_fallback",
+        "seg_rollup_routed_weekly", "seg_time_from_minute_buckets",
+        "seg_unpivot_compact", "seg_year_buckets",
+        "segment_and_composition", "session_begin_daily",
+        "sim_cosine_topk_ivf", "text_pii_redact", "text_quality_scores",
+        "text_stats_all", "wh_order_priority_bucketed",
+        "wh_revenue_by_nation", "wh_revenue_by_nation_bucketed",
+        "win_rolling_avg",
+    }),
 }
 
 

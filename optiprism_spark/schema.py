@@ -136,8 +136,17 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Register every table as a temp view (for the SQL API path)."""
+    """Register every table as a temp view (for the SQL API path).
+
+    The fact pair (orders/lineitem) is routed through the co-bucketed
+    warehouse layout when a current build exists, so ad-hoc SQL joins
+    on the order key get the Exchange-free plan too — the layout is a
+    property of the store, not of one registered query."""
     dfs = load_tables(spark, sf_dir)
+    from .warehouse_layout import layout_available, order_facts
+
+    if layout_available(spark, sf_dir):
+        dfs["orders"], dfs["lineitem"] = order_facts(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs

@@ -115,6 +115,30 @@ _STATUS = {
 #: VALUES_LIMIT 1000), so hitting it means a route lost its limit
 MAX_RESPONSE_ROWS = 10_000
 
+#: interactive FAIR pools (fairscheduler.xml weight 4, minShare 4):
+#: sub-second shapes where queueing is the whole latency budget
+_INTERACTIVE_POOLS = frozenset({
+    "event_segmentation", "event_records_search", "group_records_search",
+    "event_record", "group_record", "property_values", "stickiness",
+    "percentiles",
+})
+
+#: DEFAULT per-pool admission caps, ON by default (the reference
+#: backpressures by construction at its tokio runtime; an unbounded
+#: HTTP queue in front of a Spark driver is the one config that turns
+#: an overload from slow into down). Sized off the FAIR pool tiers:
+#: an interactive pool (weight 4) admits its weight in concurrent
+#: queries; a heavy scan pool (weight 1) gets a floor of 2 so one
+#: straggler can't serialize the tier — beyond that its weight-1 task
+#: share means extra in-flight work is pure queue depth. Excess
+#: requests get 429 + Retry-After: 1 (the documented contract).
+#: Validated by concur_check.py's overload scenario (admitted p95
+#: must stay inside the same affine budget as the contention gate).
+DEFAULT_ADMISSION_LIMITS = {
+    **{q: 4 for q in _INTERACTIVE_POOLS},
+    "*": 2,
+}
+
 
 def _json_value(v):
     if isinstance(v, dt.datetime):
@@ -366,7 +390,7 @@ class App:
         rollup_dir: Optional[str] = None,
         lake: Optional[dict] = None,
         result_cache_ttl: Optional[float] = 60.0,
-        admission_limit: Optional[int] = None,
+        admission_limit="default",
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -402,11 +426,16 @@ class App:
         #: FAIR pool (query type). Excess requests are shed with
         #: 429 + Retry-After instead of queueing unboundedly — under a
         #: sustained overload burst, bounded in-flight work is the
-        #: difference between slow and down. None disables shedding
-        #: (cache hits are never counted — they cost ~no executor
-        #: time). Sized per pool, not globally, so one hot query type
-        #: can't starve admission for the others.
-        self._admission_limit = admission_limit
+        #: difference between slow and down. ON by default
+        #: (DEFAULT_ADMISSION_LIMITS, sized off the FAIR pool tiers);
+        #: pass an int for a uniform per-pool cap, a {pool: cap} dict
+        #: ("*" = fallback) for explicit sizing, or None to disable
+        #: shedding entirely. Cache hits are never counted — they cost
+        #: ~no executor time. Per pool, not global, so one hot query
+        #: type can't starve admission for the others.
+        self._admission_limit = (
+            dict(DEFAULT_ADMISSION_LIMITS)
+            if admission_limit == "default" else admission_limit)
         self._admission_lock = threading.Lock()
         self._admitted: dict[str, int] = {}
         self._rollup_cache: dict = {}
@@ -684,6 +713,17 @@ class App:
                        delete=self._delete_rollup, perms=schema_perms)
 
     # ----------------------------------------------------- CRUD plumbing
+
+    def _admission_cap(self, qtype: Optional[str]) -> Optional[int]:
+        """In-flight cap for this query type's pool, or None when the
+        request is not a query (CRUD/ingest/admin never shed) or
+        shedding is disabled."""
+        al = self._admission_limit
+        if qtype is None or al is None:
+            return None
+        if isinstance(al, int):
+            return al
+        return al.get(qtype, al.get("*"))
 
     def _add_crud(self, base: str, kind: str, scoped: bool = True,
                   with_name: bool = False, create: Optional[Callable] = None,
@@ -1817,8 +1857,16 @@ class App:
                     return hit
             import contextlib
 
+            # everything that could raise must sit either BEFORE the
+            # admission increment or INSIDE the try whose finally
+            # decrements it — otherwise an exception in between leaks
+            # the in-flight slot permanently and the pool 429s forever
+            timer = (metrics.query_execution_time().time(query_type=qtype)
+                     if qtype else contextlib.nullcontext())
+            sc = self.spark.sparkContext
             admitted_pool = None
-            if qtype and self._admission_limit is not None:
+            cap = self._admission_cap(qtype)
+            if cap is not None:
                 # shed, don't queue: beyond the per-pool in-flight cap
                 # a new query would only deepen every admitted query's
                 # latency — reject it now with a retry hint (the
@@ -1827,26 +1875,23 @@ class App:
                 # pools, which shape but never shed)
                 with self._admission_lock:
                     inflight = self._admitted.get(qtype, 0)
-                    if inflight >= self._admission_limit:
+                    if inflight >= cap:
                         metrics.query_rejected_total().inc(pool=f"q_{qtype}")
                         raise HttpError(
                             429, "query admission limit reached; retry",
                             headers=[("Retry-After", "1")])
                     self._admitted[qtype] = inflight + 1
                     admitted_pool = qtype
-            timer = (metrics.query_execution_time().time(query_type=qtype)
-                     if qtype else contextlib.nullcontext())
-            sc = self.spark.sparkContext
-            if qtype:
-                # FAIR pool per query type (scheduler.mode=FAIR, see
-                # session.py): local properties are thread-scoped, so
-                # each WSGI worker thread tags its own jobs — a long
-                # funnel's stages share task slots with concurrent
-                # light queries instead of blocking them FIFO
-                # (reference serves each request on its own tokio
-                # task, query/src/lib.rs:432-446).
-                sc.setLocalProperty("spark.scheduler.pool", f"q_{qtype}")
             try:
+                if qtype:
+                    # FAIR pool per query type (scheduler.mode=FAIR, see
+                    # session.py): local properties are thread-scoped, so
+                    # each WSGI worker thread tags its own jobs — a long
+                    # funnel's stages share task slots with concurrent
+                    # light queries instead of blocking them FIFO
+                    # (reference serves each request on its own tokio
+                    # task, query/src/lib.rs:432-446).
+                    sc.setLocalProperty("spark.scheduler.pool", f"q_{qtype}")
                 with timer:
                     status, result = handler(body, md, query)
                     # every successful non-query write advances the
@@ -1896,7 +1941,7 @@ def make_app(
     rollup_dir: Optional[str] = None,
     lake: Optional[dict] = None,
     result_cache_ttl: Optional[float] = 60.0,
-    admission_limit: Optional[int] = None,
+    admission_limit="default",
 ) -> App:
     return App(spark, sf_dir, custom_events=custom_events, now=now,
                catalog=catalog, token_key=token_key, wal_dir=wal_dir,

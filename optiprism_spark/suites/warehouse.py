@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.dictionary import build_dictionary, dict_decode, dict_encode
 from ..registry import query
 from ..schema import load_table
-from ..warehouse_layout import cobucketed_order_facts
+from ..warehouse_layout import cobucketed_order_facts, order_facts
 from . import _sql as S
 
 
@@ -35,10 +35,14 @@ from . import _sql as S
 )
 def wh_revenue_by_nation(spark, sf_dir):
     """Fact⋈fact⋈dim⋈dim chain: lineitem joins orders on the order
-    key (shuffle join on the key), customer/nation broadcast onto the
-    result — revenue per customer nation."""
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    key, customer/nation broadcast onto the result — revenue per
+    customer nation. The fact pair is ROUTED (warehouse_layout.
+    order_facts): when the co-bucketed layout exists the join runs
+    Exchange-free (plan-asserted in tests/test_plans.py); otherwise
+    plain parquet pays the two-table shuffle — the worst sf1 scaler
+    two rounds running (7.07× at 10× data, SF1_r10), which is why
+    the layout is the default answer, not an opt-in twin."""
+    o, l = order_facts(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -141,9 +145,9 @@ def wh_top_brands_by_region(spark, sf_dir):
 )
 def wh_order_priority_pipeline(spark, sf_dir):
     """Semi-join (EXISTS) shape: orders having a returned line item,
-    counted by priority."""
-    o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
+    counted by priority. Fact pair routed through the co-bucketed
+    layout when available (see wh_revenue_by_nation)."""
+    o, l = order_facts(spark, sf_dir)
     returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
     return (
         o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")

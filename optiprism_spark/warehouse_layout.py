@@ -14,11 +14,31 @@ co-partitioned streaming merge instead of a full two-table shuffle.
 The reference sidesteps fact-fact joins entirely by denormalizing at
 ingest (SURVEY §2.3); this module is the Spark-native answer for the
 star-schema queries the warehouse suite covers.
+
+Routing (``order_facts``): queries do not name the layout — they ask
+for the fact pair and get the bucketed tables whenever a current
+build exists, raw parquet otherwise (the same automatic-routing
+discipline as rollup.rollup_supports). "Current" is enforced by a
+source fingerprint (file sizes + mtimes) folded into the table tag:
+regenerated data at the same sf_dir changes the tag, so a stale
+bucketed copy is never served — it is rebuilt under a new name.
+
+Live feed (``append_fact`` / ``compact_fact_appends``): fresh fact
+rows land date-partitioned (cheap, no bucketing), then a maintenance
+cycle folds them into the bucketed tables via staging + rename — the
+same swap discipline as ingest.compact_appends_into_bucketed — so
+the Exchange-free plan survives continuous ingest without full
+rebuilds. Once a fold has run, the bucketed tables are the canonical
+store (raw sf_dir parquet is the bootstrap snapshot), exactly like
+the events table's bucketed layout.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
+import threading
 from collections.abc import Sequence
 from typing import Optional
 
@@ -26,8 +46,47 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .schema import load_table
 
-#: one bucketed build per (process, sf_dir, n_buckets)
-_BUILT: dict[tuple[str, int], tuple[str, str]] = {}
+#: the co-bucketed fact pair: (source table, join/bucket key)
+_FACTS = (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
+
+#: date column used for the append tier's dt= partitioning
+_FACT_DATE_COL = {"orders": "o_orderdate", "lineitem": "l_shipdate"}
+
+#: one bucketed build per (process, sf_dir, n_buckets, fingerprint)
+_BUILT: dict[tuple[str, int, str], tuple[str, str]] = {}
+#: serializes builds — concurrent server threads must not race the
+#: rmtree/saveAsTable sequence for the same table
+_BUILD_LOCK = threading.Lock()
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap digest of the fact source files (relpath, size,
+    mtime_ns). Folded into the bucketed table tag so regenerated data
+    at the same sf_dir is detected: the old tables stop matching and
+    a fresh build happens under a new name (ADVICE r10: an
+    (sf_dir, n_buckets)-only key silently served stale buckets)."""
+    h = hashlib.md5()
+    for table, _ in _FACTS:
+        p = os.path.join(sf_dir, f"{table}.parquet")
+        files = [p]
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(r, f)
+                for r, _dirs, fs in os.walk(p)
+                for f in fs
+            )
+        for fp in files:
+            st = os.stat(fp)
+            h.update(
+                f"{os.path.relpath(fp, sf_dir)}|{st.st_size}|"
+                f"{st.st_mtime_ns};".encode()
+            )
+    return h.hexdigest()
+
+
+def _table_names(sf_dir: str, n_buckets: int, fp: str) -> tuple[str, str]:
+    tag = hashlib.md5(f"{sf_dir}|{n_buckets}|{fp}".encode()).hexdigest()[:10]
+    return f"wh_orders_b_{tag}", f"wh_lineitem_b_{tag}"
 
 
 def write_fact_bucketed(
@@ -54,30 +113,30 @@ def write_fact_bucketed(
     )
 
 
-def cobucketed_order_facts(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 32
-) -> tuple[DataFrame, DataFrame]:
-    """(orders, lineitem) co-bucketed on the order key, built once per
-    (process, sf_dir) — the amortized layout cost a warehouse pays at
-    load time, not per query. Table names carry an sf_dir digest so
-    concurrent scales never collide in the shared metastore."""
-    ck = (sf_dir, n_buckets)
-    if ck not in _BUILT:
-        tag = hashlib.md5(f"{sf_dir}|{n_buckets}".encode()).hexdigest()[:10]
-        o_name = f"wh_orders_b_{tag}"
-        l_name = f"wh_lineitem_b_{tag}"
-        for name, table, key in (
-            (o_name, "orders", "o_orderkey"),
-            (l_name, "lineitem", "l_orderkey"),
-        ):
+def _ensure_layout(
+    spark: SparkSession, sf_dir: str, n_buckets: int
+) -> tuple[str, str]:
+    """Build (once) and return the co-bucketed fact table names for
+    the CURRENT source data — the amortized layout cost a warehouse
+    pays at load time, not per query. Lock-guarded: concurrent server
+    threads serialize on the build instead of racing the
+    rmtree/saveAsTable sequence."""
+    fp = _source_fingerprint(sf_dir)
+    ck = (sf_dir, n_buckets, fp)
+    hit = _BUILT.get(ck)
+    if hit is not None:
+        return hit
+    with _BUILD_LOCK:
+        hit = _BUILT.get(ck)  # double-checked under the lock
+        if hit is not None:
+            return hit
+        o_name, l_name = _table_names(sf_dir, n_buckets, fp)
+        for name, (table, key) in zip((o_name, l_name), _FACTS):
             if spark.catalog.tableExists(name):
                 continue
             # a fresh catalog (new process, same warehouse dir) does
             # not know a table whose files survived the last process —
             # clear the stale location before recreating it
-            import os
-            import shutil
-
             wh = spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
             ).removeprefix("file:")
@@ -85,5 +144,167 @@ def cobucketed_order_facts(
             write_fact_bucketed(
                 load_table(spark, sf_dir, table), name, key, n_buckets)
         _BUILT[ck] = (o_name, l_name)
-    o_name, l_name = _BUILT[ck]
+        return o_name, l_name
+
+
+def cobucketed_order_facts(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> tuple[DataFrame, DataFrame]:
+    """(orders, lineitem) co-bucketed on the order key — builds the
+    layout on first use for this source data."""
+    o_name, l_name = _ensure_layout(spark, sf_dir, n_buckets)
     return spark.table(o_name), spark.table(l_name)
+
+
+def layout_available(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> bool:
+    """True when a co-bucketed build of the CURRENT source data exists
+    in this session's catalog — the routing predicate (mirrors
+    rollup.rollup_supports: serve the cheap layout when it answers the
+    question, never build one as a side effect of a read)."""
+    fp = _source_fingerprint(sf_dir)
+    if (sf_dir, n_buckets, fp) in _BUILT:
+        return True
+    o_name, l_name = _table_names(sf_dir, n_buckets, fp)
+    return spark.catalog.tableExists(o_name) and spark.catalog.tableExists(
+        l_name)
+
+
+def order_facts(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> tuple[DataFrame, DataFrame]:
+    """Routed fact loader: the co-bucketed layout when a current build
+    exists (Exchange-free fact⋈fact plans), raw parquet otherwise.
+    Every decision is counted (metrics.warehouse_layout_routed_total)
+    so a deployment can see when its hot joins are paying the shuffle
+    the layout would elide."""
+    from . import metrics
+
+    if layout_available(spark, sf_dir, n_buckets):
+        metrics.warehouse_layout_routed_total().inc(path="layout")
+        o_name, l_name = _table_names(
+            sf_dir, n_buckets, _source_fingerprint(sf_dir))
+        # build memo may be cold in this process even though the
+        # catalog has the tables (another thread built them)
+        return spark.table(o_name), spark.table(l_name)
+    metrics.warehouse_layout_routed_total().inc(path="raw")
+    return (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+# ------------------------------------------------------ continuous ingest
+
+
+def append_fact(
+    spark: SparkSession, appends_path: str, table: str, df: DataFrame
+) -> None:
+    """Land fresh fact rows date-partitioned under
+    ``{appends_path}/{table}/dt=…`` — the cheap write a live feed
+    makes between compaction cycles (no bucketing: that cost belongs
+    to the maintenance fold, not the ingest hot path)."""
+    if table not in _FACT_DATE_COL:
+        raise KeyError(f"not a warehouse fact: {table!r}")
+    (
+        df.withColumn("dt", F.to_date(F.col(_FACT_DATE_COL[table])))
+        .write.mode("append")
+        .partitionBy("dt")
+        .parquet(os.path.join(appends_path, table))
+    )
+
+
+def _append_files(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        os.path.join(r, f)
+        for r, _dirs, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def compact_fact_appends(
+    spark: SparkSession,
+    sf_dir: str,
+    appends_path: str,
+    n_buckets: int = 32,
+    clear_appends: bool = True,
+) -> dict[str, int]:
+    """Fold appended fact rows into the co-bucketed tables — the
+    maintenance loop that keeps the Exchange-free fact⋈fact plan
+    valid under continuous ingest, mirroring the events table's
+    ingest.compact_appends_into_bucketed (staging table + rename swap
+    because Spark cannot overwrite a table it is reading from; on a
+    production lake the swap is a transactional-format commit).
+
+    The appends snapshot is the part files listed at entry; files
+    landing while the rewrite runs are neither folded nor deleted, so
+    repeated cycles never lose or double-fold a row. After the first
+    fold the bucketed tables are the canonical store — the raw sf_dir
+    parquet is the bootstrap snapshot (same semantics as the events
+    bucketed layout under live ingest).
+
+    Returns rows folded per table.
+    """
+    names = _ensure_layout(spark, sf_dir, n_buckets)
+    folded: dict[str, int] = {}
+    with _BUILD_LOCK:
+        for name, (table, key) in zip(names, _FACTS):
+            path = os.path.join(appends_path, table)
+            _recover_fold(spark, name)
+            part_files = _append_files(path)
+            if not part_files:
+                folded[table] = 0
+                continue
+            base = spark.table(name)
+            appends = spark.read.parquet(*part_files)
+            if "dt" in appends.columns and "dt" not in base.columns:
+                appends = appends.drop("dt")
+            # ONE scan of the append set: the count materializes the
+            # cache the union write then reads
+            appends = appends.select(*base.columns).persist()
+            try:
+                n = appends.count()
+                if n == 0:
+                    folded[table] = 0
+                    continue
+                staging = f"{name}__staging"
+                spark.sql(f"DROP TABLE IF EXISTS {staging}")
+                write_fact_bucketed(
+                    base.unionByName(appends), staging, key, n_buckets)
+                spark.sql(f"DROP TABLE {name}")
+                spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
+            finally:
+                appends.unpersist()
+            if clear_appends:
+                for fpath in part_files:
+                    try:
+                        os.remove(fpath)
+                    except FileNotFoundError:
+                        pass
+                # prune now-empty dt= partition dirs (cosmetic)
+                for r, dirs, files in list(os.walk(path, topdown=False)):
+                    if r != path and not dirs and not files:
+                        try:
+                            os.rmdir(r)
+                        except OSError:
+                            pass
+            folded[table] = n
+    return folded
+
+
+def _recover_fold(spark: SparkSession, name: str) -> None:
+    """Finish (or discard) an interrupted fold: a crash between DROP
+    and RENAME leaves only the fully-written staging table — promote
+    it; a staging table alongside a live main is a discarded attempt
+    — drop it."""
+    staging = f"{name}__staging"
+    if not spark.catalog.tableExists(staging):
+        return
+    if spark.catalog.tableExists(name):
+        spark.sql(f"DROP TABLE {staging}")
+    else:
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")

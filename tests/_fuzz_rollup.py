@@ -299,7 +299,12 @@ def _mk(qa) -> SegQuery:
 
 
 def _compare(routed: pd.DataFrame, raw: pd.DataFrame,
-             approx_cols: set, name: str) -> None:
+             approx_cols: set, name: str,
+             ratio_cols: set = frozenset()) -> None:
+    """approx_cols are count-like (HLL estimates: rtol + off-by-ones at
+    tiny counts → atol=1.0); ratio_cols are bounded in [0,1], where an
+    atol of 1.0 would make the check unfalsifiable — they get a
+    rtol-only tolerance (atol=1e-9)."""
     assert sorted(routed.columns) == sorted(raw.columns), (
         f"{name}: columns {sorted(routed.columns)} != {sorted(raw.columns)}")
     assert len(routed) == len(raw), (
@@ -307,17 +312,19 @@ def _compare(routed: pd.DataFrame, raw: pd.DataFrame,
     cols = sorted(routed.columns)
     a = routed[cols].copy()
     b = raw[cols].copy()
-    key = [c for c in cols if c not in approx_cols] or cols
+    loose = approx_cols | ratio_cols
+    key = [c for c in cols if c not in loose] or cols
     a = a.sort_values(by=key, key=lambda s: s.astype(str)).reset_index(drop=True)
     b = b.sort_values(by=key, key=lambda s: s.astype(str)).reset_index(drop=True)
     for c in cols:
         av, bv = a[c], b[c]
-        if c in approx_cols:
+        if c in loose:
             fa = av.astype(float).to_numpy()
             fb = bv.astype(float).to_numpy()
             import numpy as np
 
-            bad = ~(np.isclose(fa, fb, rtol=0.02, atol=1.0)
+            atol = 1e-9 if c in ratio_cols else 1.0
+            bad = ~(np.isclose(fa, fb, rtol=0.02, atol=atol)
                     | (np.isnan(fa) & np.isnan(fb)))
             if bad.any():
                 i = int(np.argmax(bad))
@@ -434,8 +441,9 @@ def _check_activity(spark, sf_dir: str, spec: dict) -> dict:
             events, time, period=period, event=event,
             filters=filters).toPandas()
         _compare(routed, raw,
-                 {"avg_dau", "period_active", "stickiness"},
-                 f"stickiness seed={spec['seed']}")
+                 {"avg_dau", "period_active"},
+                 f"stickiness seed={spec['seed']}",
+                 ratio_cols={"stickiness"})
     else:
         interval = TimeIntervalUnit(spec["cohort_interval"])
         routed = cohort_sizes_from_rollup(

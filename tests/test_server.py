@@ -545,8 +545,36 @@ def test_admission_control_sheds_beyond_pool_cap(spark):
     assert app._admitted["event_segmentation"] == 0
 
 
-def test_admission_disabled_by_default(spark):
+def test_admission_enabled_by_default(spark):
+    """A default-config server ships with the per-pool caps ON
+    (DEFAULT_ADMISSION_LIMITS sized off the FAIR tiers): beyond the
+    interactive cap the request sheds with 429; heavy pools get the
+    fallback cap; admission_limit=None is the explicit opt-out."""
+    from optiprism_spark.server import DEFAULT_ADMISSION_LIMITS
+
     app = make_app(spark, SF_DIR, result_cache_ttl=None)
+    assert app._admission_cap("event_segmentation") == \
+        DEFAULT_ADMISSION_LIMITS["event_segmentation"] == 4
+    assert app._admission_cap("funnel") == DEFAULT_ADMISSION_LIMITS["*"] == 2
+    assert app._admission_cap(None) is None  # CRUD/ingest never shed
+    body = {
+        "time": T_JAN, "group": "user", "intervalUnit": "day",
+        "chartType": "line",
+        "events": [{"eventName": None, "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    path = "/api/v1/projects/1/queries/event-segmentation"
+    app._admitted["event_segmentation"] = 10_000  # saturated pool
+    status, _ = call(app, "POST", path, body)
+    assert status == 429
+    app._admitted["event_segmentation"] = 0
+    status, _ = call(app, "POST", path, body)
+    assert status == 200
+
+
+def test_admission_opt_out_with_none(spark):
+    app = make_app(spark, SF_DIR, result_cache_ttl=None,
+                   admission_limit=None)
     body = {
         "time": T_JAN, "group": "user", "intervalUnit": "day",
         "chartType": "line",
@@ -556,4 +584,34 @@ def test_admission_disabled_by_default(spark):
     app._admitted["event_segmentation"] = 10_000  # would shed if enabled
     status, _ = call(
         app, "POST", "/api/v1/projects/1/queries/event-segmentation", body)
+    assert status == 200
+
+
+def test_admission_slot_freed_when_setup_raises(spark):
+    """ADVICE r10: anything that raises between the admission
+    increment and the finally-decrement must not leak the slot — a
+    leaked slot 429s the pool forever. Force the first thing inside
+    the try (setLocalProperty) to raise and check the slot returns."""
+    app = make_app(spark, SF_DIR, result_cache_ttl=None, admission_limit=1)
+    body = {
+        "time": T_JAN, "group": "user", "intervalUnit": "day",
+        "chartType": "line",
+        "events": [{"eventName": None, "eventType": "regular",
+                    "queries": [{"type": "countEvents"}]}],
+    }
+    path = "/api/v1/projects/1/queries/event-segmentation"
+
+    class _Boom(Exception):
+        pass
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        type(app.spark.sparkContext), "setLocalProperty",
+        side_effect=_Boom("boom"),
+    ):
+        with pytest.raises(_Boom):
+            call(app, "POST", path, body)
+    assert app._admitted.get("event_segmentation", 0) == 0
+    status, _ = call(app, "POST", path, body)  # slot is free again
     assert status == 200
