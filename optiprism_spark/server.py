@@ -1128,10 +1128,28 @@ class App:
         the ANALYZED plan only — execution stays lazy per query.
         Invalidated by refresh_tables() whenever the underlying data
         changes (checkpoint commits; callers that swap the parquet
-        out-of-band must call it too, as a catalog REFRESH TABLE)."""
+        out-of-band must call it too, as a catalog REFRESH TABLE).
+
+        With a lake configured, queries are served from the LAKE
+        snapshot (bucketed base ∪ tiers ∪ L0 appends) — the same
+        store the lifecycle plane mutates, so an /admin/erase-user is
+        visible to the very next raw-scan query (funnel, paths,
+        retention), not only to rollup-routed ones. Serving one store
+        and erasing another would quietly violate right-to-erasure on
+        every non-routed surface (found closing the r10 verdict's
+        Missing #5)."""
         df = self._events_cache
         if df is None:
-            df = self._events_cache = load_table(self.spark, self.sf_dir, "events")
+            if self.lake:
+                from .ingest import events_snapshot
+
+                df = events_snapshot(
+                    self.spark, self.lake["table_name"],
+                    self.lake["appends_path"],
+                    self.lake.get("tiers_path"))
+            else:
+                df = load_table(self.spark, self.sf_dir, "events")
+            self._events_cache = df
         return df
 
     def refresh_tables(self) -> None:

