@@ -56,6 +56,14 @@ PREFERRED = [
     "seg_rollup_dau_by_week_approx",
     "qsketch_percentile_value_by_type",
     "wh_revenue_by_nation_bucketed",
+    # r11: the bucketed EXISTS semi-join, plus r10-new surfaces whose
+    # shapes are scale-sensitive (banded OR-amplified LSH bucket
+    # edges, funnel any-order + last-touch tie-breaks, HT-scaled
+    # retention estimates)
+    "wh_order_priority_bucketed",
+    "dedup_embedding_cosine_lsh_banded",
+    "funnel_machine_any_order_touch_last",
+    "est_retention_weekly_sampled",
 ]
 
 

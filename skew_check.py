@@ -164,15 +164,29 @@ def stage_stats_since(app_id: str, t0: float) -> dict:
     return worst
 
 
-def measure(name: str, fn, app_id: str, results: dict, warm: bool = True):
+def measure(name: str, fn, app_id: str, results: dict, warm: bool = True,
+            n: int = 1):
+    """Time fn; with n>1 record min-of-n (plus all samples) — used for
+    pairs whose delta is near the noise floor (r10's paths guard
+    posted 0.9x after r9's 1.18x; a single sample can't settle it)."""
     if warm:
         fn().write.format("noop").mode("overwrite").save()
-    t0 = time.time()
-    fn().write.format("noop").mode("overwrite").save()
-    t = round(time.time() - t0, 3)
-    stats = stage_stats_since(app_id, t0)
-    results[name] = {"t": t, "straggler": stats}
-    print(f"{name}: {t}s straggler={stats}", file=sys.stderr)
+    samples = []
+    best_stats, t0_best = None, None
+    for _ in range(max(1, n)):
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        t = round(time.time() - t0, 3)
+        stats = stage_stats_since(app_id, t0)
+        if not samples or t < min(samples):
+            best_stats, t0_best = stats, t0
+        samples.append(t)
+    out = {"t": min(samples), "straggler": best_stats}
+    if n > 1:
+        out["samples"] = samples
+    results[name] = out
+    print(f"{name}: {min(samples)}s samples={samples} "
+          f"straggler={best_stats}", file=sys.stderr)
 
 
 # ------------------------------------------------------------- queries
@@ -291,9 +305,14 @@ def main() -> None:
     def paths(**kw):
         return event_paths(events, EventRef("product"), qt, steps=4, **kw)
 
+    # min-of-3 both sides: the guard rides the sequence window's
+    # partitioning (zero extra exchange), so the expected delta is
+    # ~0 on a whale-free tail and positive on the whale — r9 said
+    # 1.18x, r10 said 0.9x; settle it with samples (verdict r10 #8)
     measure("paths_forward_guarded",
-            lambda: paths(max_rows_per_user=CAP), app_id, results)
-    measure("paths_forward_unguarded", lambda: paths(), app_id, results)
+            lambda: paths(max_rows_per_user=CAP), app_id, results, n=3)
+    measure("paths_forward_unguarded", lambda: paths(), app_id, results,
+            n=3)
 
     measure("lsh_near_pairs_capped",
             lambda: lsh_near_dup_pairs(docs, threshold=0.6, max_bucket=MAX_BUCKET),
@@ -340,6 +359,13 @@ def main() -> None:
             "pass": gate_pass,
             "whale_guard_fired": whale_truncated > 0,
             **guard_wins,
+            # r10 verdict #8: a stated verdict on the paths guard's
+            # cost, now from min-of-3 samples per side
+            "paths_guard_verdict": (
+                "free (within noise of unguarded at min-of-3)"
+                if guard_wins["paths_forward_speedup"] >= 0.95
+                else "small measured cost, bounded by the 0.8x gate"
+            ),
         },
     }
     line = json.dumps(payload)
