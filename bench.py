@@ -37,6 +37,37 @@ COMPARABLE_21 = [
     "sim_cosine_topk_ivf", "text_stats_all", "wh_revenue_by_nation",
 ]
 
+#: per-query all-time bests AT THE SAME FUNCTIONALITY LEVEL — the
+#: basis of the per-round creep gate (r10 verdict #3: aggregate drift
+#: hid which queries crept). Where functionality changed mid-series
+#: the best is taken from the rounds AFTER the change (noted), not
+#: the cheaper early implementation. Budget = 2x best per query;
+#: violations are reported in the output line (the driver records
+#: them; the per-round judge reads them).
+BEST_LIKE_FOR_LIKE = {
+    "dedup_embedding_cosine_ivf": 0.411,
+    "dedup_lsh_near_pairs": 0.71,
+    "dedup_simhash": 0.678,
+    "event_records_search_purchases": 0.142,
+    "funnel_first_touch_3step": 0.55,
+    "funnel_machine_3step": 0.585,
+    "funnel_machine_excludes": 0.523,
+    "ingest_ua_browser_counts": 0.593,  # real UA parse landed r3
+    "multimodal_features": 0.274,
+    "seg_chart_pipeline": 0.898,
+    "seg_count_daily_by_type": 0.291,
+    "seg_dau": 0.269,
+    "seg_formula_value_per_event": 0.205,
+    "seg_sum_per_user_outer": 0.401,
+    "seg_sum_value_daily_by_type": 0.302,
+    "segment_and_composition": 0.284,
+    "session_stats_per_user": 0.313,
+    "sim_cosine_topk": 0.299,
+    "sim_cosine_topk_ivf": 0.692,
+    "text_stats_all": 0.332,
+    "wh_revenue_by_nation": 0.883,
+}
+
 #: headline set — one per operator family (SURVEY §2 coverage)
 HEADLINE = [
     "seg_count_daily_by_type",       # CountEvents + breakdown
@@ -111,6 +142,17 @@ def main() -> None:
     # it extra passes so one noisy window can't dominate the total.
     VOLATILE = {"sim_cosine_topk", "sim_cosine_topk_ivf",
                 "dedup_embedding_cosine_ivf", "dedup_simhash"}
+    # comparability pin: wh_revenue_by_nation routes through the
+    # co-bucketed layout when one exists (r11); in THIS harness the
+    # layout is first built by the _bucketed entry, which runs after
+    # it, so the comparable-21 entry keeps measuring the raw shuffle
+    # plan the whole series measured. The assert catches a reorder.
+    from optiprism_spark.warehouse_layout import layout_available
+
+    assert not layout_available(spark, SF_DIR), (
+        "warehouse layout pre-built: wh_revenue_by_nation would no "
+        "longer measure the raw-shuffle plan the comparable series "
+        "tracks")
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
@@ -160,6 +202,14 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     comparable_total = round(sum(timings[n] for n in COMPARABLE_21), 3)
+    # per-query creep gate: >2x the like-for-like all-time best is a
+    # flagged regression even when the aggregate stays inside its gate
+    budget_violations = {
+        n: {"sec": timings[n], "best": BEST_LIKE_FOR_LIKE[n],
+            "ratio": round(timings[n] / BEST_LIKE_FOR_LIKE[n], 2)}
+        for n in COMPARABLE_21
+        if timings[n] > 2.0 * BEST_LIKE_FOR_LIKE[n]
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -173,6 +223,10 @@ def main() -> None:
                 # THE cross-round series (raw seconds, no denominator)
                 "comparable_total": comparable_total,
                 "comparable_queries": len(COMPARABLE_21),
+                # queries >2x their like-for-like all-time best —
+                # empty means no per-query creep this round
+                "budget_violations": budget_violations,
+                "budget_pass": not budget_violations,
                 # informational host-drift flag, not a denominator
                 "control_sec": control,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

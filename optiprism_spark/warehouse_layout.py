@@ -113,6 +113,53 @@ def write_fact_bucketed(
     )
 
 
+def _warehouse_dir(spark: SparkSession) -> str:
+    return spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+
+
+def _sweep_stale_layouts(
+    spark: SparkSession, wh: str, sf_dir: str, n_buckets: int,
+    keep: tuple[str, str],
+) -> None:
+    """Garbage-collect superseded layout builds. Every build records
+    {name: {sf_dir, built_at_fp}} in a sidecar manifest; a build for
+    the same sf_dir with a different fingerprint supersedes the old
+    tables, and builds whose source directory vanished (pytest
+    tmpdirs) are dead. Without this the warehouse dir accumulates one
+    orphaned orders+lineitem copy per data regeneration forever
+    (observed: 155 MB across ten rounds)."""
+    import json as _json
+
+    manifest = os.path.join(wh, ".wh_layout_manifest.json")
+    entries: dict[str, dict] = {}
+    try:
+        with open(manifest) as f:
+            entries = _json.load(f)
+    except (FileNotFoundError, ValueError):
+        pass
+    for name, info in list(entries.items()):
+        if name in keep:
+            continue
+        # superseded: same source at the same bucket count (a
+        # different bucket count for the same source is a legitimate
+        # parallel layout, e.g. tests build 4 alongside 32)
+        superseded = (info.get("sf_dir") == sf_dir
+                      and info.get("n_buckets") == n_buckets)
+        src_gone = not os.path.isdir(info.get("sf_dir", ""))
+        if superseded or src_gone:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+            del entries[name]
+    for name in keep:
+        entries[name] = {"sf_dir": sf_dir, "n_buckets": n_buckets}
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(entries, f)
+    os.replace(tmp, manifest)
+
+
 def _ensure_layout(
     spark: SparkSession, sf_dir: str, n_buckets: int
 ) -> tuple[str, str]:
@@ -131,18 +178,18 @@ def _ensure_layout(
         if hit is not None:
             return hit
         o_name, l_name = _table_names(sf_dir, n_buckets, fp)
+        wh = _warehouse_dir(spark)
         for name, (table, key) in zip((o_name, l_name), _FACTS):
             if spark.catalog.tableExists(name):
                 continue
             # a fresh catalog (new process, same warehouse dir) does
             # not know a table whose files survived the last process —
             # clear the stale location before recreating it
-            wh = spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:")
             shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
             write_fact_bucketed(
                 load_table(spark, sf_dir, table), name, key, n_buckets)
+        _sweep_stale_layouts(spark, wh, sf_dir, n_buckets,
+                             (o_name, l_name))
         _BUILT[ck] = (o_name, l_name)
         return o_name, l_name
 

@@ -119,6 +119,7 @@ def test_regenerated_source_invalidates_layout(spark, tmp_path):
     sf = _fact_copy(tmp_path)
     wl.cobucketed_order_facts(spark, sf)
     assert wl.layout_available(spark, sf)
+    old_fp = wl._source_fingerprint(sf)
     # regenerate orders at the same path with one order dropped
     orders = load_table(spark, sf, "orders")
     n0 = orders.count()
@@ -137,6 +138,16 @@ def test_regenerated_source_invalidates_layout(spark, tmp_path):
     assert not wl.layout_available(spark, sf)
     o, _ = wl.order_facts(spark, sf)  # raw fallback sees the new data
     assert o.count() == n0 - 1
+    # rebuilding for the regenerated source garbage-collects the
+    # superseded tables (same sf_dir + bucket count, old fingerprint)
+    old_o, old_l = wl._table_names(sf, 32, old_fp)
+    wl.cobucketed_order_facts(spark, sf)
+    assert wl.layout_available(spark, sf)
+    assert not spark.catalog.tableExists(old_o)
+    assert not os.path.isdir(
+        os.path.join(wl._warehouse_dir(spark), old_o))
+    ro, _ = wl.order_facts(spark, sf)  # routed now, reflects new data
+    assert ro.count() == n0 - 1
 
 
 def test_compact_fact_appends_live_feed(spark, tmp_path):
