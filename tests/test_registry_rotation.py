@@ -1,0 +1,56 @@
+"""The driver's 50-query correctness gate samples the registry in
+iteration order; ``suite_round_robin`` must therefore lead with the
+stalest queries (the judge demands gate_rN ∩ gate_rN-1 = ∅ and no
+query older than ~2 rounds). Pure-Python — no Spark session."""
+
+from __future__ import annotations
+
+from optiprism_spark.registry import (
+    DRIVER_CHECKED_ROUNDS,
+    QUERIES,
+    suite_round_robin,
+)
+
+GATE_SIZE = 50
+
+
+def _last_checked(name: str) -> int:
+    return max((r for r, s in DRIVER_CHECKED_ROUNDS.items() if name in s),
+               default=0)
+
+
+def test_every_query_has_a_recorded_check():
+    """No registered query may be absent from every recorded round —
+    that would mean a query shipped without ever passing the gate
+    (new queries are oracle-checked locally pre-commit, then appear
+    in the next round's record)."""
+    recorded = set().union(*DRIVER_CHECKED_ROUNDS.values())
+    new = set(QUERIES) - recorded
+    # allow genuinely new queries this round, but they must sort first
+    order = list(suite_round_robin(QUERIES))
+    for n in new:
+        assert order.index(n) < GATE_SIZE, (
+            f"new query {n} not in the upcoming gate window")
+
+
+def test_gate_window_leads_with_stalest():
+    order = list(suite_round_robin(QUERIES))
+    assert len(order) == len(QUERIES)
+    window = order[:GATE_SIZE]
+    latest = max(DRIVER_CHECKED_ROUNDS)
+    # the upcoming gate re-checks nothing from the latest round …
+    assert not set(window) & DRIVER_CHECKED_ROUNDS[latest]
+    # … and no query outside the window is staler than one inside it
+    worst_in = max(_last_checked(n) for n in window)
+    best_out = min(_last_checked(n) for n in order[GATE_SIZE:])
+    assert worst_in <= best_out, (
+        "a staler query was left outside the gate window")
+
+
+def test_recorded_rounds_are_registered_queries():
+    """A typo'd name in DRIVER_CHECKED_ROUNDS would silently never
+    match, making its query eternally stale."""
+    known = set(QUERIES)
+    for r, names in DRIVER_CHECKED_ROUNDS.items():
+        unknown = names - known
+        assert not unknown, f"round {r} records unknown queries: {unknown}"
