@@ -312,6 +312,17 @@ def warehouse_layout_routed_total() -> Counter:
         "warehouse fact loads by answer path", ("path",))
 
 
+def funnel_layout_routed_total() -> Counter:
+    """Served funnel queries by physical path: path=bucketed when the
+    fully-compacted lake let the per-user shuffle be elided
+    (funnel_attempts assume_partitioned — the write layout already
+    delivers user-partitioned input), path=shuffle otherwise. A
+    sustained shuffle count means the compaction loop is behind."""
+    return REGISTRY.counter(
+        "optiprism_funnel_layout_routed_total",
+        "funnel queries by partitioning path", ("path",))
+
+
 def whale_guard_keys_capped() -> Counter:
     """Keys truncated by a whale guard (operators/whale.py
     cap_rows_per_key observe() metrics), labeled by guard name

@@ -399,6 +399,9 @@ class App:
         self.catalog = catalog if catalog is not None else Catalog()
         self.token_key = token_key
         self._events_cache: Optional[DataFrame] = None
+        #: True when the served events frame is the bare bucketed lake
+        #: table (per-user partitioning on disk) — set by _events()
+        self._events_partitioned = False
         # optional day-grain pre-aggregate (rollup.RollupStore):
         # segmentation requests that are rollup-expressible are served
         # from it (run_event_segmentation routes per event-query);
@@ -1140,13 +1143,31 @@ class App:
         Missing #5)."""
         df = self._events_cache
         if df is None:
+            self._events_partitioned = False
             if self.lake:
-                from .ingest import events_snapshot
+                from .ingest import (
+                    _append_part_files,
+                    _committed_tiers,
+                    events_snapshot,
+                )
 
                 df = events_snapshot(
                     self.spark, self.lake["table_name"],
                     self.lake["appends_path"],
                     self.lake.get("tiers_path"))
+                # fully-compacted lake (no L0 parts, no tiers): the
+                # snapshot IS the bucketed base table, whose write
+                # layout (write_events_bucketed, bucketBy user) puts
+                # every user's rows in one partition — sequence
+                # operators may elide their per-user shuffle
+                # (funnel_attempts assume_partitioned). Any pending
+                # append breaks the invariant, so the flag is
+                # recomputed with the cache after every
+                # refresh_tables().
+                tiers = self.lake.get("tiers_path")
+                self._events_partitioned = not (
+                    _append_part_files(self.lake["appends_path"])
+                    or (tiers and _committed_tiers(tiers)))
             else:
                 df = load_table(self.spark, self.sf_dir, "events")
             self._events_cache = df
@@ -1271,7 +1292,17 @@ class App:
         )
         dims = {"bucket", "step"}
         dims.update(b.name for b in req.breakdowns)
-        return 200, (funnel_report(self._events(), req), dims)
+        # routed layout: a fully-compacted lake serves the bucketed
+        # base table, so the funnel's one shuffle (repartition by
+        # user) is elided — the write-time layout already delivers
+        # per-user partitions. Same discipline as the warehouse
+        # fact routing; the decision is counted for operators.
+        events = self._events()  # resolves _events_partitioned too
+        assume = self._events_partitioned
+        metrics.funnel_layout_routed_total().inc(
+            path="bucketed" if assume else "shuffle")
+        return 200, (
+            funnel_report(events, req, assume_partitioned=assume), dims)
 
     def _retention(self, body, m, q):
         """Cohort retention (beyond the reference — no retention

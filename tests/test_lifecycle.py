@@ -476,3 +476,67 @@ def test_erase_visible_on_every_cached_surface(spark, store, tmp_path,
     status, expected = call(fresh, "POST", path, body)
     assert status == 200
     assert after == expected, f"{surface}: post-erasure mismatch"
+
+
+def test_funnel_routes_bucketed_on_compacted_lake(spark, store, tmp_path):
+    """Sequence-layout routing (r11): when the lake is fully
+    compacted, the served events frame IS the bucketed base table, so
+    the funnel route elides its per-user shuffle
+    (assume_partitioned) — same discipline as the warehouse fact
+    routing. Any pending L0 part or tier keeps the conservative
+    shuffle path. Both paths must answer identically."""
+    import shutil as _sh
+
+    from optiprism_spark import metrics
+    from optiprism_spark.ingest import compact_appends_into_bucketed
+    from optiprism_spark.server import make_app
+    from tests.test_server import call
+
+    appends, tiers, events = store
+    lake = {"table_name": TBL, "appends_path": appends,
+            "tiers_path": tiers}
+    path = "/api/v1/projects/1/queries/funnel"
+    body = {
+        "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                 "to": "2024-01-31T23:59:59.999999"},
+        "group": "user", "intervalUnit": "day",
+        "timeWindow": {"n": 7, "unit": "day"},
+        "count": "unique", "touch": {"type": "first"},
+        "steps": [
+            {"events": [{"eventName": "view", "eventType": "regular"}]},
+            {"events": [{"eventName": "click", "eventType": "regular"}]},
+            {"events": [{"eventName": "purchase", "eventType": "regular"}]},
+        ],
+    }
+
+    pending = make_app(spark, SF_DIR, lake=lake, result_cache_ttl=None)
+    status, before = call(pending, "POST", path, body)
+    assert status == 200
+    assert pending._events_partitioned is False  # L0 + tier pending
+
+    # fold everything into the bucketed base (tier first, then L0),
+    # and drop the data-less tier dirs the way the compaction policy
+    # does after a major fold
+    compact_appends_into_bucketed(spark, TBL, tiers, n_buckets=4)
+    compact_appends_into_bucketed(spark, TBL, appends, n_buckets=4)
+    for t in os.listdir(tiers):
+        full = os.path.join(tiers, t)
+        if not any(fn.endswith(".parquet")
+                   for _r, _d, fns in os.walk(full) for fn in fns):
+            _sh.rmtree(full)
+
+    compacted = make_app(spark, SF_DIR, lake=lake, result_cache_ttl=None)
+    status, after = call(compacted, "POST", path, body)
+    assert status == 200
+    assert compacted._events_partitioned is True
+
+    def rows(payload):
+        cols = sorted(payload["columns"], key=lambda c: c["name"])
+        return sorted(zip(*[c["data"] for c in cols]))
+
+    # shuffle-elided path ≡ shuffle path (row order is partitioning-
+    # dependent; the response contract is set-of-rows)
+    assert rows(after) == rows(before)
+    render = metrics.REGISTRY.render()
+    assert 'optiprism_funnel_layout_routed_total{path="bucketed"}' in render
+    assert 'optiprism_funnel_layout_routed_total{path="shuffle"}' in render
