@@ -211,3 +211,24 @@ def test_fold_recovery_promotes_staging(spark, tmp_path):
     wl._recover_fold(spark, o_name)
     assert spark.catalog.tableExists(o_name)
     assert not spark.catalog.tableExists(f"{o_name}__staging")
+
+
+def test_concurrent_builds_serialize(spark, tmp_path):
+    """ADVICE r10: the build was unsynchronized — concurrent server
+    threads could race the rmtree/saveAsTable sequence. Hammer
+    cobucketed_order_facts from 6 threads on a cold source: exactly
+    one build must happen (same table names), every caller gets a
+    readable pair, and the row counts agree."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sf = _fact_copy(tmp_path)
+    n_orders = load_table(spark, sf, "orders").count()
+
+    def build(_):
+        o, l = wl.cobucketed_order_facts(spark, sf)
+        return o.count()
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        counts = list(ex.map(build, range(6)))
+    assert counts == [n_orders] * 6
+    assert wl.layout_available(spark, sf)
