@@ -24,7 +24,8 @@ regenerated data at the same sf_dir changes the tag, so a stale
 bucketed copy is never served — it is rebuilt under a new name.
 
 Live feed (``append_fact`` / ``compact_fact_appends``): fresh fact
-rows land date-partitioned (cheap, no bucketing), then a maintenance
+rows land as plain unordered L0 parts (cheap, no bucketing), then a
+maintenance
 cycle folds them into the bucketed tables via staging + rename — the
 same swap discipline as ingest.compact_appends_into_bucketed — so
 the Exchange-free plan survives continuous ingest without full
@@ -49,7 +50,9 @@ from .schema import load_table
 #: the co-bucketed fact pair: (source table, join/bucket key)
 _FACTS = (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
 
-#: date column used for the append tier's dt= partitioning
+#: the appendable facts and their event-time columns (membership
+#: check for append_fact; the sort in the bucketed layout — not the
+#: append tier — owns time locality)
 _FACT_DATE_COL = {"orders": "o_orderdate", "lineitem": "l_shipdate"}
 
 #: one bucketed build per (process, sf_dir, n_buckets, fingerprint)
@@ -248,18 +251,19 @@ def order_facts(
 def append_fact(
     spark: SparkSession, appends_path: str, table: str, df: DataFrame
 ) -> None:
-    """Land fresh fact rows date-partitioned under
-    ``{appends_path}/{table}/dt=…`` — the cheap write a live feed
-    makes between compaction cycles (no bucketing: that cost belongs
-    to the maintenance fold, not the ingest hot path)."""
+    """Land fresh fact rows as plain parquet parts under
+    ``{appends_path}/{table}/`` — the cheap write a live feed makes
+    between compaction cycles. No bucketing (that cost belongs to the
+    maintenance fold) and — unlike the events appends —
+    NO ``partitionBy(date)``: fact batches span the table's whole
+    date range (TPC-H orders cover ~2400 days), so a dt= layout
+    explodes one small batch into thousands of tiny files (measured:
+    12–64 s per append and a fold dominated by file listing,
+    WH_FOLD_r11). The append tier is transient unordered L0; time
+    locality belongs to the bucketed table's sort, not here."""
     if table not in _FACT_DATE_COL:
         raise KeyError(f"not a warehouse fact: {table!r}")
-    (
-        df.withColumn("dt", F.to_date(F.col(_FACT_DATE_COL[table])))
-        .write.mode("append")
-        .partitionBy("dt")
-        .parquet(os.path.join(appends_path, table))
-    )
+    df.write.mode("append").parquet(os.path.join(appends_path, table))
 
 
 def _append_files(path: str) -> list[str]:

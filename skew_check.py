@@ -172,14 +172,14 @@ def measure(name: str, fn, app_id: str, results: dict, warm: bool = True,
     if warm:
         fn().write.format("noop").mode("overwrite").save()
     samples = []
-    best_stats, t0_best = None, None
+    best_stats = None
     for _ in range(max(1, n)):
         t0 = time.time()
         fn().write.format("noop").mode("overwrite").save()
         t = round(time.time() - t0, 3)
         stats = stage_stats_since(app_id, t0)
         if not samples or t < min(samples):
-            best_stats, t0_best = stats, t0
+            best_stats = stats
         samples.append(t)
     out = {"t": min(samples), "straggler": best_stats}
     if n > 1:
