@@ -50,13 +50,15 @@ def main() -> None:
     ap.add_argument("--n-funnel", type=int, default=70)
     ap.add_argument("--n-journeys", type=int, default=60)
     ap.add_argument("--n-rollup", type=int, default=100)
+    ap.add_argument("--n-funnel-layout", type=int, default=50)
     ap.add_argument("--seed0", type=int, default=None,
                     help="base seed; default round*100000 so each round "
                          "explores new DSL space")
     ap.add_argument("--round", type=int, default=0, dest="round_no")
     ap.add_argument("--suite", default="all",
                     choices=["seg", "funnel", "paths", "retention",
-                             "attribution", "estimate", "rollup", "all"])
+                             "attribution", "estimate", "rollup",
+                             "funnel_layout", "all"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.seed0 is None:
@@ -89,6 +91,13 @@ def main() -> None:
         from tests import _fuzz_rollup
 
         jobs.append(("rollup", _fuzz_rollup, args.n_rollup))
+    if args.suite in ("funnel_layout", "all"):
+        # bucketed/assume_partitioned vs shuffle differential — the
+        # seam whose failure mode (split users) is silent undercount
+        from tests import _fuzz_funnel_layout
+
+        jobs.append(("funnel_layout", _fuzz_funnel_layout,
+                     args.n_funnel_layout))
     routed_n = 0
     for suite, mod, n in jobs:
         done = 0
