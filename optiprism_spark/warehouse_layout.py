@@ -305,7 +305,7 @@ def compact_fact_appends(
     with _BUILD_LOCK:
         for name, (table, key) in zip(names, _FACTS):
             path = os.path.join(appends_path, table)
-            _recover_fold(spark, name)
+            _recover_fold(spark, name, path)
             part_files = _append_files(path)
             if not part_files:
                 folded[table] = 0
@@ -326,6 +326,20 @@ def compact_fact_appends(
                 spark.sql(f"DROP TABLE IF EXISTS {staging}")
                 write_fact_bucketed(
                     base.unionByName(appends), staging, key, n_buckets)
+                if clear_appends:
+                    # crash-recovery marker, written AFTER the staged
+                    # fold and BEFORE the swap, listing exactly the
+                    # folded files: without it a crash between the
+                    # rename and the cleanup below would leave the
+                    # folded appends on disk and the next cycle would
+                    # fold them AGAIN (the double-fold the events
+                    # compaction's manifest exists to prevent)
+                    import json as _json
+
+                    with open(os.path.join(path, _FOLD_MANIFEST),
+                              "w") as f:
+                        _json.dump({"staging": staging,
+                                    "files": part_files}, f)
                 spark.sql(f"DROP TABLE {name}")
                 spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
             finally:
@@ -336,7 +350,11 @@ def compact_fact_appends(
                         os.remove(fpath)
                     except FileNotFoundError:
                         pass
-                # prune now-empty dt= partition dirs (cosmetic)
+                try:
+                    os.remove(os.path.join(path, _FOLD_MANIFEST))
+                except FileNotFoundError:
+                    pass
+                # prune now-empty partition dirs (cosmetic)
                 for r, dirs, files in list(os.walk(path, topdown=False)):
                     if r != path and not dirs and not files:
                         try:
@@ -347,15 +365,49 @@ def compact_fact_appends(
     return folded
 
 
-def _recover_fold(spark: SparkSession, name: str) -> None:
-    """Finish (or discard) an interrupted fold: a crash between DROP
-    and RENAME leaves only the fully-written staging table — promote
-    it; a staging table alongside a live main is a discarded attempt
-    — drop it."""
+_FOLD_MANIFEST = ".wh_fold.json"
+
+
+def _recover_fold(spark: SparkSession, name: str,
+                  path: Optional[str] = None) -> None:
+    """Finish (or discard) an interrupted fold — the events
+    compaction's recovery protocol (ingest._recover_compaction)
+    applied per fact table:
+
+    - no manifest: a bare staging table is a discarded attempt whose
+      appends are intact — drop it (if main is also gone, promote:
+      the staged fold is the only surviving copy).
+    - manifest + main + staging: crash between manifest write and the
+      swap — drop staging, keep appends (they re-fold cleanly).
+    - manifest + staging only: crash between DROP and RENAME —
+      promote staging, then delete exactly the folded files so the
+      next cycle cannot fold them twice.
+    - manifest, no staging: crash after the rename, before cleanup —
+      just delete the folded files + manifest."""
+    import json as _json
+
     staging = f"{name}__staging"
-    if not spark.catalog.tableExists(staging):
+    staging_exists = spark.catalog.tableExists(staging)
+    manifest = os.path.join(path, _FOLD_MANIFEST) if path else None
+    if manifest is None or not os.path.exists(manifest):
+        if staging_exists:
+            if spark.catalog.tableExists(name):
+                spark.sql(f"DROP TABLE {staging}")
+            else:
+                spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
         return
-    if spark.catalog.tableExists(name):
+    with open(manifest) as f:
+        info = _json.load(f)
+    main_exists = spark.catalog.tableExists(name)
+    if main_exists and staging_exists:
         spark.sql(f"DROP TABLE {staging}")
-    else:
+        os.remove(manifest)
+        return
+    if not main_exists and staging_exists:
         spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
+    for fpath in info.get("files", ()):
+        try:
+            os.remove(fpath)
+        except FileNotFoundError:
+            pass
+    os.remove(manifest)

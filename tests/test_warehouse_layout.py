@@ -232,3 +232,41 @@ def test_concurrent_builds_serialize(spark, tmp_path):
         counts = list(ex.map(build, range(6)))
     assert counts == [n_orders] * 6
     assert wl.layout_available(spark, sf)
+
+
+def test_fold_recovery_never_double_folds(spark, tmp_path):
+    """Crash AFTER the rename but BEFORE append cleanup: the manifest
+    lists exactly the folded files, so recovery deletes them instead
+    of letting the next cycle fold them twice (the events
+    compaction's double-fold hazard, replayed on the fact tables)."""
+    import json
+
+    sf = _fact_copy(tmp_path)
+    wl.cobucketed_order_facts(spark, sf)
+    orders = load_table(spark, sf, "orders")
+    okey_t = dict(orders.dtypes)["o_orderkey"]
+    max_o = orders.select(F.max("o_orderkey")).first()[0]
+    new_o = (orders.orderBy("o_orderkey").limit(3)
+             .withColumn("o_orderkey",
+                         (F.col("o_orderkey") + max_o).cast(okey_t)))
+    ap = str(tmp_path / "appends")
+    wl.append_fact(spark, ap, "orders", new_o)
+    n0 = wl.order_facts(spark, sf)[0].count()
+
+    # first fold, but simulate a crash after the swap by re-creating
+    # the manifest + leaving the append files in place
+    o_dir = os.path.join(ap, "orders")
+    part_files = wl._append_files(o_dir)
+    folded = wl.compact_fact_appends(spark, sf, ap, clear_appends=False)
+    assert folded["orders"] == 3
+    o_name, _ = wl._table_names(sf, 32, wl._source_fingerprint(sf))
+    with open(os.path.join(o_dir, wl._FOLD_MANIFEST), "w") as f:
+        json.dump({"staging": f"{o_name}__staging",
+                   "files": part_files}, f)
+
+    # next cycle: recovery must delete the already-folded files and
+    # fold NOTHING new — the table keeps exactly one copy of the batch
+    folded2 = wl.compact_fact_appends(spark, sf, ap)
+    assert folded2["orders"] == 0
+    assert wl.order_facts(spark, sf)[0].count() == n0 + 3
+    assert wl._append_files(o_dir) == []
