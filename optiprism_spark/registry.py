@@ -319,6 +319,7 @@ from .suites import (  # noqa: E402,F401
     attribution,
     catalog_admin,
     dedup,
+    drift,
     engagement,
     estimate,
     experiment,

@@ -1,0 +1,84 @@
+"""Drift operators: semantics + the plan shapes that survive 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from optiprism_spark.operators.drift import distribution_drift, table_profile
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_profile_is_one_partial_aggregated_scan(spark):
+    from optiprism_spark.schema import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    prof = table_profile(events, ["value"], by=["event_type"])
+    plan = _plan(prof)
+    # every statistic folds into ONE scan with map-side combine
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial" in plan.lower(), plan
+    row = prof.filter(F.col("event_type") == "purchase").first()
+    base = events.filter(F.col("event_type") == "purchase")
+    assert row["n_rows"] == base.count()
+    assert row["value_min"] == base.agg(F.min("value")).first()[0]
+
+
+def test_psi_identical_populations_is_zero(spark):
+    """Splitting one population randomly in half must read as no
+    drift: every bin's contribution rounds to ~0 (smoothing keeps the
+    tiny sampling noise bounded)."""
+    df = spark.range(20_000).select(
+        (F.col("id") % 1000).cast("double").alias("v"),
+        (F.col("id") % 2 == 0).alias("s"),
+    )
+    out = distribution_drift(df, "v", split=F.col("s"), bins=10).collect()
+    assert len(out) == 10
+    assert sum(abs(r["psi_contrib"]) for r in out) < 1e-6
+    # populations are equal halves, bins uniform
+    assert all(r["n_expected"] == r["n_actual"] for r in out)
+
+
+def test_psi_detects_a_shift(spark):
+    """Expected uniform [0,1000); actual shifted to [500,1500): the
+    moved mass must land as large contributions at BOTH tails."""
+    lo = spark.range(10_000).select(
+        (F.col("id") % 1000).cast("double").alias("v"), F.lit(True).alias("s"))
+    hi = spark.range(10_000).select(
+        (F.col("id") % 1000 + 500).cast("double").alias("v"),
+        F.lit(False).alias("s"))
+    out = distribution_drift(lo.unionByName(hi), "v",
+                             split=F.col("s"), bins=10)
+    rows = {r["bucket"]: r for r in out.collect()}
+    psi = sum(r["psi_contrib"] for r in rows.values())
+    assert psi > 0.5, psi  # canonical "significant shift" threshold is 0.25
+    # bottom bins: expected-only mass; top bins: actual-only mass
+    assert rows[1]["n_actual"] == 0 and rows[1]["n_expected"] > 0
+    top = max(rows)
+    assert rows[top]["n_expected"] == 0 and rows[top]["n_actual"] > 0
+
+
+def test_psi_plan_broadcasts_bounds_no_cartesian(spark):
+    from optiprism_spark.schema import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    out = distribution_drift(
+        events, "value",
+        split=F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, \
+        plan
+
+
+def test_psi_null_values_excluded(spark):
+    df = spark.createDataFrame(
+        [(1.0, True), (None, True), (2.0, False), (None, False)],
+        "v double, s boolean")
+    out = distribution_drift(df, "v", split=F.col("s"), bins=2).collect()
+    assert sum(r["n_expected"] + r["n_actual"] for r in out) == 2
