@@ -115,18 +115,53 @@ def distribution_drift(
         F.sum(F.col("__exp").cast("long")).alias("n_expected"),
         F.sum((~F.col("__exp")).cast("long")).alias("n_actual"),
     )
+    return _psi_contribs(hist, "bucket", bins)
+
+
+def categorical_drift(df: DataFrame, col: str, split: Column) -> DataFrame:
+    """PSI over a CATEGORICAL column's observed values (no binning):
+    one row per category with its expected/actual counts and PSI
+    contribution. The smoothing mass scales with the observed
+    category count, mirroring the numeric variant's per-bin mass —
+    an unseen-in-one-population category contributes a large, finite
+    term instead of ln(0). One partial-aggregated scan; the final
+    window runs over n_categories rows."""
+    v = F.col(col)
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("category"))
+        .agg(
+            F.sum(split.cast("long")).alias("n_expected"),
+            F.sum((~split).cast("long")).alias("n_actual"),
+        )
+    )
+    # n distinct categories is data-dependent: count via a window so
+    # the smoothing denominator stays inside the one plan
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return _psi_contribs(hist, "category", F.count(F.lit(1)).over(w))
+
+
+def _psi_contribs(hist: DataFrame, key: str, n_cells) -> DataFrame:
+    """Shared PSI tail: smoothed proportions + rounded ln term over a
+    (key, n_expected, n_actual) histogram. ``n_cells`` is the
+    smoothing denominator's cell count — a literal int for binned
+    drift, a window expression for categorical."""
     from pyspark.sql import Window
 
     w = Window.rowsBetween(Window.unboundedPreceding,
                            Window.unboundedFollowing)
     te = F.sum("n_expected").over(w)
     ta = F.sum("n_actual").over(w)
+    cells = F.lit(n_cells) if isinstance(n_cells, int) else n_cells
     pe = (F.col("n_expected") + F.lit(PSI_SMOOTH)) / (
-        te + F.lit(PSI_SMOOTH * bins))
+        te + F.lit(PSI_SMOOTH) * cells)
     pa = (F.col("n_actual") + F.lit(PSI_SMOOTH)) / (
-        ta + F.lit(PSI_SMOOTH * bins))
+        ta + F.lit(PSI_SMOOTH) * cells)
     return hist.select(
-        "bucket",
+        key,
         "n_expected",
         "n_actual",
         F.round((pe - pa) * F.log(pe / pa), 9).alias("psi_contrib"),

@@ -84,3 +84,39 @@ def drift_psi_value_half_month(spark, sf_dir):
         split=F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"),
         bins=_BINS,
     )
+
+
+@query(
+    "drift_psi_event_mix_half_month",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_type AS category,
+             ts < TIMESTAMP '{_SPLIT_TS}' AS exp_side
+      FROM events WHERE event_type IS NOT NULL
+    ), hist AS (
+      SELECT category,
+             CAST(SUM(CASE WHEN exp_side THEN 1 ELSE 0 END) AS BIGINT) AS n_expected,
+             CAST(SUM(CASE WHEN exp_side THEN 0 ELSE 1 END) AS BIGINT) AS n_actual
+      FROM vals GROUP BY 1
+    )
+    SELECT category, n_expected, n_actual,
+           round(((n_expected + 0.5) / (SUM(n_expected) OVER () + 0.5 * COUNT(*) OVER ())
+                  - (n_actual + 0.5) / (SUM(n_actual) OVER () + 0.5 * COUNT(*) OVER ()))
+                 * ln(((n_expected + 0.5) / (SUM(n_expected) OVER () + 0.5 * COUNT(*) OVER ()))
+                      / ((n_actual + 0.5) / (SUM(n_actual) OVER () + 0.5 * COUNT(*) OVER ()))),
+                 9) AS psi_contrib
+    FROM hist
+    """,
+)
+def drift_psi_event_mix_half_month(spark, sf_dir):
+    """Categorical PSI of the event-type mix, first vs second half of
+    January — catches instrumentation drift (an SDK release dropping
+    an event type) that numeric profiles miss. One partial-aggregated
+    scan; the PSI window runs over n_categories rows
+    (operators/drift.categorical_drift)."""
+    from ..operators.drift import categorical_drift
+
+    events = load_table(spark, sf_dir, "events")
+    return categorical_drift(
+        events, "event_type",
+        split=F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"))

@@ -82,3 +82,24 @@ def test_psi_null_values_excluded(spark):
         "v double, s boolean")
     out = distribution_drift(df, "v", split=F.col("s"), bins=2).collect()
     assert sum(r["n_expected"] + r["n_actual"] for r in out) == 2
+
+
+def test_categorical_drift_detects_dropped_category(spark):
+    """An SDK release drops event type 'c' from the actual period:
+    'c' must carry the dominant contribution."""
+    from optiprism_spark.operators.drift import categorical_drift
+
+    exp = spark.range(9_000).select(
+        F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("cat"),
+        F.lit(True).alias("s"))
+    act = spark.range(9_000).select(
+        F.element_at(F.array(F.lit("a"), F.lit("b")),
+                     (F.col("id") % 2 + 1).cast("int")).alias("cat"),
+        F.lit(False).alias("s"))
+    rows = {r["category"]: r for r in categorical_drift(
+        exp.unionByName(act), "cat", split=F.col("s")).collect()}
+    assert rows["c"]["n_actual"] == 0 and rows["c"]["n_expected"] == 3000
+    assert rows["c"]["psi_contrib"] == max(
+        r["psi_contrib"] for r in rows.values())
+    assert rows["c"]["psi_contrib"] > 1.0  # way past the 0.25 alarm
