@@ -87,3 +87,97 @@ def streaming_rollup_alerts(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_drift_alerts(
+    spark: SparkSession,
+    schema,
+    source_dir: str,
+    baseline_df,
+    checkpoint_dir: str,
+    state_dir: str,
+    alert_log_dir: str,
+    col: str = "event_type",
+    threshold: float = 0.25,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Categorical-drift watchdog over a landing stream: the PSI of
+    ``col``'s distribution (all streamed rows so far vs a frozen
+    baseline snapshot) is recomputed per micro-batch; crossing
+    ``threshold`` (0.25 = the canonical "significant shift" line)
+    appends one alert row (batch_id, psi) — the alarm a training-data
+    pipeline wants when an SDK release changes the event mix
+    mid-ingest, long before the snapshot-level drift check would see
+    it.
+
+    Exactly-once shape: each batch's histogram lands by OVERWRITE
+    under ``batch_id=N`` (a re-delivered batch rewrites the same path
+    — no double count), and the alert append anti-joins the log on
+    batch_id, so a replay raises nothing new. State read per batch is
+    the category histogram (n_categories × n_batches tiny rows), never
+    raw events.
+    """
+    import os as _os
+
+    from ..operators.drift import _psi_contribs
+
+    base_path = _os.path.join(state_dir, "baseline")
+    (
+        baseline_df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("n_expected"))
+        .write.mode("overwrite").parquet(base_path)
+    )
+    batches_path = _os.path.join(state_dir, "batches")
+
+    def fold(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        (
+            batch_df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("category"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(_os.path.join(batches_path, f"batch_id={batch_id}"))
+        )
+        running = (
+            sess.read.option("basePath", batches_path).parquet(batches_path)
+            .groupBy("category").agg(F.sum("n").alias("n_actual"))
+        )
+        hist = (
+            sess.read.parquet(base_path)
+            .join(running, "category", "full_outer")
+            .select(
+                "category",
+                F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
+                F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+        psi_row = _psi_contribs(hist, "category",
+                                F.count(F.lit(1)).over(w)).agg(
+            F.round(F.sum("psi_contrib"), 9)).first()
+        psi = psi_row[0] if psi_row else None
+        if psi is None or psi < threshold:
+            return
+        alert = sess.createDataFrame(
+            [(int(batch_id), float(psi))], "batch_id long, psi double")
+        if _os.path.isdir(alert_log_dir) and any(
+            f.endswith(".parquet")
+            for _r, _d, fs in _os.walk(alert_log_dir) for f in fs
+        ):
+            existing = sess.read.parquet(alert_log_dir).select("batch_id")
+            alert = alert.join(existing, "batch_id", "left_anti")
+        alert.write.mode("append").parquet(alert_log_dir)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fold)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

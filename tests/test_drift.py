@@ -103,3 +103,53 @@ def test_categorical_drift_detects_dropped_category(spark):
     assert rows["c"]["psi_contrib"] == max(
         r["psi_contrib"] for r in rows.values())
     assert rows["c"]["psi_contrib"] > 1.0  # way past the 0.25 alarm
+
+
+def test_streaming_drift_alerts_end_to_end(spark, tmp_path):
+    """Drift watchdog: a same-mix batch raises nothing; a shifted
+    batch raises exactly one alert; a replayed/quiet pass re-raises
+    nothing (per-batch overwrite + anti-join idempotence)."""
+    import os
+
+    from optiprism_spark.streaming.alerts import streaming_drift_alerts
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import datetime as dt
+
+    def mk(ev, n, base_id):
+        return [(base_id + i, dt.datetime(2024, 1, 2, 10, 0, 0), i % 9,
+                 ev, 0.0, "{}") for i in range(n)]
+
+    baseline = spark.createDataFrame(
+        mk("a", 300, 0) + mk("b", 300, 1000) + mk("c", 300, 2000), schema)
+    src = str(tmp_path / "landing"); os.makedirs(src)
+    state = str(tmp_path / "state")
+    log = str(tmp_path / "alerts")
+
+    def run():
+        q = streaming_drift_alerts(
+            spark, spark.createDataFrame([], schema).schema, src, baseline,
+            str(tmp_path / "ckpt"), state, log, threshold=0.25)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # batch 1: same mix → PSI ~0, no alert
+    spark.createDataFrame(
+        mk("a", 100, 10_000) + mk("b", 100, 11_000) + mk("c", 100, 12_000),
+        schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert not os.path.isdir(log) or spark.read.parquet(log).count() == 0
+
+    # batch 2: the mix collapses to one event type → alert
+    spark.createDataFrame(mk("a", 3000, 20_000), schema).coalesce(
+        1).write.mode("append").parquet(src)
+    run()
+    alerts = spark.read.parquet(log).collect()
+    assert len(alerts) == 1 and alerts[0]["psi"] >= 0.25
+
+    # quiet re-run: nothing new lands, log unchanged
+    run()
+    assert spark.read.parquet(log).count() == 1
