@@ -59,6 +59,10 @@ def table_profile(
             ).alias(f"{c}_mean"),
             F.min(col).alias(f"{c}_min"),
             F.max(col).alias(f"{c}_max"),
+            # exact distinct rides the same pass via Catalyst's Expand
+            # (one scan, two agg phases); at extreme cardinalities a
+            # deployment swaps this for approx_count_distinct
+            F.countDistinct(col).alias(f"{c}_distinct"),
         ]
     grouped = df.groupBy(*[F.col(b) for b in by]) if by else df.groupBy()
     return grouped.agg(*aggs)

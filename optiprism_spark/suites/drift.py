@@ -28,7 +28,8 @@ _BINS = 10
            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
            round({S.avg_exact('value')}, 9) AS value_mean,
            MIN(value) AS value_min,
-           MAX(value) AS value_max
+           MAX(value) AS value_max,
+           COUNT(DISTINCT value) AS value_distinct
     FROM events GROUP BY 1
     """,
 )
