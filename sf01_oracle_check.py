@@ -64,6 +64,9 @@ PREFERRED = [
     "dedup_embedding_cosine_lsh_banded",
     "funnel_machine_any_order_touch_last",
     "est_retention_weekly_sampled",
+    # bin-edge arithmetic + ln rounding are the scale-sensitive parts
+    # of the drift family
+    "drift_psi_value_half_month",
 ]
 
 
