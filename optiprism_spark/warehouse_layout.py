@@ -298,6 +298,11 @@ def compact_fact_appends(
     parquet is the bootstrap snapshot (same semantics as the events
     bucketed layout under live ingest).
 
+    ``clear_appends=False`` hands folded-file lifecycle to the caller:
+    the crash-recovery manifest is then not written, and the caller
+    must remove (or move) the folded files before the next cycle or
+    they WILL fold twice.
+
     Returns rows folded per table.
     """
     names = _ensure_layout(spark, sf_dir, n_buckets)
