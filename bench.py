@@ -102,6 +102,8 @@ HEADLINE = [
     "path_forward_from_signup",      # journey window + top-k paths
     "est_funnel_3step_sampled",      # funnel over a 25% coherent sample
     "seg_rollup_uniques_approx",     # HLL uniques from the day rollup
+    "drift_psi_value_half_month",    # r11: drift family (bounds bcast
+                                     # + one histogram pass, all JVM)
 ]
 
 
