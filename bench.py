@@ -66,6 +66,19 @@ BEST_LIKE_FOR_LIKE = {
     "sim_cosine_topk_ivf": 0.692,
     "text_stats_all": 0.332,
     "wh_revenue_by_nation": 0.883,
+    # non-comparable HEADLINE entries (min over r8-r10 + the r11
+    # forensic idle run) — the r10 drifters retention/stickiness sit
+    # here, outside the frozen comparable set, so the creep gate must
+    # watch the whole headline, not just the cross-round series
+    "eng_stickiness_weekly": 0.313,
+    "eng_stickiness_weekly_rollup": 0.401,
+    "est_funnel_3step_sampled": 0.722,
+    "path_forward_from_signup": 0.434,
+    "retention_weekly_signup_purchase": 0.397,
+    "seg_rollup_routed_count_daily": 0.181,
+    "seg_rollup_uniques_approx": 0.317,
+    "wh_revenue_by_nation_bucketed": 0.509,
+    "drift_psi_value_half_month": 0.312,  # r11 first in-suite run
 }
 
 #: headline set — one per operator family (SURVEY §2 coverage)
@@ -207,10 +220,10 @@ def main() -> None:
     # per-query creep gate: >2x the like-for-like all-time best is a
     # flagged regression even when the aggregate stays inside its gate
     budget_violations = {
-        n: {"sec": timings[n], "best": BEST_LIKE_FOR_LIKE[n],
-            "ratio": round(timings[n] / BEST_LIKE_FOR_LIKE[n], 2)}
-        for n in COMPARABLE_21
-        if timings[n] > 2.0 * BEST_LIKE_FOR_LIKE[n]
+        n: {"sec": t, "best": BEST_LIKE_FOR_LIKE[n],
+            "ratio": round(t / BEST_LIKE_FOR_LIKE[n], 2)}
+        for n, t in timings.items()
+        if n in BEST_LIKE_FOR_LIKE and t > 2.0 * BEST_LIKE_FOR_LIKE[n]
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
