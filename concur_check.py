@@ -207,8 +207,13 @@ def main() -> None:
     # body into a 1ms hit and the harness would measure nothing but
     # dict lookups — disable it; contention on REAL query execution
     # is the thing under test
+    # admission explicitly OFF for the contention gate: its series
+    # (r7-r10) was measured against an unshedded server, and at
+    # --n above the shape count a heavy pool's default cap (2) would
+    # 429 some workers and fail the gate spuriously. Shedding has its
+    # own scenario below on a DEFAULT-config server.
     app = make_app(spark, SF_DIR, rollup_store=store,
-                   result_cache_ttl=None)
+                   result_cache_ttl=None, admission_limit=None)
     srv = make_threaded_server(app)
     port = srv.server_address[1]
     base = f"http://127.0.0.1:{port}"

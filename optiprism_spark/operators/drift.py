@@ -100,14 +100,18 @@ def distribution_drift(
     partial-agg histogram, and a ``bins``-row window for the totals.
     """
     v = F.col(col)
+    # rows whose split is NULL (e.g. a NULL timestamp) belong to
+    # NEITHER population — filter them explicitly rather than letting
+    # three-valued logic drop them from one sum and not the other
+    # (r11 review finding: the SQL oracle's CASE ELSE branch counted
+    # them as actual while Spark's boolean sums skipped them)
+    pop = df.filter(v.isNotNull() & split.isNotNull())
     bounds = (
-        df.filter(v.isNotNull())
-        .agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+        pop.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
         .withColumn("__k", F.lit(1))
     )
     binned = (
-        df.filter(v.isNotNull())
-        .withColumn("__k", F.lit(1))
+        pop.withColumn("__k", F.lit(1))
         .join(F.broadcast(bounds), "__k")
         .select(
             _bucket_expr(v, F.col("__lo"), F.col("__hi"), bins).alias(
@@ -132,7 +136,7 @@ def categorical_drift(df: DataFrame, col: str, split: Column) -> DataFrame:
     window runs over n_categories rows."""
     v = F.col(col)
     hist = (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & split.isNotNull())
         .groupBy(v.alias("category"))
         .agg(
             F.sum(split.cast("long")).alias("n_expected"),

@@ -143,10 +143,11 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     on the order key get the Exchange-free plan too — the layout is a
     property of the store, not of one registered query."""
     dfs = load_tables(spark, sf_dir)
-    from .warehouse_layout import layout_available, order_facts
+    from .warehouse_layout import order_facts
 
-    if layout_available(spark, sf_dir):
-        dfs["orders"], dfs["lineitem"] = order_facts(spark, sf_dir)
+    # routed loader: bucketed tables when current, raw otherwise (the
+    # raw fallback is the same frame load_tables already produced)
+    dfs["orders"], dfs["lineitem"] = order_facts(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs

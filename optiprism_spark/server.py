@@ -398,10 +398,9 @@ class App:
         self.now = now  # fixed clock for "last N" windows in tests
         self.catalog = catalog if catalog is not None else Catalog()
         self.token_key = token_key
-        self._events_cache: Optional[DataFrame] = None
-        #: True when the served events frame is the bare bucketed lake
-        #: table (per-user partitioning on disk) — set by _events()
-        self._events_partitioned = False
+        #: (events frame, per-user-partitioned flag) as ONE cache
+        #: entry — resolved/replaced atomically by _events_resolved()
+        self._events_cache = None
         # optional day-grain pre-aggregate (rollup.RollupStore):
         # segmentation requests that are rollup-expressible are served
         # from it (run_event_segmentation routes per event-query);
@@ -1141,9 +1140,18 @@ class App:
         and erasing another would quietly violate right-to-erasure on
         every non-routed surface (found closing the r10 verdict's
         Missing #5)."""
-        df = self._events_cache
-        if df is None:
-            self._events_partitioned = False
+        return self._events_resolved()[0]
+
+    def _events_resolved(self) -> "tuple[DataFrame, bool]":
+        """(events frame, per-user-partitioned flag) resolved as ONE
+        atomic cache entry. The pair must never be read as two
+        separate attributes: a refresh between the two reads could
+        pair an appends-bearing snapshot with a True flag, and
+        assume_partitioned on a non-partitioned frame silently
+        undercounts conversions (r11 review finding)."""
+        cached = self._events_cache
+        if cached is None:
+            partitioned = False
             if self.lake:
                 from .ingest import (
                     _append_part_files,
@@ -1161,17 +1169,18 @@ class App:
                 # every user's rows in one partition — sequence
                 # operators may elide their per-user shuffle
                 # (funnel_attempts assume_partitioned). Any pending
-                # append breaks the invariant, so the flag is
-                # recomputed with the cache after every
-                # refresh_tables().
+                # append breaks the invariant, so the flag travels
+                # WITH the frame it describes and both are replaced
+                # together by refresh_tables().
                 tiers = self.lake.get("tiers_path")
-                self._events_partitioned = not (
+                partitioned = not (
                     _append_part_files(self.lake["appends_path"])
                     or (tiers and _committed_tiers(tiers)))
             else:
                 df = load_table(self.spark, self.sf_dir, "events")
-            self._events_cache = df
-        return df
+            cached = (df, partitioned)
+            self._events_cache = cached
+        return cached
 
     def refresh_tables(self) -> None:
         self._events_cache = None
@@ -1297,8 +1306,7 @@ class App:
         # user) is elided — the write-time layout already delivers
         # per-user partitions. Same discipline as the warehouse
         # fact routing; the decision is counted for operators.
-        events = self._events()  # resolves _events_partitioned too
-        assume = self._events_partitioned
+        events, assume = self._events_resolved()
         metrics.funnel_layout_routed_total().inc(
             path="bucketed" if assume else "shuffle")
         return 200, (

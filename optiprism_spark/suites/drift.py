@@ -48,7 +48,7 @@ def drift_profile_value_by_type(spark, sf_dir):
     WITH vals AS (
       SELECT value AS v,
              ts < TIMESTAMP '{_SPLIT_TS}' AS exp_side
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ), bounds AS (
       SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals
     ), binned AS (
@@ -93,7 +93,7 @@ def drift_psi_value_half_month(spark, sf_dir):
     WITH vals AS (
       SELECT event_type AS category,
              ts < TIMESTAMP '{_SPLIT_TS}' AS exp_side
-      FROM events WHERE event_type IS NOT NULL
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
     ), hist AS (
       SELECT category,
              CAST(SUM(CASE WHEN exp_side THEN 1 ELSE 0 END) AS BIGINT) AS n_expected,

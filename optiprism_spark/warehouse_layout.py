@@ -163,6 +163,16 @@ def _sweep_stale_layouts(
     os.replace(tmp, manifest)
 
 
+def _manifest_entries(wh: str) -> dict:
+    import json as _json
+
+    try:
+        with open(os.path.join(wh, ".wh_layout_manifest.json")) as f:
+            return _json.load(f)
+    except (FileNotFoundError, ValueError):
+        return {}
+
+
 def _ensure_layout(
     spark: SparkSession, sf_dir: str, n_buckets: int
 ) -> tuple[str, str]:
@@ -170,7 +180,18 @@ def _ensure_layout(
     the CURRENT source data — the amortized layout cost a warehouse
     pays at load time, not per query. Lock-guarded: concurrent server
     threads serialize on the build instead of racing the
-    rmtree/saveAsTable sequence."""
+    rmtree/saveAsTable sequence.
+
+    Restart durability: a fresh in-memory catalog does not know a
+    table whose FILES survived the last process. If the sidecar
+    manifest says those files are a build of this same source (same
+    name = same fingerprint), they are ADOPTED — re-bucketed from the
+    surviving data, not rebuilt from the raw sf_dir parquet. The
+    distinction matters under a live feed: compact_fact_appends folds
+    rows into the bucketed tables that exist NOWHERE else once the
+    appends are cleared, so a rebuild-from-source would silently drop
+    every folded row (r11 review finding). Unknown leftover dirs (no
+    manifest entry) are still treated as garbage and rebuilt."""
     fp = _source_fingerprint(sf_dir)
     ck = (sf_dir, n_buckets, fp)
     hit = _BUILT.get(ck)
@@ -182,13 +203,26 @@ def _ensure_layout(
             return hit
         o_name, l_name = _table_names(sf_dir, n_buckets, fp)
         wh = _warehouse_dir(spark)
+        known = _manifest_entries(wh)
         for name, (table, key) in zip((o_name, l_name), _FACTS):
             if spark.catalog.tableExists(name):
                 continue
-            # a fresh catalog (new process, same warehouse dir) does
-            # not know a table whose files survived the last process —
-            # clear the stale location before recreating it
-            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+            loc = os.path.join(wh, name)
+            if name in known and os.path.isdir(loc):
+                # adopt: the previous process's build of this exact
+                # source (possibly including folded appends) — rewrite
+                # it through a staging table so the data becomes a
+                # registered bucketed managed table again
+                survivor = spark.read.parquet(loc)
+                adopt = f"{name}__adopt"
+                spark.sql(f"DROP TABLE IF EXISTS {adopt}")
+                write_fact_bucketed(survivor, adopt, key, n_buckets)
+                shutil.rmtree(loc, ignore_errors=True)
+                spark.sql(f"ALTER TABLE {adopt} RENAME TO {name}")
+                continue
+            # unknown leftover files at the location are garbage from
+            # an untracked process — clear and rebuild from source
+            shutil.rmtree(loc, ignore_errors=True)
             write_fact_bucketed(
                 load_table(spark, sf_dir, table), name, key, n_buckets)
         _sweep_stale_layouts(spark, wh, sf_dir, n_buckets,
@@ -206,6 +240,23 @@ def cobucketed_order_facts(
     return spark.table(o_name), spark.table(l_name)
 
 
+def _layout_names_if_available(
+    spark: SparkSession, sf_dir: str, n_buckets: int
+) -> Optional[tuple[str, str]]:
+    """One fingerprint computation for the whole routing decision
+    (review finding: order_facts paid the os.walk+stat sweep twice,
+    register_views three times)."""
+    fp = _source_fingerprint(sf_dir)
+    names = _table_names(sf_dir, n_buckets, fp)
+    if (sf_dir, n_buckets, fp) in _BUILT:
+        return names
+    o_name, l_name = names
+    if spark.catalog.tableExists(o_name) and spark.catalog.tableExists(
+            l_name):
+        return names
+    return None
+
+
 def layout_available(
     spark: SparkSession, sf_dir: str, n_buckets: int = 32
 ) -> bool:
@@ -213,12 +264,7 @@ def layout_available(
     in this session's catalog — the routing predicate (mirrors
     rollup.rollup_supports: serve the cheap layout when it answers the
     question, never build one as a side effect of a read)."""
-    fp = _source_fingerprint(sf_dir)
-    if (sf_dir, n_buckets, fp) in _BUILT:
-        return True
-    o_name, l_name = _table_names(sf_dir, n_buckets, fp)
-    return spark.catalog.tableExists(o_name) and spark.catalog.tableExists(
-        l_name)
+    return _layout_names_if_available(spark, sf_dir, n_buckets) is not None
 
 
 def order_facts(
@@ -231,13 +277,10 @@ def order_facts(
     the layout would elide."""
     from . import metrics
 
-    if layout_available(spark, sf_dir, n_buckets):
+    names = _layout_names_if_available(spark, sf_dir, n_buckets)
+    if names is not None:
         metrics.warehouse_layout_routed_total().inc(path="layout")
-        o_name, l_name = _table_names(
-            sf_dir, n_buckets, _source_fingerprint(sf_dir))
-        # build memo may be cold in this process even though the
-        # catalog has the tables (another thread built them)
-        return spark.table(o_name), spark.table(l_name)
+        return spark.table(names[0]), spark.table(names[1])
     metrics.warehouse_layout_routed_total().inc(path="raw")
     return (
         load_table(spark, sf_dir, "orders"),
@@ -307,7 +350,34 @@ def compact_fact_appends(
     """
     names = _ensure_layout(spark, sf_dir, n_buckets)
     folded: dict[str, int] = {}
+
+    def _clear(path: str, part_files: list, with_manifest: bool) -> None:
+        for fpath in part_files:
+            try:
+                os.remove(fpath)
+            except FileNotFoundError:
+                pass
+        if with_manifest:
+            try:
+                os.remove(os.path.join(path, _FOLD_MANIFEST))
+            except FileNotFoundError:
+                pass
+        # prune now-empty partition dirs (cosmetic)
+        for r, dirs, files in list(os.walk(path, topdown=False)):
+            if r != path and not dirs and not files:
+                try:
+                    os.rmdir(r)
+                except OSError:
+                    pass
+
     with _BUILD_LOCK:
+        # phase 1 — stage every table's fold (expensive, no swaps
+        # yet): readers keep seeing consistent orders+lineitem while
+        # both rewrites run, and the cross-table inconsistency window
+        # narrows to the back-to-back DDL swaps in phase 2 (on a
+        # transactional lake the two swaps are one commit; a plain
+        # metastore cannot close the window completely)
+        staged = []  # (table, name, path, part_files, n)
         for name, (table, key) in zip(names, _FACTS):
             path = os.path.join(appends_path, table)
             _recover_fold(spark, name, path)
@@ -325,6 +395,11 @@ def compact_fact_appends(
             try:
                 n = appends.count()
                 if n == 0:
+                    # zero-row parts would otherwise be re-listed and
+                    # re-scanned by every future cycle (r11 review
+                    # finding) — clear them now, no fold needed
+                    if clear_appends:
+                        _clear(path, part_files, with_manifest=False)
                     folded[table] = 0
                     continue
                 staging = f"{name}__staging"
@@ -345,27 +420,17 @@ def compact_fact_appends(
                               "w") as f:
                         _json.dump({"staging": staging,
                                     "files": part_files}, f)
-                spark.sql(f"DROP TABLE {name}")
-                spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
+                staged.append((table, name, path, part_files, n))
             finally:
                 appends.unpersist()
+        # phase 2 — swap all staged tables back-to-back (cheap DDL)
+        for _table, name, _path, _files, _n in staged:
+            spark.sql(f"DROP TABLE {name}")
+            spark.sql(f"ALTER TABLE {name}__staging RENAME TO {name}")
+        # phase 3 — retire the folded append files
+        for table, _name, path, part_files, n in staged:
             if clear_appends:
-                for fpath in part_files:
-                    try:
-                        os.remove(fpath)
-                    except FileNotFoundError:
-                        pass
-                try:
-                    os.remove(os.path.join(path, _FOLD_MANIFEST))
-                except FileNotFoundError:
-                    pass
-                # prune now-empty partition dirs (cosmetic)
-                for r, dirs, files in list(os.walk(path, topdown=False)):
-                    if r != path and not dirs and not files:
-                        try:
-                            os.rmdir(r)
-                        except OSError:
-                            pass
+                _clear(path, part_files, with_manifest=True)
             folded[table] = n
     return folded
 

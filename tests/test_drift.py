@@ -84,6 +84,21 @@ def test_psi_null_values_excluded(spark):
     assert sum(r["n_expected"] + r["n_actual"] for r in out) == 2
 
 
+def test_psi_null_split_rows_in_neither_population(spark):
+    """A row whose split expression is NULL (e.g. NULL timestamp)
+    belongs to neither population — it must not leak into n_actual
+    via three-valued logic (r11 review finding)."""
+    from optiprism_spark.operators.drift import categorical_drift
+
+    df = spark.createDataFrame(
+        [(1.0, "a", True), (2.0, "a", False), (3.0, "a", None)],
+        "v double, c string, s boolean")
+    out = distribution_drift(df, "v", split=F.col("s"), bins=2).collect()
+    assert sum(r["n_expected"] + r["n_actual"] for r in out) == 2
+    cat = categorical_drift(df, "c", split=F.col("s")).collect()
+    assert cat[0]["n_expected"] == 1 and cat[0]["n_actual"] == 1
+
+
 def test_categorical_drift_detects_dropped_category(spark):
     """An SDK release drops event type 'c' from the actual period:
     'c' must carry the dominant contribution."""

@@ -512,7 +512,7 @@ def test_funnel_routes_bucketed_on_compacted_lake(spark, store, tmp_path):
     pending = make_app(spark, SF_DIR, lake=lake, result_cache_ttl=None)
     status, before = call(pending, "POST", path, body)
     assert status == 200
-    assert pending._events_partitioned is False  # L0 + tier pending
+    assert pending._events_resolved()[1] is False  # L0 + tier pending
 
     # fold everything into the bucketed base (tier first, then L0),
     # and drop the data-less tier dirs the way the compaction policy
@@ -528,7 +528,7 @@ def test_funnel_routes_bucketed_on_compacted_lake(spark, store, tmp_path):
     compacted = make_app(spark, SF_DIR, lake=lake, result_cache_ttl=None)
     status, after = call(compacted, "POST", path, body)
     assert status == 200
-    assert compacted._events_partitioned is True
+    assert compacted._events_resolved()[1] is True
 
     def rows(payload):
         cols = sorted(payload["columns"], key=lambda c: c["name"])

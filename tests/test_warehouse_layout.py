@@ -270,3 +270,51 @@ def test_fold_recovery_never_double_folds(spark, tmp_path):
     assert folded2["orders"] == 0
     assert wl.order_facts(spark, sf)[0].count() == n0 + 3
     assert wl._append_files(o_dir) == []
+
+
+def test_restart_adopts_folded_layout(spark, tmp_path):
+    """r11 review finding: folded rows exist nowhere but the bucketed
+    tables once appends are cleared, and a fresh process's catalog
+    does not know those tables. The manifest-driven ADOPTION path must
+    re-register the surviving files instead of rebuilding from the
+    bootstrap parquet (which would silently drop every folded row)."""
+    sf = _fact_copy(tmp_path)
+    wl.cobucketed_order_facts(spark, sf)
+    orders = load_table(spark, sf, "orders")
+    okey_t = dict(orders.dtypes)["o_orderkey"]
+    max_o = orders.select(F.max("o_orderkey")).first()[0]
+    new_o = (orders.orderBy("o_orderkey").limit(3)
+             .withColumn("o_orderkey",
+                         (F.col("o_orderkey") + max_o).cast(okey_t)))
+    ap = str(tmp_path / "appends")
+    wl.append_fact(spark, ap, "orders", new_o)
+    assert wl.compact_fact_appends(spark, sf, ap)["orders"] == 3
+    n_fed = wl.order_facts(spark, sf)[0].count()
+
+    # simulate a process restart: files survive, catalog forgets.
+    # (DROP on a managed table deletes its files, so stash + restore.)
+    o_name, l_name = wl._table_names(sf, 32, wl._source_fingerprint(sf))
+    wh = wl._warehouse_dir(spark)
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    for name in (o_name, l_name):
+        shutil.copytree(os.path.join(wh, name), os.path.join(stash, name))
+    for name in (o_name, l_name):
+        spark.sql(f"DROP TABLE {name}")
+        shutil.copytree(os.path.join(stash, name), os.path.join(wh, name))
+    wl._BUILT.clear()
+    assert not spark.catalog.tableExists(o_name)
+
+    # "next process" asks for the layout: adoption, not rebuild
+    o, _ = wl.cobucketed_order_facts(spark, sf)
+    assert o.count() == n_fed  # the 3 folded rows survived the restart
+    # and the adopted layout still joins Exchange-free
+    _, l = wl.order_facts(spark, sf)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "Exchange hashpartitioning" not in _plan(
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .select("l_extendedprice", "o_custkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

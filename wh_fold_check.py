@@ -10,9 +10,11 @@ Three numbers per cycle size (0.1%, 1%, 10% of the fact rows):
 
 The fold rewrites the whole bucketed table too (Spark has no
 per-bucket commit on plain parquet), so at this scale fold ≈ rebuild
-+ the append read — the honest result. What the fold buys is
-correctness-under-serving (staging + rename keeps readers working,
-crash recovery) and the cheap O(batch) ingest write; on a
++ the append read — the honest result. What the fold buys is the
+swap discipline (staged write + back-to-back renames narrow the
+reader-visible window to two DDL ops; crash recovery via manifest —
+NOT full reader isolation, which needs a transactional table format)
+and the cheap O(batch) ingest write; on a
 transactional lake (Delta/Iceberg) the same plan shape becomes a
 per-bucket incremental commit. The harness also re-asserts the fed
 layout still plans the fact⋈fact join Exchange-free after every
