@@ -280,6 +280,32 @@ DRIVER_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "wh_revenue_by_nation", "wh_revenue_by_nation_bucketed",
         "win_rolling_avg",
     }),
+    11: frozenset({
+        "alert_purchase_count_daily", "api_json_custom_event",
+        "api_json_funnel", "api_json_group_segmentation",
+        "api_json_segmentation", "asm_split_train_val_test",
+        "attr_last_touch_revenue", "dedup_embedding_cosine_ivf_auto",
+        "dedup_lsh_near_pairs", "drift_profile_value_by_type",
+        "drift_psi_event_mix_half_month", "drift_psi_value_half_month",
+        "eng_stickiness_weekly", "est_count_daily_sampled",
+        "event_records_search_purchases", "exp_view_to_purchase",
+        "funnel_frequency", "funnel_machine_breakdown",
+        "funnel_machine_nonunique", "funnel_machine_session_mode",
+        "funnel_steps_chart", "funnel_time_to_convert_dist",
+        "ingest_profile_upsert", "ingest_ua_browser_counts",
+        "multimodal_features", "path_forward_from_signup",
+        "retention_weekly_signup_purchase", "seg_breakdown_json_prop",
+        "seg_chart_pipeline", "seg_count_per_user_avg",
+        "seg_custom_event", "seg_dau", "seg_dau_by_week",
+        "seg_filter_json_prop", "seg_filter_ops",
+        "seg_formula_value_per_event", "seg_group_analytics_org",
+        "seg_mau", "seg_mixed_levels", "seg_multi_agg_weekly",
+        "seg_multi_event_merge", "seg_percentiles_by_type",
+        "seg_rollup_count_daily", "seg_sum_per_user_outer",
+        "seg_sum_value_daily_by_type", "seg_wau", "sim_cosine_topk_lsh",
+        "text_lang_distribution", "wh_top_brands_by_region",
+        "win_logarithmic",
+    }),
 }
 
 

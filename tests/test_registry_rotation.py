@@ -47,6 +47,22 @@ def test_gate_window_leads_with_stalest():
         "a staler query was left outside the gate window")
 
 
+def test_max_staleness_within_two_rounds():
+    """Given the recorded history plus the upcoming GATE_SIZE window,
+    no registered query's driver-check age may exceed 2 rounds — the
+    invariant the judge verifies each round. A missing per-round
+    DRIVER_CHECKED_ROUNDS entry breaks this immediately."""
+    latest = max(DRIVER_CHECKED_ROUNDS)
+    order = list(suite_round_robin(QUERIES))
+    upcoming = set(order[:GATE_SIZE])
+    for n in QUERIES:
+        age_after_next_gate = (
+            0 if n in upcoming else (latest + 1) - _last_checked(n))
+        assert age_after_next_gate <= 2, (
+            f"{n} last checked r{_last_checked(n)}; after the next gate "
+            f"it would be {age_after_next_gate} rounds stale")
+
+
 def test_recorded_rounds_are_registered_queries():
     """A typo'd name in DRIVER_CHECKED_ROUNDS would silently never
     match, making its query eternally stale."""
