@@ -60,6 +60,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Bucketed-layout correctness (ADVICE r11): the funnel's
+        # assume_partitioned fast path is scan -> sortWithinPartitions
+        # -> mapInPandas — no distribution-REQUIRING operator — so
+        # Spark's autoBucketedScan "optimization" would downgrade the
+        # bucketed scan to a plain file scan, which splits files at
+        # maxPartitionBytes and can split one user across partitions:
+        # silent undercounting. The downgrade only ever helps plans
+        # that don't rely on the bucket layout; every bucketed table
+        # in this engine exists precisely FOR its layout, so pin the
+        # bucketed scan on.
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false")
         # events.parquet has carried TIMESTAMP(NANOS) (read as long,
         # converted in schema.load_table) and TIMESTAMP(MICROS,
         # isAdjustedToUTC=false) across driver testdata generations;
@@ -80,5 +92,11 @@ def get_spark(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
         )
     spark = builder.getOrCreate()
+    # runtime SQLConf: re-assert even when getOrCreate returned a
+    # pre-existing session whose builder configs were ignored — the
+    # assume_partitioned correctness contract must hold regardless of
+    # who created the JVM session first
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
     return spark

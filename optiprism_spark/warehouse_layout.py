@@ -7,36 +7,71 @@ every query. The fix is the same one the events table already uses
 for its sequence operators (ingest.write_events_bucketed): bucket
 BOTH facts by the join key with the same bucket count at write time.
 A bucketed scan then feeds the sort-merge join with its required
-hash-partitioning already on disk — zero Exchange, zero Sort (the
-layout is also sorted by the key), and at 100 TB the join cost is a
-co-partitioned streaming merge instead of a full two-table shuffle.
+hash-partitioning already on disk — zero Exchange, and at 100 TB the
+join cost is a co-partitioned streaming merge instead of a full
+two-table shuffle.
 
 The reference sidesteps fact-fact joins entirely by denormalizing at
 ingest (SURVEY §2.3); this module is the Spark-native answer for the
 star-schema queries the warehouse suite covers.
 
+Snapshot model (r12 — replaces the rename-swap design): every build
+and every fold writes NEW physical tables under generation-numbered
+names (``wh_orders_b_<dirtag>_g<N>``), then commits by atomically
+replacing ONE pointer file (``.wh_current_<dirtag>.json``) that names
+the live (orders, lineitem) pair. Consequences the old design could
+not give:
+
+- **No swap window.** Readers resolve both table names from a single
+  pointer read, so a concurrent query can never observe new orders ∪
+  old lineitem (the r11 verdict's Missing #3). On a transactional
+  lake the pointer is the table-format commit; here it is an
+  ``os.replace``.
+- **Crash safety without a recovery protocol.** The pointer only ever
+  names complete tables (it is replaced strictly after both staged
+  writes finish). A crash anywhere leaves either the old pointer
+  (appends intact, orphan staging dirs are swept on the next build
+  cycle) or the new pointer (whose ``folded_files`` list retires the
+  already-folded appends idempotently). The r11 ``_recover_fold``
+  catalog-state machine — unsound across process restarts (ADVICE
+  r11 high: a fresh in-memory catalog made every ``tableExists``
+  false and recovery deleted appends whose rows never landed) — is
+  gone entirely.
+- **O(1) restart adoption.** A fresh process re-registers the
+  pointer's surviving table DIRECTORIES as external bucketed tables
+  (``CREATE TABLE … CLUSTERED BY … LOCATION``) instead of rewriting
+  the data; the Exchange-free plan is plan-tested on the adopted
+  tables.
+- **Folds are durable against source-file noise.** Once a fold has
+  run, the bucketed tables are the canonical store and a changed raw
+  sf_dir fingerprint no longer triggers an auto-rebuild (ADVICE r11
+  medium: a benign re-copy/touch of the bootstrap parquet silently
+  discarded every folded row). Regenerating the source under a folded
+  layout requires the explicit ``invalidate_layout`` — the same
+  contract a lakehouse table has with its long-dead bootstrap files.
+- **Two-generation retention.** A fold GCs tables retired by the
+  PREVIOUS fold, not its own — a reader that resolved the pair just
+  before a fold keeps scanning valid files through the entire next
+  cycle (lake analogue: snapshot expiry with min-snapshots-to-keep).
+
 Routing (``order_facts``): queries do not name the layout — they ask
 for the fact pair and get the bucketed tables whenever a current
-build exists, raw parquet otherwise (the same automatic-routing
-discipline as rollup.rollup_supports). "Current" is enforced by a
-source fingerprint (file sizes + mtimes) folded into the table tag:
-regenerated data at the same sf_dir changes the tag, so a stale
-bucketed copy is never served — it is rebuilt under a new name.
+build exists, raw parquet otherwise. Pre-fold currency is enforced by
+a source fingerprint (file sizes + mtimes) recorded at bootstrap:
+regenerated data at the same sf_dir stops matching and is rebuilt.
 
 Live feed (``append_fact`` / ``compact_fact_appends``): fresh fact
 rows land as plain unordered L0 parts (cheap, no bucketing), then a
-maintenance
-cycle folds them into the bucketed tables via staging + rename — the
-same swap discipline as ingest.compact_appends_into_bucketed — so
-the Exchange-free plan survives continuous ingest without full
-rebuilds. Once a fold has run, the bucketed tables are the canonical
-store (raw sf_dir parquet is the bootstrap snapshot), exactly like
-the events table's bucketed layout.
+maintenance cycle folds them into new-generation bucketed tables and
+commits the pointer. After the first fold the bucketed tables are the
+canonical store (raw sf_dir parquet is the bootstrap snapshot),
+exactly like the events table's bucketed layout.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import threading
@@ -49,25 +84,33 @@ from .schema import load_table
 
 #: the co-bucketed fact pair: (source table, join/bucket key)
 _FACTS = (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
+_FACT_KEYS = dict(_FACTS)
 
 #: the appendable facts and their event-time columns (membership
 #: check for append_fact; the sort in the bucketed layout — not the
 #: append tier — owns time locality)
 _FACT_DATE_COL = {"orders": "o_orderdate", "lineitem": "l_shipdate"}
 
-#: one bucketed build per (process, sf_dir, n_buckets, fingerprint)
-_BUILT: dict[tuple[str, int, str], tuple[str, str]] = {}
-#: serializes builds — concurrent server threads must not race the
-#: rmtree/saveAsTable sequence for the same table
-_BUILD_LOCK = threading.Lock()
+#: routing cache: (sf_dir, n_buckets) ->
+#: (pointer mtime_ns, names, has_folds, bootstrap_fp). One os.stat
+#: per routed query instead of re-reading the pointer; a fold
+#: replaces the pointer file, changing its mtime_ns. Fold-less
+#: entries still re-verify the source fingerprint on every hit —
+#: their currency depends on the raw files, not the pointer.
+_BUILT: dict[tuple[str, int], tuple[int, tuple[str, str], bool, str]] = {}
+#: serializes builds/folds/adoptions — concurrent server threads must
+#: not race the rmtree/saveAsTable/commit sequence for the same tag
+#: (reentrant: compact_fact_appends holds it across _ensure_layout)
+_BUILD_LOCK = threading.RLock()
 
 
 def _source_fingerprint(sf_dir: str) -> str:
     """Cheap digest of the fact source files (relpath, size,
-    mtime_ns). Folded into the bucketed table tag so regenerated data
-    at the same sf_dir is detected: the old tables stop matching and
-    a fresh build happens under a new name (ADVICE r10: an
-    (sf_dir, n_buckets)-only key silently served stale buckets)."""
+    mtime_ns) — the pre-fold staleness check: regenerated data at the
+    same sf_dir stops matching the pointer's ``bootstrap_fp`` and the
+    layout is rebuilt (ADVICE r10: an (sf_dir, n_buckets)-only key
+    silently served stale buckets). Once a fold has run the pointer is
+    authoritative and this digest is no longer consulted."""
     h = hashlib.md5()
     for table, _ in _FACTS:
         p = os.path.join(sf_dir, f"{table}.parquet")
@@ -87,9 +130,39 @@ def _source_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()
 
 
-def _table_names(sf_dir: str, n_buckets: int, fp: str) -> tuple[str, str]:
-    tag = hashlib.md5(f"{sf_dir}|{n_buckets}|{fp}".encode()).hexdigest()[:10]
-    return f"wh_orders_b_{tag}", f"wh_lineitem_b_{tag}"
+def _dirtag(sf_dir: str, n_buckets: int) -> str:
+    return hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{n_buckets}".encode()).hexdigest()[:10]
+
+
+def _gen_name(table: str, tag: str, gen: int) -> str:
+    return f"wh_{table}_b_{tag}_g{gen}"
+
+
+def _pointer_path(wh: str, tag: str) -> str:
+    return os.path.join(wh, f".wh_current_{tag}.json")
+
+
+def _read_pointer(wh: str, tag: str) -> Optional[dict]:
+    try:
+        with open(_pointer_path(wh, tag)) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _commit_pointer(wh: str, tag: str, ptr: dict) -> None:
+    """THE commit: both live table names change in one os.replace —
+    a reader resolving the pair sees one snapshot or the other, never
+    a mix (on a transactional lake this is the format's commit)."""
+    os.makedirs(wh, exist_ok=True)
+    path = _pointer_path(wh, tag)
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    with open(tmp, "w") as f:
+        json.dump(ptr, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def write_fact_bucketed(
@@ -122,113 +195,228 @@ def _warehouse_dir(spark: SparkSession) -> str:
     ).removeprefix("file:")
 
 
-def _sweep_stale_layouts(
-    spark: SparkSession, wh: str, sf_dir: str, n_buckets: int,
-    keep: tuple[str, str],
+def _drop_table_and_files(spark: SparkSession, wh: str, name: str) -> None:
+    """GC one physical table: catalog entry (managed or external) AND
+    its directory — adopted tables are external, so DROP alone would
+    leave their files behind."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+
+
+def _register_external_bucketed(
+    spark: SparkSession, wh: str, name: str, key: str, n_buckets: int
 ) -> None:
-    """Garbage-collect superseded layout builds. Every build records
-    {name: {sf_dir, built_at_fp}} in a sidecar manifest; a build for
-    the same sf_dir with a different fingerprint supersedes the old
-    tables, and builds whose source directory vanished (pytest
-    tmpdirs) are dead. Without this the warehouse dir accumulates one
-    orphaned orders+lineitem copy per data regeneration forever
-    (observed: 155 MB across ten rounds)."""
-    import json as _json
+    """Re-register surviving bucketed FILES as an external bucketed
+    table — the O(1) restart-adoption path (the r11 design rewrote the
+    whole table through a staging copy on every process restart; at
+    100 TB that is a full-table write for zero new bytes). The files
+    were produced by ``write_fact_bucketed``'s saveAsTable, so their
+    names carry the bucket-id suffix Spark's bucketed scan keys on;
+    the Exchange-free join over adopted tables is plan-tested
+    (tests/test_warehouse_layout.py)."""
+    loc = os.path.join(wh, name)
+    schema = spark.read.parquet(loc).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+    )
 
-    manifest = os.path.join(wh, ".wh_layout_manifest.json")
-    entries: dict[str, dict] = {}
-    try:
-        with open(manifest) as f:
-            entries = _json.load(f)
-    except (FileNotFoundError, ValueError):
-        pass
-    for name, info in list(entries.items()):
-        if name in keep:
+
+def _adopt_generation(
+    spark: SparkSession, wh: str, ptr: dict, n_buckets: int
+) -> None:
+    """Make every table the pointer names resolvable in THIS process's
+    catalog (fresh in-memory catalogs forget tables whose files
+    survived the last process)."""
+    for table, name in ptr["tables"].items():
+        if spark.catalog.tableExists(name):
             continue
-        # superseded: same source at the same bucket count (a
-        # different bucket count for the same source is a legitimate
-        # parallel layout, e.g. tests build 4 alongside 32)
-        superseded = (info.get("sf_dir") == sf_dir
-                      and info.get("n_buckets") == n_buckets)
-        src_gone = not os.path.isdir(info.get("sf_dir", ""))
-        if superseded or src_gone:
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-            del entries[name]
-    for name in keep:
-        entries[name] = {"sf_dir": sf_dir, "n_buckets": n_buckets}
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(entries, f)
-    os.replace(tmp, manifest)
+        loc = os.path.join(wh, name)
+        if not os.path.isdir(loc):
+            raise RuntimeError(
+                f"layout pointer names {name} but {loc} is missing — "
+                "the canonical store was deleted outside the engine; "
+                "invalidate_layout() and re-ingest to rebuild"
+            )
+        _register_external_bucketed(
+            spark, wh, name, _FACT_KEYS[table], n_buckets)
 
 
-def _manifest_entries(wh: str) -> dict:
-    import json as _json
+def _retire(spark: SparkSession, wh: str, ptr: dict) -> dict:
+    """Idempotent post-commit cleanup, safe to re-run after a crash:
+    delete append part files already folded into the live generation,
+    and GC table generations retired by a PREVIOUS fold (two-snapshot
+    retention: tables retired by the latest fold stay on disk until
+    the next one, so in-flight readers that resolved just before the
+    commit keep scanning valid files)."""
+    for fpath in ptr.get("folded_files", ()):
+        try:
+            os.remove(fpath)
+        except FileNotFoundError:
+            pass
+    ptr["folded_files"] = []
+    gen = ptr["generation"]
+    kept = []
+    for entry in ptr.get("retired", ()):
+        if entry["retired_at_gen"] < gen:
+            for name in entry["tables"]:
+                _drop_table_and_files(spark, wh, name)
+        else:
+            kept.append(entry)
+    ptr["retired"] = kept
+    return ptr
 
-    try:
-        with open(os.path.join(wh, ".wh_layout_manifest.json")) as f:
-            return _json.load(f)
-    except (FileNotFoundError, ValueError):
-        return {}
+
+def _sweep_dead_pointers(spark: SparkSession, wh: str) -> None:
+    """GC whole layouts whose source directory vanished (pytest
+    tmpdirs). Without this the warehouse dir accumulates one orphaned
+    orders+lineitem copy per test run forever (observed: 155 MB
+    across ten rounds)."""
+    if not os.path.isdir(wh):
+        return
+    for fn in os.listdir(wh):
+        if not (fn.startswith(".wh_current_") and fn.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(wh, fn)) as f:
+                ptr = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if os.path.isdir(ptr.get("sf_dir", "")):
+            continue
+        for name in ptr.get("tables", {}).values():
+            _drop_table_and_files(spark, wh, name)
+        for entry in ptr.get("retired", ()):
+            for name in entry["tables"]:
+                _drop_table_and_files(spark, wh, name)
+        try:
+            os.remove(os.path.join(wh, fn))
+        except FileNotFoundError:
+            pass
+
+
+def _sweep_orphan_generations(
+    spark: SparkSession, wh: str, tag: str, ptr: dict
+) -> None:
+    """Drop generation dirs of THIS tag that no pointer state
+    references — debris of a fold that crashed before its commit
+    (the appends it was staging are intact, so nothing is lost)."""
+    live = set(ptr["tables"].values())
+    for entry in ptr.get("retired", ()):
+        live.update(entry["tables"])
+    prefixes = tuple(f"wh_{t}_b_{tag}_g" for t, _ in _FACTS)
+    if not os.path.isdir(wh):
+        return
+    for fn in os.listdir(wh):
+        if fn.startswith(prefixes) and fn not in live:
+            _drop_table_and_files(spark, wh, fn)
+
+
+def _build_generation(
+    spark: SparkSession,
+    wh: str,
+    tag: str,
+    gen: int,
+    sources: dict[str, DataFrame],
+    n_buckets: int,
+) -> dict[str, str]:
+    """Write new physical tables for ``sources`` under generation
+    ``gen`` names. Leftovers from a crashed earlier attempt at the
+    same generation are cleared first (the pointer never referenced
+    them, so they are garbage by construction)."""
+    names: dict[str, str] = {}
+    for table, df in sources.items():
+        name = _gen_name(table, tag, gen)
+        _drop_table_and_files(spark, wh, name)
+        write_fact_bucketed(df, name, _FACT_KEYS[table], n_buckets)
+        names[table] = name
+    return names
 
 
 def _ensure_layout(
     spark: SparkSession, sf_dir: str, n_buckets: int
 ) -> tuple[str, str]:
-    """Build (once) and return the co-bucketed fact table names for
-    the CURRENT source data — the amortized layout cost a warehouse
-    pays at load time, not per query. Lock-guarded: concurrent server
-    threads serialize on the build instead of racing the
-    rmtree/saveAsTable sequence.
+    """Build (once) or adopt the co-bucketed fact tables and return
+    their names — the amortized layout cost a warehouse pays at load
+    time, not per query. Lock-guarded: concurrent server threads
+    serialize instead of racing the build.
 
-    Restart durability: a fresh in-memory catalog does not know a
-    table whose FILES survived the last process. If the sidecar
-    manifest says those files are a build of this same source (same
-    name = same fingerprint), they are ADOPTED — re-bucketed from the
-    surviving data, not rebuilt from the raw sf_dir parquet. The
-    distinction matters under a live feed: compact_fact_appends folds
-    rows into the bucketed tables that exist NOWHERE else once the
-    appends are cleared, so a rebuild-from-source would silently drop
-    every folded row (r11 review finding). Unknown leftover dirs (no
-    manifest entry) are still treated as garbage and rebuilt."""
-    fp = _source_fingerprint(sf_dir)
-    ck = (sf_dir, n_buckets, fp)
-    hit = _BUILT.get(ck)
-    if hit is not None:
-        return hit
+    Pointer states handled here:
+    - none → bootstrap build from the raw sf_dir parquet (gen 0).
+    - current (``bootstrap_fp`` matches, or ``has_folds`` — folded
+      tables are canonical regardless of source-file noise) → adopt
+      any tables this process's catalog doesn't know yet.
+    - stale bootstrap (fp mismatch, NO folds) → rebuild from the
+      regenerated source; the superseded tables are GC'd immediately
+      (regeneration is a rare human-driven event, and serving them
+      again is impossible — the pointer no longer names them)."""
+    wh = _warehouse_dir(spark)
+    tag = _dirtag(sf_dir, n_buckets)
     with _BUILD_LOCK:
-        hit = _BUILT.get(ck)  # double-checked under the lock
-        if hit is not None:
-            return hit
-        o_name, l_name = _table_names(sf_dir, n_buckets, fp)
-        wh = _warehouse_dir(spark)
-        known = _manifest_entries(wh)
-        for name, (table, key) in zip((o_name, l_name), _FACTS):
-            if spark.catalog.tableExists(name):
-                continue
-            loc = os.path.join(wh, name)
-            if name in known and os.path.isdir(loc):
-                # adopt: the previous process's build of this exact
-                # source (possibly including folded appends) — rewrite
-                # it through a staging table so the data becomes a
-                # registered bucketed managed table again
-                survivor = spark.read.parquet(loc)
-                adopt = f"{name}__adopt"
-                spark.sql(f"DROP TABLE IF EXISTS {adopt}")
-                write_fact_bucketed(survivor, adopt, key, n_buckets)
-                shutil.rmtree(loc, ignore_errors=True)
-                spark.sql(f"ALTER TABLE {adopt} RENAME TO {name}")
-                continue
-            # unknown leftover files at the location are garbage from
-            # an untracked process — clear and rebuild from source
-            shutil.rmtree(loc, ignore_errors=True)
-            write_fact_bucketed(
-                load_table(spark, sf_dir, table), name, key, n_buckets)
-        _sweep_stale_layouts(spark, wh, sf_dir, n_buckets,
-                             (o_name, l_name))
-        _BUILT[ck] = (o_name, l_name)
-        return o_name, l_name
+        ptr = _read_pointer(wh, tag)
+        old: list[str] = []
+        gen = 0
+        if ptr is not None:
+            current = ptr.get("has_folds") or (
+                ptr["bootstrap_fp"] == _source_fingerprint(sf_dir))
+            if current:
+                try:
+                    _adopt_generation(spark, wh, ptr, n_buckets)
+                except RuntimeError:
+                    if ptr.get("has_folds"):
+                        raise  # folded rows lived nowhere else
+                    # fold-less bootstrap whose files were deleted
+                    # externally: rebuilding from source is lossless
+                else:
+                    _cache_names(sf_dir, n_buckets, wh, tag, ptr)
+                    return _pair(ptr)
+            # stale (or damaged fold-less) bootstrap: rebuild, then GC
+            # the superseded generation immediately — the pointer no
+            # longer names it, so it can never be served again
+            old = list(ptr["tables"].values())
+            for entry in ptr.get("retired", ()):
+                old.extend(entry["tables"])
+            gen = ptr["generation"] + 1
+        _sweep_dead_pointers(spark, wh)
+        names = _build_generation(
+            spark, wh, tag, gen,
+            {t: load_table(spark, sf_dir, t) for t, _ in _FACTS},
+            n_buckets,
+        )
+        new_ptr = {
+            "generation": gen,
+            "tables": names,
+            "sf_dir": sf_dir,
+            "n_buckets": n_buckets,
+            "bootstrap_fp": _source_fingerprint(sf_dir),
+            "has_folds": False,
+            "retired": [],
+            "folded_files": [],
+        }
+        _commit_pointer(wh, tag, new_ptr)
+        for name in old:
+            _drop_table_and_files(spark, wh, name)
+        _sweep_orphan_generations(spark, wh, tag, new_ptr)
+        _cache_names(sf_dir, n_buckets, wh, tag, new_ptr)
+        return _pair(new_ptr)
+
+
+def _pair(ptr: dict) -> tuple[str, str]:
+    return ptr["tables"]["orders"], ptr["tables"]["lineitem"]
+
+
+def _cache_names(
+    sf_dir: str, n_buckets: int, wh: str, tag: str, ptr: dict
+) -> None:
+    try:
+        mt = os.stat(_pointer_path(wh, tag)).st_mtime_ns
+    except FileNotFoundError:
+        return
+    _BUILT[(sf_dir, n_buckets)] = (
+        mt, _pair(ptr), bool(ptr.get("has_folds")), ptr["bootstrap_fp"])
 
 
 def cobucketed_order_facts(
@@ -240,31 +428,95 @@ def cobucketed_order_facts(
     return spark.table(o_name), spark.table(l_name)
 
 
+def current_table_names(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> Optional[tuple[str, str]]:
+    """The live (orders, lineitem) physical names, or None when no
+    current build exists — the introspection hook harnesses use."""
+    return _layout_names_if_available(spark, sf_dir, n_buckets)
+
+
 def _layout_names_if_available(
     spark: SparkSession, sf_dir: str, n_buckets: int
 ) -> Optional[tuple[str, str]]:
-    """One fingerprint computation for the whole routing decision
-    (review finding: order_facts paid the os.walk+stat sweep twice,
-    register_views three times)."""
-    fp = _source_fingerprint(sf_dir)
-    names = _table_names(sf_dir, n_buckets, fp)
-    if (sf_dir, n_buckets, fp) in _BUILT:
-        return names
-    o_name, l_name = names
-    if spark.catalog.tableExists(o_name) and spark.catalog.tableExists(
-            l_name):
-        return names
-    return None
+    """Resolve the live pair from ONE pointer snapshot — the reader
+    side of the single-pointer commit. Fast path is a single os.stat
+    (mtime-keyed cache); the fingerprint stat-walk only runs for
+    fold-less bootstrap builds, whose currency still depends on the
+    raw source files."""
+    wh = _warehouse_dir(spark)
+    tag = _dirtag(sf_dir, n_buckets)
+    try:
+        mt = os.stat(_pointer_path(wh, tag)).st_mtime_ns
+    except FileNotFoundError:
+        return None
+    cached = _BUILT.get((sf_dir, n_buckets))
+    if cached is not None and cached[0] == mt:
+        _mt, names, has_folds, bootstrap_fp = cached
+        if has_folds or bootstrap_fp == _source_fingerprint(sf_dir):
+            return names
+        return None  # fold-less build whose source was regenerated
+    ptr = _read_pointer(wh, tag)
+    if ptr is None:
+        return None
+    if not ptr.get("has_folds") and (
+            ptr["bootstrap_fp"] != _source_fingerprint(sf_dir)):
+        return None
+    names = _pair(ptr)
+    if not all(spark.catalog.tableExists(n) for n in names):
+        # fresh process: adopt the surviving files (O(1) DDL). A
+        # fold-less layout whose files were deleted externally just
+        # routes raw (lossless); a FOLDED one must not fail silent —
+        # its rows exist nowhere else.
+        with _BUILD_LOCK:
+            if not all(spark.catalog.tableExists(n) for n in names):
+                try:
+                    _adopt_generation(spark, wh, ptr, n_buckets)
+                except RuntimeError:
+                    if ptr.get("has_folds"):
+                        raise
+                    return None
+    _cache_names(sf_dir, n_buckets, wh, tag, ptr)
+    return names
 
 
 def layout_available(
     spark: SparkSession, sf_dir: str, n_buckets: int = 32
 ) -> bool:
-    """True when a co-bucketed build of the CURRENT source data exists
-    in this session's catalog — the routing predicate (mirrors
-    rollup.rollup_supports: serve the cheap layout when it answers the
-    question, never build one as a side effect of a read)."""
+    """True when a co-bucketed build of the current source data (or a
+    folded canonical store) is servable — the routing predicate
+    (mirrors rollup.rollup_supports: serve the cheap layout when it
+    answers the question, never build one as a side effect)."""
     return _layout_names_if_available(spark, sf_dir, n_buckets) is not None
+
+
+def invalidate_layout(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> bool:
+    """Explicitly discard the layout — INCLUDING folded appends, which
+    live nowhere else once their L0 parts were retired. This is the
+    deliberate, destructive override for 'the source truly was
+    regenerated and the folds belong to dead data'; mere source-file
+    noise (re-copy, backup restore, touch) must NOT call this (ADVICE
+    r11: the old design auto-swept folded builds on any fingerprint
+    change). Returns True when a layout existed."""
+    wh = _warehouse_dir(spark)
+    tag = _dirtag(sf_dir, n_buckets)
+    with _BUILD_LOCK:
+        ptr = _read_pointer(wh, tag)
+        if ptr is None:
+            return False
+        for name in ptr["tables"].values():
+            _drop_table_and_files(spark, wh, name)
+        for entry in ptr.get("retired", ()):
+            for name in entry["tables"]:
+                _drop_table_and_files(spark, wh, name)
+        try:
+            os.remove(_pointer_path(wh, tag))
+        except FileNotFoundError:
+            pass
+        _BUILT.pop((sf_dir, n_buckets), None)
+        return True
 
 
 def order_facts(
@@ -327,65 +579,61 @@ def compact_fact_appends(
     n_buckets: int = 32,
     clear_appends: bool = True,
 ) -> dict[str, int]:
-    """Fold appended fact rows into the co-bucketed tables — the
+    """Fold appended fact rows into the co-bucketed layout — the
     maintenance loop that keeps the Exchange-free fact⋈fact plan
-    valid under continuous ingest, mirroring the events table's
-    ingest.compact_appends_into_bucketed (staging table + rename swap
-    because Spark cannot overwrite a table it is reading from; on a
-    production lake the swap is a transactional-format commit).
+    valid under continuous ingest.
 
-    The appends snapshot is the part files listed at entry; files
-    landing while the rewrite runs are neither folded nor deleted, so
-    repeated cycles never lose or double-fold a row. After the first
-    fold the bucketed tables are the canonical store — the raw sf_dir
-    parquet is the bootstrap snapshot (same semantics as the events
-    bucketed layout under live ingest).
+    Protocol (single-pointer commit):
+
+    1. snapshot the append part files per table (files landing while
+       the rewrite runs are neither folded nor retired — repeated
+       cycles never lose or double-fold a row);
+    2. write NEW generation tables (base ∪ appends) for each table
+       that has appends — tables without appends carry forward
+       unchanged in the pointer;
+    3. atomically replace the pointer: both names flip in one commit,
+       ``folded_files`` records exactly the snapshot of step 1;
+    4. retire the folded files and the generation a PREVIOUS fold
+       superseded (two-snapshot retention for in-flight readers).
+
+    A crash in 1–2 leaves the old pointer live and the appends intact
+    (orphan staging dirs are swept later); a crash in 4 is repaired
+    idempotently by the next cycle's step 0 (_retire re-runs from the
+    committed pointer). There is no state between "fold invisible,
+    appends pending" and "fold live, appends retired" in which rows
+    can be lost or duplicated — the property the r11 rename-swap
+    protocol could not give across process restarts (ADVICE r11).
 
     ``clear_appends=False`` hands folded-file lifecycle to the caller:
-    the crash-recovery manifest is then not written, and the caller
-    must remove (or move) the folded files before the next cycle or
-    they WILL fold twice.
+    ``folded_files`` is then not recorded, and the caller must remove
+    (or move) the folded files before the next cycle or they WILL
+    fold twice.
 
-    Returns rows folded per table.
-    """
-    names = _ensure_layout(spark, sf_dir, n_buckets)
-    folded: dict[str, int] = {}
+    Returns rows folded per table."""
+    wh = _warehouse_dir(spark)
+    tag = _dirtag(sf_dir, n_buckets)
+    folded: dict[str, int] = {t: 0 for t, _ in _FACTS}
 
-    def _clear(path: str, part_files: list, with_manifest: bool) -> None:
-        for fpath in part_files:
-            try:
-                os.remove(fpath)
-            except FileNotFoundError:
-                pass
-        if with_manifest:
-            try:
-                os.remove(os.path.join(path, _FOLD_MANIFEST))
-            except FileNotFoundError:
-                pass
-        # prune now-empty partition dirs (cosmetic)
-        for r, dirs, files in list(os.walk(path, topdown=False)):
-            if r != path and not dirs and not files:
-                try:
-                    os.rmdir(r)
-                except OSError:
-                    pass
-
-    with _BUILD_LOCK:
-        # phase 1 — stage every table's fold (expensive, no swaps
-        # yet): readers keep seeing consistent orders+lineitem while
-        # both rewrites run, and the cross-table inconsistency window
-        # narrows to the back-to-back DDL swaps in phase 2 (on a
-        # transactional lake the two swaps are one commit; a plain
-        # metastore cannot close the window completely)
-        staged = []  # (table, name, path, part_files, n)
-        for name, (table, key) in zip(names, _FACTS):
+    with _BUILD_LOCK:  # reentrant — held across the ensure
+        _ensure_layout(spark, sf_dir, n_buckets)
+        ptr = _read_pointer(wh, tag)
+        assert ptr is not None  # _ensure_layout just committed one
+        # step 0: finish any interrupted cleanup from the last cycle
+        if ptr.get("folded_files") or any(
+                e["retired_at_gen"] < ptr["generation"]
+                for e in ptr.get("retired", ())):
+            ptr = _retire(spark, wh, ptr)
+            _commit_pointer(wh, tag, ptr)
+        gen = ptr["generation"] + 1
+        new_tables = dict(ptr["tables"])
+        all_folded_files: list[str] = []
+        replaced: list[str] = []
+        for table, _key in _FACTS:
             path = os.path.join(appends_path, table)
-            _recover_fold(spark, name, path)
             part_files = _append_files(path)
             if not part_files:
-                folded[table] = 0
                 continue
-            base = spark.table(name)
+            base = spark.table(ptr["tables"][table])
             appends = spark.read.parquet(*part_files)
             if "dt" in appends.columns and "dt" not in base.columns:
                 appends = appends.drop("dt")
@@ -396,88 +644,57 @@ def compact_fact_appends(
                 n = appends.count()
                 if n == 0:
                     # zero-row parts would otherwise be re-listed and
-                    # re-scanned by every future cycle (r11 review
-                    # finding) — clear them now, no fold needed
+                    # re-scanned by every future cycle — clear them
+                    # now, no fold needed
                     if clear_appends:
-                        _clear(path, part_files, with_manifest=False)
-                    folded[table] = 0
+                        _clear_append_files(path, part_files)
                     continue
-                staging = f"{name}__staging"
-                spark.sql(f"DROP TABLE IF EXISTS {staging}")
-                write_fact_bucketed(
-                    base.unionByName(appends), staging, key, n_buckets)
+                built = _build_generation(
+                    spark, wh, tag, gen,
+                    {table: base.unionByName(appends)}, n_buckets)
+                replaced.append(new_tables[table])
+                new_tables.update(built)
+                folded[table] = n
                 if clear_appends:
-                    # crash-recovery marker, written AFTER the staged
-                    # fold and BEFORE the swap, listing exactly the
-                    # folded files: without it a crash between the
-                    # rename and the cleanup below would leave the
-                    # folded appends on disk and the next cycle would
-                    # fold them AGAIN (the double-fold the events
-                    # compaction's manifest exists to prevent)
-                    import json as _json
-
-                    with open(os.path.join(path, _FOLD_MANIFEST),
-                              "w") as f:
-                        _json.dump({"staging": staging,
-                                    "files": part_files}, f)
-                staged.append((table, name, path, part_files, n))
+                    all_folded_files.extend(part_files)
             finally:
                 appends.unpersist()
-        # phase 2 — swap all staged tables back-to-back (cheap DDL)
-        for _table, name, _path, _files, _n in staged:
-            spark.sql(f"DROP TABLE {name}")
-            spark.sql(f"ALTER TABLE {name}__staging RENAME TO {name}")
-        # phase 3 — retire the folded append files
-        for table, _name, path, part_files, n in staged:
-            if clear_appends:
-                _clear(path, part_files, with_manifest=True)
-            folded[table] = n
+        if not replaced:
+            return folded
+        new_ptr = {
+            **ptr,
+            "generation": gen,
+            "tables": new_tables,
+            "has_folds": True,
+            "retired": ptr.get("retired", [])
+            + [{"tables": replaced, "retired_at_gen": gen}],
+            "folded_files": all_folded_files,
+        }
+        # THE commit — everything before this line is invisible to
+        # readers; everything after is idempotent cleanup
+        _commit_pointer(wh, tag, new_ptr)
+        _cache_names(sf_dir, n_buckets, wh, tag, new_ptr)
+        new_ptr = _retire(spark, wh, new_ptr)
+        _commit_pointer(wh, tag, new_ptr)
+        _cache_names(sf_dir, n_buckets, wh, tag, new_ptr)
+        if clear_appends:
+            _prune_empty_dirs(appends_path)
     return folded
 
 
-_FOLD_MANIFEST = ".wh_fold.json"
-
-
-def _recover_fold(spark: SparkSession, name: str,
-                  path: Optional[str] = None) -> None:
-    """Finish (or discard) an interrupted fold — the events
-    compaction's recovery protocol (ingest._recover_compaction)
-    applied per fact table:
-
-    - no manifest: a bare staging table is a discarded attempt whose
-      appends are intact — drop it (if main is also gone, promote:
-      the staged fold is the only surviving copy).
-    - manifest + main + staging: crash between manifest write and the
-      swap — drop staging, keep appends (they re-fold cleanly).
-    - manifest + staging only: crash between DROP and RENAME —
-      promote staging, then delete exactly the folded files so the
-      next cycle cannot fold them twice.
-    - manifest, no staging: crash after the rename, before cleanup —
-      just delete the folded files + manifest."""
-    import json as _json
-
-    staging = f"{name}__staging"
-    staging_exists = spark.catalog.tableExists(staging)
-    manifest = os.path.join(path, _FOLD_MANIFEST) if path else None
-    if manifest is None or not os.path.exists(manifest):
-        if staging_exists:
-            if spark.catalog.tableExists(name):
-                spark.sql(f"DROP TABLE {staging}")
-            else:
-                spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
-        return
-    with open(manifest) as f:
-        info = _json.load(f)
-    main_exists = spark.catalog.tableExists(name)
-    if main_exists and staging_exists:
-        spark.sql(f"DROP TABLE {staging}")
-        os.remove(manifest)
-        return
-    if not main_exists and staging_exists:
-        spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
-    for fpath in info.get("files", ()):
+def _clear_append_files(path: str, part_files: list[str]) -> None:
+    for fpath in part_files:
         try:
             os.remove(fpath)
         except FileNotFoundError:
             pass
-    os.remove(manifest)
+    _prune_empty_dirs(path)
+
+
+def _prune_empty_dirs(path: str) -> None:
+    for r, dirs, files in list(os.walk(path, topdown=False)):
+        if r != path and not dirs and not files:
+            try:
+                os.rmdir(r)
+            except OSError:
+                pass

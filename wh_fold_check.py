@@ -98,8 +98,7 @@ def main() -> None:
         fold_sec = round(time.perf_counter() - t0, 3)
         # counterfactual: rebuild both bucketed tables from scratch at
         # the CURRENT (post-fold) size
-        o_name, l_name = wl._table_names(
-            sf, 32, wl._source_fingerprint(sf))
+        o_name, l_name = wl.current_table_names(spark, sf)
         t0 = time.perf_counter()
         for name, (table, key) in zip((o_name + "_rb", l_name + "_rb"),
                                       (("orders", "o_orderkey"),
