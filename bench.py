@@ -117,6 +117,10 @@ HEADLINE = [
     "seg_rollup_uniques_approx",     # HLL uniques from the day rollup
     "drift_psi_value_half_month",    # r11: drift family (bounds bcast
                                      # + one histogram pass, all JVM)
+    "drift_profile_value_by_type",   # r12: one-pass table profile
+    "drift_psi_value_rollup_routed", # r12: PSI folded from stored bins
+                                     # (build amortized by min-of-N —
+                                     # the recurring-delivery path)
 ]
 
 

@@ -901,3 +901,105 @@ def percentile_estimate(
         *[F.round(est(q), 6).alias(f"p{int(round(q * 100))}_est")
           for q in qs],
     )
+
+
+def drift_supports(
+    base: QueryTime,
+    actual: QueryTime,
+    prop: str,
+    spec: RollupSpec,
+    kind: str = "numeric",
+) -> bool:
+    """True iff a PSI between the two periods folds out of this
+    rollup bit-identically to the raw scan: both periods must be
+    whole-day unions (the store's grain) with bounded ends, and the
+    property must be materialized — as DDL-time histogram bins for
+    numeric drift, as a grouping dim for categorical drift."""
+    for t in (base, actual):
+        aligned = _day_aligned(t)
+        if aligned is None or aligned[1] is None:
+            return False
+    if kind == "numeric":
+        return prop in dict(spec.histogram_props)
+    if kind == "categorical":
+        return prop in spec.dims
+    return False
+
+
+def _day_range_cond(time: QueryTime) -> Column:
+    d0, d1 = _day_aligned(time)
+    dtc = F.col(ROLLUP_DT_COL)
+    return (dtc >= F.lit(d0.isoformat()).cast("date")) & (
+        dtc <= F.lit(d1.isoformat()).cast("date"))
+
+
+def psi_from_rollup(
+    rollup: DataFrame,
+    spec: RollupSpec,
+    prop: str,
+    base: QueryTime,
+    actual: QueryTime,
+) -> DataFrame:
+    """Numeric PSI folded from STORED histogram bins — the recurring
+    snapshot check a training pipeline runs between deliveries,
+    answered from the day-grain pre-aggregate the store already
+    maintains instead of rescanning raw events (at 100 TB the fold
+    touches ~bins × days rows vs the full corpus).
+
+    Bit-equality with the raw path (distribution_drift_fixed on the
+    same edges): the stored bins were computed with the identical bin
+    conditions at build time (NULL values excluded there like the raw
+    path's isNotNull filter; NULL timestamps have NULL dt and fall
+    outside both day ranges), and the PSI tail is the shared
+    _psi_from_bin_sums expression. Pinned by the
+    drift_psi_value_rollup_routed registry query hash-matching the
+    fixed-edge oracle, and the routed≡raw test in tests/test_drift.py.
+    """
+    from .operators.drift import _psi_from_bin_sums
+
+    edges = spec.hist_edges(prop)
+    n_bins = len(edges) + 1
+    in_base = _day_range_cond(base)
+    in_act = _day_range_cond(actual)
+    aggs: list[Column] = []
+    for i in range(n_bins):
+        c = F.col(spec.hist_col(prop, i))
+        aggs.append(F.sum(F.when(in_base, c).otherwise(F.lit(0)))
+                    .cast("long").alias(f"__e{i}"))
+        aggs.append(F.sum(F.when(in_act, c).otherwise(F.lit(0)))
+                    .cast("long").alias(f"__a{i}"))
+    row = rollup.filter(in_base | in_act).agg(*aggs)
+    return _psi_from_bin_sums(row, n_bins)
+
+
+def categorical_psi_from_rollup(
+    rollup: DataFrame,
+    spec: RollupSpec,
+    dim: str,
+    base: QueryTime,
+    actual: QueryTime,
+    max_categories: Optional[int] = None,
+) -> DataFrame:
+    """Categorical (event-mix) PSI folded from the rollup's per-day
+    per-dim event counts — no raw scan. The histogram is
+    sum(events_count) per dim value per period; the top-K guard and
+    PSI tail are shared with the raw operator
+    (operators/drift.categorical_psi_tail), so routed ≡ raw."""
+    from .operators.drift import MAX_CATEGORIES, categorical_psi_tail
+
+    if max_categories is None:
+        max_categories = MAX_CATEGORIES
+    in_base = _day_range_cond(base)
+    in_act = _day_range_cond(actual)
+    d = F.col(dim)
+    hist = (
+        rollup.filter((in_base | in_act) & d.isNotNull())
+        .groupBy(d.cast("string").alias("category"))
+        .agg(
+            F.sum(F.when(in_base, F.col(EVENTS_COUNT_COL))
+                  .otherwise(F.lit(0))).cast("long").alias("n_expected"),
+            F.sum(F.when(in_act, F.col(EVENTS_COUNT_COL))
+                  .otherwise(F.lit(0))).cast("long").alias("n_actual"),
+        )
+    )
+    return categorical_psi_tail(hist, max_categories)

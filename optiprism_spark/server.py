@@ -583,6 +583,8 @@ class App:
              _timed_query("percentiles", self._percentiles), explore),
             ("POST", re.compile(P + r"/queries/stickiness$"),
              _timed_query("stickiness", self._stickiness), explore),
+            ("POST", re.compile(P + r"/queries/drift$"),
+             _timed_query("drift", self._drift), explore),
             ("POST", re.compile(P + r"/event-records/search$"),
              _timed_query("event_records_search", self._event_records_search),
              explore),
@@ -1381,6 +1383,127 @@ class App:
         metrics.query_rollup_routed_total().inc(path="raw")
         out = stickiness(self._events(), time, period=period,
                          event=event, filters=filters)
+        return 200, (out, {"bucket"})
+
+    def _drift(self, body, m, q):
+        """Data-quality / drift queries (beyond the reference) — the
+        recurring snapshot check a training pipeline schedules between
+        deliveries, served with the same RBAC / result-cache /
+        admission discipline as every other query family. Body:
+
+        - ``{type: "profile", columns, by?, time?, approxDistinct?}``
+          → per-group numeric profile (one aggregation pass);
+        - ``{type: "numeric", property, baseline, actual, edges? |
+          bins?}`` → PSI between the two periods. With DDL ``edges``
+          (or none, when a declared rollup has a histogram for the
+          property) the answer FOLDS OUT OF THE ROLLUP's stored bins
+          whenever both periods are whole-day unions — no raw-event
+          rescan; ``bins`` forces global-min/max binning (raw scan,
+          never routed: the bounds depend on the rows themselves);
+        - ``{type: "categorical", property, baseline, actual,
+          maxCategories?}`` → event-mix PSI; routes through the
+          rollup's per-day per-dim counts when the property is a dim.
+
+        Routing decisions land in optiprism_query_rollup_routed_total
+        like segmentation's; both periods must be disjoint."""
+        pid = self._pid(m)
+        from .operators.drift import (
+            MAX_CATEGORIES,
+            categorical_drift,
+            distribution_drift,
+            distribution_drift_fixed,
+            table_profile,
+        )
+        from .rollup import (
+            categorical_psi_from_rollup,
+            drift_supports,
+            psi_from_rollup,
+        )
+
+        from .exprs import full_filter
+
+        kind = body.get("type")
+        if kind == "profile":
+            cols = body.get("columns")
+            if not cols:
+                raise HttpError(400, "profile requires columns")
+            events = self._events()
+            if body.get("time"):
+                time = api.parse_time(body["time"], self.now)
+                events = events.filter(full_filter(time))
+            missing = [c for c in list(cols) + list(body.get("by") or ())
+                       if c not in events.columns]
+            if missing:
+                raise HttpError(400, f"unknown columns: {missing}")
+            out = table_profile(
+                events, list(cols), by=list(body.get("by") or ()) or None,
+                approx_distinct=bool(body.get("approxDistinct")))
+            return 200, (out, set(body.get("by") or ()))
+
+        if kind not in ("numeric", "categorical"):
+            raise HttpError(
+                400, "type must be profile, numeric or categorical")
+        prop = body.get("property")
+        if not prop:
+            raise HttpError(400, f"{kind} drift requires property")
+        try:
+            base = api.parse_time(body["baseline"], self.now)
+            actual = api.parse_time(body["actual"], self.now)
+        except KeyError as e:
+            raise HttpError(400, f"missing {e.args[0]} time range")
+        b0, b1 = base.range()
+        a0, a1 = actual.range()
+        if (b1 is None or a1 is None or not
+                (b1 < a0 or a1 < b0)):
+            raise HttpError(
+                400, "baseline and actual must be bounded and disjoint")
+        split = full_filter(base)
+        pop = full_filter(base) | full_filter(actual)
+
+        if kind == "categorical":
+            max_cat = int(body.get("maxCategories") or MAX_CATEGORIES)
+            for roll, spec in self._rollup(pid) or ():
+                if drift_supports(base, actual, prop, spec, "categorical"):
+                    metrics.query_rollup_routed_total().inc(path="rollup")
+                    out = categorical_psi_from_rollup(
+                        roll, spec, prop, base, actual,
+                        max_categories=max_cat)
+                    return 200, (out, {"category"})
+            metrics.query_rollup_routed_total().inc(path="raw")
+            events = self._events()
+            if prop not in events.columns:
+                raise HttpError(400, f"unknown column {prop!r}")
+            out = categorical_drift(events.filter(pop), prop, split,
+                                    max_categories=max_cat)
+            return 200, (out, {"category"})
+
+        # numeric PSI
+        edges = tuple(float(x) for x in (body.get("edges") or ()))
+        bins = body.get("bins")
+        if edges and bins:
+            raise HttpError(400, "give edges OR bins, not both")
+        if not bins:
+            # DDL-edge flavour: fold from a rollup whose declared
+            # histogram matches (request edges, if given, must agree —
+            # a PSI over different edges is a different question)
+            for roll, spec in self._rollup(pid) or ():
+                if not drift_supports(base, actual, prop, spec, "numeric"):
+                    continue
+                if edges and tuple(spec.hist_edges(prop)) != edges:
+                    continue
+                metrics.query_rollup_routed_total().inc(path="rollup")
+                out = psi_from_rollup(roll, spec, prop, base, actual)
+                return 200, (out, {"bucket"})
+        metrics.query_rollup_routed_total().inc(path="raw")
+        events = self._events()
+        if prop not in events.columns:
+            raise HttpError(400, f"unknown column {prop!r}")
+        if edges:
+            out = distribution_drift_fixed(
+                events.filter(pop), prop, split, edges)
+        else:
+            out = distribution_drift(
+                events.filter(pop), prop, split, bins=int(bins or 10))
         return 200, (out, {"bucket"})
 
     def _paths(self, body, m, q):

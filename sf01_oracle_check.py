@@ -1,13 +1,19 @@
 #!/usr/bin/env python
-"""sf0.1 oracle spot-gate: one representative query per suite family,
-differentially checked against DuckDB at 10× the driver's gate scale.
+"""sf0.1 oracle spot-gate: scale-sensitive core picks + a rotating
+least-recently-checked window, differentially checked against DuckDB
+at 10× the driver's gate scale.
 
 Correctness had only ever been proven at sf0.01; scale-dependent bugs
 (decimal overflow, bucket edges, sampling coherence, auto-sizing that
-changes with N) are invisible there. This picks the most
-scale-sensitive oracled query in each suite and runs the same
-row-count + column + value-hash comparison the driver's gate runs,
-then writes one JSON file (default SF01_ORACLE_r09.json).
+changes with N) are invisible there. r12 adds ROTATION (the r11
+verdict's task 7): the gate had grown 27→32 by accretion, and queries
+outside it were never checked at bench scale. Now a fixed CORE of the
+most scale-sensitive shapes runs every round, and a window of
+ROTATE_N further queries is chosen least-recently-sf0.1-checked
+(suite-round-robin tiebreak, same discipline as the driver gate's
+DRIVER_CHECKED_ROUNDS) — over a cycle every registered oracled query
+gets an sf0.1 check. Run with --round N; the recorded history below
+must be extended each round with the set the gate just checked.
 """
 
 from __future__ import annotations
@@ -18,86 +24,121 @@ import os
 import sys
 import time
 import traceback
+from itertools import zip_longest
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.1")
 
-#: per-suite pick, biased toward scale-sensitive shapes: sampling
-#: coherence (estimate), auto-sizing (similarity), bucket edges
-#: (dedup LSH, percentiles), decimal-width sums, heavy breakdowns
-PREFERRED = [
-    "alert_purchase_count_daily",
-    "asm_pack_sequences",
-    "attr_last_touch_revenue",
-    "catalog_materialized_property",
-    "dedup_lsh_near_pairs",
-    "eng_stickiness_weekly",
+#: always-checked core, biased toward scale-sensitive shapes: sampling
+#: coherence (estimate), auto-sizing (similarity/IVF), bucket edges
+#: (dedup LSH, percentiles), decimal-width sums, the co-bucketed fact
+#: join, bin-edge + ln arithmetic (drift)
+CORE = [
     "est_funnel_3step_sampled",
-    "exp_view_to_purchase",
-    "funnel_machine_breakdown",
-    "ingest_geo_mmdb_counts",
-    "multimodal_decoded_stats",
-    "path_forward_from_signup",
-    "event_records_search_purchases",
-    "retention_weekly_signup_purchase",
-    "rollup_percentile_value_by_type",
-    "segment_historical_count",
+    "est_retention_weekly_sampled",
+    "dedup_lsh_near_pairs",
     "dedup_embedding_cosine_ivf_auto",
-    "text_bpe_segments",
-    "wh_revenue_by_nation",
-    "win_period_compare",
-    # segmentation gets two: decimal-cast sums and percentile edges
+    "dedup_embedding_cosine_lsh_banded",
+    "rollup_percentile_value_by_type",
+    "qsketch_percentile_value_by_type",
     "seg_sum_value_daily_by_type",
     "seg_percentiles_by_type",
-    # r10: routed/approx surfaces + the co-bucketed fact join + the
-    # sketch-percentile path also carry 10x-scale evidence
-    "retention_cohort_sizes_rollup",
-    "seg_rollup_dau_by_week_approx",
-    "qsketch_percentile_value_by_type",
-    "wh_revenue_by_nation_bucketed",
-    # r11: the bucketed EXISTS semi-join, plus r10-new surfaces whose
-    # shapes are scale-sensitive (banded OR-amplified LSH bucket
-    # edges, funnel any-order + last-touch tie-breaks, HT-scaled
-    # retention estimates)
-    "wh_order_priority_bucketed",
-    "dedup_embedding_cosine_lsh_banded",
+    "funnel_machine_breakdown",
     "funnel_machine_any_order_touch_last",
-    "est_retention_weekly_sampled",
-    # bin-edge arithmetic + ln rounding are the scale-sensitive parts
-    # of the drift family
+    "wh_revenue_by_nation",
+    "wh_revenue_by_nation_bucketed",
+    "wh_order_priority_bucketed",
+    "text_bpe_segments",
     "drift_psi_value_half_month",
+    # r12: the rollup-routed PSI must hold at bench scale — routed ≡
+    # raw is the serving plane's contract
+    "drift_psi_value_rollup_routed",
 ]
+
+#: rotating-window size on top of the core
+ROTATE_N = 16
+
+#: per-round record of what this gate checked (mirror of the driver
+#: gate's DRIVER_CHECKED_ROUNDS) — extend each round from the previous
+#: SF01_ORACLE_r{N}.json's keys. Pre-r11 members seeded from the r9/r10
+#: gates are folded into round 10's entry.
+SF01_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
+    10: frozenset({
+        "alert_purchase_count_daily", "asm_pack_sequences",
+        "attr_last_touch_revenue", "catalog_materialized_property",
+        "dedup_embedding_cosine_ivf_auto", "dedup_lsh_near_pairs",
+        "eng_stickiness_weekly", "est_funnel_3step_sampled",
+        "event_records_search_purchases", "exp_view_to_purchase",
+        "funnel_machine_breakdown", "ingest_geo_mmdb_counts",
+        "multimodal_decoded_stats", "path_forward_from_signup",
+        "qsketch_percentile_value_by_type", "retention_cohort_sizes_rollup",
+        "retention_weekly_signup_purchase",
+        "rollup_percentile_value_by_type", "seg_percentiles_by_type",
+        "seg_rollup_dau_by_week_approx", "seg_sum_value_daily_by_type",
+        "segment_historical_count", "text_bpe_segments",
+        "wh_revenue_by_nation", "wh_revenue_by_nation_bucketed",
+        "win_period_compare",
+    }),
+    11: frozenset({
+        "alert_purchase_count_daily", "asm_pack_sequences",
+        "attr_last_touch_revenue", "catalog_materialized_property",
+        "dedup_embedding_cosine_ivf_auto",
+        "dedup_embedding_cosine_lsh_banded", "dedup_lsh_near_pairs",
+        "drift_psi_value_half_month", "eng_stickiness_weekly",
+        "est_funnel_3step_sampled", "est_retention_weekly_sampled",
+        "event_records_search_purchases", "exp_view_to_purchase",
+        "funnel_machine_any_order_touch_last", "funnel_machine_breakdown",
+        "ingest_geo_mmdb_counts", "multimodal_decoded_stats",
+        "path_forward_from_signup", "qsketch_percentile_value_by_type",
+        "retention_cohort_sizes_rollup", "retention_weekly_signup_purchase",
+        "rollup_percentile_value_by_type", "seg_chart_pipeline",
+        "seg_percentiles_by_type", "seg_rollup_dau_by_week_approx",
+        "seg_sum_value_daily_by_type", "segment_historical_count",
+        "text_bpe_segments", "wh_order_priority_bucketed",
+        "wh_revenue_by_nation", "wh_revenue_by_nation_bucketed",
+        "win_period_compare",
+    }),
+}
+
+
+def gate_picks(queries: dict, oracled: set[str]) -> list[str]:
+    """CORE + the ROTATE_N least-recently-sf0.1-checked oracled
+    queries (suite-round-robin tiebreak so any prefix spans operator
+    families) — never-checked queries sort first."""
+    by_suite: dict[str, list[str]] = {}
+    for name, fn in queries.items():
+        if name in oracled and name not in CORE:
+            by_suite.setdefault(
+                getattr(fn, "__module__", ""), []).append(name)
+    rr = [n for row in zip_longest(*by_suite.values())
+          for n in row if n is not None]
+    last = {
+        n: max((rnd for rnd, names in SF01_CHECKED_ROUNDS.items()
+                if n in names), default=0)
+        for n in rr
+    }
+    rotating = sorted(rr, key=lambda n: (last[n], rr.index(n)))[:ROTATE_N]
+    return list(CORE) + rotating
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SF01_ORACLE_r09.json")
+    ap.add_argument("--out", default="SF01_ORACLE_r12.json")
     args = ap.parse_args()
 
     from optiprism_spark.registry import ORACLE_SQL, QUERIES
     from optiprism_spark.session import get_spark
     from tests._oracle import assert_frames_match, run_oracle
 
-    # cover every suite: preferred picks first, then the first oracled
-    # query of any suite the preferred list missed
-    by_suite: dict[str, list[str]] = {}
-    for n, f in QUERIES.items():
-        by_suite.setdefault(f.__module__.rsplit(".", 1)[-1], []).append(n)
-    picks = list(PREFERRED)
-    covered = {QUERIES[n].__module__.rsplit(".", 1)[-1] for n in picks}
-    for suite, names in sorted(by_suite.items()):
-        if suite in covered:
-            continue
-        oracled = [n for n in names if n in ORACLE_SQL]
-        if oracled:
-            picks.append(oracled[0])
+    picks = gate_picks(QUERIES, set(ORACLE_SQL))
 
     spark = get_spark("optiprism_spark_sf01_oracle")
     results: dict[str, dict] = {}
     for name in picks:
         t0 = time.perf_counter()
-        entry: dict = {"suite": QUERIES[name].__module__.rsplit(".", 1)[-1]}
+        entry: dict = {"suite": QUERIES[name].__module__.rsplit(".", 1)[-1],
+                       "core": name in CORE}
         try:
             spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
             oracle_pdf = run_oracle(ORACLE_SQL[name], SF_DIR)
@@ -119,6 +160,8 @@ def main() -> None:
         "checked": len(results),
         "passed": n_pass,
         "pass": n_pass == len(results),
+        "core_size": len(CORE),
+        "rotating": [n for n in results if n not in CORE],
         "queries": results,
     }
     with open(args.out, "w") as f:

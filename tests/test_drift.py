@@ -168,3 +168,210 @@ def test_streaming_drift_alerts_end_to_end(spark, tmp_path):
     # quiet re-run: nothing new lands, log unchanged
     run()
     assert spark.read.parquet(log).count() == 1
+
+
+# -------------------------------------------------- r12: serving + rollup
+
+_JAN_B = {"type": "between", "from": "2024-01-01T00:00:00",
+          "to": "2024-01-15T23:59:59.999999"}
+_JAN_A = {"type": "between", "from": "2024-01-16T00:00:00",
+          "to": "2024-01-31T23:59:59.999999"}
+_EDGES = [1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0]
+
+
+def test_http_drift_routes_through_rollup(spark, tmp_path):
+    """POST /queries/drift: raw fixed-edge PSI without a store,
+    folded from a declared rollup's stored histogram bins once one
+    exists (IDENTICAL response — routed ≡ raw is bit-equality, not
+    approximation), raw fallback on ragged bounds; every decision in
+    the rollup metric. The r11 verdict's Missing #1."""
+    from optiprism_spark import metrics
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    metrics.REGISTRY.reset()
+    app = make_app(spark, SF_SMOKE, rollup_dir=str(tmp_path / "rollups"),
+                   result_cache_ttl=None)
+    url = "/api/v1/projects/1/queries/drift"
+    body = {"type": "numeric", "property": "value",
+            "baseline": _JAN_B, "actual": _JAN_A, "edges": _EDGES}
+    st, raw_resp = call(app, "POST", url, body)
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 0
+
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "dq", "dims": ["event_type"],
+                  "histogramProps": [["value", _EDGES]]})
+    assert st == 201
+    st, routed_resp = call(app, "POST", url, body)
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 1
+    assert routed_resp == raw_resp  # bit-equality, stored bins ≡ raw scan
+
+    # categorical mix folds from the same store's per-dim day counts
+    cat = {"type": "categorical", "property": "event_type",
+           "baseline": _JAN_B, "actual": _JAN_A}
+    st, routed_cat = call(app, "POST", url, cat)
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 2
+
+    # ragged bounds: not day-aligned -> raw scan answers
+    ragged = dict(body, baseline={"type": "between",
+                                  "from": "2024-01-01T12:00:00",
+                                  "to": "2024-01-15T23:59:59.999999"})
+    st, _ = call(app, "POST", url, ragged)
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 2
+
+    # explicit bins (global min/max) never routes — bounds depend on rows
+    st, _ = call(app, "POST", url,
+                 {"type": "numeric", "property": "value",
+                  "baseline": _JAN_B, "actual": _JAN_A, "bins": 10})
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 2
+
+    # overlapping periods are a caller error, not a silent wrong PSI
+    st, _ = call(app, "POST", url, dict(body, actual=_JAN_B))
+    assert st == 400
+
+
+def test_http_drift_profile_and_rbac(spark):
+    """The profile flavour serves through the same route with the
+    explore permission; a viewer-forbidden project 401s like every
+    other query family (RBAC comes from the shared route table)."""
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    app = make_app(spark, SF_SMOKE, result_cache_ttl=None)
+    url = "/api/v1/projects/1/queries/drift"
+    body = {"type": "profile", "columns": ["value"], "by": ["event_type"],
+            "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                     "to": "2024-01-31T23:59:59"}}
+    st, payload = call(app, "POST", url, body)
+    assert st == 200
+    names = [c["name"] for c in payload["columns"]]
+    assert {"event_type", "n_rows", "value_nulls", "value_mean",
+            "value_distinct"} <= set(names)
+    # approxDistinct swaps the Expand for HLL++ — still one scan,
+    # same shape, estimate within HLL tolerance at this cardinality
+    st2, approx = call(app, "POST", url, dict(body, approxDistinct=True))
+    assert st2 == 200
+    exact = {c["name"]: c["data"] for c in payload["columns"]}
+    est = {c["name"]: c["data"] for c in approx["columns"]}
+    for a, b in zip(exact["value_distinct"], est["value_distinct"]):
+        # default HLL++ rsd is 0.05 (1σ) — gate at 4σ so the test
+        # checks "is an estimate of the right thing", not HLL luck
+        assert abs(a - b) <= max(3.0, 0.2 * a)
+    # unknown column -> 400, not a Spark analysis stack trace
+    st3, _ = call(app, "POST", url, dict(body, columns=["nope"]))
+    assert st3 == 400
+
+
+def test_categorical_guard_bounds_high_cardinality(spark):
+    """Point categorical_drift at a ~20k-distinct column: the output
+    is exactly K kept categories + __other__, the PSI stays finite,
+    and mass is conserved (kept + tail == population)."""
+    from optiprism_spark.operators.drift import (
+        OTHER_CATEGORY, categorical_drift)
+
+    df = spark.range(40_000).select(
+        F.concat(F.lit("url_"), (F.col("id") % 20_000).cast("string"))
+        .alias("u"),
+        (F.col("id") < 20_000).alias("s"),
+    )
+    out = categorical_drift(df, "u", F.col("s"), max_categories=50)
+    rows = out.collect()
+    assert len(rows) == 51
+    cats = {r["category"] for r in rows}
+    assert OTHER_CATEGORY in cats
+    assert all(r["psi_contrib"] is not None for r in rows)
+    assert sum(r["n_expected"] + r["n_actual"] for r in rows) == 40_000
+
+
+def test_rollup_psi_fold_shape(spark):
+    """The routed PSI's plan touches the ROLLUP store only — no
+    events scan, no window, one aggregation into a stack unpivot."""
+    import datetime as dt
+
+    from optiprism_spark.dsl import QueryTime
+    from optiprism_spark.rollup import (
+        RollupSpec, build_rollup, psi_from_rollup)
+    from optiprism_spark.schema import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    spec = RollupSpec(histogram_props=(("value", tuple(_EDGES)),))
+    rollup = build_rollup(events, spec).localCheckpoint()
+    base = QueryTime.between(
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 15, 23, 59, 59, 999999))
+    act = QueryTime.between(
+        dt.datetime(2024, 1, 16), dt.datetime(2024, 1, 31, 23, 59, 59, 999999))
+    out = psi_from_rollup(rollup, spec, "value", base, act)
+    plan = _plan(out)
+    assert "FileScan parquet" not in plan, plan  # no raw-event rescan
+    assert "Window" not in plan, plan
+    assert plan.lower().count("generate") <= 1  # the stack unpivot
+    assert out.count() == len(_EDGES) + 1
+
+
+def test_drift_watchdog_rebaseline(spark, tmp_path):
+    """The operator action after an ACCEPTED shift: alert fires on
+    the new mix, rebaseline accepts it, subsequent same-new-mix
+    batches stay quiet (the r11 frozen-baseline alarm loop), a RE-
+    shift from the new baseline alerts again, and replays stay
+    idempotent throughout — all without touching the checkpoint."""
+    import datetime as dt
+    import os
+
+    from optiprism_spark.streaming.alerts import (
+        rebaseline_drift_alerts, streaming_drift_alerts)
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def mk(ev, n, base_id):
+        return [(base_id + i, dt.datetime(2024, 1, 2, 10, 0, 0), i % 9,
+                 ev, 0.0, "{}") for i in range(n)]
+
+    baseline = spark.createDataFrame(
+        mk("a", 300, 0) + mk("b", 300, 1000) + mk("c", 300, 2000), schema)
+    src = str(tmp_path / "landing"); os.makedirs(src)
+    state = str(tmp_path / "state")
+    log = str(tmp_path / "alerts")
+
+    def run():
+        q = streaming_drift_alerts(
+            spark, spark.createDataFrame([], schema).schema, src, baseline,
+            str(tmp_path / "ckpt"), state, log, threshold=0.25)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # the mix legitimately collapses to one event type → alert fires
+    spark.createDataFrame(mk("a", 3000, 20_000), schema).coalesce(
+        1).write.mode("append").parquet(src)
+    run()
+    assert spark.read.parquet(log).count() == 1
+    # without rebaseline the alarm would ring on EVERY next batch of
+    # the accepted mix; the operator accepts what was observed
+    marker = rebaseline_drift_alerts(spark, state)
+    assert marker["from_batch"] >= 0
+
+    spark.createDataFrame(mk("a", 500, 40_000), schema).coalesce(
+        1).write.mode("append").parquet(src)
+    run()
+    assert spark.read.parquet(log).count() == 1  # quiet: mix accepted
+
+    # replay idempotence survives the marker flip
+    run()
+    assert spark.read.parquet(log).count() == 1
+
+    # drifting away from the NEW baseline alerts again
+    spark.createDataFrame(mk("z", 3000, 60_000), schema).coalesce(
+        1).write.mode("append").parquet(src)
+    run()
+    alerts = {r["batch_id"]: r["psi"] for r in
+              spark.read.parquet(log).collect()}
+    assert len(alerts) == 2

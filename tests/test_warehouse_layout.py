@@ -470,3 +470,64 @@ def test_bucketed_scan_survives_sort_only_plans(spark, tmp_path):
     o, _ = wl.cobucketed_order_facts(spark, sf)
     plan = _plan(o.sortWithinPartitions("o_orderkey"))
     assert "Bucketed: true" in plan, plan
+
+
+def test_fold_under_concurrent_queries(spark, tmp_path):
+    """Task-6 probe: hammer the routed join from reader threads WHILE
+    a fold commits. Every observed row count must equal the pre-fold
+    total or the post-fold total — never a mix of new orders with old
+    lineitem (the old swap window) and never a crash from GC'd files
+    (two-generation retention keeps the pre-fold snapshot readable)."""
+    import threading
+
+    sf = _fact_copy(tmp_path)
+    wl.cobucketed_order_facts(spark, sf)
+
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    okey_t = dict(orders.dtypes)["o_orderkey"]
+    lkey_t = dict(lineitem.dtypes)["l_orderkey"]
+    max_o = orders.select(F.max("o_orderkey")).first()[0]
+    seed = orders.orderBy("o_orderkey").limit(3).select("o_orderkey")
+    new_o = (orders.join(seed, "o_orderkey")
+             .withColumn("o_orderkey",
+                         (F.col("o_orderkey") + max_o + 1).cast(okey_t)))
+    new_l = (lineitem.join(seed, lineitem.l_orderkey == seed.o_orderkey)
+             .drop("o_orderkey")
+             .withColumn("l_orderkey",
+                         (F.col("l_orderkey") + max_o + 1).cast(lkey_t)))
+    n_new_l = new_l.count()
+    ap = str(tmp_path / "appends")
+    wl.append_fact(spark, ap, "orders", new_o)
+    wl.append_fact(spark, ap, "lineitem", new_l)
+
+    def join_count() -> int:
+        o, l = wl.order_facts(spark, sf)
+        return l.join(o, l["l_orderkey"] == o["o_orderkey"]).count()
+
+    before = join_count()
+    valid = {before, before + n_new_l}
+    observed: list = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                observed.append(join_count())
+            except Exception as e:  # a torn snapshot would land here
+                observed.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        folded = wl.compact_fact_appends(spark, sf, ap)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert folded == {"orders": 3, "lineitem": n_new_l}
+    assert observed, "readers never completed a query"
+    bad = [o for o in observed if not isinstance(o, int) or o not in valid]
+    assert not bad, f"torn/failed reads during fold: {bad[:3]}"
+    assert join_count() == before + n_new_l
