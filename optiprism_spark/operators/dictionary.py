@@ -59,7 +59,10 @@ def build_dictionary(df: DataFrame, col: str) -> DataFrame:
             "__off",
             F.coalesce(
                 F.sum("__n").over(
-                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                    # over n_partitions rows; constant partition key
+                    # only quiets the benign WindowExec warning
+                    Window.partitionBy(F.lit(0)).orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),

@@ -829,8 +829,9 @@ def cohort_sizes_from_rollup(
             F.hll_union_agg(F.col("b.__bsk"))).alias("__cum"))
     )
     # global window over #buckets rows — bounded by the window's span
-    # in periods, never by data size
-    w = Window.orderBy("cohort_bucket")
+    # in periods, never by data size; constant partition key keeps the
+    # 'No Partition Defined' warning out of logs (identical semantics)
+    w = Window.partitionBy(F.lit(0)).orderBy("cohort_bucket")
     return (
         cum.withColumn(
             "cohort_size",
