@@ -229,3 +229,96 @@ def chunk_documents(
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
     ).withColumn("chunk_words", F.size(F.split(F.col("chunk_text"), " ")))
+
+
+def mixture_rates(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    token_col: Column = None,
+) -> DataFrame:
+    """Per-source keep rates to hit a token-budget mixture:
+    rate(source) = min(1, target_tokens / available_tokens).
+
+    ``targets`` maps source → target token count (callers with a
+    total budget and weights pass {s: budget * w_s}). One map-side-
+    combinable aggregate over the corpus computes availability; the
+    result is a tiny (n_sources)-row frame meant to be broadcast.
+    Sources absent from ``targets`` get rate 0 (excluded from the
+    mixture) — explicit is better than silently passing them through.
+    Over-asked sources (target > available) saturate at rate 1; the
+    shortfall is reported in ``deficit_tokens`` so a pipeline can
+    rebalance instead of silently under-delivering a mixture.
+    """
+    if not targets:
+        raise ValueError("mixture_rates needs at least one source target")
+    if any(t < 0 for t in targets.values()):
+        raise ValueError(f"negative target in {targets}")
+    if token_col is None:
+        token_col = F.size(F.split(F.col("text"), " "))
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(t)) for s, t in sorted(targets.items())],
+        f"{source_col} string, target_tokens double",
+    )
+    avail = df.groupBy(source_col).agg(
+        F.sum(token_col.cast("long")).alias("available_tokens")
+    )
+    # NOT least(1, t/a) alone: least() IGNORES nulls in Spark and
+    # DuckDB both, so an absent/empty source (a null or 0) would
+    # silently get rate 1.0 instead of 0
+    rate = F.when(
+        F.col("available_tokens").isNull()
+        | (F.col("available_tokens") == 0),
+        F.lit(0.0),
+    ).otherwise(
+        F.least(F.lit(1.0), F.col("target_tokens") / F.col("available_tokens"))
+    )
+    return (
+        avail.join(tgt, source_col, "right")  # keep asked-for sources
+        .select(
+            source_col,
+            F.coalesce(F.col("available_tokens"), F.lit(0)).alias(
+                "available_tokens"),
+            "target_tokens",
+            rate.alias("rate"),
+            F.greatest(
+                F.lit(0.0),
+                F.col("target_tokens")
+                - F.coalesce(F.col("available_tokens"), F.lit(0)).cast(
+                    "double"),
+            ).alias("deficit_tokens"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    token_col: Column = None,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic token-budget mixture sample: keep each document
+    iff unit_hash(id) < its source's mixture rate — the data-mixing
+    step of a training pipeline ("40% web, 40% code, 20% books" at a
+    token budget) as a broadcast join + filter.
+
+    Plan shape: one aggregate pass for availability (tiny result,
+    broadcast), then a pure per-row filter at the scan — the 100 TB
+    path; no shuffle touches the corpus itself. Hash-stable: a
+    document's membership never changes when OTHER sources grow, and
+    only degrades gracefully (rate drops) when its own source grows.
+    Expected kept tokens per source ≈ min(target, available);
+    exact-budget trimming (a per-source running-sum cut) costs a
+    per-source ordering — the same trade stratified_sample_exact
+    documents.
+    """
+    rates = mixture_rates(df, targets, source_col, token_col)
+    keep = unit_hash(F.col(id_col), seed) < F.col("rate")
+    return (
+        df.join(F.broadcast(rates.select(source_col, "rate")), source_col)
+        .filter(keep)
+        .drop("rate")
+    )

@@ -1,0 +1,360 @@
+"""Audience set algebra — overlap matrices, Venn counts, boolean
+set expressions, and a mergeable KMV theta sketch. Beyond the
+reference: its segment machinery (query/src/physical_plan/segment.rs)
+answers "users WHERE condition" one segment at a time; the questions
+marketers actually ask next — "how much do audience A and audience B
+overlap?", "how many did A and B but not C?" — have no operator
+there, and its HLL-based distinct counts cannot answer them at scale
+(HLL unions; it never intersects).
+
+Three tiers, same semantics:
+
+- **Exact flags** (`audience_flags`): ONE pass over the filtered
+  stream — groupBy(user).agg(max(bool) per audience) — gives every
+  boolean combination of audiences from a single map-side-combinable
+  shuffle. Venn counts, set-expression counts, and the user lists
+  themselves all derive from this frame without touching the events
+  again.
+- **Exact pairwise** (`overlap_matrix`): distinct (user, dim) pairs
+  self-joined on user. The join is co-partitioned with the distinct's
+  own shuffle (identical subplans → Catalyst reuses the Exchange),
+  and per-user fan-out is bounded by the dimension's cardinality per
+  user, not the event count.
+- **KMV sketches** (`kmv_day_sketches` / `kmv_merge` /
+  `kmv_venn_counts`): a K-minimum-values theta sketch [Beyer et al.,
+  SIGMOD'07 — public] as a plain sorted ``array<double>`` column.
+  Unlike HLL it supports INTERSECTION estimates, so day-grain
+  sketches maintained once (the rollup-store pattern, rollup.py) can
+  answer any window's overlap question without a raw scan. Below K
+  distinct values the sketch IS the exact hash set — estimates are
+  exact integers, which is what makes the path oracle-testable
+  (same exact-sparse-regime contract as the HLL and qsketch columns).
+
+Scale notes (100 TB): the flags frame is one shuffle keyed by user
+with partial aggregation; sketch building never collects an unbounded
+set — candidates are rank-filtered to K per group by a window BEFORE
+collect_list, so executor memory holds ≤ K doubles per group; merges
+explode + re-rank (linear, JVM-side array ops). Production sizing is
+K ~ 4k (±1.6% rel. err. ~ 1/sqrt(K)); the registered queries use a
+larger K to stay in the exact regime at test scales.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..dsl import EventRef, PropFilter, QueryTime
+from ..exprs import event_expression, full_filter
+from ..schema import EVENT_TIME_COL, EVENT_USER_COL
+
+
+def _kmv_hash(key: Column, seed: str) -> Column:
+    """Uniform [0,1) with 52 bits of md5 (the full double mantissa) —
+    the 32-bit unit_hash would make same-hash collisions between
+    DISTINCT users (which silently merge sketch entries) likely past
+    ~10^5 users; at 52 bits they stay negligible past 10^7. Values
+    never reach 1.0, so `v < theta` with exact-regime theta=1.0 keeps
+    every entry."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 13), 16, 10)
+    return h.cast("double") / F.lit(float(1 << 52))
+
+# --------------------------------------------------------------- exact flags
+
+
+def audience_flags(
+    events: DataFrame,
+    audiences: Mapping[str, EventRef],
+    time: Optional[QueryTime] = None,
+    filters: Sequence[PropFilter] = (),
+    group_col: str = EVENT_USER_COL,
+) -> DataFrame:
+    """Per-user boolean membership flags, one column per audience.
+
+    One filtered scan, one groupBy(user) with max(bool) per audience —
+    every subsequent set operation (Venn, AND/OR/NOT expressions,
+    counts, semi-joins) is a projection/filter over this frame.
+    Only users in at least one audience appear (a user in none
+    contributes no row — absent ≡ all-false for counting purposes).
+    """
+    if not audiences:
+        raise ValueError("audience_flags needs at least one audience")
+    for name in audiences:
+        if name == group_col or not name.isidentifier():
+            raise ValueError(f"bad audience name {name!r}")
+    flt = full_filter(time, None, filters)
+    df = events.filter(flt) if flt is not None else events
+    aggs = []
+    for name, ref in audiences.items():
+        pred = event_expression(ref)
+        if pred is None:  # "all events" audience
+            pred = F.lit(True)
+        aggs.append(F.max(pred.cast("boolean")).alias(name))
+    return df.groupBy(F.col(group_col)).agg(*aggs)
+
+
+#: set-expression AST (JSON-serializable, so the HTTP surface can
+#: carry it): {"ref": name} | {"op": "and"|"or"|"not", "args": [...]}
+SetExpr = Mapping[str, Union[str, Sequence["SetExpr"]]]
+
+
+def set_expr_col(expr: SetExpr, names: Sequence[str]) -> Column:
+    """Compile a set-expression AST to a boolean Column over an
+    audience_flags frame. Missing flags (user absent from an
+    audience's rows) read as false — coalesce keeps NOT well-behaved
+    under three-valued logic."""
+    if "ref" in expr:
+        name = expr["ref"]
+        if name not in names:
+            raise ValueError(f"unknown audience {name!r} (have {list(names)})")
+        return F.coalesce(F.col(name), F.lit(False))
+    op = expr.get("op")
+    args = [set_expr_col(a, names) for a in expr.get("args", ())]
+    if op == "not":
+        if len(args) != 1:
+            raise ValueError("'not' takes exactly one argument")
+        return ~args[0]
+    if not args:
+        raise ValueError(f"empty argument list for {op!r}")
+    if op == "and":
+        out = args[0]
+        for a in args[1:]:
+            out = out & a
+        return out
+    if op == "or":
+        out = args[0]
+        for a in args[1:]:
+            out = out | a
+        return out
+    raise ValueError(f"unknown set op {op!r}")
+
+
+def audience_set_count(
+    events: DataFrame,
+    audiences: Mapping[str, EventRef],
+    expr: SetExpr,
+    time: Optional[QueryTime] = None,
+    filters: Sequence[PropFilter] = (),
+    group_col: str = EVENT_USER_COL,
+) -> DataFrame:
+    """Distinct users satisfying a boolean combination of audiences →
+    one row ``(n_users)``. NOTE: the universe is users in ≥1 listed
+    audience — a top-level NOT of everything is empty by construction,
+    matching the segment semantics (segments.py) where a cohort is
+    always rooted in observed behavior."""
+    flags = audience_flags(events, audiences, time, filters, group_col)
+    cond = set_expr_col(expr, list(audiences))
+    return flags.filter(cond).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def audience_venn(
+    events: DataFrame,
+    a: EventRef,
+    b: EventRef,
+    time: Optional[QueryTime] = None,
+    filters: Sequence[PropFilter] = (),
+    group_col: str = EVENT_USER_COL,
+) -> DataFrame:
+    """Two-audience Venn decomposition in one aggregate row:
+    (users_a, users_b, both, a_only, b_only, union_users, jaccard).
+    Conditional sums over the flags frame — no joins, no second scan.
+    """
+    flags = audience_flags(events, {"__a": a, "__b": b}, time, filters, group_col)
+    fa = F.coalesce(F.col("__a"), F.lit(False))
+    fb = F.coalesce(F.col("__b"), F.lit(False))
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    out = flags.agg(
+        cnt(fa).alias("users_a"),
+        cnt(fb).alias("users_b"),
+        cnt(fa & fb).alias("both"),
+        cnt(fa & ~fb).alias("a_only"),
+        cnt(fb & ~fa).alias("b_only"),
+        cnt(fa | fb).alias("union_users"),
+    )
+    return out.select(
+        "*",
+        (F.col("both").cast("double") / F.col("union_users")).alias("jaccard"),
+    )
+
+
+# ----------------------------------------------------------- exact pairwise
+
+
+def overlap_matrix(
+    events: DataFrame,
+    time: Optional[QueryTime] = None,
+    dim_col: str = "event_type",
+    filters: Sequence[PropFilter] = (),
+    group_col: str = EVENT_USER_COL,
+) -> DataFrame:
+    """Pairwise audience overlap across every value of ``dim_col``:
+    (dim_a, dim_b, users_a, users_b, overlap, jaccard), dim_a < dim_b.
+
+    Shape: distinct (user, dim) — event-scale reduced to
+    user×dim-scale with map-side combine — then a self-equi-join on
+    user (both sides carry the distinct's hash-partitioning; per-user
+    pair fan-out ≤ (dims per user)², bounded by the dimension's
+    cardinality, never by event volume) and a (dim_a, dim_b) count.
+    Sizes broadcast back onto the pair rows."""
+    flt = full_filter(time, None, filters)
+    df = events.filter(flt) if flt is not None else events
+    d = df.select(
+        F.col(group_col).alias("__u"), F.col(dim_col).alias("__d")
+    ).distinct()
+    sizes = d.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__u") == F.col("b.__u"))
+            & (F.col("a.__d") < F.col("b.__d")),
+        )
+        .groupBy(
+            F.col("a.__d").alias("dim_a"), F.col("b.__d").alias("dim_b")
+        )
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa = sizes.select(F.col("__d").alias("dim_a"), F.col("__n").alias("users_a"))
+    sb = sizes.select(F.col("__d").alias("dim_b"), F.col("__n").alias("users_b"))
+    return (
+        pairs.join(F.broadcast(sa), "dim_a")
+        .join(F.broadcast(sb), "dim_b")
+        .select(
+            "dim_a",
+            "dim_b",
+            "users_a",
+            "users_b",
+            "overlap",
+            (
+                F.col("overlap").cast("double")
+                / (F.col("users_a") + F.col("users_b") - F.col("overlap"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------- KMV sketches
+
+
+def kmv_day_sketches(
+    events: DataFrame,
+    time: Optional[QueryTime] = None,
+    k: int = 4096,
+    dim_col: str = "event_type",
+    group_col: str = EVENT_USER_COL,
+    seed: str = "kmv",
+    ts_col: str = EVENT_TIME_COL,
+) -> DataFrame:
+    """Day-grain KMV sketches of distinct users per ``dim_col`` value:
+    (day, dim, kmv array<double>). The maintenance shape — built once
+    per day like the rollup store's HLL column (rollup.py), then any
+    window's distinct/overlap question is a fold over stored rows.
+
+    Memory discipline: candidates are rank-filtered to the K smallest
+    hashes per (day, dim) by a window BEFORE collect_list — the
+    executor never materializes an unbounded set (collect_set over raw
+    users would)."""
+    if k < 2:
+        raise ValueError("kmv k must be >= 2")
+    flt = full_filter(time, None, ())
+    df = events.filter(flt) if flt is not None else events
+    d = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+            F.col(dim_col).alias("dim"),
+            F.col(group_col).alias("__u"),
+        )
+        .distinct()
+        .withColumn("__h", _kmv_hash(F.col("__u"), seed))
+    )
+    w = Window.partitionBy("day", "dim").orderBy("__h", "__u")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("day", "dim")
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+
+
+def kmv_merge(sketches: DataFrame, keys: Sequence[str], k: int,
+              kmv_col: str = "kmv") -> DataFrame:
+    """Union-merge sketches grouped by ``keys``: explode, distinct,
+    re-rank to the K smallest, re-collect. Linear and JVM-side; the
+    result is itself a valid KMV sketch (merge is associative and
+    order-independent)."""
+    ex = sketches.select(*keys, F.explode(kmv_col).alias("__h")).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("__h")
+    return (
+        ex.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("__h")).alias(kmv_col))
+    )
+
+
+def _theta(col: Column, k: int) -> Column:
+    """Inclusion threshold: k-th smallest hash, or 1.0 while the
+    sketch is exact (holds fewer than k values)."""
+    return F.when(F.size(col) < k, F.lit(1.0)).otherwise(
+        F.element_at(col, k)
+    )
+
+
+def kmv_estimate(col: Column, k: int) -> Column:
+    """Distinct-count estimate; exact (= size) below k."""
+    return F.when(F.size(col) < k, F.size(col).cast("double")).otherwise(
+        (F.lit(float(k - 1)) / F.element_at(col, k))
+    )
+
+
+def kmv_venn_counts(a: Column, b: Column, k: int) -> list[Column]:
+    """Venn estimates from two KMV sketches [Beyer et al., SIGMOD'07]:
+    restrict both to the smaller theta, count exact set relations on
+    the surviving hashes, scale by 1/theta. When both sketches are in
+    the exact regime theta is 1.0 and every output is an exact count.
+
+    Returns columns aliased users_a, users_b, both, union_users,
+    jaccard (doubles — estimates, exact-valued in the sparse regime).
+    """
+    theta = F.least(_theta(a, k), _theta(b, k))
+    fa = F.filter(a, lambda v: v < theta)
+    fb = F.filter(b, lambda v: v < theta)
+    inter = F.size(F.array_intersect(fa, fb)).cast("double")
+    na = F.size(fa).cast("double")
+    nb = F.size(fb).cast("double")
+    uni = na + nb - inter
+    return [
+        (na / theta).alias("users_a"),
+        (nb / theta).alias("users_b"),
+        (inter / theta).alias("both"),
+        (uni / theta).alias("union_users"),
+        (inter / uni).alias("jaccard"),
+    ]
+
+
+def audience_venn_from_day_sketches(
+    sketches: DataFrame,
+    dim_a: str,
+    dim_b: str,
+    k: int,
+    kmv_col: str = "kmv",
+) -> DataFrame:
+    """Fold stored day sketches into a two-audience Venn row — the
+    no-raw-scan serving path. Day rows for each dim are union-merged
+    (explode + re-rank, one pass), then the two merged sketches meet
+    in a 1×1 join and the Venn estimates are pure array expressions.
+    """
+    merged = kmv_merge(
+        sketches.filter(F.col("dim").isin([dim_a, dim_b])), ["dim"], k, kmv_col
+    )
+    a = merged.filter(F.col("dim") == dim_a).select(
+        F.lit(1).alias("__j"), F.col(kmv_col).alias("__ka"))
+    b = merged.filter(F.col("dim") == dim_b).select(
+        F.lit(1).alias("__j"), F.col(kmv_col).alias("__kb"))
+    return a.join(F.broadcast(b), "__j").select(  # 1 row × 1 row
+        *kmv_venn_counts(F.col("__ka"), F.col("__kb"), k)
+    )

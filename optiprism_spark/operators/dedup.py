@@ -525,3 +525,63 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
         .filter(F.col("n_contaminated") >= min_overlap)
     )
+
+
+def neardup_survivors_by_quality(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scores: DataFrame = None,
+    max_bucket: int = None,
+    checkpoint_dir: str = None,
+) -> DataFrame:
+    """Quality-aware dedup survivor selection: one document per
+    near-dup cluster, the HIGHEST-quality member instead of the
+    lowest id — what a training pipeline actually wants to keep when
+    a boilerplate-riddled copy and a clean copy are near-dups of each
+    other. Docs in no cluster survive trivially.
+
+    ``scores``: (id_col, quality_score) frame; defaults to
+    text.quality_score(docs). Ties break on lowest id so survivor
+    choice is deterministic.
+
+    Output: (id_col, component, cluster_size, quality_score) — one
+    row per SURVIVOR; component is the cluster's min doc id
+    (singletons: their own id, size 1).
+
+    Plan shape: clustering is the LSH pipeline + label propagation of
+    neardup_clusters (bounded buckets, checkpointed rounds); survivor
+    election is one row_number window per component — component
+    cardinality is cluster-count-scale, members per cluster are small,
+    so the window never sees a hot partition; singleton recovery is a
+    left-anti join against the (small) clustered-id set."""
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    if scores is None:
+        scores = quality_score(docs, text_col, id_col)
+    clusters = neardup_clusters(
+        docs, threshold, k, bands, n, text_col, id_col,
+        max_bucket, checkpoint_dir)
+    member = clusters.join(scores, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.col(id_col))
+    winners = (
+        member.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "component", "cluster_size", "quality_score")
+    )
+    singles = scores.join(
+        clusters.select(id_col), id_col, "left_anti"
+    ).select(
+        F.col(id_col),
+        F.col(id_col).alias("component"),
+        F.lit(1).cast("long").alias("cluster_size"),
+        "quality_score",
+    )
+    return winners.unionByName(singles)

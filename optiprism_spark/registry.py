@@ -343,6 +343,7 @@ from .suites import (  # noqa: E402,F401
     alerts,
     assembly,
     attribution,
+    audience,
     catalog_admin,
     dedup,
     drift,

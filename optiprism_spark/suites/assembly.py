@@ -212,3 +212,73 @@ def asm_training_pipeline(spark, sf_dir):
         s.filter(F.col("split") == "train"), budget=512, n_buckets=8
     ).select("doc_id", "pack_id", "pack_offset")
     return s.select("doc_id", "split").join(packed, "doc_id", "left")
+
+
+#: token-budget mixture targets for the registered query: src1 is
+#: over-asked (saturates at rate 1 at small SF), the others sample —
+#: both branches of LEAST(1, t/a) stay exercised at every scale
+_MIX_TARGETS = {"src0": 700.0, "src1": 99000.0, "src2": 400.0}
+_MIX_VALUES = ", ".join(
+    f"('{s}', {t!r})" for s, t in sorted(_MIX_TARGETS.items()))
+
+
+@query(
+    "asm_mixture_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    avail AS (SELECT source, CAST(SUM(n) AS BIGINT) AS a FROM toks GROUP BY 1),
+    rates AS (
+      SELECT v.source, LEAST(1.0, v.t / avail.a) AS rate
+      FROM (VALUES {_MIX_VALUES}) v(source, t)
+      JOIN avail USING (source)
+    )
+    SELECT t.doc_id, t.source, CAST(t.n AS INT) AS n_tokens
+    FROM toks t JOIN rates r USING (source)
+    WHERE {_u_sql('t.doc_id', 'mix')} < r.rate
+    """,
+)
+def asm_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling (the data-mixing step of a
+    training pipeline): one availability aggregate -> tiny broadcast
+    rates table -> pure hash filter at the scan. Membership is
+    hash-stable per document and the corpus itself is never
+    shuffled."""
+    from ..operators.assembly import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return mixture_sample(
+        docs.withColumn("n_tokens", toks), _MIX_TARGETS,
+        token_col=F.col("n_tokens"),
+    ).select("doc_id", "source", "n_tokens")
+
+
+@query(
+    "asm_mixture_rates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    avail AS (SELECT source, CAST(SUM(n) AS BIGINT) AS a FROM toks GROUP BY 1)
+    SELECT v.source,
+           COALESCE(avail.a, 0) AS available_tokens,
+           v.t AS target_tokens,
+           CASE WHEN avail.a IS NULL OR avail.a = 0 THEN 0.0
+                ELSE LEAST(1.0, v.t / avail.a) END AS rate,
+           GREATEST(0.0, v.t - CAST(COALESCE(avail.a, 0) AS DOUBLE))
+             AS deficit_tokens
+    FROM (VALUES {_MIX_VALUES}) v(source, t)
+    LEFT JOIN avail USING (source)
+    """,
+)
+def asm_mixture_rates(spark, sf_dir):
+    """The mixture-rate plan itself: per-source availability, keep
+    rate, and the deficit a saturated source cannot deliver — the
+    frame a pipeline inspects to rebalance weights before sampling."""
+    from ..operators.assembly import mixture_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_rates(docs, _MIX_TARGETS)

@@ -18,6 +18,7 @@ from ..operators.dedup import (
 )
 from ..registry import query
 from ..schema import load_table
+from .text import QUALITY_SQL as _QUALITY_SQL
 
 #: shared shingle CTEs (word 3-shingles, distinct per doc)
 _SHINGLES = """
@@ -272,3 +273,53 @@ def dedup_decontaminate(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 53 == 0)
     train = docs.filter(F.col("doc_id") % 53 != 0)
     return decontaminate(train, bench, n=3, min_overlap=2)
+
+
+@query(
+    "dedup_cluster_survivors_quality",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY 1),
+    sized AS (
+      SELECT doc_id, component,
+             COUNT(*) OVER (PARTITION BY component) AS cluster_size
+      FROM comp
+    ),
+    q AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality_score FROM documents
+    ),
+    winners AS (
+      SELECT doc_id, component, cluster_size, quality_score FROM (
+        SELECT s.doc_id, s.component, s.cluster_size, q.quality_score,
+               row_number() OVER (
+                 PARTITION BY s.component
+                 ORDER BY q.quality_score DESC, s.doc_id) AS rn
+        FROM sized s JOIN q USING (doc_id)
+      ) WHERE rn = 1
+    )
+    SELECT * FROM winners
+    UNION ALL
+    SELECT q.doc_id, q.doc_id AS component,
+           CAST(1 AS BIGINT) AS cluster_size, q.quality_score
+    FROM q WHERE q.doc_id NOT IN (SELECT doc_id FROM comp)
+    """,
+)
+def dedup_cluster_survivors_quality(spark, sf_dir):
+    """Quality-aware dedup: per near-dup cluster keep the
+    HIGHEST-quality member (text.quality_score; id tiebreak) instead
+    of the lowest id; singletons survive trivially. The survivor
+    election is one row_number window at cluster grain."""
+    from ..operators.dedup import neardup_survivors_by_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup_survivors_by_quality(docs, threshold=0.6, k=8, bands=4)

@@ -43,16 +43,22 @@ def text_stats_all(spark, sf_dir):
     return text_stats(docs)
 
 
-@query(
-    "text_quality_scores",
-    oracle=f"""
-    SELECT doc_id,
-           (CASE WHEN length(text) BETWEEN 64 AND 100000 THEN 0.4 ELSE 0.0 END)
+#: SQL mirror of operators/text.quality_score — shared with the
+#: dedup suite's survivor-by-quality oracle (same literal, same IEEE
+#: addition order as the Spark expression)
+QUALITY_SQL = f"""(CASE WHEN length(text) BETWEEN 64 AND 100000 THEN 0.4 ELSE 0.0 END)
            + (CASE WHEN {_SW_RATIO} BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END)
            + (CASE WHEN
                 CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
                   / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 2.0 AND 12.0
-              THEN 0.3 ELSE 0.0 END) AS quality_score
+              THEN 0.3 ELSE 0.0 END)"""
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           {QUALITY_SQL} AS quality_score
     FROM documents
     """,
 )

@@ -1,0 +1,230 @@
+"""Audience set algebra (operators/audience.py): flag semantics, the
+set-expression AST, KMV sketch regimes, merge equivalence, and the
+mixture sampler's budget arithmetic. Oracle hash-matches live in the
+registry (suites/audience.py, suites/assembly.py); these tests pin
+the semantics the oracles can't see — estimate-regime error bounds,
+merge determinism, validation, and plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from optiprism_spark.dsl import EventRef, QueryTime
+from optiprism_spark.operators.audience import (
+    audience_flags,
+    audience_set_count,
+    audience_venn,
+    audience_venn_from_day_sketches,
+    kmv_day_sketches,
+    kmv_estimate,
+    kmv_merge,
+    overlap_matrix,
+    set_expr_col,
+)
+
+JAN = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, ts=dt.datetime(2024, 1, 2 + (i % 3), 10), user_id=u,
+             event_type=t, value=1.0, props="{}")
+         for i, (u, t) in enumerate(rows)]
+    )
+
+
+# ------------------------------------------------------------ exact algebra
+
+
+def test_venn_counts_tiny(spark):
+    ev = _events(spark, [
+        (1, "signup"), (1, "purchase"),
+        (2, "signup"),
+        (3, "purchase"),
+        (4, "view"),
+    ])
+    row = audience_venn(ev, EventRef("signup"), EventRef("purchase"), JAN).first()
+    assert (row.users_a, row.users_b, row.both) == (2, 2, 1)
+    assert (row.a_only, row.b_only, row.union_users) == (1, 1, 3)
+    assert row.jaccard == pytest.approx(1 / 3)
+
+
+def test_set_expression_and_not(spark):
+    ev = _events(spark, [
+        (1, "signup"), (1, "purchase"), (1, "error"),
+        (2, "signup"), (2, "purchase"),
+        (3, "signup"),
+    ])
+    auds = {"a": EventRef("signup"), "b": EventRef("purchase"),
+            "c": EventRef("error")}
+    expr = {"op": "and", "args": [
+        {"ref": "a"}, {"ref": "b"}, {"op": "not", "args": [{"ref": "c"}]}]}
+    assert audience_set_count(ev, auds, expr, JAN).first().n_users == 1
+    # OR arm
+    assert audience_set_count(
+        ev, auds, {"op": "or", "args": [{"ref": "b"}, {"ref": "c"}]}, JAN
+    ).first().n_users == 2
+
+
+def test_set_expr_validation(spark):
+    names = ["a", "b"]
+    with pytest.raises(ValueError, match="unknown audience"):
+        set_expr_col({"ref": "zzz"}, names)
+    with pytest.raises(ValueError, match="exactly one"):
+        set_expr_col({"op": "not", "args": [{"ref": "a"}, {"ref": "b"}]}, names)
+    with pytest.raises(ValueError, match="empty argument"):
+        set_expr_col({"op": "and", "args": []}, names)
+    with pytest.raises(ValueError, match="unknown set op"):
+        set_expr_col({"op": "xor", "args": [{"ref": "a"}]}, names)
+    ev = _events(spark, [(1, "signup")])
+    with pytest.raises(ValueError, match="bad audience name"):
+        audience_flags(ev, {"not an ident": EventRef("signup")}, JAN)
+    with pytest.raises(ValueError, match="at least one"):
+        audience_flags(ev, {}, JAN)
+
+
+def test_overlap_matrix_broadcasts_sizes(spark, sf_smoke_events):
+    plan = overlap_matrix(sf_smoke_events, JAN)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # sizes joined broadcast-side
+
+
+# ------------------------------------------------------------- KMV sketches
+
+
+def test_kmv_exact_regime_matches_exact_counts(spark, sf_smoke_events):
+    days = kmv_day_sketches(sf_smoke_events, JAN, k=4096)
+    got = audience_venn_from_day_sketches(days, "signup", "purchase", 4096).first()
+    d = (sf_smoke_events.filter(
+            (F.col("ts") >= "2024-01-01") & (F.col("ts") <= "2024-01-31 23:59:59"))
+         .select("user_id", "event_type").distinct())
+    a = {r.user_id for r in d.filter("event_type = 'signup'").collect()}
+    b = {r.user_id for r in d.filter("event_type = 'purchase'").collect()}
+    assert got.users_a == len(a) and got.users_b == len(b)
+    assert got.both == len(a & b) and got.union_users == len(a | b)
+
+
+def test_kmv_estimate_regime_error_bound(spark):
+    # 5000 distinct users, k=256 -> estimate with rel. err ~ 1/sqrt(k)
+    n, k = 5000, 256
+    df = spark.range(n).select(
+        F.lit(dt.datetime(2024, 1, 2, 10)).alias("ts"),
+        F.col("id").alias("user_id"),
+        F.lit("signup").alias("event_type"),
+    )
+    sk = kmv_day_sketches(df, None, k=k)
+    est = sk.select(kmv_estimate(F.col("kmv"), k).alias("e")).first().e
+    assert est != n  # genuinely estimating, not enumerating
+    assert abs(est - n) / n < 5 / (k ** 0.5)  # ~5 sigma
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    # merging per-day sketches == sketching the whole window directly:
+    # both keep the K smallest distinct hashes, so even in the
+    # ESTIMATE regime the arrays are identical
+    n, k = 3000, 128
+    df = spark.range(n).select(
+        F.when(F.col("id") % 3 == 0, F.lit(dt.datetime(2024, 1, 2, 10)))
+        .when(F.col("id") % 3 == 1, F.lit(dt.datetime(2024, 1, 3, 10)))
+        .otherwise(F.lit(dt.datetime(2024, 1, 4, 10))).alias("ts"),
+        (F.col("id") % 2000).alias("user_id"),  # overlap across days
+        F.lit("signup").alias("event_type"),
+    )
+    days = kmv_day_sketches(df, None, k=k)
+    assert days.count() == 3
+    merged = kmv_merge(days, ["dim"], k).first().kmv
+    direct = (
+        kmv_day_sketches(
+            df.withColumn("ts", F.lit(dt.datetime(2024, 1, 2, 10))), None, k=k)
+        .first().kmv
+    )
+    assert merged == direct and len(merged) == k
+
+
+def test_kmv_validation(spark):
+    df = spark.range(1).select(
+        F.lit(dt.datetime(2024, 1, 2)).alias("ts"),
+        F.col("id").alias("user_id"), F.lit("x").alias("event_type"))
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_day_sketches(df, None, k=1)
+
+
+# -------------------------------------------------------- mixture sampling
+
+
+def test_mixture_rates_saturation_and_deficit(spark):
+    from optiprism_spark.operators.assembly import mixture_rates
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=("a" if i < 4 else "b"), text="w " * 9 + "w")
+         for i in range(8)]
+    )  # 4 docs x 10 tokens per source
+    rates = {r.source: r for r in
+             mixture_rates(docs, {"a": 20.0, "b": 100.0, "zzz": 5.0}).collect()}
+    assert rates["a"].rate == pytest.approx(0.5) and rates["a"].deficit_tokens == 0.0
+    assert rates["b"].rate == 1.0 and rates["b"].deficit_tokens == pytest.approx(60.0)
+    assert rates["zzz"].rate == 0.0 and rates["zzz"].available_tokens == 0
+
+
+def test_mixture_sample_deterministic_and_source_scoped(spark):
+    from optiprism_spark.operators.assembly import mixture_sample
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 3}", text="w " * 19 + "w")
+         for i in range(90)]
+    )
+    targets = {"s0": 300.0, "s1": 600.0}  # s2 unlisted -> excluded
+    a = {r.doc_id for r in mixture_sample(docs, targets).collect()}
+    b = {r.doc_id for r in mixture_sample(docs, targets).collect()}
+    assert a == b and a  # deterministic, non-empty
+    kept_sources = {r.source for r in mixture_sample(docs, targets).collect()}
+    assert "s2" not in kept_sources
+    with pytest.raises(ValueError, match="negative"):
+        mixture_sample(docs, {"s0": -1.0})
+    with pytest.raises(ValueError, match="at least one"):
+        mixture_sample(docs, {})
+
+
+def test_mixture_sample_no_corpus_shuffle(spark):
+    from optiprism_spark.operators.assembly import mixture_sample
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="a", text="w w w") for i in range(10)])
+    plan = mixture_sample(docs, {"a": 5.0})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # rates broadcast onto the scan
+
+
+# --------------------------------------------- survivor-by-quality
+
+
+def test_survivors_prefer_quality_then_id(spark):
+    from optiprism_spark.operators.dedup import neardup_survivors_by_quality
+
+    base = ("tok" + " tok".join(str(i % 7) for i in range(40)))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=base + " x" * 40),   # near-dup pair, longer
+        Row(doc_id=2, text=base + " x" * 40),   # identical text
+        Row(doc_id=9, text="completely different words entirely here "
+                           "nothing shared with the cluster at all"),
+    ])
+    scores = spark.createDataFrame([
+        Row(doc_id=1, quality_score=0.2),
+        Row(doc_id=2, quality_score=0.9),  # wins despite higher id
+        Row(doc_id=9, quality_score=0.5),
+    ])
+    out = {r.doc_id: r for r in neardup_survivors_by_quality(
+        docs, threshold=0.5, k=8, bands=4, scores=scores).collect()}
+    assert set(out) == {2, 9}
+    assert out[2].component == 1 and out[2].cluster_size == 2
+    assert out[9].cluster_size == 1 and out[9].component == 9
+
+
+@pytest.fixture(scope="module")
+def sf_smoke_events(spark):
+    from optiprism_spark.schema import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "events")
