@@ -120,7 +120,7 @@ MAX_RESPONSE_ROWS = 10_000
 _INTERACTIVE_POOLS = frozenset({
     "event_segmentation", "event_records_search", "group_records_search",
     "event_record", "group_record", "property_values", "stickiness",
-    "percentiles",
+    "percentiles", "audience",
 })
 
 #: DEFAULT per-pool admission caps, ON by default (the reference
@@ -585,6 +585,8 @@ class App:
              _timed_query("stickiness", self._stickiness), explore),
             ("POST", re.compile(P + r"/queries/drift$"),
              _timed_query("drift", self._drift), explore),
+            ("POST", re.compile(P + r"/queries/audience$"),
+             _timed_query("audience", self._audience), explore),
             ("POST", re.compile(P + r"/event-records/search$"),
              _timed_query("event_records_search", self._event_records_search),
              explore),
@@ -1384,6 +1386,72 @@ class App:
         out = stickiness(self._events(), time, period=period,
                          event=event, filters=filters)
         return 200, (out, {"bucket"})
+
+    def _audience(self, body, m, q):
+        """Audience set algebra (beyond the reference — its segments
+        answer one cohort at a time; overlap/intersection questions
+        have no operator there). Body:
+
+        - ``{type: "venn", a: event, b: event, time, filters?}`` →
+          one row (users_a/users_b/both/a_only/b_only/union_users/
+          jaccard) from a single groupBy(user) pass;
+        - ``{type: "overlap-matrix", time, dimension?, filters?}`` →
+          pairwise distinct-user overlap + Jaccard across the values
+          of ``dimension`` (default event_type);
+        - ``{type: "set", audiences: {name: event}, expression:
+          {ref}|{op: and|or|not, args}, time, filters?}`` → distinct
+          users satisfying the boolean combination (the same
+          JSON-serializable AST operators/audience.set_expr_col
+          compiles)."""
+        pid = self._pid(m)
+        from .operators.audience import (
+            audience_set_count,
+            audience_venn,
+            overlap_matrix,
+        )
+
+        props = self._props(pid)
+        ces = self._custom_events(pid)
+        kind = body.get("type")
+        time = api.parse_time(body["time"], self.now) if body.get(
+            "time") else None
+        filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
+
+        if kind == "venn":
+            try:
+                a = api.parse_event_ref(body["a"], custom_events=ces,
+                                        props=props)
+                b = api.parse_event_ref(body["b"], custom_events=ces,
+                                        props=props)
+            except KeyError as e:
+                raise HttpError(400, f"venn requires {e.args[0]}")
+            out = audience_venn(self._events(), a, b, time, filters)
+            return 200, (out, set())
+
+        if kind == "overlap-matrix":
+            dim = body.get("dimension", "event_type")
+            events = self._events()
+            if dim not in events.columns:
+                raise HttpError(400, f"unknown dimension: {dim}")
+            out = overlap_matrix(events, time, dim_col=dim, filters=filters)
+            return 200, (out, {"dim_a", "dim_b"})
+
+        if kind == "set":
+            auds = body.get("audiences")
+            expr = body.get("expression")
+            if not auds or not isinstance(auds, dict) or expr is None:
+                raise HttpError(400, "set requires audiences and expression")
+            try:
+                refs = {name: api.parse_event_ref(ev, custom_events=ces,
+                                                  props=props)
+                        for name, ev in auds.items()}
+                out = audience_set_count(
+                    self._events(), refs, expr, time, filters)
+            except ValueError as e:
+                raise HttpError(400, str(e))
+            return 200, (out, set())
+
+        raise HttpError(400, "type must be venn, overlap-matrix or set")
 
     def _drift(self, body, m, q):
         """Data-quality / drift queries (beyond the reference) — the
