@@ -228,3 +228,165 @@ def sf_smoke_events(spark):
     from optiprism_spark.schema import load_table
 
     return load_table(spark, "/root/testdata/sf0.001", "events")
+
+
+# -------------------------------------------------------------- HTTP route
+
+
+def _col(resp, name):
+    return next(c["data"] for c in resp["columns"] if c["name"] == name)
+
+
+def test_http_audience_route(spark):
+    """POST /queries/audience serves all three shapes with the shared
+    RBAC/cache/admission discipline (route table), and its answers
+    equal the operator's own."""
+    from optiprism_spark.server import make_app
+
+    from .conftest import SF_SMOKE
+    from .test_server import call
+
+    app = make_app(spark, SF_SMOKE, result_cache_ttl=None)
+    url = "/api/v1/projects/1/queries/audience"
+    jan = {"type": "between", "from": "2024-01-01T00:00:00",
+           "to": "2024-01-31T23:59:59"}
+
+    st, venn = call(app, "POST", url, {
+        "type": "venn", "a": {"eventName": "signup"},
+        "b": {"eventName": "purchase"}, "time": jan})
+    assert st == 200
+    from optiprism_spark.schema import load_table
+
+    direct = audience_venn(
+        load_table(spark, SF_SMOKE, "events"),
+        EventRef("signup"), EventRef("purchase"), JAN).first()
+    assert _col(venn, "both") == [direct.both]
+    assert _col(venn, "union_users") == [direct.union_users]
+
+    st, matrix = call(app, "POST", url,
+                      {"type": "overlap-matrix", "time": jan})
+    assert st == 200 and len(_col(matrix, "dim_a")) == 10  # C(5,2) pairs
+
+    st, setr = call(app, "POST", url, {
+        "type": "set",
+        "audiences": {"a": {"eventName": "signup"},
+                      "b": {"eventName": "purchase"}},
+        "expression": {"op": "and", "args": [{"ref": "a"}, {"ref": "b"}]},
+        "time": jan})
+    assert st == 200 and _col(setr, "n_users") == [direct.both]
+
+    # caller errors are 400s, not stack traces
+    st, _ = call(app, "POST", url, {"type": "venn", "a": {
+        "eventName": "signup"}, "time": jan})
+    assert st == 400
+    st, _ = call(app, "POST", url, {
+        "type": "overlap-matrix", "dimension": "no_such_col", "time": jan})
+    assert st == 400
+    st, _ = call(app, "POST", url, {
+        "type": "set", "audiences": {"a": {"eventName": "signup"}},
+        "expression": {"op": "xor", "args": [{"ref": "a"}]}, "time": jan})
+    assert st == 400
+    st, _ = call(app, "POST", url, {"type": "sideways", "time": jan})
+    assert st == 400
+
+
+# ------------------------------------------------- KMV day store + stream
+
+
+def _kmv_rows(day, users, etype="signup"):
+    return [Row(ts=dt.datetime(2024, 1, day, 10), user_id=u,
+                event_type=etype) for u in users]
+
+
+def test_kmv_store_update_merges_and_is_idempotent(spark, tmp_path):
+    from optiprism_spark.streaming.audience import KmvDayStore
+
+    store = KmvDayStore(str(tmp_path / "kmv"), k=64)
+    b1 = spark.createDataFrame(
+        _kmv_rows(2, range(10)) + _kmv_rows(2, range(5), "purchase"))
+    b2 = spark.createDataFrame(
+        _kmv_rows(2, range(5, 15)) + _kmv_rows(3, range(20, 25)))
+    assert store.update(spark, b1) == 1
+    assert store.update(spark, b2) == 2
+
+    def snapshot():
+        return sorted(
+            (r.day.isoformat(), r.dim, tuple(r.kmv))
+            for r in store.read(spark).collect())
+
+    snap = snapshot()
+    got = audience_venn_from_day_sketches(
+        store.read(spark), "signup", "purchase", 64).first()
+    # signup users: 0..14 on day 2 plus 20..24 on day 3 = 20 distinct;
+    # purchase users: 0..4, all of them also signups
+    assert (got.users_a, got.users_b, got.both) == (20.0, 5.0, 5.0)
+    # replaying an already-folded batch is a no-op (set-union merge)
+    store.update(spark, b2)
+    assert snapshot() == snap
+
+
+def test_kmv_store_recompute_days_after_erasure(spark, tmp_path):
+    from optiprism_spark.streaming.audience import KmvDayStore
+
+    store = KmvDayStore(str(tmp_path / "kmv"), k=64)
+    events = spark.createDataFrame(
+        _kmv_rows(2, range(8)) + _kmv_rows(3, [99]))
+    store.update(spark, events)
+    assert store.read(spark).select("day").distinct().count() == 2
+
+    # user 99 (the only day-3 row) exercises full-partition drop;
+    # user 0 exercises the in-place day-2 rebuild
+    survivors = events.filter(~F.col("user_id").isin([0, 99]))
+    import datetime as _dt
+
+    store.recompute_days(
+        spark, survivors, [_dt.date(2024, 1, 2), _dt.date(2024, 1, 3)])
+    left = store.read(spark).collect()
+    assert {r.day.isoformat() for r in left} == {"2024-01-02"}
+    assert len(left[0].kmv) == 7  # users 1..7
+
+
+def test_streaming_kmv_maintenance_end_to_end(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from optiprism_spark.streaming.audience import (
+        KmvDayStore,
+        streaming_kmv_maintenance,
+    )
+
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = KmvDayStore(str(tmp_path / "kmv"), k=256)
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+
+    def run():
+        q = streaming_kmv_maintenance(
+            spark, schema, src, store, ckpt, trigger_once=True)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    spark.createDataFrame(
+        _kmv_rows(2, range(50)) + _kmv_rows(2, range(30), "purchase"),
+        schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(
+        _kmv_rows(3, range(40, 90)), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = audience_venn_from_day_sketches(
+        store.read(spark), "signup", "purchase", 256).first()
+    # signup: 0..49 day2 + 40..89 day3 = 90; purchase 0..29 all shared
+    assert (got.users_a, got.users_b, got.both) == (90.0, 30.0, 30.0)
+
+    snap = sorted((r.day.isoformat(), r.dim, tuple(r.kmv))
+                  for r in store.read(spark).collect())
+    run()  # no new files -> no change
+    assert sorted((r.day.isoformat(), r.dim, tuple(r.kmv))
+                  for r in store.read(spark).collect()) == snap
