@@ -79,6 +79,14 @@ BEST_LIKE_FOR_LIKE = {
     "seg_rollup_uniques_approx": 0.317,
     "wh_revenue_by_nation_bucketed": 0.509,
     "drift_psi_value_half_month": 0.312,  # r11 first in-suite run
+    # r12 first in-suite runs (min of two local passes on a host
+    # measuring 1.1-1.7x r11's control indicator — these bests are
+    # conservative, i.e. likely beatable on a quiet host)
+    "aud_overlap_matrix": 0.434,
+    "aud_venn_kmv_sketched": 0.68,
+    "asm_mixture_sample": 0.579,
+    "drift_profile_value_by_type": 0.328,
+    "drift_psi_value_rollup_routed": 0.392,
 }
 
 #: headline set — one per operator family (SURVEY §2 coverage)
@@ -121,6 +129,10 @@ HEADLINE = [
     "drift_psi_value_rollup_routed", # r12: PSI folded from stored bins
                                      # (build amortized by min-of-N —
                                      # the recurring-delivery path)
+    "aud_overlap_matrix",            # r12: audience set algebra
+                                     # (distinct self-join + bcast sizes)
+    "aud_venn_kmv_sketched",         # r12: KMV theta-sketch fold
+    "asm_mixture_sample",            # r12: token-budget data mixing
 ]
 
 
