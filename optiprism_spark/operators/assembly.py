@@ -322,3 +322,48 @@ def mixture_sample(
         .filter(keep)
         .drop("rate")
     )
+
+
+def mixture_sample_exact(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    token_col: Column = None,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Exact-budget mixture: per source, take documents in
+    deterministic hash order until the token budget fills (greedy
+    prefix — the first document whose predecessors already meet the
+    target is the first excluded). Delivers within one document of
+    the target, vs mixture_sample's ±sqrt(n)-ish expectation, at the
+    cost of one per-source ordering window — same trade
+    stratified_sample_exact documents: prefer the fraction variant at
+    scale, or pre-filter with a generous fraction and trim exactly.
+    Adds ``cum_tokens`` (running total INCLUDING the row) so callers
+    can see how full each source's budget ran."""
+    if not targets:
+        raise ValueError("mixture_sample_exact needs at least one target")
+    if any(t < 0 for t in targets.values()):
+        raise ValueError(f"negative target in {targets}")
+    if token_col is None:
+        token_col = F.size(F.split(F.col("text"), " "))
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(t)) for s, t in sorted(targets.items())],
+        f"{source_col} string, __target double",
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(unit_hash(F.col(id_col), seed), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.join(F.broadcast(tgt), source_col)
+        .withColumn("__n", token_col.cast("long"))
+        .withColumn("cum_tokens", F.sum("__n").over(w))
+        .filter((F.col("cum_tokens") - F.col("__n")) < F.col("__target"))
+        .drop("__n", "__target")
+    )

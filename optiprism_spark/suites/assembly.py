@@ -282,3 +282,35 @@ def asm_mixture_rates(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return mixture_rates(docs, _MIX_TARGETS)
+
+
+@query(
+    "asm_mixture_sample_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    j AS (
+      SELECT tk.doc_id, tk.source, tk.n, v.tgt,
+             SUM(tk.n) OVER (
+               PARTITION BY tk.source
+               ORDER BY {_u_sql('tk.doc_id', 'mix')}, tk.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks tk JOIN (VALUES {_MIX_VALUES}) v(source, tgt)
+        ON v.source = tk.source
+    )
+    SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens
+    FROM j WHERE (cum - n) < tgt
+    """,
+)
+def asm_mixture_sample_exact(spark, sf_dir):
+    """Exact-budget mixture: greedy prefix in deterministic hash
+    order per source — delivers within one document of each target
+    (the saturated source keeps everything). One per-source ordering
+    window; prefer asm_mixture_sample's pure filter at scale."""
+    from ..operators.assembly import mixture_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample_exact(docs, _MIX_TARGETS).select(
+        "doc_id", "source", "cum_tokens")

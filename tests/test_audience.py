@@ -390,3 +390,20 @@ def test_streaming_kmv_maintenance_end_to_end(spark, tmp_path):
     run()  # no new files -> no change
     assert sorted((r.day.isoformat(), r.dim, tuple(r.kmv))
                   for r in store.read(spark).collect()) == snap
+
+
+def test_mixture_sample_exact_budget_edges(spark):
+    from optiprism_spark.operators.assembly import mixture_sample_exact
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="a", text="w " * 9 + "w") for i in range(6)]
+    )  # 6 docs x 10 tokens
+    # budget 25 -> greedy prefix keeps 3 docs (cum 10, 20, 30): the
+    # third starts under budget and overruns by at most one doc
+    out = mixture_sample_exact(docs, {"a": 25.0}).collect()
+    assert len(out) == 3 and max(r.cum_tokens for r in out) == 30
+    # zero budget keeps nothing; saturating budget keeps everything
+    assert mixture_sample_exact(docs, {"a": 0.0}).count() == 0
+    assert mixture_sample_exact(docs, {"a": 1e9}).count() == 6
+    with pytest.raises(ValueError, match="negative"):
+        mixture_sample_exact(docs, {"a": -5.0})
