@@ -99,6 +99,25 @@ SF01_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "wh_revenue_by_nation", "wh_revenue_by_nation_bucketed",
         "win_period_compare",
     }),
+    12: frozenset({
+        "asm_split_train_val_test", "aud_overlap_matrix",
+        "catalog_property_query", "dedup_embedding_cosine_ivf_auto",
+        "dedup_embedding_cosine_lsh_banded", "dedup_exact_survivors",
+        "dedup_lsh_near_pairs", "drift_profile_value_by_type",
+        "drift_psi_value_half_month", "drift_psi_value_rollup_routed",
+        "est_count_daily_sampled", "est_funnel_3step_sampled",
+        "est_retention_weekly_sampled", "funnel_first_touch_3step",
+        "funnel_machine_any_order_touch_last", "funnel_machine_breakdown",
+        "ingest_ua_browser_counts", "multimodal_features",
+        "qsketch_percentile_value_by_type",
+        "rollup_percentile_value_by_type", "seg_count_daily_by_type",
+        "seg_percentiles_by_type", "seg_rollup_count_daily",
+        "seg_sum_value_daily_by_type", "segment_has_property_value",
+        "sim_cosine_topk", "text_bpe_segments", "text_stats_all",
+        "wh_order_priority_bucketed", "wh_revenue_by_nation",
+        "wh_revenue_by_nation_bucketed", "wh_top_brands_by_region",
+        "win_rolling_avg"
+    }),
 }
 
 

@@ -70,3 +70,47 @@ def test_recorded_rounds_are_registered_queries():
     for r, names in DRIVER_CHECKED_ROUNDS.items():
         unknown = names - known
         assert not unknown, f"round {r} records unknown queries: {unknown}"
+
+
+# ---------------------------------------------- sf0.1 spot-gate rotation
+
+
+def _sf01():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "sf01_oracle_check", "/root/repo/sf01_oracle_check.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_sf01_gate_rotates_least_recently_checked():
+    """The sf0.1 gate (r11 verdict task 7) must lead its rotating
+    window with the least-recently-sf0.1-checked oracled queries —
+    CORE always present, picks all oracled, and nothing in the
+    upcoming rotation re-checks the latest recorded round unless the
+    pool has cycled."""
+    from optiprism_spark.registry import ORACLE_SQL
+
+    m = _sf01()
+    picks = m.gate_picks(QUERIES, set(ORACLE_SQL))
+    assert [p for p in picks[:len(m.CORE)]] == list(m.CORE)
+    assert len(picks) == len(m.CORE) + m.ROTATE_N
+    assert all(p in ORACLE_SQL for p in picks)
+    rotating = picks[len(m.CORE):]
+    latest = max(m.SF01_CHECKED_ROUNDS)
+
+    def last(n):
+        return max((r for r, s in m.SF01_CHECKED_ROUNDS.items() if n in s),
+                   default=0)
+
+    # nothing outside the upcoming rotation may be staler than
+    # anything inside it
+    pool = [n for n in QUERIES
+            if n in ORACLE_SQL and n not in m.CORE]
+    worst_in = max(last(n) for n in rotating)
+    best_out = min(last(n) for n in pool if n not in rotating)
+    assert worst_in <= best_out
+    # the latest round's record exists and only lists real queries
+    assert all(n in QUERIES for n in m.SF01_CHECKED_ROUNDS[latest])
