@@ -355,6 +355,15 @@ def audience_venn_from_day_sketches(
         F.lit(1).alias("__j"), F.col(kmv_col).alias("__ka"))
     b = merged.filter(F.col("dim") == dim_b).select(
         F.lit(1).alias("__j"), F.col(kmv_col).alias("__kb"))
-    return a.join(F.broadcast(b), "__j").select(  # 1 row × 1 row
-        *kmv_venn_counts(F.col("__ka"), F.col("__kb"), k)
+    # anchor row + left joins: an audience with NO sketches in the
+    # window must yield a zeros venn row (what the exact path reports),
+    # not an empty frame — empty array ≡ exact empty sketch (theta 1.0)
+    empty = F.array().cast("array<double>")
+    anchor = sketches.sparkSession.range(1).select(F.lit(1).alias("__j"))
+    return (
+        anchor.join(F.broadcast(a), "__j", "left")
+        .join(F.broadcast(b), "__j", "left")
+        .select(*kmv_venn_counts(
+            F.coalesce(F.col("__ka"), empty),
+            F.coalesce(F.col("__kb"), empty), k))
     )

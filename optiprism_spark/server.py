@@ -391,6 +391,7 @@ class App:
         lake: Optional[dict] = None,
         result_cache_ttl: Optional[float] = 60.0,
         admission_limit="default",
+        kmv_store=None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -406,6 +407,10 @@ class App:
         # from it (run_event_segmentation routes per event-query);
         # maintained by the ingest compaction loop
         self.rollup_store = rollup_store
+        #: optional audience KMV day-sketch store
+        #: (streaming.audience.KmvDayStore), maintained like the
+        #: rollup; enables `sketched: true` on /queries/audience venn
+        self.kmv_store = kmv_store
         #: directory for CATALOG-DECLARED per-project rollups (POST
         #: /projects/{pid}/schema/rollups); None disables the feature
         self.rollup_dir = rollup_dir
@@ -1425,6 +1430,14 @@ class App:
                                         props=props)
             except KeyError as e:
                 raise HttpError(400, f"venn requires {e.args[0]}")
+            if body.get("sketched"):
+                # EXPLICIT estimate mode (double columns, like the
+                # sampling mode's opt-in): answered from maintained
+                # day-grain KMV sketches, no raw scan. Unsupported
+                # shapes fail loudly — a silent raw fallback would
+                # change the result dtype under the caller.
+                return 200, (self._sketched_venn(a, b, time, filters),
+                             set())
             out = audience_venn(self._events(), a, b, time, filters)
             return 200, (out, set())
 
@@ -1452,6 +1465,45 @@ class App:
             return 200, (out, set())
 
         raise HttpError(400, "type must be venn, overlap-matrix or set")
+
+    def _sketched_venn(self, a, b, time, filters):
+        """Venn from the maintained KMV day-sketch store: exact below
+        the store's K, ±1/sqrt(K) beyond — the no-raw-scan path for
+        the recurring overlap dashboards. Requires plain event-name
+        audiences (sketches are keyed by the dim value), no property
+        filters (not in the sketch), and a whole-day bounded window
+        (the store's grain); each constraint 400s with its reason."""
+        from pyspark.sql import functions as F
+
+        from .operators.audience import audience_venn_from_day_sketches
+        from .rollup import _day_aligned
+
+        store = self.kmv_store
+        if store is None or not store.exists():
+            raise HttpError(
+                400, "sketched venn requires a maintained KMV day-sketch "
+                     "store (App(kmv_store=...))")
+        if filters:
+            raise HttpError(
+                400, "sketched venn cannot apply property filters — "
+                     "sketches hold hashed users per (day, event) only")
+        if a.custom is not None or b.custom is not None or (
+                a.name is None or b.name is None):
+            raise HttpError(
+                400, "sketched venn needs plain event-name audiences")
+        days = store.read(self.spark)
+        if time is not None:
+            aligned = _day_aligned(time)
+            if aligned is None or aligned[1] is None:
+                raise HttpError(
+                    400, "sketched venn needs a whole-day bounded window")
+            days = days.filter(
+                (F.col("day") >= F.lit(aligned[0].isoformat()).cast("date"))
+                & (F.col("day") <= F.lit(aligned[1].isoformat()).cast("date"))
+            )
+        metrics.query_rollup_routed_total().inc(path="kmv")
+        return audience_venn_from_day_sketches(days, a.name, b.name,
+                                               k=store.k)
 
     def _drift(self, body, m, q):
         """Data-quality / drift queries (beyond the reference) — the
@@ -2190,13 +2242,14 @@ def make_app(
     lake: Optional[dict] = None,
     result_cache_ttl: Optional[float] = 60.0,
     admission_limit="default",
+    kmv_store=None,
 ) -> App:
     return App(spark, sf_dir, custom_events=custom_events, now=now,
                catalog=catalog, token_key=token_key, wal_dir=wal_dir,
                session_store=session_store, backup_dir=backup_dir,
                rollup_store=rollup_store, rollup_dir=rollup_dir, lake=lake,
                result_cache_ttl=result_cache_ttl,
-               admission_limit=admission_limit)
+               admission_limit=admission_limit, kmv_store=kmv_store)
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:

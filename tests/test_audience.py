@@ -407,3 +407,67 @@ def test_mixture_sample_exact_budget_edges(spark):
     assert mixture_sample_exact(docs, {"a": 1e9}).count() == 6
     with pytest.raises(ValueError, match="negative"):
         mixture_sample_exact(docs, {"a": -5.0})
+
+
+def test_http_audience_sketched_venn(spark, tmp_path):
+    """`sketched: true` on /queries/audience venn serves from the
+    maintained KMV store — exact-valued in the sparse regime, counted
+    in the rollup-routing metric, and failing loudly (400) for shapes
+    the sketches can't answer rather than silently falling back to a
+    raw scan with a different dtype."""
+    from optiprism_spark import metrics
+    from optiprism_spark.schema import load_table
+    from optiprism_spark.server import make_app
+    from optiprism_spark.streaming.audience import KmvDayStore
+
+    from .conftest import SF_SMOKE
+    from .test_server import call
+
+    metrics.REGISTRY.reset()
+    store = KmvDayStore(str(tmp_path / "kmv"), k=4096)
+    events = load_table(spark, SF_SMOKE, "events")
+    store.update(spark, events)
+    app = make_app(spark, SF_SMOKE, result_cache_ttl=None, kmv_store=store)
+    url = "/api/v1/projects/1/queries/audience"
+    jan = {"type": "between", "from": "2024-01-01T00:00:00",
+           "to": "2024-01-31T23:59:59.999999"}  # whole-day bounded
+
+    body = {"type": "venn", "a": {"eventName": "signup"},
+            "b": {"eventName": "purchase"}, "time": jan,
+            "sketched": True}
+    st, resp = call(app, "POST", url, body)
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="kmv") == 1
+    exact = audience_venn(events, EventRef("signup"), EventRef("purchase"),
+                          JAN).first()
+    # sparse regime: the estimates ARE the exact counts (as doubles)
+    assert _col(resp, "both") == [float(exact.both)]
+    assert _col(resp, "users_a") == [float(exact.users_a)]
+    assert _col(resp, "union_users") == [float(exact.union_users)]
+
+    # ragged window, filters, and a store-less app all 400 loudly
+    st, _ = call(app, "POST", url, dict(
+        body, time={"type": "between", "from": "2024-01-01T12:00:00",
+                    "to": "2024-01-31T23:59:59.999999"}))
+    assert st == 400
+    st, _ = call(app, "POST", url, dict(
+        body, filters={"groups": [{"filters": [
+            {"type": "property", "propertyType": "event",
+             "propertyName": "value", "operation": "gt", "value": [1]}
+        ]}]}))
+    assert st == 400
+    bare = make_app(spark, SF_SMOKE, result_cache_ttl=None)
+    st, _ = call(bare, "POST", url, body)
+    assert st == 400
+
+
+def test_kmv_venn_missing_audience_yields_zero_row(spark):
+    # one dim entirely absent from the store window must produce a
+    # zeros venn row (what the exact path reports), not an empty frame
+    days = kmv_day_sketches(
+        spark.createDataFrame(_kmv_rows(2, range(7))), None, k=64)
+    got = audience_venn_from_day_sketches(days, "signup", "purchase", 64)
+    row = got.first()
+    assert got.count() == 1
+    assert (row.users_a, row.users_b, row.both) == (7.0, 0.0, 0.0)
+    assert row.union_users == 7.0 and row.jaccard == 0.0
