@@ -314,3 +314,53 @@ def distribution_drift_fixed(
         aggs.append(F.sum(F.when(cond & ~sb, 1).otherwise(0))
                     .cast("long").alias(f"__a{i}"))
     return _psi_from_bin_sums(pop.agg(*aggs), n_bins)
+
+
+def distribution_drift_quantile(
+    df: DataFrame,
+    col: str,
+    split: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI over EQUI-DEPTH bins: edges are the BASELINE population's
+    own quantiles, so each bin carries ~1/n_bins of the baseline mass
+    — the standard production binning for PSI. Equal-width bins
+    starve the tails (most mass lands in 2-3 middle bins and small
+    shifts vanish into smoothing), and global-min/max bins re-cut
+    themselves whenever one outlier lands; baseline quantiles give
+    every bin equal statistical weight and move only when the
+    BASELINE is re-chosen.
+
+    Plan shape: one exact-percentile aggregate over the baseline rows
+    (1 row, broadcast onto the scan — no driver round-trip), bucket =
+    1 + Σ(v >= edge_i) as plain boolean sums, one partial-agg
+    histogram, PSI over ≤ n_bins rows. Edges are rounded to 9
+    decimals on both engines so Spark's percentile and the oracle's
+    quantile_cont cannot disagree by a ULP at a bin boundary.
+    Duplicate quantiles (heavy point masses) simply skip bins — the
+    PSI stays well-defined over the occupied ones. At 100 TB swap the
+    exact percentile for approx_percentile (documented swap-point,
+    same shape); the registered query keeps the exact path for the
+    oracle."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    v = F.col(col)
+    pop = df.filter(v.isNotNull() & split.isNotNull())
+    sb = split.cast("boolean")
+    edges = pop.filter(sb).agg(*[
+        F.round(F.percentile(v, F.lit(i / n_bins)), 9).alias(f"__q{i}")
+        for i in range(1, n_bins)
+    ]).withColumn("__k", F.lit(1))
+    bucket = F.lit(1)
+    for i in range(1, n_bins):
+        bucket = bucket + (v >= F.col(f"__q{i}")).cast("int")
+    binned = (
+        pop.withColumn("__k", F.lit(1))
+        .join(F.broadcast(edges), "__k")
+        .select(bucket.cast("int").alias("bucket"), sb.alias("__exp"))
+    )
+    hist = binned.groupBy("bucket").agg(
+        F.sum(F.col("__exp").cast("long")).alias("n_expected"),
+        F.sum((~F.col("__exp")).cast("long")).alias("n_actual"),
+    )
+    return _psi_contribs(hist, "bucket", n_bins)

@@ -1600,8 +1600,23 @@ class App:
         # numeric PSI
         edges = tuple(float(x) for x in (body.get("edges") or ()))
         bins = body.get("bins")
-        if edges and bins:
-            raise HttpError(400, "give edges OR bins, not both")
+        qbins = body.get("quantileBins")
+        if sum(map(bool, (edges, bins, qbins))) > 1:
+            raise HttpError(
+                400, "give edges OR bins OR quantileBins, not several")
+        if qbins:
+            # equi-depth flavour: baseline-quantile edges (each bin
+            # ~1/n of the baseline mass) — never rollup-routed, the
+            # edges depend on the baseline rows themselves
+            from .operators.drift import distribution_drift_quantile
+
+            metrics.query_rollup_routed_total().inc(path="raw")
+            events = self._events()
+            if prop not in events.columns:
+                raise HttpError(400, f"unknown column {prop!r}")
+            out = distribution_drift_quantile(
+                events.filter(pop), prop, split, n_bins=int(qbins))
+            return 200, (out, {"bucket"})
         if not bins:
             # DDL-edge flavour: fold from a rollup whose declared
             # histogram matches (request edges, if given, must agree —

@@ -312,3 +312,65 @@ def drift_psi_event_mix_topk(spark, sf_dir):
         split=F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"),
         max_categories=2,
     )
+
+
+def _quantile_psi_oracle(n_bins: int) -> str:
+    """Mirror of distribution_drift_quantile: baseline quantile edges
+    (rounded to 9 on both engines), bucket = 1 + Σ(v >= edge), the
+    shared smoothed-PSI tail over occupied buckets."""
+    qcols = ", ".join(
+        f"round(quantile_cont(v, {i / n_bins!r}) FILTER (exp_side), 9)"
+        f" AS q{i}"
+        for i in range(1, n_bins))
+    bump = " + ".join(
+        f"CAST(v >= q{i} AS INT)" for i in range(1, n_bins))
+    return f"""
+    WITH pop AS (
+      SELECT value AS v, ts < TIMESTAMP '{_SPLIT_TS}' AS exp_side
+      FROM events
+      WHERE value IS NOT NULL
+        AND ts BETWEEN TIMESTAMP '{_JAN[0]}' AND TIMESTAMP '{_JAN[1]}'
+    ), q AS (SELECT {qcols} FROM pop),
+    binned AS (
+      SELECT CAST(1 + {bump} AS INT) AS bucket, exp_side FROM pop, q
+    ), hist AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN exp_side THEN 1 ELSE 0 END) AS BIGINT) AS n_expected,
+             CAST(SUM(CASE WHEN exp_side THEN 0 ELSE 1 END) AS BIGINT) AS n_actual
+      FROM binned GROUP BY 1
+    )
+    SELECT bucket, n_expected, n_actual,
+           round(((n_expected + 0.5) / (SUM(n_expected) OVER () + 0.5 * {n_bins})
+                  - (n_actual + 0.5) / (SUM(n_actual) OVER () + 0.5 * {n_bins}))
+                 * ln(((n_expected + 0.5) / (SUM(n_expected) OVER () + 0.5 * {n_bins}))
+                      / ((n_actual + 0.5) / (SUM(n_actual) OVER () + 0.5 * {n_bins}))),
+                 9) AS psi_contrib
+    FROM hist
+    """
+
+
+@query("drift_psi_value_quantile_bins", oracle=_quantile_psi_oracle(10))
+def drift_psi_value_quantile_bins(spark, sf_dir):
+    """PSI over EQUI-DEPTH bins (baseline-decile edges), first vs
+    second half of January — the production PSI binning: every bin
+    carries ~10% of the baseline mass, so tail shifts register
+    instead of vanishing into two overstuffed middle bins, and edges
+    move only when the baseline is re-chosen (not when one outlier
+    lands, unlike global-min/max bins). One baseline percentile
+    aggregate broadcast onto the scan
+    (operators/drift.distribution_drift_quantile)."""
+    import datetime as _dt
+
+    from ..dsl import QueryTime
+    from ..exprs import full_filter
+    from ..operators.drift import distribution_drift_quantile
+
+    time = QueryTime.between(
+        _dt.datetime(2024, 1, 1),
+        _dt.datetime(2024, 1, 31, 23, 59, 59, 999999))
+    events = load_table(spark, sf_dir, "events").filter(full_filter(time))
+    return distribution_drift_quantile(
+        events, "value",
+        split=F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"),
+        n_bins=10,
+    )

@@ -375,3 +375,71 @@ def test_drift_watchdog_rebaseline(spark, tmp_path):
     alerts = {r["batch_id"]: r["psi"] for r in
               spark.read.parquet(log).collect()}
     assert len(alerts) == 2
+
+
+# --------------------------------------------- r12: equi-depth PSI bins
+
+
+def test_quantile_psi_equal_depth_and_validation(spark):
+    """Identical populations -> each decile bin holds ~1/n of both
+    sides and the PSI is ~0; the baseline's own deciles define the
+    edges (equi-depth), unlike equal-width bins."""
+    from pyspark.sql import Row
+
+    from optiprism_spark.operators.drift import distribution_drift_quantile
+
+    import datetime as dt
+
+    rows = [Row(ts=dt.datetime(2024, 1, 2 + (i % 2)), value=float(i))
+            for i in range(1000)]  # both halves uniform 0..999
+    df = spark.createDataFrame(rows)
+    out = distribution_drift_quantile(
+        df, "value", split=F.dayofmonth("ts") == 2, n_bins=10).collect()
+    assert len(out) == 10
+    tot_e = sum(r.n_expected for r in out)
+    for r in out:  # equi-depth: every bin ~10% of the baseline
+        assert abs(r.n_expected / tot_e - 0.1) < 0.02
+    assert abs(sum(r.psi_contrib for r in out)) < 0.01  # no drift
+    with pytest.raises(ValueError, match="n_bins"):
+        distribution_drift_quantile(df, "value", F.lit(True), n_bins=1)
+
+
+def test_quantile_psi_point_mass_skips_bins(spark):
+    """A heavy point mass collapses consecutive quantiles; duplicate
+    edges skip bins rather than corrupting counts."""
+    from pyspark.sql import Row
+
+    import datetime as dt
+
+    from optiprism_spark.operators.drift import distribution_drift_quantile
+
+    rows = ([Row(ts=dt.datetime(2024, 1, 2), value=5.0)] * 800
+            + [Row(ts=dt.datetime(2024, 1, 2), value=float(v))
+               for v in range(100)]
+            + [Row(ts=dt.datetime(2024, 1, 3), value=float(v % 50))
+               for v in range(300)])
+    df = spark.createDataFrame(rows)
+    out = distribution_drift_quantile(
+        df, "value", split=F.dayofmonth("ts") == 2, n_bins=10).collect()
+    buckets = {r.bucket for r in out}
+    assert len(buckets) < 10  # skipped bins from the duplicate edges
+    assert sum(r.n_expected for r in out) == 900
+    assert sum(r.n_actual for r in out) == 300
+
+
+def test_http_drift_quantile_bins(spark):
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    app = make_app(spark, SF_SMOKE, result_cache_ttl=None)
+    url = "/api/v1/projects/1/queries/drift"
+    body = {"type": "numeric", "property": "value",
+            "baseline": _JAN_B, "actual": _JAN_A, "quantileBins": 10}
+    st, resp = call(app, "POST", url, body)
+    assert st == 200
+    buckets = next(c["data"] for c in resp["columns"]
+                   if c["name"] == "bucket")
+    assert 1 <= len(buckets) <= 10
+    st, _ = call(app, "POST", url, dict(body, bins=5))
+    assert st == 400  # mutually exclusive flavours
