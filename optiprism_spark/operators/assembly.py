@@ -367,3 +367,109 @@ def mixture_sample_exact(
         .filter((F.col("cum_tokens") - F.col("__n")) < F.col("__target"))
         .drop("__n", "__target")
     )
+
+
+def _content_fingerprint(id_col: str) -> Column:
+    """Order-independent per-shard content fingerprint: SUM of a
+    52-bit md5 prefix of each id, exact in a decimal(38,0) — additive,
+    so it is partition-order independent and recomputable from the
+    written files for verification."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+    return F.sum(h.cast("decimal(38,0)"))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> dict:
+    """Deterministic sharded export — the hand-off from "corpus is
+    assembled" to "trainer reads shards". Each row's shard is an
+    md5-bucket of its id (hash-stable: a document's shard never
+    changes as the corpus grows, so incremental re-exports move only
+    new documents), written as ``path/shard=K/`` with ONE file per
+    shard (repartition by the shard key first — without it every task
+    writes a file per shard, the classic small-files amplification),
+    plus an atomically-committed ``_MANIFEST.json`` recording per-shard
+    row counts and an order-independent content fingerprint.
+
+    The manifest is the delivery contract: ``verify_training_shards``
+    recomputes both from the written files and flags any divergence
+    (truncated copy, lost shard, non-deterministic upstream). Returns
+    the manifest dict."""
+    import json
+    import os
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"),
+                               F.col(id_col).cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    out = df.withColumn("shard", shard)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    stats = (
+        out.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("rows"),
+             _content_fingerprint(id_col).alias("fp"))
+        .collect()  # n_shards rows — the manifest, not data
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "seed": seed,
+        "total_rows": int(sum(r["rows"] for r in stats)),
+        "shards": {
+            str(r["shard"]): {"rows": int(r["rows"]), "fp": str(r["fp"])}
+            for r in stats
+        },
+    }
+    tmp = os.path.join(path, "_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
+    return manifest
+
+
+def verify_training_shards(spark, path: str, id_col: str = None) -> dict:
+    """Recompute per-shard rows + fingerprints from the WRITTEN files
+    and diff against the manifest — the receiving side's integrity
+    check before training starts. Returns {"ok": bool, "mismatched":
+    [shard, ...], "missing": [...], "unexpected": [...]}."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    id_col = id_col or manifest["id_col"]
+    got = {
+        str(r["shard"]): (int(r["rows"]), str(r["fp"]))
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("rows"),
+             _content_fingerprint(id_col).alias("fp"))
+        .collect()
+    }
+    want = {k: (v["rows"], v["fp"]) for k, v in manifest["shards"].items()}
+    return {
+        "ok": got == want,
+        "mismatched": sorted(k for k in got.keys() & want.keys()
+                             if got[k] != want[k]),
+        "missing": sorted(want.keys() - got.keys()),
+        "unexpected": sorted(got.keys() - want.keys()),
+    }

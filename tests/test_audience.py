@@ -471,3 +471,48 @@ def test_kmv_venn_missing_audience_yields_zero_row(spark):
     assert got.count() == 1
     assert (row.users_a, row.users_b, row.both) == (7.0, 0.0, 0.0)
     assert row.union_users == 7.0 and row.jaccard == 0.0
+
+
+# ----------------------------------------------------- shard export sink
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    import glob
+    import shutil
+
+    from optiprism_spark.operators.assembly import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(500)])
+    path = str(tmp_path / "shards")
+    m1 = write_training_shards(docs, path, n_shards=8)
+    assert m1["total_rows"] == 500 and len(m1["shards"]) == 8
+    # one data file per shard dir — no small-files amplification
+    for k in m1["shards"]:
+        files = glob.glob(f"{path}/shard={k}/*.parquet")
+        assert len(files) == 1, files
+    assert verify_training_shards(spark, path)["ok"]
+
+    # deterministic: same data -> identical manifest; and a doc's
+    # shard never changes when the corpus grows (hash-stable)
+    m2 = write_training_shards(docs, str(tmp_path / "s2"), n_shards=8)
+    assert m2["shards"] == m1["shards"]
+    bigger = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(1000)])
+    m3 = write_training_shards(bigger, str(tmp_path / "s3"), n_shards=8)
+    small = spark.read.parquet(path).select("doc_id", "shard")
+    big = (spark.read.parquet(str(tmp_path / "s3"))
+           .select("doc_id", F.col("shard").alias("shard_big")))
+    moved = small.join(big, "doc_id").filter("shard != shard_big").count()
+    assert moved == 0 and m3["total_rows"] == 1000
+
+    # the receiving side catches a lost shard and a truncated one
+    shutil.rmtree(f"{path}/shard=3")
+    v = verify_training_shards(spark, path)
+    assert not v["ok"] and v["missing"] == ["3"]
+
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(docs, str(tmp_path / "s4"), n_shards=0)
