@@ -184,44 +184,84 @@ def audience_venn(
 # ----------------------------------------------------------- exact pairwise
 
 
+#: default cap on overlap-matrix dimensions: bounds the output (K²/2
+#: pairs) and the per-user join fan-out regardless of the column's
+#: true cardinality (the categorical_drift MAX_CATEGORIES discipline)
+#: — event-type-like columns sail under it; a URL/user-agent column
+#: keeps its K most-used values and drops the tail (no __other__
+#: bucket here: pairwise overlap of a merged tail is meaningless)
+MAX_OVERLAP_DIMS = 200
+
+
 def overlap_matrix(
     events: DataFrame,
     time: Optional[QueryTime] = None,
     dim_col: str = "event_type",
     filters: Sequence[PropFilter] = (),
     group_col: str = EVENT_USER_COL,
+    max_dims: Optional[int] = MAX_OVERLAP_DIMS,
 ) -> DataFrame:
     """Pairwise audience overlap across every value of ``dim_col``:
     (dim_a, dim_b, users_a, users_b, overlap, jaccard), dim_a < dim_b.
 
     Shape: distinct (user, dim) — event-scale reduced to
-    user×dim-scale with map-side combine — then a self-equi-join on
-    user (both sides carry the distinct's hash-partitioning; per-user
-    pair fan-out ≤ (dims per user)², bounded by the dimension's
-    cardinality, never by event volume) and a (dim_a, dim_b) count.
-    Sizes broadcast back onto the pair rows."""
+    user×dim-scale with map-side combine — repartitioned on user and
+    MATERIALIZED once (localCheckpoint), then ONE self-join keyed on
+    user with ``a.dim <= b.dim``: the diagonal rows (a = b) ARE the
+    per-dim user counts, so sizes come for free from the same tiny
+    pair frame instead of a second aggregation. Net plan: one parquet
+    scan, one distinct exchange, one user repartition, one
+    co-partitioned self-join (both sides the same cached frame —
+    Exchange-free), one (dim, dim) count. The naive spelling scanned
+    the source FOUR times (sizes + both join sides re-derived the
+    distinct; Catalyst did not reuse the exchange across the aliases)
+    — at 100 TB that is 4 full scans for 1.
+
+    Per-user pair fan-out ≤ (dims per user)², bounded by the
+    dimension's cardinality per user, never by event volume. The
+    materialized frame is user×dim-scale and spills to disk;
+    localCheckpoint trades the recompute path away (the
+    connected_components note) — on a cluster prefer persist() with a
+    reliable storage level if executor loss mid-query matters."""
     flt = full_filter(time, None, filters)
     df = events.filter(flt) if flt is not None else events
-    d = df.select(
-        F.col(group_col).alias("__u"), F.col(dim_col).alias("__d")
-    ).distinct()
-    sizes = d.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
+    d = (
+        df.select(F.col(group_col).alias("__u"), F.col(dim_col).alias("__d"))
+        .distinct()
+        .repartition(F.col("__u"))
+        .localCheckpoint(eager=True)
+    )
+    if max_dims is not None:
+        # top-K dims by distinct-user count (ties by dim,
+        # deterministic): a distributed TakeOrdered over the cached
+        # frame + a broadcast semi-join that PRESERVES the user
+        # partitioning, so the pair join below stays Exchange-free
+        top = (
+            d.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col("__d").asc())
+            .limit(int(max_dims))
+        )
+        d = d.join(F.broadcast(top.select("__d")), "__d", "left_semi")
     a, b = d.alias("a"), d.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.__u") == F.col("b.__u"))
-            & (F.col("a.__d") < F.col("b.__d")),
+            & (F.col("a.__d") <= F.col("b.__d")),
         )
         .groupBy(
             F.col("a.__d").alias("dim_a"), F.col("b.__d").alias("dim_b")
         )
         .agg(F.count(F.lit(1)).alias("overlap"))
+        .localCheckpoint(eager=True)  # n_dims² rows — tiny
     )
-    sa = sizes.select(F.col("__d").alias("dim_a"), F.col("__n").alias("users_a"))
-    sb = sizes.select(F.col("__d").alias("dim_b"), F.col("__n").alias("users_b"))
+    sizes = pairs.filter(F.col("dim_a") == F.col("dim_b"))
+    sa = sizes.select(F.col("dim_a"), F.col("overlap").alias("users_a"))
+    sb = sizes.select(F.col("dim_a").alias("dim_b"),
+                      F.col("overlap").alias("users_b"))
     return (
-        pairs.join(F.broadcast(sa), "dim_a")
+        pairs.filter(F.col("dim_a") < F.col("dim_b"))
+        .join(F.broadcast(sa), "dim_a")
         .join(F.broadcast(sb), "dim_b")
         .select(
             "dim_a",
@@ -367,3 +407,20 @@ def audience_venn_from_day_sketches(
             F.coalesce(F.col("__ka"), empty),
             F.coalesce(F.col("__kb"), empty), k))
     )
+
+
+def audience_users(
+    events: DataFrame,
+    audiences: Mapping[str, EventRef],
+    expr: SetExpr,
+    time: Optional[QueryTime] = None,
+    filters: Sequence[PropFilter] = (),
+    group_col: str = EVENT_USER_COL,
+) -> DataFrame:
+    """The user set satisfying a boolean audience expression — the
+    composition seam: left-semi-join this against any other query's
+    event stream to scope segmentation/funnels/retention to "users
+    who did A and B but never C" (the segments.py apply pattern; the
+    set is user-scale and broadcasts)."""
+    flags = audience_flags(events, audiences, time, filters, group_col)
+    return flags.filter(set_expr_col(expr, list(audiences))).select(group_col)

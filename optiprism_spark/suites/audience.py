@@ -168,3 +168,97 @@ def aud_venn_kmv_sketched(spark, sf_dir):
         load_table(spark, sf_dir, "events"), _FULL, k=_KMV_K)
     return audience_venn_from_day_sketches(
         days, "signup", "purchase", k=_KMV_K)
+
+
+@query(
+    "aud_overlap_matrix_topk",
+    oracle=f"""
+    WITH {_D},
+    top AS (
+      SELECT event_type FROM (
+        SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1
+        ORDER BY n DESC, event_type ASC LIMIT 3)
+    ),
+    dg AS (SELECT d.* FROM d JOIN top USING (event_type)),
+    s AS (SELECT event_type, COUNT(*) AS n FROM dg GROUP BY 1),
+    p AS (
+      SELECT a.event_type AS dim_a, b.event_type AS dim_b,
+             COUNT(*) AS overlap
+      FROM dg a JOIN dg b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.dim_a, p.dim_b, sa.n AS users_a, sb.n AS users_b,
+           p.overlap,
+           CAST(p.overlap AS DOUBLE) / (sa.n + sb.n - p.overlap) AS jaccard
+    FROM p JOIN s sa ON sa.event_type = p.dim_a
+           JOIN s sb ON sb.event_type = p.dim_b
+    """,
+)
+def aud_overlap_matrix_topk(spark, sf_dir):
+    """The overlap matrix with its cardinality guard EXERCISED (top-3
+    dims by distinct-user count, ties by dim): the shape that makes
+    the operator safe on URL/user-agent-grade columns — output bounded
+    to K²/2 pairs, per-user join fan-out bounded by K, and the guard's
+    semi-join preserves the user partitioning so the pair join stays
+    Exchange-free."""
+    return overlap_matrix(
+        load_table(spark, sf_dir, "events"), _FULL, max_dims=3)
+
+
+#: value-filtered audiences (plain event names are degenerate on the
+#: synthetic data — every user does every event type): "made a big
+#: purchase" / "hit a big error", as custom events with member filters
+def _big(event: str, gt: float) -> EventRef:
+    from ..dsl import EventFilterSpec, PropFilter, PropOp, PropertyRef
+
+    return EventRef(custom=[EventFilterSpec(
+        EventRef(event),
+        [PropFilter(PropertyRef.column("value"), PropOp.GT, [gt])])])
+
+
+@query(
+    "aud_scoped_count_daily",
+    oracle=f"""
+    WITH flags AS (
+      SELECT user_id,
+             MAX(event_type = 'purchase' AND value > 200.0) AS a,
+             MAX(event_type = 'error' AND value > 250.0) AS c
+      FROM events WHERE {S.ts_between(*S.T_FULL)}
+      GROUP BY 1
+    ),
+    aud AS (SELECT user_id FROM flags WHERE a AND NOT c)
+    SELECT {S.bucket('day')} AS bucket, COUNT(*) AS count
+    FROM events
+    WHERE {S.ts_between(*S.T_FULL)}
+      AND user_id IN (SELECT user_id FROM aud)
+    GROUP BY 1
+    """,
+)
+def aud_scoped_count_daily(spark, sf_dir):
+    """Composition seam exercised: daily event counts SCOPED to the
+    audience "made a >200 purchase AND never hit a >250 error"
+    (value-filtered custom-event audiences) — the audience user set
+    (one groupBy(user) pass, user-scale) broadcast into a left-semi
+    join against the same stream, then the ordinary daily count. Any
+    query family scopes the same way."""
+    from pyspark.sql import functions as F
+
+    from ..operators.aggregates import bucket_col
+    from ..dsl import TimeIntervalUnit
+    from ..exprs import full_filter
+    from ..operators.audience import audience_users
+
+    events = load_table(spark, sf_dir, "events")
+    users = audience_users(
+        events,
+        {"a": _big("purchase", 200.0), "c": _big("error", 250.0)},
+        {"op": "and", "args": [
+            {"ref": "a"}, {"op": "not", "args": [{"ref": "c"}]}]},
+        _FULL)
+    return (
+        events.filter(full_filter(_FULL))
+        .join(F.broadcast(users), "user_id", "left_semi")
+        .groupBy(bucket_col(TimeIntervalUnit.DAY).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )

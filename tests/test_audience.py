@@ -86,10 +86,16 @@ def test_set_expr_validation(spark):
         audience_flags(ev, {}, JAN)
 
 
-def test_overlap_matrix_broadcasts_sizes(spark, sf_smoke_events):
+def test_overlap_matrix_single_scan_plan(spark, sf_smoke_events):
+    """The distinct (user, dim) frame is materialized ONCE: the final
+    plan reads the checkpoint (no parquet re-scan — the naive spelling
+    scanned the source 4x) and the self-join runs co-partitioned on
+    the cached frame (no Exchange); sizes join broadcast-side."""
     plan = overlap_matrix(sf_smoke_events, JAN)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # sizes joined broadcast-side
+    assert "FileScan parquet" not in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 # ------------------------------------------------------------- KMV sketches
