@@ -1446,7 +1446,14 @@ class App:
             events = self._events()
             if dim not in events.columns:
                 raise HttpError(400, f"unknown dimension: {dim}")
-            out = overlap_matrix(events, time, dim_col=dim, filters=filters)
+            from .operators.audience import MAX_OVERLAP_DIMS
+
+            max_dims = body.get("maxDims", MAX_OVERLAP_DIMS)
+            if max_dims is not None and int(max_dims) < 2:
+                raise HttpError(400, "maxDims must be >= 2")
+            out = overlap_matrix(
+                events, time, dim_col=dim, filters=filters,
+                max_dims=None if max_dims is None else int(max_dims))
             return 200, (out, {"dim_a", "dim_b"})
 
         if kind == "set":

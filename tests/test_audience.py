@@ -288,6 +288,12 @@ def test_http_audience_route(spark):
     st, _ = call(app, "POST", url, {
         "type": "overlap-matrix", "dimension": "no_such_col", "time": jan})
     assert st == 400
+    st, guarded = call(app, "POST", url, {
+        "type": "overlap-matrix", "time": jan, "maxDims": 3})
+    assert st == 200 and len(_col(guarded, "dim_a")) == 3  # C(3,2)
+    st, _ = call(app, "POST", url, {
+        "type": "overlap-matrix", "time": jan, "maxDims": 1})
+    assert st == 400
     st, _ = call(app, "POST", url, {
         "type": "set", "audiences": {"a": {"eventName": "signup"}},
         "expression": {"op": "xor", "args": [{"ref": "a"}]}, "time": jan})
