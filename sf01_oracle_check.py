@@ -54,6 +54,9 @@ CORE = [
     # r12: the rollup-routed PSI must hold at bench scale — routed ≡
     # raw is the serving plane's contract
     "drift_psi_value_rollup_routed",
+    # r12: exact-percentile bin edges are the scale-sensitive part of
+    # the equi-depth PSI (interpolation arithmetic on 10x the rows)
+    "drift_psi_value_quantile_bins",
 ]
 
 #: rotating-window size on top of the core

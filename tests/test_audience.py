@@ -528,3 +528,21 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="n_shards"):
         write_training_shards(docs, str(tmp_path / "s4"), n_shards=0)
+
+
+def test_kmv_store_read_prunes_day_partitions(spark, tmp_path):
+    """The store is dt-partitioned by day; a windowed read must prune
+    to the requested partitions (the sketched-venn serving path reads
+    days, not the store)."""
+    from optiprism_spark.streaming.audience import KmvDayStore
+
+    store = KmvDayStore(str(tmp_path / "kmv"), k=64)
+    store.update(spark, spark.createDataFrame(
+        _kmv_rows(2, range(5)) + _kmv_rows(3, range(5))
+        + _kmv_rows(4, range(5))))
+    pruned = store.read(spark).filter(
+        (F.col("day") >= "2024-01-03") & (F.col("day") <= "2024-01-03"))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruned scan reads exactly the one day
+    assert pruned.count() == 1
