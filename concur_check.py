@@ -135,11 +135,21 @@ WORKLOAD = {
             }],
         },
     ),
+    # ---- round-12 audience family (interactive pool): one
+    # groupBy(user) pass, sub-second — contention is its whole budget
+    "audience_venn": (
+        "/api/v1/projects/1/queries/audience",
+        {
+            "type": "venn", "time": T_JAN,
+            "a": {"eventName": "signup", "eventType": "regular"},
+            "b": {"eventName": "purchase", "eventType": "regular"},
+        },
+    ),
 }
 
 LIGHT = ("segmentation_daily", "segmentation_breakdown", "records_search",
          "paths_from_signup", "attribution_last", "stickiness_routed",
-         "segmentation_uniques_approx")
+         "segmentation_uniques_approx", "audience_venn")
 
 
 def post(base: str, path: str, body: dict) -> float:
