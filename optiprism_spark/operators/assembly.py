@@ -32,11 +32,21 @@ from pyspark.sql import functions as F
 _HASH_SPACE = float(1 << 32)
 
 
+def md5_prefix_int(key: Column, chars: int, seed: str = "") -> Column:
+    """The engine-portable hash idiom, in ONE place: integer value of
+    the first ``chars`` hex digits of md5("seed:" + key) — DuckDB
+    reproduces it exactly ('0x' || substr(md5(...))). Every
+    deterministic assignment in the repo (splits, samples, pack/shard
+    buckets, KMV sketch hashes, shard fingerprints) derives from this
+    expression; width and seed are the only degrees of freedom."""
+    prefixed = F.concat(F.lit(f"{seed}:"), key.cast("string"))
+    return F.conv(F.substring(F.md5(prefixed), 1, chars), 16, 10)
+
+
 def unit_hash(key: Column, seed: str = "") -> Column:
     """Deterministic uniform [0,1) from md5 — engine-independent
     (DuckDB reproduces it with the same md5-hex-prefix arithmetic)."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8), 16, 10)
-    return h.cast("double") / F.lit(_HASH_SPACE)
+    return md5_prefix_int(key, 8, seed).cast("double") / F.lit(_HASH_SPACE)
 
 
 def dataset_split(
@@ -161,14 +171,9 @@ def pack_sequences(
         if token_col is None
         else (F.col(token_col) if isinstance(token_col, str) else token_col)
     )
-    # md5-prefix hash (like unit_hash): string-id safe, oracle-reproducible
+    # md5-prefix hash (md5_prefix_int): string-id safe, oracle-reproducible
     bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
-            ),
-            16, 10,
-        ).cast("long"),
+        md5_prefix_int(F.col(id_col), 15, seed).cast("long"),
         F.lit(n_buckets),
     )
     w = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
@@ -374,8 +379,7 @@ def _content_fingerprint(id_col: str) -> Column:
     52-bit md5 prefix of each id, exact in a decimal(38,0) — additive,
     so it is partition-order independent and recomputable from the
     written files for verification."""
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+    h = md5_prefix_int(F.col(id_col), 13)
     return F.sum(h.cast("decimal(38,0)"))
 
 
@@ -406,12 +410,7 @@ def write_training_shards(
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     shard = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"),
-                               F.col(id_col).cast("string"))), 1, 15),
-            16, 10,
-        ).cast("long"),
+        md5_prefix_int(F.col(id_col), 15, seed).cast("long"),
         F.lit(n_shards),
     ).cast("int")
     out = df.withColumn("shard", shard)
@@ -421,8 +420,15 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    # stats from the WRITTEN files, not the input lineage: (a) the
+    # manifest must describe the artifact itself (a nondeterministic
+    # upstream would otherwise be fingerprinted on a SECOND evaluation
+    # and the contract born divergent from its files); (b) the
+    # read-back scans only (id, shard) of the just-written parquet —
+    # re-aggregating `out` would re-run the whole upstream pipeline
+    written = df.sparkSession.read.parquet(path)
     stats = (
-        out.groupBy("shard")
+        written.groupBy("shard")
         .agg(F.count(F.lit(1)).alias("rows"),
              _content_fingerprint(id_col).alias("fp"))
         .collect()  # n_shards rows — the manifest, not data

@@ -59,9 +59,9 @@ def _kmv_hash(key: Column, seed: str) -> Column:
     ~10^5 users; at 52 bits they stay negligible past 10^7. Values
     never reach 1.0, so `v < theta` with exact-regime theta=1.0 keeps
     every entry."""
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 13), 16, 10)
-    return h.cast("double") / F.lit(float(1 << 52))
+    from .assembly import md5_prefix_int
+
+    return md5_prefix_int(key, 13, seed).cast("double") / F.lit(float(1 << 52))
 
 # --------------------------------------------------------------- exact flags
 
@@ -166,7 +166,10 @@ def audience_venn(
     flags = audience_flags(events, {"__a": a, "__b": b}, time, filters, group_col)
     fa = F.coalesce(F.col("__a"), F.lit(False))
     fb = F.coalesce(F.col("__b"), F.lit(False))
-    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    # coalesce: a window with NO users must report a zeros row, not
+    # sum-over-empty NULLs — the sketched path (empty-sketch venn)
+    # reports zeros, and the two modes must agree (r12 review)
+    cnt = lambda c: F.coalesce(F.sum(c.cast("long")), F.lit(0))  # noqa: E731
     out = flags.agg(
         cnt(fa).alias("users_a"),
         cnt(fb).alias("users_b"),
@@ -177,7 +180,11 @@ def audience_venn(
     )
     return out.select(
         "*",
-        (F.col("both").cast("double") / F.col("union_users")).alias("jaccard"),
+        # try_divide: an empty union (no users in either audience) is
+        # a legitimate zeros row whose jaccard is undefined (NULL) —
+        # plain division raises DIVIDE_BY_ZERO under ANSI mode
+        F.try_divide(F.col("both").cast("double"),
+                     F.col("union_users")).alias("jaccard"),
     )
 
 
@@ -368,11 +375,15 @@ def kmv_venn_counts(a: Column, b: Column, k: int) -> list[Column]:
     nb = F.size(fb).cast("double")
     uni = na + nb - inter
     return [
+        # /theta is structurally safe (theta is 1.0 in the exact
+        # regime, else the k-th smallest of a positive-hash sketch);
+        # /uni is NOT — two empty sketches give union 0.0, and ANSI
+        # mode raises on plain 0/0 where the jaccard should be NULL
         (na / theta).alias("users_a"),
         (nb / theta).alias("users_b"),
         (inter / theta).alias("both"),
         (uni / theta).alias("union_users"),
-        (inter / uni).alias("jaccard"),
+        F.try_divide(inter, uni).alias("jaccard"),
     ]
 
 

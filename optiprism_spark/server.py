@@ -1446,14 +1446,25 @@ class App:
             events = self._events()
             if dim not in events.columns:
                 raise HttpError(400, f"unknown dimension: {dim}")
-            from .operators.audience import MAX_OVERLAP_DIMS
-
-            max_dims = body.get("maxDims", MAX_OVERLAP_DIMS)
-            if max_dims is not None and int(max_dims) < 2:
-                raise HttpError(400, "maxDims must be >= 2")
+            # route ceiling < operator default: C(K,2) pair rows must
+            # fit MAX_RESPONSE_ROWS (C(141,2)=9,870 ≤ 10,000; the
+            # operator's 200 would 500 the response serializer on
+            # exactly the high-cardinality columns the guard is for)
+            route_cap = 141
+            raw_md = body.get("maxDims", route_cap)
+            try:
+                max_dims = int(raw_md)
+            except (TypeError, ValueError):
+                raise HttpError(400, f"maxDims must be an integer, got "
+                                     f"{raw_md!r}")
+            if not 2 <= max_dims <= route_cap:
+                raise HttpError(
+                    400, f"maxDims must be in [2, {route_cap}] over HTTP "
+                         "(response row cap); use the library operator "
+                         "for wider matrices")
             out = overlap_matrix(
                 events, time, dim_col=dim, filters=filters,
-                max_dims=None if max_dims is None else int(max_dims))
+                max_dims=max_dims)
             return 200, (out, {"dim_a", "dim_b"})
 
         if kind == "set":
@@ -1467,8 +1478,11 @@ class App:
                         for name, ev in auds.items()}
                 out = audience_set_count(
                     self._events(), refs, expr, time, filters)
-            except ValueError as e:
-                raise HttpError(400, str(e))
+            # malformed audience dicts (KeyError), non-dict expression
+            # nodes (TypeError/AttributeError), and semantic errors
+            # (ValueError) are ALL caller errors — 400, never a 500
+            except (ValueError, KeyError, TypeError, AttributeError) as e:
+                raise HttpError(400, f"bad set request: {e}")
             return 200, (out, set())
 
         raise HttpError(400, "type must be venn, overlap-matrix or set")
@@ -1479,7 +1493,10 @@ class App:
         the recurring overlap dashboards. Requires plain event-name
         audiences (sketches are keyed by the dim value), no property
         filters (not in the sketch), and a whole-day bounded window
-        (the store's grain); each constraint 400s with its reason."""
+        (the store's grain); each constraint 400s with its reason.
+        An event name absent from the window's sketches legitimately
+        reads as zero (a sketch cannot distinguish "no users" from
+        "never tracked") — only SHAPE mismatches fail loudly."""
         from pyspark.sql import functions as F
 
         from .operators.audience import audience_venn_from_day_sketches
@@ -1490,6 +1507,15 @@ class App:
             raise HttpError(
                 400, "sketched venn requires a maintained KMV day-sketch "
                      "store (App(kmv_store=...))")
+        from .schema import EVENT_NAME_COL
+
+        if store.dim_col != EVENT_NAME_COL:
+            # a store keyed on another dimension would silently return
+            # an all-zeros venn (its sketches never match event names)
+            raise HttpError(
+                400, f"the configured KMV store sketches {store.dim_col!r},"
+                     f" not {EVENT_NAME_COL!r} — venn audiences are event"
+                     " names")
         if filters:
             raise HttpError(
                 400, "sketched venn cannot apply property filters — "
@@ -1611,6 +1637,14 @@ class App:
         if sum(map(bool, (edges, bins, qbins))) > 1:
             raise HttpError(
                 400, "give edges OR bins OR quantileBins, not several")
+        for label, raw in (("bins", bins), ("quantileBins", qbins)):
+            if raw is not None:
+                try:
+                    if int(raw) < 2:
+                        raise HttpError(400, f"{label} must be >= 2")
+                except (TypeError, ValueError):
+                    raise HttpError(
+                        400, f"{label} must be an integer, got {raw!r}")
         if qbins:
             # equi-depth flavour: baseline-quantile edges (each bin
             # ~1/n of the baseline mass) — never rollup-routed, the

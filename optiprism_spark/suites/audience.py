@@ -81,14 +81,14 @@ def aud_overlap_matrix(spark, sf_dir):
     "aud_venn_signup_purchase",
     oracle=f"""
     WITH {_FLAGS}
-    SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS users_a,
-           CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS users_b,
-           CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS both,
-           CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+    SELECT CAST(COALESCE(SUM(CASE WHEN a THEN 1 ELSE 0 END), 0) AS BIGINT) AS users_a,
+           CAST(COALESCE(SUM(CASE WHEN b THEN 1 ELSE 0 END), 0) AS BIGINT) AS users_b,
+           CAST(COALESCE(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END), 0) AS BIGINT) AS both,
+           CAST(COALESCE(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END), 0) AS BIGINT)
              AS a_only,
-           CAST(SUM(CASE WHEN b AND NOT a THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN b AND NOT a THEN 1 ELSE 0 END), 0) AS BIGINT)
              AS b_only,
-           CAST(SUM(CASE WHEN a OR b THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN a OR b THEN 1 ELSE 0 END), 0) AS BIGINT)
              AS union_users,
            CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS DOUBLE)
              / SUM(CASE WHEN a OR b THEN 1 ELSE 0 END) AS jaccard

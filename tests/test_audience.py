@@ -546,3 +546,85 @@ def test_kmv_store_read_prunes_day_partitions(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     # the pruned scan reads exactly the one day
     assert pruned.count() == 1
+
+
+# ------------------------------------------- r12 review-fix regressions
+
+
+def test_venn_empty_window_reports_zeros_not_nulls(spark):
+    ev = _events(spark, [(1, "view")])
+    row = audience_venn(
+        ev, EventRef("signup"), EventRef("purchase"),
+        QueryTime.between(dt.datetime(2030, 1, 1),
+                          dt.datetime(2030, 1, 2))).first()
+    assert (row.users_a, row.users_b, row.both,
+            row.union_users) == (0, 0, 0, 0)  # zeros, not NULLs
+
+
+def test_http_audience_caller_errors_are_400s(spark, tmp_path):
+    """Malformed caller input must 400 with a reason, never 500:
+    non-integer/over-cap maxDims (the operator default of 200 would
+    overflow MAX_RESPONSE_ROWS at C(200,2)=19,900 — the route caps at
+    141), malformed set audiences/expressions, bad drift bin params,
+    and a KMV store keyed on the wrong dimension."""
+    from optiprism_spark.server import make_app
+    from optiprism_spark.streaming.audience import KmvDayStore
+
+    from .conftest import SF_SMOKE
+    from .test_server import call
+
+    wrong_store = KmvDayStore(str(tmp_path / "kmv"), k=64, dim_col="lang")
+    wrong_store.update(spark, spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 1, 2), user_id=1, lang="en")]))
+    app = make_app(spark, SF_SMOKE, result_cache_ttl=None,
+                   kmv_store=wrong_store)
+    url = "/api/v1/projects/1/queries/audience"
+    jan = {"type": "between", "from": "2024-01-01T00:00:00",
+           "to": "2024-01-31T23:59:59.999999"}
+
+    for bad in ("abc", 1, 142, None):
+        st, _ = call(app, "POST", url, {
+            "type": "overlap-matrix", "time": jan, "maxDims": bad})
+        assert st == 400, bad
+    st, _ = call(app, "POST", url, {
+        "type": "set", "audiences": {"a": {"eventType": "regular"}},
+        "expression": {"ref": "a"}, "time": jan})
+    assert st == 400  # audience dict missing eventName
+    st, _ = call(app, "POST", url, {
+        "type": "set", "audiences": {"a": {"eventName": "signup"}},
+        "expression": "a", "time": jan})
+    assert st == 400  # non-dict expression node
+    st, _ = call(app, "POST", url, {
+        "type": "venn", "a": {"eventName": "signup"},
+        "b": {"eventName": "purchase"}, "time": jan, "sketched": True})
+    assert st == 400  # store sketches 'lang', not event names
+
+    durl = "/api/v1/projects/1/queries/drift"
+    base = {"type": "numeric", "property": "value",
+            "baseline": {"type": "between", "from": "2024-01-01T00:00:00",
+                         "to": "2024-01-15T23:59:59.999999"},
+            "actual": {"type": "between", "from": "2024-01-16T00:00:00",
+                       "to": "2024-01-31T23:59:59.999999"}}
+    for bad_body in (dict(base, quantileBins="x"),
+                     dict(base, quantileBins=-5),
+                     dict(base, bins=1)):
+        st, _ = call(app, "POST", durl, bad_body)
+        assert st == 400, bad_body
+
+
+def test_http_overlap_matrix_default_fits_response_cap(spark):
+    """With no maxDims the route must use a default whose worst-case
+    pair count fits MAX_RESPONSE_ROWS."""
+    from optiprism_spark.server import MAX_RESPONSE_ROWS, make_app
+
+    from .conftest import SF_SMOKE
+    from .test_server import call
+
+    app = make_app(spark, SF_SMOKE, result_cache_ttl=None)
+    st, resp = call(app, "POST", "/api/v1/projects/1/queries/audience",
+                    {"type": "overlap-matrix",
+                     "time": {"type": "between",
+                              "from": "2024-01-01T00:00:00",
+                              "to": "2024-01-31T23:59:59"}})
+    assert st == 200
+    assert 141 * 140 / 2 <= MAX_RESPONSE_ROWS
