@@ -302,6 +302,13 @@ def distribution_drift_fixed(
     proportions are equal) — bit-identical to the rollup fold, which
     materializes every bin column. One partial-aggregated scan into a
     single row of conditional sums; no window, no second exchange."""
+    edges = [float(e) for e in edges]
+    if not edges or edges != sorted(set(edges)):
+        # overlapping bin conditions from unsorted/duplicate edges
+        # count rows in several bins and return a silently wrong PSI
+        # — fail loudly for every caller, not just the HTTP route
+        raise ValueError(
+            f"edges must be strictly increasing, got {edges!r}")
     v = F.col(col)
     pop = df.filter(v.isNotNull() & split.isNotNull())
     sb = split.cast("boolean")

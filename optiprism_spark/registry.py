@@ -306,6 +306,32 @@ DRIVER_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "text_lang_distribution", "wh_top_brands_by_region",
         "win_logarithmic",
     }),
+    12: frozenset({
+        "asm_chunk_documents", "asm_mixture_rates", "asm_mixture_sample",
+        "asm_mixture_sample_exact", "asm_sample_fraction_by_lang",
+        "asm_training_pipeline", "attr_first_touch_revenue",
+        "aud_overlap_matrix", "aud_overlap_matrix_topk",
+        "aud_scoped_count_daily", "aud_set_and_not",
+        "aud_venn_kmv_sketched", "aud_venn_signup_purchase",
+        "dedup_cluster_survivors_quality", "dedup_embedding_cosine",
+        "dedup_embedding_cosine_ivf", "dedup_embedding_cosine_lsh",
+        "dedup_embedding_incremental_ivf", "dedup_jaccard_pairs",
+        "dedup_lsh_incremental_pairs", "drift_psi_event_mix_topk",
+        "drift_psi_value_fixed_bins", "drift_psi_value_quantile_bins",
+        "drift_psi_value_rollup_routed", "eng_stickiness_weekly_rollup",
+        "event_record_by_id", "funnel_machine_dropoff_step1",
+        "funnel_machine_excludes", "group_record_by_id",
+        "property_values_event_type", "retention_cohort_sizes_rollup",
+        "rollup_percentile_value_by_type", "seg_agg_int_prop",
+        "seg_agg_matrix_per_user", "seg_count_daily_by_type",
+        "seg_rollup_dau_by_week_approx", "seg_rollup_uniques_approx",
+        "seg_time_last_n_days", "segment_has_property_value",
+        "segment_historical_count", "segment_or_composition",
+        "segment_relative_count", "session_stats_per_user",
+        "sim_cosine_topk", "sql_api_revenue_by_segment",
+        "text_bpe_segments", "text_gopher_quality",
+        "wh_order_priority_pipeline", "win_cumulative", "win_period_compare",
+    }),
 }
 
 

@@ -1614,7 +1614,19 @@ class App:
         pop = full_filter(base) | full_filter(actual)
 
         if kind == "categorical":
-            max_cat = int(body.get("maxCategories") or MAX_CATEGORIES)
+            raw_max = body.get("maxCategories")
+            try:
+                max_cat = (MAX_CATEGORIES if raw_max is None
+                           else int(raw_max))
+            except (TypeError, ValueError):
+                raise HttpError(
+                    400, f"maxCategories must be an integer, got "
+                    f"{raw_max!r}")
+            if max_cat < 1:
+                # a negative limit flows into hist.limit(-N) and blows
+                # up at plan time as a 500 — caller error, reject as
+                # 400 like the audience route's maxDims bound check
+                raise HttpError(400, "maxCategories must be >= 1")
             for roll, spec in self._rollup(pid) or ():
                 if drift_supports(base, actual, prop, spec, "categorical"):
                     metrics.query_rollup_routed_total().inc(path="rollup")
@@ -1631,7 +1643,17 @@ class App:
             return 200, (out, {"category"})
 
         # numeric PSI
-        edges = tuple(float(x) for x in (body.get("edges") or ()))
+        try:
+            edges = tuple(float(x) for x in (body.get("edges") or ()))
+        except (TypeError, ValueError):
+            raise HttpError(
+                400, "edges must be numbers, got "
+                f"{body.get('edges')!r}")
+        if edges and list(edges) != sorted(set(edges)):
+            # same check as the rollup DDL's histogramProps validator:
+            # unsorted/duplicate edges make the fixed-bin conditions
+            # overlap and the PSI silently wrong under HTTP 200
+            raise HttpError(400, "edges must be strictly increasing")
         bins = body.get("bins")
         qbins = body.get("quantileBins")
         if sum(map(bool, (edges, bins, qbins))) > 1:

@@ -274,7 +274,19 @@ def rebaseline_drift_alerts(
             .groupBy("category")
             .agg(F.sum("n").alias("n_expected"))
         )
-    gen = from_batch + 1  # unique per rebaseline point, monotonic
+    # strictly monotonic INDEPENDENT of batch progress: a second
+    # rebaseline with no intervening batches must not reuse (and
+    # mode('overwrite')-truncate) the directory the live marker still
+    # names — a concurrent fold could transiently read a partial
+    # baseline. Parse the live generation and always go past it.
+    old_gen = 0
+    base_name = _os.path.basename(live_base)
+    if base_name.startswith("baseline_g"):
+        try:
+            old_gen = int(base_name.removeprefix("baseline_g"))
+        except ValueError:
+            pass
+    gen = max(old_gen + 1, from_batch + 1)
     new_dir = f"baseline_g{gen}"
     new_hist.write.mode("overwrite").parquet(
         _os.path.join(state_dir, new_dir))

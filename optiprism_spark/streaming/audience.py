@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.audience import kmv_day_sketches, kmv_merge
-from ..schema import EVENT_USER_COL
+from ..schema import EVENT_TIME_COL, EVENT_USER_COL
 
 
 class KmvDayStore:
@@ -40,12 +40,14 @@ class KmvDayStore:
         dim_col: str = "event_type",
         group_col: str = EVENT_USER_COL,
         seed: str = "kmv",
+        ts_col: str = EVENT_TIME_COL,
     ) -> None:
         self.path = path
         self.k = k
         self.dim_col = dim_col
         self.group_col = group_col
         self.seed = seed
+        self.ts_col = ts_col
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -77,7 +79,8 @@ class KmvDayStore:
         overwrite those partitions. Returns days touched. Re-applying
         the same batch is a no-op (KMV merge is a set union)."""
         days_df = kmv_day_sketches(
-            batch, None, self.k, self.dim_col, self.group_col, self.seed
+            batch, None, self.k, self.dim_col, self.group_col, self.seed,
+            ts_col=self.ts_col,
         ).persist()
         try:
             days = [r[0] for r in days_df.select("day").distinct().collect()]
@@ -109,8 +112,9 @@ class KmvDayStore:
         if not self.exists() or not day_list:
             return 0
         fresh = kmv_day_sketches(
-            events.filter(F.to_date(F.col("ts")).isin(day_list)),
+            events.filter(F.to_date(F.col(self.ts_col)).isin(day_list)),
             None, self.k, self.dim_col, self.group_col, self.seed,
+            ts_col=self.ts_col,
         ).persist()
         try:
             have = {r[0].isoformat()

@@ -490,6 +490,23 @@ def layout_available(
     return _layout_names_if_available(spark, sf_dir, n_buckets) is not None
 
 
+def layout_has_folds(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> Optional[bool]:
+    """Whether the committed layout for this source holds FOLDED
+    appends (rows that live nowhere else — destroying them loses
+    data), or None when no pointer exists. A fold-less bootstrap is
+    always losslessly rebuildable from the raw sf_dir parquet, so a
+    harness that needs a raw-plan measurement may ``invalidate_layout``
+    it freely; a folded one it must never discard (the distinction
+    BENCH_r12 died for want of: its like-for-like assert tripped on a
+    durable fold-less pointer a previous run left behind)."""
+    ptr = _read_pointer(_warehouse_dir(spark), _dirtag(sf_dir, n_buckets))
+    if ptr is None:
+        return None
+    return bool(ptr.get("has_folds"))
+
+
 def invalidate_layout(
     spark: SparkSession, sf_dir: str, n_buckets: int = 32
 ) -> bool:

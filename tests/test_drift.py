@@ -443,3 +443,42 @@ def test_http_drift_quantile_bins(spark):
     assert 1 <= len(buckets) <= 10
     st, _ = call(app, "POST", url, dict(body, bins=5))
     assert st == 400  # mutually exclusive flavours
+
+
+def test_http_drift_caller_errors_fail_loudly(spark):
+    """ADVICE r12: ad-hoc `edges` must be strictly increasing (the
+    rollup DDL path already enforced this — unsorted/duplicate edges
+    make the fixed-bin conditions overlap and return a silently wrong
+    PSI under HTTP 200), and `maxCategories` must be a positive int
+    (a negative flowed into hist.limit(-N) → AnalysisException → 500).
+    """
+    import pytest
+
+    from optiprism_spark.operators.drift import distribution_drift_fixed
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    app = make_app(spark, SF_SMOKE, result_cache_ttl=None)
+    url = "/api/v1/projects/1/queries/drift"
+    num = {"type": "numeric", "property": "value",
+           "baseline": _JAN_B, "actual": _JAN_A}
+    for bad in ([3.0, 1.0, 2.0], [1.0, 1.0, 2.0], ["a", "b"]):
+        st, _ = call(app, "POST", url, dict(num, edges=bad))
+        assert st == 400, f"edges={bad} must 400"
+    st, _ = call(app, "POST", url, dict(num, edges=[1.0, 2.0, 3.0]))
+    assert st == 200  # well-formed edges still serve
+    cat = {"type": "categorical", "property": "event_type",
+           "baseline": _JAN_B, "actual": _JAN_A}
+    for bad in (-1, 0, "many"):
+        st, _ = call(app, "POST", url, dict(cat, maxCategories=bad))
+        assert st == 400, f"maxCategories={bad} must 400"
+    st, _ = call(app, "POST", url, dict(cat, maxCategories=3))
+    assert st == 200
+    # the library entry point guards its own callers too
+    from optiprism_spark.schema import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    with pytest.raises(ValueError, match="strictly increasing"):
+        distribution_drift_fixed(
+            events, "value", F.lit(True), [2.0, 1.0]).collect()
