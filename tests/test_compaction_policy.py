@@ -29,6 +29,8 @@ from optiprism_spark.operators.funnel import funnel_attempts
 from optiprism_spark.schema import load_table
 from optiprism_spark.streaming.sessionize import append_events
 
+from .conftest import drop_table_clean
+
 SF_DIR = "/root/testdata/sf0.001"
 TBL = "events_policy_test"
 
@@ -57,7 +59,7 @@ def _fresh(events, n, id_offset):
 def test_policy_triggers_on_parts_or_bytes(spark, base_events, tmp_path):
     appends = str(tmp_path / "appends")
     pol = CompactionPolicy(l0_max_parts=3, l0_max_bytes=10**12)
-    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+    drop_table_clean(spark, TBL)
     try:
         write_events_bucketed(base_events, TBL, n_buckets=4)
         # below threshold: no compaction runs
@@ -89,7 +91,7 @@ def test_snapshot_isolation_under_concurrent_appends(
     """A file landing after the compactor lists its snapshot is
     neither folded nor deleted — it survives to the next cycle."""
     appends = str(tmp_path / "appends")
-    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+    drop_table_clean(spark, TBL)
     try:
         write_events_bucketed(base_events, TBL, n_buckets=4)
         append_events(_fresh(base_events, 20, 10_000_000), appends)
@@ -139,7 +141,7 @@ def test_repeated_cycles_keep_funnel_invariants(spark, base_events, tmp_path):
     def key(r):
         return (r.user_id, r.steps_completed, r.is_completed, r.attempt_ts)
 
-    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+    drop_table_clean(spark, TBL)
     try:
         write_events_bucketed(base_events, TBL, n_buckets=4)
         all_events = base_events

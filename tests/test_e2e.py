@@ -207,8 +207,10 @@ def test_product_loop_end_to_end(spark, tmp_path):
     from optiprism_spark.operators.funnel import funnel_attempts
     from optiprism_spark.streaming.sessionize import append_events
 
+    from .conftest import drop_table_clean
+
     tbl = "events_e2e_bucketed"
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    drop_table_clean(spark, tbl)
     try:
         events = load_table(spark, data_dir, "events")
         write_events_bucketed(events.limit(0), tbl, n_buckets=4)

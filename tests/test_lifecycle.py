@@ -32,23 +32,33 @@ TBL = "events_lifecycle_test"
 @pytest.fixture
 def store(spark, tmp_path):
     """Bucketed base (most events) + L0 appends + one committed tier,
-    so erasure has to hit every tier."""
+    so erasure has to hit every tier. Setup is debris-proof: a killed
+    earlier run can leave an orphaned warehouse dir under TBL (catalog
+    entry gone, files present — LOCATION_ALREADY_EXISTS on the next
+    saveAsTable), and a setup failure must not leak the .cache() into
+    unrelated plan tests as an InMemoryRelation (both bit r12)."""
+    from .conftest import drop_table_clean
+
     events = load_table(spark, SF_DIR, "events").cache()
-    base = events.filter(F.col("event_id") % 5 != 0)
-    l0 = events.filter(F.col("event_id") % 5 == 0).filter(F.col("event_id") % 2 == 0)
-    tier_src = events.filter(F.col("event_id") % 5 == 0).filter(F.col("event_id") % 2 == 1)
-    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
-    write_events_bucketed(base, TBL, n_buckets=4)
-    appends = str(tmp_path / "appends")
-    tiers = str(tmp_path / "tiers")
-    append_events(tier_src, appends)
-    minor_compact_appends(spark, appends, tiers)  # L0 -> committed tier
-    append_events(l0, appends)                    # fresh L0 on top
-    assert _append_part_files(appends) and _committed_tiers(tiers)
+    try:
+        base = events.filter(F.col("event_id") % 5 != 0)
+        l0 = events.filter(F.col("event_id") % 5 == 0).filter(F.col("event_id") % 2 == 0)
+        tier_src = events.filter(F.col("event_id") % 5 == 0).filter(F.col("event_id") % 2 == 1)
+        drop_table_clean(spark, TBL)
+        write_events_bucketed(base, TBL, n_buckets=4)
+        appends = str(tmp_path / "appends")
+        tiers = str(tmp_path / "tiers")
+        append_events(tier_src, appends)
+        minor_compact_appends(spark, appends, tiers)  # L0 -> committed tier
+        append_events(l0, appends)                    # fresh L0 on top
+        assert _append_part_files(appends) and _committed_tiers(tiers)
+    except BaseException:
+        events.unpersist()
+        raise
     yield appends, tiers, events
     events.unpersist()
-    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
-    spark.sql(f"DROP TABLE IF EXISTS {TBL}__compact_staging")
+    drop_table_clean(spark, TBL)
+    drop_table_clean(spark, f"{TBL}__compact_staging")
 
 
 def test_erase_users_all_tiers(spark, store, tmp_path):

@@ -124,8 +124,10 @@ def test_compaction_series(spark, tmp_path):
     from optiprism_spark.streaming.sessionize import append_events
 
     events = load_table(spark, SF_DIR, "events").limit(200).cache()
+    from .conftest import drop_table_clean
+
     tbl = "t_metrics_compact"
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    drop_table_clean(spark, tbl)
     write_events_bucketed(events, tbl, n_buckets=4)
     appends = str(tmp_path / "appends")
     append_events(events.limit(50), appends)

@@ -311,6 +311,9 @@ def test_funnel_bucketed_table_elides_shuffle(spark, tmp_path):
     from optiprism_spark.schema import load_table
 
     events = load_table(spark, SF_SMOKE, "events")
+    from .conftest import drop_table_clean
+
+    drop_table_clean(spark, "events_bucketed_test")
     write_events_bucketed(events, "events_bucketed_test", n_buckets=4)
     try:
         bucketed = spark.table("events_bucketed_test")
@@ -429,6 +432,9 @@ def test_event_paths_bucketed_table_elides_window_shuffle(spark):
     W = QueryTime.between(
         dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
     events = load_table(spark, SF_SMOKE, "events")
+    from .conftest import drop_table_clean
+
+    drop_table_clean(spark, "events_paths_bucketed_test")
     write_events_bucketed(events, "events_paths_bucketed_test", n_buckets=4)
     try:
         fast = event_paths(

@@ -306,8 +306,10 @@ def test_compaction_hook_advances_rollup(spark, events, tmp_path):
     rollup ≡ recompute from the post-fold table."""
     from optiprism_spark.ingest import compact_appends_into_bucketed, write_events_bucketed
 
+    from .conftest import drop_table_clean
+
     tbl = "events_rollup_hook_test"
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    drop_table_clean(spark, tbl)
     cut = F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp")
     base, fresh = events.filter(cut), events.filter(~cut)
     write_events_bucketed(base, tbl, n_buckets=4)

@@ -49,7 +49,9 @@ def base_events(spark):
 
 @pytest.fixture
 def table(spark, base_events):
-    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+    from .conftest import drop_table_clean
+
+    drop_table_clean(spark, TBL)
     write_events_bucketed(base_events, TBL, n_buckets=4)
     yield TBL
     spark.sql(f"DROP TABLE IF EXISTS {TBL}")
