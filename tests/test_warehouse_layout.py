@@ -531,3 +531,71 @@ def test_fold_under_concurrent_queries(spark, tmp_path):
     bad = [o for o in observed if not isinstance(o, int) or o not in valid]
     assert not bad, f"torn/failed reads during fold: {bad[:3]}"
     assert join_count() == before + n_new_l
+
+
+# ------------------------------------------------------------------ gc
+
+
+def test_gc_layouts_removes_only_unreachable(spark, tmp_path):
+    """gc_layouts must (a) remove generation dirs no pointer names —
+    debris of a build/fold that crashed before its commit — and stale
+    pointer tmp-less dead tags, while (b) NEVER touching anything a
+    live pointer references: current tables AND retired entries
+    (in-flight readers may still be scanning them)."""
+    sf = _fact_copy(tmp_path)
+    wl.cobucketed_order_facts(spark, sf)
+    wh = wl._warehouse_dir(spark)
+    tag = wl._dirtag(sf, 32)
+    live = set(wl._read_pointer(wh, tag)["tables"].values())
+
+    # fold once so the pointer carries a retired entry too
+    ap = str(tmp_path / "appends")
+    wl.append_fact(spark, ap, "orders", _synth_order_appends(spark, sf))
+    assert wl.compact_fact_appends(spark, sf, ap)["orders"] == 3
+    ptr = wl._read_pointer(wh, tag)
+    retired = {n for e in ptr["retired"] for n in e["tables"]}
+    current = set(ptr["tables"].values())
+    assert retired, "fold must retire the superseded generation"
+
+    # plant debris: a staged generation dir the pointer never named
+    orphan = os.path.join(wh, f"wh_orders_b_{tag}_g99")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("x")
+
+    out = wl.gc_layouts(spark)
+    assert not os.path.isdir(orphan), "crashed-build debris must go"
+    assert out["dirs_removed"] >= 1
+    for name in current | retired:
+        assert os.path.isdir(os.path.join(wh, name)), (
+            f"gc removed live/retired table {name}")
+    # the layout still serves, Exchange-free, with the folded rows
+    o, _l = wl.order_facts(spark, sf)
+    assert o.count() == load_table(spark, sf, "orders").count() + 3
+    _ = live  # bootstrap names were retired by the fold — covered above
+
+
+def test_fold_cycles_keep_dir_count_bounded(spark, tmp_path):
+    """Repeated append→fold cycles must not grow the warehouse dir
+    without bound: after each cycle (which runs gc_layouts) the tag's
+    generation dirs are exactly the pointer's reachable set — current
+    pair + two-snapshot retention, never the full history."""
+    sf = _fact_copy(tmp_path)
+    wl.cobucketed_order_facts(spark, sf)
+    wh = wl._warehouse_dir(spark)
+    tag = wl._dirtag(sf, 32)
+    ap = str(tmp_path / "appends")
+    for cycle in range(3):
+        wl.append_fact(
+            spark, ap, "orders", _synth_order_appends(spark, sf, n=2)
+            .withColumn("o_orderkey", F.col("o_orderkey") + cycle * 100))
+        wl.compact_fact_appends(spark, sf, ap)
+        ptr = wl._read_pointer(wh, tag)
+        reachable = set(ptr["tables"].values()) | {
+            n for e in ptr.get("retired", ()) for n in e["tables"]}
+        on_disk = {fn for fn in os.listdir(wh)
+                   if fn.startswith((f"wh_orders_b_{tag}", f"wh_lineitem_b_{tag}"))}
+        assert on_disk == reachable, (
+            f"cycle {cycle}: disk {sorted(on_disk)} != "
+            f"reachable {sorted(reachable)}")
+        assert len(on_disk) <= 4  # current pair + <= 2 retired
