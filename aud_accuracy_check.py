@@ -79,6 +79,29 @@ def main() -> None:
             "rel_err": {f: round(e, 5) for f, e in errs.items()},
             "est_sec": est_sec,
         }
+    # r13: the KMV-served K×K matrix (overlap_matrix_from_day_sketches)
+    # in the same estimate regime — one call answers every pair, so its
+    # per-pair errors must match the pairwise venn bound, and its
+    # wall-clock is the store-fold economics the route exists for
+    from optiprism_spark.operators.audience import (
+        overlap_matrix_from_day_sketches,
+    )
+
+    t2 = time.perf_counter()
+    mat_rows = {(r.dim_a, r.dim_b): r for r in
+                overlap_matrix_from_day_sketches(days, k=args.k).collect()}
+    matrix_sec = round(time.perf_counter() - t2, 3)
+    matrix_worst = 0.0
+    matrix = {}
+    for (a, b), r in sorted(mat_rows.items()):
+        ex = pairs[f"{a}|{b}"]["exact"]
+        errs = {
+            "users_a": abs(r.users_a - ex["users_a"]) / max(ex["users_a"], 1),
+            "users_b": abs(r.users_b - ex["users_b"]) / max(ex["users_b"], 1),
+            "overlap": abs(r.overlap - ex["both"]) / max(ex["both"], 1),
+        }
+        matrix_worst = max(matrix_worst, max(errs.values()))
+        matrix[f"{a}|{b}"] = {f: round(e, 5) for f, e in errs.items()}
     result = {
         "metric": "kmv_venn_accuracy",
         "dir": args.dir,
@@ -88,7 +111,12 @@ def main() -> None:
         "rel_err_bound": round(bound, 5),
         "worst_rel_err": round(worst, 5),
         "pairs": pairs,
-        "pass": worst <= bound,
+        "matrix_sec": matrix_sec,
+        "matrix_pairs": len(matrix),
+        "matrix_rel_err": matrix,
+        "matrix_worst_rel_err": round(matrix_worst, 5),
+        "pass": worst <= bound and matrix_worst <= bound
+        and len(matrix) == len(pairs),
     }
     line = json.dumps(result)
     print(line)

@@ -1462,6 +1462,15 @@ class App:
                     400, f"maxDims must be in [2, {route_cap}] over HTTP "
                          "(response row cap); use the library operator "
                          "for wider matrices")
+            if body.get("sketched"):
+                # same explicit estimate-mode opt-in as venn: served
+                # from the KMV day store (double columns, no raw
+                # scan) — the matrix is the family's most expensive
+                # surface, and at production scale this is a store
+                # fold instead of a full event scan
+                return 200, (self._sketched_matrix(dim, time, filters,
+                                                   max_dims),
+                             {"dim_a", "dim_b"})
             out = overlap_matrix(
                 events, time, dim_col=dim, filters=filters,
                 max_dims=max_dims)
@@ -1497,46 +1506,69 @@ class App:
         An event name absent from the window's sketches legitimately
         reads as zero (a sketch cannot distinguish "no users" from
         "never tracked") — only SHAPE mismatches fail loudly."""
+        from .operators.audience import audience_venn_from_day_sketches
+        from .schema import EVENT_NAME_COL
+
+        if a.custom is not None or b.custom is not None or (
+                a.name is None or b.name is None):
+            raise HttpError(
+                400, "sketched venn needs plain event-name audiences")
+        days, store = self._kmv_window_days(
+            "venn", EVENT_NAME_COL, time, filters)
+        metrics.query_rollup_routed_total().inc(path="kmv")
+        return audience_venn_from_day_sketches(days, a.name, b.name,
+                                               k=store.k)
+
+    def _sketched_matrix(self, dim, time, filters, max_dims):
+        """The K×K overlap matrix from the KMV day-sketch store —
+        same constraints and failure modes as _sketched_venn, same
+        estimate contract (exact below the store's K)."""
+        from .operators.audience import overlap_matrix_from_day_sketches
+
+        days, store = self._kmv_window_days(
+            "overlap-matrix", dim, time, filters)
+        metrics.query_rollup_routed_total().inc(path="kmv")
+        return overlap_matrix_from_day_sketches(
+            days, k=store.k, max_dims=max_dims)
+
+    def _kmv_window_days(self, what, dim, time, filters):
+        """Shared KMV-store resolution for the sketched audience
+        surfaces: the store must exist, sketch the requested
+        dimension, carry no property filters (not in the sketch), and
+        the window must be whole-day bounded (the store's grain) —
+        each constraint 400s with its reason. Returns the windowed
+        (day, dim, kmv) frame plus the store."""
         from pyspark.sql import functions as F
 
-        from .operators.audience import audience_venn_from_day_sketches
         from .rollup import _day_aligned
 
         store = self.kmv_store
         if store is None or not store.exists():
             raise HttpError(
-                400, "sketched venn requires a maintained KMV day-sketch "
-                     "store (App(kmv_store=...))")
-        from .schema import EVENT_NAME_COL
-
-        if store.dim_col != EVENT_NAME_COL:
+                400, f"sketched {what} requires a maintained KMV "
+                     "day-sketch store (App(kmv_store=...))")
+        if store.dim_col != dim:
             # a store keyed on another dimension would silently return
-            # an all-zeros venn (its sketches never match event names)
+            # all-zeros (its sketches never match the requested names)
             raise HttpError(
-                400, f"the configured KMV store sketches {store.dim_col!r},"
-                     f" not {EVENT_NAME_COL!r} — venn audiences are event"
-                     " names")
+                400, f"the configured KMV store sketches "
+                     f"{store.dim_col!r}, not {dim!r}")
         if filters:
             raise HttpError(
-                400, "sketched venn cannot apply property filters — "
-                     "sketches hold hashed users per (day, event) only")
-        if a.custom is not None or b.custom is not None or (
-                a.name is None or b.name is None):
-            raise HttpError(
-                400, "sketched venn needs plain event-name audiences")
+                400, f"sketched {what} cannot apply property filters — "
+                     "sketches hold hashed users per (day, dim) only")
         days = store.read(self.spark)
         if time is not None:
             aligned = _day_aligned(time)
             if aligned is None or aligned[1] is None:
                 raise HttpError(
-                    400, "sketched venn needs a whole-day bounded window")
+                    400, f"sketched {what} needs a whole-day bounded "
+                         "window")
             days = days.filter(
                 (F.col("day") >= F.lit(aligned[0].isoformat()).cast("date"))
                 & (F.col("day") <= F.lit(aligned[1].isoformat()).cast("date"))
             )
-        metrics.query_rollup_routed_total().inc(path="kmv")
-        return audience_venn_from_day_sketches(days, a.name, b.name,
-                                               k=store.k)
+        return days, store
 
     def _drift(self, body, m, q):
         """Data-quality / drift queries (beyond the reference) — the

@@ -651,3 +651,77 @@ def test_kmv_build_is_two_stage_salted(spark):
     assert "__s" not in outer, plan  # survivor re-rank needs no salt
     # and the survivor frame really is the rank-filtered one
     assert plan.count("__rn") >= 4 and "WindowGroupLimit" in plan, plan
+
+
+def test_http_audience_sketched_overlap_matrix(spark, tmp_path):
+    """`sketched: true` on /queries/audience overlap-matrix serves
+    the K×K matrix from the KMV day store (r13: the family's most
+    expensive surface no longer forces a raw scan): exact-valued in
+    the sparse regime vs the exact operator, routed-metric counted,
+    maxDims honored, and shape mismatches still 400."""
+    from optiprism_spark import metrics
+    from optiprism_spark.schema import load_table
+    from optiprism_spark.server import make_app
+    from optiprism_spark.streaming.audience import KmvDayStore
+
+    from .conftest import SF_SMOKE
+    from .test_server import call
+
+    metrics.REGISTRY.reset()
+    store = KmvDayStore(str(tmp_path / "kmv"), k=4096)
+    events = load_table(spark, SF_SMOKE, "events")
+    store.update(spark, events)
+    app = make_app(spark, SF_SMOKE, result_cache_ttl=None, kmv_store=store)
+    url = "/api/v1/projects/1/queries/audience"
+    jan = {"type": "between", "from": "2024-01-01T00:00:00",
+           "to": "2024-01-31T23:59:59.999999"}
+
+    body = {"type": "overlap-matrix", "time": jan, "sketched": True}
+    st, resp = call(app, "POST", url, body)
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="kmv") == 1
+    exact = {(r.dim_a, r.dim_b): r for r in overlap_matrix(
+        events, JAN).collect()}
+    got = list(zip(_col(resp, "dim_a"), _col(resp, "dim_b"),
+                   _col(resp, "users_a"), _col(resp, "overlap")))
+    assert got, "sketched matrix returned no pairs"
+    assert {(a, b) for a, b, *_ in got} == set(exact)
+    for a, b, ua, ov in got:  # sparse regime: estimates ARE exact
+        assert ua == float(exact[(a, b)].users_a)
+        assert ov == float(exact[(a, b)].overlap)
+
+    # maxDims guards the sketched path too (top-K by estimated users)
+    st, small = call(app, "POST", url, dict(body, maxDims=2))
+    assert st == 200
+    assert len(_col(small, "dim_a")) <= 1  # C(2,2)=1 pair at most
+
+    # ragged window / filters 400 exactly like the venn path
+    st, _ = call(app, "POST", url, dict(
+        body, time={"type": "between", "from": "2024-01-01T12:00:00",
+                    "to": "2024-01-31T23:59:59.999999"}))
+    assert st == 400
+    app2 = make_app(spark, SF_SMOKE, result_cache_ttl=None)
+    st, _ = call(app2, "POST", url, body)
+    assert st == 400  # store-less app
+
+
+def test_overlap_matrix_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir= swaps localCheckpoint (no recompute path —
+    executor loss kills the query) for reliable df.checkpoint files
+    under the given dir, the neardup_clusters contract (r12 verdict
+    Missing #3). Results are unchanged."""
+    ev = _events(spark, [
+        (1, "signup"), (1, "purchase"), (2, "signup"),
+        (2, "view"), (3, "purchase"), (3, "view"),
+    ])
+    base = {(r.dim_a, r.dim_b): (r.users_a, r.users_b, r.overlap)
+            for r in overlap_matrix(ev, JAN).collect()}
+    ckpt = str(tmp_path / "ckpt")
+    out = {(r.dim_a, r.dim_b): (r.users_a, r.users_b, r.overlap)
+           for r in overlap_matrix(
+               ev, JAN, checkpoint_dir=ckpt).collect()}
+    assert out == base
+    import os
+
+    files = [os.path.join(r, f) for r, _d, fs in os.walk(ckpt) for f in fs]
+    assert files, "no reliable checkpoint files landed under the dir"
