@@ -102,6 +102,36 @@ def main() -> None:
         }
         matrix_worst = max(matrix_worst, max(errs.values()))
         matrix[f"{a}|{b}"] = {f: round(e, 5) for f, e in errs.items()}
+    # r13: boolean set expressions from the store (common-theta
+    # membership — the NOT case especially, which no union-only sketch
+    # can do). Exact counterpart from the same distinct reduction.
+    from optiprism_spark.operators.audience import (
+        audience_set_count_from_day_sketches,
+    )
+
+    set_cases = {}
+    set_worst = 0.0
+    for a, b, c in itertools.islice(itertools.combinations(dims, 3), 3):
+        expr = {"op": "and", "args": [
+            {"ref": a}, {"ref": b}, {"op": "not", "args": [{"ref": c}]}]}
+        t3 = time.perf_counter()
+        est_n = audience_set_count_from_day_sketches(
+            days, expr, k=args.k).first().n_users
+        set_sec = round(time.perf_counter() - t3, 3)
+        exact_n = (
+            d.groupBy("user_id")
+            .agg(F.max(F.col("event_type") == a).alias("fa"),
+                 F.max(F.col("event_type") == b).alias("fb"),
+                 F.max(F.col("event_type") == c).alias("fc"))
+            .filter("fa AND fb AND NOT fc").count()
+        )
+        err = abs(est_n - exact_n) / max(exact_n, 1)
+        set_worst = max(set_worst, err)
+        set_cases[f"{a}&{b}&!{c}"] = {
+            "exact": exact_n, "est": round(est_n, 1),
+            "rel_err": round(err, 5), "est_sec": set_sec,
+        }
+
     result = {
         "metric": "kmv_venn_accuracy",
         "dir": args.dir,
@@ -115,8 +145,13 @@ def main() -> None:
         "matrix_pairs": len(matrix),
         "matrix_rel_err": matrix,
         "matrix_worst_rel_err": round(matrix_worst, 5),
+        "set_exprs": set_cases,
+        "set_worst_rel_err": round(set_worst, 5),
+        # set-difference estimates subtract two near-equal samples, so
+        # the relative error vs the (smaller) result is gated at 2x
+        # the per-set bound rather than the venn bound itself
         "pass": worst <= bound and matrix_worst <= bound
-        and len(matrix) == len(pairs),
+        and len(matrix) == len(pairs) and set_worst <= 2 * bound,
     }
     line = json.dumps(result)
     print(line)

@@ -505,6 +505,102 @@ def overlap_matrix_from_day_sketches(
     )
 
 
+def _set_expr_refs(expr: SetExpr) -> list[str]:
+    """All audience names referenced by a set-expression AST (stable
+    first-occurrence order)."""
+    out: list[str] = []
+
+    def walk(e: SetExpr) -> None:
+        if "ref" in e:
+            name = e["ref"]
+            if name not in out:
+                out.append(name)
+            return
+        for a in e.get("args", ()):
+            walk(a)
+
+    walk(expr)
+    if not out:
+        raise ValueError("set expression references no audiences")
+    return out
+
+
+def audience_set_count_from_day_sketches(
+    sketches: DataFrame,
+    expr: SetExpr,
+    k: int,
+    kmv_col: str = "kmv",
+) -> DataFrame:
+    """Boolean set-expression counts served from STORED day sketches
+    — the r13 completion of the audience serving tier (venn and the
+    overlap matrix already route; arbitrary and/or/not expressions
+    were the last surface forced to rescan raw events).
+
+    The trick that makes NOT work: restrict every referenced dim's
+    merged sketch to the COMMON theta (the smallest inclusion
+    threshold). Below theta, each sketch holds exactly the hashes of
+    its distinct users that fall under theta — a uniform coherent
+    sample of the user universe shared by ALL dims (the same hash
+    function orders every sketch). Membership of a surviving hash in
+    dim d is then exact, so ANY boolean combination — including
+    negations — evaluates per-hash, and the true-count scales by
+    1/theta [Beyer et al., SIGMOD'07, §4: multi-set expressions over
+    KMV synopses]. The universe is hashes in ≥1 referenced sketch,
+    matching audience_set_count's observed-behavior universe (a
+    top-level NOT of everything is empty there too).
+
+    Exact regime (every sketch below k): theta = 1.0 and the count is
+    exact — what the registered oracle pins. Output: one row,
+    ``n_users`` DOUBLE.
+
+    Plan shape: one kmv_merge over the windowed store rows, a
+    names-row collect into a single map literal (≤ dims × K doubles),
+    then pure array expressions — no event scan, no join, no window.
+    """
+    names = _set_expr_refs(expr)
+    merged = kmv_merge(
+        sketches.filter(F.col("dim").isin(list(names))), ["dim"], k, kmv_col)
+    row = merged.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("dim", kmv_col))).alias("__m"))
+    empty = F.array().cast("array<double>")
+    arrs = {
+        n: F.coalesce(F.element_at(F.col("__m"), F.lit(n)), empty)
+        for n in names
+    }
+    theta = F.least(*[_theta(arrs[n], k) for n in names]) \
+        if len(names) > 1 else _theta(arrs[names[0]], k)
+    surv = {n: F.filter(arrs[n], lambda v: v < theta) for n in names}
+    universe = F.array_distinct(F.concat(*surv.values()))
+
+    def ev(e: SetExpr, h: Column) -> Column:
+        if "ref" in e:
+            name = e["ref"]
+            if name not in names:
+                raise ValueError(f"unknown audience {name!r}")
+            return F.array_contains(surv[name], h)
+        op = e.get("op")
+        args = [ev(a, h) for a in e.get("args", ())]
+        if op == "not":
+            if len(args) != 1:
+                raise ValueError("'not' takes exactly one argument")
+            return ~args[0]
+        if not args:
+            raise ValueError(f"empty argument list for {op!r}")
+        out = args[0]
+        for a in args[1:]:
+            out = (out & a) if op == "and" else (out | a)
+        if op not in ("and", "or"):
+            raise ValueError(f"unknown set op {op!r}")
+        return out
+
+    n_true = F.size(F.filter(universe, lambda h: ev(expr, h)))
+    # theta is structurally positive (1.0 in the exact regime, else a
+    # k-th smallest positive hash) — plain division is ANSI-safe
+    return row.select(
+        (n_true.cast("double") / theta).alias("n_users"))
+
+
 def audience_users(
     events: DataFrame,
     audiences: Mapping[str, EventRef],

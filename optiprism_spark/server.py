@@ -1485,8 +1485,11 @@ class App:
                 refs = {name: api.parse_event_ref(ev, custom_events=ces,
                                                   props=props)
                         for name, ev in auds.items()}
-                out = audience_set_count(
-                    self._events(), refs, expr, time, filters)
+                if body.get("sketched"):
+                    out = self._sketched_set(refs, expr, time, filters)
+                else:
+                    out = audience_set_count(
+                        self._events(), refs, expr, time, filters)
             # malformed audience dicts (KeyError), non-dict expression
             # nodes (TypeError/AttributeError), and semantic errors
             # (ValueError) are ALL caller errors — 400, never a 500
@@ -1530,6 +1533,39 @@ class App:
         metrics.query_rollup_routed_total().inc(path="kmv")
         return overlap_matrix_from_day_sketches(
             days, k=store.k, max_dims=max_dims)
+
+    def _sketched_set(self, refs, expr, time, filters):
+        """Boolean set-expression counts from the KMV day store —
+        the estimate-mode opt-in for arbitrary and/or/not audience
+        combinations (common-theta membership evaluation,
+        operators/audience.audience_set_count_from_day_sketches).
+        Audience names are rewritten to their event names, the store's
+        sketch key."""
+        from .operators.audience import audience_set_count_from_day_sketches
+        from .schema import EVENT_NAME_COL
+
+        for ref in refs.values():
+            if ref.custom is not None or ref.name is None:
+                raise HttpError(
+                    400, "sketched set needs plain event-name audiences")
+        days, store = self._kmv_window_days(
+            "set", EVENT_NAME_COL, time, filters)
+
+        def rewrite(e):
+            if not isinstance(e, dict):
+                raise ValueError(f"expression nodes must be objects, "
+                                 f"got {e!r}")
+            if "ref" in e:
+                name = e["ref"]
+                if name not in refs:
+                    raise ValueError(f"unknown audience {name!r}")
+                return {"ref": refs[name].name}
+            return {"op": e.get("op"),
+                    "args": [rewrite(a) for a in e.get("args", ())]}
+
+        metrics.query_rollup_routed_total().inc(path="kmv")
+        return audience_set_count_from_day_sketches(
+            days, rewrite(expr), k=store.k)
 
     def _kmv_window_days(self, what, dim, time, filters):
         """Shared KMV-store resolution for the sketched audience

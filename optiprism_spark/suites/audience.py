@@ -17,6 +17,7 @@ import datetime as dt
 from ..dsl import EventRef, QueryTime
 from ..operators.audience import (
     audience_set_count,
+    audience_set_count_from_day_sketches,
     audience_venn,
     audience_venn_from_day_sketches,
     kmv_day_sketches,
@@ -169,6 +170,31 @@ def aud_venn_kmv_sketched(spark, sf_dir):
         load_table(spark, sf_dir, "events"), _FULL, k=_KMV_K)
     return audience_venn_from_day_sketches(
         days, "signup", "purchase", k=_KMV_K)
+
+
+@query(
+    "aud_set_kmv_sketched",
+    oracle=f"""
+    WITH {_FLAGS}
+    SELECT CAST(COUNT(*) FILTER (a AND b AND NOT c) AS DOUBLE) AS n_users
+    FROM flags
+    """,
+)
+def aud_set_kmv_sketched(spark, sf_dir):
+    """The same "signed up AND purchased AND never errored" count
+    answered from DAY-GRAIN KMV sketches (r13: arbitrary boolean set
+    expressions — including NOT — now serve from the store): restrict
+    every referenced sketch to the common theta, evaluate the
+    expression per surviving hash, scale by 1/theta. Exact-regime
+    oracled; ±1/sqrt(K) from stored sketches at 100 TB."""
+    days = kmv_day_sketches(
+        load_table(spark, sf_dir, "events"), _FULL, k=_KMV_K)
+    return audience_set_count_from_day_sketches(
+        days,
+        {"op": "and", "args": [
+            {"ref": "signup"}, {"ref": "purchase"},
+            {"op": "not", "args": [{"ref": "error"}]}]},
+        k=_KMV_K)
 
 
 @query(

@@ -725,3 +725,83 @@ def test_overlap_matrix_reliable_checkpoint_dir(spark, tmp_path):
 
     files = [os.path.join(r, f) for r, _d, fs in os.walk(ckpt) for f in fs]
     assert files, "no reliable checkpoint files landed under the dir"
+
+
+def test_set_count_from_day_sketches_matches_exact(spark, tmp_path):
+    """Common-theta set evaluation: arbitrary and/or/not expressions
+    from stored sketches equal the exact flags path in the sparse
+    regime — including a NOT, the case HLL-style sketches cannot do.
+    Also exercised through the HTTP opt-in (audience names rewritten
+    to event names)."""
+    from optiprism_spark.operators.audience import (
+        audience_set_count_from_day_sketches,
+        kmv_day_sketches,
+    )
+    from optiprism_spark.server import make_app
+    from optiprism_spark.streaming.audience import KmvDayStore
+
+    from .test_server import call
+
+    ev = _events(spark, [
+        (1, "signup"), (1, "purchase"), (2, "signup"), (2, "error"),
+        (3, "purchase"), (4, "signup"), (4, "purchase"), (4, "error"),
+        (5, "view"),
+    ])
+    expr = {"op": "and", "args": [
+        {"ref": "signup"}, {"ref": "purchase"},
+        {"op": "not", "args": [{"ref": "error"}]}]}
+    exact = audience_set_count(
+        ev, {"signup": EventRef("signup"), "purchase": EventRef("purchase"),
+             "error": EventRef("error")},
+        {"op": "and", "args": [
+            {"ref": "signup"}, {"ref": "purchase"},
+            {"op": "not", "args": [{"ref": "error"}]}]},
+        JAN).first().n_users
+    days = kmv_day_sketches(ev, JAN, k=256)
+    got = audience_set_count_from_day_sketches(days, expr, k=256).first()
+    assert got.n_users == float(exact) == 1.0  # only user 1
+
+    # OR and single-ref shapes
+    got_or = audience_set_count_from_day_sketches(
+        days, {"op": "or", "args": [{"ref": "signup"}, {"ref": "view"}]},
+        k=256).first()
+    assert got_or.n_users == 4.0  # users 1, 2, 4, 5
+    got_one = audience_set_count_from_day_sketches(
+        days, {"ref": "error"}, k=256).first()
+    assert got_one.n_users == 2.0
+
+    # HTTP: sketched set with audience-name → event-name rewrite
+    store = KmvDayStore(str(tmp_path / "kmv"), k=256)
+    store.update(spark, ev)
+    from .conftest import SF_SMOKE
+
+    app = make_app(spark, SF_SMOKE, result_cache_ttl=None, kmv_store=store)
+    url = "/api/v1/projects/1/queries/audience"
+    jan = {"type": "between", "from": "2024-01-01T00:00:00",
+           "to": "2024-01-31T23:59:59.999999"}
+    body = {"type": "set",
+            "audiences": {"a": {"eventName": "signup"},
+                          "b": {"eventName": "purchase"},
+                          "c": {"eventName": "error"}},
+            "expression": {"op": "and", "args": [
+                {"ref": "a"}, {"ref": "b"},
+                {"op": "not", "args": [{"ref": "c"}]}]},
+            "time": jan, "sketched": True}
+    st, resp = call(app, "POST", url, body)
+    assert st == 200
+    assert _col(resp, "n_users") == [1.0]
+    # shape mismatches still 400: unknown ref, ragged window (the
+    # store's whole-day grain), property filters
+    st, _ = call(app, "POST", url, dict(
+        body, expression={"ref": "nope"}))
+    assert st == 400
+    st, _ = call(app, "POST", url, dict(
+        body, time={"type": "between", "from": "2024-01-01T12:00:00",
+                    "to": "2024-01-31T23:59:59.999999"}))
+    assert st == 400
+    st, _ = call(app, "POST", url, dict(
+        body, filters={"groups": [{"filters": [
+            {"type": "property", "propertyType": "event",
+             "propertyName": "value", "operation": "gt", "value": [1]}
+        ]}]}))
+    assert st == 400
