@@ -121,6 +121,25 @@ SF01_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "wh_revenue_by_nation_bucketed", "wh_top_brands_by_region",
         "win_rolling_avg"
     }),
+    13: frozenset({
+        "asm_sample_fraction_by_lang", "attr_first_touch_revenue",
+        "aud_venn_signup_purchase", "dedup_embedding_cosine_ivf_auto",
+        "dedup_embedding_cosine_lsh_banded", "dedup_lsh_near_pairs",
+        "dedup_minhash_signatures", "drift_psi_event_mix_half_month",
+        "drift_psi_value_half_month", "drift_psi_value_quantile_bins",
+        "drift_psi_value_rollup_routed", "eng_stickiness_weekly_rollup",
+        "est_dau_sampled", "est_funnel_3step_sampled",
+        "est_retention_weekly_sampled", "funnel_machine_3step",
+        "funnel_machine_any_order_touch_last", "funnel_machine_breakdown",
+        "group_records_top_value", "ingest_geo_country_counts",
+        "path_backward_to_purchase", "qsketch_percentile_value_by_type",
+        "retention_daily_view_click", "rollup_percentile_value_by_type",
+        "seg_count_hourly_purchase", "seg_percentiles_by_type",
+        "seg_rollup_routed_weekly", "seg_sum_value_daily_by_type",
+        "seg_unpivot_compact", "text_bpe_segments", "text_quality_scores",
+        "wh_order_priority_bucketed", "wh_revenue_by_nation",
+        "wh_revenue_by_nation_bucketed",
+    }),
 }
 
 
@@ -146,7 +165,7 @@ def gate_picks(queries: dict, oracled: set[str]) -> list[str]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SF01_ORACLE_r12.json")
+    ap.add_argument("--out", default="SF01_ORACLE_r13.json")
     args = ap.parse_args()
 
     from optiprism_spark.registry import ORACLE_SQL, QUERIES
