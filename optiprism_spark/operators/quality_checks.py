@@ -1,0 +1,242 @@
+"""Declarative data-quality constraint validation (Deequ-style).
+
+A training pipeline gates every snapshot delivery on a battery of
+declared expectations — null rates, key uniqueness, value ranges,
+categorical domains, format patterns, cross-table key integrity —
+and refuses the delivery when any fails. The reference has no such
+surface (its ingester trusts the SDK, `ingester/src/executor.rs`);
+this extends the LLM-pipeline family (SURVEY "beyond the reference")
+alongside `drift.table_profile`, which *describes* a snapshot where
+this module *judges* one.
+
+Design for 100 TB:
+
+- Every row-metric constraint (completeness, in-range fraction,
+  accepted-values fraction, pattern fraction, mean bounds, row
+  count) compiles into expressions of ONE ``df.agg`` — a single
+  partial-aggregated scan with map-side combine, final exchange of
+  exactly one row. Adding a constraint adds an expression, never a
+  scan.
+- ``uniqueness`` adds ``count(distinct)``, which Catalyst plans as
+  an Expand + two-stage aggregate — still one scan; for
+  very-high-cardinality keys at 100 TB pass ``approx=True`` to swap
+  in HyperLogLog++ (the exact path stays the oracle default, the
+  same split as `table_profile`).
+- ``ref_integrity`` is necessarily a join probe per (fk, dim) pair:
+  the dim's distinct keys aggregate first (map-side combinable),
+  then broadcast onto the fact scan when small (the common shape —
+  dimension tables are small by definition); orphans are counted in
+  the same pass. No shuffle of the fact table.
+- The one-row aggregate unpivots to one row per constraint via
+  ``stack`` — pure projection, no second pass.
+
+Float determinism: ratio metrics are exact integer-count divisions
+rounded to 9 decimals; means go through DECIMAL(28,6) exact sums
+(`operators/aggregates.DECIMAL_T`, the engine-wide recipe) — both
+partition-order independent and DuckDB-reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .aggregates import DECIMAL_T
+
+#: round ratio/mean metrics to this many decimals on both engines
+METRIC_DIGITS = 9
+
+
+def _spec(name: str, target: str, metric: Column,
+          lo: Optional[float], hi: Optional[float]) -> dict:
+    return {"name": name, "target": target, "metric": metric,
+            "lo": lo, "hi": hi}
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    """Exact-count ratio as double, NULL when the denominator is 0
+    (an empty frame neither passes nor fails a fraction constraint —
+    `row_count_between` is the guard for emptiness)."""
+    return F.round(
+        F.when(den > 0, num.cast("double") / den.cast("double")), METRIC_DIGITS
+    )
+
+
+def completeness(col: str, min_ratio: float = 1.0) -> dict:
+    """Fraction of rows with ``col`` non-null >= min_ratio."""
+    c = F.col(col)
+    return _spec(f"completeness({col})", col,
+                 _ratio(F.count(c), F.count(F.lit(1))), min_ratio, None)
+
+
+def uniqueness(cols: Sequence[str] | str, min_ratio: float = 1.0,
+               approx: bool = False) -> dict:
+    """distinct(cols) / rows >= min_ratio (1.0 = a candidate key).
+
+    ``approx=True``: HyperLogLog++ instead of the exact Expand-based
+    count(distinct) — the 100 TB default for high-cardinality keys;
+    keep exact for oracle-checked runs.
+
+    NULL semantics are SQL's COUNT(DISTINCT ...): a tuple with any
+    NULL component is not counted (DuckDB agrees, keeping oracles
+    aligned); the approx path masks such tuples to NULL before
+    sketching so both paths measure the same quantity.
+    """
+    names = [cols] if isinstance(cols, str) else list(cols)
+    cs = [F.col(c) for c in names]
+    if approx:
+        all_set = reduce(lambda a, b: a & b, [c.isNotNull() for c in cs])
+        distinct = F.approx_count_distinct(
+            F.when(all_set, F.concat_ws("\x1f", *cs)))
+    else:
+        distinct = F.countDistinct(*cs)
+    label = ",".join(names)
+    return _spec(f"uniqueness({label})", label,
+                 _ratio(distinct, F.count(F.lit(1))), min_ratio, None)
+
+
+def in_range(col: str, lo: float, hi: float,
+             min_ratio: float = 1.0) -> dict:
+    """Fraction of NON-NULL values inside [lo, hi] >= min_ratio.
+    Nulls are completeness's job — counting them here would make two
+    constraints fail for one defect."""
+    c = F.col(col)
+    ok = ((c >= F.lit(lo)) & (c <= F.lit(hi))).cast("long")
+    return _spec(f"in_range({col})", col,
+                 _ratio(F.sum(ok), F.count(c)), min_ratio, None)
+
+
+def non_negative(col: str, min_ratio: float = 1.0) -> dict:
+    c = F.col(col)
+    ok = (c >= F.lit(0)).cast("long")
+    return _spec(f"non_negative({col})", col,
+                 _ratio(F.sum(ok), F.count(c)), min_ratio, None)
+
+
+def accepted_values(col: str, values: Sequence[str],
+                    min_ratio: float = 1.0) -> dict:
+    """Fraction of non-null values in the accepted set >= min_ratio."""
+    c = F.col(col)
+    ok = c.isin(list(values)).cast("long")
+    return _spec(f"accepted_values({col})", col,
+                 _ratio(F.sum(ok), F.count(c)), min_ratio, None)
+
+
+def matches_pattern(col: str, regex: str, min_ratio: float = 1.0) -> dict:
+    """Fraction of non-null values fully matching ``regex``.
+
+    Anchored via rlike on the caller's pattern — pass explicit ^...$
+    for full-string semantics (mirrored verbatim in the oracle's
+    regexp_matches, which IS full-match; keep patterns anchored so
+    both engines agree)."""
+    c = F.col(col)
+    ok = c.rlike(regex).cast("long")
+    return _spec(f"matches_pattern({col})", col,
+                 _ratio(F.sum(ok), F.count(c)), min_ratio, None)
+
+
+def mean_between(col: str, lo: float, hi: float) -> dict:
+    """DECIMAL-exact mean of ``col`` within [lo, hi]."""
+    c = F.col(col)
+    mean = F.round(
+        F.sum(c.cast(DECIMAL_T)).cast("double") / F.count(c), METRIC_DIGITS
+    )
+    return _spec(f"mean_between({col})", col, mean, lo, hi)
+
+
+def row_count_between(lo: int, hi: Optional[int] = None) -> dict:
+    return _spec("row_count", "*",
+                 F.count(F.lit(1)).cast("double"), float(lo),
+                 None if hi is None else float(hi))
+
+
+def validate(df: DataFrame, constraints: Sequence[dict]) -> DataFrame:
+    """Evaluate all row-metric constraints in ONE aggregation pass.
+
+    Returns one row per constraint:
+    ``(constraint, target, metric, lower_bound, upper_bound, passed)``
+    — ``passed`` is NULL-safe: a NULL metric (empty denominator)
+    yields passed = false, surfacing the degenerate input instead of
+    silently waving it through.
+    """
+    aggs = [c["metric"].alias(f"__m{i}") for i, c in enumerate(constraints)]
+    one = df.agg(*aggs)
+    # unpivot via stack: pure projection over the 1-row aggregate
+    cells = []
+    for i, c in enumerate(constraints):
+        # cast bound literals to DOUBLE: bare 1.0 / 0.99 parse as
+        # decimals of differing scales and break stack's type check
+        lo = ("CAST(NULL AS DOUBLE)" if c["lo"] is None
+              else f"CAST({float(c['lo'])!r} AS DOUBLE)")
+        hi = ("CAST(NULL AS DOUBLE)" if c["hi"] is None
+              else f"CAST({float(c['hi'])!r} AS DOUBLE)")
+        nm = c["name"].replace("\\", "\\\\").replace("'", "\\'")
+        tg = c["target"].replace("\\", "\\\\").replace("'", "\\'")
+        cells.append(f"'{nm}', '{tg}', __m{i}, {lo}, {hi}")
+    n = len(constraints)
+    stacked = one.select(F.expr(
+        f"stack({n}, {', '.join(cells)}) AS "
+        "(constraint, target, metric, lower_bound, upper_bound)"
+    ))
+    return stacked.select(
+        "*",
+        (
+            F.col("metric").isNotNull()
+            & (F.col("lower_bound").isNull()
+               | (F.col("metric") >= F.col("lower_bound")))
+            & (F.col("upper_bound").isNull()
+               | (F.col("metric") <= F.col("upper_bound")))
+        ).alias("passed"),
+    )
+
+
+def ref_integrity(fact: DataFrame, fk_col: str,
+                  dim: DataFrame, pk_col: str,
+                  max_orphan_ratio: float = 0.0,
+                  broadcast_dim: bool = True) -> DataFrame:
+    """Referential integrity: fraction of non-null ``fact.fk_col``
+    values with NO match in ``dim.pk_col`` (orphans), constrained to
+    <= ``max_orphan_ratio``.
+
+    Plan shape: the dim side reduces to its distinct keys first
+    (map-side combinable) and broadcasts onto the fact scan
+    (``broadcast_dim=True``, the right call for real dimension
+    tables); orphan and total counts come out of the same single
+    aggregation over the joined scan — the fact table is never
+    shuffled. For a fk whose dim does NOT fit in memory pass
+    ``broadcast_dim=False`` and Spark plans a shuffled hash join on
+    the key — the unavoidable shape at that size.
+
+    Same output schema as `validate`, so batteries union cleanly.
+    """
+    keys = dim.select(F.col(pk_col).alias("__pk")).distinct()
+    if broadcast_dim:
+        keys = F.broadcast(keys)
+    probe = (
+        fact.select(F.col(fk_col).alias("__fk"))
+        .where(F.col("__fk").isNotNull())
+        .join(keys, F.col("__fk") == F.col("__pk"), "left")
+    )
+    name = f"ref_integrity({fk_col}->{pk_col})"
+    return (
+        probe.agg(
+            F.round(
+                F.sum(F.col("__pk").isNull().cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                METRIC_DIGITS,
+            ).alias("metric")
+        )
+        .select(
+            F.lit(name).alias("constraint"),
+            F.lit(fk_col).alias("target"),
+            "metric",
+            F.lit(None).cast("double").alias("lower_bound"),
+            F.lit(float(max_orphan_ratio)).alias("upper_bound"),
+            (F.col("metric").isNotNull()
+             & (F.col("metric") <= F.lit(float(max_orphan_ratio))))
+            .alias("passed"),
+        )
+    )

@@ -380,6 +380,7 @@ from .suites import (  # noqa: E402,F401
     ingest,
     multimodal,
     paths,
+    quality,
     records,
     reshape,
     retention,

@@ -592,6 +592,8 @@ class App:
              _timed_query("drift", self._drift), explore),
             ("POST", re.compile(P + r"/queries/audience$"),
              _timed_query("audience", self._audience), explore),
+            ("POST", re.compile(P + r"/queries/quality$"),
+             _timed_query("quality", self._quality), explore),
             ("POST", re.compile(P + r"/event-records/search$"),
              _timed_query("event_records_search", self._event_records_search),
              explore),
@@ -1771,6 +1773,109 @@ class App:
             out = distribution_drift(
                 events.filter(pop), prop, split, bins=int(bins or 10))
         return 200, (out, {"bucket"})
+
+    def _quality(self, body, m, q):
+        """Declarative data-quality constraint battery (beyond the
+        reference) — the delivery gate a pipeline runs before trusting
+        a snapshot, over the project's event stream. Body:
+
+        ``{constraints: [spec, ...], time?}`` where each spec is one
+        of (camelCase keys, optional thresholds default to 1.0 /
+        exact):
+
+        - ``{type: "completeness", column, minRatio?}``
+        - ``{type: "uniqueness", columns, minRatio?, approx?}``
+        - ``{type: "inRange", column, lo, hi, minRatio?}``
+        - ``{type: "nonNegative", column, minRatio?}``
+        - ``{type: "acceptedValues", column, values, minRatio?}``
+        - ``{type: "matchesPattern", column, regex, minRatio?}``
+        - ``{type: "meanBetween", column, lo, hi}``
+        - ``{type: "rowCount", min, max?}``
+
+        Every constraint compiles into ONE partial-aggregated scan
+        (operators/quality_checks.validate) — adding a constraint
+        never adds a scan. Caller errors (unknown column, bad
+        threshold, unknown type) fail loudly as 400."""
+        from .exprs import full_filter
+        from .operators import quality_checks as Q
+
+        self._pid(m)
+        specs = body.get("constraints")
+        if not isinstance(specs, list) or not specs:
+            raise HttpError(400, "constraints must be a non-empty list")
+        events = self._events()
+        if body.get("time"):
+            time = api.parse_time(body["time"], self.now)
+            events = events.filter(full_filter(time))
+
+        def col_of(spec, key="column"):
+            c = spec.get(key)
+            if not isinstance(c, str) or c not in events.columns:
+                raise HttpError(400, f"unknown column {c!r}")
+            return c
+
+        def num(spec, key, default=None, required=False):
+            v = spec.get(key, default)
+            if v is None:
+                if required:
+                    raise HttpError(400, f"{spec.get('type')} requires {key}")
+                return None
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                raise HttpError(400, f"{key} must be a number, got {v!r}")
+
+        built = []
+        for spec in specs:
+            kind = spec.get("type")
+            ratio = num(spec, "minRatio", 1.0)
+            if kind == "completeness":
+                built.append(Q.completeness(col_of(spec), ratio))
+            elif kind == "uniqueness":
+                cols = spec.get("columns")
+                if isinstance(cols, str):
+                    cols = [cols]
+                if not cols:
+                    raise HttpError(400, "uniqueness requires columns")
+                for c in cols:
+                    if c not in events.columns:
+                        raise HttpError(400, f"unknown column {c!r}")
+                built.append(Q.uniqueness(
+                    cols, ratio, approx=bool(spec.get("approx"))))
+            elif kind == "inRange":
+                built.append(Q.in_range(
+                    col_of(spec), num(spec, "lo", required=True),
+                    num(spec, "hi", required=True), ratio))
+            elif kind == "nonNegative":
+                built.append(Q.non_negative(col_of(spec), ratio))
+            elif kind == "acceptedValues":
+                vals = spec.get("values")
+                if not isinstance(vals, list) or not vals:
+                    raise HttpError(
+                        400, "acceptedValues requires a non-empty values list")
+                built.append(Q.accepted_values(
+                    col_of(spec), [str(v) for v in vals], ratio))
+            elif kind == "matchesPattern":
+                rx = spec.get("regex")
+                if not isinstance(rx, str) or not rx:
+                    raise HttpError(400, "matchesPattern requires regex")
+                try:
+                    re.compile(rx)
+                except re.error as e:
+                    raise HttpError(400, f"bad regex: {e}")
+                built.append(Q.matches_pattern(col_of(spec), rx, ratio))
+            elif kind == "meanBetween":
+                built.append(Q.mean_between(
+                    col_of(spec), num(spec, "lo", required=True),
+                    num(spec, "hi", required=True)))
+            elif kind == "rowCount":
+                lo = num(spec, "min", required=True)
+                hi = num(spec, "max")
+                built.append(Q.row_count_between(
+                    int(lo), None if hi is None else int(hi)))
+            else:
+                raise HttpError(400, f"unknown constraint type {kind!r}")
+        return 200, (Q.validate(events, built), {"constraint", "target"})
 
     def _paths(self, body, m, q):
         """Path / journey exploration (beyond the reference — no path

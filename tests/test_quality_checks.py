@@ -1,0 +1,195 @@
+"""Data-quality constraint validator (operators/quality_checks).
+
+Semantics pinned here; the DuckDB hash oracles live in
+suites/quality.py (dq_events_battery / dq_orders_battery /
+dq_ref_integrity).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from optiprism_spark.operators import quality_checks as Q
+
+
+def _rows(df):
+    return {r["constraint"]: r.asDict() for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a@x.io", 10.0, "gold"),
+            (2, "b@x.io", 20.0, "silver"),
+            (3, None, 30.0, "gold"),
+            (4, "not-an-email", -5.0, "bronze"),
+            (4, "d@x.io", None, "tin"),
+        ],
+        "id long, email string, score double, tier string",
+    )
+
+
+def test_battery_metrics_and_verdicts(people):
+    out = _rows(Q.validate(people, [
+        Q.completeness("email"),                      # 4/5
+        Q.completeness("id"),                         # 5/5
+        Q.uniqueness("id"),                           # 4/5 (dup id=4)
+        Q.in_range("score", 0.0, 100.0),              # 3/4 non-null
+        Q.non_negative("score"),                      # 3/4
+        Q.accepted_values("tier", ["gold", "silver", "bronze"]),  # 4/5
+        Q.matches_pattern("email", r"^[a-z]+@[a-z.]+$"),  # 3/4
+        Q.mean_between("score", 0.0, 20.0),           # mean 13.75
+        Q.row_count_between(5, 10),                   # 5 rows
+    ]))
+    assert out["completeness(email)"]["metric"] == 0.8
+    assert out["completeness(email)"]["passed"] is False
+    assert out["completeness(id)"]["passed"] is True
+    assert out["uniqueness(id)"]["metric"] == 0.8
+    assert out["in_range(score)"]["metric"] == 0.75
+    assert out["non_negative(score)"]["metric"] == 0.75
+    assert out["accepted_values(tier)"]["metric"] == 0.8
+    assert out["matches_pattern(email)"]["metric"] == 0.75
+    assert out["mean_between(score)"]["metric"] == 13.75
+    assert out["mean_between(score)"]["passed"] is True
+    assert out["row_count"]["metric"] == 5.0
+    assert out["row_count"]["passed"] is True
+
+
+def test_thresholds_flip_verdicts(people):
+    out = _rows(Q.validate(people, [
+        Q.completeness("email", min_ratio=0.5),
+        Q.row_count_between(10),
+    ]))
+    assert out["completeness(email)"]["passed"] is True
+    assert out["row_count"]["passed"] is False
+
+
+def test_empty_frame_fails_not_passes(spark):
+    """NULL metric (0-row denominator) must surface as failed, never
+    silently pass."""
+    empty = spark.createDataFrame([], "id long, email string")
+    out = _rows(Q.validate(empty, [
+        Q.completeness("email"),
+        Q.row_count_between(1),
+    ]))
+    assert out["completeness(email)"]["metric"] is None
+    assert out["completeness(email)"]["passed"] is False
+    assert out["row_count"]["metric"] == 0.0
+    assert out["row_count"]["passed"] is False
+
+
+def test_multi_column_and_approx_uniqueness(people):
+    # SQL COUNT(DISTINCT) semantics: the (3, NULL) tuple is not
+    # counted -> 4 distinct over 5 rows (DuckDB agrees)
+    exact = _rows(Q.validate(people, [Q.uniqueness(["id", "email"])]))
+    assert exact["uniqueness(id,email)"]["metric"] == 0.8
+    # HLL path measures the same quantity within sketch error
+    approx = _rows(Q.validate(people, [
+        Q.uniqueness(["id", "email"], approx=True)]))
+    assert abs(approx["uniqueness(id,email)"]["metric"] - 0.8) < 0.1
+
+
+def test_single_scan_plan(people):
+    """The whole battery is ONE aggregation pass: exactly one scan of
+    the input and no join/exchange beyond the single final aggregate."""
+    df = Q.validate(people, [
+        Q.completeness("email"),
+        Q.in_range("score", 0.0, 100.0),
+        Q.mean_between("score", 0.0, 20.0),
+        Q.row_count_between(1),
+    ])
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+    assert "Join" not in plan
+
+
+def test_ref_integrity_orphans_and_plan(spark):
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long")
+    dim = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    out = Q.ref_integrity(fact, "fk", dim, "pk", max_orphan_ratio=0.0)
+    row = out.collect()[0]
+    # 3 non-null fks, 1 orphan (99); the null fk is completeness's job
+    assert row["metric"] == pytest.approx(1 / 3, abs=1e-9)
+    assert row["passed"] is False
+    assert row["constraint"] == "ref_integrity(fk->pk)"
+    # tolerant probe passes
+    ok = Q.ref_integrity(fact, "fk", dim, "pk",
+                         max_orphan_ratio=0.5).collect()[0]
+    assert ok["passed"] is True
+    # dim side broadcasts: the fact table is never shuffled
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+
+
+def test_quoting_in_constraint_names(spark):
+    """Column names containing a quote must not break the stack
+    projection (names are escaped into the SQL literal)."""
+    df = spark.createDataFrame([("x",)], "`it's` string")
+    out = _rows(Q.validate(df, [Q.completeness("it's")]))
+    assert out["completeness(it's)"]["passed"] is True
+
+
+def test_http_quality_route(spark):
+    """POST /queries/quality: the whole battery over the project's
+    events in one response; caller errors (unknown column / type, bad
+    regex, empty battery) are 400s, never silent wrong verdicts."""
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    app = make_app(spark, "/root/testdata/sf0.001", result_cache_ttl=None)
+    url = "/api/v1/projects/1/queries/quality"
+    body = {"constraints": [
+        {"type": "completeness", "column": "user_id"},
+        {"type": "uniqueness", "columns": ["event_id"]},
+        {"type": "inRange", "column": "value", "lo": 0, "hi": 1e6},
+        {"type": "acceptedValues", "column": "event_type",
+         "values": ["click", "error", "purchase", "signup", "view"]},
+        {"type": "matchesPattern", "column": "props",
+         "regex": "^\\{\"k\": [0-9]+\\}$"},
+        {"type": "rowCount", "min": 1},
+    ]}
+    st, resp = call(app, "POST", url, body)
+    assert st == 200
+    cols = {c["name"]: c for c in resp["columns"]}
+    got = dict(zip(cols["constraint"]["data"], cols["passed"]["data"]))
+    assert len(got) == 6
+    assert got["completeness(user_id)"] is True
+    assert got["row_count"] is True
+    # constraint/target are tagged dimensions, metric a metric column
+    assert cols["constraint"]["type"] == "dimension"
+    assert cols["metric"]["type"] == "metric"
+
+    # time-scoped battery runs over the filtered stream
+    st, resp = call(app, "POST", url, dict(
+        body, time={"type": "between", "from": "2024-01-01T00:00:00",
+                    "to": "2024-01-31T23:59:59"}))
+    assert st == 200
+
+    for bad in [
+        {},                                       # missing constraints
+        {"constraints": []},                      # empty battery
+        {"constraints": [{"type": "completeness", "column": "nope"}]},
+        {"constraints": [{"type": "teleport", "column": "value"}]},
+        {"constraints": [{"type": "matchesPattern", "column": "props",
+                          "regex": "("}]},        # bad regex
+        {"constraints": [{"type": "inRange", "column": "value",
+                          "lo": "x", "hi": 1}]},  # bad number
+        {"constraints": [{"type": "rowCount"}]},  # missing min
+    ]:
+        st, _ = call(app, "POST", url, bad)
+        assert st == 400, bad
+
+
+def test_union_battery_with_ref_integrity(spark):
+    """validate() and ref_integrity() share a schema so a full
+    delivery gate is one unioned frame."""
+    fact = spark.createDataFrame([(1, 10)], "id long, fk long")
+    dim = spark.createDataFrame([(10,)], "pk long")
+    battery = Q.validate(fact, [Q.completeness("fk")])
+    ref = Q.ref_integrity(fact, "fk", dim, "pk")
+    both = battery.unionByName(ref)
+    assert both.count() == 2
+    assert all(r["passed"] for r in both.collect())
