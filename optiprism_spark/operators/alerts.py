@@ -74,3 +74,66 @@ def anomaly_flags(
         F.coalesce(ok & (F.abs(z) > z_threshold), F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+def robust_anomaly_flags(
+    series: DataFrame,
+    value_col: str,
+    threshold: float = 3.5,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append (baseline_median, robust_z, is_anomaly) via the Hampel
+    estimator: robust_z = (v − median) / (1.4826·MAD), flagged at
+    |robust_z| > ``threshold`` (3.5 is Hampel's classic cut).
+
+    The companion to `anomaly_flags`: a mean/std baseline is itself
+    poisoned by the outliers it is looking for (one 100× spike in the
+    trailing window inflates σ enough to hide the next one), while
+    median/MAD have a 50% breakdown point — the right detector for a
+    WHOLE-series batch sweep (backfills, snapshot audits). The
+    trailing z variant stays the right shape for streaming ticks.
+
+    ``robust_z`` is NULL when MAD == 0 (a majority-flat series has no
+    robust scale — a deviation from it is a level change, same
+    contract as `anomaly_flags`); it is rounded to 9 decimals, and
+    the median comes from Spark's exact interpolated ``percentile``,
+    which DuckDB's ``median`` reproduces bit-for-bit — both oracle
+    requirements.
+
+    Scale shape: the input is a metric SERIES (one row per bucket ×
+    group — tiny, post-aggregation), so the two median passes cost
+    nothing; each reduces per group (map-side combinable) and joins
+    back broadcast. ``by=`` gives every group its own independent
+    median/MAD. No crossJoin, no driver round-trip.
+    """
+    v = F.col(value_col)
+    med_of = lambda c: F.expr(f"percentile({c}, 0.5)")  # noqa: E731
+    if by:
+        keys = list(by)
+        med = series.groupBy(*keys).agg(
+            med_of(value_col).alias("__med"))
+        with_med = series.join(F.broadcast(med), keys)
+        mad = (
+            with_med.select(*keys, F.abs(v - F.col("__med")).alias("__d"))
+            .groupBy(*keys).agg(med_of("__d").alias("__mad"))
+        )
+        joined = with_med.join(F.broadcast(mad), keys)
+    else:
+        med = series.agg(med_of(value_col).alias("__med")).withColumn(
+            "__k", F.lit(1))
+        with_med = series.withColumn("__k", F.lit(1)).join(
+            F.broadcast(med), "__k")
+        mad = (
+            with_med.select(F.abs(v - F.col("__med")).alias("__d"))
+            .agg(med_of("__d").alias("__mad")).withColumn("__k", F.lit(1))
+        )
+        joined = with_med.join(F.broadcast(mad), "__k").drop("__k")
+    z = F.round((v - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")), 9)
+    ok = F.col("__mad") > 0
+    return joined.select(
+        *series.columns,
+        F.col("__med").alias("baseline_median"),
+        F.when(ok, z).alias("robust_z"),
+        F.coalesce(ok & (F.abs(z) > F.lit(threshold)), F.lit(False))
+        .alias("is_anomaly"),
+    )

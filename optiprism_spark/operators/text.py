@@ -239,3 +239,54 @@ def gopher_quality(
         dup_word_frac.alias("dup_word_frac"),
         keep.alias("keep"),
     )
+
+
+def repeated_ngram_stats(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repeated-shingle exposure: of each document's
+    DISTINCT word n-shingles, how many also occur in at least one
+    OTHER document — the boilerplate/template diagnostic (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022 measures exactly this corpus-repeated n-gram mass) that
+    ranks candidates for span-level dedup where whole-doc MinHash
+    (operators/dedup.py) sees only globally-similar pairs.
+
+    Returns (id_col, n_shingles, n_repeated, repeated_fraction);
+    ``repeated_fraction`` = n_repeated / n_shingles rounded to 9
+    decimals. Counting is doc-frequency at SHINGLE grain, so a
+    shingle repeated many times INSIDE one document does not count as
+    corpus-repeated.
+
+    Scale shape: explode → distinct (doc, shingle) pairs → one
+    partial-aggregated doc-frequency count at shingle grain → a
+    shuffle join of pairs to counts → per-doc aggregate. Everything
+    is JVM expressions (the shingling kernel is
+    `shingles_from_words`); hot shingles ("of the and") skew the
+    join's shuffle — AQE's skew-join splitting handles exactly this
+    shape, and the doc-frequency aggregate itself is immune
+    (map-side combine collapses hot keys before the exchange).
+    """
+    sid = F.col(id_col)
+    pairs = docs.select(
+        sid, F.explode(shingles_from_words(_words(text_col, None), n))
+        .alias("__s"),
+    ).distinct()
+    df_counts = pairs.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__df"))
+    return (
+        pairs.join(df_counts, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_repeated"),
+            F.round(
+                F.sum((F.col("__df") >= 2).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("repeated_fraction"),
+        )
+    )

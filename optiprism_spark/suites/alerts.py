@@ -62,3 +62,58 @@ def alert_purchase_count_daily(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return anomaly_flags(series, "n", window=7, z_threshold=2.0)
+
+
+@query(
+    "alert_robust_value_daily_by_type",
+    oracle=f"""
+    WITH series AS (
+      SELECT {S.bucket('day')} AS bucket, event_type,
+             {S.sum_exact('value')} AS n
+      FROM events
+      WHERE {S.ts_between(*S.T_FULL)} AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, median(n) AS med FROM series GROUP BY 1
+    ), mad AS (
+      SELECT s.event_type, median(abs(s.n - m.med)) AS mad
+      FROM series s JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT s.bucket, s.event_type, s.n,
+           m.med AS baseline_median,
+           CASE WHEN d.mad > 0
+                THEN round((s.n - m.med) / (1.4826 * d.mad), 9) END
+             AS robust_z,
+           COALESCE(d.mad > 0 AND
+             abs(round((s.n - m.med) / (1.4826 * d.mad), 9)) > 3.5,
+             FALSE) AS is_anomaly
+    FROM series s
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    """,
+)
+def alert_robust_value_daily_by_type(spark, sf_dir):
+    """Per-event-type daily value sums swept with the Hampel
+    (median/MAD) detector — the batch-audit companion to the trailing
+    z-score: a mean/std baseline is poisoned by the very outliers it
+    hunts, median/MAD have a 50% breakdown point. Each type gets its
+    own independent robust baseline (`by=`); the series is
+    post-aggregation tiny, so the two median passes and broadcast
+    join-backs are free at any corpus size."""
+    import pyspark.sql.functions as F
+
+    from ..operators.aggregates import DECIMAL_T
+    from ..operators.alerts import robust_anomaly_flags
+
+    events = load_table(spark, sf_dir, "events")
+    cond = full_filter(_FULL) & F.col("value").isNotNull()
+    series = (
+        events.filter(cond)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(F.col("value").cast(DECIMAL_T)).cast("double").alias("n"))
+    )
+    return robust_anomaly_flags(series, "n", threshold=3.5,
+                                by=("event_type",))

@@ -245,3 +245,36 @@ def text_bpe_segments(spark, sf_dir):
         "word", "n", F.size("syms").alias("n_syms"),
         F.concat_ws(" ", "syms").alias("segmentation"),
     )
+
+
+@query(
+    "text_repeated_ngram_stats",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - 2, 1)),
+        i -> array_to_string(w[i:i+2], ' ')))) AS s
+      FROM w
+    ),
+    cnt AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN cnt.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeated,
+           round(CAST(SUM(CASE WHEN cnt.df >= 2 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 9) AS repeated_fraction
+    FROM sh JOIN cnt USING (s)
+    GROUP BY 1
+    """,
+)
+def text_repeated_ngram_stats(spark, sf_dir):
+    """Per-document corpus-repeated 3-shingle exposure (the Lee et
+    al. span-dedup diagnostic): distinct (doc, shingle) pairs, one
+    doc-frequency aggregate at shingle grain, join back, per-doc
+    fraction — all JVM expressions over the shared shingling kernel
+    (operators/text.repeated_ngram_stats)."""
+    from ..operators.text import repeated_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_ngram_stats(docs, n=3)

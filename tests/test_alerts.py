@@ -144,3 +144,68 @@ def test_streaming_rollup_alerts_end_to_end(spark, tmp_path):
     cols = ["dt", "event_type", "events_count"]
     assert sorted(map(tuple, got.select(cols).collect())) == sorted(
         map(tuple, want.select(cols).collect()))
+
+
+def test_robust_anomaly_hand_computed(spark):
+    """Hampel flags on a hand-computed series: interpolated median of
+    [9,10,10,11,12,100] is 10.5; deviations [0.5,0.5,1.5,0.5,1.5,89.5]
+    give MAD = (0.5+1.5)/2 = 1.0, so the spike's robust_z =
+    89.5/1.4826 ~ 60.4 and nothing else flags."""
+    import math
+
+    from optiprism_spark.operators.alerts import robust_anomaly_flags
+
+    vals = [10.0, 10.0, 9.0, 11.0, 12.0, 100.0]
+    series = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "bucket int, n double")
+    out = {r["bucket"]: r for r in
+           robust_anomaly_flags(series, "n").collect()}
+    assert all(r["baseline_median"] == 10.5 for r in out.values())
+    assert out[5]["is_anomaly"] is True
+    assert math.isclose(out[5]["robust_z"], round(89.5 / 1.4826, 9))
+    assert all(out[i]["is_anomaly"] is False for i in range(5))
+
+
+def test_robust_anomaly_outlier_cannot_mask_itself(spark):
+    """The motivating case: TWO huge spikes. A trailing mean/std
+    baseline lets the first spike inflate sigma enough to hide the
+    second; median/MAD flags both."""
+    from optiprism_spark.operators.alerts import robust_anomaly_flags
+
+    vals = [10.0, 11.0, 9.0, 10.0, 500.0, 10.0, 11.0, 480.0, 9.0, 10.0]
+    series = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "bucket int, n double")
+    flagged = {r["bucket"] for r in
+               robust_anomaly_flags(series, "n").collect()
+               if r["is_anomaly"]}
+    assert flagged == {4, 7}
+
+
+def test_robust_anomaly_flat_series_has_no_scale(spark):
+    """MAD == 0 (majority-flat series): robust_z is NULL and nothing
+    flags — a deviation from a flat baseline is a level change, the
+    same contract as anomaly_flags' zero-variance rule."""
+    from optiprism_spark.operators.alerts import robust_anomaly_flags
+
+    series = spark.createDataFrame(
+        [(i, 5.0) for i in range(6)] + [(6, 9.0)], "bucket int, n double")
+    rows = robust_anomaly_flags(series, "n").collect()
+    assert all(r["robust_z"] is None for r in rows)
+    assert all(r["is_anomaly"] is False for r in rows)
+
+
+def test_robust_anomaly_partitioned_baselines(spark):
+    """by= gives each group its own median/MAD: a value ordinary for
+    one group is a spike for another."""
+    from optiprism_spark.operators.alerts import robust_anomaly_flags
+
+    rows = [("big", i, float(v)) for i, v in
+            enumerate([100, 102, 98, 101, 99, 103])]
+    rows += [("small", i, float(v)) for i, v in
+             enumerate([1, 2, 1, 2, 1, 100])]
+    series = spark.createDataFrame(rows, "grp string, bucket int, n double")
+    out = robust_anomaly_flags(series, "n", by=("grp",)).collect()
+    flagged = {(r["grp"], r["bucket"]) for r in out if r["is_anomaly"]}
+    assert flagged == {("small", 5)}
+    meds = {r["grp"]: r["baseline_median"] for r in out}
+    assert meds["big"] == 100.5 and meds["small"] == 1.5

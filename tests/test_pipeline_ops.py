@@ -765,3 +765,34 @@ def test_banded_embedding_lsh_plan_shape(spark):
         assert plan.count("InMemoryTableScan") >= 2, plan
     finally:
         unpersist_tracked()
+
+
+def test_repeated_ngram_stats_semantics(spark):
+    """Doc-frequency at shingle grain: a shingle repeated inside ONE
+    doc is not corpus-repeated; shared boilerplate across docs is."""
+    from optiprism_spark.operators.text import repeated_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            # a and b share the boilerplate "terms of service"
+            (1, "terms of service apply here now"),
+            (2, "terms of service govern everything said"),
+            # c repeats its own trigram twice but shares nothing
+            (3, "x y z q x y z"),
+            # short doc: fewer words than n -> one degenerate shingle
+            (4, "hello"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           repeated_ngram_stats(docs, n=3).collect()}
+    # doc1: 4 shingles, only "terms of service" shared
+    assert out[1]["n_shingles"] == 4
+    assert out[1]["n_repeated"] == 1
+    assert out[1]["repeated_fraction"] == 0.25
+    assert out[2]["n_repeated"] == 1
+    # doc3: "x y z" occurs twice WITHIN doc3 only -> distinct pairs
+    # collapse it, df == 1, nothing repeated
+    assert out[3]["n_repeated"] == 0
+    # doc4: degenerate single shingle, not shared
+    assert out[4]["n_shingles"] == 1 and out[4]["n_repeated"] == 0
