@@ -153,17 +153,25 @@ def row_count_between(lo: int, hi: Optional[int] = None) -> dict:
                  None if hi is None else float(hi))
 
 
-def validate(df: DataFrame, constraints: Sequence[dict]) -> DataFrame:
+def validate(df: DataFrame, constraints: Sequence[dict],
+             by: Sequence[str] = ()) -> DataFrame:
     """Evaluate all row-metric constraints in ONE aggregation pass.
 
-    Returns one row per constraint:
-    ``(constraint, target, metric, lower_bound, upper_bound, passed)``
-    — ``passed`` is NULL-safe: a NULL metric (empty denominator)
-    yields passed = false, surfacing the degenerate input instead of
-    silently waving it through.
+    Returns one row per constraint (× group when ``by`` is given):
+    ``(*by, constraint, target, metric, lower_bound, upper_bound,
+    passed)`` — ``passed`` is NULL-safe: a NULL metric (empty
+    denominator) yields passed = false, surfacing the degenerate
+    input instead of silently waving it through.
+
+    ``by``: grouping columns (e.g. the ingest day) turn the battery
+    into a quality-metric TIME SERIES — per-group metrics from the
+    same single partial-aggregated scan, ready to feed
+    `alerts.robust_anomaly_flags` ("did completeness drift this
+    week?"). The unpivot stays a pure projection.
     """
     aggs = [c["metric"].alias(f"__m{i}") for i, c in enumerate(constraints)]
-    one = df.agg(*aggs)
+    one = (df.groupBy(*[F.col(b) for b in by]) if by else df.groupBy()
+           ).agg(*aggs)
     # unpivot via stack: pure projection over the 1-row aggregate
     cells = []
     for i, c in enumerate(constraints):
@@ -177,10 +185,13 @@ def validate(df: DataFrame, constraints: Sequence[dict]) -> DataFrame:
         tg = c["target"].replace("\\", "\\\\").replace("'", "\\'")
         cells.append(f"'{nm}', '{tg}', __m{i}, {lo}, {hi}")
     n = len(constraints)
-    stacked = one.select(F.expr(
-        f"stack({n}, {', '.join(cells)}) AS "
-        "(constraint, target, metric, lower_bound, upper_bound)"
-    ))
+    stacked = one.select(
+        *[F.col(b) for b in by],
+        F.expr(
+            f"stack({n}, {', '.join(cells)}) AS "
+            "(constraint, target, metric, lower_bound, upper_bound)"
+        ),
+    )
     return stacked.select(
         "*",
         (

@@ -298,3 +298,54 @@ def rebaseline_drift_alerts(
         _os.fsync(f.fileno())
     _os.replace(tmp, _os.path.join(state_dir, _REBASE_MARKER))
     return marker
+
+
+def streaming_quality_gate(
+    spark: SparkSession,
+    schema,
+    source_dir: str,
+    constraints: list,
+    checkpoint_dir: str,
+    metrics_dir: str,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Per-delivery quality gate: every micro-batch IS a delivery —
+    run the declared constraint battery (operators/quality_checks)
+    over the batch and append its verdict rows to ``metrics_dir``
+    tagged with the batch id. The log is the quality-metric history:
+    ``passed = false`` rows are the alert feed, the full series per
+    constraint feeds `alerts.robust_anomaly_flags` for slow-rot
+    sweeps.
+
+    Replay-safe the same way the other channels are: a re-delivered
+    batch id anti-joins against the log's existing (batch_id,
+    constraint) keys, so crash/replay never double-writes a verdict.
+    Constraint dicts hold unbound Column expressions — one battery
+    definition serves every batch. The battery is ONE aggregation
+    pass over the micro-batch; the anti-join probe reads only the
+    log's two key columns.
+    """
+    from ..operators.quality_checks import validate
+
+    def gate(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        out = validate(batch_df, constraints).withColumn(
+            "batch_id", F.lit(int(batch_id)))
+        if os.path.isdir(metrics_dir) and any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(metrics_dir) for f in fs
+        ):
+            seen = sess.read.parquet(metrics_dir).select(
+                "batch_id", "constraint")
+            out = out.join(seen, ["batch_id", "constraint"], "left_anti")
+        out.write.mode("append").parquet(metrics_dir)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

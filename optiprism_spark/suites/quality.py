@@ -186,3 +186,53 @@ def dq_ref_integrity(spark, sf_dir):
         Q.ref_integrity(lineitem, "l_orderkey", orders, "o_orderkey"),
     ]
     return reduce(lambda a, b: a.unionByName(b), probes)
+
+
+_DAILY_ORACLE = " UNION ALL ".join([
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           'completeness(value)' AS "constraint", 'value' AS target,
+           round(CAST(COUNT(value) AS DOUBLE) / COUNT(*), 9) AS metric,
+           1.0 AS lower_bound, CAST(NULL AS DOUBLE) AS upper_bound,
+           (round(CAST(COUNT(value) AS DOUBLE) / COUNT(*), 9) >= 1.0)
+             AS passed
+    FROM events GROUP BY 1
+    """,
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           'mean_between(value)' AS "constraint", 'value' AS target,
+           round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(value), 9) AS metric,
+           1.0 AS lower_bound, 500.0 AS upper_bound,
+           (round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                  / COUNT(value), 9) BETWEEN 1.0 AND 500.0) AS passed
+    FROM events GROUP BY 1
+    """,
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           'row_count' AS "constraint", '*' AS target,
+           CAST(COUNT(*) AS DOUBLE) AS metric,
+           1.0 AS lower_bound, CAST(NULL AS DOUBLE) AS upper_bound,
+           (CAST(COUNT(*) AS DOUBLE) >= 1.0) AS passed
+    FROM events GROUP BY 1
+    """,
+])
+
+
+@query("dq_metrics_daily", oracle=_DAILY_ORACLE)
+def dq_metrics_daily(spark, sf_dir):
+    """The battery grouped by ingest day (`validate(by=)`): a
+    quality-metric TIME SERIES from the same single scan — the frame
+    a pipeline stores per delivery and sweeps with
+    alerts.robust_anomaly_flags to catch slow quality rot that any
+    single snapshot's gate would pass."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date"))
+    return Q.validate(daily, [
+        Q.completeness("value"),
+        Q.mean_between("value", 1.0, 500.0),
+        Q.row_count_between(1),
+    ], by=["day"])

@@ -193,3 +193,85 @@ def test_union_battery_with_ref_integrity(spark):
     both = battery.unionByName(ref)
     assert both.count() == 2
     assert all(r["passed"] for r in both.collect())
+
+
+def test_validate_by_groups_and_composes_with_robust_alerts(spark):
+    """validate(by=) yields a per-group quality-metric series from
+    the same single scan; feeding one constraint's series into the
+    Hampel detector flags the day quality rotted."""
+    from pyspark.sql import functions as F
+
+    from optiprism_spark.operators.alerts import robust_anomaly_flags
+
+    # ordinary days: 0-2 of 20 emails null (noise, so MAD has scale —
+    # a perfectly flat series would hit the detector's documented
+    # MAD==0 no-scale contract); day 6: 10 of 20 go missing
+    nulls_per_day = {1: 1, 2: 2, 3: 1, 4: 2, 5: 1, 6: 10, 7: 2}
+    rows = []
+    for day, k in nulls_per_day.items():
+        for i in range(20):
+            email = None if i < k else f"u{i}@x.io"
+            rows.append((f"2024-01-0{day}", email))
+    df = spark.createDataFrame(rows, "day string, email string")
+    series = Q.validate(df, [Q.completeness("email")], by=["day"])
+    got = {r["day"]: r for r in series.collect()}
+    assert len(got) == 7
+    assert got["2024-01-06"]["metric"] == 0.5
+    assert got["2024-01-06"]["passed"] is False
+    assert got["2024-01-01"]["passed"] is False  # 0.95 < 1.0 threshold
+
+    flagged = {
+        r["day"] for r in robust_anomaly_flags(
+            series.select("day", "metric"), "metric", threshold=3.5,
+        ).collect() if r["is_anomaly"]
+    }
+    assert flagged == {"2024-01-06"}
+
+    # single scan even when grouped
+    plan = series._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+
+
+def test_streaming_quality_gate(spark, tmp_path):
+    """Each micro-batch is a delivery: verdict rows land per batch,
+    failures are the alert feed, replay never double-writes."""
+    import os
+
+    from optiprism_spark.streaming.alerts import streaming_quality_gate
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    log = str(tmp_path / "metrics")
+    os.makedirs(src)
+    schema = "id long, email string"
+
+    def run():
+        q = streaming_quality_gate(
+            spark, schema, src,
+            [Q.completeness("email"), Q.row_count_between(2)],
+            ckpt, log, trigger_once=True)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # delivery 1: clean
+    spark.createDataFrame([(1, "a@x"), (2, "b@x")], schema).coalesce(
+        1).write.mode("append").parquet(src)
+    run()
+    rows = spark.read.parquet(log).collect()
+    assert len(rows) == 2 and all(r["passed"] for r in rows)
+
+    # delivery 2: half the emails missing + undersized
+    spark.createDataFrame([(3, None)], schema).coalesce(
+        1).write.mode("append").parquet(src)
+    run()
+    hist = spark.read.parquet(log)
+    assert hist.count() == 4
+    failed = {(r["batch_id"], r["constraint"]) for r in
+              hist.filter(~hist["passed"]).collect()}
+    assert failed == {(1, "completeness(email)"), (1, "row_count")}
+
+    # quiet replay: nothing new, no duplicate verdicts
+    run()
+    assert spark.read.parquet(log).count() == 4
