@@ -169,6 +169,10 @@ def validate(df: DataFrame, constraints: Sequence[dict],
     `alerts.robust_anomaly_flags` ("did completeness drift this
     week?"). The unpivot stays a pure projection.
     """
+    if not constraints:
+        # stack(0, ...) is a plan-time error with a cryptic message;
+        # an empty battery is a caller bug — fail loudly here
+        raise ValueError("validate() requires at least one constraint")
     aggs = [c["metric"].alias(f"__m{i}") for i, c in enumerate(constraints)]
     one = (df.groupBy(*[F.col(b) for b in by]) if by else df.groupBy()
            ).agg(*aggs)

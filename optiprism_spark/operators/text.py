@@ -290,3 +290,78 @@ def repeated_ngram_stats(
             ).alias("repeated_fraction"),
         )
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 3,
+    min_run: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level duplicate extraction: maximal runs of consecutive
+    shingle POSITIONS whose word n-shingle occurs in ≥2 distinct
+    documents — the actionable output behind `repeated_ngram_stats`
+    (Lee et al. ACL'22 remove exactly these repeated windows;
+    whole-doc MinHash can't see a shared boilerplate paragraph inside
+    otherwise-different documents).
+
+    Returns (id_col, start_word, end_word, n_positions): 1-based
+    inclusive word coordinates — a run of positions i..j with
+    n-shingles covers words i..j+n−1 — so a caller can slice the
+    repeated window straight out of ``split(text, ' ')``.
+    ``min_run`` drops isolated single-shingle hits (three common
+    words in a row is noise; Lee et al. use ~50-token runs at corpus
+    scale).
+
+    Scale shape: positional explode (one row per shingle position) →
+    distinct (doc, shingle) doc-frequency aggregate at shingle grain
+    (map-side combinable, hot shingles collapse before the exchange)
+    → semi-join positions against corpus-repeated shingles (AQE
+    skew-safe) → gaps-and-islands per document: row_number over a
+    (doc, pos) window — DOC-grain partitions, never corpus-grain —
+    and a final (doc, island) aggregate. All JVM expressions.
+    """
+    from pyspark.sql import Window
+
+    sid = F.col(id_col)
+    words = _words(text_col, None)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    pos_shingles = docs.select(
+        sid,
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ",
+                        *[F.try_element_at(words, i + F.lit(k))
+                          for k in range(n)],
+                    ).alias("s"),
+                ),
+            )
+        ).alias("ps"),
+    ).select(sid, F.col("ps.pos").alias("pos"), F.col("ps.s").alias("s"))
+    corpus_repeated = (
+        pos_shingles.select(sid, "s").distinct()
+        .groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("s")
+    )
+    hits = pos_shingles.join(corpus_repeated, "s", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "__grp")
+        .agg(
+            # long coordinates: DuckDB's generate_series positions are
+            # BIGINT — keep the cross-engine schema identical
+            F.min("pos").cast("long").alias("start_word"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("end_word"),
+            F.count(F.lit(1)).alias("n_positions"),
+        )
+        .filter(F.col("n_positions") >= min_run)
+        .drop("__grp")
+    )

@@ -278,3 +278,44 @@ def text_repeated_ngram_stats(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return repeated_ngram_stats(docs, n=3)
+
+
+@query(
+    "text_repeated_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ps AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(w) - 2, 1))) AS pos,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS s
+      FROM w
+    ),
+    rep AS (
+      SELECT s FROM (SELECT DISTINCT doc_id, s FROM ps)
+      GROUP BY s HAVING COUNT(*) >= 2
+    ),
+    hits AS (SELECT ps.doc_id, ps.pos FROM ps JOIN rep USING (s)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM hits
+    )
+    SELECT doc_id, MIN(pos) AS start_word, MAX(pos) + 2 AS end_word,
+           COUNT(*) AS n_positions
+    FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 2
+    """,
+)
+def text_repeated_spans(spark, sf_dir):
+    """Span-level duplicate windows (Lee et al. ACL'22): maximal runs
+    of ≥2 consecutive positions whose 3-shingle recurs in another
+    document, as 1-based inclusive word coordinates — the slice list
+    a span-dedup pass removes. Positional explode → shingle-grain
+    doc-frequency → semi-join → doc-grain gaps-and-islands
+    (operators/text.repeated_spans)."""
+    from ..operators.text import repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans(docs, n=3, min_run=2)

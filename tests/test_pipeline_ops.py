@@ -796,3 +796,37 @@ def test_repeated_ngram_stats_semantics(spark):
     assert out[3]["n_repeated"] == 0
     # doc4: degenerate single shingle, not shared
     assert out[4]["n_shingles"] == 1 and out[4]["n_repeated"] == 0
+
+
+def test_repeated_spans_hand_computed(spark):
+    """Island merging + min_run on a hand-built corpus: docs 1 and 2
+    share a 5-word boilerplate run (3 consecutive shingle positions);
+    doc 3 shares only an isolated trigram (run of 1, dropped)."""
+    from optiprism_spark.operators.text import repeated_spans
+
+    boiler = "all rights reserved by acme"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"{boiler} delta epsilon zeta"),
+            # isolated shared trigram "delta epsilon zeta" with doc 2
+            (3, "one two delta epsilon zeta three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"]): r for r in
+           repeated_spans(docs, n=3, min_run=2).collect()}
+    # doc1: boilerplate at words 3..7 -> positions 3,4,5 -> span 3..7
+    assert (out[1]["start_word"], out[1]["end_word"],
+            out[1]["n_positions"]) == (3, 7, 3)
+    # doc2: boilerplate at words 1..5
+    assert (out[2]["start_word"], out[2]["end_word"],
+            out[2]["n_positions"]) == (1, 5, 3)
+    # doc2/doc3's single shared trigram is a run of 1 -> dropped;
+    # doc3 emits nothing at all
+    assert 3 not in out
+
+    # min_run=1 surfaces the isolated hits
+    with_iso = repeated_spans(docs, n=3, min_run=1)
+    doc3 = [r for r in with_iso.collect() if r["doc_id"] == 3]
+    assert [(r["start_word"], r["end_word"]) for r in doc3] == [(3, 5)]
