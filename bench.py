@@ -93,6 +93,10 @@ BEST_LIKE_FOR_LIKE = {
     "asm_mixture_sample": 0.579,
     "drift_profile_value_by_type": 0.328,
     "drift_psi_value_rollup_routed": 0.392,
+    # r13 first in-suite runs (min of two local passes; control
+    # 0.128-0.162 — likely beatable on a quiet host)
+    "dq_events_battery": 0.54,
+    "text_repeated_spans": 1.515,
 }
 
 #: headline set — one per operator family (SURVEY §2 coverage)
@@ -139,6 +143,10 @@ HEADLINE = [
                                      # (distinct self-join + bcast sizes)
     "aud_venn_kmv_sketched",         # r12: KMV theta-sketch fold
     "asm_mixture_sample",            # r12: token-budget data mixing
+    "dq_events_battery",             # r13: 9-constraint quality gate
+                                     # in ONE partial-aggregated scan
+    "text_repeated_spans",           # r13: span-level dedup windows
+                                     # (pos-explode + df-count + islands)
 ]
 
 

@@ -271,9 +271,14 @@ def repeated_ngram_stats(
     (map-side combine collapses hot keys before the exchange).
     """
     sid = F.col(id_col)
-    pairs = docs.select(
-        sid, F.explode(shingles_from_words(_words(text_col, None), n))
-        .alias("__s"),
+    # pre-project the split: Catalyst does NOT common-subexpression-
+    # eliminate split(text) inside transform() lambdas, so an inline
+    # split re-tokenizes the document per element access (3 per
+    # position) — measured 10x slower at sf0.1 than materializing the
+    # words array once per row
+    with_words = docs.select(sid, _words(text_col, None).alias("__w"))
+    pairs = with_words.select(
+        sid, F.explode(shingles_from_words(F.col("__w"), n)).alias("__s"),
     ).distinct()
     df_counts = pairs.groupBy("__s").agg(
         F.count(F.lit(1)).alias("__df"))
@@ -325,9 +330,12 @@ def repeated_spans(
     from pyspark.sql import Window
 
     sid = F.col(id_col)
-    words = _words(text_col, None)
+    # pre-project the split (same CSE rationale as repeated_ngram_stats:
+    # an inline split re-tokenizes per lambda element access, 10x)
+    with_words = docs.select(sid, _words(text_col, None).alias("__w"))
+    words = F.col("__w")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
-    pos_shingles = docs.select(
+    pos_shingles = with_words.select(
         sid,
         F.explode(
             F.transform(
