@@ -55,10 +55,11 @@ def main() -> None:
                     help="base seed; default round*100000 so each round "
                          "explores new DSL space")
     ap.add_argument("--round", type=int, default=0, dest="round_no")
+    ap.add_argument("--n-quality", type=int, default=80)
     ap.add_argument("--suite", default="all",
                     choices=["seg", "funnel", "paths", "retention",
                              "attribution", "estimate", "rollup",
-                             "funnel_layout", "all"])
+                             "funnel_layout", "quality", "all"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.seed0 is None:
@@ -91,6 +92,12 @@ def main() -> None:
         from tests import _fuzz_rollup
 
         jobs.append(("rollup", _fuzz_rollup, args.n_rollup))
+    if args.suite in ("quality", "all"):
+        # r13: constraint-battery DSL (kinds x columns x thresholds x
+        # time window x per-day grouping) vs independently-emitted SQL
+        from tests import _fuzz_quality
+
+        jobs.append(("quality", _fuzz_quality, args.n_quality))
     if args.suite in ("funnel_layout", "all"):
         # bucketed/assume_partitioned vs shuffle differential — the
         # seam whose failure mode (split users) is silent undercount

@@ -137,3 +137,22 @@ def robust_anomaly_flags(
         F.coalesce(ok & (F.abs(z) > F.lit(threshold)), F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+def daily_count_series(
+    events: DataFrame,
+    time,
+    dim: "str | None" = None,
+    event=None,
+    filters=(),
+) -> DataFrame:
+    """Raw-scan twin of `rollup.count_series_from_rollup`: daily event
+    counts ``([dim,] bucket, n)`` — one partial-aggregated scan. The
+    exact fallback when no declared rollup can serve the series."""
+    from ..exprs import full_filter
+
+    cond = full_filter(time, event, filters)
+    df = events.filter(cond) if cond is not None else events
+    keys = ([F.col(dim)] if dim else []) + [
+        F.date_trunc("day", F.col("ts")).cast("date").alias("bucket")]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))

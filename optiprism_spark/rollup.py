@@ -1004,3 +1004,65 @@ def categorical_psi_from_rollup(
         )
     )
     return categorical_psi_tail(hist, max_categories)
+
+
+def count_series_supports(
+    time: QueryTime,
+    dim: Optional[str],
+    event,
+    filters: Sequence[PropFilter],
+    spec: RollupSpec,
+) -> bool:
+    """Routability guard for `count_series_from_rollup`: day-aligned
+    bounds, the breakdown dim (if any) stored on the rollup, event
+    filter expressible on the event dim, property filters within the
+    dim set. Counts are ADDITIVE in the store, so — unlike the sketch-
+    backed activity readers — a routed series is EXACT, bit-equal to
+    the raw scan."""
+    if _day_aligned(time) is None:
+        return False
+    if dim is not None and dim not in spec.dims:
+        return False
+    if not _filters_routable(filters, spec):
+        return False
+    if event is not None:
+        if getattr(event, "custom", None) is not None:
+            return False
+        if event.name is not None and EVENT_NAME_COL not in spec.dims:
+            return False
+    return True
+
+
+def count_series_from_rollup(
+    rollup: DataFrame,
+    time: QueryTime,
+    spec: RollupSpec = RollupSpec(),
+    dim: Optional[str] = None,
+    event=None,
+    filters: Sequence[PropFilter] = (),
+) -> DataFrame:
+    """Daily event-count series (``[dim,] bucket, n``) folded from the
+    store's per-(day, dims) counts — the input frame for the anomaly
+    detectors (`operators/alerts`), served without a raw-event scan.
+    dt partition pruning bounds the read to the window; the output is
+    at most #days × |dim| rows regardless of corpus size."""
+    aligned = _day_aligned(time)
+    assert aligned is not None, "caller must check count_series_supports"
+    start_day, end_day = aligned
+    conds: list[Column] = [
+        F.col(ROLLUP_DT_COL) >= F.lit(str(start_day)).cast("date")
+    ]
+    if end_day is not None:
+        conds.append(F.col(ROLLUP_DT_COL) <= F.lit(str(end_day)).cast("date"))
+    if event is not None:
+        ev = event_expression(event, EVENT_NAME_COL)
+        if ev is not None:
+            conds.append(ev)
+    conds += [_rollup_filter(f) for f in filters]
+    keys = ([F.col(dim)] if dim else []) + [
+        F.col(ROLLUP_DT_COL).alias("bucket")]
+    return (
+        rollup.filter(multi_and(conds))
+        .groupBy(*keys)
+        .agg(F.sum(EVENTS_COUNT_COL).alias("n"))
+    )

@@ -594,6 +594,8 @@ class App:
              _timed_query("audience", self._audience), explore),
             ("POST", re.compile(P + r"/queries/quality$"),
              _timed_query("quality", self._quality), explore),
+            ("POST", re.compile(P + r"/queries/anomaly$"),
+             _timed_query("anomaly", self._anomaly), explore),
             ("POST", re.compile(P + r"/event-records/search$"),
              _timed_query("event_records_search", self._event_records_search),
              explore),
@@ -1773,6 +1775,96 @@ class App:
             out = distribution_drift(
                 events.filter(pop), prop, split, bins=int(bins or 10))
         return 200, (out, {"bucket"})
+
+    def _anomaly(self, body, m, q):
+        """Metric anomaly sweep (beyond the reference) — the alerting
+        surface every dashboard grows: daily event-count series with
+        spike flags. Body:
+
+        ``{time, dim?, event?, filters?, method?, window?, threshold?,
+        minPeriods?}``
+
+        - ``method: "trailing"`` (default): trailing-window z-scores
+          (`alerts.anomaly_flags` — ``window`` days, ``threshold`` =
+          |z| cut, ``minPeriods``); the streaming-tick shape.
+        - ``method: "robust"``: whole-series Hampel median/MAD
+          (`alerts.robust_anomaly_flags`, ``threshold`` = |robust z|
+          cut, default 3.5) — the batch-audit shape whose baseline the
+          outliers cannot poison.
+
+        The series folds from a catalog-declared day rollup whenever
+        the request is rollup-expressible (`count_series_supports`;
+        counts are additive, so the routed series is EXACT — bit-equal
+        to raw, unlike the sketch-backed stickiness route) and falls
+        back to one partial-aggregated raw scan; decisions land in
+        optiprism_query_rollup_routed_total. ``dim`` gives every dim
+        value its own independent baseline (`by=`)."""
+        pid = self._pid(m)
+        from .operators.alerts import (
+            anomaly_flags,
+            daily_count_series,
+            robust_anomaly_flags,
+        )
+        from .rollup import count_series_from_rollup, count_series_supports
+
+        props = self._props(pid)
+        ces = self._custom_events(pid)
+        if "time" not in body:
+            raise HttpError(400, "anomaly requires time")
+        time = api.parse_time(body["time"], self.now)
+        method = body.get("method", "trailing")
+        if method not in ("trailing", "robust"):
+            raise HttpError(400, "method must be trailing or robust")
+        dim = body.get("dim")
+        event = (
+            api.parse_event_ref(body["event"], custom_events=ces,
+                                props=props)
+            if body.get("event") else None)
+        filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
+
+        def num(key, default):
+            raw = body.get(key, default)
+            try:
+                return float(raw)
+            except (TypeError, ValueError):
+                raise HttpError(400, f"{key} must be a number, got {raw!r}")
+
+        threshold = num("threshold", 3.0 if method == "trailing" else 3.5)
+        if threshold <= 0:
+            raise HttpError(400, "threshold must be > 0")
+
+        series = None
+        if dim is not None and not isinstance(dim, str):
+            raise HttpError(400, f"dim must be a string, got {dim!r}")
+        for roll, spec in self._rollup(pid) or ():
+            if count_series_supports(time, dim, event, filters, spec):
+                metrics.query_rollup_routed_total().inc(path="rollup")
+                series = count_series_from_rollup(
+                    roll, time, spec, dim=dim, event=event,
+                    filters=filters)
+                break
+        if series is None:
+            metrics.query_rollup_routed_total().inc(path="raw")
+            events = self._events()
+            if dim is not None and dim not in events.columns:
+                raise HttpError(400, f"unknown column {dim!r}")
+            series = daily_count_series(events, time, dim=dim,
+                                        event=event, filters=filters)
+
+        by = (dim,) if dim else ()
+        if method == "robust":
+            out = robust_anomaly_flags(series, "n", threshold=threshold,
+                                       by=by)
+        else:
+            window = int(num("window", 7))
+            min_periods = int(num("minPeriods", 3))
+            if window < 1 or min_periods < 1:
+                raise HttpError(400, "window and minPeriods must be >= 1")
+            out = anomaly_flags(series, "n", window=window,
+                                z_threshold=threshold,
+                                min_periods=min_periods, by=by)
+        dims = {"bucket"} | ({dim} if dim else set())
+        return 200, (out, dims)
 
     def _quality(self, body, m, q):
         """Declarative data-quality constraint battery (beyond the

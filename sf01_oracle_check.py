@@ -122,23 +122,56 @@ SF01_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "win_rolling_avg"
     }),
     13: frozenset({
-        "asm_sample_fraction_by_lang", "attr_first_touch_revenue",
-        "aud_venn_signup_purchase", "dedup_embedding_cosine_ivf_auto",
-        "dedup_embedding_cosine_lsh_banded", "dedup_lsh_near_pairs",
-        "dedup_minhash_signatures", "drift_psi_event_mix_half_month",
-        "drift_psi_value_half_month", "drift_psi_value_quantile_bins",
-        "drift_psi_value_rollup_routed", "eng_stickiness_weekly_rollup",
-        "est_dau_sampled", "est_funnel_3step_sampled",
-        "est_retention_weekly_sampled", "funnel_machine_3step",
-        "funnel_machine_any_order_touch_last", "funnel_machine_breakdown",
-        "group_records_top_value", "ingest_geo_country_counts",
-        "path_backward_to_purchase", "qsketch_percentile_value_by_type",
-        "retention_daily_view_click", "rollup_percentile_value_by_type",
-        "seg_count_hourly_purchase", "seg_percentiles_by_type",
-        "seg_rollup_routed_weekly", "seg_sum_value_daily_by_type",
-        "seg_unpivot_compact", "text_bpe_segments", "text_quality_scores",
-        "wh_order_priority_bucketed", "wh_revenue_by_nation",
+        "alert_robust_value_daily_by_type",
+        "asm_sample_fraction_by_lang",
+        "asm_stratified_sample_exact",
+        "attr_first_touch_revenue",
+        "aud_set_and_not",
+        "aud_venn_signup_purchase",
+        "dedup_embedding_cosine_ivf_auto",
+        "dedup_embedding_cosine_lsh_banded",
+        "dedup_lsh_incremental_pairs",
+        "dedup_lsh_near_pairs",
+        "dedup_minhash_signatures",
+        "dq_events_battery",
+        "dq_orders_battery",
+        "drift_psi_event_mix_half_month",
+        "drift_psi_value_fixed_bins",
+        "drift_psi_value_half_month",
+        "drift_psi_value_quantile_bins",
+        "drift_psi_value_rollup_routed",
+        "eng_active_days_histogram",
+        "eng_stickiness_weekly_rollup",
+        "est_dau_sampled",
+        "est_funnel_3step_sampled",
+        "est_retention_weekly_sampled",
+        "est_revenue_weekly_sampled",
+        "funnel_machine_3step",
+        "funnel_machine_any_order_touch_last",
+        "funnel_machine_breakdown",
+        "funnel_machine_nonunique",
+        "group_records_top_value",
+        "ingest_geo_country_counts",
+        "ingest_profile_upsert",
+        "path_backward_to_purchase",
+        "qsketch_percentile_value_by_type",
+        "retention_daily_view_click",
+        "rollup_percentile_value_by_type",
+        "seg_count_hourly_purchase",
+        "seg_percentiles_by_type",
+        "seg_rollup_routed_weekly",
+        "seg_sum_value_daily_by_type",
+        "seg_unpivot_compact",
+        "segment_and_composition",
+        "sim_cosine_topk_lsh",
+        "text_bpe_segments",
+        "text_lang_distribution",
+        "text_quality_scores",
+        "wh_order_priority_bucketed",
+        "wh_order_priority_pipeline",
+        "wh_revenue_by_nation",
         "wh_revenue_by_nation_bucketed",
+        "win_logarithmic",
     }),
 }
 

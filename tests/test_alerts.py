@@ -209,3 +209,71 @@ def test_robust_anomaly_partitioned_baselines(spark):
     assert flagged == {("small", 5)}
     meds = {r["grp"]: r["baseline_median"] for r in out}
     assert meds["big"] == 100.5 and meds["small"] == 1.5
+
+
+def test_http_anomaly_route_and_rollup_routing(spark, tmp_path):
+    """POST /queries/anomaly: trailing and robust sweeps over the
+    daily count series; once a day rollup is declared the series
+    folds from the store and — counts being additive — the routed
+    response is BIT-EQUAL to raw; dim breakdowns get per-dim
+    baselines; caller errors are 400s."""
+    from optiprism_spark import metrics
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    metrics.REGISTRY.reset()
+    app = make_app(spark, "/root/testdata/sf0.001",
+                   rollup_dir=str(tmp_path / "rollups"),
+                   result_cache_ttl=None)
+    url = "/api/v1/projects/1/queries/anomaly"
+    time = {"type": "between", "from": "2024-01-01T00:00:00",
+            "to": "2024-01-31T23:59:59.999999"}
+
+    st, raw_resp = call(app, "POST", url, {"time": time})
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 0
+    cols = {c["name"] for c in raw_resp["columns"]}
+    assert {"bucket", "n", "baseline_mean", "z_score",
+            "is_anomaly"} <= cols
+
+    # robust flavour returns the Hampel columns
+    st, rob = call(app, "POST", url, {"time": time, "method": "robust"})
+    assert st == 200
+    assert {"baseline_median", "robust_z"} <= {
+        c["name"] for c in rob["columns"]}
+
+    # declare a day rollup -> the same requests route and are bit-equal
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/rollups",
+                 {"name": "anom", "dims": ["event_type"]})
+    assert st == 201
+    st, routed_resp = call(app, "POST", url, {"time": time})
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 1
+    assert routed_resp == raw_resp
+
+    # dim breakdown: per-dim baselines, still routed
+    st, by_dim = call(app, "POST", url, {
+        "time": time, "dim": "event_type", "method": "robust"})
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 2
+    got = {c["name"]: c["data"] for c in by_dim["columns"]}
+    assert set(got["event_type"]) > {"view", "click"}
+
+    # ragged (non-day-aligned) bounds fall back to raw
+    st, _ = call(app, "POST", url, {
+        "time": {"type": "between", "from": "2024-01-01T12:00:00",
+                 "to": "2024-01-31T23:59:59.999999"}})
+    assert st == 200
+    assert metrics.query_rollup_routed_total().value(path="rollup") == 2
+
+    for bad in [
+        {},                                         # no time
+        {"time": time, "method": "psychic"},
+        {"time": time, "threshold": -1},
+        {"time": time, "window": "x"},
+        {"time": time, "dim": 7},
+        {"time": time, "dim": "nope"},
+    ]:
+        st, _ = call(app, "POST", url, bad)
+        assert st == 400, bad
