@@ -147,6 +147,37 @@ WORKLOAD = {
     ),
 }
 
+#: round-13 shapes, OBSERVED not gated: adding them to the GATED mix
+#: changes the experiment under every other shape (a 12-shape mix at
+#: the same 8 threads pairs light shapes with more heavies per round
+#: — the first r13 attempt "failed" paths/attribution/stickiness on
+#: exactly that) and breaks the r7+ cross-round series. Like a new
+#: bench entry, a new shape is measured first and budgeted once a
+#: cross-round baseline exists.
+NEW_SHAPES = {
+    "quality_battery": (
+        "/api/v1/projects/1/queries/quality",
+        {
+            "time": T_JAN,
+            "constraints": [
+                {"type": "completeness", "column": "user_id"},
+                {"type": "uniqueness", "columns": ["event_id"]},
+                {"type": "inRange", "column": "value",
+                 "lo": 0, "hi": 1e6},
+                {"type": "rowCount", "min": 1},
+            ],
+        },
+    ),
+    "anomaly_routed": (
+        "/api/v1/projects/1/queries/anomaly",
+        {
+            "time": {"type": "between", "from": "2024-01-01T00:00:00",
+                     "to": "2024-01-31T23:59:59.999999"},
+            "method": "robust",
+        },
+    ),
+}
+
 LIGHT = ("segmentation_daily", "segmentation_breakdown", "records_search",
          "paths_from_signup", "attribution_last", "stickiness_routed",
          "segmentation_uniques_approx", "audience_venn")
@@ -189,7 +220,14 @@ def main() -> None:
     # across rounds so all 9 shapes (r9 added two routed ones) get
     # concurrent samples without raising the load.
     ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--rounds", type=int, default=5)
+    # rounds scale with the shape count (r13 grew the mix to 12): the
+    # offered load stays 8 threads, but every shape needs >= ~4
+    # concurrent samples or its p95 IS a single arbitrary draw from
+    # whichever round's mix it landed in — the r13 first run put
+    # segmentation_daily's one sample next to four heavy shapes and
+    # "failed" the gate on n=1 noise
+    ap.add_argument("--rounds", type=int,
+                    default=max(5, (4 * len(WORKLOAD) + 7) // 8))
     # FIFO = the head-of-line counterfactual the FAIR claim is made
     # against; run it in a FRESH process (scheduler.mode binds at JVM
     # startup)
@@ -231,7 +269,7 @@ def main() -> None:
     t.start()
 
     # warm: every shape once (JVM, Python workers, parquet footers)
-    for name, (path, body) in WORKLOAD.items():
+    for name, (path, body) in {**WORKLOAD, **NEW_SHAPES}.items():
         post(base, path, body)
 
     # ---- serial baseline: best of `rounds` per shape, run alone
@@ -324,6 +362,58 @@ def main() -> None:
         n for n, budget in gate_budget.items()
         if concurrent[n]["p95"] > budget
     ]
+
+    # ---- r13 OBSERVATION (recorded, not gated): the new shapes under
+    # the same 8-thread protocol mixed with the full gated workload.
+    # First-round measurements seed a cross-round baseline; they join
+    # the gate once that series exists (the bench-entry precedent).
+    combined = {**WORKLOAD, **NEW_SHAPES}
+    new_serial = {
+        name: round(min(post(base, path, body)
+                        for _ in range(args.rounds)), 3)
+        for name, (path, body) in NEW_SHAPES.items()
+    }
+    comb_shapes = list(combined)
+    comb_lat: dict[str, list[float]] = {n: [] for n in comb_shapes}
+
+    def comb_worker(shape: str, barrier: threading.Barrier):
+        path, body = combined[shape]
+        try:
+            barrier.wait()
+            comb_lat[shape].append(post(base, path, body))
+        except Exception as e:
+            errors.append(f"observed {shape}: {e}")
+
+    def comb_round(offset: int):
+        barrier = threading.Barrier(args.n)
+        ths = [
+            threading.Thread(
+                target=comb_worker,
+                args=(comb_shapes[(i + offset) % len(comb_shapes)], barrier))
+            for i in range(args.n)
+        ]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
+
+    obs_rounds = max(args.rounds,
+                     (4 * len(combined) + args.n - 1) // args.n)
+    comb_round(0)  # warm (excluded)
+    for xs in comb_lat.values():
+        xs.clear()
+    for r in range(obs_rounds):
+        comb_round(r)
+    observed = {
+        n: {
+            "serial": new_serial[n],
+            "p50": round(pct(sorted(xs), 50), 3),
+            "p95": round(pct(sorted(xs), 95), 3),
+            "n": len(xs),
+        }
+        for n, xs in comb_lat.items()
+        if n in NEW_SHAPES and xs
+    }
     # ---- overload scenario: admission control under a burst of
     # 3x the pool's in-flight budget per shape. Without shedding,
     # every request queues and p95 grows with burst size; with the
@@ -420,6 +510,7 @@ def main() -> None:
             "failing_shapes": failing,
         },
         "overload": overload,
+        "observed_new_shapes": observed,
         "errors": errors,
         "pass": not failing and not errors and overload["pass"],
     }

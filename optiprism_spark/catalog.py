@@ -62,6 +62,7 @@ KINDS = (
     "bookmark",
     "setting",
     "rollup",
+    "quality_check",
 )
 
 #: properties whose name matches a physical events column are system

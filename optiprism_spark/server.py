@@ -121,6 +121,10 @@ _INTERACTIVE_POOLS = frozenset({
     "event_segmentation", "event_records_search", "group_records_search",
     "event_record", "group_record", "property_values", "stickiness",
     "percentiles", "audience",
+    # r13: one partial-aggregated scan (quality) / a rollup-routed or
+    # one-scan day series (anomaly) — sub-second shapes, queueing is
+    # their whole budget
+    "quality", "anomaly",
 })
 
 #: DEFAULT per-pool admission caps, ON by default (the reference
@@ -726,6 +730,11 @@ class App:
         self._add_crud(P + r"/schema/rollups", "rollup",
                        create=self._create_rollup, put=self._put_rollup,
                        delete=self._delete_rollup, perms=schema_perms)
+        # declared data-quality batteries: POST /queries/quality with
+        # no inline constraints runs these as the standing gate
+        self._add_crud(P + r"/schema/quality-checks", "quality_check",
+                       create=self._create_quality_check,
+                       perms=schema_perms)
 
     # ----------------------------------------------------- CRUD plumbing
 
@@ -1891,14 +1900,33 @@ class App:
         from .exprs import full_filter
         from .operators import quality_checks as Q
 
-        self._pid(m)
+        pid = self._pid(m)
         specs = body.get("constraints")
+        if specs is None:
+            # no inline battery: run the project's DECLARED batteries
+            # (schema/quality-checks DDL), concatenated in declaration
+            # order — still ONE scan, the batteries merge into one agg
+            specs = [c for row in self.catalog.list("quality_check", pid)
+                     for c in row["constraints"]]
+            if not specs:
+                raise HttpError(
+                    400, "no constraints given and none declared "
+                         "(POST schema/quality-checks first)")
         if not isinstance(specs, list) or not specs:
             raise HttpError(400, "constraints must be a non-empty list")
         events = self._events()
         if body.get("time"):
             time = api.parse_time(body["time"], self.now)
             events = events.filter(full_filter(time))
+        built = self._parse_quality_specs(specs, events)
+        return 200, (Q.validate(events, built), {"constraint", "target"})
+
+    def _parse_quality_specs(self, specs: list, events) -> list:
+        """JSON constraint specs → quality_checks constraint dicts,
+        validating against the events schema; shared by the query
+        route and the schema/quality-checks DDL (declare-time
+        validation, so a bad battery can never be stored)."""
+        from .operators import quality_checks as Q
 
         def col_of(spec, key="column"):
             c = spec.get(key)
@@ -1967,7 +1995,23 @@ class App:
                     int(lo), None if hi is None else int(hi)))
             else:
                 raise HttpError(400, f"unknown constraint type {kind!r}")
-        return 200, (Q.validate(events, built), {"constraint", "target"})
+        return built
+
+    def _create_quality_check(self, body: dict, pid: int) -> dict:
+        """Declare a named quality battery (beyond the reference):
+        `POST /queries/quality` with no inline constraints then runs
+        every declared battery as the project's standing delivery
+        gate. Specs are validated against the CURRENT events schema at
+        declare time — a bad battery can never be stored."""
+        name = body.get("name")
+        if not name or not re.fullmatch(r"[A-Za-z0-9_\-]+", name):
+            raise HttpError(400, "quality check needs a name of "
+                                 "[A-Za-z0-9_-]+")
+        specs = body.get("constraints")
+        if not isinstance(specs, list) or not specs:
+            raise HttpError(400, "constraints must be a non-empty list")
+        self._parse_quality_specs(specs, self._events())
+        return self.catalog.create("quality_check", body, project_id=pid)
 
     def _paths(self, body, m, q):
         """Path / journey exploration (beyond the reference — no path

@@ -275,3 +275,48 @@ def test_streaming_quality_gate(spark, tmp_path):
     # quiet replay: nothing new, no duplicate verdicts
     run()
     assert spark.read.parquet(log).count() == 4
+
+
+def test_declared_quality_batteries(spark):
+    """schema/quality-checks DDL: declared batteries run as the
+    standing gate when /queries/quality has no inline constraints;
+    bad batteries are rejected AT DECLARE TIME."""
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    app = make_app(spark, "/root/testdata/sf0.001", result_cache_ttl=None)
+    ddl = "/api/v1/projects/1/schema/quality-checks"
+    url = "/api/v1/projects/1/queries/quality"
+
+    # nothing declared, nothing inline -> loud 400
+    st, _ = call(app, "POST", url, {})
+    assert st == 400
+
+    # a bad battery never stores
+    st, _ = call(app, "POST", ddl, {"name": "bad", "constraints": [
+        {"type": "completeness", "column": "nope"}]})
+    assert st == 400
+    st, rows = call(app, "GET", ddl)
+    assert st == 200 and rows == []
+
+    # declare two batteries; the gate runs their union in one response
+    st, _ = call(app, "POST", ddl, {"name": "volume", "constraints": [
+        {"type": "rowCount", "min": 1}]})
+    assert st == 201
+    st, _ = call(app, "POST", ddl, {"name": "keys", "constraints": [
+        {"type": "uniqueness", "columns": ["event_id"]},
+        {"type": "completeness", "column": "user_id"}]})
+    assert st == 201
+    st, resp = call(app, "POST", url, {})
+    assert st == 200
+    names = {c["name"]: c["data"] for c in resp["columns"]}
+    assert sorted(names["constraint"]) == [
+        "completeness(user_id)", "row_count", "uniqueness(event_id)"]
+    assert all(names["passed"])
+
+    # inline constraints still override the declared set
+    st, resp = call(app, "POST", url, {"constraints": [
+        {"type": "rowCount", "min": 10**9}]})
+    assert st == 200
+    assert resp["columns"][0]["data"] == ["row_count"]
