@@ -373,3 +373,54 @@ def repeated_spans(
         .filter(F.col("n_positions") >= min_run)
         .drop("__grp")
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    n: int = 3,
+    min_run: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level dedup TRANSFORM (the Lee et al. ACL'22 treatment):
+    cut every corpus-repeated window found by `repeated_spans` out of
+    the document, keeping the unique remainder. Returns
+    (id_col, text_clean, n_words, n_removed): ``text_clean`` is the
+    document with covered words dropped; docs with no repeated spans
+    pass through verbatim (n_removed = 0).
+
+    Scale shape: `repeated_spans`'s plan (shingle-grain doc-frequency
+    + doc-grain islands) plus ONE doc-grain aggregation of the span
+    list and ONE join back to the corpus on its id — the span frame
+    is tiny (only documents with ≥min_run repeated runs appear), so
+    the join broadcasts in practice and the corpus is never shuffled.
+    The cut itself is a JVM higher-order filter (position ∉ any
+    span) — no UDFs.
+    """
+    spans = repeated_spans(docs, n=n, min_run=min_run,
+                           text_col=text_col, id_col=id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_word", "end_word")).alias("__spans"))
+    with_words = docs.select(
+        F.col(id_col), _words(text_col, None).alias("__w"))
+    joined = with_words.join(per_doc, id_col, "left")
+    spans_col = F.coalesce(
+        F.col("__spans"),
+        F.expr("array()").cast(
+            "array<struct<start_word:bigint,end_word:bigint>>"),
+    )
+    # F.filter's index is 0-based; span coordinates are 1-based words
+    kept = F.filter(
+        "__w",
+        lambda w, i: ~F.exists(
+            spans_col,
+            lambda s: (i + F.lit(1) >= s["start_word"])
+            & (i + F.lit(1) <= s["end_word"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("__w").cast("long").alias("n_words"),
+        (F.size("__w") - F.size(kept)).cast("long").alias("n_removed"),
+    )

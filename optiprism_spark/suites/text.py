@@ -319,3 +319,59 @@ def text_repeated_spans(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return repeated_spans(docs, n=3, min_run=2)
+
+
+@query(
+    "text_remove_repeated_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ps AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(w) - 2, 1))) AS pos,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS s
+      FROM w
+    ),
+    rep AS (
+      SELECT s FROM (SELECT DISTINCT doc_id, s FROM ps)
+      GROUP BY s HAVING COUNT(*) >= 2
+    ),
+    hits AS (SELECT ps.doc_id, ps.pos FROM ps JOIN rep USING (s)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM hits
+    ),
+    sp AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 2 AS e
+      FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 2
+    ),
+    spans AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+      FROM sp GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(array_to_string(list_filter(w.w, (x, i) ->
+             spans.spans IS NULL OR len(list_filter(spans.spans,
+               p -> i >= p.s AND i <= p.e)) = 0), ' '), '') AS text_clean,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           CAST(len(w.w) - len(list_filter(w.w, (x, i) ->
+             spans.spans IS NULL OR len(list_filter(spans.spans,
+               p -> i >= p.s AND i <= p.e)) = 0)) AS BIGINT) AS n_removed
+    FROM w LEFT JOIN spans USING (doc_id)
+    """,
+)
+def text_remove_repeated_spans(spark, sf_dir):
+    """Span-level dedup applied: corpus-repeated windows cut out of
+    each document, unique remainder kept (the Lee et al. treatment —
+    whole-doc MinHash keeps one boilerplate copy PER near-dup
+    cluster; this removes every copy of a shared paragraph across
+    otherwise-unrelated docs). One tiny doc-grain span join onto the
+    corpus; the cut is a JVM higher-order filter
+    (operators/text.remove_repeated_spans)."""
+    from ..operators.text import remove_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, n=3, min_run=2)

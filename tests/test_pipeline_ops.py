@@ -830,3 +830,33 @@ def test_repeated_spans_hand_computed(spark):
     with_iso = repeated_spans(docs, n=3, min_run=1)
     doc3 = [r for r in with_iso.collect() if r["doc_id"] == 3]
     assert [(r["start_word"], r["end_word"]) for r in doc3] == [(3, 5)]
+
+
+def test_remove_repeated_spans_transform(spark):
+    """The cut keeps the unique remainder, leaves span-free docs
+    verbatim, and counts removals."""
+    from optiprism_spark.operators.text import remove_repeated_spans
+
+    boiler = "all rights reserved by acme"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"{boiler} delta epsilon zeta"),
+            (3, "totally unique content here today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_repeated_spans(docs, n=3, min_run=2).collect()}
+    assert out[1]["text_clean"] == "alpha beta gamma"
+    assert (out[1]["n_words"], out[1]["n_removed"]) == (8, 5)
+    assert out[2]["text_clean"] == "delta epsilon zeta"
+    assert out[3]["text_clean"] == "totally unique content here today"
+    assert out[3]["n_removed"] == 0
+
+    # a fully-boilerplate doc empties out rather than erroring
+    dup = spark.createDataFrame(
+        [(1, boiler), (2, boiler)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            remove_repeated_spans(dup, n=3, min_run=2).collect()}
+    assert rows[1]["text_clean"] == "" and rows[1]["n_removed"] == 5
