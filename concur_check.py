@@ -385,11 +385,15 @@ def main() -> None:
             errors.append(f"observed {shape}: {e}")
 
     def comb_round(offset: int):
+        # uniform round-robin over ROUNDS x THREADS: a per-round
+        # window (offset + i) leaves the tail shapes with 2-3 samples
+        # total — the exact small-n noise this phase exists to avoid
         barrier = threading.Barrier(args.n)
         ths = [
             threading.Thread(
                 target=comb_worker,
-                args=(comb_shapes[(i + offset) % len(comb_shapes)], barrier))
+                args=(comb_shapes[(offset * args.n + i) % len(comb_shapes)],
+                      barrier))
             for i in range(args.n)
         ]
         for th in ths:

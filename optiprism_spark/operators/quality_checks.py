@@ -89,8 +89,10 @@ def uniqueness(cols: Sequence[str] | str, min_ratio: float = 1.0,
     cs = [F.col(c) for c in names]
     if approx:
         all_set = reduce(lambda a, b: a & b, [c.isNotNull() for c in cs])
-        distinct = F.approx_count_distinct(
-            F.when(all_set, F.concat_ws("\x1f", *cs)))
+        # sketch over the STRUCT, not a separator-joined string: a
+        # value containing the separator would merge distinct tuples
+        # and deterministically undercount (r13 review finding)
+        distinct = F.approx_count_distinct(F.when(all_set, F.struct(*cs)))
     else:
         distinct = F.countDistinct(*cs)
     label = ",".join(names)

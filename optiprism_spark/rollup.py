@@ -1046,9 +1046,13 @@ def count_series_from_rollup(
     detectors (`operators/alerts`), served without a raw-event scan.
     dt partition pruning bounds the read to the window; the output is
     at most #days × |dim| rows regardless of corpus size."""
-    aligned = _day_aligned(time)
-    assert aligned is not None, "caller must check count_series_supports"
-    start_day, end_day = aligned
+    # full routability assert (the sibling readers' convention,
+    # rollup_supports at :552): a caller that skipped the supports
+    # check must fail loudly here, not silently read a store that
+    # cannot express its dim/event/filters
+    assert count_series_supports(time, dim, event, filters, spec), \
+        "caller must check count_series_supports"
+    start_day, end_day = _day_aligned(time)
     conds: list[Column] = [
         F.col(ROLLUP_DT_COL) >= F.lit(str(start_day)).cast("date")
     ]

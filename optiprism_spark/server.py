@@ -1832,11 +1832,19 @@ class App:
         filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
 
         def num(key, default):
+            import math as _math
+
             raw = body.get(key, default)
             try:
-                return float(raw)
+                v = float(raw)
             except (TypeError, ValueError):
                 raise HttpError(400, f"{key} must be a number, got {raw!r}")
+            if not _math.isfinite(v):
+                # NaN/inf pass a `<= 0` guard and silently disable
+                # flagging under HTTP 200 (r13 review finding) —
+                # reject like any other caller error
+                raise HttpError(400, f"{key} must be finite, got {raw!r}")
+            return v
 
         threshold = num("threshold", 3.0 if method == "trailing" else 3.5)
         if threshold <= 0:
@@ -1935,18 +1943,30 @@ class App:
             return c
 
         def num(spec, key, default=None, required=False):
+            import math as _math
+
             v = spec.get(key, default)
             if v is None:
                 if required:
                     raise HttpError(400, f"{spec.get('type')} requires {key}")
                 return None
             try:
-                return float(v)
+                f = float(v)
             except (TypeError, ValueError):
                 raise HttpError(400, f"{key} must be a number, got {v!r}")
+            if not _math.isfinite(f):
+                # int(nan/inf) downstream raises as a 500; and a NaN
+                # threshold silently passes every bound comparison
+                raise HttpError(400, f"{key} must be finite, got {v!r}")
+            return f
 
         built = []
         for spec in specs:
+            if not isinstance(spec, dict):
+                # a bare string/number spec would AttributeError into
+                # a 500 — caller error, reject loudly
+                raise HttpError(
+                    400, f"each constraint must be an object, got {spec!r}")
             kind = spec.get("type")
             ratio = num(spec, "minRatio", 1.0)
             if kind == "completeness":
@@ -1955,8 +1975,11 @@ class App:
                 cols = spec.get("columns")
                 if isinstance(cols, str):
                     cols = [cols]
-                if not cols:
-                    raise HttpError(400, "uniqueness requires columns")
+                if (not isinstance(cols, list) or not cols
+                        or not all(isinstance(c, str) for c in cols)):
+                    raise HttpError(
+                        400, "uniqueness requires a column name or a "
+                             "list of column names")
                 for c in cols:
                     if c not in events.columns:
                         raise HttpError(400, f"unknown column {c!r}")

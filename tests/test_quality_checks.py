@@ -320,3 +320,37 @@ def test_declared_quality_batteries(spark):
         {"type": "rowCount", "min": 10**9}]})
     assert st == 200
     assert resp["columns"][0]["data"] == ["row_count"]
+
+
+def test_route_rejects_malformed_shapes_as_400(spark):
+    """r13 review findings: malformed constraint shapes and
+    non-finite numbers must be 400s, never 500s or silent
+    flag-disabling."""
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    app = make_app(spark, "/root/testdata/sf0.001", result_cache_ttl=None)
+    qurl = "/api/v1/projects/1/queries/quality"
+    for bad in [
+        {"constraints": ["completeness"]},          # bare string spec
+        {"constraints": [{"type": "uniqueness", "columns": 5}]},
+        {"constraints": [{"type": "rowCount", "min": "nan"}]},
+        {"constraints": [{"type": "rowCount", "min": "1e999"}]},
+        {"constraints": [{"type": "completeness", "column": "user_id",
+                          "minRatio": "inf"}]},
+    ]:
+        st, _ = call(app, "POST", qurl, bad)
+        assert st == 400, bad
+
+    aurl = "/api/v1/projects/1/queries/anomaly"
+    time = {"type": "between", "from": "2024-01-01T00:00:00",
+            "to": "2024-01-31T23:59:59"}
+    for bad in [
+        {"time": time, "threshold": "NaN"},
+        {"time": time, "threshold": "Infinity"},
+        {"time": time, "window": "nan"},
+        {"time": time, "minPeriods": "1e999"},
+    ]:
+        st, _ = call(app, "POST", aurl, bad)
+        assert st == 400, bad
