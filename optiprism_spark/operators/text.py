@@ -277,6 +277,11 @@ def repeated_ngram_stats(
     # position) — measured 10x slower at sf0.1 than materializing the
     # words array once per row
     with_words = docs.select(sid, _words(text_col, None).alias("__w"))
+    # NOT persisted: measured at sf1, materializing the shingle rows
+    # costs as much as the recompute it saves — AQE's exchange reuse
+    # already shares the heavy shuffle between the df-count and the
+    # join-back (unlike dedup's signatures frame, whose k minhash
+    # columns are genuinely expensive to recompute)
     pairs = with_words.select(
         sid, F.explode(shingles_from_words(F.col("__w"), n)).alias("__s"),
     ).distinct()
