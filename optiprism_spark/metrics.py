@@ -445,3 +445,14 @@ def backups_total() -> Counter:
 
 def backup_time() -> Histogram:
     return REGISTRY.histogram(METRIC_BACKUP_TIME_SECONDS, "backup time")
+
+
+def quality_gate_failures_total() -> Counter:
+    """Failing constraints from the maintenance-loop quality gate
+    (App.gate_quality over each ingest batch's declared batteries) —
+    a sustained count on one constraint is the 'vendor broke the
+    feed' alarm; zero is the steady state."""
+    return REGISTRY.counter(
+        "optiprism_quality_gate_failures_total",
+        "declared-battery constraint failures per ingest batch",
+        ("constraint",))

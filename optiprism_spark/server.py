@@ -928,6 +928,31 @@ class App:
             self._data_version += 1
         return n
 
+    def gate_quality(self, new_events, pid: int = 0) -> list[dict]:
+        """Run the project's DECLARED quality batteries over an ingest
+        batch — the maintenance-loop twin of `maintain_rollups`,
+        called at the same moment a batch folds into the lake. Returns
+        the failing constraint rows (each also counted into
+        optiprism_quality_gate_failures_total, the 'vendor broke the
+        feed' alarm); no declared batteries → no-op, no scan. The
+        collect is bounded by the number of FAILING constraints (≤
+        battery size), never by batch rows."""
+        from .operators.quality_checks import validate
+
+        specs = [c for row in self.catalog.list("quality_check", pid)
+                 for c in row["constraints"]]
+        if not specs:
+            return []
+        built = self._parse_quality_specs(specs, new_events)
+        failing = [
+            r.asDict() for r in
+            validate(new_events, built).filter("NOT passed").collect()
+        ]
+        for r in failing:
+            metrics.quality_gate_failures_total().inc(
+                constraint=r["constraint"])
+        return failing
+
     def _attach_property(self, body, m, q):
         """Link a property to an event (reference events.rs
         attach_property — the catalog edge the UI uses to offer

@@ -354,3 +354,42 @@ def test_route_rejects_malformed_shapes_as_400(spark):
     ]:
         st, _ = call(app, "POST", aurl, bad)
         assert st == 400, bad
+
+
+def test_gate_quality_maintenance_hook(spark):
+    """App.gate_quality: the maintenance-loop twin of
+    maintain_rollups — declared batteries judge each ingest batch,
+    failures land in the quality-gate metric; no declarations = no-op."""
+    from optiprism_spark import metrics
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    metrics.REGISTRY.reset()
+    app = make_app(spark, "/root/testdata/sf0.001", result_cache_ttl=None)
+    schema = "event_id long, user_id long, value double"
+    batch = spark.createDataFrame(
+        [(1, 10, 1.0), (2, None, 2.0), (3, None, 3.0)], schema)
+
+    # nothing declared: no-op, no metric
+    assert app.gate_quality(batch, pid=1) == []
+
+    # declared batteries validate against the PROJECT's events schema
+    # (an unknown column is rejected at declare time, tested above);
+    # the gate then binds them to each batch's frame
+    st, _ = call(app, "POST", "/api/v1/projects/1/schema/quality-checks",
+                 {"name": "ids", "constraints": [
+                     {"type": "completeness", "column": "user_id"},
+                     {"type": "rowCount", "min": 1}]})
+    assert st == 201
+    failing = app.gate_quality(batch, pid=1)
+    assert [f["constraint"] for f in failing] == ["completeness(user_id)"]
+    assert failing[0]["metric"] == pytest.approx(1 / 3, abs=1e-9)
+    assert metrics.quality_gate_failures_total().value(
+        constraint="completeness(user_id)") == 1
+
+    # a clean batch adds nothing
+    clean = spark.createDataFrame([(1, 10, 1.0)], schema)
+    assert app.gate_quality(clean, pid=1) == []
+    assert metrics.quality_gate_failures_total().value(
+        constraint="completeness(user_id)") == 1
