@@ -585,3 +585,53 @@ def neardup_survivors_by_quality(
         "quality_score",
     )
     return winners.unionByName(singles)
+
+
+def contamination_matrix(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    group_col: str,
+    bench_group_col: str,
+    n: int = 3,
+    min_overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus contamination MATRIX: for every (training source,
+    eval slice) pair, how many training documents share at least
+    ``min_overlap`` distinct word n-shingles with that slice — the
+    per-source audit behind `decontaminate`'s boolean flag ("which
+    vendor feed leaked which benchmark", the first question after a
+    decontamination pass fires).
+
+    Returns (group_col, bench_group_col, n_contaminated_docs);
+    absent pairs are clean (0 — emit-nothing keeps the frame sparse).
+
+    Scale shape mirrors `decontaminate`: the eval side collapses to
+    distinct (slice, shingle) rows and BROADCASTS (eval sets are
+    thousands of docs); the corpus explodes once and equi-joins the
+    broadcast, then reduces at (doc, source, slice) grain — the
+    100 TB side's only wide op. All shuffles carry ids and group
+    keys, never text.
+    """
+    bench_sh = (
+        benchmark.select(F.col(bench_group_col),
+                         F.explode(shingles_expr(text_col, n)).alias("s"))
+        .distinct()
+    )
+    doc_sh = spread(docs).select(
+        F.col(id_col), F.col(group_col),
+        F.explode(shingles_expr(text_col, n)).alias("s"),
+    )
+    per_doc = (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        # shingles_expr is distinct-per-doc, so count == distinct
+        # shingle overlap between this doc and this slice
+        .groupBy(id_col, group_col, bench_group_col)
+        .agg(F.count(F.lit(1)).alias("__overlap"))
+        .filter(F.col("__overlap") >= min_overlap)
+    )
+    return (
+        per_doc.groupBy(group_col, bench_group_col)
+        .agg(F.countDistinct(F.col(id_col)).alias("n_contaminated_docs"))
+    )

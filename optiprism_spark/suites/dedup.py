@@ -323,3 +323,45 @@ def dedup_cluster_survivors_quality(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return neardup_survivors_by_quality(docs, threshold=0.6, k=8, bands=4)
+
+
+@query(
+    "dedup_contamination_matrix",
+    oracle=f"""
+    WITH {_SHINGLES},
+    meta AS (SELECT doc_id, source, lang FROM documents),
+    bench AS (
+      SELECT DISTINCT m.lang AS eval_lang, sh.s
+      FROM sh JOIN meta m USING (doc_id) WHERE sh.doc_id % 53 = 0
+    ),
+    train AS (
+      SELECT sh.doc_id, m.source, sh.s
+      FROM sh JOIN meta m USING (doc_id) WHERE sh.doc_id % 53 <> 0
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.source, b.eval_lang, COUNT(*) AS ov
+      FROM train t JOIN bench b USING (s)
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= 2
+    )
+    SELECT source, eval_lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs
+    FROM per_doc GROUP BY 1, 2
+    """,
+)
+def dedup_contamination_matrix(spark, sf_dir):
+    """Per-(training source, eval slice) contamination counts — which
+    vendor feed leaked which benchmark (docs with id % 53 == 0 stand
+    in for eval sets, sliced by lang). Eval shingles broadcast; the
+    corpus reduces at (doc, source, slice) grain
+    (operators/dedup.contamination_matrix)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import contamination_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0).withColumnRenamed(
+        "lang", "eval_lang")
+    train = docs.filter(F.col("doc_id") % 53 != 0)
+    return contamination_matrix(train, bench, "source", "eval_lang",
+                                n=3, min_overlap=2)

@@ -860,3 +860,29 @@ def test_remove_repeated_spans_transform(spark):
     rows = {r["doc_id"]: r for r in
             remove_repeated_spans(dup, n=3, min_run=2).collect()}
     assert rows[1]["text_clean"] == "" and rows[1]["n_removed"] == 5
+
+
+def test_contamination_matrix_semantics(spark):
+    """Per-pair doc counts with the min_overlap floor; clean pairs
+    emit nothing; a doc contaminated against two slices counts in
+    both."""
+    from optiprism_spark.operators.dedup import contamination_matrix
+
+    leak_a = "the quick brown fox jumps"
+    leak_b = "pack my box with jugs"
+    bench = spark.createDataFrame(
+        [(100, "en", leak_a), (101, "de", leak_b)],
+        "doc_id long, slice string, text string")
+    train = spark.createDataFrame(
+        [
+            (1, "vendor_x", f"intro {leak_a} outro words"),     # en leak
+            (2, "vendor_x", f"{leak_a} and also {leak_b} here"),  # both
+            (3, "vendor_y", "completely clean text with no overlap"),
+            # single shared trigram only -> below min_overlap=2
+            (4, "vendor_y", "zz the quick brown yy xx ww vv"),
+        ],
+        "doc_id long, src string, text string")
+    out = {(r["src"], r["slice"]): r["n_contaminated_docs"]
+           for r in contamination_matrix(
+               train, bench, "src", "slice", n=3, min_overlap=2).collect()}
+    assert out == {("vendor_x", "en"): 2, ("vendor_x", "de"): 1}
