@@ -393,3 +393,22 @@ def test_gate_quality_maintenance_hook(spark):
     assert app.gate_quality(clean, pid=1) == []
     assert metrics.quality_gate_failures_total().value(
         constraint="completeness(user_id)") == 1
+
+
+def test_battery_scan_prunes_to_constrained_columns(spark):
+    """Column pruning reaches the parquet scan: a battery over two
+    columns of the events table must read exactly those two — at
+    100 TB this is the difference between scanning 2 columns and the
+    whole table."""
+    from optiprism_spark.schema import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    df = Q.validate(events, [
+        Q.completeness("user_id"),
+        Q.in_range("value", 0.0, 1e6),
+    ])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and m.group(1) == "struct<user_id:bigint,value:double>"
