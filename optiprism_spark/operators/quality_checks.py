@@ -257,3 +257,19 @@ def ref_integrity(fact: DataFrame, fk_col: str,
             .alias("passed"),
         )
     )
+
+
+def freshness(col: str, max_age_hours: float, as_of: str) -> dict:
+    """Data freshness: hours between ``as_of`` and max(``col``) must
+    be <= ``max_age_hours`` — the 'did yesterday's delivery actually
+    arrive' gate. ``as_of`` is an explicit timestamp string (callers
+    pass their clock; an implicit now() would make the battery
+    non-deterministic and oracle-uncheckable). Metric = the age in
+    hours (rounded to 9); an all-NULL column yields NULL age and
+    therefore FAILS, surfacing the empty delivery."""
+    age = F.round(
+        (F.lit(as_of).cast("timestamp").cast("double")
+         - F.max(F.col(col)).cast("timestamp").cast("double")) / 3600.0,
+        METRIC_DIGITS,
+    )
+    return _spec(f"freshness({col})", col, age, None, float(max_age_hours))

@@ -2041,6 +2041,17 @@ class App:
                 hi = num(spec, "max")
                 built.append(Q.row_count_between(
                     int(lo), None if hi is None else int(hi)))
+            elif kind == "freshness":
+                as_of = spec.get("asOf")
+                if not isinstance(as_of, str) or not as_of:
+                    # an implicit now() would make the same battery
+                    # return different verdicts per call — require the
+                    # caller's clock explicitly
+                    raise HttpError(400, "freshness requires asOf "
+                                         "(timestamp string)")
+                built.append(Q.freshness(
+                    col_of(spec), num(spec, "maxAgeHours", required=True),
+                    as_of))
             else:
                 raise HttpError(400, f"unknown constraint type {kind!r}")
         return built

@@ -236,3 +236,29 @@ def dq_metrics_daily(spark, sf_dir):
         Q.mean_between("value", 1.0, 500.0),
         Q.row_count_between(1),
     ], by=["day"])
+
+
+@query(
+    "dq_freshness_events",
+    oracle="""
+    SELECT 'freshness(ts)' AS "constraint", 'ts' AS target,
+           round((epoch(TIMESTAMP '2024-02-01 00:00:00')
+                  - epoch(MAX(ts))) / 3600.0, 9) AS metric,
+           CAST(NULL AS DOUBLE) AS lower_bound, 48.0 AS upper_bound,
+           (round((epoch(TIMESTAMP '2024-02-01 00:00:00')
+                   - epoch(MAX(ts))) / 3600.0, 9) IS NOT NULL
+            AND round((epoch(TIMESTAMP '2024-02-01 00:00:00')
+                       - epoch(MAX(ts))) / 3600.0, 9) <= 48.0) AS passed
+    FROM events
+    """,
+)
+def dq_freshness_events(spark, sf_dir):
+    """Delivery freshness: hours between an explicit as-of clock and
+    the newest event must stay under 48 — 'did yesterday's delivery
+    actually arrive'. The clock is a parameter, never an implicit
+    now(): the same battery must return the same verdict on both
+    engines (operators/quality_checks.freshness)."""
+    events = load_table(spark, sf_dir, "events")
+    return Q.validate(events, [
+        Q.freshness("ts", 48.0, "2024-02-01 00:00:00"),
+    ])

@@ -33,7 +33,7 @@ def gen_spec(seed: int) -> dict:
         kind = rng.choice([
             "completeness", "uniqueness", "in_range", "non_negative",
             "accepted_values", "matches_pattern", "mean_between",
-            "row_count",
+            "row_count", "freshness",
         ])
         if kind == "completeness":
             cons.append({"kind": kind,
@@ -66,10 +66,16 @@ def gen_spec(seed: int) -> dict:
             lo = rng.choice([0.0, 10.0, 40.0, 100.0])
             cons.append({"kind": kind, "col": "value", "range_lo": lo,
                          "range_hi": lo + rng.choice([10.0, 60.0, 500.0])})
-        else:
+        elif kind == "row_count":
             lo = rng.choice([1, 100, 10_000, 1_000_000])
             hi = rng.choice([None, lo * 10])
             cons.append({"kind": kind, "count_lo": lo, "count_hi": hi})
+        else:
+            cons.append({"kind": "freshness", "col": "ts",
+                         "as_of": rng.choice(["2024-02-01 00:00:00",
+                                              "2024-01-20 12:00:00",
+                                              "2024-03-15 06:30:00"]),
+                         "max_age": rng.choice([1.0, 48.0, 1000.0])})
     spec = {"constraints": cons, "by_day": rng.random() < 0.3}
     if rng.random() < 0.5:
         d0, d1 = sorted(rng.sample(_DAYS, 2))
@@ -99,8 +105,10 @@ def _build(spec):
         elif k == "mean_between":
             built.append(Q.mean_between(c["col"], c["range_lo"],
                                         c["range_hi"]))
-        else:
+        elif k == "row_count":
             built.append(Q.row_count_between(c["count_lo"], c["count_hi"]))
+        else:
+            built.append(Q.freshness(c["col"], c["max_age"], c["as_of"]))
     return built
 
 
@@ -159,6 +167,10 @@ def _metric_sql(c) -> tuple[str, str, str]:
         return (f"mean_between({col})", col,
                 f"round(CAST(SUM(CAST({col} AS DECIMAL(28,6))) AS "
                 f"DOUBLE) / COUNT({col}), 9)")
+    if k == "freshness":
+        return (f"freshness({col})", col,
+                f"round((epoch(TIMESTAMP '{c['as_of']}') "
+                f"- epoch(MAX({col}))) / 3600.0, 9)")
     return "row_count", "*", "CAST(COUNT(*) AS DOUBLE)"
 
 
@@ -178,6 +190,8 @@ def spec_to_sql(spec: dict) -> str:
                   else repr(float(c["count_hi"])))
         elif c["kind"] == "mean_between":
             lo, hi = repr(float(c["range_lo"])), repr(float(c["range_hi"]))
+        elif c["kind"] == "freshness":
+            lo, hi = null_d, repr(float(c["max_age"]))
         else:
             lo, hi = repr(float(c["lo"])), null_d
         passed = (f"(({metric}) IS NOT NULL"

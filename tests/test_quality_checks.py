@@ -412,3 +412,25 @@ def test_battery_scan_prunes_to_constrained_columns(spark):
 
     m = re.search(r"ReadSchema: (\S+)", plan)
     assert m and m.group(1) == "struct<user_id:bigint,value:double>"
+
+
+def test_freshness_constraint(spark):
+    """Age in hours vs an explicit as_of clock; stale and empty
+    deliveries fail, fresh ones pass."""
+    df = spark.createDataFrame(
+        [("2024-01-31 22:00:00",), ("2024-01-30 00:00:00",)],
+        "ts string").selectExpr("CAST(ts AS TIMESTAMP) AS ts")
+    out = _rows(Q.validate(df, [
+        Q.freshness("ts", 6.0, "2024-02-01 00:00:00")]))
+    r = out["freshness(ts)"]
+    assert r["metric"] == 2.0 and r["passed"] is True
+
+    stale = _rows(Q.validate(df, [
+        Q.freshness("ts", 1.0, "2024-02-01 00:00:00")]))
+    assert stale["freshness(ts)"]["passed"] is False
+
+    empty = spark.createDataFrame([], "ts timestamp")
+    none = _rows(Q.validate(empty, [
+        Q.freshness("ts", 24.0, "2024-02-01 00:00:00")]))
+    assert none["freshness(ts)"]["metric"] is None
+    assert none["freshness(ts)"]["passed"] is False
