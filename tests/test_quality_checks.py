@@ -150,13 +150,16 @@ def test_http_quality_route(spark):
         {"type": "matchesPattern", "column": "props",
          "regex": "^\\{\"k\": [0-9]+\\}$"},
         {"type": "rowCount", "min": 1},
+        {"type": "freshness", "column": "ts", "maxAgeHours": 1e6,
+         "asOf": "2024-02-01T00:00:00"},
     ]}
     st, resp = call(app, "POST", url, body)
     assert st == 200
     cols = {c["name"]: c for c in resp["columns"]}
     got = dict(zip(cols["constraint"]["data"], cols["passed"]["data"]))
-    assert len(got) == 6
+    assert len(got) == 7
     assert got["completeness(user_id)"] is True
+    assert got["freshness(ts)"] is True
     assert got["row_count"] is True
     # constraint/target are tagged dimensions, metric a metric column
     assert cols["constraint"]["type"] == "dimension"
@@ -178,6 +181,8 @@ def test_http_quality_route(spark):
         {"constraints": [{"type": "inRange", "column": "value",
                           "lo": "x", "hi": 1}]},  # bad number
         {"constraints": [{"type": "rowCount"}]},  # missing min
+        {"constraints": [{"type": "freshness", "column": "ts",
+                          "maxAgeHours": 1}]},  # missing asOf
     ]:
         st, _ = call(app, "POST", url, bad)
         assert st == 400, bad
