@@ -59,6 +59,9 @@ BEST_LIKE_FOR_LIKE = {
     # the CPU-bound dedup/ANN tier, changing this entry's cache/CPU
     # context). Every official bench r6-r11 sits 0.459-0.533; the
     # like-for-like best at the current suite shape is r8's 0.459.
+    # Re-verified r14 against the official series: r6=0.484 r7=0.533
+    # r8=0.459 r9=0.487 r10=0.484 r11=0.488 r13=0.482 — the 0.274
+    # pre-reshuffle context is preserved above so it isn't lost.
     "multimodal_features": 0.459,
     "seg_chart_pipeline": 0.898,
     "seg_count_daily_by_type": 0.291,

@@ -56,6 +56,13 @@ def anomaly_flags(
     many-series frame stays distributed instead of single-partition).
     """
     idx = F.datediff(F.col(bucket_col), F.lit(_EPOCH))
+    # by=(): a single series is inherently one ordered partition and
+    # WindowExec warns about it. That is correct and acceptable HERE
+    # ONLY because the input is a post-aggregation series (one row
+    # per bucket — years of daily data is thousands of rows); Spark
+    # 4's EliminateWindowPartitions folds away a constant key, so the
+    # warning cannot be silenced without changing semantics. Callers
+    # with many series pass by= and the window stays distributed.
     w = (
         Window.partitionBy(*[F.col(c) for c in by]) if by else Window
     ).orderBy(idx).rangeBetween(-window, -1)
@@ -105,19 +112,40 @@ def robust_anomaly_flags(
     nothing; each reduces per group (map-side combinable) and joins
     back broadcast. ``by=`` gives every group its own independent
     median/MAD. No crossJoin, no driver round-trip.
+
+    NULL group values are a group like any other: groupBy keeps them,
+    and the join-back is null-safe (``eqNullSafe``), so a nullable
+    dim keeps its own baseline — same row coverage as the window-based
+    `anomaly_flags` (a plain equi-join would silently drop those rows).
     """
     v = F.col(value_col)
     med_of = lambda c: F.expr(f"percentile({c}, 0.5)")  # noqa: E731
+
+    def _nsjoin(left: DataFrame, right: DataFrame,
+                keys: list[str]) -> DataFrame:
+        # null-safe broadcast join-back: rename the right-side keys so
+        # the condition is unambiguous, then drop them
+        import functools
+        import operator
+
+        right = right.select(
+            *[F.col(k).alias(f"__g_{k}") for k in keys],
+            *[c for c in right.columns if c not in keys])
+        cond = functools.reduce(operator.and_, [
+            F.col(k).eqNullSafe(F.col(f"__g_{k}")) for k in keys])
+        return left.join(F.broadcast(right), cond).drop(
+            *[f"__g_{k}" for k in keys])
+
     if by:
         keys = list(by)
         med = series.groupBy(*keys).agg(
             med_of(value_col).alias("__med"))
-        with_med = series.join(F.broadcast(med), keys)
+        with_med = _nsjoin(series, med, keys)
         mad = (
             with_med.select(*keys, F.abs(v - F.col("__med")).alias("__d"))
             .groupBy(*keys).agg(med_of("__d").alias("__mad"))
         )
-        joined = with_med.join(F.broadcast(mad), keys)
+        joined = _nsjoin(with_med, mad, keys)
     else:
         med = series.agg(med_of(value_col).alias("__med")).withColumn(
             "__k", F.lit(1))

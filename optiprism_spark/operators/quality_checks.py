@@ -130,10 +130,12 @@ def accepted_values(col: str, values: Sequence[str],
 def matches_pattern(col: str, regex: str, min_ratio: float = 1.0) -> dict:
     """Fraction of non-null values fully matching ``regex``.
 
-    Anchored via rlike on the caller's pattern — pass explicit ^...$
-    for full-string semantics (mirrored verbatim in the oracle's
-    regexp_matches, which IS full-match; keep patterns anchored so
-    both engines agree)."""
+    The pattern is mirrored verbatim in the oracle's regexp_matches.
+    BOTH engines are partial-match (Spark rlike and DuckDB
+    regexp_matches each search for the pattern anywhere in the
+    string) — that is why they agree on unanchored patterns. For
+    full-string semantics the caller must anchor explicitly with
+    ^...$; never rely on either engine anchoring for you."""
     c = F.col(col)
     ok = c.rlike(regex).cast("long")
     return _spec(f"matches_pattern({col})", col,

@@ -734,6 +734,7 @@ class App:
         # no inline constraints runs these as the standing gate
         self._add_crud(P + r"/schema/quality-checks", "quality_check",
                        create=self._create_quality_check,
+                       put=self._put_quality_check,
                        perms=schema_perms)
 
     # ----------------------------------------------------- CRUD plumbing
@@ -2071,6 +2072,24 @@ class App:
             raise HttpError(400, "constraints must be a non-empty list")
         self._parse_quality_specs(specs, self._events())
         return self.catalog.create("quality_check", body, project_id=pid)
+
+    def _put_quality_check(self, body: dict, qid: int, pid: int) -> dict:
+        """Updates get the same declare-time validation as create —
+        catalog.update merges partial bodies, so validate the MERGED
+        row (a PUT changing only the name must not skip constraint
+        checks, and a PUT with bad constraints must never be stored:
+        a stored-bad battery would 400/500 every standing-gate run)."""
+        merged = dict(self.catalog.get("quality_check", qid, project_id=pid))
+        merged.update(body)
+        name = merged.get("name")
+        if not name or not re.fullmatch(r"[A-Za-z0-9_\-]+", str(name)):
+            raise HttpError(400, "quality check needs a name of "
+                                 "[A-Za-z0-9_-]+")
+        specs = merged.get("constraints")
+        if not isinstance(specs, list) or not specs:
+            raise HttpError(400, "constraints must be a non-empty list")
+        self._parse_quality_specs(specs, self._events())
+        return self.catalog.update("quality_check", qid, body, project_id=pid)
 
     def _paths(self, body, m, q):
         """Path / journey exploration (beyond the reference — no path

@@ -322,8 +322,9 @@ def streaming_quality_gate(
     constraint) keys, so crash/replay never double-writes a verdict.
     Constraint dicts hold unbound Column expressions — one battery
     definition serves every batch. The battery is ONE aggregation
-    pass over the micro-batch; the anti-join probe reads only the
-    log's two key columns.
+    pass over the micro-batch; the log is PARTITIONED by batch_id so
+    the replay probe reads only the current batch's directory — O(1)
+    in delivery history, not a full-log scan per micro-batch.
     """
     from ..operators.quality_checks import validate
 
@@ -331,14 +332,18 @@ def streaming_quality_gate(
         sess = batch_df.sparkSession
         out = validate(batch_df, constraints).withColumn(
             "batch_id", F.lit(int(batch_id)))
-        if os.path.isdir(metrics_dir) and any(
+        # prune the replay probe to THIS batch's partition: a
+        # re-delivered id costs one directory listing + a few verdict
+        # rows regardless of how long the delivery history has grown
+        part = os.path.join(metrics_dir, f"batch_id={int(batch_id)}")
+        if os.path.isdir(part) and any(
             f.endswith(".parquet")
-            for _r, _d, fs in os.walk(metrics_dir) for f in fs
+            for _r, _d, fs in os.walk(part) for f in fs
         ):
-            seen = sess.read.parquet(metrics_dir).select(
-                "batch_id", "constraint")
+            seen = sess.read.parquet(part).select("constraint").withColumn(
+                "batch_id", F.lit(int(batch_id)))
             out = out.join(seen, ["batch_id", "constraint"], "left_anti")
-        out.write.mode("append").parquet(metrics_dir)
+        out.write.mode("append").partitionBy("batch_id").parquet(metrics_dir)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     writer = (

@@ -211,6 +211,28 @@ def test_robust_anomaly_partitioned_baselines(spark):
     assert meds["big"] == 100.5 and meds["small"] == 1.5
 
 
+def test_robust_anomaly_null_group_keeps_own_baseline(spark):
+    """A NULL group value is a group like any other: the null-safe
+    join-back keeps those rows with their own median/MAD, matching
+    the row coverage of the window-based anomaly_flags (r13 advice:
+    a plain equi-join silently dropped them)."""
+    from optiprism_spark.operators.alerts import robust_anomaly_flags
+
+    rows = [("a", i, float(v)) for i, v in
+            enumerate([10, 11, 9, 10, 12, 10])]
+    rows += [(None, i, float(v)) for i, v in
+             enumerate([1, 2, 1, 2, 1, 50])]
+    series = spark.createDataFrame(rows, "grp string, bucket int, n double")
+    out = robust_anomaly_flags(series, "n", by=("grp",)).collect()
+    # every input row survives, including the NULL-group ones
+    assert len(out) == len(rows)
+    null_rows = [r for r in out if r["grp"] is None]
+    assert len(null_rows) == 6
+    flagged = {(r["grp"], r["bucket"]) for r in out if r["is_anomaly"]}
+    assert flagged == {(None, 5)}
+    assert {r["baseline_median"] for r in null_rows} == {1.5}
+
+
 def test_http_anomaly_route_and_rollup_routing(spark, tmp_path):
     """POST /queries/anomaly: trailing and robust sweeps over the
     daily count series; once a day rollup is declared the series
