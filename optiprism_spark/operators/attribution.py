@@ -15,18 +15,26 @@ workload. Built Spark-first:
   — the standard attribution window;
 - models: ``first_touch`` (all credit to the earliest eligible
   touch), ``last_touch`` (the latest), ``linear`` (credit split
-  evenly across eligible touches). Conversions with no eligible
-  touch are reported under the ``(none)`` channel rather than
-  silently dropped — unattributed revenue is a number marketers
+  evenly across eligible touches), ``time_decay`` (credit ∝
+  0.5^(age/half_life) — recent touches earn more), ``position``
+  (U-shaped: 40% first, 40% last, 20% split across the middles;
+  100% / 50-50 for 1- and 2-touch paths). Conversions with no
+  eligible touch are reported under the ``(none)`` channel rather
+  than silently dropped — unattributed revenue is a number marketers
   watch.
 
 Determinism: first/last picking orders by (ts, event_id) — a total
 order — and first/last revenue sums whole conversion values through
 exact decimals, so those models hash-match the DuckDB oracle
-bit-for-bit. Linear splits value/cnt in doubles; its per-channel sum
-is order-sensitive in the last ulp, so the linear model is pinned by
-a tolerance differential test instead of a hash oracle (the one
-model where that is mathematically honest).
+bit-for-bit. The FRACTIONAL models (linear/time_decay/position) are
+made hash-exact too, via the drift-PSI recipe: every per-touch
+weight and share is computed with correctly-rounded IEEE double ops
+from exact integer inputs (epoch-microsecond ages, row positions),
+rounded to 9 decimals, and cast to DECIMAL before any SUM — decimal
+addition is exact and order-independent, so the per-channel
+aggregates are bit-identical across engines and partitionings. The
+round-9 costs ≤5e-10 of a conversion's credit, far below anything a
+marketer reads off the report.
 
 Plan shape (the 100 TB story): touches and conversions are two
 narrow filtered projections of one events scan; the pairing is a
@@ -51,7 +59,14 @@ from ..exprs import full_filter
 from ..operators.aggregates import DECIMAL_T
 from ..schema import EVENT_ID_COL, EVENT_TIME_COL, EVENT_USER_COL
 
-_MODELS = ("first_touch", "last_touch", "linear")
+_MODELS = ("first_touch", "last_touch", "linear", "time_decay", "position")
+
+#: decimal types for the deterministic fractional-credit pipeline:
+#: shares carry 9 exact decimals, revenue contributions 6 (DECIMAL_T
+#: scale) — both far inside double's 15-17 significant digits, so the
+#: double→decimal round-trip is lossless
+_SHARE_T = "decimal(19,9)"
+_REV_T = "decimal(38,6)"
 
 #: channel label for conversions with no eligible touch
 NONE_CHANNEL = "(none)"
@@ -69,13 +84,16 @@ def attribution_report(
     filters: tuple[PropFilter, ...] = (),
     group_col: str = EVENT_USER_COL,
     max_touches_per_user: Optional[int] = None,
+    half_life: dt.timedelta = dt.timedelta(days=1),
 ) -> DataFrame:
     """Per-channel attribution: (channel, n_conversions, revenue).
 
     ``n_conversions`` counts conversions credited to the channel
-    (fractional under ``linear`` — a conversion split across k
-    channels contributes 1/k to each); ``revenue`` is the credited
-    sum of ``value_col``.
+    (fractional under linear/time_decay/position — a conversion's
+    single unit of credit is split across its eligible touches);
+    ``revenue`` is the credited sum of ``value_col``. ``half_life``
+    parameterizes ``time_decay``: a touch ``half_life`` older than
+    the conversion earns half the weight of a simultaneous one.
 
     ``max_touches_per_user``: whale guard (OFF by default, lossy for
     over-cap users — same contract as funnel_report's
@@ -155,16 +173,49 @@ def attribution_report(
         return out.select(
             F.col("__channel").alias("channel"), "n_conversions", "revenue")
 
-    # linear: split each conversion's credit across eligible touches
+    # fractional models (linear / time_decay / position): split each
+    # conversion's unit of credit across its eligible touches through
+    # the deterministic share pipeline (module docstring) — per-touch
+    # weight → round-9 → decimal; per-conversion normalization in
+    # doubles over those exact decimals → round-9 → decimal; all SUMs
+    # over decimals (exact, order-independent). Window partitions are
+    # (user, conversion) — the same user-hash exchange the join
+    # already produced, so no extra shuffle.
     wc = Window.partitionBy(group_col, "__c_id")
-    split = matched.withColumn("__k", F.count(F.lit(1)).over(wc)).select(
+    if model == "linear":
+        weight = F.lit(1.0)
+    elif model == "time_decay":
+        # exact integer age in microseconds; the division and pow are
+        # single correctly-rounded double ops on identical inputs in
+        # both engines (same class as drift's ln / win_logarithmic)
+        age_us = F.unix_micros(F.col("__c_ts")) - F.unix_micros(
+            F.col("__t_ts"))
+        weight = F.pow(
+            F.lit(0.5),
+            age_us.cast("double") / F.lit(half_life.total_seconds() * 1e6))
+    else:  # position (U-shaped)
+        wo = wc.orderBy(F.col("__t_ts").asc(), F.col("__t_id").asc())
+        rn = F.row_number().over(wo)
+        k = F.count(F.lit(1)).over(wc)
+        # 40/20/40 as relative weights — normalization makes k=1 a
+        # 100% path and k=2 a 50/50 split automatically
+        weight = F.when(
+            (rn == 1) | (rn == k), F.lit(0.4)
+        ).otherwise(F.lit(0.2) / (k - F.lit(2)).cast("double"))
+    wtd = matched.withColumn(
+        "__w", F.round(weight, 9).cast(_SHARE_T))
+    share = F.round(
+        F.col("__w").cast("double")
+        / F.sum("__w").over(wc).cast("double"), 9).cast(_SHARE_T)
+    split = wtd.withColumn("__share", share).select(
         "__channel",
-        (F.lit(1.0) / F.col("__k")).alias("__share"),
-        (F.col("__value") / F.col("__k")).alias("__rev"),
+        "__share",
+        F.round(F.col("__share").cast("double") * F.col("__value"), 6)
+        .cast(_REV_T).alias("__rev"),
     )
     per_channel = split.groupBy("__channel").agg(
-        F.sum("__share").alias("n_conversions"),
-        F.sum("__rev").alias("revenue"),
+        F.sum("__share").cast("double").alias("n_conversions"),
+        F.sum("__rev").cast("double").alias("revenue"),
     )
     none_rows = unmatched.agg(
         F.count(F.lit(1)).cast("double").alias("n_conversions"),

@@ -2172,8 +2172,10 @@ class App:
     def _attribution(self, body, m, q):
         """Revenue/conversion attribution (beyond the reference).
         Body: ``{time, touchEvent, conversionEvent, channelProperty,
-        model?, lookbackDays?, filters?, maxTouchesPerUser?}``; model
-        in first_touch | last_touch | linear. ``maxTouchesPerUser``
+        model?, lookbackDays?, halfLifeDays?, filters?,
+        maxTouchesPerUser?}``; model in first_touch | last_touch |
+        linear | time_decay | position (halfLifeDays parameterizes
+        time_decay, default 1). ``maxTouchesPerUser``
         enables the whale guard (documented lossy approximation for
         over-cap users; keys_capped/max_key_rows land in /metrics as
         optiprism_whale_guard_* labeled guard=attr_touch_cap)."""
@@ -2199,6 +2201,7 @@ class App:
             lookback=_dt.timedelta(days=float(body.get("lookbackDays", 30))),
             filters=api._grouped_filters(body, api.EVENT_COLUMNS, props=props),
             max_touches_per_user=(int(cap) if cap is not None else None),
+            half_life=_dt.timedelta(days=float(body.get("halfLifeDays", 1))),
         )
         return 200, (out, {"channel"})
 

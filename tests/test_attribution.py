@@ -1,7 +1,8 @@
-"""Attribution semantics pinned on a hand-computed fixture, plus a
-tolerance differential for the linear model (its double splits are
-order-sensitive in the last ulp, so it is the one model without a
-hash oracle)."""
+"""Attribution semantics pinned on a hand-computed fixture. All five
+models are hash-oracled in the suite; the fractional ones
+(linear/time_decay/position) run a deterministic round-9 decimal
+share pipeline, so hand-computed expectations here use approx at the
+quantization bound."""
 
 from __future__ import annotations
 
@@ -90,6 +91,75 @@ def test_linear_differential(events):
     assert sum(v for _, v in out.values()) == pytest.approx(10 + 5 + 3 + 7 + 2 + 4 + 6)
 
 
+def test_time_decay_hand_computed(events):
+    """One-day half-life: u1's ad (50h old) weighs 0.5^(50/24) vs
+    email (2h) at 0.5^(2/24); u4's single touch takes all; u6's tie
+    (both 3h old) splits 50/50."""
+
+    out = _report(events, "time_decay")
+    w_ad = round(0.5 ** (50.0 / 24.0), 9)
+    w_em = round(0.5 ** (2.0 / 24.0), 9)
+    s_ad = round(w_ad / (w_ad + w_em), 9)
+    s_em = round(w_em / (w_ad + w_em), 9)
+    tol = 1e-8
+    assert out["ad"][0] == pytest.approx(s_ad + 2.0 + 0.5, abs=tol)
+    assert out["email"][0] == pytest.approx(s_em + 0.5, abs=tol)
+    assert out["ad"][1] == pytest.approx(
+        round(10 * s_ad, 6) + 9.0 + 3.0, abs=tol)
+    assert out["email"][1] == pytest.approx(
+        round(10 * s_em, 6) + 3.0, abs=tol)
+    assert out["(none)"] == (3.0, 12.0)
+
+
+def test_position_hand_computed(spark):
+    """U-shape on a 4-touch path: 40/then 20 split across 2 middles
+    (10 each)/40; 2-touch paths 50/50; 1-touch paths 100%."""
+    T = dt.datetime(2024, 1, 10, 0, 0, 0)
+
+    def e(i, hours, user, ev, value=0.0):
+        return (i, T + dt.timedelta(hours=hours), user, ev, value, "{}")
+
+    rows = [
+        # u1: ad, email, ad, search -> purchase $100
+        e(1, -10, 1, "ad"), e(2, -8, 1, "email"),
+        e(3, -6, 1, "ad"), e(4, -4, 1, "search"),
+        e(5, 0, 1, "purchase", 100.0),
+        # u2: ad, email -> purchase $10 (50/50)
+        e(6, -2, 2, "ad"), e(7, -1, 2, "email"),
+        e(8, 0, 2, "purchase", 10.0),
+        # u3: email -> purchase $7 (100%)
+        e(9, -1, 3, "email"), e(10, 0, 3, "purchase", 7.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    touches = EventRef(custom=[
+        EventFilterSpec(EventRef("ad")),
+        EventFilterSpec(EventRef("email")),
+        EventFilterSpec(EventRef("search")),
+    ])
+    out = {
+        r["channel"]: (r["n_conversions"], r["revenue"])
+        for r in attribution_report(
+            events, channel_col=F.col("event_type"),
+            touch_event=touches, conversion_event=EventRef("purchase"),
+            time=WINDOW, model="position", lookback=dt.timedelta(days=7),
+        ).collect()
+    }
+    tol = 1e-8
+    # u1: ad first (0.4) + ad middle (0.1); u2: ad 0.5
+    assert out["ad"][0] == pytest.approx(0.4 + 0.1 + 0.5, abs=tol)
+    assert out["ad"][1] == pytest.approx(40 + 10 + 5, abs=tol)
+    # u1: email middle (0.1); u2: email 0.5; u3: email 1.0
+    assert out["email"][0] == pytest.approx(0.1 + 0.5 + 1.0, abs=tol)
+    assert out["email"][1] == pytest.approx(10 + 5 + 7, abs=tol)
+    # u1: search last (0.4)
+    assert out["search"][0] == pytest.approx(0.4, abs=tol)
+    assert out["search"][1] == pytest.approx(40.0, abs=tol)
+
+
 def test_bad_model_rejected(events):
     with pytest.raises(ValueError):
         attribution_report(
@@ -115,14 +185,21 @@ def test_linear_conservation_on_real_data(spark):
         & (F.col("ts") >= F.lit("2024-01-01"))
         & (F.col("ts") <= F.lit("2024-01-31 23:59:59"))
     ).agg(F.sum("value"), F.count(F.lit(1))).collect()[0]
-    for model in ("first_touch", "last_touch", "linear"):
+    for model in ("first_touch", "last_touch", "linear", "time_decay",
+                  "position"):
         rep = attribution_report(
             events, channel_col=F.col("event_type"),
             touch_event=touches, conversion_event=EventRef("purchase"),
             time=W, model=model, lookback=dt.timedelta(days=7),
         ).collect()
-        assert sum(r["revenue"] for r in rep) == pytest.approx(total[0], rel=1e-9)
-        assert sum(r["n_conversions"] for r in rep) == pytest.approx(total[1])
+        # fractional models quantize each credited row's share to 9
+        # decimals and its revenue to 6 (the hash-exact pipeline), so
+        # conservation holds to the per-row quantization bound, not to
+        # double epsilon; rel=1e-7 covers tens of thousands of rows
+        assert sum(r["revenue"] for r in rep) == pytest.approx(
+            total[0], rel=1e-7)
+        assert sum(r["n_conversions"] for r in rep) == pytest.approx(
+            total[1], rel=1e-7)
 
 
 def test_touch_cap_no_op_when_under_cap(events):

@@ -483,6 +483,51 @@ def test_attribution_endpoint(app, spark):
     assert types["channel"] == "dimension" and types["revenue"] == "metric"
 
 
+def test_attribution_endpoint_fractional_models(app, spark):
+    """time_decay (with halfLifeDays) and position route through and
+    match the operator; an unknown model is a 400, not a 500."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.attribution import attribution_report
+    from optiprism_spark.schema import load_table
+
+    base = {
+        "time": T_JAN,
+        "touchEvent": {"eventName": "view", "eventType": "regular"},
+        "conversionEvent": {"eventName": "purchase", "eventType": "regular"},
+        "channelProperty": {"propertyName": "event_type"},
+        "lookbackDays": 7,
+    }
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31, 23, 59, 59))
+    for model, extra, kw in (
+        ("time_decay", {"halfLifeDays": 2},
+         {"half_life": dtm.timedelta(days=2)}),
+        ("position", {}, {}),
+    ):
+        status, payload = call(
+            app, "POST", "/api/v1/projects/1/queries/attribution",
+            {**base, "model": model, **extra})
+        assert status == 200
+        direct = attribution_report(
+            load_table(spark, SF_DIR, "events"),
+            channel_col=F.col("event_type"),
+            touch_event=EventRef("view"),
+            conversion_event=EventRef("purchase"),
+            time=W, model=model, lookback=dtm.timedelta(days=7), **kw,
+        ).collect()
+        cols = {c["name"]: c["data"] for c in payload["columns"]}
+        assert sorted(zip(cols["channel"], cols["revenue"])) == sorted(
+            (r.channel, r.revenue) for r in direct), model
+
+    status, _ = call(app, "POST", "/api/v1/projects/1/queries/attribution",
+                     {**base, "model": "u_shaped"})
+    assert status == 400
+
+
 def test_sampling_rate_validation(app):
     """samplingRate outside (0, 1] is a 400, not a silent exact-path
     fallback (review finding: 2.0 — a percent mistake — was ignored)."""
