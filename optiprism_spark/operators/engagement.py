@@ -89,3 +89,99 @@ def active_days_histogram(
     return per_user.groupBy("active_days").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    time: QueryTime,
+    period: TimeIntervalUnit = TimeIntervalUnit.WEEK,
+    event: Optional[EventRef] = None,
+    filters: Sequence[PropFilter] = (),
+    group_col: str = EVENT_USER_COL,
+) -> DataFrame:
+    """Growth accounting (the Social-Capital-style ledger — beyond the
+    reference): per period bucket, how many users are
+
+    - ``new_users``: active this bucket, never seen before;
+    - ``retained_users``: active this bucket AND the immediately
+      previous one;
+    - ``resurrected_users``: active this bucket after a gap of at
+      least one full bucket;
+    - ``churned_users``: active the previous bucket but not this one
+      (attributed to the bucket they went quiet IN — the standard
+      convention, so new+retained+resurrected−churned telescopes to
+      the period-over-period active delta);
+    - ``active_users`` = new + retained + resurrected (convenience).
+
+    "Seen before" is scoped to the query window (the same convention
+    the cohort retention operator uses): a user whose history starts
+    before the window reads as new in their first in-window bucket.
+    Churn rows are capped at the window's last observed bucket — the
+    bucket AFTER the last one would otherwise report everyone as
+    churned off the edge.
+
+    Scale shape: one distinct over (user, bucket) — map-side
+    combinable, the frame is #users × #buckets at most; then lag/lead
+    over Window.partitionBy(user) — user-hash exchange, no skew
+    (every partition frame is one user's ≤ #buckets rows); the final
+    conditional count groups by bucket (tiny). The window-end cap is
+    a 1-row broadcast join, not a collect. Counts are integers, so
+    the whole report is hash-exact against the oracle.
+    """
+    if period not in (TimeIntervalUnit.DAY, TimeIntervalUnit.WEEK,
+                      TimeIntervalUnit.MONTH):
+        raise ValueError("growth accounting period must be day|week|month")
+    from pyspark.sql import Window
+
+    cond = full_filter(time, event, filters)
+    df = events.filter(cond) if cond is not None else events
+    a = df.select(
+        F.col(group_col).alias("__u"),
+        bucket_col(period).alias("bucket"),
+    ).distinct()
+
+    def _next(b):
+        if period == TimeIntervalUnit.MONTH:
+            return F.add_months(b, 1)
+        return F.date_add(b, 7 if period == TimeIntervalUnit.WEEK else 1)
+
+    w = Window.partitionBy("__u").orderBy("bucket")
+    x = a.select(
+        "bucket",
+        F.lag("bucket").over(w).alias("__prev"),
+        F.lead("bucket").over(w).alias("__next"),
+    )
+    status = x.select(
+        "bucket",
+        F.when(F.col("__prev").isNull(), F.lit("new"))
+        .when(_next(F.col("__prev")) == F.col("bucket"), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("__kind"),
+    )
+    last_b = a.agg(F.max("bucket").alias("__last")).withColumn(
+        "__k", F.lit(1))
+    churned = (
+        x.filter(F.col("__next").isNull()
+                 | (F.col("__next") > _next(F.col("bucket"))))
+        .select(_next(F.col("bucket")).alias("bucket"))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(last_b), "__k")
+        .filter(F.col("bucket") <= F.col("__last"))
+        .select("bucket", F.lit("churned").alias("__kind"))
+    )
+    kinds = status.unionByName(churned)
+
+    def _n(kind: str, alias: str):
+        return F.sum((F.col("__kind") == kind).cast("long")).alias(alias)
+
+    return kinds.groupBy("bucket").agg(
+        _n("new", "new_users"),
+        _n("retained", "retained_users"),
+        _n("resurrected", "resurrected_users"),
+        _n("churned", "churned_users"),
+    ).select(
+        "bucket", "new_users", "retained_users", "resurrected_users",
+        "churned_users",
+        (F.col("new_users") + F.col("retained_users")
+         + F.col("resurrected_users")).alias("active_users"),
+    )

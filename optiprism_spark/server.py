@@ -592,6 +592,8 @@ class App:
              _timed_query("percentiles", self._percentiles), explore),
             ("POST", re.compile(P + r"/queries/stickiness$"),
              _timed_query("stickiness", self._stickiness), explore),
+            ("POST", re.compile(P + r"/queries/growth$"),
+             _timed_query("growth", self._growth), explore),
             ("POST", re.compile(P + r"/queries/drift$"),
              _timed_query("drift", self._drift), explore),
             ("POST", re.compile(P + r"/queries/audience$"),
@@ -1429,6 +1431,34 @@ class App:
         metrics.query_rollup_routed_total().inc(path="raw")
         out = stickiness(self._events(), time, period=period,
                          event=event, filters=filters)
+        return 200, (out, {"bucket"})
+
+    def _growth(self, body, m, q):
+        """Growth-accounting ledger (beyond the reference): per-bucket
+        new / retained / resurrected / churned / active user counts.
+        Body: ``{time, period? (day|week|month), event?, filters?}``.
+        One distinct + one user-partitioned window — the standard
+        weekly growth chart in a single declarative plan."""
+        pid = self._pid(m)
+        from .dsl import TimeIntervalUnit
+        from .operators.engagement import growth_accounting
+
+        props = self._props(pid)
+        ces = self._custom_events(pid)
+        time = api.parse_time(body["time"], self.now)
+        try:
+            period = TimeIntervalUnit(body.get("period", "week"))
+        except ValueError:
+            raise HttpError(400, "period must be day, week or month")
+        if period not in (TimeIntervalUnit.DAY, TimeIntervalUnit.WEEK,
+                          TimeIntervalUnit.MONTH):
+            raise HttpError(400, "period must be day, week or month")
+        event = (
+            api.parse_event_ref(body["event"], custom_events=ces, props=props)
+            if body.get("event") else None)
+        filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
+        out = growth_accounting(self._events(), time, period=period,
+                                event=event, filters=filters)
         return 200, (out, {"bucket"})
 
     def _audience(self, body, m, q):

@@ -154,3 +154,60 @@ def retention_revenue_weekly(spark, sf_dir):
         interval=TimeIntervalUnit.WEEK,
         max_periods=8,
     )
+
+
+def _growth_oracle(unit: str, step_days: int) -> str:
+    return f"""
+    WITH a AS (
+      SELECT DISTINCT user_id AS u, {S.bucket(unit)} AS bucket
+      FROM events WHERE {S.ts_between(*S.T_FULL)}
+    ), lastb AS (
+      SELECT max(bucket) AS last_b FROM a
+    ), x AS (
+      SELECT u, bucket,
+             lag(bucket) OVER (PARTITION BY u ORDER BY bucket) AS prev,
+             lead(bucket) OVER (PARTITION BY u ORDER BY bucket) AS nxt
+      FROM a
+    ), kinds AS (
+      SELECT bucket,
+             CASE WHEN prev IS NULL THEN 'new'
+                  WHEN prev + {step_days} = bucket THEN 'retained'
+                  ELSE 'resurrected' END AS kind
+      FROM x
+      UNION ALL
+      SELECT bucket + {step_days}, 'churned'
+      FROM x, lastb
+      WHERE (nxt IS NULL OR nxt > bucket + {step_days})
+        AND bucket + {step_days} <= last_b
+    )
+    SELECT bucket,
+           count(*) FILTER (kind = 'new') AS new_users,
+           count(*) FILTER (kind = 'retained') AS retained_users,
+           count(*) FILTER (kind = 'resurrected') AS resurrected_users,
+           count(*) FILTER (kind = 'churned') AS churned_users,
+           count(*) FILTER (kind <> 'churned') AS active_users
+    FROM kinds GROUP BY 1
+    """
+
+
+@query("eng_growth_accounting_weekly", oracle=_growth_oracle("week", 7))
+def eng_growth_accounting_weekly(spark, sf_dir):
+    """Weekly growth-accounting ledger: new / retained / resurrected
+    / churned / active user counts per week (churn attributed to the
+    week the user went quiet in, capped at the window's last week)."""
+    from ..operators.engagement import growth_accounting
+
+    return growth_accounting(
+        load_table(spark, sf_dir, "events"), _FULL,
+        period=TimeIntervalUnit.WEEK)
+
+
+@query("eng_growth_accounting_daily", oracle=_growth_oracle("day", 1))
+def eng_growth_accounting_daily(spark, sf_dir):
+    """Daily-grain growth accounting — same ledger at day resolution
+    (the grain DAU dashboards drill into)."""
+    from ..operators.engagement import growth_accounting
+
+    return growth_accounting(
+        load_table(spark, sf_dir, "events"), _FULL,
+        period=TimeIntervalUnit.DAY)

@@ -660,3 +660,31 @@ def test_admission_slot_freed_when_setup_raises(spark):
     assert app._admitted.get("event_segmentation", 0) == 0
     status, _ = call(app, "POST", path, body)  # slot is free again
     assert status == 200
+
+
+def test_growth_endpoint(app, spark):
+    """POST /queries/growth matches the directly-run operator and
+    rejects a bad period with 400."""
+    import datetime as dtm
+
+    from optiprism_spark.dsl import QueryTime, TimeIntervalUnit
+    from optiprism_spark.operators.engagement import growth_accounting
+    from optiprism_spark.schema import load_table
+
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/growth",
+        {"time": T_JAN, "period": "week"})
+    assert status == 200
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31, 23, 59, 59))
+    direct = growth_accounting(
+        load_table(spark, SF_DIR, "events"), W,
+        period=TimeIntervalUnit.WEEK).collect()
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    assert sorted(zip(map(str, cols["bucket"]), cols["new_users"],
+                      cols["churned_users"])) == sorted(
+        (str(r.bucket), r.new_users, r.churned_users) for r in direct)
+
+    status, _ = call(app, "POST", "/api/v1/projects/1/queries/growth",
+                     {"time": T_JAN, "period": "hour"})
+    assert status == 400
