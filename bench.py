@@ -150,6 +150,15 @@ HEADLINE = [
                                      # in ONE partial-aggregated scan
     "text_repeated_spans",           # r13: span-level dedup windows
                                      # (pos-explode + df-count + islands)
+    "attr_time_decay_revenue",       # r14: multi-touch attribution
+                                     # (user-key range join + decimal
+                                     # share pipeline)
+    "eng_growth_accounting_weekly",  # r14: growth ledger (distinct +
+                                     # user-partitioned lag/lead)
+    "eng_rfm_segment_counts",        # r14: RFM grid (per-user agg +
+                                     # broadcast percentile edges)
+    "asm_importance_sample",         # r14: HT-weighted soft filter
+                                     # (pure per-row hash filter)
 ]
 
 

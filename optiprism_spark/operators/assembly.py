@@ -23,6 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -479,3 +480,81 @@ def verify_training_shards(spark, path: str, id_col: str = None) -> dict:
         "missing": sorted(want.keys() - got.keys()),
         "unexpected": sorted(got.keys() - want.keys()),
     }
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: Column,
+    pivot: float,
+    id_col: str = "doc_id",
+    seed: str = "importance",
+) -> DataFrame:
+    """Quality-weighted (importance) sampling: keep each row with
+    probability ``p = min(1, weight/pivot)`` — rows at or above the
+    pivot always survive, weaker rows survive proportionally. The
+    soft-filtering step of a training-data pipeline (hard filtering
+    throws the tail away; importance sampling keeps an unbiased,
+    reweightable slice of it).
+
+    Membership is ``unit_hash(id) < p`` — deterministic, hash-stable
+    (a document's fate never depends on the rest of the corpus), and
+    exactly reproducible in SQL. Kept rows carry ``keep_prob`` and
+    ``ht_weight = 1/p`` so downstream token/doc counts stay unbiased
+    via Horvitz–Thompson reweighting (the same estimator
+    operators/estimate.py uses for user sampling). Rows with weight
+    <= 0 have p = 0 and are dropped.
+
+    Scale shape: a pure per-row projection + filter at the scan — no
+    aggregate, no shuffle, nothing leaves the JVM. Per-row arithmetic
+    is single correctly-rounded double ops, so the output (including
+    ht_weight) is hash-exact cross-engine with no rounding step.
+    """
+    if pivot <= 0:
+        raise ValueError(f"pivot must be > 0, got {pivot}")
+    p = F.least(F.lit(1.0), weight_col.cast("double") / F.lit(float(pivot)))
+    return (
+        df.withColumn("keep_prob", p)
+        .filter(unit_hash(F.col(id_col), seed) < F.col("keep_prob"))
+        .withColumn("ht_weight", F.lit(1.0) / F.col("keep_prob"))
+    )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    score_col: str,
+    n_phases: int = 4,
+    id_col: str = "doc_id",
+    seed: str = "curriculum",
+) -> DataFrame:
+    """Curriculum assignment: equi-depth quantile bucket of
+    ``score_col`` (phase 0 = lowest quartile … n_phases-1 = highest)
+    plus a deterministic ``shuffle_key`` for stable intra-phase
+    ordering — the "easy-to-hard with shuffled lessons" schedule a
+    curriculum-training pipeline consumes.
+
+    Edges are EXACT interpolated percentiles computed in one
+    aggregate whose 1-row result broadcasts onto the scan (the drift
+    equi-depth recipe, operators/drift.py) — no collect, no driver
+    round-trip; at 100 TB swap F.percentile for approx_percentile the
+    same way drift documents. Ties at an edge fall to the lower
+    phase on both engines (strict > comparisons).
+    """
+    if n_phases < 2:
+        raise ValueError(f"n_phases must be >= 2, got {n_phases}")
+    edges = df.agg(*[
+        F.percentile(F.col(score_col), F.lit(i / n_phases)).alias(f"__q{i}")
+        for i in range(1, n_phases)
+    ]).withColumn("__k", F.lit(1))
+    x = df.withColumn("__k", F.lit(1)).join(F.broadcast(edges), "__k")
+    phase = functools.reduce(
+        lambda acc, i: acc
+        + (F.col(score_col).cast("double") > F.col(f"__q{i}")).cast("int"),
+        range(1, n_phases),
+        F.lit(0),
+    )
+    return x.select(
+        F.col(id_col),
+        F.col(score_col),
+        phase.alias("phase"),
+        unit_hash(F.col(id_col), seed).alias("shuffle_key"),
+    )

@@ -135,15 +135,23 @@ def attribution_report(
         F.col(value_col).alias("__value"),
     )
 
+    # ONE left-outer range join pairs every conversion with its
+    # eligible touches AND carries no-touch conversions through as a
+    # single null-touch row — the previous two-pass shape (inner join
+    # + anti-join for the '(none)' bucket) re-ran the whole pairing a
+    # second time; at 100 TB that is 2x the dominant cost for a
+    # row-count the left join produces for free.
     look = F.expr(f"INTERVAL {int(lookback.total_seconds())} SECOND")
-    matched = convs.join(touches, group_col).filter(
-        (F.col("__t_ts") <= F.col("__c_ts"))
-        & (F.col("__t_ts") >= F.col("__c_ts") - look)
-    )
-    # conversions with no eligible touch (none in lookback, or a user
-    # with no touches at all) — reported under NONE_CHANNEL
-    unmatched = convs.join(
-        matched.select("__c_id").distinct(), "__c_id", "left_anti")
+    touches = touches.withColumnRenamed(group_col, "__t_user")
+    joined = convs.join(
+        touches,
+        (F.col(group_col) == F.col("__t_user"))
+        & (F.col("__t_ts") <= F.col("__c_ts"))
+        & (F.col("__t_ts") >= F.col("__c_ts") - look),
+        "left_outer",
+    ).drop("__t_user")
+    unmatched = F.col("__t_id").isNull()
+    channel = F.coalesce(F.col("__channel"), F.lit(NONE_CHANNEL))
 
     if model in ("first_touch", "last_touch"):
         order = (
@@ -151,26 +159,20 @@ def attribution_report(
             if model == "first_touch"
             else [F.col("__t_ts").desc(), F.col("__t_id").desc()]
         )
+        # an unmatched conversion is alone in its partition — its
+        # null-touch row ranks 1 and credits NONE_CHANNEL
         w = Window.partitionBy(group_col, "__c_id").orderBy(*order)
         credited = (
-            matched.withColumn("__rn", F.row_number().over(w))
+            joined.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select("__channel", "__c_id", "__value")
+            .select(channel.alias("__channel"), "__value")
         )
         per_channel = credited.groupBy("__channel").agg(
             F.count(F.lit(1)).alias("n_conversions"),
             F.sum(F.col("__value").cast(DECIMAL_T)).cast("double")
             .alias("revenue"),
         )
-        none_rows = unmatched.agg(
-            F.count(F.lit(1)).alias("n_conversions"),
-            F.sum(F.col("__value").cast(DECIMAL_T)).cast("double")
-            .alias("revenue"),
-        ).select(F.lit(NONE_CHANNEL).alias("__channel"),
-                 "n_conversions", "revenue")
-        out = per_channel.unionByName(none_rows).filter(
-            F.col("n_conversions") > 0)
-        return out.select(
+        return per_channel.select(
             F.col("__channel").alias("channel"), "n_conversions", "revenue")
 
     # fractional models (linear / time_decay / position): split each
@@ -190,9 +192,19 @@ def attribution_report(
         # both engines (same class as drift's ln / win_logarithmic)
         age_us = F.unix_micros(F.col("__c_ts")) - F.unix_micros(
             F.col("__t_ts"))
-        weight = F.pow(
-            F.lit(0.5),
-            age_us.cast("double") / F.lit(half_life.total_seconds() * 1e6))
+        # floored at the round-9 quantum: a touch older than ~30
+        # half-lives keeps weight 1e-9 instead of rounding to exactly
+        # 0 — without the floor, a conversion whose EVERY touch is
+        # that old has W = 0 and the share normalization divides by
+        # zero (found by the r14 attribution fuzz, seed 1400003);
+        # touches at the floor split equally, the only regime where
+        # the quantization binds
+        weight = F.greatest(
+            F.lit(1e-9),
+            F.pow(
+                F.lit(0.5),
+                age_us.cast("double")
+                / F.lit(half_life.total_seconds() * 1e6)))
     else:  # position (U-shaped)
         wo = wc.orderBy(F.col("__t_ts").asc(), F.col("__t_id").asc())
         rn = F.row_number().over(wo)
@@ -202,13 +214,17 @@ def attribution_report(
         weight = F.when(
             (rn == 1) | (rn == k), F.lit(0.4)
         ).otherwise(F.lit(0.2) / (k - F.lit(2)).cast("double"))
-    wtd = matched.withColumn(
+    # an unmatched conversion's single null-touch row takes weight 1
+    # and normalizes to share exactly 1.000000000 — the whole credit
+    # lands on NONE_CHANNEL with no separate aggregation pass
+    weight = F.when(unmatched, F.lit(1.0)).otherwise(weight)
+    wtd = joined.withColumn(
         "__w", F.round(weight, 9).cast(_SHARE_T))
     share = F.round(
         F.col("__w").cast("double")
         / F.sum("__w").over(wc).cast("double"), 9).cast(_SHARE_T)
     split = wtd.withColumn("__share", share).select(
-        "__channel",
+        channel.alias("__channel"),
         "__share",
         F.round(F.col("__share").cast("double") * F.col("__value"), 6)
         .cast(_REV_T).alias("__rev"),
@@ -217,14 +233,5 @@ def attribution_report(
         F.sum("__share").cast("double").alias("n_conversions"),
         F.sum("__rev").cast("double").alias("revenue"),
     )
-    none_rows = unmatched.agg(
-        F.count(F.lit(1)).cast("double").alias("n_conversions"),
-        F.sum(F.col("__value").cast(DECIMAL_T)).cast("double").alias("revenue"),
-    ).select(F.lit(NONE_CHANNEL).alias("__channel"),
-             "n_conversions", "revenue")
-    return (
-        per_channel.unionByName(none_rows)
-        .filter(F.col("n_conversions") > 0)
-        .select(F.col("__channel").alias("channel"),
-                "n_conversions", "revenue")
-    )
+    return per_channel.select(
+        F.col("__channel").alias("channel"), "n_conversions", "revenue")

@@ -594,6 +594,8 @@ class App:
              _timed_query("stickiness", self._stickiness), explore),
             ("POST", re.compile(P + r"/queries/growth$"),
              _timed_query("growth", self._growth), explore),
+            ("POST", re.compile(P + r"/queries/rfm$"),
+             _timed_query("rfm", self._rfm), explore),
             ("POST", re.compile(P + r"/queries/drift$"),
              _timed_query("drift", self._drift), explore),
             ("POST", re.compile(P + r"/queries/audience$"),
@@ -1460,6 +1462,45 @@ class App:
         out = growth_accounting(self._events(), time, period=period,
                                 event=event, filters=filters)
         return 200, (out, {"bucket"})
+
+    def _rfm(self, body, m, q):
+        """RFM scoring (beyond the reference). Body: ``{time,
+        nTiles?, valueProperty?, event?, filters?, grid?}``; with
+        ``grid: true`` returns the (r, f, m) segment grid (counts +
+        total spend) instead of the per-user frame (per-user output
+        is row-capped like the records routes)."""
+        pid = self._pid(m)
+        from pyspark.sql import functions as F
+
+        from .operators.aggregates import DECIMAL_T
+        from .operators.engagement import rfm_scores
+
+        props = self._props(pid)
+        ces = self._custom_events(pid)
+        time = api.parse_time(body["time"], self.now)
+        n_tiles = int(body.get("nTiles", 5))
+        if not 2 <= n_tiles <= 10:
+            raise HttpError(400, "nTiles must be in [2, 10]")
+        event = (
+            api.parse_event_ref(body["event"], custom_events=ces, props=props)
+            if body.get("event") else None)
+        filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
+        try:
+            out = rfm_scores(
+                self._events(), time, n_tiles=n_tiles,
+                value_col=body.get("valueProperty", "value"),
+                event=event, filters=filters)
+        except ValueError as e:
+            raise HttpError(400, str(e))
+        if body.get("grid"):
+            grid = out.groupBy("r_score", "f_score", "m_score").agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum(F.col("monetary").cast(DECIMAL_T)).cast("double")
+                .alias("total_monetary"),
+            )
+            return 200, (grid, {"r_score", "f_score", "m_score"})
+        return 200, (out.orderBy("user_id").limit(MAX_RESPONSE_ROWS),
+                     {"user_id"})
 
     def _audience(self, body, m, q):
         """Audience set algebra (beyond the reference — its segments

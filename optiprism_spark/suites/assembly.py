@@ -22,6 +22,7 @@ from ..operators.assembly import (
 )
 from ..registry import query
 from ..schema import load_table
+from .text import QUALITY_SQL as _QUALITY_SQL
 
 #: mirrors operators/assembly.unit_hash(key, seed)
 def _u_sql(key: str, seed: str) -> str:
@@ -314,3 +315,63 @@ def asm_mixture_sample_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return mixture_sample_exact(docs, _MIX_TARGETS).select(
         "doc_id", "source", "cum_tokens")
+
+
+@query(
+    "asm_importance_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {{Q}} AS quality_score
+      FROM documents
+    ), probs AS (
+      SELECT doc_id, source, quality_score,
+             LEAST(1.0, quality_score / 0.7) AS keep_prob
+      FROM scored
+    )
+    SELECT doc_id, source, quality_score, keep_prob,
+           1.0 / keep_prob AS ht_weight
+    FROM probs
+    WHERE {_u_sql('doc_id', 'importance')} < keep_prob
+    """.replace("{Q}", _QUALITY_SQL),
+)
+def asm_importance_sample(spark, sf_dir):
+    """Quality-weighted soft filter: docs at or above quality 0.7
+    always survive, weaker docs proportionally; kept rows carry
+    keep_prob and the Horvitz-Thompson reweight so downstream counts
+    stay unbiased. Pure per-row hash filter, zero shuffles."""
+    from ..operators.assembly import importance_sample
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.join(quality_score(docs), "doc_id").select(
+        "doc_id", "source", "quality_score")
+    return importance_sample(
+        scored, F.col("quality_score"), pivot=0.7)
+
+
+@query(
+    "asm_curriculum_phases",
+    oracle=f"""
+    WITH e AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(n_chars > q1 AS INT) + CAST(n_chars > q2 AS INT)
+             + CAST(n_chars > q3 AS INT) AS phase,
+           {_u_sql('doc_id', 'curriculum')} AS shuffle_key
+    FROM documents, e
+    """,
+)
+def asm_curriculum_phases(spark, sf_dir):
+    """Length-curriculum assignment: equi-depth quartile of document
+    length (short -> long is the classic easy -> hard schedule) plus
+    a deterministic intra-phase shuffle key. Edges are one 1-row
+    broadcast aggregate -- the corpus is never shuffled."""
+    from ..operators.assembly import curriculum_phases
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curriculum_phases(docs, "n_chars", n_phases=4)

@@ -167,8 +167,8 @@ _HL_S = 86_400  # one-day half-life
 
 
 @query("attr_time_decay_revenue", oracle=_frac_oracle(
-    f"pow(0.5, CAST(epoch_us(c_ts) - epoch_us(t_ts) AS DOUBLE)"
-    f" / {float(_HL_S) * 1e6!r})"))
+    f"greatest(1e-09, pow(0.5, CAST(epoch_us(c_ts) - epoch_us(t_ts)"
+    f" AS DOUBLE) / {float(_HL_S) * 1e6!r}))"))
 def attr_time_decay_revenue(spark, sf_dir):
     """Time-decay multi-touch: touch weight halves per day of age at
     conversion time — the recency-centric reading. Ages are exact

@@ -211,3 +211,88 @@ def eng_growth_accounting_daily(spark, sf_dir):
     return growth_accounting(
         load_table(spark, sf_dir, "events"), _FULL,
         period=TimeIntervalUnit.DAY)
+
+
+_RFM_PER_USER = f"""
+      SELECT user_id,
+             date_diff('day', MAX({S.bucket('day')}), DATE '2024-01-31')
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(COALESCE(SUM(CAST(value AS {S.DECIMAL_T})), 0) AS DOUBLE)
+               AS monetary
+      FROM events WHERE {S.ts_between(*S.T_FULL)}
+      GROUP BY 1
+"""
+
+_RFM_EDGES = """
+      SELECT
+        quantile_cont(recency_days, 0.2) AS r0,
+        quantile_cont(recency_days, 0.4) AS r1,
+        quantile_cont(recency_days, 0.6) AS r2,
+        quantile_cont(recency_days, 0.8) AS r3,
+        quantile_cont(frequency, 0.2) AS f0,
+        quantile_cont(frequency, 0.4) AS f1,
+        quantile_cont(frequency, 0.6) AS f2,
+        quantile_cont(frequency, 0.8) AS f3,
+        quantile_cont(monetary, 0.2) AS m0,
+        quantile_cont(monetary, 0.4) AS m1,
+        quantile_cont(monetary, 0.6) AS m2,
+        quantile_cont(monetary, 0.8) AS m3
+      FROM pu
+"""
+
+def _tile(col: str, p: str, n: int = 4) -> str:
+    return " + ".join(
+        f"CAST({col} > {p}{i} AS INT)" for i in range(n))
+
+
+_RFM_SCORED = f"""
+      SELECT user_id, recency_days, frequency, monetary,
+             5 - ({_tile('recency_days', 'r')}) AS r_score,
+             1 + ({_tile('frequency', 'f')}) AS f_score,
+             1 + ({_tile('monetary', 'm')}) AS m_score
+      FROM pu, e
+"""
+
+
+@query(
+    "eng_rfm_scores",
+    oracle=f"""
+    WITH pu AS ({_RFM_PER_USER}), e AS ({_RFM_EDGES})
+    {_RFM_SCORED}
+    """,
+)
+def eng_rfm_scores(spark, sf_dir):
+    """Per-user RFM: raw recency/frequency/monetary plus equi-depth
+    quintile scores (5 = best) from broadcast percentile edges."""
+    from ..operators.engagement import rfm_scores
+
+    return rfm_scores(load_table(spark, sf_dir, "events"), _FULL)
+
+
+@query(
+    "eng_rfm_segment_counts",
+    oracle=f"""
+    WITH pu AS ({_RFM_PER_USER}), e AS ({_RFM_EDGES}),
+    scored AS ({_RFM_SCORED})
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+           CAST(SUM(CAST(monetary AS {S.DECIMAL_T})) AS DOUBLE)
+             AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def eng_rfm_segment_counts(spark, sf_dir):
+    """The RFM segment grid: user counts and total spend per
+    (r, f, m) cell — the frame a CRM heatmap renders."""
+    import pyspark.sql.functions as F
+
+    from ..operators.aggregates import DECIMAL_T
+    from ..operators.engagement import rfm_scores
+
+    return rfm_scores(
+        load_table(spark, sf_dir, "events"), _FULL
+    ).groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("monetary").cast(DECIMAL_T)).cast("double")
+        .alias("total_monetary"),
+    )

@@ -143,21 +143,35 @@ class attribution_suite:
         d0, d1 = _time_range(rng)
         return {
             "seed": seed, "touches": touches, "conv": conv,
-            "model": rng.choice(("first_touch", "last_touch")),
+            "model": rng.choice(("first_touch", "last_touch", "linear",
+                                 "time_decay", "position")),
             "lookback_s": rng.choice((3600, 86400, 3 * 86400, 7 * 86400)),
+            "half_life_s": rng.choice((3600, 43200, 86400, 2 * 86400)),
             "d0": d0, "d1": d1,
         }
 
     @staticmethod
     def spec_to_sql(s: dict) -> str:
         import optiprism_spark.registry  # noqa: F401 — break import cycle
-        from optiprism_spark.suites.attribution import _oracle
+        from optiprism_spark.suites.attribution import _frac_oracle, _oracle
 
-        order = ("t_ts ASC, t_id ASC" if s["model"] == "first_touch"
-                 else "t_ts DESC, t_id DESC")
-        return _oracle(order, touch_ets=s["touches"], conv_et=s["conv"],
-                       lookback_s=s["lookback_s"],
-                       time=_sql_time(s["d0"], s["d1"]))
+        t = _sql_time(s["d0"], s["d1"])
+        if s["model"] in ("first_touch", "last_touch"):
+            order = ("t_ts ASC, t_id ASC" if s["model"] == "first_touch"
+                     else "t_ts DESC, t_id DESC")
+            return _oracle(order, touch_ets=s["touches"], conv_et=s["conv"],
+                           lookback_s=s["lookback_s"], time=t)
+        weight = {
+            "linear": "1.0",
+            "time_decay": (
+                "greatest(1e-09, pow(0.5,"
+                " CAST(epoch_us(c_ts) - epoch_us(t_ts) AS DOUBLE)"
+                f" / {float(s.get('half_life_s', 86400)) * 1e6!r}))"),
+            "position": ("CASE WHEN rn = 1 OR rn = k THEN 0.4"
+                         " ELSE 0.2 / CAST(k - 2 AS DOUBLE) END"),
+        }[s["model"]]
+        return _frac_oracle(weight, touch_ets=s["touches"], conv_et=s["conv"],
+                            lookback_s=s["lookback_s"], time=t)
 
     @staticmethod
     def run_spec(spark, sf_dir: str, s: dict):
@@ -177,4 +191,5 @@ class attribution_suite:
             time=_qt(s["d0"], s["d1"]),
             model=s["model"],
             lookback=dt.timedelta(seconds=s["lookback_s"]),
+            half_life=dt.timedelta(seconds=s.get("half_life_s", 86400)),
         )

@@ -886,3 +886,60 @@ def test_contamination_matrix_semantics(spark):
            for r in contamination_matrix(
                train, bench, "src", "slice", n=3, min_overlap=2).collect()}
     assert out == {("vendor_x", "en"): 2, ("vendor_x", "de"): 1}
+
+
+def test_importance_sample_semantics(spark):
+    """Weights >= pivot always survive with ht_weight 1; weight 0 is
+    always dropped; kept fractions track keep_prob; HT-reweighted
+    totals are near-unbiased."""
+    from optiprism_spark.operators.assembly import importance_sample
+
+    import pyspark.sql.functions as F
+
+    n = 4000
+    rows = [(i, [0.0, 0.35, 0.7, 1.4][i % 4]) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = importance_sample(df, F.col("w"), pivot=0.7).collect()
+    by_w = {}
+    for r in out:
+        by_w.setdefault(r["w"], []).append(r)
+    assert 0.0 not in by_w                      # p=0 dropped
+    assert len(by_w[0.7]) == n // 4             # p=1 all kept
+    assert len(by_w[1.4]) == n // 4
+    assert all(r["ht_weight"] == 1.0 for r in by_w[0.7] + by_w[1.4])
+    assert all(r["keep_prob"] == 0.5 and r["ht_weight"] == 2.0
+               for r in by_w[0.35])
+    # kept fraction of the p=0.5 stratum near 0.5 (hash-uniform)
+    frac = len(by_w[0.35]) / (n / 4)
+    assert 0.4 < frac < 0.6
+    # HT estimate of the stratum's row count is near-unbiased
+    est = sum(r["ht_weight"] for r in by_w[0.35])
+    assert abs(est - n / 4) / (n / 4) < 0.2
+
+    with pytest.raises(ValueError):
+        importance_sample(df, F.col("w"), pivot=0.0)
+
+
+def test_curriculum_phases_semantics(spark):
+    """Quartile phases are balanced, monotone in score, ties fall to
+    the lower phase, and the shuffle key is deterministic."""
+    from optiprism_spark.operators.assembly import curriculum_phases
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, s double")
+    out = curriculum_phases(df, "s", n_phases=4).collect()
+    phases = {r["doc_id"]: r["phase"] for r in out}
+    # equi-depth: ~25 per phase; monotone boundaries at exact quartiles
+    import collections
+    sizes = collections.Counter(phases.values())
+    assert set(sizes) == {0, 1, 2, 3}
+    assert all(abs(v - 25) <= 1 for v in sizes.values())
+    assert all(phases[i] <= phases[j]
+               for i, j in zip(range(99), range(1, 100)))
+    # deterministic shuffle_key across runs
+    again = {r["doc_id"]: r["shuffle_key"]
+             for r in curriculum_phases(df, "s", n_phases=4).collect()}
+    assert again == {r["doc_id"]: r["shuffle_key"] for r in out}
+
+    with pytest.raises(ValueError):
+        curriculum_phases(df, "s", n_phases=1)

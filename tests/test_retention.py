@@ -164,3 +164,40 @@ def test_growth_accounting_bad_period(spark):
     events = load_table(spark, "/root/testdata/sf0.001", "events")
     with pytest.raises(ValueError):
         growth_accounting(events, WINDOW, period=TimeIntervalUnit.HOUR)
+
+
+def test_rfm_hand_computed(spark):
+    """Three users with strictly ordered R/F/M land in distinct
+    tiles; ties and inversions pinned (n_tiles=3 for legibility)."""
+    from optiprism_spark.operators.engagement import rfm_scores
+
+    rows = []
+    eid = 0
+    # u1: 1 event on Jan 2, value 1   -> oldest, least frequent, least spend
+    # u2: 3 events ending Jan 15, 10  -> middle on all three
+    # u3: 9 events ending Jan 30, 100 -> best on all three
+    for user, days, n, v in ((1, [2], 1, 1.0), (2, [5, 10, 15], 3, 10.0),
+                             (3, list(range(20, 29)) + [30], 10, 100.0)):
+        for d in days:
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, d, 10), user, "view",
+                         v / len(days), "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["user_id"]: r for r in
+           rfm_scores(events, WINDOW, n_tiles=3).collect()}
+    assert out[1]["recency_days"] == 29 and out[1]["frequency"] == 1
+    assert out[3]["recency_days"] == 1 and out[3]["frequency"] == 10
+    assert out[1]["monetary"] == 1.0 and out[3]["monetary"] == 100.0
+    # strict ordering -> strictly increasing scores
+    assert (out[1]["r_score"], out[2]["r_score"], out[3]["r_score"]) == (1, 2, 3)
+    assert (out[1]["f_score"], out[2]["f_score"], out[3]["f_score"]) == (1, 2, 3)
+    assert (out[1]["m_score"], out[2]["m_score"], out[3]["m_score"]) == (1, 2, 3)
+
+    with pytest.raises(ValueError):
+        rfm_scores(events, WINDOW, n_tiles=1)
+    with pytest.raises(ValueError):
+        rfm_scores(events, QueryTime.from_(dt.datetime(2024, 1, 1)))

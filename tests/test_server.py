@@ -688,3 +688,34 @@ def test_growth_endpoint(app, spark):
     status, _ = call(app, "POST", "/api/v1/projects/1/queries/growth",
                      {"time": T_JAN, "period": "hour"})
     assert status == 400
+
+
+def test_rfm_endpoint(app, spark):
+    """POST /queries/rfm: per-user frame and the grid variant match
+    the operator; bad nTiles is a 400."""
+    import datetime as dtm
+
+    from optiprism_spark.dsl import QueryTime
+    from optiprism_spark.operators.engagement import rfm_scores
+    from optiprism_spark.schema import load_table
+
+    status, payload = call(app, "POST", "/api/v1/projects/1/queries/rfm",
+                           {"time": T_JAN})
+    assert status == 200
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31, 23, 59, 59))
+    direct = rfm_scores(load_table(spark, SF_DIR, "events"), W).collect()
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    assert sorted(zip(cols["user_id"], cols["r_score"], cols["f_score"],
+                      cols["m_score"])) == sorted(
+        (r.user_id, r.r_score, r.f_score, r.m_score) for r in direct)
+
+    status, grid = call(app, "POST", "/api/v1/projects/1/queries/rfm",
+                        {"time": T_JAN, "grid": True})
+    assert status == 200
+    gcols = {c["name"]: c["data"] for c in grid["columns"]}
+    assert sum(gcols["n_users"]) == len(direct)
+
+    status, _ = call(app, "POST", "/api/v1/projects/1/queries/rfm",
+                     {"time": T_JAN, "nTiles": 1})
+    assert status == 400
