@@ -176,6 +176,15 @@ NEW_SHAPES = {
             "method": "robust",
         },
     ),
+    # ---- round-14 shapes (same observe-first protocol)
+    "growth_weekly": (
+        "/api/v1/projects/1/queries/growth",
+        {"time": T_JAN, "period": "week"},
+    ),
+    "rfm_grid": (
+        "/api/v1/projects/1/queries/rfm",
+        {"time": T_JAN, "grid": True},
+    ),
 }
 
 LIGHT = ("segmentation_daily", "segmentation_breakdown", "records_search",

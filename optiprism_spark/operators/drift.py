@@ -371,3 +371,85 @@ def distribution_drift_quantile(
         F.sum((~F.col("__exp")).cast("long")).alias("n_actual"),
     )
     return _psi_contribs(hist, "bucket", n_bins)
+
+
+def embedding_centroid_drift(
+    emb: DataFrame,
+    current: Column,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    by: Optional[str] = None,
+) -> DataFrame:
+    """Embedding-distribution drift between two snapshots: per group,
+    the cosine similarity and L2 distance between the REFERENCE
+    centroid (rows where ``current`` is false) and the CURRENT one —
+    the cheap first-line detector for "did my encoder / corpus shift"
+    (a re-trained encoder rotates the space: cosine drops; a topical
+    shift translates it: L2 grows). Complements the scalar PSI
+    family with a vector-space lens.
+
+    Determinism (hash-oracle recipe): each component is rounded to 7
+    decimals (inside float32's precision) and cast to DECIMAL, so the
+    per-dimension sums are exact and order-independent; the centroid
+    division, the 64-term dot/norm folds (a FIXED left-to-right
+    expression tree, not a float aggregation), and the final round-9
+    are identical correctly-rounded double ops on both engines.
+
+    Scale shape: ONE map-side-combinable groupBy over the scan
+    computing 2 x dim decimal sums + counts per (group, half) —
+    the exchange carries (groups x 2) rows of 64 decimals, nothing
+    more; the ref/cur pairing is a broadcast self-join of that tiny
+    frame. No explode (explode would shuffle N x dim rows), no UDF.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    keys = ([F.col(by)] if by else []) + [current.alias("__cur")]
+    per_half = emb.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.round(F.col(vec_col)[i].cast("double"), 7)
+                .cast("decimal(28,7)")
+            ).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+    )
+    mean = lambda p, i: (  # noqa: E731
+        F.col(f"{p}__s{i}").cast("double") / F.col(f"{p}__n").cast("double"))
+    ref = per_half.filter(~F.col("__cur")).select(
+        *([F.col(by)] if by else []),
+        F.col("__n").alias("r__n"),
+        *[F.col(f"__s{i}").alias(f"r__s{i}") for i in range(dim)],
+    )
+    cur = per_half.filter(F.col("__cur")).select(
+        *([F.col(by).alias("__byc")] if by else []),
+        F.col("__n").alias("c__n"),
+        *[F.col(f"__s{i}").alias(f"c__s{i}") for i in range(dim)],
+    )
+    if by:
+        joined = ref.join(F.broadcast(cur),
+                          F.col(by).eqNullSafe(F.col("__byc"))).drop("__byc")
+    else:
+        joined = ref.withColumn("__k", F.lit(1)).join(
+            F.broadcast(cur.withColumn("__k", F.lit(1))), "__k").drop("__k")
+
+    def _fold(terms):
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    dot = _fold([mean("r", i) * mean("c", i) for i in range(dim)])
+    n_r = _fold([mean("r", i) * mean("r", i) for i in range(dim)])
+    n_c = _fold([mean("c", i) * mean("c", i) for i in range(dim)])
+    l2 = _fold([
+        (mean("r", i) - mean("c", i)) * (mean("r", i) - mean("c", i))
+        for i in range(dim)
+    ])
+    return joined.select(
+        *([F.col(by)] if by else []),
+        F.col("r__n").alias("n_ref"),
+        F.col("c__n").alias("n_cur"),
+        F.round(dot / F.sqrt(n_r * n_c), 9).alias("centroid_cosine"),
+        F.round(F.sqrt(l2), 9).alias("centroid_l2"),
+    )

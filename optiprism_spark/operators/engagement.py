@@ -145,31 +145,48 @@ def growth_accounting(
             return F.add_months(b, 1)
         return F.date_add(b, 7 if period == TimeIntervalUnit.WEEK else 1)
 
+    # ONE window pass emits both ledger rows per (user, bucket): the
+    # status row and, when the user goes quiet afterwards, the churn
+    # row at bucket+1 — a union of two reads of the same lag/lead
+    # frame would recompute the distinct (a full scan + exchange) a
+    # second time. The window-edge churn cap joins a 1-row broadcast
+    # max computed from the raw scan (max needs no distinct, so it is
+    # the cheaper second pass; the kinds pipeline itself stays one
+    # scan → one distinct → one window).
     w = Window.partitionBy("__u").orderBy("bucket")
     x = a.select(
         "bucket",
         F.lag("bucket").over(w).alias("__prev"),
         F.lead("bucket").over(w).alias("__next"),
     )
-    status = x.select(
-        "bucket",
+    status = (
         F.when(F.col("__prev").isNull(), F.lit("new"))
         .when(_next(F.col("__prev")) == F.col("bucket"), F.lit("retained"))
         .otherwise(F.lit("resurrected"))
-        .alias("__kind"),
     )
-    last_b = a.agg(F.max("bucket").alias("__last")).withColumn(
+    goes_quiet = (
+        F.col("__next").isNull()
+        | (F.col("__next") > _next(F.col("bucket")))
+    )
+    churn_bucket = F.when(goes_quiet, _next(F.col("bucket")))
+    last_b = df.agg(
+        F.max(bucket_col(period)).alias("__last")).withColumn(
         "__k", F.lit(1))
-    churned = (
-        x.filter(F.col("__next").isNull()
-                 | (F.col("__next") > _next(F.col("bucket"))))
-        .select(_next(F.col("bucket")).alias("bucket"))
+    kinds = (
+        x.select(
+            F.explode(F.array(
+                F.struct(F.col("bucket"), status.alias("__kind")),
+                F.struct(churn_bucket.alias("bucket"),
+                         F.lit("churned").alias("__kind")),
+            )).alias("__e"),
+        )
+        .select("__e.bucket", "__e.__kind")
+        .filter(F.col("bucket").isNotNull())
         .withColumn("__k", F.lit(1))
         .join(F.broadcast(last_b), "__k")
         .filter(F.col("bucket") <= F.col("__last"))
-        .select("bucket", F.lit("churned").alias("__kind"))
+        .select("bucket", "__kind")
     )
-    kinds = status.unionByName(churned)
 
     def _n(kind: str, alias: str):
         return F.sum((F.col("__kind") == kind).cast("long")).alias(alias)

@@ -125,6 +125,9 @@ _INTERACTIVE_POOLS = frozenset({
     # one-scan day series (anomaly) — sub-second shapes, queueing is
     # their whole budget
     "quality", "anomaly",
+    # r14: one distinct + user-window ledger (growth) / one per-user
+    # aggregate + broadcast edges (rfm) — the same sub-second class
+    "growth", "rfm",
 })
 
 #: DEFAULT per-pool admission caps, ON by default (the reference

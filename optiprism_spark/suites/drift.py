@@ -374,3 +374,49 @@ def drift_psi_value_quantile_bins(spark, sf_dir):
         split=F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"),
         n_bins=10,
     )
+
+
+def _centroid_oracle(dim: int = 64) -> str:
+    """Mirror of operators/drift.embedding_centroid_drift: round-7
+    decimal component sums (exact, order-free), then the SAME
+    left-to-right 64-term expression folds in doubles, round-9."""
+    sums = ",\n             ".join(
+        f"SUM(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE), 7)"
+        f" AS DECIMAL(28,7))) AS s{i}"
+        for i in range(dim)
+    )
+    rm = [f"(CAST(r.s{i} AS DOUBLE) / CAST(r.n AS DOUBLE))" for i in range(dim)]
+    cm = [f"(CAST(c.s{i} AS DOUBLE) / CAST(c.n AS DOUBLE))" for i in range(dim)]
+    dot = " + ".join(f"{rm[i]} * {cm[i]}" for i in range(dim))
+    nr = " + ".join(f"{rm[i]} * {rm[i]}" for i in range(dim))
+    nc = " + ".join(f"{cm[i]} * {cm[i]}" for i in range(dim))
+    l2 = " + ".join(f"({rm[i]} - {cm[i]}) * ({rm[i]} - {cm[i]})"
+                    for i in range(dim))
+    return f"""
+    WITH h AS (
+      SELECT label, (vec_id % 2 = 1) AS cur, COUNT(*) AS n,
+             {sums}
+      FROM embeddings GROUP BY 1, 2
+    ), r AS (SELECT * FROM h WHERE NOT cur),
+    c AS (SELECT * FROM h WHERE cur)
+    SELECT r.label AS label, r.n AS n_ref, c.n AS n_cur,
+           round(({dot}) / sqrt(({nr}) * ({nc})), 9) AS centroid_cosine,
+           round(sqrt({l2}), 9) AS centroid_l2
+    FROM r JOIN c ON r.label = c.label
+    """
+
+
+@query("drift_embedding_centroid_by_label", oracle=_centroid_oracle())
+def drift_embedding_centroid_by_label(spark, sf_dir):
+    """Embedding-space drift per label between two deterministic
+    halves (even/odd ids standing in for consecutive snapshots):
+    centroid cosine + L2 shift. One map-side-combinable groupBy
+    carrying 64 exact decimal sums per (label, half) — no explode,
+    no UDF; the pairing is a broadcast join of a 20-row frame."""
+    from pyspark.sql import functions as F
+
+    from ..operators.drift import embedding_centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(
+        emb, current=(F.col("vec_id") % 2 == 1), by="label")

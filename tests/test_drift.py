@@ -482,3 +482,35 @@ def test_http_drift_caller_errors_fail_loudly(spark):
     with pytest.raises(ValueError, match="strictly increasing"):
         distribution_drift_fixed(
             events, "value", F.lit(True), [2.0, 1.0]).collect()
+
+
+def test_embedding_centroid_drift_hand_computed(spark):
+    """Identical halves -> cosine 1, L2 0; a translated half ->
+    cosine < 1 with the exact L2 of the translation; groups are
+    independent."""
+    import pyspark.sql.functions as F
+
+    from optiprism_spark.operators.drift import embedding_centroid_drift
+
+    rows = []
+    # label 0: current == reference (two identical vectors per half)
+    for i, half in ((0, 0), (1, 1), (2, 0), (3, 1)):
+        rows.append((i, [1.0, 2.0, 2.0], 0))
+    # label 1: current shifted by (0, 3, 4) -> L2 = 5
+    rows.append((10, [1.0, 0.0, 0.0], 1))   # ref
+    rows.append((11, [1.0, 3.0, 4.0], 1))   # cur (odd id)
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in embedding_centroid_drift(
+        emb, current=(F.col("vec_id") % 2 == 1), dim=3, by="label"
+    ).collect()}
+    assert out[0]["n_ref"] == 2 and out[0]["n_cur"] == 2
+    assert out[0]["centroid_cosine"] == 1.0
+    assert out[0]["centroid_l2"] == 0.0
+    assert out[1]["centroid_l2"] == 5.0
+    import math
+    exp_cos = 1.0 / math.sqrt(1 + 9 + 16)
+    assert abs(out[1]["centroid_cosine"] - round(exp_cos, 9)) < 1e-12
+
+    with pytest.raises(ValueError):
+        embedding_centroid_drift(emb, current=F.lit(True), dim=0)
