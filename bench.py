@@ -100,6 +100,11 @@ BEST_LIKE_FOR_LIKE = {
     # 0.128-0.162 — likely beatable on a quiet host)
     "dq_events_battery": 0.54,
     "text_repeated_spans": 1.515,
+    # r14 first in-suite runs (min of two local passes; control 0.137)
+    "attr_time_decay_revenue": 1.039,
+    "eng_growth_accounting_weekly": 0.423,
+    "eng_rfm_segment_counts": 0.609,
+    "asm_importance_sample": 0.457,
 }
 
 #: headline set — one per operator family (SURVEY §2 coverage)

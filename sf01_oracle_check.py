@@ -173,6 +173,42 @@ SF01_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "wh_revenue_by_nation_bucketed",
         "win_logarithmic",
     }),
+    14: frozenset({
+        "attr_linear_revenue",
+        "attr_time_decay_revenue",
+        "aud_venn_kmv_sketched",
+        "dedup_embedding_cosine",
+        "dedup_embedding_cosine_ivf_auto",
+        "dedup_embedding_cosine_lsh_banded",
+        "dedup_lsh_near_pairs",
+        "dedup_neardup_clusters",
+        "dq_ref_integrity",
+        "drift_psi_event_mix_topk",
+        "drift_psi_value_half_month",
+        "drift_psi_value_quantile_bins",
+        "drift_psi_value_rollup_routed",
+        "est_funnel_3step_sampled",
+        "est_retention_weekly_sampled",
+        "event_record_by_id",
+        "funnel_machine_any_order_touch_last",
+        "funnel_machine_breakdown",
+        "path_forward_excl_errors",
+        "qsketch_percentile_value_by_type",
+        "retention_revenue_weekly",
+        "rollup_percentile_value_by_type",
+        "seg_agg_int_prop",
+        "seg_percentiles_by_type",
+        "seg_rollup_uniques_approx",
+        "seg_sum_value_daily_by_type",
+        "segment_or_composition",
+        "sql_api_revenue_by_segment",
+        "text_bpe_segments",
+        "text_pii_redact",
+        "wh_order_priority_bucketed",
+        "wh_revenue_by_nation",
+        "wh_revenue_by_nation_bucketed",
+        "win_cumulative",
+    }),
 }
 
 
