@@ -381,3 +381,86 @@ def test_streaming_funnel_checkpoint_recovery(spark, tmp_path):
 
     assert got == want
     assert got.get(9) == 1  # the boundary-spanning conversion survived
+
+
+def test_streaming_growth_ledger_differential(spark, tmp_path):
+    """The continuously-maintained ledger, after arbitrary (and
+    out-of-order) batch splits, aggregates to EXACTLY the batch
+    growth_accounting report — including the late-data reclassify
+    case (week-3 activity arriving after week 4 flips resurrected ->
+    retained and deletes the phantom churn row via re-emission)."""
+    import datetime as dtm
+
+    from optiprism_spark.dsl import QueryTime, TimeIntervalUnit
+    from optiprism_spark.operators.engagement import growth_accounting
+    from optiprism_spark.streaming.growth import streaming_growth_ledger
+
+    def e(i, day, user):
+        return (i, dtm.datetime(2024, 1, day, 10), user, "view", 0.0, "{}")
+
+    rows = [
+        e(1, 1, 1), e(2, 8, 1), e(3, 22, 1),   # u1: wk1, wk2, wk4
+        e(4, 2, 2),                             # u2: wk1 only
+        e(5, 29, 3),                            # u3: wk5 only
+        e(6, 15, 1),                            # u1 wk3 — arrives LATE
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src = os.path.join(str(tmp_path), "growth_src")
+    os.makedirs(src)
+    # batch 1: everything except u1's week-3 row; batch 2: the late row
+    df.filter(F.col("event_id") <= 5).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    out = streaming_growth_ledger(spark, df.schema, src, period="week")
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("growth_out").start())
+    try:
+        q.processAllAvailable()
+        mid = spark.sql("SELECT * FROM growth_out").collect()
+        df.filter(F.col("event_id") == 6).coalesce(1).write.mode(
+            "append").parquet(src)
+        q.processAllAvailable()
+        allrows = spark.sql("SELECT * FROM growth_out").collect()
+    finally:
+        q.stop()
+
+    # before the late row: u1's week-4 reads resurrected, week-3 churned
+    mid_u1 = {(str(r.bucket), r.kind) for r in mid if r.user_id == 1}
+    assert ("2024-01-22", "resurrected") in mid_u1
+    assert ("2024-01-15", "churned") in mid_u1
+
+    # consumer contract: max-version rows per user, churn capped at the
+    # last observed bucket, counted by (bucket, kind)
+    latest_v = {}
+    for r in allrows:
+        latest_v[r.user_id] = max(latest_v.get(r.user_id, 0), r.version)
+    # upsert by (user, bucket) keeping max-version rows — (user,
+    # bucket) is unique within one version (status and churn are
+    # mutually exclusive per bucket), so the dict dedups re-emissions
+    per_key = {(r.user_id, r.bucket): (r.bucket, r.kind)
+               for r in allrows if r.version == latest_v[r.user_id]}
+    ledger = list(per_key.values())
+    last_b = max(b for b, k in ledger if k != "churned")
+    import collections
+    got = collections.Counter(
+        (str(b), k) for b, k in ledger
+        if not (k == "churned" and b > last_b))
+
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31, 23, 59, 59))
+    batch = growth_accounting(df, W, period=TimeIntervalUnit.WEEK).collect()
+    want = collections.Counter()
+    for r in batch:
+        for kind, col in (("new", "new_users"), ("retained",
+                          "retained_users"), ("resurrected",
+                          "resurrected_users"), ("churned",
+                          "churned_users")):
+            if r[col]:
+                want[(str(r.bucket), kind)] += r[col]
+    assert got == want
+    # the late row specifically: week-4 is now retained, week-3 alive
+    u1 = {(str(b), k) for (u, _), (b, k) in per_key.items() if u == 1}
+    assert ("2024-01-22", "retained") in u1
+    assert ("2024-01-15", "retained") in u1
