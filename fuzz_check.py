@@ -59,7 +59,7 @@ def main() -> None:
     ap.add_argument("--suite", default="all",
                     choices=["seg", "funnel", "paths", "retention",
                              "attribution", "estimate", "rollup",
-                             "funnel_layout", "quality", "all"])
+                             "funnel_layout", "quality", "growth", "all"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.seed0 is None:
@@ -67,8 +67,8 @@ def main() -> None:
 
     from optiprism_spark.session import get_spark
     from tests import _fuzz_estimate, _fuzz_funnel, _fuzz_seg
-    from tests._fuzz_journeys import (attribution_suite, paths_suite,
-                                      retention_suite)
+    from tests._fuzz_journeys import (attribution_suite, growth_suite,
+                                      paths_suite, retention_suite)
     from tests._oracle import assert_frames_match, duckdb_connection
 
     spark = get_spark("optiprism_spark_fuzz")
@@ -86,6 +86,8 @@ def main() -> None:
         jobs.append(("retention", retention_suite, args.n_journeys))
     if args.suite in ("attribution", "all"):
         jobs.append(("attribution", attribution_suite, args.n_journeys))
+    if args.suite in ("growth", "all"):
+        jobs.append(("growth", growth_suite, args.n_journeys))
     if args.suite in ("estimate", "all"):
         jobs.append(("estimate", _fuzz_estimate, args.n_journeys))
     if args.suite in ("rollup", "all"):

@@ -119,3 +119,101 @@ def experiment_report(
                    (F.col("cvr") - F.col("__ccvr")) / se).alias("z_score"),
         )
     )
+
+
+#: chi-square critical values at alpha = 0.001 (the conventional SRM
+#: threshold — Fabijan et al., "Diagnosing Sample Ratio Mismatch",
+#: KDD'19 is the public reference), df 1..9
+SRM_CRIT_001 = {
+    1: 10.828, 2: 13.816, 3: 16.266, 4: 18.467, 5: 20.515,
+    6: 22.458, 7: 24.322, 8: 26.124, 9: 27.877,
+}
+
+
+def srm_check(
+    events: DataFrame,
+    variant_col: Column,
+    exposure_event: EventRef,
+    time: QueryTime,
+    expected: Optional[dict] = None,
+    filters: tuple[PropFilter, ...] = (),
+    group_col: str = EVENT_USER_COL,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the A/B experiment's health
+    gate: per-variant FIRST-EXPOSURE user counts vs the expected
+    allocation, chi-square statistic, and a flag at the α=0.001
+    critical value (an SRM means the assignment mechanism is broken
+    and every downstream readout is invalid; testing it at 0.001 is
+    the standard convention, see SRM_CRIT_001).
+
+    ``expected`` maps variant → allocation share (must cover every
+    observed variant and sum to ~1); ``None`` means equal split
+    across the observed variants. Output: one row per variant
+    (variant, n_users, expected_users, chi2_contrib) with the global
+    ``chi2_stat``/``srm_flag`` repeated — the grid a dashboard
+    renders, flag first.
+
+    Determinism: counts are integers; expected and contrib are
+    single correctly-rounded double ops; contribs round-9 → DECIMAL
+    before the SUM (the attribution share recipe), so the statistic
+    hash-matches the oracle. Scale shape: assignment reduces to one
+    row per user (window, user-hash partitioned), then ONE tiny
+    groupBy(variant); everything after operates on k rows.
+    """
+    exp_cond = full_filter(time, exposure_event, filters)
+    exposures = events.filter(exp_cond) if exp_cond is not None else events
+    w = Window.partitionBy(group_col).orderBy(EVENT_TIME_COL, EVENT_ID_COL)
+    first_exp = (
+        exposures.select(
+            F.col(group_col), EVENT_TIME_COL, EVENT_ID_COL,
+            variant_col.alias("variant"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    counts = first_exp.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users")).withColumn("__k", F.lit(1))
+    spark = events.sparkSession
+    if expected is not None:
+        if abs(sum(expected.values()) - 1.0) > 1e-9:
+            raise ValueError(f"expected shares must sum to 1: {expected}")
+        shares = spark.createDataFrame(
+            [(v, float(s)) for v, s in sorted(expected.items())],
+            "variant string, __share double")
+        counts = counts.join(F.broadcast(shares), "variant", "left")
+        # an observed variant missing from the allocation IS an SRM
+        # by definition — but a silent NULL would drop it from the
+        # statistic; fail loudly (bounded job over k rows)
+        if counts.filter(F.col("__share").isNull()).head(1):
+            raise ValueError(
+                "observed variants missing from expected allocation")
+    totals = counts.groupBy("__k").agg(
+        F.sum("n_users").alias("__total"),
+        F.count(F.lit(1)).alias("__n_variants"),
+    )
+    x = counts.join(F.broadcast(totals), "__k")
+    share = (F.col("__share") if expected is not None
+             else F.lit(1.0) / F.col("__n_variants").cast("double"))
+    e = F.col("__total").cast("double") * share
+    contrib = F.round(
+        (F.col("n_users").cast("double") - e)
+        * (F.col("n_users").cast("double") - e) / e, 9)
+    x = x.withColumn("expected_users", e).withColumn(
+        "chi2_contrib", contrib)
+    stat = x.groupBy("__k").agg(
+        F.sum(F.col("chi2_contrib").cast("decimal(28,9)"))
+        .cast("double").alias("chi2_stat"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("__df"),
+    )
+    crit = spark.createDataFrame(
+        sorted(SRM_CRIT_001.items()), "__df long, __crit double")
+    stat = stat.join(F.broadcast(crit), "__df", "left")
+    return (
+        x.join(F.broadcast(stat), "__k")
+        .select(
+            "variant", "n_users", "expected_users", "chi2_contrib",
+            "chi2_stat",
+            F.coalesce(F.col("chi2_stat") > F.col("__crit"), F.lit(False))
+            .alias("srm_flag"),
+        )
+    )

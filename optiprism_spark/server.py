@@ -2222,13 +2222,43 @@ class App:
         """A/B experiment readout (beyond the reference). Body:
         ``{time, exposureEvent, conversionEvent, variantProperty,
         control, filters?}`` — variantProperty is a standard property
-        dict (column or JSON prop) read off the exposure row."""
+        dict (column or JSON prop) read off the exposure row.
+        ``{type: "srm", time, exposureEvent, variantProperty,
+        expected?}`` runs the sample-ratio-mismatch health gate
+        instead (chi-square vs the allocation at α=0.001; expected
+        maps variant → share, default equal split)."""
         pid = self._pid(m)
         from .exprs import prop_col
         from .operators.experiment import experiment_report
 
         props = self._props(pid)
         ces = self._custom_events(pid)
+        if body.get("type") == "srm":
+            from .operators.experiment import srm_check
+
+            exp = body.get("expected")
+            if exp is not None and not (
+                isinstance(exp, dict)
+                and all(isinstance(v, (int, float)) for v in exp.values())
+            ):
+                raise HttpError(400, "expected must map variant to share")
+            try:
+                out = srm_check(
+                    self._events(),
+                    variant_col=prop_col(api.parse_property(
+                        body["variantProperty"], props=props)),
+                    exposure_event=api.parse_event_ref(
+                        body["exposureEvent"], custom_events=ces,
+                        props=props),
+                    time=api.parse_time(body["time"], self.now),
+                    expected=({str(k): float(v) for k, v in exp.items()}
+                              if exp is not None else None),
+                    filters=api._grouped_filters(
+                        body, api.EVENT_COLUMNS, props=props),
+                )
+            except ValueError as e:
+                raise HttpError(400, str(e))
+            return 200, (out, {"variant"})
         out = experiment_report(
             self._events(),
             variant_col=prop_col(

@@ -92,3 +92,60 @@ def exp_view_to_purchase(spark, sf_dir):
         time=_FULL,
         control="v0",
     )
+
+
+@query(
+    "exp_srm_check",
+    oracle=f"""
+    WITH fe AS (
+      SELECT user_id, variant FROM (
+        SELECT user_id, {_variant_sql()} AS variant,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'view'
+      ) t WHERE rn = 1
+    ), c AS (
+      SELECT variant, COUNT(*) AS n_users FROM fe GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n_users) AS total, COUNT(*) AS k FROM c
+    ), x AS (
+      SELECT variant, n_users,
+             CAST(total AS DOUBLE) * (1.0 / CAST(k AS DOUBLE))
+               AS expected_users,
+             round((CAST(n_users AS DOUBLE)
+                    - CAST(total AS DOUBLE) * (1.0 / CAST(k AS DOUBLE)))
+                   * (CAST(n_users AS DOUBLE)
+                      - CAST(total AS DOUBLE) * (1.0 / CAST(k AS DOUBLE)))
+                   / (CAST(total AS DOUBLE) * (1.0 / CAST(k AS DOUBLE))), 9)
+               AS chi2_contrib
+      FROM c, tot
+    ), s AS (
+      SELECT CAST(SUM(CAST(chi2_contrib AS DECIMAL(28,9))) AS DOUBLE)
+               AS chi2_stat,
+             COUNT(*) - 1 AS df
+      FROM x
+    )
+    SELECT x.variant, x.n_users, x.expected_users, x.chi2_contrib,
+           s.chi2_stat,
+           COALESCE(s.chi2_stat > CASE s.df
+             WHEN 1 THEN 10.828 WHEN 2 THEN 13.816 WHEN 3 THEN 16.266
+             WHEN 4 THEN 18.467 WHEN 5 THEN 20.515 WHEN 6 THEN 22.458
+             WHEN 7 THEN 24.322 WHEN 8 THEN 26.124 WHEN 9 THEN 27.877
+           END, FALSE) AS srm_flag
+    FROM x, s
+    """,
+)
+def exp_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch health gate on the three-arm experiment:
+    first-exposure user counts per arm vs the equal allocation, the
+    chi-square statistic, and the alpha=0.001 flag. An SRM means the
+    assignment mechanism is broken and every readout is invalid."""
+    from ..operators.experiment import srm_check
+
+    return srm_check(
+        load_table(spark, sf_dir, "events"),
+        variant_col=_variant_col(),
+        exposure_event=EventRef("view"),
+        time=_FULL,
+    )

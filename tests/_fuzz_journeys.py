@@ -193,3 +193,38 @@ class attribution_suite:
             lookback=dt.timedelta(seconds=s["lookback_s"]),
             half_life=dt.timedelta(seconds=s.get("half_life_s", 86400)),
         )
+
+
+# ---------------------------------------------------------------- growth
+
+class growth_suite:
+    """Growth-accounting ledger vs its oracle over random periods and
+    time windows (the churn cap and retained/resurrected boundaries
+    are where off-by-one-bucket bugs would live)."""
+
+    @staticmethod
+    def gen_spec(seed: int) -> dict:
+        rng = random.Random(0x6807_0000 + seed)
+        d0, d1 = _time_range(rng)
+        unit, step = rng.choice((("day", 1), ("week", 7)))
+        return {"seed": seed, "unit": unit, "step": step, "d0": d0, "d1": d1}
+
+    @staticmethod
+    def spec_to_sql(s: dict) -> str:
+        import optiprism_spark.registry  # noqa: F401 — break import cycle
+        from optiprism_spark.suites.engagement import _growth_oracle
+
+        return _growth_oracle(s["unit"], s["step"],
+                              time=_sql_time(s["d0"], s["d1"]))
+
+    @staticmethod
+    def run_spec(spark, sf_dir: str, s: dict):
+        from optiprism_spark.dsl import TimeIntervalUnit
+        from optiprism_spark.operators.engagement import growth_accounting
+        from optiprism_spark.schema import load_table
+
+        return growth_accounting(
+            load_table(spark, sf_dir, "events"),
+            _qt(s["d0"], s["d1"]),
+            period=TimeIntervalUnit(s["unit"]),
+        )

@@ -116,3 +116,57 @@ def test_missing_control_raises(events):
             exposure_event=EventRef("expose"),
             conversion_event=EventRef("purchase"),
             time=WINDOW, control="no-such-arm")
+
+
+def test_srm_check_hand_computed(spark):
+    """A deliberately broken 90/10 split under an expected 50/50
+    flags; a balanced split does not; equal-split default and
+    explicit allocations agree; bad allocations fail loudly."""
+    import datetime as dtm
+
+    from optiprism_spark.dsl import QueryTime
+    from optiprism_spark.operators.experiment import srm_check
+
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31))
+
+    def corpus(n_a, n_b):
+        rows = []
+        for i in range(n_a + n_b):
+            v = "A" if i < n_a else "B"
+            rows.append((i, dtm.datetime(2024, 1, 5, 10), i, "expose",
+                         0.0, '{"v": "%s"}' % v))
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+
+    from pyspark.sql import functions as F
+    variant = F.get_json_object(F.col("props"), "$.v")
+    from optiprism_spark.dsl import EventRef
+
+    # 900/100 under equal expectation: chi2 = (400^2/500)*2 = 640 >> 10.83
+    out = srm_check(corpus(900, 100), variant, EventRef("expose"), W)
+    rows = {r["variant"]: r for r in out.collect()}
+    assert rows["A"]["n_users"] == 900 and rows["B"]["n_users"] == 100
+    assert rows["A"]["expected_users"] == 500.0
+    assert rows["A"]["chi2_stat"] == pytest.approx(640.0)
+    assert all(r["srm_flag"] for r in rows.values())
+
+    # same counts under an explicit 90/10 allocation: no mismatch
+    ok = srm_check(corpus(900, 100), variant, EventRef("expose"), W,
+                   expected={"A": 0.9, "B": 0.1}).collect()
+    assert all(not r["srm_flag"] for r in ok)
+    assert {r["variant"]: r["expected_users"] for r in ok} == {
+        "A": 900.0, "B": 100.0}
+
+    # balanced split: tiny statistic, no flag
+    bal = srm_check(corpus(505, 495), variant, EventRef("expose"), W)
+    assert all(not r["srm_flag"] for r in bal.collect())
+
+    with pytest.raises(ValueError):
+        srm_check(corpus(10, 10), variant, EventRef("expose"), W,
+                  expected={"A": 0.6, "B": 0.6})
+    with pytest.raises(ValueError):
+        # observed variant absent from the allocation
+        srm_check(corpus(10, 10), variant, EventRef("expose"), W,
+                  expected={"A": 1.0})

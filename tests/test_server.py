@@ -719,3 +719,39 @@ def test_rfm_endpoint(app, spark):
     status, _ = call(app, "POST", "/api/v1/projects/1/queries/rfm",
                      {"time": T_JAN, "nTiles": 1})
     assert status == 400
+
+
+def test_experiment_srm_endpoint(app, spark):
+    """type: srm on /queries/experiment matches the operator; a
+    malformed allocation is a 400."""
+    import datetime as dtm
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.experiment import srm_check
+    from optiprism_spark.schema import load_table
+
+    body = {
+        "type": "srm", "time": T_JAN,
+        "exposureEvent": {"eventName": "view", "eventType": "regular"},
+        "variantProperty": {"propertyName": "event_type"},
+    }
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/experiment", body)
+    assert status == 200
+    from pyspark.sql import functions as F
+
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31, 23, 59, 59))
+    direct = srm_check(
+        load_table(spark, SF_DIR, "events"), F.col("event_type"),
+        EventRef("view"), W).collect()
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    assert sorted(zip(cols["variant"], cols["n_users"])) == sorted(
+        (r.variant, r.n_users) for r in direct)
+
+    status, _ = call(app, "POST", "/api/v1/projects/1/queries/experiment",
+                     {**body, "expected": {"view": "not-a-number"}})
+    assert status == 400
+    status, _ = call(app, "POST", "/api/v1/projects/1/queries/experiment",
+                     {**body, "expected": {"view": 0.4}})
+    assert status == 400  # shares don't sum to 1
