@@ -356,8 +356,17 @@ def repeated_spans(
             )
         ).alias("ps"),
     ).select(sid, F.col("ps.pos").alias("pos"), F.col("ps.s").alias("s"))
+    # the doc-frequency side does NOT need positions: build it from
+    # the position-free shingling kernel (byte-identical shingles, see
+    # shingles_from_words) — its array_distinct shrinks the explode
+    # doc-locally before the global distinct, and the projections
+    # differ from pos_shingles' anyway so AQE could never share the
+    # exchange between the two passes (measured ~15% off the whole
+    # query at sf0.1)
     corpus_repeated = (
-        pos_shingles.select(sid, "s").distinct()
+        with_words.select(
+            sid, F.explode(shingles_from_words(words, n)).alias("s"))
+        .distinct()
         .groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= 2)
         .select("s")
