@@ -464,3 +464,38 @@ def test_streaming_growth_ledger_differential(spark, tmp_path):
     u1 = {(str(b), k) for (u, _), (b, k) in per_key.items() if u == 1}
     assert ("2024-01-22", "retained") in u1
     assert ("2024-01-15", "retained") in u1
+
+
+def test_user_ledger_properties():
+    """Property-based pin of the shared single-user ledger spec
+    (streaming/growth.user_ledger) against independent set logic:
+    status kinds from membership, churn points from the gap set,
+    and the all-consecutive / all-isolated extremes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from optiprism_spark.streaming.growth import user_ledger
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.sets(st.integers(0, 40), min_size=1, max_size=12),
+           st.sampled_from([1, 7]))
+    def check(day_idx, step):
+        days = sorted(d * step for d in day_idx)
+        active = set(days)
+        rows = user_ledger(days, step)
+        status = {b: k for b, k in rows if k != "churned"}
+        churn = {b for b, k in rows if k == "churned"}
+        # exactly one status row per active bucket
+        assert set(status) == active
+        for b in active:
+            if not any(d < b for d in active):
+                assert status[b] == "new"
+            elif b - step in active:
+                assert status[b] == "retained"
+            else:
+                assert status[b] == "resurrected"
+        # churn points: active bucket whose successor bucket is quiet
+        assert churn == {b + step for b in active
+                         if b + step not in active}
+
+    check()
