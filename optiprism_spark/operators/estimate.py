@@ -189,3 +189,37 @@ def rel_err_hint(rate: float, sampled_users: int,
         return None
     n_hat = sampled_users / rate
     return confidence_z * math.sqrt((1.0 - rate) / (rate * n_hat))
+
+
+def estimated_growth_accounting(
+    events: DataFrame,
+    rate: float,
+    seed: str = "est",
+    **growth_kwargs,
+) -> DataFrame:
+    """Growth-accounting ledger over a user-coherent sample. The
+    coherence is what makes this sound: a kept user keeps their WHOLE
+    timeline, so their per-bucket classification (new / retained /
+    resurrected / churned) is computed EXACTLY — sampling only thins
+    which users are counted, and every ledger column is an additive
+    user count, so all five scale by 1/rate to population estimates
+    (HT, same estimator as the count/retention paths).
+
+    One caveat inherits from the batch operator: the churn cap uses
+    the SAMPLE's last observed bucket, which can precede the
+    population's on very sparse tails — at practical rates the last
+    bucket is shared and the reports align bucket-for-bucket."""
+    from .engagement import growth_accounting
+
+    out = growth_accounting(
+        user_sample(events, rate, seed,
+                    group_col=growth_kwargs.get("group_col",
+                                                EVENT_USER_COL)),
+        **growth_kwargs)
+    if rate == 1.0:
+        return out
+    inv = 1.0 / float(rate)
+    for c in ("new_users", "retained_users", "resurrected_users",
+              "churned_users", "active_users"):
+        out = out.withColumn(c, (F.col(c) * F.lit(inv)).cast("double"))
+    return out

@@ -156,11 +156,12 @@ def retention_revenue_weekly(spark, sf_dir):
     )
 
 
-def _growth_oracle(unit: str, step_days: int, time=S.T_FULL) -> str:
+def _growth_oracle(unit: str, step_days: int, time=S.T_FULL,
+                   extra_pred: str = "") -> str:
     return f"""
     WITH a AS (
       SELECT DISTINCT user_id AS u, {S.bucket(unit)} AS bucket
-      FROM events WHERE {S.ts_between(*time)}
+      FROM events WHERE {S.ts_between(*time)}{extra_pred}
     ), lastb AS (
       SELECT max(bucket) AS last_b FROM a
     ), x AS (

@@ -30,6 +30,7 @@ from ..operators.estimate import (
 from ..registry import query
 from ..schema import load_table
 from . import _sql as S
+from .engagement import _growth_oracle
 from .retention import _oracle as _retention_oracle
 
 _FULL = QueryTime.between(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59))
@@ -187,4 +188,30 @@ def est_retention_weekly_sampled(spark, sf_dir):
         cohort_event=EventRef("signup"),
         return_event=EventRef("purchase"),
         time=_FULL, interval=TimeIntervalUnit.WEEK, max_periods=8,
+    )
+
+
+@query(
+    "est_growth_weekly_sampled",
+    oracle=(
+        "SELECT bucket, new_users * 4.0 AS new_users, "
+        "retained_users * 4.0 AS retained_users, "
+        "resurrected_users * 4.0 AS resurrected_users, "
+        "churned_users * 4.0 AS churned_users, "
+        "active_users * 4.0 AS active_users FROM (\n"
+        + _growth_oracle("week", 7, extra_pred=f" AND {_sampled(0.25)}")
+        + "\n) x"
+    ),
+)
+def est_growth_weekly_sampled(spark, sf_dir):
+    """Weekly growth ledger from a 25% user-coherent sample: each
+    kept user's classification is EXACT (their whole timeline is
+    kept), every column is an additive user count, so all five scale
+    by 1/rate to population estimates."""
+    from ..dsl import TimeIntervalUnit
+    from ..operators.estimate import estimated_growth_accounting
+
+    return estimated_growth_accounting(
+        load_table(spark, sf_dir, "events"), 0.25,
+        time=_FULL, period=TimeIntervalUnit.WEEK,
     )

@@ -223,3 +223,34 @@ def test_sampled_funnel_respects_group_col(spark):
     assert set(est) == set(raw) and est
     for b in est:
         assert est[b]["total"] == raw[b]["total"] * 4.0
+
+
+def test_estimated_growth_accuracy_and_scaling(spark):
+    """25% coherent sample: per-bucket scaled ledger counts land near
+    ground truth (coherence keeps each kept user's classification
+    exact — only the WHO is thinned, never the timeline); rate=1 is
+    an exact long-typed passthrough."""
+    from optiprism_spark.dsl import TimeIntervalUnit
+    from optiprism_spark.operators.engagement import growth_accounting
+    from optiprism_spark.operators.estimate import (
+        estimated_growth_accounting,
+    )
+
+    events = load_table(spark, SF, "events")
+    kw = dict(time=WINDOW, period=TimeIntervalUnit.WEEK)
+    est = {str(r["bucket"]): r for r in
+           estimated_growth_accounting(events, 0.25, **kw).collect()}
+    truth = {str(r["bucket"]): r for r in
+             growth_accounting(events, **kw).collect()}
+    assert set(est) == set(truth)
+    for b in truth:
+        for c in ("new_users", "active_users", "churned_users"):
+            t = truth[b][c]
+            if t >= 40:  # enough mass for the binomial bound to bite
+                bound = rel_err_hint(0.25, int(round(est[b][c] * 0.25)),
+                                     confidence_z=4.0)
+                assert abs(est[b][c] - t) / t <= bound, (b, c, est[b][c], t)
+
+    exact = estimated_growth_accounting(events, 1.0, **kw).collect()
+    assert sorted(map(str, exact)) == sorted(
+        map(str, growth_accounting(events, **kw).collect()))
