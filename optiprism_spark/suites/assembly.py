@@ -375,3 +375,63 @@ def asm_curriculum_phases(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return curriculum_phases(docs, "n_chars", n_phases=4)
+
+
+@query(
+    "asm_training_pipeline_weighted",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars, {{Q}} AS quality_score FROM documents
+    ), probs AS (
+      SELECT doc_id, n_chars,
+             LEAST(1.0, quality_score / 0.7) AS keep_prob
+      FROM scored
+    ), kept AS (
+      SELECT doc_id, n_chars, keep_prob, 1.0 / keep_prob AS ht_weight
+      FROM probs WHERE {_u_sql('doc_id', 'importance')} < keep_prob
+    ), surv AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ), base AS (
+      SELECT k.* FROM kept k JOIN surv USING (doc_id)
+    ), s AS (
+      SELECT doc_id, n_chars, keep_prob, ht_weight,
+             {_split_case_sql()} AS split
+      FROM (SELECT b.*, {_u_sql('doc_id', 'split')} AS u FROM base b)
+    ), e AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM s
+    )
+    SELECT doc_id, split, keep_prob, ht_weight,
+           CAST(n_chars > q1 AS INT) + CAST(n_chars > q2 AS INT)
+             + CAST(n_chars > q3 AS INT) AS phase,
+           {_u_sql('doc_id', 'curriculum')} AS shuffle_key
+    FROM s, e
+    """.replace("{Q}", _QUALITY_SQL),
+)
+def asm_training_pipeline_weighted(spark, sf_dir):
+    """The r14 pipeline composition: quality-weighted soft filter
+    (HT-reweighted, never a hard cut) -> exact-dedup survivors ->
+    deterministic split -> curriculum phases whose quantile edges are
+    computed over the SURVIVING corpus (the population the trainer
+    actually sees). Every stage is individually oracled; this checks
+    the stage boundaries under the new sampling ops."""
+    from ..operators.assembly import curriculum_phases, importance_sample
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.join(quality_score(docs), "doc_id").select(
+        "doc_id", "n_chars", "quality_score")
+    kept = importance_sample(scored, F.col("quality_score"), pivot=0.7)
+    survivors = exact_dedup(docs).select("doc_id")
+    base = kept.join(survivors, "doc_id", "left_semi")
+    s = dataset_split(base, _WEIGHTS)
+    cur = curriculum_phases(s, "n_chars", n_phases=4)
+    return s.select("doc_id", "split", "keep_prob", "ht_weight").join(
+        cur.select("doc_id", "phase", "shuffle_key"), "doc_id")
