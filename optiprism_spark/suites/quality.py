@@ -262,3 +262,49 @@ def dq_freshness_events(spark, sf_dir):
     return Q.validate(events, [
         Q.freshness("ts", 48.0, "2024-02-01 00:00:00"),
     ])
+
+
+@query(
+    "dq_metrics_anomaly",
+    oracle=f"""
+    WITH series AS ({_DAILY_ORACLE}),
+    med AS (
+      SELECT "constraint", median(metric) AS med FROM series GROUP BY 1
+    ), mad AS (
+      SELECT s."constraint", median(abs(s.metric - m.med)) AS mad
+      FROM series s JOIN med m USING ("constraint") GROUP BY 1
+    )
+    SELECT s.day, s."constraint", s.target, s.metric, s.lower_bound,
+           s.upper_bound, s.passed,
+           m.med AS baseline_median,
+           CASE WHEN d.mad > 0
+                THEN round((s.metric - m.med) / (1.4826 * d.mad), 9) END
+             AS robust_z,
+           COALESCE(d.mad > 0 AND
+             abs(round((s.metric - m.med) / (1.4826 * d.mad), 9)) > 3.5,
+             FALSE) AS is_anomaly
+    FROM series s
+    JOIN med m USING ("constraint")
+    JOIN mad d USING ("constraint")
+    """,
+)
+def dq_metrics_anomaly(spark, sf_dir):
+    """Slow-rot sweep COMPOSED: the per-day battery series swept with
+    the Hampel detector, each constraint against its own median/MAD
+    baseline — the query a pipeline schedules to catch quality decay
+    that every single snapshot's gate passes. Both halves are
+    individually oracled; this checks the composition."""
+    from pyspark.sql import functions as F
+
+    from ..operators.alerts import robust_anomaly_flags
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date"))
+    series = Q.validate(daily, [
+        Q.completeness("value"),
+        Q.mean_between("value", 1.0, 500.0),
+        Q.row_count_between(1),
+    ], by=["day"])
+    return robust_anomaly_flags(series, "metric", threshold=3.5,
+                                by=("constraint",))
