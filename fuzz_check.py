@@ -59,7 +59,7 @@ def main() -> None:
     ap.add_argument("--suite", default="all",
                     choices=["seg", "funnel", "paths", "retention",
                              "attribution", "estimate", "rollup",
-                             "funnel_layout", "quality", "growth", "all"])
+                             "funnel_layout", "quality", "growth", "rfm", "all"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.seed0 is None:
@@ -68,7 +68,8 @@ def main() -> None:
     from optiprism_spark.session import get_spark
     from tests import _fuzz_estimate, _fuzz_funnel, _fuzz_seg
     from tests._fuzz_journeys import (attribution_suite, growth_suite,
-                                      paths_suite, retention_suite)
+                                      paths_suite, retention_suite,
+                                      rfm_suite)
     from tests._oracle import assert_frames_match, duckdb_connection
 
     spark = get_spark("optiprism_spark_fuzz")
@@ -88,6 +89,8 @@ def main() -> None:
         jobs.append(("attribution", attribution_suite, args.n_journeys))
     if args.suite in ("growth", "all"):
         jobs.append(("growth", growth_suite, args.n_journeys))
+    if args.suite in ("rfm", "all"):
+        jobs.append(("rfm", rfm_suite, args.n_journeys))
     if args.suite in ("estimate", "all"):
         jobs.append(("estimate", _fuzz_estimate, args.n_journeys))
     if args.suite in ("rollup", "all"):

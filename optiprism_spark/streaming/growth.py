@@ -73,7 +73,17 @@ def user_ledger(days: list, step: int) -> list:
     return rows
 
 
-def _make_update(step: int):
+def _idx_to_date(idx: int, period: str) -> dt.date:
+    """Inverse of the stream's period-index projection: day/week
+    indexes are days since epoch; month indexes count months since
+    1970-01 (months have no fixed day step, so they get their own
+    index space where consecutive means step 1)."""
+    if period == "month":
+        return dt.date(1970 + idx // 12, idx % 12 + 1, 1)
+    return _EPOCH + dt.timedelta(days=idx)
+
+
+def _make_update(step: int, period: str):
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -85,7 +95,7 @@ def _make_update(step: int):
         state.update((days,))
         version = len(days)
         out = [
-            (user, _EPOCH + dt.timedelta(days=b), kind, version)
+            (user, _idx_to_date(b, period), kind, version)
             for b, kind in user_ledger(days, step)
         ]
         yield pd.DataFrame(
@@ -104,31 +114,35 @@ def streaming_growth_ledger(
 
     Returns the streaming DataFrame (Update mode): (user_id, bucket,
     kind, version) — consumers upsert by user keeping max-version
-    rows, then count by (bucket, kind). ``period``: "day" | "week"
-    (month has no fixed day step; the batch operator covers it).
+    rows, then count by (bucket, kind). ``period``: "day" | "week" |
+    "month" (months ride their own index space — months since
+    1970-01 — where consecutive means step 1, sidestepping the
+    variable day count).
     """
-    if period not in ("day", "week"):
-        raise ValueError("streaming growth period must be day or week")
+    if period not in ("day", "week", "month"):
+        raise ValueError("streaming growth period must be "
+                         "day, week or month")
     step = 7 if period == "week" else 1
     from ..shipping import ensure_shipped
 
     ensure_shipped(spark)
+    b = F.date_trunc(period, F.col(EVENT_TIME_COL)).cast("date")
+    if period == "month":
+        idx = ((F.year(b) - F.lit(1970)) * F.lit(12)
+               + F.month(b) - F.lit(1)).cast("long")
+    else:
+        idx = F.datediff(b, F.lit(_EPOCH.isoformat()).cast("date")).cast(
+            "long")
     stream = (
         spark.readStream.schema(schema)
         .parquet(source_dir)
         .filter(F.col(EVENT_TIME_COL).isNotNull()
                 & F.col(EVENT_USER_COL).isNotNull())
-        .withColumn(
-            "__day",
-            F.datediff(
-                F.date_trunc(period, F.col(EVENT_TIME_COL)).cast("date"),
-                F.lit(_EPOCH.isoformat()).cast("date"),
-            ).cast("long"),
-        )
+        .withColumn("__day", idx)
         .select(EVENT_USER_COL, "__day")
     )
     return stream.groupBy(F.col(EVENT_USER_COL)).applyInPandasWithState(
-        _make_update(step),
+        _make_update(step, period),
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",

@@ -214,46 +214,65 @@ def eng_growth_accounting_daily(spark, sf_dir):
         period=TimeIntervalUnit.DAY)
 
 
-_RFM_PER_USER = f"""
+def _rfm_per_user(time=S.T_FULL) -> str:
+    end_date = time[1].split(" ")[0]
+    return f"""
       SELECT user_id,
-             date_diff('day', MAX({S.bucket('day')}), DATE '2024-01-31')
+             date_diff('day', MAX({S.bucket('day')}), DATE '{end_date}')
                AS recency_days,
              COUNT(*) AS frequency,
              CAST(COALESCE(SUM(CAST(value AS {S.DECIMAL_T})), 0) AS DOUBLE)
                AS monetary
-      FROM events WHERE {S.ts_between(*S.T_FULL)}
+      FROM events WHERE {S.ts_between(*time)}
       GROUP BY 1
 """
 
-_RFM_EDGES = """
-      SELECT
-        quantile_cont(recency_days, 0.2) AS r0,
-        quantile_cont(recency_days, 0.4) AS r1,
-        quantile_cont(recency_days, 0.6) AS r2,
-        quantile_cont(recency_days, 0.8) AS r3,
-        quantile_cont(frequency, 0.2) AS f0,
-        quantile_cont(frequency, 0.4) AS f1,
-        quantile_cont(frequency, 0.6) AS f2,
-        quantile_cont(frequency, 0.8) AS f3,
-        quantile_cont(monetary, 0.2) AS m0,
-        quantile_cont(monetary, 0.4) AS m1,
-        quantile_cont(monetary, 0.6) AS m2,
-        quantile_cont(monetary, 0.8) AS m3
-      FROM pu
-"""
+
+def _rfm_edges(n_tiles: int = 5) -> str:
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    cols = []
+    for p, col in (("r", "recency_days"), ("f", "frequency"),
+                   ("m", "monetary")):
+        cols += [f"quantile_cont({col}, {q!r}) AS {p}{i}"
+                 for i, q in enumerate(qs)]
+    return "SELECT " + ", ".join(cols) + " FROM pu"
+
 
 def _tile(col: str, p: str, n: int = 4) -> str:
     return " + ".join(
         f"CAST({col} > {p}{i} AS INT)" for i in range(n))
 
 
-_RFM_SCORED = f"""
+def _rfm_scored(n_tiles: int = 5) -> str:
+    k = n_tiles - 1
+    return f"""
       SELECT user_id, recency_days, frequency, monetary,
-             5 - ({_tile('recency_days', 'r')}) AS r_score,
-             1 + ({_tile('frequency', 'f')}) AS f_score,
-             1 + ({_tile('monetary', 'm')}) AS m_score
+             {n_tiles} - ({_tile('recency_days', 'r', k)}) AS r_score,
+             1 + ({_tile('frequency', 'f', k)}) AS f_score,
+             1 + ({_tile('monetary', 'm', k)}) AS m_score
       FROM pu, e
 """
+
+
+def _rfm_oracle(n_tiles: int = 5, time=S.T_FULL, grid: bool = False) -> str:
+    body = f"""
+    WITH pu AS ({_rfm_per_user(time)}), e AS ({_rfm_edges(n_tiles)})
+    {_rfm_scored(n_tiles)}
+    """
+    if not grid:
+        return body
+    return f"""
+    WITH pu AS ({_rfm_per_user(time)}), e AS ({_rfm_edges(n_tiles)}),
+    scored AS ({_rfm_scored(n_tiles)})
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+           CAST(SUM(CAST(monetary AS {S.DECIMAL_T})) AS DOUBLE)
+             AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """
+
+_RFM_PER_USER = _rfm_per_user()
+_RFM_EDGES = _rfm_edges()
+_RFM_SCORED = _rfm_scored()
 
 
 @query(

@@ -207,19 +207,24 @@ class growth_suite:
         rng = random.Random(0x6807_0000 + seed)
         d0, d1 = _time_range(rng)
         unit, step = rng.choice((("day", 1), ("week", 7)))
-        return {"seed": seed, "unit": unit, "step": step, "d0": d0, "d1": d1}
+        event = rng.choice((None,) + EVENT_TYPES)
+        return {"seed": seed, "unit": unit, "step": step,
+                "event": event, "d0": d0, "d1": d1}
 
     @staticmethod
     def spec_to_sql(s: dict) -> str:
         import optiprism_spark.registry  # noqa: F401 — break import cycle
         from optiprism_spark.suites.engagement import _growth_oracle
 
+        pred = (f" AND event_type = '{s['event']}'"
+                if s.get("event") else "")
         return _growth_oracle(s["unit"], s["step"],
-                              time=_sql_time(s["d0"], s["d1"]))
+                              time=_sql_time(s["d0"], s["d1"]),
+                              extra_pred=pred)
 
     @staticmethod
     def run_spec(spark, sf_dir: str, s: dict):
-        from optiprism_spark.dsl import TimeIntervalUnit
+        from optiprism_spark.dsl import EventRef, TimeIntervalUnit
         from optiprism_spark.operators.engagement import growth_accounting
         from optiprism_spark.schema import load_table
 
@@ -227,4 +232,47 @@ class growth_suite:
             load_table(spark, sf_dir, "events"),
             _qt(s["d0"], s["d1"]),
             period=TimeIntervalUnit(s["unit"]),
+            event=EventRef(s["event"]) if s.get("event") else None,
+        )
+
+
+# ------------------------------------------------------------------- rfm
+
+class rfm_suite:
+    """RFM scoring vs its oracle over random tile counts, windows and
+    output shapes — percentile-edge ties and the inverted recency
+    scale are where off-by-one-tile bugs would live."""
+
+    @staticmethod
+    def gen_spec(seed: int) -> dict:
+        rng = random.Random(0x0F37_0000 + seed)
+        d0, d1 = _time_range(rng)
+        return {"seed": seed, "n_tiles": rng.choice((3, 4, 5, 6)),
+                "grid": seed % 3 == 2, "d0": d0, "d1": d1}
+
+    @staticmethod
+    def spec_to_sql(s: dict) -> str:
+        import optiprism_spark.registry  # noqa: F401 — break import cycle
+        from optiprism_spark.suites.engagement import _rfm_oracle
+
+        return _rfm_oracle(s["n_tiles"], time=_sql_time(s["d0"], s["d1"]),
+                           grid=s["grid"])
+
+    @staticmethod
+    def run_spec(spark, sf_dir: str, s: dict):
+        from pyspark.sql import functions as F
+
+        from optiprism_spark.operators.aggregates import DECIMAL_T
+        from optiprism_spark.operators.engagement import rfm_scores
+        from optiprism_spark.schema import load_table
+
+        out = rfm_scores(
+            load_table(spark, sf_dir, "events"),
+            _qt(s["d0"], s["d1"]), n_tiles=s["n_tiles"])
+        if not s["grid"]:
+            return out
+        return out.groupBy("r_score", "f_score", "m_score").agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("monetary").cast(DECIMAL_T)).cast("double")
+            .alias("total_monetary"),
         )

@@ -576,3 +576,52 @@ def test_cobucketed_semi_join_elides_exchange(spark):
             "PushedFilters")[1].split("]")[0], plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_attribution_join_elides_shuffle_on_bucketed_lake(spark):
+    """attribution_report's conversions x touches pairing joins on the
+    user key — on the user-bucketed lake layout both sides inherit the
+    bucket partitioning through their filters/aliases, so the join AND
+    the (user, conversion) window run Exchange-free up to the final
+    per-channel aggregate (Catalyst does this natively off the bucket
+    metadata — no assume_partitioned knob needed, unlike the
+    applyInPandas funnel). Results match the raw-scan plan exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.ingest import write_events_bucketed
+    from optiprism_spark.operators.attribution import attribution_report
+    from optiprism_spark.schema import load_table
+
+    from .conftest import drop_table_clean
+
+    events = load_table(spark, SF_SMOKE, "events")
+    drop_table_clean(spark, "events_attr_bucketed_test")
+    write_events_bucketed(events, "events_attr_bucketed_test", n_buckets=4)
+    try:
+        bucketed = spark.table("events_attr_bucketed_test")
+        kw = dict(
+            channel_col=F.col("event_type"),
+            touch_event=EventRef("view"),
+            conversion_event=EventRef("purchase"),
+            time=QueryTime.between(
+                dt.datetime(2024, 1, 1),
+                dt.datetime(2024, 1, 31, 23, 59, 59)),
+            model="time_decay",
+            lookback=dt.timedelta(days=7),
+        )
+        fast = attribution_report(bucketed, **kw)
+        plan = _plan(fast)
+        # exactly ONE exchange may remain: the k-row per-channel
+        # aggregate after the user-grain work (plus its broadcast)
+        import re
+        shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)",
+                              plan)
+        assert all("user_id" not in s for s in shuffles), shuffles
+        slow = attribution_report(events, **kw)
+        assert sorted(map(str, fast.collect())) == sorted(
+            map(str, slow.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_attr_bucketed_test")

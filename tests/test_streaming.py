@@ -499,3 +499,46 @@ def test_user_ledger_properties():
                          if b + step not in active}
 
     check()
+
+
+def test_streaming_growth_ledger_month_grain(spark, tmp_path):
+    """Month grain rides its own index space (months since 1970-01):
+    consecutive calendar months read retained even across different
+    day counts and year boundaries."""
+    import datetime as dtm
+
+    from optiprism_spark.streaming.growth import streaming_growth_ledger
+
+    rows = [
+        (1, dtm.datetime(2023, 11, 20, 9), 1, "view", 0.0, "{}"),
+        (2, dtm.datetime(2023, 12, 5, 9), 1, "view", 0.0, "{}"),
+        (3, dtm.datetime(2024, 1, 30, 9), 1, "view", 0.0, "{}"),
+        (4, dtm.datetime(2024, 3, 2, 9), 1, "view", 0.0, "{}"),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src = os.path.join(str(tmp_path), "growth_month_src")
+    os.makedirs(src)
+    df.coalesce(1).write.mode("append").parquet(src)
+    out = streaming_growth_ledger(spark, df.schema, src, period="month")
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("growth_month_out").start())
+    try:
+        q.processAllAvailable()
+        got = {(str(r.bucket), r.kind) for r in
+               spark.sql("SELECT * FROM growth_month_out").collect()}
+    finally:
+        q.stop()
+    assert got == {
+        ("2023-11-01", "new"),
+        ("2023-12-01", "retained"),     # Nov -> Dec: 30-day month
+        ("2024-01-01", "retained"),     # Dec -> Jan: year boundary
+        ("2024-02-01", "churned"),      # quiet Feb
+        ("2024-03-01", "resurrected"),
+        ("2024-04-01", "churned"),      # trailing churn (uncapped)
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        streaming_growth_ledger(spark, df.schema, src, period="hour")
