@@ -514,3 +514,24 @@ def test_embedding_centroid_drift_hand_computed(spark):
 
     with pytest.raises(ValueError):
         embedding_centroid_drift(emb, current=F.lit(True), dim=0)
+
+
+def test_embedding_centroid_drift_global(spark):
+    """by=None: one global row via the constant-key broadcast pairing
+    (the branch the per-label queries never touch)."""
+    import pyspark.sql.functions as F
+
+    from optiprism_spark.operators.drift import embedding_centroid_drift
+
+    rows = [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0),
+            (2, [1.0, 0.0], 1), (3, [0.0, 1.0], 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = embedding_centroid_drift(
+        emb, current=(F.col("vec_id") % 2 == 1), dim=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    # ref centroid (1,0)+(1,0) avg=(1,0); cur (0,1)+(0,1) avg=(0,1)
+    assert r["n_ref"] == 2 and r["n_cur"] == 2
+    assert r["centroid_cosine"] == 0.0
+    assert abs(r["centroid_l2"] - round(2 ** 0.5, 9)) < 1e-12

@@ -201,3 +201,34 @@ def test_rfm_hand_computed(spark):
         rfm_scores(events, WINDOW, n_tiles=1)
     with pytest.raises(ValueError):
         rfm_scores(events, QueryTime.from_(dt.datetime(2024, 1, 1)))
+
+
+def test_growth_accounting_month_grain(spark):
+    """Month buckets step by add_months: consecutive calendar months
+    read retained across a year boundary; a quiet month churns."""
+    from optiprism_spark.operators.engagement import growth_accounting
+
+    rows = [
+        (1, dt.datetime(2023, 11, 20, 9), 1, "view", 0.0, "{}"),
+        (2, dt.datetime(2023, 12, 5, 9), 1, "view", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 30, 9), 1, "view", 0.0, "{}"),
+        (4, dt.datetime(2024, 3, 2, 9), 1, "view", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    W = QueryTime.between(dt.datetime(2023, 11, 1),
+                          dt.datetime(2024, 3, 31, 23, 59, 59))
+    out = {str(r["bucket"]): (r["new_users"], r["retained_users"],
+                              r["resurrected_users"], r["churned_users"])
+           for r in growth_accounting(
+               events, W, period=TimeIntervalUnit.MONTH).collect()}
+    assert out == {
+        "2023-11-01": (1, 0, 0, 0),
+        "2023-12-01": (0, 1, 0, 0),
+        "2024-01-01": (0, 1, 0, 0),   # year boundary retained
+        "2024-02-01": (0, 0, 0, 1),   # quiet month churns
+        "2024-03-01": (0, 0, 1, 0),   # resurrected; trailing churn capped
+    }
