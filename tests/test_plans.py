@@ -602,26 +602,29 @@ def test_attribution_join_elides_shuffle_on_bucketed_lake(spark):
     write_events_bucketed(events, "events_attr_bucketed_test", n_buckets=4)
     try:
         bucketed = spark.table("events_attr_bucketed_test")
-        kw = dict(
+        base_kw = dict(
             channel_col=F.col("event_type"),
             touch_event=EventRef("view"),
             conversion_event=EventRef("purchase"),
             time=QueryTime.between(
                 dt.datetime(2024, 1, 1),
                 dt.datetime(2024, 1, 31, 23, 59, 59)),
-            model="time_decay",
             lookback=dt.timedelta(days=7),
         )
-        fast = attribution_report(bucketed, **kw)
-        plan = _plan(fast)
-        # exactly ONE exchange may remain: the k-row per-channel
-        # aggregate after the user-grain work (plus its broadcast)
         import re
-        shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)",
-                              plan)
-        assert all("user_id" not in s for s in shuffles), shuffles
-        slow = attribution_report(events, **kw)
-        assert sorted(map(str, fast.collect())) == sorted(
-            map(str, slow.collect()))
+        for model in ("first_touch", "last_touch", "linear",
+                      "time_decay", "position"):
+            kw = dict(base_kw, model=model)
+            fast = attribution_report(bucketed, **kw)
+            plan = _plan(fast)
+            # no user-keyed shuffle may remain: only the k-row
+            # per-channel aggregate (plus broadcasts) shuffles
+            shuffles = re.findall(
+                r"Exchange hashpartitioning\(([^)]*)\)", plan)
+            assert all("user_id" not in s for s in shuffles), (
+                model, shuffles)
+            slow = attribution_report(events, **kw)
+            assert sorted(map(str, fast.collect())) == sorted(
+                map(str, slow.collect())), model
     finally:
         spark.sql("DROP TABLE IF EXISTS events_attr_bucketed_test")
