@@ -542,3 +542,64 @@ def test_streaming_growth_ledger_month_grain(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         streaming_growth_ledger(spark, df.schema, src, period="hour")
+
+
+def test_streaming_growth_checkpoint_recovery(spark, tmp_path):
+    """Stop the growth ledger mid-corpus and restart FROM ITS
+    CHECKPOINT: the per-user bucket-seen state must survive, so a
+    user whose weeks straddle the stop boundary still reads
+    retained/resurrected (a state wipe would re-classify their
+    post-restart week as 'new'). The recovered run's final ledger
+    equals an uninterrupted run's."""
+    import datetime as dtm
+
+    from optiprism_spark.streaming.growth import streaming_growth_ledger
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def e(i, day, user):
+        return (i, dtm.datetime(2024, 1, day, 10), user, "view", 0.0, "{}")
+
+    chunk1 = [e(1, 1, 1), e(2, 8, 1), e(3, 1, 2)]
+    # u1 week-3 lands AFTER the restart: retained only if state
+    # survived; u2 resurfaces week 4: resurrected only with state
+    chunk2 = [e(4, 15, 1), e(5, 22, 2)]
+
+    def run(src, ckpt, out_dir, feed):
+        os.makedirs(src, exist_ok=True)
+
+        def write_batch(bdf, bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        for chunk in feed:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q = (streaming_growth_ledger(
+                    spark, spark.createDataFrame([], schema).schema, src,
+                    period="week")
+                 .writeStream.outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .foreachBatch(write_batch).start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()  # a REAL stop/restart between chunks
+        return spark.read.parquet(out_dir).collect()
+
+    def final_ledger(rows):
+        latest = {}
+        for r in rows:
+            latest[r.user_id] = max(latest.get(r.user_id, 0), r.version)
+        return {(r.user_id, str(r.bucket)): r.kind for r in rows
+                if r.version == latest[r.user_id]}
+
+    recovered = final_ledger(run(
+        str(tmp_path / "src_a"), str(tmp_path / "ck_a"),
+        str(tmp_path / "out_a"), [chunk1, chunk2]))
+    straight = final_ledger(run(
+        str(tmp_path / "src_b"), str(tmp_path / "ck_b"),
+        str(tmp_path / "out_b"), [chunk1 + chunk2]))
+    assert recovered == straight
+    assert recovered[(1, "2024-01-15")] == "retained"
+    assert recovered[(2, "2024-01-22")] == "resurrected"
