@@ -118,3 +118,35 @@ def append_events(df: DataFrame, path: str, mode: str = "append") -> None:
             .parquet(path)
         )
     metrics.store_inserts_total().inc()
+
+
+def session_duration_histogram(
+    events: DataFrame,
+    gap_us: int = SESSION_GAP_US,
+    bucket_secs: int = 60,
+) -> DataFrame:
+    """Session-duration distribution: session counts by duration
+    bucket (``bucket_secs``-wide, label = inclusive lower edge in
+    seconds) — the engagement-depth curve next to the per-user means
+    of `session_stats`. Single-event sessions have duration 0 and
+    land in the first bucket. Pure integer µs arithmetic end to end
+    (exact on both engines); one sessionize window + two
+    partial-aggregated groupBys, histogram-cardinality output."""
+    if bucket_secs <= 0:
+        raise ValueError(f"bucket_secs must be > 0, got {bucket_secs}")
+    s = sessionize(events, gap_us)
+    per_session = s.groupBy(EVENT_USER_COL, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.unix_micros(F.col(EVENT_TIME_COL)))
+            - F.min(F.unix_micros(F.col(EVENT_TIME_COL)))
+        ).alias("dur_us"),
+    )
+    bucket = (
+        F.floor(F.col("dur_us") / F.lit(int(bucket_secs) * 1_000_000))
+        * F.lit(int(bucket_secs))
+    ).alias("bucket_secs")
+    return per_session.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )

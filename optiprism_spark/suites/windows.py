@@ -160,3 +160,35 @@ def session_begin_daily(spark, sf_dir):
         .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "session_duration_histogram",
+    oracle=f"""
+    WITH {_SESSIONIZE},
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    ),
+    ps AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(floor(dur_us / 60000000) * 60 AS BIGINT) AS bucket_secs,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM ps GROUP BY 1
+    """,
+)
+def session_duration_histogram(spark, sf_dir):
+    """Session-duration distribution (60-second buckets, label =
+    lower edge): the engagement-depth curve — pure integer micros
+    arithmetic, histogram-cardinality output."""
+    from ..streaming.sessionize import (
+        session_duration_histogram as _hist,
+    )
+
+    return _hist(load_table(spark, sf_dir, "events"))
