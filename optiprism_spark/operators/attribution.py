@@ -111,6 +111,15 @@ def attribution_report(
     """
     if model not in _MODELS:
         raise ValueError(f"model must be one of {_MODELS}, got {model!r}")
+    if model == "time_decay" and half_life.total_seconds() <= 0:
+        # half_life=0 makes the decay exponent age/0 — NaN for
+        # simultaneous touches (which survives F.greatest under
+        # Spark's NaN-is-greatest ordering and casts to a NULL
+        # decimal weight); a negative half_life silently INVERTS the
+        # decay so older touches earn more credit. Both are silent
+        # wrong answers — fail loudly (the server surfaces a 400).
+        raise ValueError(
+            f"time_decay half_life must be positive, got {half_life}")
 
     t_cond = full_filter(time, touch_event, filters)
     touches = (events.filter(t_cond) if t_cond is not None else events).select(
@@ -151,7 +160,15 @@ def attribution_report(
         "left_outer",
     ).drop("__t_user")
     unmatched = F.col("__t_id").isNull()
-    channel = F.coalesce(F.col("__channel"), F.lit(NONE_CHANNEL))
+    # the '(none)' bucket is exactly the UNMATCHED conversions (no
+    # eligible touch); a matched touch whose channel value is NULL
+    # stays its own (null) group — coalescing on __channel conflated
+    # the two, crediting null-channel touches as "unattributed" while
+    # the DuckDB oracle keeps them separate (GROUP BY on the raw
+    # channel). __t_id is never null on a matched row, so the
+    # unmatched predicate is the precise discriminator.
+    channel = F.when(unmatched, F.lit(NONE_CHANNEL)).otherwise(
+        F.col("__channel"))
 
     if model in ("first_touch", "last_touch"):
         order = (

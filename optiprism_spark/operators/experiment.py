@@ -177,16 +177,32 @@ def srm_check(
     if expected is not None:
         if abs(sum(expected.values()) - 1.0) > 1e-9:
             raise ValueError(f"expected shares must sum to 1: {expected}")
+        # df is fixed by the DECLARED allocation — validate before any
+        # job so a malformed request (1 arm, or >10 arms with no crit
+        # entry) fails as a 400, never a silently-unflagged statistic
+        if len(expected) - 1 not in SRM_CRIT_001:
+            raise ValueError(
+                f"srm_check supports 2..{max(SRM_CRIT_001) + 1} expected "
+                f"variants (df 1..{max(SRM_CRIT_001)}), got {len(expected)}")
         shares = spark.createDataFrame(
             [(v, float(s)) for v, s in sorted(expected.items())],
             "variant string, __share double")
-        counts = counts.join(F.broadcast(shares), "variant", "left")
+        # chi-square cells are the UNION of expected and observed
+        # variants: an expected-but-UNOBSERVED arm is the most extreme
+        # sample-ratio mismatch there is (all its traffic went
+        # elsewhere) and must contribute its zero-count cell — a left
+        # join from observed counts would drop it and could report
+        # srm_flag=False on a totally broken allocation
+        counts = counts.join(shares, "variant", "full_outer")
         # an observed variant missing from the allocation IS an SRM
         # by definition — but a silent NULL would drop it from the
         # statistic; fail loudly (bounded job over k rows)
         if counts.filter(F.col("__share").isNull()).head(1):
             raise ValueError(
                 "observed variants missing from expected allocation")
+        counts = counts.withColumn(
+            "n_users", F.coalesce(F.col("n_users"), F.lit(0))
+        ).withColumn("__k", F.lit(1))
     totals = counts.groupBy("__k").agg(
         F.sum("n_users").alias("__total"),
         F.count(F.lit(1)).alias("__n_variants"),
@@ -195,9 +211,13 @@ def srm_check(
     share = (F.col("__share") if expected is not None
              else F.lit(1.0) / F.col("__n_variants").cast("double"))
     e = F.col("__total").cast("double") * share
-    contrib = F.round(
+    # zero total exposures (all cells injected from the allocation):
+    # no traffic is no EVIDENCE of mismatch — chi2 = 0, unflagged —
+    # rather than a 0/0 NaN poisoning the statistic
+    contrib = F.when(e > 0, F.round(
         (F.col("n_users").cast("double") - e)
         * (F.col("n_users").cast("double") - e) / e, 9)
+    ).otherwise(F.lit(0.0))
     x = x.withColumn("expected_users", e).withColumn(
         "chi2_contrib", contrib)
     stat = x.groupBy("__k").agg(
@@ -208,12 +228,22 @@ def srm_check(
     crit = spark.createDataFrame(
         sorted(SRM_CRIT_001.items()), "__df long, __crit double")
     stat = stat.join(F.broadcast(crit), "__df", "left")
+    # a df outside the crit table (equal-split mode with 1 or >10
+    # observed variants — the expected-mode df is validated up front)
+    # must ERROR, not default the flag to False: coalescing a null
+    # critical value would mask an arbitrarily large statistic
+    flag = F.when(
+        F.col("__crit").isNotNull(),
+        F.col("chi2_stat") > F.col("__crit"),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("srm_check: df="), F.col("__df").cast("string"),
+        F.lit(" outside the supported critical-value table (1..9); "
+              "pass an explicit expected allocation of 2..10 variants"))))
     return (
         x.join(F.broadcast(stat), "__k")
         .select(
             "variant", "n_users", "expected_users", "chi2_contrib",
             "chi2_stat",
-            F.coalesce(F.col("chi2_stat") > F.col("__crit"), F.lit(False))
-            .alias("srm_flag"),
+            flag.alias("srm_flag"),
         )
     )

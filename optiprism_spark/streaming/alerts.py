@@ -300,6 +300,46 @@ def rebaseline_drift_alerts(
     return marker
 
 
+def _legacy_verdict_files(metrics_dir: str) -> list:
+    """Flat ``*.parquet`` files at the metrics_dir root — the
+    pre-partitioned quality-log format (batch_id as a data column).
+    One os.listdir: cheap enough to run per micro-batch."""
+    try:
+        names = os.listdir(metrics_dir)
+    except FileNotFoundError:
+        return []
+    return [os.path.join(metrics_dir, f) for f in names
+            if f.endswith(".parquet")]
+
+
+def read_quality_log(spark: SparkSession, metrics_dir: str):
+    """The whole verdict history regardless of layout vintage: the
+    partitioned directories (current format) unioned with any legacy
+    root-level files. Use this instead of a bare
+    ``spark.read.parquet(metrics_dir)`` — Spark's partition discovery
+    refuses (or mis-partitions) a directory that mixes root files
+    with ``batch_id=N`` subdirectories."""
+    legacy = _legacy_verdict_files(metrics_dir)
+    parts = [os.path.join(metrics_dir, d)
+             for d in (os.listdir(metrics_dir)
+                       if os.path.isdir(metrics_dir) else [])
+             if d.startswith("batch_id=")]
+    frames = []
+    if parts:
+        df = spark.read.option("basePath", metrics_dir).parquet(*parts)
+        # partition column comes back typed by discovery; pin long
+        frames.append(df.withColumn(
+            "batch_id", F.col("batch_id").cast("long")))
+    if legacy:
+        frames.append(spark.read.parquet(*legacy))
+    if not frames:
+        raise FileNotFoundError(f"no verdict files under {metrics_dir}")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def streaming_quality_gate(
     spark: SparkSession,
     schema,
@@ -325,6 +365,14 @@ def streaming_quality_gate(
     pass over the micro-batch; the log is PARTITIONED by batch_id so
     the replay probe reads only the current batch's directory — O(1)
     in delivery history, not a full-log scan per micro-batch.
+
+    Legacy layout: metrics_dir written by the pre-partitioned format
+    (flat ``part-*.parquet`` at the directory root carrying batch_id
+    as a data column) is detected and folded into the replay probe —
+    a re-delivered pre-upgrade batch anti-joins against those rows
+    too, so upgrading never double-writes history. New verdicts are
+    always written partitioned; whole-log readers should prefer
+    ``read_quality_log`` below, which unions both layouts.
     """
     from ..operators.quality_checks import validate
 
@@ -335,14 +383,32 @@ def streaming_quality_gate(
         # prune the replay probe to THIS batch's partition: a
         # re-delivered id costs one directory listing + a few verdict
         # rows regardless of how long the delivery history has grown
+        seen_parts = []
         part = os.path.join(metrics_dir, f"batch_id={int(batch_id)}")
         if os.path.isdir(part) and any(
             f.endswith(".parquet")
             for _r, _d, fs in os.walk(part) for f in fs
         ):
-            seen = sess.read.parquet(part).select("constraint").withColumn(
-                "batch_id", F.lit(int(batch_id)))
-            out = out.join(seen, ["batch_id", "constraint"], "left_anti")
+            seen_parts.append(
+                sess.read.parquet(part).select("constraint"))
+        # legacy (unpartitioned) files sit at the directory ROOT with
+        # batch_id as a data column — the partition-pruned probe can't
+        # see them, so a re-delivery of a pre-upgrade batch would
+        # double-write; fold them in explicitly (file-list read: no
+        # partition discovery, so mixed layouts stay unambiguous)
+        legacy = _legacy_verdict_files(metrics_dir)
+        if legacy:
+            seen_parts.append(
+                sess.read.parquet(*legacy)
+                .filter(F.col("batch_id") == int(batch_id))
+                .select("constraint"))
+        if seen_parts:
+            seen = seen_parts[0]
+            for s in seen_parts[1:]:
+                seen = seen.unionByName(s)
+            out = out.join(
+                seen.withColumn("batch_id", F.lit(int(batch_id))),
+                ["batch_id", "constraint"], "left_anti")
         out.write.mode("append").partitionBy("batch_id").parquet(metrics_dir)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)

@@ -267,3 +267,54 @@ def _cap_free(events, model):
             time=WINDOW, model=model, lookback=dt.timedelta(days=7),
         ).collect()
     }
+
+
+def test_null_channel_is_not_none_bucket(spark):
+    """A matched touch whose CHANNEL value is null is its own (null)
+    group — only genuinely unattributed conversions land in '(none)'
+    (r14 advice: the old coalesce conflated the two; the DuckDB
+    oracle always grouped raw nulls separately)."""
+    rows = [
+        # u1: ad touch with a NULL channel prop, then a purchase
+        (1, T0 - dt.timedelta(hours=1), 1, "ad", 0.0, "{}"),
+        (2, T0, 1, "purchase", 10.0, "{}"),
+        # u2: purchase with no touch at all — the real '(none)'
+        (3, T0, 2, "purchase", 5.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    for model in ("last_touch", "first_touch", "linear",
+                  "time_decay", "position"):
+        got = {
+            r["channel"]: r["revenue"]
+            for r in attribution_report(
+                events,
+                # a channel expression that is NULL on the touch row
+                channel_col=F.get_json_object(F.col("props"), "$.ch"),
+                touch_event=TOUCHES,
+                conversion_event=EventRef("purchase"),
+                time=WINDOW, model=model,
+                lookback=dt.timedelta(days=7),
+            ).collect()
+        }
+        assert got == {None: 10.0, "(none)": 5.0}, (model, got)
+
+
+def test_time_decay_rejects_nonpositive_half_life(events):
+    """halfLifeDays=0 would make the decay exponent age/0 (NaN weight
+    surviving F.greatest); negative inverts the decay. Both fail
+    loudly (the server maps ValueError to a 400)."""
+    for bad in (dt.timedelta(0), dt.timedelta(days=-1)):
+        with pytest.raises(ValueError, match="half_life must be positive"):
+            attribution_report(
+                events, channel_col=F.col("event_type"),
+                touch_event=TOUCHES, conversion_event=EventRef("purchase"),
+                time=WINDOW, model="time_decay",
+                lookback=dt.timedelta(days=7), half_life=bad)
+    # other models ignore half_life entirely — a zero must NOT trip
+    attribution_report(
+        events, channel_col=F.col("event_type"),
+        touch_event=TOUCHES, conversion_event=EventRef("purchase"),
+        time=WINDOW, model="linear",
+        lookback=dt.timedelta(days=7), half_life=dt.timedelta(0))

@@ -170,3 +170,65 @@ def test_srm_check_hand_computed(spark):
         # observed variant absent from the allocation
         srm_check(corpus(10, 10), variant, EventRef("expose"), W,
                   expected={"A": 1.0})
+
+
+def test_srm_unobserved_expected_variant_flags(spark):
+    """An expected-but-UNOBSERVED arm is the most extreme SRM: its
+    zero-count cell must enter the chi-square (r14 advice — the old
+    observed-only cells silently reported srm_flag=False)."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.experiment import srm_check
+
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31))
+    rows = [(i, dtm.datetime(2024, 1, 5, 10), i, "expose", 0.0,
+             '{"v": "A"}') for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    variant = F.get_json_object(F.col("props"), "$.v")
+
+    out = {r["variant"]: r for r in srm_check(
+        df, variant, EventRef("expose"), W,
+        expected={"A": 0.5, "B": 0.5}).collect()}
+    # all 100 users in A under 50/50: chi2 = 50 + 50 = 100 >> 10.83
+    assert out["B"]["n_users"] == 0
+    assert out["B"]["expected_users"] == 50.0
+    assert out["A"]["chi2_stat"] == pytest.approx(100.0)
+    assert out["A"]["srm_flag"] and out["B"]["srm_flag"]
+
+
+def test_srm_df_outside_table_fails_loudly(spark):
+    """df outside the 1..9 critical-value table errors instead of
+    defaulting srm_flag to False (r14 advice): declared allocations
+    validate driver-side, equal-split mode at collect time."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.experiment import srm_check
+
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31))
+    rows = [(i, dtm.datetime(2024, 1, 5, 10), i, "expose", 0.0,
+             '{"v": "A"}') for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    variant = F.get_json_object(F.col("props"), "$.v")
+
+    # a single-arm explicit allocation: df=0, rejected up front
+    with pytest.raises(ValueError, match="2..10 expected"):
+        srm_check(df, variant, EventRef("expose"), W, expected={"A": 1.0})
+    # an 11-arm allocation: df=10, no crit entry, rejected up front
+    with pytest.raises(ValueError, match="2..10 expected"):
+        srm_check(df, variant, EventRef("expose"), W,
+                  expected={f"V{i}": 1.0 / 11 for i in range(11)})
+    # equal-split mode with one observed variant: df=0 at runtime
+    with pytest.raises(Exception, match="outside the supported"):
+        srm_check(df, variant, EventRef("expose"), W).collect()

@@ -524,3 +524,64 @@ def test_streaming_gate_log_partitioned_by_batch(spark, tmp_path):
     # replay stays idempotent through the pruned probe
     run()
     assert spark.read.parquet(str(tmp_path / "metrics")).count() == 2
+
+
+def test_streaming_quality_gate_legacy_log_layout(spark, tmp_path):
+    """A metrics_dir written by the pre-partitioned gate format (flat
+    part-*.parquet at the root, batch_id as a data column) still
+    dedups replays: a re-delivered pre-upgrade batch anti-joins
+    against the legacy rows, and read_quality_log unions both layouts
+    unambiguously (r14 advice)."""
+    import os
+    import shutil
+
+    from optiprism_spark.streaming.alerts import (
+        read_quality_log, streaming_quality_gate)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    log = str(tmp_path / "metrics")
+    os.makedirs(src)
+    schema = "id long, email string"
+    battery = [Q.completeness("email"), Q.row_count_between(1)]
+
+    def run():
+        q = streaming_quality_gate(
+            spark, schema, src, battery, ckpt, log, trigger_once=True)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # delivery 1 under the NEW format, then rewrite its verdicts as
+    # the LEGACY layout: flat files at the root, batch_id a column
+    spark.createDataFrame([(1, "a@x")], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    run()
+    legacy_rows = read_quality_log(spark, log)
+    assert legacy_rows.count() == 2
+    tmp_flat = str(tmp_path / "flat")
+    legacy_rows.coalesce(1).write.parquet(tmp_flat)
+    shutil.rmtree(log)
+    os.makedirs(log)
+    for f in os.listdir(tmp_flat):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(tmp_flat, f), os.path.join(log, f))
+
+    # force re-delivery of batch 0 by dropping the checkpoint: the
+    # legacy-aware probe must suppress the double-write
+    shutil.rmtree(ckpt)
+    run()
+    assert read_quality_log(spark, log).count() == 2
+
+    # a genuinely new delivery appends under the partitioned layout;
+    # the union reader sees both vintages
+    spark.createDataFrame([(2, None)], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    run()
+    hist = read_quality_log(spark, log)
+    assert hist.count() == 4
+    assert {r["batch_id"] for r in hist.collect()} == {0, 1}
+    # and the mixed directory has both layouts on disk
+    assert any(f.endswith(".parquet") for f in os.listdir(log))
+    assert any(f.startswith("batch_id=") for f in os.listdir(log))
