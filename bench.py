@@ -164,7 +164,21 @@ HEADLINE = [
                                      # broadcast percentile edges)
     "asm_importance_sample",         # r14: HT-weighted soft filter
                                      # (pure per-row hash filter)
+    "sim_cosine_topk_ivf_indexed",   # r15: ANN served from the durable
+                                     # IvfStore (probe-only; store build
+                                     # amortized by min-of-N like the
+                                     # rollup entries)
+    "dedup_embedding_cosine_ivf_indexed",  # r15: near-dup from the store
+    "eng_growth_weekly_routed",      # r15: growth ledger from the
+                                     # (dt, user) store
+    "eng_rfm_scores_routed",         # r15: RFM from the (dt, user) store
 ]
+
+#: frozen host-speed reference for the normalized series: r13's
+#: control_sec, the quietest official-round host on record. The
+#: normalized number divides out HOST weather, not engine changes —
+#: see the README perf section for how to read the two series.
+CONTROL_BASELINE = 0.133
 
 
 def main() -> None:
@@ -304,6 +318,17 @@ def main() -> None:
                 "budget_pass": not budget_violations,
                 # informational host-drift flag, not a denominator
                 "control_sec": control,
+                # r15 (r14 verdict task 8): the comparable series is
+                # ALSO reported normalized by the host-speed control
+                # (x CONTROL_BASELINE/control). Raw seconds stay THE
+                # series — the normalized twin exists so a raw drift
+                # that tracks the control reads as host weather at a
+                # glance, while a normalized jump flags a real engine
+                # regression. (The control is a JVM range-sum, so the
+                # correction is approximate — a flag, not a metric.)
+                "control_baseline_sec": CONTROL_BASELINE,
+                "comparable_total_control_normalized": round(
+                    comparable_total * CONTROL_BASELINE / control, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

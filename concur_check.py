@@ -448,42 +448,64 @@ def main() -> None:
     ov_base = f"http://127.0.0.1:{ov_srv.server_address[1]}"
     threading.Thread(target=ov_srv.serve_forever, daemon=True).start()
     overload = {}
+    # r15 (r14 verdict task 4): each shape's overload run is measured
+    # as the BEST of OVERLOAD_ATTEMPTS full attempts — the same
+    # min-of-N discipline bench.py uses — so a single host-noise
+    # excursion (r14's first attempt missed by 1.7% and needed a
+    # documented manual re-run) no longer fails the gate. Every
+    # attempt's p95 is recorded in the artifact; correctness-of-
+    # shedding conditions (some 429s, zero non-200/429) must hold on
+    # the SELECTED attempt.
+    OVERLOAD_ATTEMPTS = 2
     for ov_shape, pool in (("segmentation_breakdown", "event_segmentation"),
                            ("funnel_3step", "funnel")):
         cap = DEFAULT_ADMISSION_LIMITS.get(
             pool, DEFAULT_ADMISSION_LIMITS["*"])
         ov_path, ov_body = WORKLOAD[ov_shape]
         post_status(ov_base, ov_path, ov_body)  # warm this server
-        ov_lat: list[float] = []
-        ov_rejected = 0
-        ov_other = 0
-        # burst threads mutate the tallies concurrently — the
-        # non-atomic += lost updates without the lock (ADVICE r10),
-        # and the pass condition reads these counters
-        ov_lock = threading.Lock()
         burst = 3 * cap
+        attempts = []
+        for _attempt in range(OVERLOAD_ATTEMPTS):
+            ov_lat: list[float] = []
+            ov_rejected = 0
+            ov_other = 0
+            # burst threads mutate the tallies concurrently — the
+            # non-atomic += lost updates without the lock (ADVICE
+            # r10), and the pass condition reads these counters
+            ov_lock = threading.Lock()
 
-        def ov_worker(barrier):
-            nonlocal ov_rejected, ov_other
-            barrier.wait()
-            status, sec = post_status(ov_base, ov_path, ov_body)
-            with ov_lock:
-                if status == 200:
-                    ov_lat.append(sec)
-                elif status == 429:
-                    ov_rejected += 1
-                else:
-                    ov_other += 1
+            def ov_worker(barrier):
+                nonlocal ov_rejected, ov_other
+                barrier.wait()
+                status, sec = post_status(ov_base, ov_path, ov_body)
+                with ov_lock:
+                    if status == 200:
+                        ov_lat.append(sec)
+                    elif status == 429:
+                        ov_rejected += 1
+                    else:
+                        ov_other += 1
 
-        for _ in range(args.rounds):
-            barrier = threading.Barrier(burst)
-            ths = [threading.Thread(target=ov_worker, args=(barrier,))
-                   for _ in range(burst)]
-            for th in ths:
-                th.start()
-            for th in ths:
-                th.join()
-        ov_p95 = round(pct(sorted(ov_lat), 95), 3) if ov_lat else None
+            for _ in range(args.rounds):
+                barrier = threading.Barrier(burst)
+                ths = [threading.Thread(target=ov_worker, args=(barrier,))
+                       for _ in range(burst)]
+                for th in ths:
+                    th.start()
+                for th in ths:
+                    th.join()
+            attempts.append({
+                "admitted_n": len(ov_lat),
+                "rejected_429": ov_rejected,
+                "other_status": ov_other,
+                "admitted_p95": (round(pct(sorted(ov_lat), 95), 3)
+                                 if ov_lat else None),
+            })
+        best = min(
+            (a for a in attempts),
+            key=lambda a: (a["admitted_p95"] is None,
+                           a["admitted_p95"] or 0.0))
+        ov_p95 = best["admitted_p95"]
         ov_budget = round(
             GATE_RATIO * serial[ov_shape] + GATE_INTERCEPT, 3)
         overload[ov_shape] = {
@@ -491,14 +513,17 @@ def main() -> None:
             "admission_limit": cap,
             "burst_threads": burst,
             "rounds": args.rounds,
-            "admitted_n": len(ov_lat),
-            "rejected_429": ov_rejected,
-            "other_status": ov_other,
+            "methodology": f"best of {OVERLOAD_ATTEMPTS} attempts "
+                           "(bench.py min-of-N discipline)",
+            "attempts_p95": [a["admitted_p95"] for a in attempts],
+            "admitted_n": best["admitted_n"],
+            "rejected_429": best["rejected_429"],
+            "other_status": best["other_status"],
             "admitted_p95": ov_p95,
             "admitted_budget_sec": ov_budget,
             "pass": (
-                ov_rejected > 0
-                and ov_other == 0
+                best["rejected_429"] > 0
+                and best["other_status"] == 0
                 and ov_p95 is not None
                 and ov_p95 <= ov_budget
             ),

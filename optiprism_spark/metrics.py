@@ -291,6 +291,27 @@ def query_rejected_total() -> Counter:
         "queries shed by per-pool admission control", ("pool",))
 
 
+def user_day_routed_total() -> Counter:
+    """Per-query routing decisions of the user-grain activity store
+    (userday.UserDayStore): path=store when RFM / growth folds from
+    (dt, user) partials, path=raw on fallback — the engagement twin
+    of optiprism_query_rollup_routed_total."""
+    return REGISTRY.counter(
+        "optiprism_user_day_routed_total",
+        "rfm/growth queries by answer path", ("surface", "path"))
+
+
+def percentile_edge_mode_total() -> Counter:
+    """Regime decisions of the shared percentile-edge recipe
+    (operators/edges.py): mode=exact below the sizing threshold (the
+    oracle regime), mode=approx beyond it (bounded-memory sketch).
+    surface labels the caller (rfm, curriculum, drift_quantile) —
+    'did my readout silently go approximate' is a dashboard question."""
+    return REGISTRY.counter(
+        "optiprism_percentile_edge_mode_total",
+        "percentile-edge computations by regime", ("surface", "mode"))
+
+
 def query_rollup_routed_total() -> Counter:
     """Per-event-query routing decisions: path=rollup when a request
     folds out of the day-grain pre-aggregate, path=raw on fallback —

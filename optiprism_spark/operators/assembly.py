@@ -525,6 +525,7 @@ def curriculum_phases(
     n_phases: int = 4,
     id_col: str = "doc_id",
     seed: str = "curriculum",
+    percentile_mode: str = "auto",
 ) -> DataFrame:
     """Curriculum assignment: equi-depth quantile bucket of
     ``score_col`` (phase 0 = lowest quartile … n_phases-1 = highest)
@@ -532,23 +533,36 @@ def curriculum_phases(
     ordering — the "easy-to-hard with shuffled lessons" schedule a
     curriculum-training pipeline consumes.
 
-    Edges are EXACT interpolated percentiles computed in one
-    aggregate whose 1-row result broadcasts onto the scan (the drift
-    equi-depth recipe, operators/drift.py) — no collect, no driver
-    round-trip; at 100 TB swap F.percentile for approx_percentile the
-    same way drift documents. Ties at an edge fall to the lower
-    phase on both engines (strict > comparisons).
+    Edges come from the SHARED regime-switched recipe
+    (operators/edges.percentile_edges): one aggregate whose 1-row
+    result broadcasts onto the scan — no collect, no driver
+    round-trip. ``percentile_mode="auto"`` keeps EXACT interpolated
+    percentiles (the hash-oracle regime) below
+    sizing.EXACT_PERCENTILE_MAX_ROWS documents and switches to
+    percentile_approx beyond (exact buffers every score on one final
+    task — the 10⁹-doc OOM seam); the decision is counted under
+    surface="curriculum". Ties at an edge fall to the lower phase on
+    both engines (strict > comparisons).
     """
     if n_phases < 2:
         raise ValueError(f"n_phases must be >= 2, got {n_phases}")
-    edges = df.agg(*[
-        F.percentile(F.col(score_col), F.lit(i / n_phases)).alias(f"__q{i}")
-        for i in range(1, n_phases)
-    ]).withColumn("__k", F.lit(1))
+    from ._util import track_persist
+    from .edges import percentile_edges
+
+    if percentile_mode == "auto":
+        # the frame feeds the count, the edge aggregate, and the
+        # phase projection — persist once instead of scanning thrice
+        df = track_persist(df)
+    qs = [i / n_phases for i in range(1, n_phases)]
+    edges, _mode = percentile_edges(
+        df, [(score_col, qs, "q")], mode=percentile_mode,
+        surface="curriculum")
+    # edge columns are __q0.._q{n-2} (0-based spec positions); the
+    # phase fold below keeps its historical 1-based names via offset
     x = df.withColumn("__k", F.lit(1)).join(F.broadcast(edges), "__k")
     phase = functools.reduce(
         lambda acc, i: acc
-        + (F.col(score_col).cast("double") > F.col(f"__q{i}")).cast("int"),
+        + (F.col(score_col).cast("double") > F.col(f"__q{i - 1}")).cast("int"),
         range(1, n_phases),
         F.lit(0),
     )

@@ -328,6 +328,7 @@ def distribution_drift_quantile(
     col: str,
     split: Column,
     n_bins: int = 10,
+    percentile_mode: str = "auto",
 ) -> DataFrame:
     """PSI over EQUI-DEPTH bins: edges are the BASELINE population's
     own quantiles, so each bin carries ~1/n_bins of the baseline mass
@@ -345,22 +346,34 @@ def distribution_drift_quantile(
     decimals on both engines so Spark's percentile and the oracle's
     quantile_cont cannot disagree by a ULP at a bin boundary.
     Duplicate quantiles (heavy point masses) simply skip bins — the
-    PSI stays well-defined over the occupied ones. At 100 TB swap the
-    exact percentile for approx_percentile (documented swap-point,
-    same shape); the registered query keeps the exact path for the
-    oracle."""
+    PSI stays well-defined over the occupied ones.
+
+    ``percentile_mode`` (operators/edges.py — the shared regime
+    switch): "auto" keeps the EXACT percentile — the oracle regime —
+    while the baseline population is under
+    sizing.EXACT_PERCENTILE_MAX_ROWS rows, and swaps in
+    percentile_approx beyond it (exact buffers every baseline value
+    on one final task); decision counted under
+    surface="drift_quantile"."""
+    from ._util import track_persist
+    from .edges import percentile_edges
+
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     v = F.col(col)
     pop = df.filter(v.isNotNull() & split.isNotNull())
     sb = split.cast("boolean")
-    edges = pop.filter(sb).agg(*[
-        F.round(F.percentile(v, F.lit(i / n_bins)), 9).alias(f"__q{i}")
-        for i in range(1, n_bins)
-    ]).withColumn("__k", F.lit(1))
+    base = pop.filter(sb)
+    if percentile_mode == "auto":
+        # feeds the auto-mode count and the edge aggregate
+        base = track_persist(base)
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges, _mode = percentile_edges(
+        base, [(col, qs, "q")], mode=percentile_mode, round_digits=9,
+        surface="drift_quantile")
     bucket = F.lit(1)
     for i in range(1, n_bins):
-        bucket = bucket + (v >= F.col(f"__q{i}")).cast("int")
+        bucket = bucket + (v >= F.col(f"__q{i - 1}")).cast("int")
     binned = (
         pop.withColumn("__k", F.lit(1))
         .join(F.broadcast(edges), "__k")

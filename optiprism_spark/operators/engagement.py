@@ -131,14 +131,28 @@ def growth_accounting(
     if period not in (TimeIntervalUnit.DAY, TimeIntervalUnit.WEEK,
                       TimeIntervalUnit.MONTH):
         raise ValueError("growth accounting period must be day|week|month")
-    from pyspark.sql import Window
-
     cond = full_filter(time, event, filters)
     df = events.filter(cond) if cond is not None else events
     a = df.select(
         F.col(group_col).alias("__u"),
         bucket_col(period).alias("bucket"),
     ).distinct()
+    last_b = df.agg(
+        F.max(bucket_col(period)).alias("__last")).withColumn(
+        "__k", F.lit(1))
+    return growth_ledger(a, last_b, period)
+
+
+def growth_ledger(a: DataFrame, last_b: DataFrame,
+                  period: TimeIntervalUnit) -> DataFrame:
+    """The ledger tail shared by the raw path above and the user-day
+    rollup route (userday.growth_from_user_day): ``a`` is the distinct
+    (``__u``, ``bucket``) activity frame, ``last_b`` a 1-row frame
+    (``__last``, ``__k=1``) capping window-edge churn. Keeping one
+    implementation makes routed ≡ raw an equality of INPUTS — the
+    (user, bucket) activity set is identical by construction — not of
+    two ledger codepaths."""
+    from pyspark.sql import Window
 
     def _next(b):
         if period == TimeIntervalUnit.MONTH:
@@ -169,9 +183,6 @@ def growth_accounting(
         | (F.col("__next") > _next(F.col("bucket")))
     )
     churn_bucket = F.when(goes_quiet, _next(F.col("bucket")))
-    last_b = df.agg(
-        F.max(bucket_col(period)).alias("__last")).withColumn(
-        "__k", F.lit(1))
     kinds = (
         x.select(
             F.explode(F.array(
@@ -212,6 +223,7 @@ def rfm_scores(
     event: Optional[EventRef] = None,
     filters: Sequence[PropFilter] = (),
     group_col: str = EVENT_USER_COL,
+    percentile_mode: str = "auto",
 ) -> DataFrame:
     """RFM scoring (beyond the reference): per user, recency /
     frequency / monetary raw values plus equi-depth 1..n_tiles scores
@@ -226,18 +238,27 @@ def rfm_scores(
     - ``monetary``: exact DECIMAL sum of ``value_col`` (0 when the
       user never carries a value).
 
-    Scores come from exact interpolated percentile edges over the
-    per-user frame — ONE 1-row aggregate broadcast back onto it (the
-    drift equi-depth / curriculum recipe; swap in approx_percentile
-    at extreme user counts), never an ntile over a single global
-    window (that would sort every user through one task). Ties sit
-    in the lower tile on both engines (strict > comparisons), so
-    heavily-tied dimensions (frequency at small counts) bucket
+    Scores come from percentile edges over the per-user frame — ONE
+    1-row aggregate broadcast back onto it (the drift equi-depth /
+    curriculum recipe), never an ntile over a single global window
+    (that would sort every user through one task). Ties sit in the
+    lower tile on both engines (strict > comparisons), so heavily-
+    tied dimensions (frequency at small counts) bucket
     deterministically.
 
+    ``percentile_mode`` (operators/edges.py): "auto" (default) runs
+    EXACT interpolated percentiles — the hash-oracle regime — while
+    the per-user frame stays under sizing.EXACT_PERCENTILE_MAX_ROWS,
+    and switches to percentile_approx beyond it (exact percentile's
+    final aggregate buffers every user's value on one task — the OOM
+    seam at 10⁹ users). The decision lands in
+    optiprism_percentile_edge_mode_total{surface="rfm"}.
+
     Scale shape: one map-side-combinable groupBy(user) over the
-    filtered scan, one tiny aggregate, one broadcast join, pure
-    per-row score arithmetic. Integer/decimal outputs — hash-exact.
+    filtered scan (persisted — it feeds both the edge aggregate and
+    the scoring join), one tiny aggregate, one broadcast join, pure
+    per-row score arithmetic. Integer/decimal outputs — hash-exact
+    in the exact regime.
     """
     if n_tiles < 2:
         raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
@@ -258,15 +279,35 @@ def rfm_scores(
             F.sum(F.col(value_col).cast(DECIMAL_T)), F.lit(0).cast(DECIMAL_T)
         ).cast("double").alias("monetary"),
     )
+    return rfm_from_per_user(per_user, n_tiles, group_col, percentile_mode)
+
+
+def rfm_from_per_user(per_user: DataFrame, n_tiles: int,
+                      group_col: str = EVENT_USER_COL,
+                      percentile_mode: str = "auto") -> DataFrame:
+    """The scoring tail shared by the raw path above and the user-day
+    rollup route (userday.rfm_from_user_day): ``per_user`` carries
+    (group_col, recency_days, frequency, monetary). One
+    implementation means routed ≡ raw is an equality of the per-user
+    FRAME, not of two scoring codepaths."""
+    from ._util import track_persist
+    from .edges import percentile_edges
+
+    if percentile_mode == "auto":
+        # auto mode adds a COUNT over the frame to pick the regime —
+        # persist so the count, the edge aggregate, and the scoring
+        # join share one materialization. Explicit modes skip it: the
+        # edge aggregate and the join re-derive the groupBy once each
+        # (AQE exchange reuse shares the heavy shuffle), and an
+        # operator-held cache would make every raw-vs-routed timing
+        # comparison measure the cache instead of the plan.
+        per_user = track_persist(per_user)
     qs = [i / n_tiles for i in range(1, n_tiles)]
-    edges = per_user.agg(*(
-        [F.percentile(F.col("recency_days"), F.lit(q)).alias(f"__r{i}")
-         for i, q in enumerate(qs)]
-        + [F.percentile(F.col("frequency"), F.lit(q)).alias(f"__f{i}")
-           for i, q in enumerate(qs)]
-        + [F.percentile(F.col("monetary"), F.lit(q)).alias(f"__m{i}")
-           for i, q in enumerate(qs)]
-    )).withColumn("__k", F.lit(1))
+    edges, _mode = percentile_edges(
+        per_user,
+        [("recency_days", qs, "r"), ("frequency", qs, "f"),
+         ("monetary", qs, "m")],
+        mode=percentile_mode, surface="rfm")
     x = per_user.withColumn("__k", F.lit(1)).join(F.broadcast(edges), "__k")
 
     def _phase(col: str, prefix: str):

@@ -486,8 +486,32 @@ def embedding_near_pairs_banded(
     )
 
 
+def _pairs_from_assignment(assigned: DataFrame, threshold: float,
+                           id_col: str) -> DataFrame:
+    """The within-bucket pair join over an (id, v, n, centroid_id)
+    assignment frame — shared by the per-call and store-routed IVF
+    near-dup paths, so routed ≡ per-call is equality of inputs, not
+    of two implementations."""
+    a = assigned.select(
+        F.col(id_col).alias("doc_a"), F.col("v").alias("av"),
+        F.col("n").alias("na"), "centroid_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("doc_b"), F.col("v").alias("bv"),
+        F.col("n").alias("nb"), "centroid_id",
+    )
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def embedding_near_pairs_ivf(
-    embeddings: DataFrame,
+    embeddings: "DataFrame | None",
     threshold: float = 0.9,
     n_centroids: int = 8,
     id_col: str = "vec_id",
@@ -495,6 +519,7 @@ def embedding_near_pairs_ivf(
     centroids: str = "sample",
     persist_assignment: bool = True,
     max_bucket=None,
+    store=None,
 ) -> DataFrame:
     """IVF-bucketed near-dup pairs — the scale path for all-pairs
     similarity: assign every vector to its nearest coarse centroid,
@@ -517,38 +542,47 @@ def embedding_near_pairs_ivf(
     join quadratic in that cluster's size; the 10×-scale harness
     (scale_check.py) is what flagged the hazard. "auto" resolves via
     sizing.max_bucket_default(N, n_centroids). Default None keeps full
-    recall (and the fixture-sized oracle hashes) for small corpora."""
+    recall (and the fixture-sized oracle hashes) for small corpora.
+
+    ``store`` (operators/ivf_store.IvfStore): serve from the DURABLE
+    index instead of building one per call — the assignment frame is
+    read from the store's current generation (the SAME doubles the
+    per-call path would compute, round-tripped losslessly through
+    parquet, so results are bit-identical) and the quantizer is never
+    touched. "auto" sizing resolves from the pointer's corpus count —
+    no raw scan at all. ``embeddings``/``n_centroids``/``centroids``
+    are ignored when routed; ``embeddings`` may be None."""
     from ._util import track_persist
 
-    n_centroids, _ = _auto_ivf(n_centroids, 1, embeddings)
-    if max_bucket == "auto":
-        from .sizing import max_bucket_default
+    if store is not None:
+        from pyspark.sql import SparkSession
 
-        max_bucket = max_bucket_default(embeddings.count(), n_centroids)
-    cent = _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
-    assigned = ivf_assign(embeddings, cent, id_col, vec_col)
+        spark = (embeddings.sparkSession if embeddings is not None
+                 else SparkSession.getActiveSession())
+        info = store.info()
+        assigned = store.assignment(spark).select(
+            F.col(store.id_col).alias(id_col), "v", "n", "centroid_id")
+        if max_bucket == "auto":
+            from .sizing import max_bucket_default
+
+            max_bucket = max_bucket_default(
+                info["count"], info["n_centroids"])
+    else:
+        n_centroids, _ = _auto_ivf(n_centroids, 1, embeddings)
+        if max_bucket == "auto":
+            from .sizing import max_bucket_default
+
+            max_bucket = max_bucket_default(embeddings.count(), n_centroids)
+        cent = _coarse_centroids(
+            embeddings, n_centroids, id_col, vec_col, centroids)
+        assigned = ivf_assign(embeddings, cent, id_col, vec_col)
     if max_bucket is not None:
         from ._util import cap_buckets
 
         assigned = cap_buckets(assigned, ("centroid_id",), max_bucket)
     if persist_assignment:
         assigned = track_persist(assigned)
-    a = assigned.select(
-        F.col(id_col).alias("doc_a"), F.col("v").alias("av"),
-        F.col("n").alias("na"), "centroid_id",
-    )
-    b = assigned.select(
-        F.col(id_col).alias("doc_b"), F.col("v").alias("bv"),
-        F.col("n").alias("nb"), "centroid_id",
-    )
-    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, "centroid_id")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
-        .select("doc_a", "doc_b", F.round("sim", 6).alias("sim"))
-    )
+    return _pairs_from_assignment(assigned, threshold, id_col)
 
 
 def cosine_topk_ivf(
@@ -560,6 +594,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str = "sample",
+    store=None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: a coarse quantizer assigns every
     vector to its nearest centroid (one inverted list per centroid);
@@ -572,13 +607,51 @@ def cosine_topk_ivf(
     side shuffles once on centroid id, the centroid table broadcasts,
     and the per-query candidate set shrinks by ~nprobe/n_centroids.
     Pass ``centroids="kmeans"`` for trained centroids — better recall,
-    identical plan shape."""
+    identical plan shape.
+
+    ``store`` (operators/ivf_store.IvfStore): the serving path — the
+    corpus-side assignment and the quantizer are READ from the
+    durable index; only the (tiny) query side is assigned per call.
+    Per-query cost becomes probe-only, flat in corpus maintenance
+    cadence; "auto" nprobe resolves from the pointer's corpus count.
+    ``embeddings`` may be None when routed."""
     from pyspark.sql import Window
 
     from ._util import track_persist
 
-    n_centroids, nprobe = _auto_ivf(n_centroids, nprobe, embeddings)
     validate_ann_params(k=k)
+    if store is not None:
+        from pyspark.sql import SparkSession
+
+        spark = (embeddings.sparkSession if embeddings is not None
+                 else SparkSession.getActiveSession())
+        info = store.info()
+        if nprobe == "auto":
+            nprobe = min(ivf_params(info["count"])["nprobe"],
+                         info["n_centroids"])
+        validate_ann_params(nprobe=nprobe)
+        cent = track_persist(store.centroids(spark))
+        e = store.assignment(spark).select(
+            F.col(store.id_col).alias("neighbor_id"),
+            F.col("v").alias("ev"), "centroid_id")
+        q = _assign_to_centroids(
+            queries, cent, "query_id", "qv", nprobe, id_col, vec_col)
+        sims = (
+            e.join(F.broadcast(q), "centroid_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("qv"), F.col("ev")).alias("sim"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("sim", 6).alias("sim"))
+        )
+    n_centroids, nprobe = _auto_ivf(n_centroids, nprobe, embeddings)
     # persist the centroid table: it is derived from the full corpus
     # (TakeOrdered sample or a KMeans fit) and consumed by BOTH the
     # corpus-side and query-side assignments — unpersisted, each side

@@ -25,6 +25,16 @@ from __future__ import annotations
 
 import math
 
+#: exact-percentile ceiling for the shared edge recipe
+#: (operators/edges.percentile_edges): F.percentile's FINAL aggregate
+#: buffers every input value on one reduce task — 5·10⁷ doubles is
+#: ~400 MB of raw values (about 1–2 GB with per-element overhead),
+#: comfortably inside one executor task's memory at standard sizing;
+#: beyond it the recipe switches to percentile_approx (bounded
+#: buffer, mergeable partials). The driver fixtures (≤ sf1) sit far
+#: below this, so the hash-oracle regime is always exact.
+EXACT_PERCENTILE_MAX_ROWS = 50_000_000
+
 
 def ivf_params(n_rows: int) -> dict:
     """n_centroids ~ sqrt(N) (clamped), nprobe ~ C/16."""

@@ -399,6 +399,8 @@ class App:
         result_cache_ttl: Optional[float] = 60.0,
         admission_limit="default",
         kmv_store=None,
+        ivf_store=None,
+        user_day_store=None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -418,6 +420,18 @@ class App:
         #: (streaming.audience.KmvDayStore), maintained like the
         #: rollup; enables `sketched: true` on /queries/audience venn
         self.kmv_store = kmv_store
+        #: optional durable ANN index (operators.ivf_store.IvfStore),
+        #: maintained via maintain_ivf (append + drift-triggered
+        #: retrain); enables `indexed: true` on /queries/similarity —
+        #: the per-call quantizer build is the one cost a standing
+        #: search surface cannot pay at 100 TB
+        self.ivf_store = ivf_store
+        #: optional (dt, user)-grain activity store
+        #: (userday.UserDayStore), maintained via maintain_user_day;
+        #: /queries/rfm and /queries/growth route through it when the
+        #: request is expressible (user_day_supports) — the standing
+        #: dashboard surfaces stop rescanning raw events
+        self.user_day_store = user_day_store
         #: directory for CATALOG-DECLARED per-project rollups (POST
         #: /projects/{pid}/schema/rollups); None disables the feature
         self.rollup_dir = rollup_dir
@@ -603,6 +617,8 @@ class App:
              _timed_query("drift", self._drift), explore),
             ("POST", re.compile(P + r"/queries/audience$"),
              _timed_query("audience", self._audience), explore),
+            ("POST", re.compile(P + r"/queries/similarity$"),
+             _timed_query("similarity", self._similarity), explore),
             ("POST", re.compile(P + r"/queries/quality$"),
              _timed_query("quality", self._quality), explore),
             ("POST", re.compile(P + r"/queries/anomaly$"),
@@ -935,6 +951,116 @@ class App:
             self._rollup_cache.pop(pid, None)
             self._data_version += 1
         return n
+
+    def maintain_user_day(self, new_events, stream_id=None,
+                          batch_id=None) -> int:
+        """Advance the user-day activity store with an append batch —
+        the engagement twin of `maintain_rollups`, called at the same
+        lake-fold moment. Returns days touched (0 = no store / replay
+        / empty batch)."""
+        if self.user_day_store is None or not self.user_day_store.exists():
+            return 0
+        n = self.user_day_store.update(
+            self.spark, new_events, stream_id=stream_id, batch_id=batch_id)
+        if n:
+            self._data_version += 1
+        return n
+
+    def maintain_ivf(self, new_embeddings, drift_threshold: float = 0.02,
+                     stream_id=None, batch_id=None) -> dict:
+        """Advance the durable ANN index with an embedding batch —
+        the maintenance-loop twin of `maintain_rollups`: appends are
+        assigned against the frozen quantizer (cost follows the
+        batch), and a retrain fires only when the appended
+        population's centroid drift (operators/drift.py) crosses the
+        threshold. No store configured → no-op."""
+        if self.ivf_store is None:
+            return {"appended": 0, "retrained": False,
+                    "centroid_cosine": None}
+        out = self.ivf_store.maintain(
+            self.spark, new_embeddings, drift_threshold=drift_threshold,
+            stream_id=stream_id, batch_id=batch_id)
+        if out["appended"] or out["retrained"]:
+            self._data_version += 1
+        return out
+
+    def _similarity(self, body, m, q):
+        """Vector similarity over the embeddings table (beyond the
+        reference — it ships no vector search). Body::
+
+            {type: "topk" | "near-pairs",
+             method?: "brute" | "lsh" | "banded" | "ivf" (default),
+             k?, nprobe?, nCentroids?, threshold?, planes?, bands?,
+             rowsPerBand?, maxBucket?, queryIds?: [ids],
+             indexed?: bool}
+
+        ``indexed: true`` (ivf only) serves from the maintained
+        IvfStore — probe-only per query; 409 when the server has no
+        index configured (same contract as audience's sketched knob).
+        """
+        from pyspark.sql import functions as F
+
+        from .operators import similarity as sim
+        from .schema import load_table
+
+        typ = body.get("type")
+        method = body.get("method", "ivf")
+        indexed = bool(body.get("indexed"))
+        if typ not in ("topk", "near-pairs"):
+            raise HttpError(400, "type must be topk or near-pairs")
+        if indexed and method != "ivf":
+            raise HttpError(400, "indexed similarity requires method=ivf")
+        if indexed and self.ivf_store is None:
+            raise HttpError(
+                409, "no ANN index configured — pass ivf_store= to the "
+                     "server or drop indexed: true")
+        emb = load_table(self.spark, self.sf_dir, "embeddings")
+        store = self.ivf_store if indexed else None
+        try:
+            if typ == "topk":
+                qids = body.get("queryIds")
+                if not qids:
+                    raise ValueError("topk requires queryIds")
+                queries = emb.filter(
+                    F.col("vec_id").isin([int(i) for i in qids]))
+                k = int(body.get("k", 5))
+                if method == "brute":
+                    out = sim.cosine_topk(emb, queries, k=k)
+                elif method == "lsh":
+                    out = sim.cosine_topk_lsh(
+                        emb, queries, k=k, planes=body.get("planes", "auto"))
+                elif method == "ivf":
+                    out = sim.cosine_topk_ivf(
+                        emb, queries, k=k,
+                        n_centroids=body.get("nCentroids", "auto"),
+                        nprobe=body.get("nprobe", "auto"), store=store)
+                else:
+                    raise ValueError(f"unknown topk method {method!r}")
+            else:
+                threshold = float(body.get("threshold", 0.9))
+                if method == "brute":
+                    out = sim.embedding_near_pairs(
+                        emb, threshold=threshold, exact=True)
+                elif method == "lsh":
+                    out = sim.embedding_near_pairs(
+                        emb, threshold=threshold,
+                        planes=body.get("planes", "auto"))
+                elif method == "banded":
+                    out = sim.embedding_near_pairs_banded(
+                        emb, threshold=threshold,
+                        bands=body.get("bands", "auto"),
+                        rows_per_band=body.get("rowsPerBand", "auto"))
+                elif method == "ivf":
+                    out = sim.embedding_near_pairs_ivf(
+                        emb, threshold=threshold,
+                        n_centroids=body.get("nCentroids", "auto"),
+                        max_bucket=body.get("maxBucket", "auto"),
+                        store=store)
+                else:
+                    raise ValueError(f"unknown near-pairs method {method!r}")
+        except (ValueError, TypeError) as e:
+            raise HttpError(400, f"bad similarity request: {e}")
+        return 200, (out, set())
 
     def gate_quality(self, new_events, pid: int = 0) -> list[dict]:
         """Run the project's DECLARED quality batteries over an ingest
@@ -1462,8 +1588,24 @@ class App:
             api.parse_event_ref(body["event"], custom_events=ces, props=props)
             if body.get("event") else None)
         filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
-        out = growth_accounting(self._events(), time, period=period,
-                                event=event, filters=filters)
+        out = None
+        if self.user_day_store is not None and self.user_day_store.exists():
+            from .userday import growth_from_user_day, user_day_supports
+
+            if user_day_supports(time, event, filters,
+                                 self.user_day_store.spec):
+                metrics.user_day_routed_total().inc(
+                    surface="growth", path="store")
+                out = growth_from_user_day(
+                    self.user_day_store.read(self.spark), time,
+                    period=period,
+                    spec=self.user_day_store.spec,
+                    event=event, filters=filters)
+        if out is None:
+            metrics.user_day_routed_total().inc(
+                surface="growth", path="raw")
+            out = growth_accounting(self._events(), time, period=period,
+                                    event=event, filters=filters)
         return 200, (out, {"bucket"})
 
     def _rfm(self, body, m, q):
@@ -1488,11 +1630,29 @@ class App:
             api.parse_event_ref(body["event"], custom_events=ces, props=props)
             if body.get("event") else None)
         filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
+        value_col = body.get("valueProperty", "value")
+        out = None
         try:
-            out = rfm_scores(
-                self._events(), time, n_tiles=n_tiles,
-                value_col=body.get("valueProperty", "value"),
-                event=event, filters=filters)
+            if (self.user_day_store is not None
+                    and self.user_day_store.exists()):
+                from .userday import rfm_from_user_day, user_day_supports
+
+                spec = self.user_day_store.spec
+                if (value_col == spec.value_col
+                        and user_day_supports(time, event, filters, spec)):
+                    metrics.user_day_routed_total().inc(
+                        surface="rfm", path="store")
+                    out = rfm_from_user_day(
+                        self.user_day_store.read(self.spark), time,
+                        n_tiles=n_tiles, spec=spec,
+                        event=event, filters=filters)
+            if out is None:
+                metrics.user_day_routed_total().inc(
+                    surface="rfm", path="raw")
+                out = rfm_scores(
+                    self._events(), time, n_tiles=n_tiles,
+                    value_col=value_col,
+                    event=event, filters=filters)
         except ValueError as e:
             raise HttpError(400, str(e))
         if body.get("grid"):
@@ -2655,6 +2815,17 @@ class App:
             # parser-level contract violations → client error, like the
             # reference's serde rejection path
             status, payload = 400, {"error": f"{type(e).__name__}: {e}"}
+        except Exception as e:
+            # operator-raised runtime guards (F.raise_error — e.g.
+            # srm_check's out-of-table df) are CALLER errors that only
+            # surface at collect time; everything else re-raises
+            from pyspark.errors import PySparkException
+
+            cls = (e.getCondition() or "" if isinstance(
+                e, PySparkException) else "")
+            if not cls.startswith("USER_RAISED_EXCEPTION"):
+                raise
+            status, payload = 400, {"error": str(e)}
         metrics.http_requests_total().inc(method=method, status=str(status))
         metrics.http_request_time().observe(
             _time.monotonic() - t0, method=method)
@@ -2815,13 +2986,16 @@ def make_app(
     result_cache_ttl: Optional[float] = 60.0,
     admission_limit="default",
     kmv_store=None,
+    ivf_store=None,
+    user_day_store=None,
 ) -> App:
     return App(spark, sf_dir, custom_events=custom_events, now=now,
                catalog=catalog, token_key=token_key, wal_dir=wal_dir,
                session_store=session_store, backup_dir=backup_dir,
                rollup_store=rollup_store, rollup_dir=rollup_dir, lake=lake,
                result_cache_ttl=result_cache_ttl,
-               admission_limit=admission_limit, kmv_store=kmv_store)
+               admission_limit=admission_limit, kmv_store=kmv_store,
+               ivf_store=ivf_store, user_day_store=user_day_store)
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:

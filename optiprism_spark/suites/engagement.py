@@ -316,3 +316,66 @@ def eng_rfm_segment_counts(spark, sf_dir):
         F.sum(F.col("monetary").cast(DECIMAL_T)).cast("double")
         .alias("total_monetary"),
     )
+
+
+#: persisted (dt, user, event_type) store per (process, sf_dir) — the
+#: user-grain pre-aggregate the routed RFM / growth queries below
+#: serve from (userday.UserDayStore; r15, r14 verdict tasks 6 & 7).
+#: Mirrors the rollup suite's persisted_store: routed queries read
+#: THIS parquet, not an in-memory frame whose lineage reaches raw
+#: events.
+_UD_STORES: dict = {}
+
+#: µs-aligned twin of _FULL — the whole-day bounds user_day_supports
+#: requires; the routed oracles below use the matching SQL bounds
+_FULL_DAYS = QueryTime.between(
+    dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59, 999999))
+_T_DAYS = ("2024-01-01 00:00:00", "2024-01-31 23:59:59.999999")
+
+
+def persisted_user_day_store(spark, sf_dir: str):
+    from ..userday import UserDayStore
+
+    st = _UD_STORES.get(sf_dir)
+    if st is None:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="optiprism_userday_suite_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        st = UserDayStore(os.path.join(d, "userday"))
+        st.rebuild(spark, load_table(spark, sf_dir, "events"))
+        _UD_STORES[sf_dir] = st
+    return st
+
+
+@query("eng_rfm_scores_routed", oracle=_rfm_oracle(time=_T_DAYS))
+def eng_rfm_scores_routed(spark, sf_dir):
+    """RFM served FROM the user-day store (userday.rfm_from_user_day):
+    the per-user frame folds from persisted (dt, user) partials —
+    recency from max(dt), frequency from Σn_events, monetary from
+    exact decimal Σvalue_sum — and runs the SAME scoring tail as the
+    raw path. Shares eng_rfm_scores' oracle: hash-matching it proves
+    routed ≡ raw ≡ oracle, so the standing /queries/rfm dashboard
+    surface stops rescanning raw events."""
+    from ..userday import rfm_from_user_day
+
+    st = persisted_user_day_store(spark, sf_dir)
+    return rfm_from_user_day(st.read(spark), _FULL_DAYS)
+
+
+@query("eng_growth_weekly_routed",
+       oracle=_growth_oracle("week", 7, time=_T_DAYS))
+def eng_growth_weekly_routed(spark, sf_dir):
+    """The weekly growth-accounting ledger served FROM the user-day
+    store (userday.growth_from_user_day): the distinct (user, bucket)
+    activity set — the ledger's entire input — is a projection of the
+    persisted (dt, user) partials, then the SHARED growth_ledger tail
+    runs. Shares eng_growth_accounting_weekly's oracle."""
+    from ..userday import growth_from_user_day
+
+    st = persisted_user_day_store(spark, sf_dir)
+    return growth_from_user_day(st.read(spark), _FULL_DAYS,
+                                period=TimeIntervalUnit.WEEK)

@@ -1,0 +1,312 @@
+"""(dt, user)-grain activity rollup — the pre-aggregate behind the
+per-USER engagement surfaces (r15, closing r14 verdict tasks 6 & 7).
+
+The day-grain RollupStore (rollup.py) folds users into HLL sketches —
+perfect for counts and uniques, structurally unable to answer
+anything that needs per-user state. Two standing dashboard surfaces
+do: RFM (per-user recency/frequency/monetary) and the growth-
+accounting ledger (per-user first/last activity per bucket). Until
+r15 both rescanned raw events per query; this module gives them the
+same store-routed serving tier, from ONE new table:
+
+    (dt, user, *dims) → n_events, value_sum[decimal]
+
+Everything both surfaces need folds from these partials:
+- RFM recency  = datediff(window end, max dt)          — max folds;
+- RFM frequency = Σ n_events                           — sums fold;
+- RFM monetary  = Σ value_sum (exact decimal)          — sums fold;
+- growth ledger = the distinct (user, bucket(dt)) set  — presence
+  folds; the ledger tail (engagement.growth_ledger) is SHARED with
+  the raw path, so routed ≡ raw is an equality of inputs.
+
+Size honesty at 100 TB: (dt, user, event_type) is NOT megabytes —
+it's bounded by active-user-days (~10⁹ users × days × few dims),
+typically 30–300× smaller than raw events and free of the wide
+prop payload. The win is that the per-query scan drops to that
+bounded table with dt partition pruning, and maintenance is
+RollupStore-style: day-partitioned dynamic overwrite touching only
+the batch's days, merge = re-aggregation (counts/sums add, which is
+why the grain stores SUMS, never averages).
+
+Reference note: the reference has no pre-aggregate tier at all (it
+rescans parts per query — storage/src/db.rs:657-666); this extends
+the repo's own materialized-view design to user grain.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dsl import EventRef, PropFilter, PropKind, QueryTime, TimeIntervalUnit
+from .exprs import event_expression, multi_and
+from .operators.aggregates import DECIMAL_T, bucket_col
+from .rollup import ROLLUP_DT_COL, _day_aligned, _rollup_filter
+from .schema import EVENT_NAME_COL, EVENT_TIME_COL, EVENT_USER_COL
+
+N_EVENTS_COL = "n_events"
+VALUE_SUM_COL = "value_sum"
+
+
+@dataclass(frozen=True)
+class UserDaySpec:
+    """DDL of one user-day table: which event dims it can filter on
+    and which value column its decimal sum carries. Mirrors
+    RollupSpec's routability contract — a query routes only when its
+    event/property filters stay inside ``dims`` and it asks about the
+    same ``group_col`` grain."""
+
+    dims: tuple[str, ...] = (EVENT_NAME_COL,)
+    value_col: str = "value"
+    group_col: str = EVENT_USER_COL
+
+
+def build_user_day(events: DataFrame,
+                   spec: UserDaySpec = UserDaySpec()) -> DataFrame:
+    """ONE map-side-combinable groupBy over the scan — the same build
+    shape as build_rollup, keyed by (dt, user, *dims)."""
+    keys = [
+        F.to_date(F.col(EVENT_TIME_COL)).alias(ROLLUP_DT_COL),
+        F.col(spec.group_col),
+        *[F.col(d) for d in spec.dims],
+    ]
+    return events.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(N_EVENTS_COL),
+        F.coalesce(
+            F.sum(F.col(spec.value_col).cast(DECIMAL_T)),
+            F.lit(0).cast(DECIMAL_T),
+        ).alias(VALUE_SUM_COL),
+    )
+
+
+def merge_user_day(parts: Sequence[DataFrame],
+                   spec: UserDaySpec = UserDaySpec()) -> DataFrame:
+    """Re-aggregate same-schema partials — counts and decimal sums
+    add, so the merge is exact and order-free."""
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.groupBy(
+        ROLLUP_DT_COL, spec.group_col, *spec.dims
+    ).agg(
+        F.sum(N_EVENTS_COL).alias(N_EVENTS_COL),
+        # keep the build's decimal(38,6) schema — a narrowing cast
+        # here would desync merged partitions from rebuilt ones
+        F.sum(VALUE_SUM_COL).cast("decimal(38,6)").alias(VALUE_SUM_COL),
+    )
+
+
+class UserDayStore:
+    """dt-partitioned parquet persistence + incremental maintenance —
+    the RollupStore protocol verbatim (bytes rewritten per update
+    cycle follow the batch's day span, never history; (stream_id,
+    batch_id) replay ledger; crash between overwrite and ledger
+    reapplies one batch, repaired by rebuild)."""
+
+    def __init__(self, path: str, spec: UserDaySpec = UserDaySpec()):
+        self.path = path
+        self.spec = spec
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            e.startswith(f"{ROLLUP_DT_COL}=") for e in os.listdir(self.path)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        df = spark.read.parquet(self.path)
+        return df.select(
+            ROLLUP_DT_COL, *[c for c in df.columns if c != ROLLUP_DT_COL]
+        )
+
+    def rebuild(self, spark: SparkSession, events: DataFrame) -> None:
+        build_user_day(events, self.spec).repartition(
+            ROLLUP_DT_COL
+        ).write.mode("overwrite").partitionBy(ROLLUP_DT_COL).parquet(
+            self.path)
+
+    def _ledger_path(self) -> str:
+        return os.path.join(self.path, "_applied_batches.json")
+
+    def _applied(self) -> dict:
+        import json as _json
+
+        try:
+            with open(self._ledger_path()) as f:
+                return _json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def update(self, spark: SparkSession, new_events: DataFrame,
+               stream_id: Optional[str] = None,
+               batch_id: Optional[int] = None) -> int:
+        """Merge an append batch: day-aggregate it, merge with the
+        matching existing dt partitions (pruned scan), dynamic-
+        partition-overwrite those partitions. Returns days touched;
+        a re-delivered (stream_id, batch_id) no-ops."""
+        import json as _json
+
+        if stream_id is not None and batch_id is not None:
+            if self._applied().get(stream_id, -1) >= batch_id:
+                return 0
+        batch = build_user_day(new_events, self.spec).persist()
+
+        def mark_applied() -> None:
+            if stream_id is None or batch_id is None:
+                return
+            applied = self._applied()
+            applied[stream_id] = batch_id
+            tmp = self._ledger_path() + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(applied, f)
+            os.replace(tmp, self._ledger_path())
+
+        try:
+            if not self.exists():
+                batch.repartition(ROLLUP_DT_COL).write.mode(
+                    "overwrite").partitionBy(ROLLUP_DT_COL).parquet(self.path)
+                mark_applied()
+                return batch.select(ROLLUP_DT_COL).distinct().count()
+            days = [r[0] for r in
+                    batch.select(ROLLUP_DT_COL).distinct().collect()]
+            if not days:
+                mark_applied()
+                return 0
+            existing = self.read(spark).filter(
+                F.col(ROLLUP_DT_COL).isin(days))
+            merged = merge_user_day([existing, batch], self.spec)
+            out = merged.repartition(ROLLUP_DT_COL).localCheckpoint()
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", None)
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                out.write.mode("overwrite").partitionBy(
+                    ROLLUP_DT_COL).parquet(self.path)
+            finally:
+                if prev is not None:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev)
+                else:
+                    spark.conf.unset(
+                        "spark.sql.sources.partitionOverwriteMode")
+            mark_applied()
+            return len(days)
+        finally:
+            batch.unpersist()
+
+
+# ------------------------------------------------------------ routing
+
+
+def user_day_supports(
+    time: QueryTime,
+    event: Optional[EventRef],
+    filters: Sequence[PropFilter],
+    spec: UserDaySpec,
+    group_col: str = EVENT_USER_COL,
+) -> bool:
+    """Routability guard (mirrors rollup.activity_supports): whole-day
+    bounds, the event filter expressible on the stored dims, property
+    filters inside the dim set, and the caller asking about the grain
+    the store was built at."""
+    if spec.group_col != group_col:
+        return False
+    if _day_aligned(time) is None:
+        return False
+    for f in filters:
+        if f.prop.kind != PropKind.COLUMN or f.prop.name not in spec.dims:
+            return False
+    if event is not None:
+        if getattr(event, "custom", None) is not None:
+            return False
+        if event.name is not None and EVENT_NAME_COL not in spec.dims:
+            return False
+    return True
+
+
+def _window_rows(store_df: DataFrame, time: QueryTime,
+                 event: Optional[EventRef],
+                 filters: Sequence[PropFilter]) -> DataFrame:
+    aligned = _day_aligned(time)
+    assert aligned is not None, "caller must check user_day_supports"
+    start_day, end_day = aligned
+    conds: list[Column] = [
+        F.col(ROLLUP_DT_COL) >= F.lit(str(start_day)).cast("date")
+    ]
+    if end_day is not None:
+        conds.append(F.col(ROLLUP_DT_COL) <= F.lit(str(end_day)).cast("date"))
+    if event is not None:
+        ev = event_expression(event, EVENT_NAME_COL)
+        if ev is not None:
+            conds.append(ev)
+    conds += [_rollup_filter(f) for f in filters]
+    return store_df.filter(multi_and(conds))
+
+
+def rfm_from_user_day(
+    store_df: DataFrame,
+    time: QueryTime,
+    n_tiles: int = 5,
+    spec: UserDaySpec = UserDaySpec(),
+    event: Optional[EventRef] = None,
+    filters: Sequence[PropFilter] = (),
+    percentile_mode: str = "auto",
+) -> DataFrame:
+    """`engagement.rfm_scores` answered from the user-day store: the
+    per-user frame folds from (dt, user) partials — max(dt) for
+    recency, Σn_events for frequency, Σvalue_sum (exact decimal) for
+    monetary — then runs the SHARED scoring tail. dt partition
+    pruning bounds the scan to the window's days; nothing touches raw
+    events."""
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    _, end = time.range()
+    if end is None:
+        raise ValueError("rfm needs a bounded time window")
+    from .operators.engagement import rfm_from_per_user
+
+    rows = _window_rows(store_df, time, event, filters)
+    per_user = rows.groupBy(F.col(spec.group_col)).agg(
+        F.datediff(
+            F.lit(end.date().isoformat()).cast("date"),
+            F.max(F.col(ROLLUP_DT_COL)),
+        ).alias("recency_days"),
+        F.sum(N_EVENTS_COL).alias("frequency"),
+        # decimal sums are exact; one final cast to double, exactly
+        # where the raw path casts — no narrowing re-cast in between
+        F.sum(VALUE_SUM_COL).cast("double").alias("monetary"),
+    )
+    return rfm_from_per_user(per_user, n_tiles, spec.group_col,
+                             percentile_mode)
+
+
+def growth_from_user_day(
+    store_df: DataFrame,
+    time: QueryTime,
+    period: TimeIntervalUnit = TimeIntervalUnit.WEEK,
+    spec: UserDaySpec = UserDaySpec(),
+    event: Optional[EventRef] = None,
+    filters: Sequence[PropFilter] = (),
+) -> DataFrame:
+    """`engagement.growth_accounting` answered from the user-day
+    store: the distinct (user, bucket) activity set — the ledger's
+    whole input — is a projection of (dt, user) partials, identical
+    to the raw path's by construction, and feeds the SHARED
+    engagement.growth_ledger tail."""
+    if period not in (TimeIntervalUnit.DAY, TimeIntervalUnit.WEEK,
+                      TimeIntervalUnit.MONTH):
+        raise ValueError("growth accounting period must be day|week|month")
+    from .operators.engagement import growth_ledger
+
+    rows = _window_rows(store_df, time, event, filters)
+    pb = bucket_col(period, ts_col=ROLLUP_DT_COL)
+    a = rows.select(
+        F.col(spec.group_col).alias("__u"), pb.alias("bucket")
+    ).distinct()
+    last_b = rows.agg(F.max(pb).alias("__last")).withColumn(
+        "__k", F.lit(1))
+    return growth_ledger(a, last_b, period)

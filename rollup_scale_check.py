@@ -67,11 +67,14 @@ def _queries():
     )
     from optiprism_spark.exprs import full_filter
     from optiprism_spark.operators.aggregates import bucket_col
-    from optiprism_spark.operators.engagement import stickiness
+    from optiprism_spark.operators.engagement import (
+        growth_accounting, rfm_scores, stickiness,
+    )
     from optiprism_spark.queries.event_segmentation import run_event_segmentation
     from optiprism_spark.rollup import (
         cohort_sizes_from_rollup, stickiness_from_rollup,
     )
+    from optiprism_spark.userday import growth_from_user_day, rfm_from_user_day
 
     T = QueryTime.between(_T0, _T1)
     WEEK = TimeIntervalUnit.WEEK
@@ -102,14 +105,14 @@ def _queries():
             breakdowns=[PropertyRef.column("event_type")],
         )
 
-    def stick_raw(spark, ev, store, spec):
+    def stick_raw(spark, ev, store, spec, ud):
         return stickiness(ev, T, period=WEEK)
 
-    def stick_routed(spark, ev, store, spec):
+    def stick_routed(spark, ev, store, spec, ud):
         return stickiness_from_rollup(store.read(spark), T, period=WEEK,
                                       spec=spec)
 
-    def cohort_raw(spark, ev, store, spec):
+    def cohort_raw(spark, ev, store, spec, ud):
         cond = full_filter(T, EventRef("index"), ())
         b = bucket_col(WEEK)
         return (
@@ -119,41 +122,73 @@ def _queries():
             .agg(F.count(F.lit(1)).alias("cohort_size"))
         )
 
-    def cohort_routed(spark, ev, store, spec):
+    def cohort_routed(spark, ev, store, spec, ud):
         return cohort_sizes_from_rollup(
             store.read(spark), T, interval=WEEK,
             cohort_event=EventRef("index"), spec=spec)
 
-    def seg_raw(spark, ev, store, spec):
+    def seg_raw(spark, ev, store, spec, ud):
         return run_event_segmentation(ev, seg_req, fmt="compact")
 
-    def seg_routed(spark, ev, store, spec):
+    def seg_routed(spark, ev, store, spec, ud):
         return run_event_segmentation(
             ev, seg_req, fmt="compact", rollup=(store.read(spark), spec))
 
-    def uniq_raw(spark, ev, store, spec):
+    def uniq_raw(spark, ev, store, spec, ud):
         # the exact-distinct scan a dashboard runs without the rollup:
         # a full shuffle of (week, type, user) triples
         return run_event_segmentation(ev, uniq_req(False), fmt="compact")
 
-    def uniq_routed(spark, ev, store, spec):
+    def uniq_routed(spark, ev, store, spec, ud):
         return run_event_segmentation(
             ev, uniq_req(True), fmt="compact",
             rollup=(store.read(spark), spec))
 
+    def growth_raw(spark, ev, store, spec, ud):
+        return growth_accounting(ev, T, period=WEEK)
+
+    def growth_routed(spark, ev, store, spec, ud):
+        return growth_from_user_day(ud.read(spark), T, period=WEEK)
+
+    def _rfm_grid(df):
+        from optiprism_spark.operators.aggregates import DECIMAL_T
+
+        return df.groupBy("r_score", "f_score", "m_score").agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("monetary").cast(DECIMAL_T)).cast("double")
+            .alias("total_monetary"))
+
+    def rfm_raw(spark, ev, store, spec, ud):
+        return _rfm_grid(rfm_scores(ev, T, n_tiles=5,
+                                    percentile_mode="exact"))
+
+    def rfm_routed(spark, ev, store, spec, ud):
+        return _rfm_grid(rfm_from_user_day(ud.read(spark), T, n_tiles=5,
+                                           percentile_mode="exact"))
+
+    # cls "flat": the routed frame is #days x #dims — ratio gated at
+    # ROUTED_FLAT_THRESH. cls "user_grain" (r15 user-day store): the
+    # store grows WITH users by construction, so flatness is the wrong
+    # claim — the gate instead demands the routed path beats raw at
+    # x FACTOR and scales no worse than raw does (the win is the
+    # narrow pre-deduped scan, honestly characterized).
     return {
-        "stickiness_weekly": (stick_raw, stick_routed, "approx"),
-        "cohort_sizes_weekly": (cohort_raw, cohort_routed, "approx"),
-        "seg_overview_weekly": (seg_raw, seg_routed, "exact"),
-        "uniques_weekly_by_type": (uniq_raw, uniq_routed, "approx"),
+        "stickiness_weekly": (stick_raw, stick_routed, "approx", "flat"),
+        "cohort_sizes_weekly": (cohort_raw, cohort_routed, "approx", "flat"),
+        "seg_overview_weekly": (seg_raw, seg_routed, "exact", "flat"),
+        "uniques_weekly_by_type": (uniq_raw, uniq_routed, "approx", "flat"),
+        "growth_weekly_userday": (growth_raw, growth_routed, "exact",
+                                  "user_grain"),
+        "rfm_grid_userday": (rfm_raw, rfm_routed, "exact", "user_grain"),
     }
 
 
-def _time(fn, spark, ev, store, spec, passes: int) -> float:
+def _time(fn, spark, ev, store, spec, ud, passes: int) -> float:
     best = float("inf")
     for _ in range(passes):
         t0 = time.perf_counter()
-        fn(spark, ev, store, spec).write.format("noop").mode("overwrite").save()
+        fn(spark, ev, store, spec, ud).write.format("noop").mode(
+            "overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
 
@@ -164,7 +199,8 @@ def _crosscheck(raw_df, routed_df, mode: str) -> dict:
     def keyed(df):
         rows = df.collect()
         key_cols = [c for c in df.columns if c in (
-            "bucket", "cohort_bucket", "event", "event_type")]
+            "bucket", "cohort_bucket", "event", "event_type",
+            "r_score", "f_score", "m_score")]
         out = {}
         for r in rows:
             d = r.asDict()
@@ -215,6 +251,7 @@ def main() -> None:
     from optiprism_spark.events_gen import generate_events
     from optiprism_spark.rollup import RollupSpec, RollupStore
     from optiprism_spark.session import get_spark
+    from optiprism_spark.userday import UserDayStore
 
     spark = get_spark("optiprism_rollup_scale",
                       cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -245,14 +282,21 @@ def main() -> None:
         t0 = time.perf_counter()
         store.rebuild(spark, ev)
         t_build = round(time.perf_counter() - t0, 3)
+        ud = UserDayStore(os.path.join(d, "userday"))
+        t0 = time.perf_counter()
+        ud.rebuild(spark, ev)
+        t_ud_build = round(time.perf_counter() - t0, 3)
         corpora[label] = {
-            "events": ev, "store": store,
+            "events": ev, "store": store, "ud": ud,
             "stats": {
                 "events_rows": ev.count(),
                 "events_bytes": _dir_bytes(os.path.join(d, "events.parquet")),
                 "store_rows": store.read(spark).count(),
                 "store_bytes": _dir_bytes(os.path.join(d, "rollup")),
                 "build_sec": t_build,
+                "userday_rows": ud.read(spark).count(),
+                "userday_bytes": _dir_bytes(os.path.join(d, "userday")),
+                "userday_build_sec": t_ud_build,
             },
         }
         print(f"{label}: {corpora[label]['stats']}", file=sys.stderr)
@@ -262,21 +306,25 @@ def main() -> None:
 
     # warm JVM
     next(iter(suite.values()))[0](
-        spark, x1["events"], x1["store"], spec
+        spark, x1["events"], x1["store"], spec, x1["ud"]
     ).write.format("noop").mode("overwrite").save()
 
     results, gate_fail = {}, []
-    for name, (raw_fn, routed_fn, mode) in suite.items():
+    for name, (raw_fn, routed_fn, mode, cls) in suite.items():
         check = _crosscheck(
-            raw_fn(spark, x1["events"], x1["store"], spec),
-            routed_fn(spark, x1["events"], x1["store"], spec), mode)
-        r1 = _time(raw_fn, spark, x1["events"], x1["store"], spec, args.passes)
-        rN = _time(raw_fn, spark, xN["events"], xN["store"], spec, args.passes)
+            raw_fn(spark, x1["events"], x1["store"], spec, x1["ud"]),
+            routed_fn(spark, x1["events"], x1["store"], spec, x1["ud"]),
+            mode)
+        r1 = _time(raw_fn, spark, x1["events"], x1["store"], spec, x1["ud"],
+                   args.passes)
+        rN = _time(raw_fn, spark, xN["events"], xN["store"], spec, xN["ud"],
+                   args.passes)
         o1 = _time(routed_fn, spark, x1["events"], x1["store"], spec,
-                   args.passes)
+                   x1["ud"], args.passes)
         oN = _time(routed_fn, spark, xN["events"], xN["store"], spec,
-                   args.passes)
+                   xN["ud"], args.passes)
         entry = {
+            "class": cls,
             "raw": {"t1": r1, "tN": rN, "ratio": round(rN / r1, 2)},
             "routed": {"t1": o1, "tN": oN, "ratio": round(oN / o1, 2)},
             "speedup_at_N": round(rN / oN, 2),
@@ -287,9 +335,16 @@ def main() -> None:
             gate_fail.append(f"{name}: x1 values diverge ({check})")
         if entry["speedup_at_N"] <= 1.0:
             gate_fail.append(f"{name}: routed not faster at x{args.factor}")
-        if entry["routed"]["ratio"] > ROUTED_FLAT_THRESH:
+        if cls == "flat" and entry["routed"]["ratio"] > ROUTED_FLAT_THRESH:
             gate_fail.append(f"{name}: routed ratio {entry['routed']['ratio']}"
                              f" > {ROUTED_FLAT_THRESH}")
+        if cls == "user_grain" and (
+                entry["routed"]["ratio"]
+                > max(entry["raw"]["ratio"] * 1.2, 2.0)):
+            gate_fail.append(
+                f"{name}: user-grain routed ratio "
+                f"{entry['routed']['ratio']} scales worse than raw "
+                f"{entry['raw']['ratio']}")
         print(f"{name}: raw {r1}->{rN}s (x{entry['raw']['ratio']}) "
               f"routed {o1}->{oN}s (x{entry['routed']['ratio']}) "
               f"speedup@N {entry['speedup_at_N']} check={check['match']}",

@@ -59,8 +59,11 @@ CORE = [
     "drift_psi_value_quantile_bins",
 ]
 
-#: rotating-window size on top of the core
-ROTATE_N = 16
+#: rotating-window size on top of the core. r15: 16 → 24 — the
+#: registry outgrew 150 queries, so the driver's 50/round gate leaves
+#: a tail at age 3; a wider sf0.1 window keeps that tail under the
+#: builder's own 10×-scale check every round (r14 verdict task 3).
+ROTATE_N = 24
 
 #: per-round record of what this gate checked (mirror of the driver
 #: gate's DRIVER_CHECKED_ROUNDS) — extend each round from the previous

@@ -125,3 +125,18 @@ def test_sf01_gate_rotates_least_recently_checked():
     assert worst_in <= best_out
     # the latest round's record exists and only lists real queries
     assert all(n in QUERIES for n in m.SF01_CHECKED_ROUNDS[latest])
+
+
+def test_staleness_bound_never_exceeds_three():
+    """r14 verdict task 3: the provable staleness bound is registry
+    arithmetic — ceil(N / GATE_SIZE) - 1 — and it must stay ≤ 3. When
+    the registry crosses 200 queries this trips, and the fix is a
+    DELIBERATE one (grow the driver gate's gate-size assumption, or
+    split/retire queries), never a silent slide to age-4 windows
+    where regressions hide."""
+    import math
+
+    bound = math.ceil(len(QUERIES) / GATE_SIZE) - 1
+    assert bound <= 3, (
+        f"registry has {len(QUERIES)} queries: ceil(N/{GATE_SIZE})-1 = "
+        f"{bound} > 3 — widen the gate or restructure before adding more")

@@ -721,37 +721,62 @@ def test_rfm_endpoint(app, spark):
     assert status == 400
 
 
-def test_experiment_srm_endpoint(app, spark):
+def test_experiment_srm_endpoint(spark):
     """type: srm on /queries/experiment matches the operator; a
-    malformed allocation is a 400."""
+    malformed allocation is a 400; a variant frame whose df falls
+    outside the crit table is a loud 400, never a silently-False
+    flag (r14 advice)."""
     import datetime as dtm
 
-    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.dsl import (EventFilterSpec, EventRef,
+                                     QueryTime)
     from optiprism_spark.operators.experiment import srm_check
     from optiprism_spark.schema import load_table
 
+    # two-armed via a custom exposure event (view|click) with the
+    # event type as the variant — the single-variant shape the old
+    # test used is now the df=0 error case below
+    touch = {"touch": [
+        {"eventName": "view", "eventType": "regular"},
+        {"eventName": "click", "eventType": "regular"},
+    ]}
+    app2 = make_app(spark, SF_DIR, custom_events=touch)
     body = {
         "type": "srm", "time": T_JAN,
-        "exposureEvent": {"eventName": "view", "eventType": "regular"},
+        "exposureEvent": {"eventName": "touch", "eventType": "custom"},
         "variantProperty": {"propertyName": "event_type"},
     }
     status, payload = call(
-        app, "POST", "/api/v1/projects/1/queries/experiment", body)
+        app2, "POST", "/api/v1/projects/1/queries/experiment", body)
     assert status == 200
     from pyspark.sql import functions as F
 
     W = QueryTime.between(dtm.datetime(2024, 1, 1),
                           dtm.datetime(2024, 1, 31, 23, 59, 59))
+    ref = EventRef(custom=[
+        EventFilterSpec(EventRef("view")),
+        EventFilterSpec(EventRef("click")),
+    ])
     direct = srm_check(
         load_table(spark, SF_DIR, "events"), F.col("event_type"),
-        EventRef("view"), W).collect()
+        ref, W).collect()
     cols = {c["name"]: c["data"] for c in payload["columns"]}
     assert sorted(zip(cols["variant"], cols["n_users"])) == sorted(
         (r.variant, r.n_users) for r in direct)
 
-    status, _ = call(app, "POST", "/api/v1/projects/1/queries/experiment",
+    status, _ = call(app2, "POST", "/api/v1/projects/1/queries/experiment",
                      {**body, "expected": {"view": "not-a-number"}})
     assert status == 400
-    status, _ = call(app, "POST", "/api/v1/projects/1/queries/experiment",
+    status, _ = call(app2, "POST", "/api/v1/projects/1/queries/experiment",
                      {**body, "expected": {"view": 0.4}})
     assert status == 400  # shares don't sum to 1
+
+    # df outside the crit table: single observed variant (equal-split
+    # df=0) surfaces the operator's runtime raise as a 400 with the
+    # actionable message, not a 500 and not srm_flag=False
+    status, payload = call(
+        app2, "POST", "/api/v1/projects/1/queries/experiment",
+        {**body,
+         "exposureEvent": {"eventName": "view", "eventType": "regular"}})
+    assert status == 400
+    assert "outside the supported" in payload["error"]

@@ -1,0 +1,146 @@
+"""UserDayStore — the (dt, user)-grain activity rollup behind RFM and
+growth accounting (r15, r14 verdict tasks 6 & 7): routed ≡ raw,
+incremental maintenance with replay ledger, HTTP routing + fallback,
+and the plan assertion that routed queries never scan raw events."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from optiprism_spark.dsl import EventRef, QueryTime, TimeIntervalUnit
+from optiprism_spark.operators.engagement import (
+    growth_accounting,
+    rfm_scores,
+)
+from optiprism_spark.schema import load_table
+from optiprism_spark.userday import (
+    UserDaySpec,
+    UserDayStore,
+    growth_from_user_day,
+    rfm_from_user_day,
+    user_day_supports,
+)
+
+SF = "/root/testdata/sf0.001"
+W = QueryTime.between(dt.datetime(2024, 1, 1),
+                      dt.datetime(2024, 1, 31, 23, 59, 59, 999999))
+
+
+def test_routed_equals_raw_and_never_scans_events(spark, tmp_path):
+    ev = load_table(spark, SF, "events")
+    st = UserDayStore(str(tmp_path / "ud"))
+    st.rebuild(spark, ev)
+    sdf = st.read(spark)
+
+    raw = {tuple(r) for r in rfm_scores(
+        ev, W, n_tiles=5, percentile_mode="exact").collect()}
+    routed_df = rfm_from_user_day(sdf, W, n_tiles=5,
+                                  percentile_mode="exact")
+    assert {tuple(r) for r in routed_df.collect()} == raw and raw
+
+    rawg = {tuple(r) for r in growth_accounting(
+        ev, W, TimeIntervalUnit.WEEK).collect()}
+    routed_g = growth_from_user_day(sdf, W, TimeIntervalUnit.WEEK)
+    assert {tuple(r) for r in routed_g.collect()} == rawg and rawg
+
+    # event-dim filter folds on the store too
+    raw_f = {tuple(r) for r in rfm_scores(
+        ev, W, n_tiles=4, event=EventRef("purchase"),
+        percentile_mode="exact").collect()}
+    routed_f = rfm_from_user_day(
+        sdf, W, n_tiles=4, event=EventRef("purchase"),
+        percentile_mode="exact")
+    assert {tuple(r) for r in routed_f.collect()} == raw_f
+
+    # routed plans read the store parquet, never the events table
+    for df in (routed_df, routed_g):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "events.parquet" not in plan
+        # the scanned relation carries the store's schema, and the
+        # events table's wide payload (props) never appears
+        assert "value_sum" in plan and "props" not in plan
+
+
+def test_supports_guard(spark):
+    spec = UserDaySpec()
+    assert user_day_supports(W, EventRef("purchase"), (), spec)
+    # non-day-aligned bounds: not routable
+    ragged = QueryTime.between(dt.datetime(2024, 1, 1, 8),
+                               dt.datetime(2024, 1, 31, 23, 59, 59, 999999))
+    assert not user_day_supports(ragged, None, (), spec)
+    # custom-event OR expansion: not expressible on the event dim
+    from optiprism_spark.dsl import EventFilterSpec
+
+    custom = EventRef(custom=[EventFilterSpec(EventRef("view"))])
+    assert not user_day_supports(W, custom, (), spec)
+    # wrong grain
+    assert not user_day_supports(W, None, (), spec, group_col="org_id")
+
+
+def test_incremental_update_and_replay(spark, tmp_path):
+    ev = load_table(spark, SF, "events")
+    jan_half = ev.filter(F.col("ts") < "2024-01-16")
+    rest = ev.filter(F.col("ts") >= "2024-01-16")
+
+    st = UserDayStore(str(tmp_path / "ud_inc"))
+    st.rebuild(spark, jan_half)
+    touched = st.update(spark, rest, stream_id="s", batch_id=1)
+    assert touched > 0
+    # replay no-ops
+    assert st.update(spark, rest, stream_id="s", batch_id=1) == 0
+
+    # incrementally-built store ≡ one-shot rebuild (counts and sums
+    # merge exactly)
+    full = UserDayStore(str(tmp_path / "ud_full"))
+    full.rebuild(spark, ev)
+    a = {tuple(r) for r in st.read(spark).collect()}
+    b = {tuple(r) for r in full.read(spark).collect()}
+    assert a == b
+
+    # and the routed readout over the merged store still equals raw
+    raw = {tuple(r) for r in growth_accounting(
+        ev, W, TimeIntervalUnit.WEEK).collect()}
+    got = {tuple(r) for r in growth_from_user_day(
+        st.read(spark), W, TimeIntervalUnit.WEEK).collect()}
+    assert got == raw
+
+
+def test_http_routing_and_fallback(spark, tmp_path):
+    from optiprism_spark import metrics
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    st = UserDayStore(str(tmp_path / "ud_http"))
+    st.rebuild(spark, load_table(spark, SF, "events"))
+    app = make_app(spark, SF, result_cache_ttl=None, user_day_store=st)
+    bare = make_app(spark, SF, result_cache_ttl=None)
+    T = {"type": "between", "from": "2024-01-01 00:00:00",
+         "to": "2024-01-31 23:59:59.999999"}
+
+    def rows(resp):
+        cols = sorted(resp["columns"], key=lambda c: c["name"])
+        return set(zip(*[c["data"] for c in cols]))
+
+    for url, body in (
+        ("/api/v1/projects/1/queries/growth", {"time": T, "period": "week"}),
+        ("/api/v1/projects/1/queries/rfm", {"time": T, "grid": True}),
+    ):
+        before = metrics.user_day_routed_total().value(
+            surface=url.rsplit("/", 1)[-1], path="store")
+        st_r, routed = call(app, "POST", url, body)
+        st_b, raw = call(bare, "POST", url, body)
+        assert st_r == 200 and st_b == 200
+        assert rows(routed) == rows(raw), url
+        after = metrics.user_day_routed_total().value(
+            surface=url.rsplit("/", 1)[-1], path="store")
+        assert after == before + 1, url
+
+    # a non-routable request (custom valueProperty) falls back to raw
+    stx, _ = call(app, "POST", "/api/v1/projects/1/queries/rfm",
+                  {"time": T, "grid": True, "valueProperty": "event_id"})
+    assert stx == 200
+    assert metrics.user_day_routed_total().value(
+        surface="rfm", path="raw") >= 1
