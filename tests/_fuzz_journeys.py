@@ -248,7 +248,12 @@ class rfm_suite:
         rng = random.Random(0x0F37_0000 + seed)
         d0, d1 = _time_range(rng)
         return {"seed": seed, "n_tiles": rng.choice((3, 4, 5, 6)),
-                "grid": seed % 3 == 2, "d0": d0, "d1": d1}
+                "grid": seed % 3 == 2, "d0": d0, "d1": d1,
+                # r15: the regime switch rides the fuzz — "auto" must
+                # resolve to the exact regime at oracle scale (below
+                # sizing.EXACT_PERCENTILE_MAX_ROWS) and hash-match the
+                # exact oracle just like mode="exact" does
+                "percentile_mode": rng.choice(("auto", "exact"))}
 
     @staticmethod
     def spec_to_sql(s: dict) -> str:
@@ -268,7 +273,8 @@ class rfm_suite:
 
         out = rfm_scores(
             load_table(spark, sf_dir, "events"),
-            _qt(s["d0"], s["d1"]), n_tiles=s["n_tiles"])
+            _qt(s["d0"], s["d1"]), n_tiles=s["n_tiles"],
+            percentile_mode=s.get("percentile_mode", "auto"))
         if not s["grid"]:
             return out
         return out.groupBy("r_score", "f_score", "m_score").agg(
