@@ -249,6 +249,30 @@ class IvfStore:
         return {"appended": appended, "centroid_cosine": cos,
                 "retrained": retrain}
 
+    def probe_pairs(self, spark: SparkSession, new_embeddings: DataFrame,
+                    threshold: float = 0.9,
+                    max_bucket=None) -> DataFrame:
+        """Read-only incremental near-dup: compare an ingest batch
+        against the durable index WITHOUT mutating it — the admission
+        check a dedup-at-ingest pipeline runs before deciding whether
+        to keep a document (fold the batch in afterwards via
+        append/maintain). Delegates to
+        similarity.embedding_incremental_pairs_ivf: the store is
+        semi-joined on the batch's centroid ids first, so per-batch
+        cost follows the batch and its buckets, never the corpus."""
+        from .similarity import embedding_incremental_pairs_ivf
+
+        pairs, _assigned = embedding_incremental_pairs_ivf(
+            new_embeddings,
+            self.assignment(spark).select(
+                self.id_col, "v", "n", "centroid_id"),
+            self.centroids(spark),
+            threshold=threshold,
+            id_col=self.id_col, vec_col=self.vec_col,
+            max_bucket=max_bucket,
+        )
+        return pairs
+
     def erase(self, spark: SparkSession, ids) -> int:
         """User/document erasure: rewrite the assignment WITHOUT the
         given vector ids into a fresh generation (parquet can't

@@ -203,3 +203,78 @@ def test_similarity_route_indexed_knob(spark, tmp_path):
     assert out["appended"] == 1 and not out["retrained"]
     assert app.maintain_ivf(batch, drift_threshold=2.0, stream_id="t",
                             batch_id=1)["appended"] == 0
+
+
+def test_probe_pairs_matches_full_rebuild(spark, tmp_path):
+    """Read-only probe: batch-vs-store pairs must equal the FULL
+    per-call IVF pair set restricted to pairs touching the batch
+    (same quantizer ⇒ same buckets ⇒ same candidates)."""
+    emb = load_table(spark, SF, "embeddings")
+    settled = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+
+    st = IvfStore(str(tmp_path / "probe_ivf"))
+    st.rebuild(spark, settled, n_centroids=8)
+    got = {(r["doc_a"], r["doc_b"], r["sim"]) for r in
+           st.probe_pairs(spark, batch, threshold=0.40).collect()}
+
+    # full pipeline with the SAME quantizer (settled lowest-8 == full
+    # corpus lowest-8 since ids 0-7 are settled)
+    full = {(r["doc_a"], r["doc_b"], r["sim"]) for r in
+            embedding_near_pairs_ivf(
+                emb, threshold=0.40, n_centroids=8).collect()}
+    touching = {(a, b, s) for (a, b, s) in full if a >= 400 or b >= 400}
+    assert got == touching and got
+    # read-only: the store did not grow
+    assert st.assignment(spark).filter("appended").count() == 0
+
+
+def test_streaming_ivf_maintenance(spark, tmp_path):
+    """The maintenance stream folds embedding micro-batches into the
+    index with replay-safe ledgering; checkpoint recovery does not
+    double-append."""
+    import os
+
+    from optiprism_spark.streaming.similarity import (
+        streaming_ivf_maintenance)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "vec_id long, embedding array<float>"
+
+    st = IvfStore(str(tmp_path / "stream_ivf"))
+    st.rebuild(spark, load_table(spark, SF, "embeddings"), n_centroids=8)
+    n0 = st.info()["count"]
+
+    def run():
+        q = streaming_ivf_maintenance(
+            spark, schema, src, st, ckpt,
+            drift_threshold=2.0,  # never retrain: ledger is the test
+            trigger_once=True)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    spark.createDataFrame(
+        [(70_000 + i, [1.0 + i] * 64) for i in range(5)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert st.info()["count"] == n0 + 5
+    assert st.assignment(spark).filter("appended").count() == 5
+
+    # replay: wipe the checkpoint so batch 0 re-delivers — the store
+    # ledger must no-op it
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    assert st.info()["count"] == n0 + 5
+
+    # a genuinely new batch advances
+    spark.createDataFrame(
+        [(80_000, [2.0] * 64)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert st.info()["count"] == n0 + 6
