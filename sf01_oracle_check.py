@@ -212,6 +212,29 @@ SF01_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
         "wh_revenue_by_nation_bucketed",
         "win_cumulative",
     }),
+    15: frozenset({
+        "asm_chunk_documents", "attr_position_revenue",
+        "aud_set_kmv_sketched", "dedup_embedding_cosine_ivf",
+        "dedup_embedding_cosine_ivf_auto", "dedup_embedding_cosine_lsh",
+        "dedup_embedding_cosine_lsh_banded", "dedup_jaccard_pairs",
+        "dedup_lsh_near_pairs", "dict_roundtrip_event_type",
+        "dq_freshness_events", "dq_metrics_daily",
+        "drift_embedding_centroid_by_label", "drift_psi_value_half_month",
+        "drift_psi_value_quantile_bins", "drift_psi_value_rollup_routed",
+        "eng_growth_accounting_weekly", "est_funnel_3step_sampled",
+        "est_growth_weekly_sampled", "est_retention_weekly_sampled",
+        "exp_srm_check", "funnel_machine_any_order_touch_last",
+        "funnel_machine_breakdown", "funnel_machine_dropoff_step1",
+        "funnel_machine_excludes", "group_record_by_id",
+        "path_dropoff_after_view", "property_values_event_type",
+        "qsketch_percentile_value_by_type", "retention_unbounded_weekly",
+        "rollup_percentile_value_by_type", "seg_agg_matrix_per_user",
+        "seg_percentiles_by_type", "seg_rollup_mixed_fallback",
+        "seg_sum_value_daily_by_type", "seg_time_last_n_days",
+        "segment_relative_count", "text_bpe_segments", "text_gopher_quality",
+        "wh_order_priority_bucketed", "wh_revenue_by_nation",
+        "wh_revenue_by_nation_bucketed",
+    }),
 }
 
 
