@@ -63,6 +63,7 @@ KINDS = (
     "setting",
     "rollup",
     "quality_check",
+    "ann_index",
 )
 
 #: properties whose name matches a physical events column are system

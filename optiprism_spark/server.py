@@ -401,6 +401,7 @@ class App:
         kmv_store=None,
         ivf_store=None,
         user_day_store=None,
+        ivf_dir=None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -435,6 +436,9 @@ class App:
         #: directory for CATALOG-DECLARED per-project rollups (POST
         #: /projects/{pid}/schema/rollups); None disables the feature
         self.rollup_dir = rollup_dir
+        #: directory for CATALOG-DECLARED per-project ANN indexes
+        #: (POST /projects/{pid}/schema/ann-indexes); None disables
+        self.ivf_dir = ivf_dir
         #: lake layout for the admin lifecycle plane (user erasure /
         #: retention): {"table_name", "appends_path", "tiers_path"?,
         #: "extra_paths"?, "dated_paths"?}. None disables the routes
@@ -759,6 +763,13 @@ class App:
                        create=self._create_quality_check,
                        put=self._put_quality_check,
                        perms=schema_perms)
+        # declared per-project ANN indexes (r15): durable IvfStores
+        # the similarity route serves via `indexed: true, index: name`
+        self._add_crud(P + r"/schema/ann-indexes", "ann_index",
+                       create=self._create_ann_index,
+                       put=self._put_ann_index,
+                       delete=self._delete_ann_index,
+                       perms=schema_perms)
 
     # ----------------------------------------------------- CRUD plumbing
 
@@ -952,6 +963,109 @@ class App:
             self._data_version += 1
         return n
 
+    # ------------------------------------------- declared ANN indexes
+
+    def _store_for_ann_row(self, pid: int, row: dict):
+        from .operators.ivf_store import IvfStore
+
+        import os as _os
+
+        return IvfStore(
+            _os.path.join(self.ivf_dir, f"p{pid}", row["name"]))
+
+    def _create_ann_index(self, body: dict, pid: int) -> dict:
+        """POST /schema/ann-indexes — declare + build a durable IVF
+        index over the embeddings table: ``{name, nCentroids?
+        (int | "auto"), method? (sample | kmeans), driftThreshold?}``.
+        The build runs synchronously here (one served dataset; a
+        cluster deployment hands it to the maintenance loop and flips
+        serving on when the store exists). A failed build never
+        leaves a phantom declaration."""
+        if self.ivf_dir is None:
+            raise HttpError(400, "ivf_dir not configured on this server")
+        name = body.get("name")
+        if not name or not re.fullmatch(r"[A-Za-z0-9_\-]+", name):
+            raise HttpError(400, "ann index needs a name of [A-Za-z0-9_-]+")
+        nc = body.get("nCentroids", "auto")
+        if nc != "auto" and not (isinstance(nc, int) and nc >= 1):
+            raise HttpError(400, "nCentroids must be a positive int or "
+                                 '"auto"')
+        method = body.get("method", "sample")
+        if method not in ("sample", "kmeans"):
+            raise HttpError(400, "method must be sample or kmeans")
+        dt_thr = body.get("driftThreshold", 0.02)
+        try:
+            dt_thr = float(dt_thr)
+        except (TypeError, ValueError):
+            raise HttpError(400, "driftThreshold must be a number")
+        if dt_thr <= 0:
+            raise HttpError(400, "driftThreshold must be > 0")
+        from .schema import load_table
+
+        row = self.catalog.create(
+            "ann_index",
+            {"name": name, "nCentroids": nc, "method": method,
+             "driftThreshold": dt_thr},
+            project_id=pid)
+        try:
+            emb = load_table(self.spark, self.sf_dir, "embeddings")
+            self._store_for_ann_row(pid, row).rebuild(
+                self.spark, emb, n_centroids=nc, method=method)
+        except Exception:
+            self.catalog.delete("ann_index", row["id"], project_id=pid)
+            raise
+        return row
+
+    def _put_ann_index(self, body: dict, rid: int, pid: int) -> dict:
+        """Index definitions are immutable (mutating the quantizer
+        config would desync the declaration from the persisted
+        generations); DELETE and re-declare. Retraining is the
+        maintenance loop's drift-triggered decision, not a PUT."""
+        raise HttpError(
+            405, "ann index definitions are immutable; DELETE and re-create")
+
+    def _delete_ann_index(self, rid: int, pid: int) -> dict:
+        import shutil
+
+        row = self.catalog.get("ann_index", rid, project_id=pid)
+        store = self._store_for_ann_row(pid, row)
+        out = self.catalog.delete("ann_index", rid, project_id=pid)
+        shutil.rmtree(store.path, ignore_errors=True)
+        return out
+
+    def _resolve_ann_store(self, pid: int, name):
+        """The store an `indexed: true` similarity request serves
+        from: a DECLARED index when ``index: name`` is given (404 on
+        an unknown name), else the app-level ivf_store."""
+        if name is not None:
+            rows = [r for r in self.catalog.list("ann_index", pid)
+                    if r.get("name") == name]
+            if not rows:
+                raise HttpError(404, f"no ann index named {name!r}")
+            return self._store_for_ann_row(pid, rows[0])
+        return self.ivf_store
+
+    def maintain_ann_indexes(self, new_embeddings, pid: int = 0) -> int:
+        """Advance every DECLARED index (and the app-level one) with
+        an embedding batch — the similarity twin of maintain_rollups:
+        append against each frozen quantizer, retrain only on the
+        index's declared drift threshold. Returns stores advanced."""
+        n = 0
+        if self.ivf_dir is not None:
+            for row in self.catalog.list("ann_index", pid):
+                st = self._store_for_ann_row(pid, row)
+                if st.exists():
+                    st.maintain(self.spark, new_embeddings,
+                                drift_threshold=row.get(
+                                    "driftThreshold", 0.02))
+                    n += 1
+        if self.ivf_store is not None:
+            out = self.maintain_ivf(new_embeddings)
+            n += 1 if (out["appended"] or out["retrained"]) else 0
+        if n:
+            self._data_version += 1
+        return n
+
     def maintain_user_day(self, new_events, stream_id=None,
                           batch_id=None) -> int:
         """Advance the user-day activity store with an append batch —
@@ -992,17 +1106,19 @@ class App:
              method?: "brute" | "lsh" | "banded" | "ivf" (default),
              k?, nprobe?, nCentroids?, threshold?, planes?, bands?,
              rowsPerBand?, maxBucket?, queryIds?: [ids],
-             indexed?: bool}
+             indexed?: bool, index?: name}
 
-        ``indexed: true`` (ivf only) serves from the maintained
-        IvfStore — probe-only per query; 409 when the server has no
-        index configured (same contract as audience's sketched knob).
-        """
+        ``indexed: true`` (ivf only) serves from a maintained
+        IvfStore — probe-only per query: the DECLARED index named by
+        ``index`` (POST /schema/ann-indexes), or the app-level store
+        when no name is given; 409 when neither exists (same contract
+        as audience's sketched knob)."""
         from pyspark.sql import functions as F
 
         from .operators import similarity as sim
         from .schema import load_table
 
+        pid = self._pid(m)
         typ = body.get("type")
         method = body.get("method", "ivf")
         indexed = bool(body.get("indexed"))
@@ -1010,12 +1126,14 @@ class App:
             raise HttpError(400, "type must be topk or near-pairs")
         if indexed and method != "ivf":
             raise HttpError(400, "indexed similarity requires method=ivf")
-        if indexed and self.ivf_store is None:
+        store = (self._resolve_ann_store(pid, body.get("index"))
+                 if indexed else None)
+        if indexed and store is None:
             raise HttpError(
-                409, "no ANN index configured — pass ivf_store= to the "
-                     "server or drop indexed: true")
+                409, "no ANN index configured — declare one via "
+                     "/schema/ann-indexes, pass ivf_store= to the "
+                     "server, or drop indexed: true")
         emb = load_table(self.spark, self.sf_dir, "embeddings")
-        store = self.ivf_store if indexed else None
         try:
             if typ == "topk":
                 qids = body.get("queryIds")
@@ -2988,6 +3106,7 @@ def make_app(
     kmv_store=None,
     ivf_store=None,
     user_day_store=None,
+    ivf_dir=None,
 ) -> App:
     return App(spark, sf_dir, custom_events=custom_events, now=now,
                catalog=catalog, token_key=token_key, wal_dir=wal_dir,
@@ -2995,7 +3114,8 @@ def make_app(
                rollup_store=rollup_store, rollup_dir=rollup_dir, lake=lake,
                result_cache_ttl=result_cache_ttl,
                admission_limit=admission_limit, kmv_store=kmv_store,
-               ivf_store=ivf_store, user_day_store=user_day_store)
+               ivf_store=ivf_store, user_day_store=user_day_store,
+               ivf_dir=ivf_dir)
 
 
 def serve(app: App, host: str = "127.0.0.1", port: int = 8080) -> None:

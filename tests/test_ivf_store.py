@@ -278,3 +278,66 @@ def test_streaming_ivf_maintenance(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(src)
     run()
     assert st.info()["count"] == n0 + 6
+
+
+def test_ann_index_ddl_plane(spark, tmp_path):
+    """Declared per-project ANN indexes: POST /schema/ann-indexes
+    builds a durable IvfStore; /queries/similarity serves it via
+    `indexed: true, index: name` with answers equal to per-call;
+    unknown names 404; bad declarations never store; DELETE removes
+    the parquet; maintain_ann_indexes advances every declared index."""
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    app = make_app(spark, SF, result_cache_ttl=None,
+                   ivf_dir=str(tmp_path / "ann"))
+    ddl = "/api/v1/projects/1/schema/ann-indexes"
+    url = "/api/v1/projects/1/queries/similarity"
+
+    def rows(resp):
+        cols = sorted(resp["columns"], key=lambda c: c["name"])
+        return set(zip(*[c["data"] for c in cols]))
+
+    # bad declarations are 400s and never store
+    assert call(app, "POST", ddl, {"name": "x y"})[0] == 400
+    assert call(app, "POST", ddl, {"name": "a", "nCentroids": 0})[0] == 400
+    assert call(app, "POST", ddl, {"name": "a", "method": "faiss"})[0] == 400
+    assert call(app, "POST", ddl, {"name": "a",
+                                   "driftThreshold": -1})[0] == 400
+    st, listing = call(app, "GET", ddl)
+    assert st == 200 and listing == []
+
+    # declare + build; listing shows it; serving matches per-call
+    st, row = call(app, "POST", ddl, {"name": "main", "nCentroids": 8})
+    assert st == 201, row
+    st, listing = call(app, "GET", ddl)
+    assert st == 200 and [r["name"] for r in listing] == ["main"]
+
+    body = {"type": "near-pairs", "method": "ivf", "threshold": 0.4,
+            "nCentroids": 8}
+    st, per_call = call(app, "POST", url, body)
+    st2, routed = call(app, "POST", url,
+                       {**body, "indexed": True, "index": "main"})
+    assert st == 200 and st2 == 200
+    assert rows(routed) == rows(per_call)
+
+    # unknown name: 404; immutable: PUT 405
+    assert call(app, "POST", url,
+                {**body, "indexed": True, "index": "nope"})[0] == 404
+    assert call(app, "PUT", f"{ddl}/{row['id']}", {"name": "main"})[0] == 405
+
+    # maintenance advances the declared index
+    batch = spark.createDataFrame(
+        [(95_000, [3.0] * 64)], "vec_id long, embedding array<float>")
+    assert app.maintain_ann_indexes(batch, pid=1) == 1
+
+    # DELETE drops the declaration AND the parquet
+    import os
+
+    store_path = str(tmp_path / "ann" / "p1" / "main")
+    assert os.path.isdir(store_path)
+    assert call(app, "DELETE", f"{ddl}/{row['id']}")[0] == 200
+    assert not os.path.isdir(store_path)
+    assert call(app, "POST", url,
+                {**body, "indexed": True, "index": "main"})[0] == 404
