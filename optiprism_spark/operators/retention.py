@@ -111,7 +111,25 @@ def retention(
         .select(group_col, b.alias("__return_b"))
         .distinct()
     )
+    return retention_matrix(cohorts, returns, sizes, interval,
+                            max_periods, unbounded, group_col)
 
+
+def retention_matrix(
+    cohorts: DataFrame,
+    returns: DataFrame,
+    sizes: DataFrame,
+    interval: TimeIntervalUnit,
+    max_periods: int,
+    unbounded: bool,
+    group_col: str = EVENT_USER_COL,
+) -> DataFrame:
+    """The matrix tail shared by the raw path above and the user-day
+    rollup route (userday.retention_from_user_day): ``cohorts`` is
+    (group_col, __cohort_b), ``returns`` the distinct (group_col,
+    __return_b) pairs, ``sizes`` the per-bucket cohort sizes. One
+    implementation — routed ≡ raw is an equality of these three
+    frames, which fold identically from (dt, user) partials."""
     joined = cohorts.join(returns, group_col).withColumn(
         "__p", _period_expr(F.col("__cohort_b"), F.col("__return_b"), interval)
     ).filter((F.col("__p") >= 1) & (F.col("__p") <= max_periods))

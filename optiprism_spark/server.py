@@ -1619,6 +1619,7 @@ class App:
         pid = self._pid(m)
         from .dsl import TimeIntervalUnit
         from .operators.retention import retention
+        from .userday import user_day_supports
 
         props = self._props(pid)
         ces = self._custom_events(pid)
@@ -1639,7 +1640,27 @@ class App:
             from .operators.estimate import estimated_retention
 
             out = estimated_retention(self._events(), rate, **kw)
+        elif (self.user_day_store is not None
+              and self.user_day_store.exists()
+              and user_day_supports(kw["time"], kw["cohort_event"],
+                                    req_filters, self.user_day_store.spec)
+              and user_day_supports(kw["time"], kw["return_event"],
+                                    req_filters, self.user_day_store.spec)):
+            # exact routed path: cohorts/returns/sizes fold from
+            # (dt, user) partials through the SHARED matrix tail
+            from .userday import retention_from_user_day
+
+            metrics.user_day_routed_total().inc(
+                surface="retention", path="store")
+            out = retention_from_user_day(
+                self.user_day_store.read(self.spark),
+                kw["cohort_event"], kw["return_event"], kw["time"],
+                kw["interval"], kw["max_periods"],
+                spec=self.user_day_store.spec,
+                filters=req_filters, unbounded=kw["unbounded"])
         else:
+            metrics.user_day_routed_total().inc(
+                surface="retention", path="raw")
             out = retention(self._events(), **kw)
         return 200, (out, {"cohort_bucket", "period"})
 

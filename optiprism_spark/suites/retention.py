@@ -146,3 +146,29 @@ def retention_unbounded_weekly(spark, sf_dir):
         max_periods=8,
         unbounded=True,
     )
+
+
+#: µs-aligned bounds for the user-day-routed twin (whole-day windows
+#: are what user_day_supports requires) + matching SQL bounds
+_FULL_DAYS = QueryTime.between(
+    dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59, 999999))
+_T_DAYS = ("2024-01-01 00:00:00", "2024-01-31 23:59:59.999999")
+
+
+@query("retention_weekly_routed",
+       oracle=_oracle("signup", "purchase", 7, 8, time=_T_DAYS))
+def retention_weekly_routed(spark, sf_dir):
+    """The weekly retention triangle served FROM the (dt, user)
+    activity store (userday.retention_from_user_day, r15): cohorts,
+    sizes, and the distinct return pairs — the matrix tail's entire
+    input — fold from persisted partials, then the SHARED
+    retention_matrix runs. Shares the raw oracle: hash-matching it
+    proves routed ≡ raw ≡ oracle on the third standing engagement
+    surface (after RFM and growth)."""
+    from ..suites.engagement import persisted_user_day_store
+    from ..userday import retention_from_user_day
+
+    st = persisted_user_day_store(spark, sf_dir)
+    return retention_from_user_day(
+        st.read(spark), EventRef("signup"), EventRef("purchase"),
+        _FULL_DAYS, TimeIntervalUnit.WEEK, max_periods=8)

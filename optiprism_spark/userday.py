@@ -284,6 +284,41 @@ def rfm_from_user_day(
                              percentile_mode)
 
 
+def retention_from_user_day(
+    store_df: DataFrame,
+    cohort_event: Optional[EventRef],
+    return_event: Optional[EventRef],
+    time: QueryTime,
+    interval: TimeIntervalUnit = TimeIntervalUnit.WEEK,
+    max_periods: int = 12,
+    spec: UserDaySpec = UserDaySpec(),
+    filters: Sequence[PropFilter] = (),
+    unbounded: bool = False,
+) -> DataFrame:
+    """`operators.retention.retention` answered from the user-day
+    store: first-touch cohorts are min(bucket(dt)) per user over the
+    cohort-event rows, the return side is the distinct (user, bucket)
+    projection of the return-event rows — all three inputs of the
+    SHARED retention_matrix tail fold from (dt, user, event_type)
+    partials, so routed ≡ raw by construction. Event filters must be
+    expressible on the stored dims (check with ``user_day_supports``
+    for BOTH events)."""
+    from .operators.retention import retention_matrix
+
+    pb = bucket_col(interval, ts_col=ROLLUP_DT_COL)
+    c_rows = _window_rows(store_df, time, cohort_event, filters)
+    cohorts = c_rows.groupBy(spec.group_col).agg(
+        F.min(pb).alias("__cohort_b"))
+    sizes = cohorts.groupBy(
+        F.col("__cohort_b").alias("cohort_bucket")).agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    r_rows = _window_rows(store_df, time, return_event, filters)
+    returns = r_rows.select(
+        spec.group_col, pb.alias("__return_b")).distinct()
+    return retention_matrix(cohorts, returns, sizes, interval,
+                            max_periods, unbounded, spec.group_col)
+
+
 def growth_from_user_day(
     store_df: DataFrame,
     time: QueryTime,

@@ -187,3 +187,59 @@ def test_streaming_user_day_maintenance(spark, tmp_path):
     got = {tuple(r) for r in growth_from_user_day(
         st.read(spark), W, TimeIntervalUnit.WEEK).collect()}
     assert got == raw and got
+
+
+def test_retention_routed_equals_raw(spark, tmp_path):
+    """Retention folds from the store through the shared matrix tail
+    (bounded + unbounded), and the HTTP route serves the store with
+    raw-equal answers, falling back on non-day-aligned windows."""
+    from optiprism_spark import metrics
+    from optiprism_spark.operators.retention import retention
+    from optiprism_spark.server import make_app
+    from optiprism_spark.userday import retention_from_user_day
+
+    from .test_server import call
+
+    ev = load_table(spark, SF, "events")
+    st = UserDayStore(str(tmp_path / "ud_ret"))
+    st.rebuild(spark, ev)
+    for unb in (False, True):
+        raw = {tuple(r) for r in retention(
+            ev, EventRef("signup"), EventRef("purchase"), W,
+            TimeIntervalUnit.WEEK, max_periods=8,
+            unbounded=unb).collect()}
+        got = {tuple(r) for r in retention_from_user_day(
+            st.read(spark), EventRef("signup"), EventRef("purchase"), W,
+            TimeIntervalUnit.WEEK, max_periods=8,
+            unbounded=unb).collect()}
+        assert got == raw and raw, unb
+
+    app = make_app(spark, SF, result_cache_ttl=None, user_day_store=st)
+    bare = make_app(spark, SF, result_cache_ttl=None)
+    url = "/api/v1/projects/1/queries/retention"
+    body = {"time": {"type": "between", "from": "2024-01-01 00:00:00",
+                     "to": "2024-01-31 23:59:59.999999"},
+            "intervalUnit": "week", "maxPeriods": 8,
+            "cohortEvent": {"eventName": "signup", "eventType": "regular"},
+            "returnEvent": {"eventName": "purchase", "eventType": "regular"}}
+
+    def rows(resp):
+        cols = sorted(resp["columns"], key=lambda c: c["name"])
+        return set(zip(*[c["data"] for c in cols]))
+
+    before = metrics.user_day_routed_total().value(
+        surface="retention", path="store")
+    st_r, routed = call(app, "POST", url, body)
+    st_b, raw_http = call(bare, "POST", url, body)
+    assert st_r == 200 and st_b == 200
+    assert rows(routed) == rows(raw_http)
+    assert metrics.user_day_routed_total().value(
+        surface="retention", path="store") == before + 1
+
+    # ragged window: not day-aligned -> raw fallback, still 200
+    ragged = dict(body, time={"type": "between",
+                              "from": "2024-01-01 06:00:00",
+                              "to": "2024-01-31 23:59:59.999999"})
+    assert call(app, "POST", url, ragged)[0] == 200
+    assert metrics.user_day_routed_total().value(
+        surface="retention", path="raw") >= 1
