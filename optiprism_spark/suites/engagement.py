@@ -379,3 +379,26 @@ def eng_growth_weekly_routed(spark, sf_dir):
     st = persisted_user_day_store(spark, sf_dir)
     return growth_from_user_day(st.read(spark), _FULL_DAYS,
                                 period=TimeIntervalUnit.WEEK)
+
+
+@query(
+    "eng_active_days_routed",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, COUNT(DISTINCT {S.bucket('day')}) AS active_days
+      FROM events WHERE {S.ts_between(*_T_DAYS)}
+      GROUP BY 1
+    )
+    SELECT active_days, COUNT(*) AS n_users FROM per_user GROUP BY 1
+    """,
+)
+def eng_active_days_routed(spark, sf_dir):
+    """The power-user curve served FROM the user-day store: a user's
+    distinct active days are exactly their store rows' distinct dt
+    values (userday.active_days_from_user_day) — the fourth standing
+    engagement surface off the same partials, sharing the raw path's
+    oracle shape."""
+    from ..userday import active_days_from_user_day
+
+    st = persisted_user_day_store(spark, sf_dir)
+    return active_days_from_user_day(st.read(spark), _FULL_DAYS)

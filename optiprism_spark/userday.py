@@ -284,6 +284,25 @@ def rfm_from_user_day(
                              percentile_mode)
 
 
+def active_days_from_user_day(
+    store_df: DataFrame,
+    time: QueryTime,
+    spec: UserDaySpec = UserDaySpec(),
+    event: Optional[EventRef] = None,
+    filters: Sequence[PropFilter] = (),
+) -> DataFrame:
+    """`engagement.active_days_histogram` (the L28 power-user curve)
+    answered from the store: a user's distinct active days are the
+    distinct dt values of their partial rows — exact, one
+    (user → count distinct dt) aggregate over the pruned store scan,
+    then the count-by-k histogram."""
+    rows = _window_rows(store_df, time, event, filters)
+    per_user = rows.groupBy(F.col(spec.group_col)).agg(
+        F.count_distinct(F.col(ROLLUP_DT_COL)).alias("active_days"))
+    return per_user.groupBy("active_days").agg(
+        F.count(F.lit(1)).alias("n_users"))
+
+
 def retention_from_user_day(
     store_df: DataFrame,
     cohort_event: Optional[EventRef],
