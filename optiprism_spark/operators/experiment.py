@@ -129,6 +129,10 @@ SRM_CRIT_001 = {
     6: 22.458, 7: 24.322, 8: 26.124, 9: 27.877,
 }
 
+# z_{0.999} (one-sided) for the Wilson-Hilferty chi-square critical
+# value used when df >= 10 (past the exact SRM_CRIT_001 table).
+SRM_Z_001 = 3.090232306167813
+
 
 def srm_check(
     events: DataFrame,
@@ -177,13 +181,21 @@ def srm_check(
     if expected is not None:
         if abs(sum(expected.values()) - 1.0) > 1e-9:
             raise ValueError(f"expected shares must sum to 1: {expected}")
-        # df is fixed by the DECLARED allocation — validate before any
-        # job so a malformed request (1 arm, or >10 arms with no crit
-        # entry) fails as a 400, never a silently-unflagged statistic
-        if len(expected) - 1 not in SRM_CRIT_001:
+        # a declared 0-share arm makes the chi-square undefined (its
+        # expected cell is 0 while any observed traffic there is an
+        # infinite contribution) — reject up front rather than letting
+        # the zero-TOTAL guard below silently zero the cell
+        if any(s <= 0 for s in expected.values()):
             raise ValueError(
-                f"srm_check supports 2..{max(SRM_CRIT_001) + 1} expected "
-                f"variants (df 1..{max(SRM_CRIT_001)}), got {len(expected)}")
+                f"expected shares must all be > 0: {expected}")
+        # df is fixed by the DECLARED allocation — validate before any
+        # job so a malformed request (a single arm) fails as a 400,
+        # never a silently-unflagged statistic; df ≥ 10 is served by
+        # the Wilson-Hilferty approximation below
+        if len(expected) < 2:
+            raise ValueError(
+                f"srm_check needs >= 2 expected variants, got "
+                f"{len(expected)}")
         shares = spark.createDataFrame(
             [(v, float(s)) for v, s in sorted(expected.items())],
             "variant string, __share double")
@@ -214,7 +226,7 @@ def srm_check(
     # zero total exposures (all cells injected from the allocation):
     # no traffic is no EVIDENCE of mismatch — chi2 = 0, unflagged —
     # rather than a 0/0 NaN poisoning the statistic
-    contrib = F.when(e > 0, F.round(
+    contrib = F.when(F.col("__total") > 0, F.round(
         (F.col("n_users").cast("double") - e)
         * (F.col("n_users").cast("double") - e) / e, 9)
     ).otherwise(F.lit(0.0))
@@ -228,17 +240,25 @@ def srm_check(
     crit = spark.createDataFrame(
         sorted(SRM_CRIT_001.items()), "__df long, __crit double")
     stat = stat.join(F.broadcast(crit), "__df", "left")
-    # a df outside the crit table (equal-split mode with 1 or >10
-    # observed variants — the expected-mode df is validated up front)
-    # must ERROR, not default the flag to False: coalescing a null
-    # critical value would mask an arbitrarily large statistic
+    # df 1..9 reads the exact table (the oracle-checked regime);
+    # df >= 10 falls back to the Wilson-Hilferty cube approximation
+    # chi2_{1-a}(k) ~= k*(1 - 2/9k + z*sqrt(2/9k))^3 — deterministic,
+    # engine-side, <1% relative error in this range. df < 1 (a single
+    # observed variant in equal-split mode — the expected-mode df is
+    # validated up front) must ERROR, not default the flag to False.
+    k = F.col("__df").cast("double")
+    h = F.lit(2.0) / (F.lit(9.0) * k)
+    wh = k * F.pow(F.lit(1.0) - h + F.lit(SRM_Z_001) * F.sqrt(h),
+                   F.lit(3.0))
+    crit_val = F.coalesce(
+        F.col("__crit"),
+        F.when(F.col("__df") >= 10, F.round(wh, 6)))
     flag = F.when(
-        F.col("__crit").isNotNull(),
-        F.col("chi2_stat") > F.col("__crit"),
+        crit_val.isNotNull(),
+        F.col("chi2_stat") > crit_val,
     ).otherwise(F.raise_error(F.concat(
         F.lit("srm_check: df="), F.col("__df").cast("string"),
-        F.lit(" outside the supported critical-value table (1..9); "
-              "pass an explicit expected allocation of 2..10 variants"))))
+        F.lit(" has no defined critical value; need >= 2 variants"))))
     return (
         x.join(F.broadcast(stat), "__k")
         .select(

@@ -162,6 +162,8 @@ class UserDayStore:
             tmp = self._ledger_path() + ".tmp"
             with open(tmp, "w") as f:
                 _json.dump(applied, f)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, self._ledger_path())
 
         try:
@@ -322,8 +324,14 @@ def retention_from_user_day(
     partials, so routed ≡ raw by construction. Event filters must be
     expressible on the stored dims (check with ``user_day_supports``
     for BOTH events)."""
-    from .operators.retention import retention_matrix
+    from .operators.retention import _PERIOD_UNITS, retention_matrix
 
+    # Same guard as the raw operator (retention.py): the store's dt
+    # column is date-grained, so sub-day intervals are meaningless
+    # here and must fail exactly like the raw path does.
+    if interval not in _PERIOD_UNITS:
+        raise ValueError(
+            f"retention interval must be one of {_PERIOD_UNITS}")
     pb = bucket_col(interval, ts_col=ROLLUP_DT_COL)
     c_rows = _window_rows(store_df, time, cohort_event, filters)
     cohorts = c_rows.groupBy(spec.group_col).agg(

@@ -223,12 +223,62 @@ def test_srm_df_outside_table_fails_loudly(spark):
     variant = F.get_json_object(F.col("props"), "$.v")
 
     # a single-arm explicit allocation: df=0, rejected up front
-    with pytest.raises(ValueError, match="2..10 expected"):
+    with pytest.raises(ValueError, match=">= 2 expected"):
         srm_check(df, variant, EventRef("expose"), W, expected={"A": 1.0})
-    # an 11-arm allocation: df=10, no crit entry, rejected up front
-    with pytest.raises(ValueError, match="2..10 expected"):
+    # a declared 0-share arm makes the chi-square undefined (r15
+    # advice: the zero-cell guard must not silently absorb it)
+    with pytest.raises(ValueError, match="> 0"):
         srm_check(df, variant, EventRef("expose"), W,
-                  expected={f"V{i}": 1.0 / 11 for i in range(11)})
+                  expected={"A": 1.0, "B": 0.0})
     # equal-split mode with one observed variant: df=0 at runtime
-    with pytest.raises(Exception, match="outside the supported"):
+    with pytest.raises(Exception, match="no defined critical value"):
         srm_check(df, variant, EventRef("expose"), W).collect()
+
+
+def test_srm_wilson_hilferty_wide_allocation(spark):
+    """df >= 10 (11+ arms) is served by the Wilson-Hilferty
+    approximation instead of erroring (r15 verdict task 8). A 12-arm
+    experiment with all traffic in one arm must flag; a near-perfect
+    12-way split must not."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from optiprism_spark.dsl import EventRef, QueryTime
+    from optiprism_spark.operators.experiment import srm_check
+
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31))
+    arms = [f"V{i:02d}" for i in range(12)]
+    expected = {a: 1.0 / 12 for a in arms}
+
+    # all 120 users in V00: the most extreme 12-way mismatch
+    rows = [(i, dtm.datetime(2024, 1, 5, 10), i, "expose", 0.0,
+             '{"v": "V00"}') for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    variant = F.get_json_object(F.col("props"), "$.v")
+    out = srm_check(df, variant, EventRef("expose"), W,
+                    expected=expected).collect()
+    assert len(out) == 12
+    assert all(r["srm_flag"] for r in out)
+    # chi2 = (120-10)^2/10 + 11*(0-10)^2/10 = 1210 + 110 = 1320
+    assert out[0]["chi2_stat"] == pytest.approx(1320.0)
+
+    # a perfect 12-way split: chi2 = 0, below any critical value
+    rows = [(i, dtm.datetime(2024, 1, 5, 10), i, "expose", 0.0,
+             f'{{"v": "{arms[i % 12]}"}}') for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = srm_check(df, variant, EventRef("expose"), W,
+                    expected=expected).collect()
+    assert all(not r["srm_flag"] for r in out)
+    # Wilson-Hilferty at df=11 should be near the exact 31.264
+    # (alpha=0.001): sanity-pin the approximation itself
+    from optiprism_spark.operators.experiment import SRM_Z_001
+    k = 11.0
+    h = 2.0 / (9.0 * k)
+    wh = k * (1.0 - h + SRM_Z_001 * (h ** 0.5)) ** 3
+    assert abs(wh - 31.264) / 31.264 < 0.01

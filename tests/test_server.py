@@ -779,4 +779,4 @@ def test_experiment_srm_endpoint(spark):
         {**body,
          "exposureEvent": {"eventName": "view", "eventType": "regular"}})
     assert status == 400
-    assert "outside the supported" in payload["error"]
+    assert "no defined critical value" in payload["error"]

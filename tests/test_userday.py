@@ -243,3 +243,20 @@ def test_retention_routed_equals_raw(spark, tmp_path):
     assert call(app, "POST", url, ragged)[0] == 200
     assert metrics.user_day_routed_total().value(
         surface="retention", path="raw") >= 1
+
+    # sub-day interval with a store configured: the routed path must
+    # enforce the raw operator's interval validation (r15 advice) —
+    # a 400, never silently-wrong period numbers from the dt column
+    for bad in ("hour", "minute"):
+        st_h, out_h = call(app, "POST", url,
+                           dict(body, intervalUnit=bad))
+        assert st_h == 400, (bad, st_h, out_h)
+
+    # and the operator itself guards, matching retention()'s error
+    import pytest as _pytest
+
+    from optiprism_spark.dsl import TimeIntervalUnit as TIU
+    with _pytest.raises(ValueError, match="retention interval"):
+        retention_from_user_day(
+            st.read(spark), EventRef("signup"), EventRef("purchase"),
+            W, TIU.HOUR)
