@@ -312,6 +312,17 @@ def percentile_edge_mode_total() -> Counter:
         "percentile-edge computations by regime", ("surface", "mode"))
 
 
+def maintenance_store_advanced_total() -> Counter:
+    """Per-store advances of the unified maintenance tick
+    (server.App.maintain): store labels which tier moved (rollup,
+    user_day, kmv, ann, quality_gate, sessions) — one orchestrator
+    call per lake fold should advance every declared store exactly
+    once; a store that stops moving here is a stale serving tier."""
+    return REGISTRY.counter(
+        "optiprism_maintenance_store_advanced_total",
+        "store advances per unified maintenance tick", ("store",))
+
+
 def query_rollup_routed_total() -> Counter:
     """Per-event-query routing decisions: path=rollup when a request
     folds out of the day-grain pre-aggregate, path=raw on fallback —

@@ -103,7 +103,8 @@ class HttpError(Exception):
 
 
 _STATUS = {
-    200: "200 OK", 201: "201 Created", 204: "204 No Content",
+    200: "200 OK", 201: "201 Created", 202: "202 Accepted",
+    204: "204 No Content",
     400: "400 Bad Request", 401: "401 Unauthorized", 403: "403 Forbidden",
     404: "404 Not Found", 405: "405 Method Not Allowed",
     409: "409 Conflict", 429: "429 Too Many Requests",
@@ -439,6 +440,13 @@ class App:
         #: directory for CATALOG-DECLARED per-project ANN indexes
         #: (POST /projects/{pid}/schema/ann-indexes); None disables
         self.ivf_dir = ivf_dir
+        #: live ANN build threads keyed by (pid, row_id) — declare
+        #: returns 202 and the build flips the catalog row to
+        #: ready/failed off the request thread (the reference's
+        #: compactor is likewise a background thread,
+        #: storage/src/db.rs:427-431)
+        self._ann_builds: dict = {}
+        self._ann_lock = threading.Lock()
         #: lake layout for the admin lifecycle plane (user erasure /
         #: retention): {"table_name", "appends_path", "tiers_path"?,
         #: "extra_paths"?, "dated_paths"?}. None disables the routes
@@ -814,7 +822,12 @@ class App:
 
         def _create(body, m, q):
             fn = create or (lambda b, p: self.catalog.create(kind, b, project_id=p))
-            return 201, scrub(fn(body, pid_of(m)))
+            out = fn(body, pid_of(m))
+            # a create handler may pick its own status (202 for an
+            # async build acceptance); plain rows stay 201
+            if isinstance(out, tuple):
+                return out[0], scrub(out[1])
+            return 201, scrub(out)
 
         def _list(body, m, q):
             rows = scrub(self.catalog.list(kind, project_id=pid_of(m)))
@@ -935,6 +948,68 @@ class App:
         shutil.rmtree(store.path, ignore_errors=True)
         return out
 
+    def maintain(self, new_events=None, new_embeddings=None, *,
+                 pid: int = 0, stream_id=None, batch_id=None,
+                 now_us=None) -> dict:
+        """ONE maintenance tick — the orchestrator a deployment's
+        scheduler calls at each lake fold instead of wiring five
+        hooks by hand (r15 verdict task 6). Per batch it advances, in
+        dependency-safe order:
+
+        1. ``gate_quality``   — declared batteries over the event batch
+        2. ``maintain_rollups`` — app-level + catalog-declared rollups
+        3. ``maintain_user_day`` — the (dt, user) engagement store
+        4. KMV day-sketch store — audience cardinality sketches
+        5. ``maintain_ann_indexes`` — declared + app-level ANN stores
+           (also finishes orphaned ``building`` rows — crash recovery)
+        6. ``sweep_sessions`` — TTL expiry + Session End injection
+
+        Replay safety is per store: user-day honours the
+        (stream_id, batch_id) ledger, rollup/KMV updates are
+        idempotent merges at day grain, ANN appends ride the IvfStore
+        ledger. Each advance is counted into
+        optiprism_maintenance_store_advanced_total — the 'which tier
+        went stale' dashboard. Individual hooks stay public for
+        granular schedules. Returns a summary dict."""
+        out = {"quality_failures": [], "rollup_stores": 0,
+               "user_day_days": 0, "kmv_days": 0, "ann_stores": 0,
+               "sessions_ended": 0}
+        if new_events is not None:
+            out["quality_failures"] = self.gate_quality(
+                new_events, pid=pid)
+            if out["quality_failures"]:
+                metrics.maintenance_store_advanced_total().inc(
+                    store="quality_gate")
+            out["rollup_stores"] = self.maintain_rollups(
+                new_events, pid=pid)
+            if out["rollup_stores"]:
+                metrics.maintenance_store_advanced_total().inc(
+                    out["rollup_stores"], store="rollup")
+            out["user_day_days"] = self.maintain_user_day(
+                new_events, stream_id=stream_id, batch_id=batch_id)
+            if out["user_day_days"]:
+                metrics.maintenance_store_advanced_total().inc(
+                    store="user_day")
+            if self.kmv_store is not None and self.kmv_store.exists():
+                out["kmv_days"] = self.kmv_store.update(
+                    self.spark, new_events)
+                if out["kmv_days"]:
+                    self._data_version += 1
+                    metrics.maintenance_store_advanced_total().inc(
+                        store="kmv")
+        if new_embeddings is not None:
+            out["ann_stores"] = self.maintain_ann_indexes(
+                new_embeddings, pid=pid, stream_id=stream_id,
+                batch_id=batch_id)
+            if out["ann_stores"]:
+                metrics.maintenance_store_advanced_total().inc(
+                    out["ann_stores"], store="ann")
+        out["sessions_ended"] = self.sweep_sessions(now_us)
+        if out["sessions_ended"]:
+            metrics.maintenance_store_advanced_total().inc(
+                store="sessions")
+        return out
+
     def maintain_rollups(self, new_events, pid: int = 0) -> int:
         """Advance every declared rollup store (and the app-level one)
         with an append batch — the hook the maintenance loop calls at
@@ -973,14 +1048,22 @@ class App:
         return IvfStore(
             _os.path.join(self.ivf_dir, f"p{pid}", row["name"]))
 
-    def _create_ann_index(self, body: dict, pid: int) -> dict:
-        """POST /schema/ann-indexes — declare + build a durable IVF
-        index over the embeddings table: ``{name, nCentroids?
-        (int | "auto"), method? (sample | kmeans), driftThreshold?}``.
-        The build runs synchronously here (one served dataset; a
-        cluster deployment hands it to the maintenance loop and flips
-        serving on when the store exists). A failed build never
-        leaves a phantom declaration."""
+    def _create_ann_index(self, body: dict, pid: int):
+        """POST /schema/ann-indexes — declare a durable IVF index
+        over the embeddings table: ``{name, nCentroids? (int |
+        "auto"), method? (sample | kmeans), driftThreshold?}``.
+
+        The build is ASYNC: the route validates, writes the catalog
+        row with ``status: "building"`` and returns **202**; a
+        background thread (or, after a crash, the
+        ``maintain_ann_indexes`` tick) runs the KMeans + assignment
+        and flips the row to ``ready`` / ``failed`` — at 100 TB a
+        rebuild is hours and must never hold an HTTP worker (the
+        reference's compactor is likewise a background thread,
+        storage/src/db.rs:427-431). ``indexed: true`` queries
+        against a non-ready index 409; DELETE mid-build cancels (the
+        build thread observes the missing row and removes any files
+        it wrote — no phantom store ever serves)."""
         if self.ivf_dir is None:
             raise HttpError(400, "ivf_dir not configured on this server")
         name = body.get("name")
@@ -1000,21 +1083,72 @@ class App:
             raise HttpError(400, "driftThreshold must be a number")
         if dt_thr <= 0:
             raise HttpError(400, "driftThreshold must be > 0")
-        from .schema import load_table
-
         row = self.catalog.create(
             "ann_index",
             {"name": name, "nCentroids": nc, "method": method,
-             "driftThreshold": dt_thr},
+             "driftThreshold": dt_thr, "status": "building"},
             project_id=pid)
+        t = threading.Thread(
+            target=self._run_ann_build, args=(pid, row["id"]),
+            name=f"ann-build-p{pid}-{name}", daemon=True)
+        with self._ann_lock:
+            self._ann_builds[(pid, row["id"])] = t
+        t.start()
+        return 202, row
+
+    def _run_ann_build(self, pid: int, rid: int) -> None:
+        """Build-job body: rebuild the store for one declared index
+        and flip its catalog row to ready/failed. A row DELETEd
+        mid-build (cancel) surfaces as NotFound at the commit step —
+        the thread then removes whatever files the build wrote, so a
+        cancelled or failed build never leaves a servable phantom."""
+        import shutil
+
+        from .catalog import NotFound as _NotFound
+        from .schema import load_table
+
         try:
-            emb = load_table(self.spark, self.sf_dir, "embeddings")
-            self._store_for_ann_row(pid, row).rebuild(
-                self.spark, emb, n_centroids=nc, method=method)
-        except Exception:
-            self.catalog.delete("ann_index", row["id"], project_id=pid)
-            raise
-        return row
+            try:
+                row = self.catalog.get("ann_index", rid, project_id=pid)
+            except _NotFound:
+                return  # cancelled before the build started
+            store = self._store_for_ann_row(pid, row)
+            try:
+                emb = load_table(self.spark, self.sf_dir, "embeddings")
+                store.rebuild(self.spark, emb,
+                              n_centroids=row.get("nCentroids", "auto"),
+                              method=row.get("method", "sample"))
+                self.catalog.update(
+                    "ann_index", rid, {"status": "ready"},
+                    project_id=pid)
+                self._data_version += 1
+            except _NotFound:
+                # DELETE raced the build: cancel wins
+                shutil.rmtree(store.path, ignore_errors=True)
+            except Exception as e:
+                shutil.rmtree(store.path, ignore_errors=True)
+                try:
+                    self.catalog.update(
+                        "ann_index", rid,
+                        {"status": "failed", "error": str(e)[:500]},
+                        project_id=pid)
+                except _NotFound:
+                    pass
+        finally:
+            with self._ann_lock:
+                self._ann_builds.pop((pid, rid), None)
+
+    def wait_ann_builds(self, timeout: float = 120.0) -> bool:
+        """Block until every in-flight ANN build thread finishes
+        (tests + orderly shutdown). True when none remain alive."""
+        import time as _time
+
+        with self._ann_lock:
+            threads = list(self._ann_builds.values())
+        deadline = _time.monotonic() + timeout
+        for t in threads:
+            t.join(max(0.0, deadline - _time.monotonic()))
+        return not any(t.is_alive() for t in threads)
 
     def _put_ann_index(self, body: dict, rid: int, pid: int) -> dict:
         """Index definitions are immutable (mutating the quantizer
@@ -1042,25 +1176,64 @@ class App:
                     if r.get("name") == name]
             if not rows:
                 raise HttpError(404, f"no ann index named {name!r}")
-            return self._store_for_ann_row(pid, rows[0])
+            # async-build lifecycle: only a ready index serves
+            # (pre-lifecycle rows carry no status and stay servable)
+            status = rows[0].get("status", "ready")
+            if status == "building":
+                raise HttpError(
+                    409, f"ann index {name!r} is still building — "
+                         "retry when its status is ready")
+            if status == "failed":
+                raise HttpError(
+                    409, f"ann index {name!r} failed to build "
+                         f"({rows[0].get('error', 'unknown error')}) — "
+                         "DELETE and re-create it")
+            store = self._store_for_ann_row(pid, rows[0])
+            # a catalog row whose store files vanished out-of-band
+            # (ivf_dir repointed / wiped) must be the documented 409,
+            # not a FileNotFoundError 500 from store.info()
+            if not store.exists():
+                raise HttpError(
+                    409, f"ann index {name!r} is declared but its "
+                         "store is missing on disk — DELETE and "
+                         "re-create it")
+            return store
         return self.ivf_store
 
-    def maintain_ann_indexes(self, new_embeddings, pid: int = 0) -> int:
+    def maintain_ann_indexes(self, new_embeddings, pid: int = 0,
+                             stream_id=None, batch_id=None) -> int:
         """Advance every DECLARED index (and the app-level one) with
         an embedding batch — the similarity twin of maintain_rollups:
         append against each frozen quantizer, retrain only on the
-        index's declared drift threshold. Returns stores advanced."""
+        index's declared drift threshold. ``stream_id``/``batch_id``
+        ride each store's replay ledger so a re-delivered batch
+        no-ops. Returns stores advanced."""
         n = 0
         if self.ivf_dir is not None:
             for row in self.catalog.list("ann_index", pid):
+                status = row.get("status", "ready")
+                if status == "building":
+                    # crash recovery: a building row with no live
+                    # thread (process restarted mid-build) is this
+                    # tick's job — run the build inline
+                    with self._ann_lock:
+                        live = (pid, row["id"]) in self._ann_builds
+                    if not live:
+                        self._run_ann_build(pid, row["id"])
+                        n += 1
+                    continue
+                if status == "failed":
+                    continue
                 st = self._store_for_ann_row(pid, row)
                 if st.exists():
                     st.maintain(self.spark, new_embeddings,
                                 drift_threshold=row.get(
-                                    "driftThreshold", 0.02))
+                                    "driftThreshold", 0.02),
+                                stream_id=stream_id, batch_id=batch_id)
                     n += 1
         if self.ivf_store is not None:
-            out = self.maintain_ivf(new_embeddings)
+            out = self.maintain_ivf(new_embeddings, stream_id=stream_id,
+                                    batch_id=batch_id)
             n += 1 if (out["appended"] or out["retrained"]) else 0
         if n:
             self._data_version += 1
@@ -1133,6 +1306,11 @@ class App:
                 409, "no ANN index configured — declare one via "
                      "/schema/ann-indexes, pass ivf_store= to the "
                      "server, or drop indexed: true")
+        if indexed and not store.exists():
+            # app-level ivf_store wiped/never built: same 409 contract
+            raise HttpError(
+                409, "the configured ANN store has no built index on "
+                     "disk — rebuild it or drop indexed: true")
         emb = load_table(self.spark, self.sf_dir, "embeddings")
         try:
             if typ == "topk":
@@ -1618,6 +1796,8 @@ class App:
         with the same event/filter dicts as the other query routes."""
         pid = self._pid(m)
         from .dsl import TimeIntervalUnit
+        from .operators.retention import _PERIOD_UNITS as \
+            _RETENTION_PERIOD_UNITS
         from .operators.retention import retention
         from .userday import user_day_supports
 
@@ -1642,6 +1822,7 @@ class App:
             out = estimated_retention(self._events(), rate, **kw)
         elif (self.user_day_store is not None
               and self.user_day_store.exists()
+              and kw["interval"] in _RETENTION_PERIOD_UNITS
               and user_day_supports(kw["time"], kw["cohort_event"],
                                     req_filters, self.user_day_store.spec)
               and user_day_supports(kw["time"], kw["return_event"],

@@ -308,11 +308,15 @@ def test_ann_index_ddl_plane(spark, tmp_path):
     st, listing = call(app, "GET", ddl)
     assert st == 200 and listing == []
 
-    # declare + build; listing shows it; serving matches per-call
+    # declare: async build accepted with 202 {status: building};
+    # the background job flips it to ready
     st, row = call(app, "POST", ddl, {"name": "main", "nCentroids": 8})
-    assert st == 201, row
+    assert st == 202, row
+    assert row["status"] == "building"
+    assert app.wait_ann_builds()
     st, listing = call(app, "GET", ddl)
     assert st == 200 and [r["name"] for r in listing] == ["main"]
+    assert listing[0]["status"] == "ready"
 
     body = {"type": "near-pairs", "method": "ivf", "threshold": 0.4,
             "nCentroids": 8}
@@ -341,3 +345,168 @@ def test_ann_index_ddl_plane(spark, tmp_path):
     assert not os.path.isdir(store_path)
     assert call(app, "POST", url,
                 {**body, "indexed": True, "index": "main"})[0] == 404
+
+
+def test_ann_index_wiped_store_is_409_not_500(spark, tmp_path):
+    """A declared index whose store files vanished out-of-band
+    (ivf_dir wiped while the catalog row survives) must return the
+    documented 409 on an `indexed: true` query, not a 500 from
+    FileNotFoundError inside store.info() (r15 advice)."""
+    import shutil
+
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    app = make_app(spark, SF, result_cache_ttl=None,
+                   ivf_dir=str(tmp_path / "ann"))
+    ddl = "/api/v1/projects/1/schema/ann-indexes"
+    url = "/api/v1/projects/1/queries/similarity"
+    st, row = call(app, "POST", ddl, {"name": "main", "nCentroids": 4})
+    assert st == 202, row
+    assert app.wait_ann_builds()
+
+    shutil.rmtree(str(tmp_path / "ann" / "p1" / "main"))
+    body = {"type": "topk", "method": "ivf", "queryIds": [1], "k": 3,
+            "indexed": True, "index": "main"}
+    st, out = call(app, "POST", url, body)
+    assert st == 409, (st, out)
+    assert "missing" in out["error"]
+
+
+def _gate_rebuild(monkeypatch, gate):
+    """Monkeypatch IvfStore.rebuild to block on `gate` first —
+    deterministic windows into the async build lifecycle."""
+    from optiprism_spark.operators.ivf_store import IvfStore
+
+    real = IvfStore.rebuild
+
+    def gated(self, *a, **kw):
+        assert gate.wait(30), "lifecycle gate never released"
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(IvfStore, "rebuild", gated)
+
+
+def test_ann_index_async_lifecycle(spark, tmp_path, monkeypatch):
+    """declare -> 202 building -> (409 while building) -> ready ->
+    serves (r15 verdict task 1). The build runs off the request
+    thread; an `indexed: true` query 409s until the row is ready."""
+    import threading
+
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    gate = threading.Event()
+    _gate_rebuild(monkeypatch, gate)
+    app = make_app(spark, SF, result_cache_ttl=None,
+                   ivf_dir=str(tmp_path / "ann"))
+    ddl = "/api/v1/projects/1/schema/ann-indexes"
+    url = "/api/v1/projects/1/queries/similarity"
+    body = {"type": "topk", "method": "ivf", "queryIds": [1], "k": 3,
+            "indexed": True, "index": "main"}
+
+    st, row = call(app, "POST", ddl, {"name": "main", "nCentroids": 4})
+    assert st == 202 and row["status"] == "building"
+    # the gated build is still running: serving must 409, not block
+    st, out = call(app, "POST", url, body)
+    assert st == 409 and "building" in out["error"]
+
+    gate.set()
+    assert app.wait_ann_builds()
+    st, listing = call(app, "GET", ddl)
+    assert listing[0]["status"] == "ready"
+    st, out = call(app, "POST", url, body)
+    assert st == 200, out
+
+
+def test_ann_index_failed_build_no_phantom(spark, tmp_path, monkeypatch):
+    """A failed build flips the row to status=failed with the error
+    recorded, removes any files it wrote (no servable phantom), and
+    querying it 409s with the failure; DELETE clears the row."""
+    import os
+
+    from optiprism_spark.operators.ivf_store import IvfStore
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("synthetic build failure")
+
+    monkeypatch.setattr(IvfStore, "rebuild", boom)
+    app = make_app(spark, SF, result_cache_ttl=None,
+                   ivf_dir=str(tmp_path / "ann"))
+    ddl = "/api/v1/projects/1/schema/ann-indexes"
+    url = "/api/v1/projects/1/queries/similarity"
+
+    st, row = call(app, "POST", ddl, {"name": "bad", "nCentroids": 4})
+    assert st == 202
+    assert app.wait_ann_builds()
+    st, listing = call(app, "GET", ddl)
+    assert listing[0]["status"] == "failed"
+    assert "synthetic build failure" in listing[0]["error"]
+    assert not os.path.isdir(str(tmp_path / "ann" / "p1" / "bad"))
+
+    body = {"type": "topk", "method": "ivf", "queryIds": [1], "k": 3,
+            "indexed": True, "index": "bad"}
+    st, out = call(app, "POST", url, body)
+    assert st == 409 and "failed" in out["error"]
+    assert call(app, "DELETE", f"{ddl}/{row['id']}")[0] == 200
+    assert call(app, "GET", ddl)[1] == []
+
+
+def test_ann_index_delete_mid_build_cancels(spark, tmp_path, monkeypatch):
+    """DELETE during a build cancels it: the build thread observes
+    the missing catalog row at commit time and removes whatever files
+    it wrote — no phantom store, no resurrected row."""
+    import os
+    import threading
+
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    gate = threading.Event()
+    _gate_rebuild(monkeypatch, gate)
+    app = make_app(spark, SF, result_cache_ttl=None,
+                   ivf_dir=str(tmp_path / "ann"))
+    ddl = "/api/v1/projects/1/schema/ann-indexes"
+
+    st, row = call(app, "POST", ddl, {"name": "gone", "nCentroids": 4})
+    assert st == 202
+    assert call(app, "DELETE", f"{ddl}/{row['id']}")[0] == 200
+    gate.set()
+    assert app.wait_ann_builds()
+    assert call(app, "GET", ddl)[1] == []
+    assert not os.path.isdir(str(tmp_path / "ann" / "p1" / "gone"))
+
+
+def test_ann_index_crash_recovery_via_maintenance(spark, tmp_path):
+    """A catalog row stuck at status=building with no live thread
+    (process restarted mid-build) is picked up and finished by the
+    maintain_ann_indexes tick."""
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    app = make_app(spark, SF, result_cache_ttl=None,
+                   ivf_dir=str(tmp_path / "ann"))
+    # simulate the restart: a building row nobody owns
+    row = app.catalog.create(
+        "ann_index",
+        {"name": "orphan", "nCentroids": 4, "method": "sample",
+         "driftThreshold": 0.02, "status": "building"},
+        project_id=1)
+    batch = spark.createDataFrame(
+        [(99_000, [1.0] * 64)], "vec_id long, embedding array<float>")
+    assert app.maintain_ann_indexes(batch, pid=1) == 1
+    got = app.catalog.get("ann_index", row["id"], project_id=1)
+    assert got["status"] == "ready"
+
+    url = "/api/v1/projects/1/queries/similarity"
+    st, out = call(app, "POST", url,
+                   {"type": "topk", "method": "ivf", "queryIds": [1],
+                    "k": 3, "indexed": True, "index": "orphan"})
+    assert st == 200, out
