@@ -285,8 +285,14 @@ def repeated_ngram_stats(
     # eliminate split(text) inside transform() lambdas, so an inline
     # split re-tokenizes the document per element access (3 per
     # position) — measured 10x slower at sf0.1 than materializing the
-    # words array once per row
-    with_words = docs.select(sid, _words(text_col, None).alias("__w"))
+    # words array once per row. Repartition the compact (doc, words)
+    # frame to full parallelism before the ~50x shingle expansion —
+    # same pre-expansion exchange as repeated_spans (r16): the explode
+    # otherwise inherits the scan's input splits and can serialize
+    # onto a handful of cores.
+    with_words = docs.select(
+        sid, _words(text_col, None).alias("__w")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
     # NOT persisted: measured at sf1, materializing the shingle rows
     # costs as much as the recompute it saves — AQE's exchange reuse
     # already shares the heavy shuffle between the df-count and the
@@ -356,7 +362,18 @@ def repeated_spans(
     sid = F.col(id_col)
     # pre-project the split (same CSE rationale as repeated_ngram_stats:
     # an inline split re-tokenizes per lambda element access, 10x)
-    with_words = docs.select(sid, _words(text_col, None).alias("__w"))
+    # … and REPARTITION the compact (doc, words) frame to full
+    # parallelism BEFORE the ~50x positional expansion (r16): the
+    # explode inherits the scan's input splits, and a coarse split
+    # (one small parquet file locally; a fat row-group on a cluster)
+    # serializes the whole expansion onto a handful of cores. Moving
+    # 1x data to spread 50x work is the standard pre-expansion
+    # exchange; both shingle branches below reuse the one exchange
+    # (ReusedExchange). Measured at 10x data: 7.9 s → 2.4 s, SF1
+    # ratio 4.8x → ~1.6x.
+    with_words = docs.select(
+        sid, _words(text_col, None).alias("__w")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
     words = F.col("__w")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     pos_shingles = with_words.select(
@@ -376,18 +393,14 @@ def repeated_spans(
         ).alias("ps"),
     ).select(sid, F.col("ps.pos").alias("pos"),
              F.xxhash64(F.col("ps.s")).alias("__h"))
-    # the doc-frequency side does NOT need positions: build it from
-    # the position-free shingling kernel (byte-identical shingles, see
-    # shingles_from_words) — its array_distinct shrinks the explode
-    # doc-locally before the global distinct, and the projections
-    # differ from pos_shingles' anyway so AQE could never share the
-    # exchange between the two passes (measured ~15% off the whole
-    # query at sf0.1). Hash BEFORE the distinct: the exchange then
-    # carries (doc, int64), not (doc, string).
+    # the doc-frequency side shares pos_shingles' explode (r16 — the
+    # r15 measurement that favoured a separate position-free kernel
+    # inverted once the pre-expansion repartition landed: one explode
+    # kernel, and the distinct's partial aggregate dedupes doc-locally
+    # exactly where array_distinct used to). The exchange carries
+    # (doc, int64) — hash applied before the distinct.
     corpus_repeated = (
-        with_words.select(
-            sid, F.explode(shingles_from_words(words, n)).alias("s"))
-        .select(sid, F.xxhash64("s").alias("__h"))
+        pos_shingles.select(sid, "__h")
         .distinct()
         .groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= 2)
