@@ -239,9 +239,16 @@ SF01_CHECKED_ROUNDS: dict[int, frozenset[str]] = {
 
 
 def gate_picks(queries: dict, oracled: set[str]) -> list[str]:
-    """CORE + the ROTATE_N least-recently-sf0.1-checked oracled
-    queries (suite-round-robin tiebreak so any prefix spans operator
-    families) — never-checked queries sort first."""
+    """CORE + ROTATE_N rotating picks. The rotation COMPLEMENTS the
+    driver's 50-query gate (r15 verdict task 4): queries already in
+    the upcoming driver window sort last — they are watched this
+    round anyway — so the sf0.1 slots go to the driver-unwatched
+    tail, least-recently-sf0.1-checked first (suite-round-robin
+    tiebreak so any prefix spans operator families; never-checked
+    queries sort first)."""
+    from optiprism_spark.registry import suite_round_robin
+
+    upcoming = set(list(suite_round_robin(queries))[:50])
     by_suite: dict[str, list[str]] = {}
     for name, fn in queries.items():
         if name in oracled and name not in CORE:
@@ -254,7 +261,9 @@ def gate_picks(queries: dict, oracled: set[str]) -> list[str]:
                 if n in names), default=0)
         for n in rr
     }
-    rotating = sorted(rr, key=lambda n: (last[n], rr.index(n)))[:ROTATE_N]
+    rotating = sorted(
+        rr, key=lambda n: (n in upcoming, last[n], rr.index(n))
+    )[:ROTATE_N]
     return list(CORE) + rotating
 
 

@@ -74,6 +74,25 @@ def test_max_staleness_within_cycle_bound():
             f"{bound} at N={len(QUERIES)})")
 
 
+def test_measured_age_histogram_at_arithmetic_floor():
+    """r15 verdict task 4: the MEASURED driver-check age histogram
+    must sit at the rotation's arithmetic floor — every age tier
+    below the max holds exactly GATE_SIZE queries and the max tier
+    holds the remainder (N - max_age*GATE_SIZE). Anything else means
+    the round-robin leaked: some query aged past the floor while a
+    fresher one was re-checked."""
+    import math
+    from collections import Counter
+
+    latest = max(DRIVER_CHECKED_ROUNDS)
+    ages = Counter(latest - _last_checked(n) for n in QUERIES)
+    max_age = math.ceil(len(QUERIES) / GATE_SIZE) - 1
+    assert max(ages) == max_age, dict(ages)
+    for k in range(max_age):
+        assert ages[k] == GATE_SIZE, dict(ages)
+    assert ages[max_age] == len(QUERIES) - max_age * GATE_SIZE, dict(ages)
+
+
 def test_recorded_rounds_are_registered_queries():
     """A typo'd name in DRIVER_CHECKED_ROUNDS would silently never
     match, making its query eternally stale."""
@@ -118,11 +137,24 @@ def test_sf01_gate_rotates_least_recently_checked():
 
     # nothing outside the upcoming rotation may be staler than
     # anything inside it
+    # the rotation complements the driver gate (r15 task 4): its
+    # primary split is driver-window membership — within each side
+    # of that split, nothing outside the rotation may be staler
+    # (by sf0.1 age) than anything inside it
+    upcoming_driver = set(list(suite_round_robin(QUERIES))[:GATE_SIZE])
     pool = [n for n in QUERIES
             if n in ORACLE_SQL and n not in m.CORE]
-    worst_in = max(last(n) for n in rotating)
-    best_out = min(last(n) for n in pool if n not in rotating)
-    assert worst_in <= best_out
+    for side in (True, False):
+        ins = [n for n in rotating if (n in upcoming_driver) is side]
+        outs = [n for n in pool
+                if n not in rotating and (n in upcoming_driver) is side]
+        if ins and outs:
+            assert max(last(n) for n in ins) <= min(last(n) for n in outs)
+    # driver-unwatched queries fill the rotation before any query the
+    # driver will re-check this round
+    n_unwatched_pool = sum(1 for n in pool if n not in upcoming_driver)
+    n_unwatched_in = sum(1 for n in rotating if n not in upcoming_driver)
+    assert n_unwatched_in == min(m.ROTATE_N, n_unwatched_pool)
     # the latest round's record exists and only lists real queries
     assert all(n in QUERIES for n in m.SF01_CHECKED_ROUNDS[latest])
 
