@@ -172,6 +172,9 @@ HEADLINE = [
     "eng_growth_weekly_routed",      # r15: growth ledger from the
                                      # (dt, user) store
     "eng_rfm_scores_routed",         # r15: RFM from the (dt, user) store
+    "aud_set_count_routed",          # r16: exact audience set algebra
+                                     # from the (dt, user) store
+    "eng_active_users_weekly_routed",  # r16: exact WAU from the store
 ]
 
 #: frozen host-speed reference for the normalized series: r13's

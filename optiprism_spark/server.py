@@ -2007,6 +2007,7 @@ class App:
             audience_venn,
             overlap_matrix,
         )
+        from .userday import user_day_supports
 
         props = self._props(pid)
         ces = self._custom_events(pid)
@@ -2080,7 +2081,24 @@ class App:
                         for name, ev in auds.items()}
                 if body.get("sketched"):
                     out = self._sketched_set(refs, expr, time, filters)
+                elif (self.user_day_store is not None
+                      and self.user_day_store.exists()
+                      and all(user_day_supports(
+                          time, r, filters, self.user_day_store.spec)
+                          for r in refs.values())):
+                    # exact routed path (r16): membership flags fold
+                    # from (dt, user, event) partials — no raw scan
+                    from .userday import set_count_from_user_day
+
+                    metrics.user_day_routed_total().inc(
+                        surface="audience_set", path="store")
+                    out = set_count_from_user_day(
+                        self.user_day_store.read(self.spark), refs,
+                        expr, time, spec=self.user_day_store.spec,
+                        filters=filters)
                 else:
+                    metrics.user_day_routed_total().inc(
+                        surface="audience_set", path="raw")
                     out = audience_set_count(
                         self._events(), refs, expr, time, filters)
             # malformed audience dicts (KeyError), non-dict expression

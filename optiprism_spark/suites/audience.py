@@ -323,3 +323,90 @@ def aud_scoped_count_daily(spark, sf_dir):
         .groupBy(bucket_col(TimeIntervalUnit.DAY).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("count"))
     )
+
+
+#: day-aligned bounds the user-day store requires (whole days; the
+#: raw-window T_FULL above ends at :59 seconds which the store's
+#: _day_aligned guard rejects)
+_FULL_DAYS = QueryTime.between(
+    dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31, 23, 59, 59, 999999))
+_T_DAYS = ("2024-01-01 00:00:00", "2024-01-31 23:59:59.999999")
+_WEEK1 = QueryTime.between(
+    dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 7, 23, 59, 59, 999999))
+_T_WEEK1 = ("2024-01-01 00:00:00", "2024-01-07 23:59:59.999999")
+
+
+@query(
+    "aud_set_count_routed",
+    oracle=f"""
+    WITH flags AS (
+      SELECT user_id,
+             MAX(event_type = 'signup')   AS a,
+             MAX(event_type = 'purchase') AS b,
+             MAX(event_type = 'error')    AS c
+      FROM events WHERE {S.ts_between(*_T_WEEK1)}
+      GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_users FROM flags WHERE (a OR b) AND NOT c
+    """,
+)
+def aud_set_count_routed(spark, sf_dir):
+    """audience_set_count served FROM the user-day store
+    (userday.set_count_from_user_day): EXACT boolean set-expression
+    counts with no raw-event scan — membership flags fold from (dt,
+    user, event_type) partials (a partial exists iff ≥1 raw event
+    did), so routed ≡ raw by construction. The week-1 window keeps
+    the NOT clause non-degenerate on the synthetic corpus (over a
+    full month every user hits every event type)."""
+    from ..suites.engagement import persisted_user_day_store
+    from ..userday import set_count_from_user_day
+
+    st = persisted_user_day_store(spark, sf_dir)
+    return set_count_from_user_day(
+        st.read(spark),
+        {"a": EventRef("signup"), "b": EventRef("purchase"),
+         "c": EventRef("error")},
+        {"op": "and", "args": [
+            {"op": "or", "args": [{"ref": "a"}, {"ref": "b"}]},
+            {"op": "not", "args": [{"ref": "c"}]}]},
+        _WEEK1)
+
+
+@query(
+    "aud_scoped_count_daily_routed",
+    oracle=f"""
+    WITH flags AS (
+      SELECT user_id,
+             MAX(event_type = 'purchase') AS a,
+             MAX(event_type = 'error')    AS c
+      FROM events WHERE {S.ts_between(*_T_WEEK1)}
+      GROUP BY 1
+    ),
+    aud AS (SELECT user_id FROM flags WHERE a AND NOT c)
+    SELECT {S.bucket('day')} AS bucket, COUNT(*) AS count
+    FROM events
+    WHERE {S.ts_between(*_T_DAYS)}
+      AND user_id IN (SELECT user_id FROM aud)
+    GROUP BY 1
+    """,
+)
+def aud_scoped_count_daily_routed(spark, sf_dir):
+    """The aud_scoped_count_daily shape served FROM the user-day
+    store (userday.scoped_count_from_user_day): the week-1 cohort
+    ('purchased, never errored in week 1') folds from the flags
+    frame, and the month-long daily trend is Σ n_events of the
+    scoped users' partials — both sides one pruned store scan, raw
+    events untouched. The audience window ≠ counting window is the
+    classic cohort-trend composition and exactly what the store's
+    dt-pruning is for."""
+    from ..dsl import TimeIntervalUnit
+    from ..suites.engagement import persisted_user_day_store
+    from ..userday import scoped_count_from_user_day
+
+    st = persisted_user_day_store(spark, sf_dir)
+    return scoped_count_from_user_day(
+        st.read(spark),
+        {"a": EventRef("purchase"), "c": EventRef("error")},
+        {"op": "and", "args": [
+            {"ref": "a"}, {"op": "not", "args": [{"ref": "c"}]}]},
+        _FULL_DAYS, TimeIntervalUnit.DAY, audience_time=_WEEK1)

@@ -402,3 +402,26 @@ def eng_active_days_routed(spark, sf_dir):
 
     st = persisted_user_day_store(spark, sf_dir)
     return active_days_from_user_day(st.read(spark), _FULL_DAYS)
+
+
+@query(
+    "eng_active_users_weekly_routed",
+    oracle=f"""
+    SELECT {S.bucket('week')} AS bucket,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM events WHERE {S.ts_between(*_T_DAYS)}
+    GROUP BY 1
+    """,
+)
+def eng_active_users_weekly_routed(spark, sf_dir):
+    """EXACT weekly active users served FROM the user-day store
+    (userday.active_users_from_user_day) — the no-error twin of the
+    estimate family's sampled DAU and the rollup tier's ±1% KMV
+    series: a bucket's active users are the distinct user ids of its
+    (dt, user) partials, so the count is exact, and the scan is the
+    bounded store with dt pruning instead of raw events."""
+    from ..userday import active_users_from_user_day
+
+    st = persisted_user_day_store(spark, sf_dir)
+    return active_users_from_user_day(
+        st.read(spark), _FULL_DAYS, TimeIntervalUnit.WEEK)

@@ -372,3 +372,112 @@ def growth_from_user_day(
     last_b = rows.agg(F.max(pb).alias("__last")).withColumn(
         "__k", F.lit(1))
     return growth_ledger(a, last_b, period)
+
+
+def active_users_from_user_day(
+    store_df: DataFrame,
+    time: QueryTime,
+    interval: TimeIntervalUnit = TimeIntervalUnit.DAY,
+    spec: UserDaySpec = UserDaySpec(),
+    event: Optional[EventRef] = None,
+    filters: Sequence[PropFilter] = (),
+) -> DataFrame:
+    """EXACT DAU/WAU/MAU trend answered from the store — the
+    user-grain twin of the rollup's sketched active-user series
+    (rollup.py serves ±1% KMV estimates; this is the no-error path
+    the estimate family's sampled DAU approximates from raw scans).
+    A bucket's active users are the distinct ``group_col`` values of
+    its (dt, user) partials, so the count is exact by construction.
+    Returns (bucket, active_users)."""
+    if interval not in (TimeIntervalUnit.DAY, TimeIntervalUnit.WEEK,
+                        TimeIntervalUnit.MONTH):
+        raise ValueError("active-user interval must be day|week|month")
+    rows = _window_rows(store_df, time, event, filters)
+    pb = bucket_col(interval, ts_col=ROLLUP_DT_COL)
+    return rows.groupBy(pb.alias("bucket")).agg(
+        F.count_distinct(F.col(spec.group_col)).alias("active_users"))
+
+
+def audience_flags_from_user_day(
+    store_df: DataFrame,
+    audiences,
+    time: QueryTime,
+    spec: UserDaySpec = UserDaySpec(),
+    filters: Sequence[PropFilter] = (),
+) -> DataFrame:
+    """operators.audience.audience_flags answered from the store:
+    per-user boolean membership, one column per audience — a user is
+    in an audience iff they have ≥1 store row matching its event
+    ref, which for name-expressible refs is identical to the raw
+    flags frame (a (dt, user, event) partial exists iff ≥1 raw event
+    did). Every ref must pass ``user_day_supports``; callers check."""
+    if not audiences:
+        raise ValueError("audience_flags needs at least one audience")
+    for name in audiences:
+        if name == spec.group_col or not name.isidentifier():
+            raise ValueError(f"bad audience name {name!r}")
+    rows = _window_rows(store_df, time, None, filters)
+    aggs = []
+    for name, ref in audiences.items():
+        pred = event_expression(ref, EVENT_NAME_COL)
+        if pred is None:  # "all events" audience
+            pred = F.lit(True)
+        aggs.append(F.max(pred.cast("boolean")).alias(name))
+    return rows.groupBy(F.col(spec.group_col)).agg(*aggs)
+
+
+def set_count_from_user_day(
+    store_df: DataFrame,
+    audiences,
+    expr,
+    time: QueryTime,
+    spec: UserDaySpec = UserDaySpec(),
+    filters: Sequence[PropFilter] = (),
+) -> DataFrame:
+    """operators.audience.audience_set_count answered from the store
+    — EXACT boolean set-expression counts with no raw-event scan
+    (the KMV day-sketch path estimates; this is its exact sibling
+    for name-expressible audiences). Same observed-behavior universe:
+    only users in ≥1 listed audience exist to the expression."""
+    from .operators.audience import set_expr_col
+
+    flags = audience_flags_from_user_day(
+        store_df, audiences, time, spec, filters)
+    cond = set_expr_col(expr, list(audiences))
+    return flags.filter(cond).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def scoped_count_from_user_day(
+    store_df: DataFrame,
+    audiences,
+    expr,
+    time: QueryTime,
+    interval: TimeIntervalUnit = TimeIntervalUnit.DAY,
+    spec: UserDaySpec = UserDaySpec(),
+    event: Optional[EventRef] = None,
+    filters: Sequence[PropFilter] = (),
+    audience_time: Optional[QueryTime] = None,
+) -> DataFrame:
+    """Audience-scoped event-count trend from the store (the
+    aud_scoped_count_daily shape): membership folds from the flags
+    frame, the trend is Σ n_events of the scoped users' partials —
+    both sides one pruned store scan, no raw events touched.
+    ``audience_time`` lets the membership window differ from the
+    counting window (the classic 'week-1 cohort, month-long trend');
+    it defaults to ``time``. Returns (bucket, count)."""
+    from .operators.audience import set_expr_col
+
+    if interval not in (TimeIntervalUnit.DAY, TimeIntervalUnit.WEEK,
+                        TimeIntervalUnit.MONTH):
+        raise ValueError("scoped-count interval must be day|week|month")
+    flags = audience_flags_from_user_day(
+        store_df, audiences, audience_time or time, spec, filters)
+    cond = set_expr_col(expr, list(audiences))
+    users = flags.filter(cond).select(spec.group_col)
+    rows = _window_rows(store_df, time, event, filters)
+    pb = bucket_col(interval, ts_col=ROLLUP_DT_COL)
+    return (
+        rows.join(F.broadcast(users), spec.group_col, "left_semi")
+        .groupBy(pb.alias("bucket"))
+        .agg(F.sum(F.col(N_EVENTS_COL)).alias("count"))
+    )

@@ -260,3 +260,52 @@ def test_retention_routed_equals_raw(spark, tmp_path):
         retention_from_user_day(
             st.read(spark), EventRef("signup"), EventRef("purchase"),
             W, TIU.HOUR)
+
+
+def test_audience_set_routes_through_user_day(spark, tmp_path):
+    """/queries/audience type=set serves EXACTLY from the user-day
+    store when every audience ref is store-expressible (r15 verdict
+    task 5): routed ≡ raw answer, the routing metric flips to
+    path=store, and a non-expressible ref (custom event with value
+    filter) falls back to raw."""
+    from optiprism_spark import metrics
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    ev = load_table(spark, SF, "events")
+    st = UserDayStore(str(tmp_path / "ud_aud"))
+    st.rebuild(spark, ev)
+    app = make_app(spark, SF, result_cache_ttl=None, user_day_store=st)
+    bare = make_app(spark, SF, result_cache_ttl=None)
+    url = "/api/v1/projects/1/queries/audience"
+    body = {
+        "type": "set",
+        "time": {"type": "between", "from": "2024-01-01 00:00:00",
+                 "to": "2024-01-07 23:59:59.999999"},
+        "audiences": {
+            "a": {"eventName": "signup", "eventType": "regular"},
+            "c": {"eventName": "error", "eventType": "regular"}},
+        "expression": {"op": "and", "args": [
+            {"ref": "a"}, {"op": "not", "args": [{"ref": "c"}]}]},
+    }
+
+    before = metrics.user_day_routed_total().value(
+        surface="audience_set", path="store")
+    st_r, routed = call(app, "POST", url, body)
+    st_b, raw = call(bare, "POST", url, body)
+    assert st_r == 200 and st_b == 200
+    assert routed["columns"] == raw["columns"]
+    assert metrics.user_day_routed_total().value(
+        surface="audience_set", path="store") == before + 1
+
+    # a ragged (non-day-aligned) window is NOT store-expressible
+    # -> raw fallback, still 200
+    ragged = dict(body, time={"type": "between",
+                              "from": "2024-01-01 06:00:00",
+                              "to": "2024-01-07 23:59:59.999999"})
+    raw_before = metrics.user_day_routed_total().value(
+        surface="audience_set", path="raw")
+    assert call(app, "POST", url, ragged)[0] == 200
+    assert metrics.user_day_routed_total().value(
+        surface="audience_set", path="raw") == raw_before + 1
