@@ -56,10 +56,12 @@ def main() -> None:
                          "explores new DSL space")
     ap.add_argument("--round", type=int, default=0, dest="round_no")
     ap.add_argument("--n-quality", type=int, default=80)
+    ap.add_argument("--n-userday", type=int, default=80)
     ap.add_argument("--suite", default="all",
                     choices=["seg", "funnel", "paths", "retention",
                              "attribution", "estimate", "rollup",
-                             "funnel_layout", "quality", "growth", "rfm", "all"])
+                             "funnel_layout", "quality", "growth", "rfm",
+                             "userday", "all"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.seed0 is None:
@@ -103,6 +105,12 @@ def main() -> None:
         from tests import _fuzz_quality
 
         jobs.append(("quality", _fuzz_quality, args.n_quality))
+    if args.suite in ("userday", "all"):
+        # r16: the user-day serving tier — routed == raw over random
+        # day-aligned windows x surfaces x audience set expressions
+        from tests import _fuzz_userday
+
+        jobs.append(("userday", _fuzz_userday, args.n_userday))
     if args.suite in ("funnel_layout", "all"):
         # bucketed/assume_partitioned vs shuffle differential — the
         # seam whose failure mode (split users) is silent undercount
