@@ -91,6 +91,54 @@ def active_days_histogram(
     )
 
 
+def lness_grid(
+    events: DataFrame,
+    anchor: "datetime.date",
+    l_short: int = 7,
+    l_long: int = 28,
+    event: Optional[EventRef] = None,
+    filters: Sequence[PropFilter] = (),
+    group_col: str = EVENT_USER_COL,
+) -> DataFrame:
+    """(l_short, l_long, n_users) — the L7/L28 engagement grid.
+
+    For every user active in the trailing ``l_long``-day window ending
+    at ``anchor`` (inclusive), count their distinct active days in the
+    full window (``l_long``) and in the trailing ``l_short`` days
+    (``l_short``), then histogram the (l_short, l_long) pairs. The
+    grid is the standard habit-strength read (casual vs core vs power
+    users in one table); the l_short/l_long ratio per cell is the
+    classic L7/L28 "lness" metric.
+
+    Shape: one filtered scan → one per-user aggregate carrying BOTH
+    distinct-day counts (the short window is a conditional
+    count-distinct over the same day column, no second scan) → a
+    cells-cardinality histogram groupBy. Per-user state never leaves
+    the executors unaggregated, so the plan scales like
+    active_days_histogram regardless of window length."""
+    import datetime as _dt
+
+    if not (1 <= l_short < l_long):
+        raise ValueError(
+            f"need 1 <= l_short < l_long, got {l_short}/{l_long}")
+    lo = anchor - _dt.timedelta(days=l_long - 1)
+    short_lo = anchor - _dt.timedelta(days=l_short - 1)
+    time = QueryTime.between(
+        _dt.datetime.combine(lo, _dt.time.min),
+        _dt.datetime.combine(anchor, _dt.time(23, 59, 59, 999999)))
+    cond = full_filter(time, event, filters)
+    df = events.filter(cond) if cond is not None else events
+    day = bucket_col(TimeIntervalUnit.DAY)
+    per_user = df.groupBy(group_col).agg(
+        F.count_distinct(day).alias("l_long"),
+        F.count_distinct(
+            F.when(day >= F.lit(short_lo), day)).alias("l_short"),
+    )
+    return per_user.groupBy("l_short", "l_long").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 def growth_accounting(
     events: DataFrame,
     time: QueryTime,

@@ -37,22 +37,19 @@ from ..exprs import full_filter
 from ..schema import EVENT_ID_COL, EVENT_TIME_COL, EVENT_USER_COL
 
 
-def experiment_report(
+def _variant_conversions(
     events: DataFrame,
     variant_col: Column,
     exposure_event: EventRef,
     conversion_event: EventRef,
     time: QueryTime,
-    control: str,
-    filters: tuple[PropFilter, ...] = (),
-    group_col: str = EVENT_USER_COL,
+    filters: tuple[PropFilter, ...],
+    group_col: str,
 ) -> DataFrame:
-    """Per-variant experiment readout.
-
-    Output: (variant, n_users, n_converted, cvr, lift, z_score),
-    ``lift``/``z_score`` NULL on the control row. ``variant_col`` is
-    any deterministic expression over the exposure event's row (a
-    property column, a JSON prop, a derived bucket)."""
+    """(variant, n_users, n_converted, cvr) — the shared
+    first-exposure → strictly-later-conversion recipe both readouts
+    aggregate from (see module docstring for the semantics and the
+    plan shape)."""
     exp_cond = full_filter(time, exposure_event, filters)
     exposures = events.filter(exp_cond) if exp_cond is not None else events
     w = Window.partitionBy(group_col).orderBy(EVENT_TIME_COL, EVENT_ID_COL)
@@ -79,12 +76,85 @@ def experiment_report(
         .otherwise(F.lit(0))
         .alias("__converted"),
     )
-    per_variant = per_user.groupBy("variant").agg(
+    return per_user.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("__converted").alias("n_converted"),
     ).withColumn(
         "cvr", F.col("n_converted").cast("double") / F.col("n_users"))
 
+
+#: z_{0.975} — the two-sided 95% normal quantile the Wilson interval
+#: conventionally uses; a double literal so both engines compute with
+#: the identical constant
+Z_95 = 1.959963984540054
+
+
+def conversion_wilson_ci(
+    events: DataFrame,
+    variant_col: Column,
+    exposure_event: EventRef,
+    conversion_event: EventRef,
+    time: QueryTime,
+    filters: tuple[PropFilter, ...] = (),
+    group_col: str = EVENT_USER_COL,
+    z: float = Z_95,
+) -> DataFrame:
+    """Per-variant conversion rate with the Wilson score interval —
+    (variant, n_users, n_converted, cvr, ci_low, ci_high).
+
+    The Wilson interval is the standard small-and-skewed-safe CI for
+    a binomial proportion (never leaves [0, 1], behaves at cvr ≈ 0 or
+    1 where the naive Wald interval collapses) — it is what an
+    experiment UI draws as the error bars per arm. Pure arithmetic
+    over the per-variant aggregate, expression structure mirrored
+    verbatim in the oracle SQL so the doubles match bit-for-bit:
+
+        denom  = 1 + z²/n
+        center = (p + z²/(2n)) / denom
+        half   = z·sqrt(p(1−p)/n + z²/(4n²)) / denom
+
+    Plan: the per-variant frame is a handful of rows; the CI columns
+    are projection-only on top of the shared user-grain reduction."""
+    per_variant = _variant_conversions(
+        events, variant_col, exposure_event, conversion_event, time,
+        filters, group_col)
+    z2 = z * z
+    n = F.col("n_users").cast("double")
+    p = F.col("cvr")
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (p + F.lit(z2) / (F.lit(2.0) * n)) / denom
+    half = (F.lit(z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n
+        + F.lit(z2) / (F.lit(4.0) * n * n))) / denom
+    return per_variant.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        "cvr",
+        (center - half).alias("ci_low"),
+        (center + half).alias("ci_high"),
+    )
+
+
+def experiment_report(
+    events: DataFrame,
+    variant_col: Column,
+    exposure_event: EventRef,
+    conversion_event: EventRef,
+    time: QueryTime,
+    control: str,
+    filters: tuple[PropFilter, ...] = (),
+    group_col: str = EVENT_USER_COL,
+) -> DataFrame:
+    """Per-variant experiment readout.
+
+    Output: (variant, n_users, n_converted, cvr, lift, z_score),
+    ``lift``/``z_score`` NULL on the control row. ``variant_col`` is
+    any deterministic expression over the exposure event's row (a
+    property column, a JSON prop, a derived bucket)."""
+    per_variant = _variant_conversions(
+        events, variant_col, exposure_event, conversion_event, time,
+        filters, group_col)
     ctrl = per_variant.filter(F.col("variant") == control).select(
         F.col("n_users").alias("__cn"),
         F.col("n_converted").alias("__cx"),

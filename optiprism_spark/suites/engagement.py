@@ -425,3 +425,46 @@ def eng_active_users_weekly_routed(spark, sf_dir):
     st = persisted_user_day_store(spark, sf_dir)
     return active_users_from_user_day(
         st.read(spark), _FULL_DAYS, TimeIntervalUnit.WEEK)
+
+
+#: L7/L28 anchored at the last day the 28-day window fits inside the
+#: January corpus; both paths and the oracle derive their bounds from
+#: these three constants
+_LNESS_ANCHOR = dt.date(2024, 1, 28)
+_LNESS_ORACLE = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             COUNT(DISTINCT {S.bucket('day')}) AS l_long,
+             COUNT(DISTINCT CASE WHEN {S.bucket('day')} >= DATE '2024-01-22'
+                                 THEN {S.bucket('day')} END) AS l_short
+      FROM events
+      WHERE {S.ts_between('2024-01-01 00:00:00', '2024-01-28 23:59:59.999999')}
+      GROUP BY 1
+    )
+    SELECT l_short, l_long, COUNT(*) AS n_users
+    FROM per_user GROUP BY 1, 2
+    """
+
+
+@query("eng_l7_l28_grid", oracle=_LNESS_ORACLE)
+def eng_l7_l28_grid(spark, sf_dir):
+    """The L7/L28 habit-strength grid (engagement.lness_grid): users
+    by (distinct active days in the trailing 7, distinct active days
+    in the trailing 28) ending Jan 28 — the standard casual/core/
+    power segmentation, one conditional count-distinct pass."""
+    from ..operators.engagement import lness_grid
+
+    return lness_grid(load_table(spark, sf_dir, "events"), _LNESS_ANCHOR)
+
+
+@query("eng_l7_l28_grid_routed", oracle=_LNESS_ORACLE)
+def eng_l7_l28_grid_routed(spark, sf_dir):
+    """The SAME grid served FROM the user-day store
+    (userday.lness_from_user_day): both distinct-day counts are
+    counts over the user's persisted dt values, so routed ≡ raw is
+    input equality — the sixth standing engagement surface off the
+    (dt, user) partials, sharing the raw path's oracle."""
+    from ..userday import lness_from_user_day
+
+    st = persisted_user_day_store(spark, sf_dir)
+    return lness_from_user_day(st.read(spark), _LNESS_ANCHOR)

@@ -149,3 +149,69 @@ def exp_srm_check(spark, sf_dir):
         exposure_event=EventRef("view"),
         time=_FULL,
     )
+
+
+def _wilson_sql() -> str:
+    from ..operators.experiment import Z_95
+
+    z, z2 = repr(Z_95), repr(Z_95 * Z_95)
+    # expression structure mirrors conversion_wilson_ci verbatim
+    # (same literals, same association) so the doubles match
+    # bit-for-bit: denom = 1 + z²/n, center = (p + z²/(2n))/denom,
+    # half = z·sqrt(p(1−p)/n + z²/(4n²))/denom
+    return f"""
+    WITH fe AS (
+      SELECT user_id, t0, variant FROM (
+        SELECT user_id, ts AS t0, {_variant_sql()} AS variant,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'view'
+      ) t WHERE rn = 1
+    ), cm AS (
+      SELECT user_id, MAX(ts) AS conv_max FROM events
+      WHERE {S.ts_between(*S.T_FULL)} AND event_type = 'purchase'
+      GROUP BY 1
+    ), pu AS (
+      SELECT variant,
+             CASE WHEN conv_max > t0 THEN 1 ELSE 0 END AS converted
+      FROM fe LEFT JOIN cm USING (user_id)
+    ), pv AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted,
+             CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS cvr
+      FROM pu GROUP BY 1
+    ), x AS (
+      SELECT variant, n_users, n_converted, cvr,
+             CAST(n_users AS DOUBLE) AS n
+      FROM pv
+    )
+    SELECT variant, n_users, n_converted, cvr,
+           ((cvr + {z2} / (2.0 * n)) / (1.0 + {z2} / n))
+             - (({z} * sqrt(cvr * (1.0 - cvr) / n
+                            + {z2} / (4.0 * n * n)))
+                / (1.0 + {z2} / n)) AS ci_low,
+           ((cvr + {z2} / (2.0 * n)) / (1.0 + {z2} / n))
+             + (({z} * sqrt(cvr * (1.0 - cvr) / n
+                            + {z2} / (4.0 * n * n)))
+                / (1.0 + {z2} / n)) AS ci_high
+    FROM x
+    """
+
+
+@query("exp_conversion_wilson_ci", oracle=_wilson_sql())
+def exp_conversion_wilson_ci(spark, sf_dir):
+    """Per-arm conversion rate with the 95% Wilson score interval
+    (operators/experiment.conversion_wilson_ci) — the error bars an
+    experiment UI draws next to the lift readout; Wilson rather than
+    Wald so arms near 0%/100% or with few users keep honest,
+    in-[0,1] bounds."""
+    from ..operators.experiment import conversion_wilson_ci
+
+    return conversion_wilson_ci(
+        load_table(spark, sf_dir, "events"),
+        variant_col=_variant_col(),
+        exposure_event=EventRef("view"),
+        conversion_event=EventRef("purchase"),
+        time=_FULL,
+    )

@@ -266,3 +266,82 @@ def dict_persisted_roundtrip(spark, sf_dir):
     return dict_decode(agg, "event_type_key", d, keep_key=True).select(
         "event_type_key", "event_type", "n"
     )
+
+
+@query(
+    "wh_market_share_by_year",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             sn.n_name AS supp_nation,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(28,6)) AS volume
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      WHERE p.p_type = 'PROMO' AND r.r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             AS nation_volume,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM vol GROUP BY 1
+    """,
+)
+def wh_market_share_by_year(spark, sf_dir):
+    """TPC-H Q8-shaped market share: NATION_1 suppliers' slice of the
+    AMERICA-customer PROMO-part volume per order year. The join graph
+    is the suite's widest — two facts plus FIVE dimension hops — and
+    the physical plan is the point: the fact pair rides the routed
+    co-bucketed layout (Exchange-free when present), every dimension
+    is a broadcast hash join with its filter applied BEFORE the
+    broadcast (part → PROMO only, customer nations → AMERICA only, so
+    the filters prune fact rows at the join instead of after), and
+    the share is one conditional decimal aggregate — the fact side
+    shuffles exactly once, for the final year-grain groupBy."""
+    o, l = order_facts(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    cn = (n.join(F.broadcast(r),
+                 n.n_regionkey == r.r_regionkey)
+          .select(F.col("n_nationkey").alias("cn_key")))
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              ).cast("decimal(28,6)")
+    zero = F.lit(0).cast("decimal(28,6)")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", volume)
+              .otherwise(zero)).cast("double").alias("nation_volume"),
+        F.sum(volume).cast("double").alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        "nation_volume",
+        "total_volume",
+    )

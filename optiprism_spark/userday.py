@@ -305,6 +305,44 @@ def active_days_from_user_day(
         F.count(F.lit(1)).alias("n_users"))
 
 
+def lness_from_user_day(
+    store_df: DataFrame,
+    anchor: "datetime.date",
+    l_short: int = 7,
+    l_long: int = 28,
+    spec: UserDaySpec = UserDaySpec(),
+    event: Optional[EventRef] = None,
+    filters: Sequence[PropFilter] = (),
+) -> DataFrame:
+    """`engagement.lness_grid` (the L7/L28 habit-strength grid)
+    answered from the store: both distinct-day counts are counts over
+    a user's dt values inside the anchored window — the short window
+    is a conditional count-distinct on the SAME pruned store scan.
+    Exact by construction (the partials are (dt, user) grain), and
+    the scan is the bounded store with dt pruning instead of raw
+    events."""
+    import datetime as _dt
+
+    if not (1 <= l_short < l_long):
+        raise ValueError(
+            f"need 1 <= l_short < l_long, got {l_short}/{l_long}")
+    lo = anchor - _dt.timedelta(days=l_long - 1)
+    short_lo = anchor - _dt.timedelta(days=l_short - 1)
+    time = QueryTime.between(
+        _dt.datetime.combine(lo, _dt.time.min),
+        _dt.datetime.combine(anchor, _dt.time(23, 59, 59, 999999)))
+    rows = _window_rows(store_df, time, event, filters)
+    day = F.col(ROLLUP_DT_COL)
+    per_user = rows.groupBy(F.col(spec.group_col)).agg(
+        F.count_distinct(day).alias("l_long"),
+        F.count_distinct(
+            F.when(day >= F.lit(short_lo), day)).alias("l_short"),
+    )
+    return per_user.groupBy("l_short", "l_long").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 def retention_from_user_day(
     store_df: DataFrame,
     cohort_event: Optional[EventRef],
