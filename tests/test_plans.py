@@ -628,3 +628,25 @@ def test_attribution_join_elides_shuffle_on_bucketed_lake(spark):
                 map(str, slow.collect())), model
     finally:
         spark.sql("DROP TABLE IF EXISTS events_attr_bucketed_test")
+
+
+def test_market_share_dims_broadcast_fact_shuffles_once(spark):
+    plan = _plan(QUERIES["wh_market_share_by_year"](spark, SF_SMOKE))
+    # six dimension hops (part, supplier, supp-nation, customer,
+    # cust-nation⋈region pre-joined) ALL broadcast: the only
+    # non-broadcast exchanges are the fact⋈fact join and the final
+    # year-grain groupBy — at 100 TB the lineitem side never shuffles
+    # for a dimension
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_lness_grid_is_two_partial_aggregates(spark):
+    plan = _plan(QUERIES["eng_l7_l28_grid"](spark, SF_SMOKE))
+    # per-user distinct-day counts partial-aggregate before their
+    # shuffle; the (l_short, l_long) histogram adds one more — no
+    # joins, no windows, per-user state never collects
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
