@@ -625,6 +625,8 @@ class App:
              _timed_query("growth", self._growth), explore),
             ("POST", re.compile(P + r"/queries/rfm$"),
              _timed_query("rfm", self._rfm), explore),
+            ("POST", re.compile(P + r"/queries/lness$"),
+             _timed_query("lness", self._lness), explore),
             ("POST", re.compile(P + r"/queries/drift$"),
              _timed_query("drift", self._drift), explore),
             ("POST", re.compile(P + r"/queries/audience$"),
@@ -1927,6 +1929,69 @@ class App:
             out = growth_accounting(self._events(), time, period=period,
                                     event=event, filters=filters)
         return 200, (out, {"bucket"})
+
+    def _lness(self, body, m, q):
+        """L7/L28 habit-strength grid (beyond the reference): users
+        by (distinct active days in the trailing ``lShort``, trailing
+        ``lLong``) windows ending at ``anchor`` inclusive. Body:
+        ``{anchor (YYYY-MM-DD), lShort?, lLong?, event?, filters?}``.
+        Served from the user-day store when the request stays inside
+        its dims (both counts are counts over persisted dt values),
+        raw events otherwise — same routing contract as /queries/rfm
+        and /queries/growth, decision recorded in metrics."""
+        pid = self._pid(m)
+        import datetime as dt_mod
+
+        from .operators.engagement import lness_grid
+
+        props = self._props(pid)
+        ces = self._custom_events(pid)
+        try:
+            anchor = dt_mod.date.fromisoformat(body["anchor"])
+        except KeyError:
+            raise HttpError(400, "anchor is required (YYYY-MM-DD)")
+        except (TypeError, ValueError):
+            raise HttpError(400, "anchor must be YYYY-MM-DD")
+        try:
+            l_short = int(body.get("lShort", 7))
+            l_long = int(body.get("lLong", 28))
+        except (TypeError, ValueError):
+            raise HttpError(400, "lShort/lLong must be integers")
+        if not (1 <= l_short < l_long <= 366):
+            raise HttpError(400, "need 1 <= lShort < lLong <= 366")
+        event = (
+            api.parse_event_ref(body["event"], custom_events=ces, props=props)
+            if body.get("event") else None)
+        filters = api._grouped_filters(body, api.EVENT_COLUMNS, props=props)
+        out = None
+        if self.user_day_store is not None and self.user_day_store.exists():
+            from .dsl import QueryTime
+            from .userday import lness_from_user_day, user_day_supports
+
+            spec = self.user_day_store.spec
+            # the operator derives its own day-aligned window from the
+            # anchor, so routability is only about event/filter dims —
+            # probe supports() with the window it will build
+            window = QueryTime.between(
+                dt_mod.datetime.combine(
+                    anchor - dt_mod.timedelta(days=l_long - 1),
+                    dt_mod.time.min),
+                dt_mod.datetime.combine(
+                    anchor, dt_mod.time(23, 59, 59, 999999)))
+            if user_day_supports(window, event, filters, spec):
+                metrics.user_day_routed_total().inc(
+                    surface="lness", path="store")
+                out = lness_from_user_day(
+                    self.user_day_store.read(self.spark), anchor,
+                    l_short=l_short, l_long=l_long, spec=spec,
+                    event=event, filters=filters)
+        if out is None:
+            metrics.user_day_routed_total().inc(
+                surface="lness", path="raw")
+            out = lness_grid(self._events(), anchor,
+                             l_short=l_short, l_long=l_long,
+                             event=event, filters=filters)
+        return 200, (out, {"l_short", "l_long"})
 
     def _rfm(self, body, m, q):
         """RFM scoring (beyond the reference). Body: ``{time,

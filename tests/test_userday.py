@@ -309,3 +309,46 @@ def test_audience_set_routes_through_user_day(spark, tmp_path):
     assert call(app, "POST", url, ragged)[0] == 200
     assert metrics.user_day_routed_total().value(
         surface="audience_set", path="raw") == raw_before + 1
+
+
+def test_lness_http_routed_equals_raw(spark, tmp_path):
+    """POST /queries/lness serves the L7/L28 grid from the user-day
+    store when configured (identical rows to the bare-app raw path),
+    falls back to raw for out-of-dims filters, and validates the
+    window params."""
+    from optiprism_spark import metrics
+    from optiprism_spark.server import make_app
+
+    from .test_server import call
+
+    st = UserDayStore(str(tmp_path / "ud_lness"))
+    st.rebuild(spark, load_table(spark, SF, "events"))
+    app = make_app(spark, SF, result_cache_ttl=None, user_day_store=st)
+    bare = make_app(spark, SF, result_cache_ttl=None)
+    url = "/api/v1/projects/1/queries/lness"
+    body = {"anchor": "2024-01-28", "lShort": 7, "lLong": 28}
+
+    def rows(resp):
+        cols = sorted(resp["columns"], key=lambda c: c["name"])
+        return set(zip(*[c["data"] for c in cols]))
+
+    before = metrics.user_day_routed_total().value(
+        surface="lness", path="store")
+    st_r, routed = call(app, "POST", url, body)
+    st_b, raw = call(bare, "POST", url, body)
+    assert st_r == 200 and st_b == 200
+    assert rows(routed) == rows(raw)
+    assert metrics.user_day_routed_total().value(
+        surface="lness", path="store") == before + 1
+
+    # event filter stays inside the store dims -> still routed
+    st_e, _ = call(app, "POST", url, dict(body, event={"eventName": "view"}))
+    assert st_e == 200
+    assert metrics.user_day_routed_total().value(
+        surface="lness", path="store") == before + 2
+
+    # bad windows and missing anchor are 400s, not wrong numbers
+    for bad in ({"anchor": "2024-01-28", "lShort": 28, "lLong": 7},
+                {"anchor": "not-a-date"}, {}):
+        st_x, _ = call(app, "POST", url, bad)
+        assert st_x == 400, bad
