@@ -175,6 +175,11 @@ HEADLINE = [
     "aud_set_count_routed",          # r16: exact audience set algebra
                                      # from the (dt, user) store
     "eng_active_users_weekly_routed",  # r16: exact WAU from the store
+    "eng_l7_l28_grid_routed",        # r16: L7/L28 habit grid from the
+                                     # store (conditional count-distinct)
+    "wh_market_share_by_year",       # r16: Q8-shaped share — widest
+                                     # join graph in the suite (routed
+                                     # fact pair + 6 bcast dim hops)
 ]
 
 #: frozen host-speed reference for the normalized series: r13's
