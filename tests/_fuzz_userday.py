@@ -23,7 +23,7 @@ _EVENTS = ["click", "error", "purchase", "signup", "view"]
 _INTERVALS = [TimeIntervalUnit.DAY, TimeIntervalUnit.WEEK,
               TimeIntervalUnit.MONTH]
 _SURFACES = ["set_count", "scoped_count", "active_users", "active_days",
-             "retention", "growth", "rfm"]
+             "retention", "growth", "rfm", "lness"]
 
 _STORES: dict = {}
 
@@ -94,8 +94,12 @@ def gen_spec(seed: int) -> dict:
         spec["cohort"], spec["ret"] = rng.sample(_EVENTS, 2)
         spec["unbounded"] = rng.random() < 0.5
         spec["max_periods"] = rng.randint(3, 10)
-    if surface in ("active_users", "active_days", "rfm"):
+    if surface in ("active_users", "active_days", "rfm", "lness"):
         spec["event"] = rng.choice([None] + _EVENTS)
+    if surface == "lness":
+        spec["anchor"] = dt.date(2024, 1, rng.randint(8, 31))
+        spec["l_long"] = rng.randint(3, 28)
+        spec["l_short"] = rng.randint(1, spec["l_long"] - 1)
     return spec
 
 
@@ -188,6 +192,16 @@ def run_check(spark, sf_dir: str, spec: dict) -> dict:
     elif surface == "growth":
         raw = rows(growth_accounting(ev, W, spec["interval"]))
         got = rows(growth_from_user_day(sd, W, spec["interval"]))
+    elif surface == "lness":
+        from optiprism_spark.operators.engagement import lness_grid
+        from optiprism_spark.userday import lness_from_user_day
+
+        raw = rows(lness_grid(
+            ev, spec["anchor"], l_short=spec["l_short"],
+            l_long=spec["l_long"], event=event))
+        got = rows(lness_from_user_day(
+            sd, spec["anchor"], l_short=spec["l_short"],
+            l_long=spec["l_long"], event=event))
     else:  # rfm
         raw = rows(rfm_scores(ev, W, n_tiles=5, event=event,
                               percentile_mode="exact"))
