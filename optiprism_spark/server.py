@@ -2789,7 +2789,11 @@ class App:
         ``{type: "srm", time, exposureEvent, variantProperty,
         expected?}`` runs the sample-ratio-mismatch health gate
         instead (chi-square vs the allocation at α=0.001; expected
-        maps variant → share, default equal split)."""
+        maps variant → share, default equal split).
+        ``{type: "ci", ...}`` (same body as the readout, minus
+        ``control``) returns per-arm conversion rates with the 95%
+        Wilson score interval — the error bars the readout's lift
+        numbers are drawn with."""
         pid = self._pid(m)
         from .exprs import prop_col
         from .operators.experiment import experiment_report
@@ -2821,6 +2825,22 @@ class App:
                 )
             except ValueError as e:
                 raise HttpError(400, str(e))
+            return 200, (out, {"variant"})
+        if body.get("type") == "ci":
+            from .operators.experiment import conversion_wilson_ci
+
+            out = conversion_wilson_ci(
+                self._events(),
+                variant_col=prop_col(api.parse_property(
+                    body["variantProperty"], props=props)),
+                exposure_event=api.parse_event_ref(
+                    body["exposureEvent"], custom_events=ces, props=props),
+                conversion_event=api.parse_event_ref(
+                    body["conversionEvent"], custom_events=ces, props=props),
+                time=api.parse_time(body["time"], self.now),
+                filters=api._grouped_filters(
+                    body, api.EVENT_COLUMNS, props=props),
+            )
             return 200, (out, {"variant"})
         out = experiment_report(
             self._events(),

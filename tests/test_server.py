@@ -446,6 +446,48 @@ def test_experiment_endpoint(app, spark):
     assert types["variant"] == "dimension" and types["cvr"] == "metric"
 
 
+def test_experiment_ci_endpoint(app, spark):
+    """type: ci on /queries/experiment matches the directly-run
+    Wilson-interval operator (no control needed) and keeps its
+    bounds inside [0, 1]."""
+    import datetime as dtm
+
+    from optiprism_spark.dsl import EventRef, PropertyRef, QueryTime
+    from optiprism_spark.exprs import prop_col
+    from optiprism_spark.operators.experiment import conversion_wilson_ci
+    from optiprism_spark.schema import load_table
+
+    body = {
+        "type": "ci",
+        "time": T_JAN,
+        "exposureEvent": {"eventName": "view", "eventType": "regular"},
+        "conversionEvent": {"eventName": "purchase", "eventType": "regular"},
+        "variantProperty": {"propertyName": "k", "dtype": "int64"},
+    }
+    status, payload = call(
+        app, "POST", "/api/v1/projects/1/queries/experiment", body)
+    assert status == 200
+    cols = {c["name"]: c["data"] for c in payload["columns"]}
+    assert set(cols) >= {"variant", "n_users", "n_converted", "cvr",
+                         "ci_low", "ci_high"}
+    for lo, p, hi in zip(cols["ci_low"], cols["cvr"], cols["ci_high"]):
+        assert 0.0 <= lo <= p <= hi <= 1.0
+
+    W = QueryTime.between(dtm.datetime(2024, 1, 1),
+                          dtm.datetime(2024, 1, 31, 23, 59, 59))
+    direct = conversion_wilson_ci(
+        load_table(spark, SF_DIR, "events"),
+        variant_col=prop_col(PropertyRef.json("k", "int64")),
+        exposure_event=EventRef("view"),
+        conversion_event=EventRef("purchase"),
+        time=W,
+    ).collect()
+    got = sorted(zip([str(v) for v in cols["variant"]],
+                     cols["ci_low"], cols["ci_high"]))
+    want = sorted((str(r.variant), r.ci_low, r.ci_high) for r in direct)
+    assert got == want
+
+
 def test_attribution_endpoint(app, spark):
     """POST /queries/attribution matches the directly-run operator."""
     body = {
