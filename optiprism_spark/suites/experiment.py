@@ -154,7 +154,14 @@ def exp_srm_check(spark, sf_dir):
 def _wilson_sql() -> str:
     from ..operators.experiment import Z_95
 
-    z, z2 = repr(Z_95), repr(Z_95 * Z_95)
+    # the constants go through VARCHAR -> DOUBLE, NOT bare literals:
+    # DuckDB parses a 17-digit literal as DECIMAL(17,16) whose
+    # integer mantissa exceeds 2^53, and the DECIMAL -> DOUBLE
+    # conversion then double-rounds to a NEIGHBORING double (caught
+    # by the sf0.001 oracle suite as a 1-ulp ci_low mismatch);
+    # string -> double parsing is correctly rounded in both engines
+    z = f"CAST('{Z_95!r}' AS DOUBLE)"
+    z2 = f"CAST('{Z_95 * Z_95!r}' AS DOUBLE)"
     # expression structure mirrors conversion_wilson_ci verbatim
     # (same literals, same association) so the doubles match
     # bit-for-bit: denom = 1 + z²/n, center = (p + z²/(2n))/denom,
