@@ -189,6 +189,29 @@ _R16_GATED = {
 }
 WORKLOAD.update(_R16_GATED)
 
+#: observe-first protocol (the r13→r16 precedent): query surfaces new
+#: this round run in the concurrent mix UNGATED to seed the
+#: cross-round baseline the bench-entry protocol requires; r17 gates
+#: them. lness routes through the user-day store (configured below),
+#: experiment type=ci is a user-grain reduction + projection.
+_R17_OBSERVED = {
+    "lness_routed": (
+        "/api/v1/projects/1/queries/lness",
+        {"anchor": "2024-01-28", "lShort": 7, "lLong": 28},
+    ),
+    "experiment_ci": (
+        "/api/v1/projects/1/queries/experiment",
+        {
+            "type": "ci", "time": T_JAN,
+            "exposureEvent": {"eventName": "view", "eventType": "regular"},
+            "conversionEvent": {"eventName": "purchase",
+                                "eventType": "regular"},
+            "variantProperty": {"propertyName": "k", "dtype": "int64"},
+        },
+    ),
+}
+WORKLOAD.update(_R17_OBSERVED)
+
 LIGHT = ("segmentation_daily", "segmentation_breakdown", "records_search",
          "paths_from_signup", "attribution_last", "stickiness_routed",
          "segmentation_uniques_approx", "audience_venn",
@@ -555,6 +578,12 @@ def main() -> None:
             "failing_shapes": failing,
         },
         "overload": overload,
+        "observed_new_shapes": {
+            n: {"serial": serial[n], "p95": concurrent[n]["p95"],
+                "p95_over_serial": round(
+                    concurrent[n]["p95"] / serial[n], 2)}
+            for n in _R17_OBSERVED if n in concurrent
+        },
         "errors": errors,
         "pass": not failing and not errors and overload["pass"],
     }

@@ -129,6 +129,10 @@ _INTERACTIVE_POOLS = frozenset({
     # r14: one distinct + user-window ledger (growth) / one per-user
     # aggregate + broadcast edges (rfm) — the same sub-second class
     "growth", "rfm",
+    # r16: two store-pruned aggregates over (dt, user) partials —
+    # the same class as growth/rfm when routed, and still one
+    # conditional count-distinct pass when raw
+    "lness",
 })
 
 #: DEFAULT per-pool admission caps, ON by default (the reference
