@@ -435,3 +435,41 @@ def asm_training_pipeline_weighted(spark, sf_dir):
     cur = curriculum_phases(s, "n_chars", n_phases=4)
     return s.select("doc_id", "split", "keep_prob", "ht_weight").join(
         cur.select("doc_id", "phase", "shuffle_key"), "doc_id")
+
+
+@query(
+    "asm_token_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(FLOOR(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) / 32) * 32
+                AS BIGINT) AS token_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+             AS total_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def asm_token_histogram(spark, sf_dir):
+    """Token-budget planning surface: documents and total BPE-ish
+    tokens per (lang, 32-token length bucket) — the availability
+    histogram a mixture/curriculum design reads before setting rates
+    (how much short-vs-long data each language actually has). One
+    scan, the same single-alternation regexp_count the text-stats
+    tier uses (no token-array materialization), one groupBy."""
+    from ..operators.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = bpe_token_count("text")
+    return (
+        docs.groupBy(
+            "lang",
+            (F.floor(n_tok / 32) * 32).cast("long").alias("token_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).cast("long").alias("total_tokens"),
+        )
+    )

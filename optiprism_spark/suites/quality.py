@@ -308,3 +308,48 @@ def dq_metrics_anomaly(spark, sf_dir):
     ], by=["day"])
     return robust_anomaly_flags(series, "metric", threshold=3.5,
                                 by=("constraint",))
+
+
+_DOCS_ORACLE = " UNION ALL ".join([
+    _row("completeness(text)", "text",
+         _ratio("COUNT(text)"), 1.0, None, "documents"),
+    _row("uniqueness(doc_id)", "doc_id",
+         _ratio("COUNT(DISTINCT doc_id)"), 1.0, None, "documents"),
+    _row("accepted_values(lang)", "lang",
+         _ratio("SUM(CASE WHEN lang IN ('de','en','es','fr','zh') "
+                "THEN 1 ELSE 0 END)", "COUNT(lang)"),
+         1.0, None, "documents"),
+    _row("matches_pattern(source)", "source",
+         _ratio("SUM(CASE WHEN regexp_matches(source, "
+                "'^src[0-9]+$') THEN 1 ELSE 0 END)",
+                "COUNT(source)"),
+         1.0, None, "documents"),
+    _row("in_range(n_chars)", "n_chars",
+         _ratio("SUM(CASE WHEN n_chars >= 1.0 AND n_chars <= 10000.0 "
+                "THEN 1 ELSE 0 END)", "COUNT(n_chars)"),
+         1.0, None, "documents"),
+    _row("mean_between(n_chars)", "n_chars",
+         "round(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)"
+         " / COUNT(n_chars), 9)", 10.0, 2000.0, "documents"),
+    _row("row_count", "*", "CAST(COUNT(*) AS DOUBLE)",
+         100.0, None, "documents"),
+])
+
+
+@query("dq_documents_battery", oracle=_DOCS_ORACLE)
+def dq_documents_battery(spark, sf_dir):
+    """The delivery gate a training pipeline runs on a document
+    snapshot before spending GPU-time on it: text present, stable
+    doc ids, language/source domains, sane length stats — seven
+    constraints in the same ONE partial-aggregated scan as the
+    events/orders batteries."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Q.validate(docs, [
+        Q.completeness("text"),
+        Q.uniqueness("doc_id"),
+        Q.accepted_values("lang", ["de", "en", "es", "fr", "zh"]),
+        Q.matches_pattern("source", "^src[0-9]+$"),
+        Q.in_range("n_chars", 1.0, 10000.0),
+        Q.mean_between("n_chars", 10.0, 2000.0),
+        Q.row_count_between(100),
+    ])
