@@ -68,13 +68,15 @@ def _queries():
     from optiprism_spark.exprs import full_filter
     from optiprism_spark.operators.aggregates import bucket_col
     from optiprism_spark.operators.engagement import (
-        growth_accounting, rfm_scores, stickiness,
+        growth_accounting, lness_grid, rfm_scores, stickiness,
     )
     from optiprism_spark.queries.event_segmentation import run_event_segmentation
     from optiprism_spark.rollup import (
         cohort_sizes_from_rollup, stickiness_from_rollup,
     )
-    from optiprism_spark.userday import growth_from_user_day, rfm_from_user_day
+    from optiprism_spark.userday import (
+        growth_from_user_day, lness_from_user_day, rfm_from_user_day,
+    )
 
     T = QueryTime.between(_T0, _T1)
     WEEK = TimeIntervalUnit.WEEK
@@ -167,6 +169,18 @@ def _queries():
         return _rfm_grid(rfm_from_user_day(ud.read(spark), T, n_tiles=5,
                                            percentile_mode="exact"))
 
+    # L7/L28 grid (r16 surface) shaped to the dense corpus's ~6-day
+    # calendar: trailing 2 of trailing 7 ending at the last covered
+    # day — both counts real axes at this span
+    _LNESS_ANCHOR = dt.date(2024, 1, 7)
+
+    def lness_raw(spark, ev, store, spec, ud):
+        return lness_grid(ev, _LNESS_ANCHOR, l_short=2, l_long=7)
+
+    def lness_routed(spark, ev, store, spec, ud):
+        return lness_from_user_day(ud.read(spark), _LNESS_ANCHOR,
+                                   l_short=2, l_long=7)
+
     # cls "flat": the routed frame is #days x #dims — ratio gated at
     # ROUTED_FLAT_THRESH. cls "user_grain" (r15 user-day store): the
     # store grows WITH users by construction, so flatness is the wrong
@@ -195,6 +209,8 @@ def _queries():
                                  "user_grain", "dense"),
         "rfm_grid_userday": (rfm_raw, rfm_routed, "exact", "user_grain",
                              "dense"),
+        "lness_grid_userday": (lness_raw, lness_routed, "exact",
+                               "user_grain", "dense"),
     }
 
 
