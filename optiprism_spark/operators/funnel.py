@@ -728,6 +728,46 @@ def funnel_time_to_convert_dist(
     )
 
 
+def funnel_ttc_percentiles(
+    events: DataFrame,
+    req: FunnelRequest,
+    segment_users: Optional[DataFrame] = None,
+    assume_partitioned: bool = False,
+    max_rows_per_user: Optional[int] = None,
+    whale_acc=None,
+) -> DataFrame:
+    """Per-step time-to-convert summary: for completed attempts, the
+    distribution of ts_step − ts_anchor per step — (step, n_conversions,
+    p50_us, p90_us, max_us), one row per non-anchor step. The summary
+    the TimeToConvert chart's histogram (funnel_time_to_convert_dist)
+    is usually reduced to in a UI header ("median time to purchase"),
+    computed exactly from the same attempt frame: durations are exact
+    integer µs, percentiles are Spark's native interpolated
+    `percentile` over them. NonUnique so every completion contributes.
+
+    Plan: the attempt frame is user-partitioned (one shuffle, shared
+    with every funnel chart); the stack() step-unpivot is narrow; the
+    final per-step aggregate is k−1 groups."""
+    import dataclasses
+
+    k = len(req.steps)
+    req_nu = dataclasses.replace(req, count_mode=FunnelCountMode.NON_UNIQUE)
+    attempts = funnel_attempts(
+        events, req_nu, segment_users,
+        assume_partitioned=assume_partitioned,
+        max_rows_per_user=max_rows_per_user, whale_acc=whale_acc,
+    )
+    pairs = ", ".join(f"{i}, ts_{i} - ts_0" for i in range(1, k))
+    durs = attempts.filter(F.col("steps_completed") == k).select(
+        F.expr(f"stack({k - 1}, {pairs}) AS (step, dur_us)"))
+    return durs.groupBy("step").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.percentile("dur_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("dur_us", F.lit(0.9)).alias("p90_us"),
+        F.max("dur_us").alias("max_us"),
+    )
+
+
 def funnel_frequency(
     events: DataFrame,
     req: FunnelRequest,

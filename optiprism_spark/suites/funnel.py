@@ -540,6 +540,20 @@ SELECT GREATEST(CAST(0 AS BIGINT),
 FROM ch WHERE sc = 3 GROUP BY 1
 """
 
+_TTC_PCTL_ORACLE = f"""
+WITH ch AS ({_machine_chain_sql('FALSE')}),
+durs AS (
+  SELECT CAST(1 AS INT) AS step, ts1 - t0 AS dur_us FROM ch WHERE sc = 3
+  UNION ALL
+  SELECT CAST(2 AS INT) AS step, ts2 - t0 AS dur_us FROM ch WHERE sc = 3
+)
+SELECT step, COUNT(*) AS n_conversions,
+       quantile_cont(dur_us, 0.5) AS p50_us,
+       quantile_cont(dur_us, 0.9) AS p90_us,
+       MAX(dur_us) AS max_us
+FROM durs GROUP BY 1
+"""
+
 _FREQUENCY_ORACLE = f"""
 WITH ch AS ({_machine_chain_sql('FALSE')}),
 per_user AS (
@@ -575,6 +589,18 @@ def funnel_time_to_convert_dist(spark, sf_dir):
         _req(count_mode=FunnelCountMode.NON_UNIQUE),
         interval_ms=_TTC_INTERVAL_MS,
     )
+
+
+@query("funnel_ttc_percentiles", oracle=_TTC_PCTL_ORACLE)
+def funnel_ttc_percentiles(spark, sf_dir):
+    """Per-step time-to-convert summary — the "median time to
+    purchase" header over the TimeToConvert chart's attempt frame:
+    exact integer-µs durations per completed attempt, interpolated
+    p50/p90 + max per step (NonUnique, like the histogram)."""
+    from ..operators.funnel import funnel_ttc_percentiles as ttcp
+
+    events = load_table(spark, sf_dir, "events")
+    return ttcp(events, _req(count_mode=FunnelCountMode.NON_UNIQUE))
 
 
 @query("funnel_frequency", oracle=_FREQUENCY_ORACLE)
