@@ -439,22 +439,25 @@ def audience_venn_from_day_sketches(
     merged = kmv_merge(
         sketches.filter(F.col("dim").isin([dim_a, dim_b])), ["dim"], k, kmv_col
     )
-    a = merged.filter(F.col("dim") == dim_a).select(
-        F.lit(1).alias("__j"), F.col(kmv_col).alias("__ka"))
-    b = merged.filter(F.col("dim") == dim_b).select(
-        F.lit(1).alias("__j"), F.col(kmv_col).alias("__kb"))
-    # anchor row + left joins: an audience with NO sketches in the
-    # window must yield a zeros venn row (what the exact path reports),
-    # not an empty frame — empty array ≡ exact empty sketch (theta 1.0)
+    # r16 (optimization round): the two merged rows fold into ONE row
+    # via a global collect-into-map aggregate — the same shape the
+    # set-count route already used — instead of two filtered branches
+    # anchored by left joins. The branch form consumed `merged` twice,
+    # and each broadcast subtree re-ran the whole upstream sketch
+    # build (explode→distinct→rank AND, when called on a freshly built
+    # frame, the full event scan: plans/r16/
+    # aud_venn_kmv_sketched_before.txt shows two `Scan parquet` of
+    # events). A global agg always yields exactly one row — an
+    # audience with NO sketches in the window resolves to the empty
+    # map, and the coalesce keeps the zeros-venn contract (empty
+    # array ≡ exact empty sketch, theta 1.0).
+    row = merged.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("dim", kmv_col))).alias("__m"))
     empty = F.array().cast("array<double>")
-    anchor = sketches.sparkSession.range(1).select(F.lit(1).alias("__j"))
-    return (
-        anchor.join(F.broadcast(a), "__j", "left")
-        .join(F.broadcast(b), "__j", "left")
-        .select(*kmv_venn_counts(
-            F.coalesce(F.col("__ka"), empty),
-            F.coalesce(F.col("__kb"), empty), k))
-    )
+    return row.select(*kmv_venn_counts(
+        F.coalesce(F.element_at(F.col("__m"), F.lit(dim_a)), empty),
+        F.coalesce(F.element_at(F.col("__m"), F.lit(dim_b)), empty), k))
 
 
 def overlap_matrix_from_day_sketches(

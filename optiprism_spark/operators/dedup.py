@@ -357,20 +357,36 @@ def simhash(
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """SimHash fingerprint: per token a 60-bit md5-derived integer;
-    each output bit is the sign of the vote sum over tokens."""
-    tok = spread(docs).select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
-    ).withColumn("h", F.expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"))
-    votes = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+    each output bit is the sign of the vote sum over tokens.
+
+    r16 (optimization round): the vote sums are computed DOC-LOCALLY
+    with array higher-order functions instead of explode + groupBy.
+    A document's tokens all live in one row, so per-doc bit votes
+    never needed a shuffle: the old shape materialized one row per
+    token (~200x the rows) and pushed them through a hash aggregate
+    plus an Exchange on doc_id; this one hashes the token array once
+    (same md5 per token — the dominant CPU, unchanged) and folds each
+    bit's vote with `aggregate(hs, ...)` in place. Plan: scan →
+    project — ZERO exchanges (guide §2.4 remove shuffles outright);
+    the map-side row expansion disappears too."""
+    hs = F.expr(
+        f"transform(split({text_col}, ' '), "
+        "t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))")
+    votes_and_fp = (
+        "aggregate(__hs, 0L, (acc, h) -> acc + "
+        "(cast(shiftright(h, {j}) & 1 as bigint) * 2 - 1))")
+    fp = " + ".join(
+        f"(CASE WHEN ({votes_and_fp.format(j=j)}) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0L END)"
         for j in range(bits)
-    ]
-    per_doc = tok.groupBy(id_col).agg(*votes)
-    fp = None
-    for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    )
+    # null-text docs produced no exploded rows in the old shape and
+    # were absent from the output; keep that contract
+    return spread(docs).filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col)
+    ).withColumn("__hs", hs).select(
+        F.col(id_col), F.expr(f"cast(({fp}) as bigint)").alias("simhash")
+    )
 
 
 def connected_components(

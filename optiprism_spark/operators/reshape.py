@@ -55,9 +55,50 @@ def pivot_buckets(df: DataFrame, dims: Sequence[str], bucket_col: str,
     """Pivot time buckets into one column per bucket with an explicit
     bucket list (single pass — no extra distinct scan) and null→0 fill,
     matching reference PivotNode (result_cols pre-computed from the
-    query time range, common/src/query.rs:464-482)."""
-    out = df.groupBy(*dims).pivot(bucket_col, list(buckets)).agg(F.first(value_col))
+    query time range, common/src/query.rs:464-482).
+
+    r16 (optimization round): expressed as ONE conditional
+    aggregation — ``max(value) FILTER (bucket = b)`` per bucket —
+    instead of ``.pivot().agg(first)``. Spark plans the latter as TWO
+    aggregates with TWO exchanges (first() keyed by dims+bucket, then
+    pivotfirst keyed by dims); the conditional form is a single
+    partial-aggregated groupBy — one exchange (guide §2.4). `max`
+    over the unique (dims, bucket) cell equals `first` (each cell
+    holds exactly one row: the input is itself an aggregate) while
+    keeping the value's type and staying deterministic even for
+    pathological duplicate-cell inputs.
+
+    The per-bucket cells are built as ONE parsed SQL expression each
+    (not a tree of F.when/F.col py4j calls): measured on the 31-day
+    chart pipeline, driver-side plan construction of the pivot was
+    0.4-0.6 s of py4j round-trips — more than the query's actual
+    compute — and drops ~6x with JVM-side parsing (guide §7.3:
+    planning time is driver-side, single-process work)."""
+    cells = [
+        F.expr(
+            f"max(CASE WHEN `{bucket_col}` = {_sql_lit(b)} "
+            f"THEN `{value_col}` END)"
+        ).alias(str(b))
+        for b in buckets
+    ]
+    out = df.groupBy(*dims).agg(*cells)
     return out.fillna(fill, subset=[c for c in out.columns if c not in dims])
+
+
+def _sql_lit(v) -> str:
+    """SQL literal for a pivot bucket value (date / timestamp /
+    string / number) — JVM-parsed, so bucket lists cost one py4j call
+    per cell instead of ~6."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, str):
+        escaped = v.replace("'", "''")
+        return f"'{escaped}'"
+    return repr(v)
 
 
 def add_average_and_sort(df: DataFrame, metric_cols: Sequence[str],
@@ -70,10 +111,12 @@ def add_average_and_sort(df: DataFrame, metric_cols: Sequence[str],
     order and re-sorts by the same column anyway — paying a full
     distributed sort here buys nothing there."""
     n = len(metric_cols)
-    s = reduce(lambda a, b: a + b, [F.coalesce(F.col(c), F.lit(0)) for c in metric_cols])
     # exact (decimal/int) row-sum cast to double, then ONE double
-    # division — deterministic and oracle-reproducible
-    avg = (s.cast("double") / F.lit(float(n))).cast("double")
+    # division — deterministic and oracle-reproducible. Built as a
+    # single parsed SQL string: the F.coalesce/+ tree for 31 buckets
+    # cost ~0.34 s of driver py4j round-trips per query (guide §7.3).
+    s = " + ".join(f"coalesce(`{c}`, 0)" for c in metric_cols)
+    avg = F.expr(f"cast(cast(({s}) as double) / {float(n)!r} as double)")
     out = df.withColumn(avg_col, avg)
     return out.orderBy(F.desc(avg_col)) if sort else out
 
@@ -95,12 +138,21 @@ def limit_groups(df: DataFrame, group_cols: Sequence[str], limit: int = 50,
     derivation AND the semi-join probe read the same small
     post-aggregation frame — without it the whole upstream lineage
     (scan → aggregate → pivot) executes twice, one full extra pass
-    over the fact table at 100 TB. The persist is registered with
-    `_util.unpersist_tracked` for deterministic release."""
-    if persist:
-        from ._util import track_persist
+    over the fact table at 100 TB.
 
-        df = track_persist(df)
+    r16 (optimization round): materialization switched from
+    ``persist()`` to an eager ``localCheckpoint()``. The persist
+    variant only deduplicated ONE side: Spark's self-join attribute
+    deduplication rewrites the broadcast ``top`` subtree's expression
+    ids, the CacheManager substitution misses it, and the physical
+    plan kept a SECOND full scan→aggregate→pivot chain under the
+    BroadcastExchange (see plans/r16/seg_chart_pipeline_before.txt,
+    operators (19)-(35) — a duplicate `Scan parquet` where the design
+    said cache). The checkpoint cuts the lineage BEFORE the self-join
+    is formed, so both branches read the materialized partitions;
+    guide §3.3 (materialise an intermediate to truncate the plan)."""
+    if persist:
+        df = df.localCheckpoint(eager=True)
     order_val = F.max(order_col).alias("__ord") if order_col else F.lit(0).alias("__ord")
     order = [F.desc("__ord")] if order_col else []
     # the top frame's key columns are renamed (__g_<c>) so the join

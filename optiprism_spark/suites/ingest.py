@@ -87,18 +87,29 @@ def ingest_ua_browser_counts(spark, sf_dir):
     priority (Edge/Samsung over Chrome, CriOS over Safari), version
     extraction (rv: for IE11), and the device dimension."""
     events = load_table(spark, sf_dir, "events")
+    # r16 (optimization round): aggregate FIRST on the narrow int
+    # dictionary key, enrich the 8-row aggregate, then re-aggregate
+    # by the parsed fields (exact by associativity of count/sum).
+    # The old shape stamped a ~150-byte UA string per event row,
+    # probed an 8-row broadcast with it, and hash-aggregated on FIVE
+    # string keys over every row; now the scan reads only user_id
+    # (one long), the per-row aggregate keys on one int, and both the
+    # string construction and the regex-chain parse run on 8 rows —
+    # guide §2.3 "shuffle keys and metadata instead of payloads" /
+    # §2.4 "aggregate before you shuffle". known_uas still skips the
+    # distinct-discovery pass, and the same ua_enrich regex chain is
+    # what the oracle differentially checks.
+    idx = (F.col("user_id") % 8 + 1).cast("int")
+    counts = events.select(idx.alias("__ua_idx")).groupBy("__ua_idx").agg(
+        F.count(F.lit(1)).alias("__n"))
     ua = F.element_at(
-        F.array(*[F.lit(s) for s, _ in _UAS]),
-        (F.col("user_id") % 8 + 1).cast("int"),
-    )
-    # known_uas: the UA catalog is known here, so the distinct-discovery
-    # scan over events is skipped — one scan total (see ua_enrich)
+        F.array(*[F.lit(s) for s, _ in _UAS]), F.col("__ua_idx"))
     enriched = ua_enrich(
-        events.withColumn("user_agent", ua), known_uas=[s for s, _ in _UAS]
+        counts.withColumn("user_agent", ua), known_uas=[s for s, _ in _UAS]
     )
     return enriched.groupBy(
         "browser", "browser_version", "os", "is_mobile", "device"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.sum("__n").alias("n"))
 
 
 @query(
