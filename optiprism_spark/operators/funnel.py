@@ -591,47 +591,61 @@ def _report_from_attempts(attempts: DataFrame, k: int, keys: list,
     is_completed verdict only controls Unique-mode early-stop
     (funnel.rs:637-641) and the attempts frame's is_completed column,
     which drop-off queries consume directly."""
+    # r16 (optimization round): every metric is ONE parsed SQL
+    # expression instead of a tree of F.when/F.col py4j calls — the
+    # per-call report construction measured ~0.4 s of driver
+    # round-trips for k=3 (guide §7.3: planning is driver-side,
+    # single-process). Semantics are expression-for-expression
+    # identical; double literals carry the `D` suffix (a bare 1000.0
+    # parses as DECIMAL(5,1) in Spark SQL, which would change the
+    # division's type and break the hash oracle).
     aggs = []
     for i in range(k):
-        reached = F.col("steps_completed") > i
-        aggs.append(F.sum(reached.cast("long")).alias(f"step{i}_total"))
+        # sum exact integer µs, divide ONCE at the end: float summation
+        # order varies with partitioning, an integer sum doesn't — this
+        # is what makes the report reproducible by a SQL oracle
+        aggs.append(F.expr(
+            f"sum(cast((steps_completed > {i}) as bigint)) AS step{i}_total"))
         if i > 0:
-            # sum exact integer µs, divide ONCE at the end: float summation
-            # order varies with partitioning, an integer sum doesn't — this
-            # is what makes the report reproducible by a SQL oracle
-            conv = F.when(reached, F.col(f"ts_{i}") - F.col(f"ts_{i-1}"))
-            conv0 = F.when(reached, F.col(f"ts_{i}") - F.col("ts_0"))
-            aggs.append((F.sum(conv) / F.lit(1000.0)).alias(f"step{i}_time_to_convert"))
-            aggs.append(
-                (F.sum(conv0) / F.lit(1000.0)).alias(f"step{i}_time_to_convert_from_start")
-            )
+            aggs.append(F.expr(
+                f"sum(CASE WHEN steps_completed > {i} "
+                f"THEN ts_{i} - ts_{i-1} END) / 1000.0D "
+                f"AS step{i}_time_to_convert"))
+            aggs.append(F.expr(
+                f"sum(CASE WHEN steps_completed > {i} "
+                f"THEN ts_{i} - ts_0 END) / 1000.0D "
+                f"AS step{i}_time_to_convert_from_start"))
 
     out = attempts.groupBy(*keys).agg(*aggs) if keys else attempts.agg(*aggs)
 
     cols = [F.col(n) for n in (key_names or [])]
-    total0 = F.col("step0_total")
     for i in range(k):
-        ti = F.col(f"step{i}_total")
-        cols.append(ti.alias(f"step{i}_total"))
-        ratio = F.when(total0 > 0, ti.cast("double") / total0.cast("double") * 100).otherwise(F.lit(0.0)) \
-            if i > 0 else F.lit(100.0)
-        cols.append(ratio.alias(f"step{i}_conversion_ratio"))
-        if i > 0:
-            prev = F.col(f"step{i-1}_total")
-            cols.append((prev - ti).alias(f"step{i}_dropped_off"))
-            cols.append((F.lit(100.0) - ratio).alias(f"step{i}_drop_off_ratio"))
-            cols.append(F.col(f"step{i}_time_to_convert").alias(f"step{i}_time_to_convert"))
-            avg = F.when(ti > 0, F.col(f"step{i}_time_to_convert") / ti).otherwise(F.lit(0.0))
-            cols.append(avg.alias(f"step{i}_avg_time_to_convert"))
-            # from-start twins — the reference's reserved columns
-            # (finalize funnel.rs:743-758 emits both per-step sums and
-            # averages measured from step 0, not just from step i-1)
-            fs = F.col(f"step{i}_time_to_convert_from_start")
-            cols.append(fs.alias(f"step{i}_time_to_convert_from_start"))
-            avg_fs = F.when(ti > 0, fs / ti).otherwise(F.lit(0.0))
-            cols.append(avg_fs.alias(f"step{i}_avg_time_to_convert_from_start"))
-    cols.append(total0.alias("total"))
-    cols.append(F.col(f"step{k-1}_total").alias("completed"))
+        cols.append(F.col(f"step{i}_total"))
+        if i == 0:
+            cols.append(F.expr(f"100.0D AS step{i}_conversion_ratio"))
+            continue
+        ratio = (
+            f"(CASE WHEN step0_total > 0 THEN cast(step{i}_total as double)"
+            f" / cast(step0_total as double) * 100 ELSE 0.0D END)"
+        )
+        cols.append(F.expr(f"{ratio} AS step{i}_conversion_ratio"))
+        cols.append(F.expr(
+            f"step{i-1}_total - step{i}_total AS step{i}_dropped_off"))
+        cols.append(F.expr(f"100.0D - {ratio} AS step{i}_drop_off_ratio"))
+        cols.append(F.col(f"step{i}_time_to_convert"))
+        cols.append(F.expr(
+            f"CASE WHEN step{i}_total > 0 THEN step{i}_time_to_convert"
+            f" / step{i}_total ELSE 0.0D END AS step{i}_avg_time_to_convert"))
+        # from-start twins — the reference's reserved columns
+        # (finalize funnel.rs:743-758 emits both per-step sums and
+        # averages measured from step 0, not just from step i-1)
+        cols.append(F.col(f"step{i}_time_to_convert_from_start"))
+        cols.append(F.expr(
+            f"CASE WHEN step{i}_total > 0 THEN"
+            f" step{i}_time_to_convert_from_start / step{i}_total"
+            f" ELSE 0.0D END AS step{i}_avg_time_to_convert_from_start"))
+    cols.append(F.expr("step0_total AS total"))
+    cols.append(F.expr(f"step{k-1}_total AS completed"))
     return out.select(*cols)
 
 

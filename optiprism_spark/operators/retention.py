@@ -70,6 +70,19 @@ def _cohorts_and_sizes(
     cohort sizes — one semantics, one implementation."""
     b = bucket_col(interval)
     cohort_cond = full_filter(time, cohort_event, filters)
+    # r16 (optimization round): examined and deliberately left
+    # UN-materialized. The matrix tail consumes `cohorts` twice and
+    # `sizes` twice, and the analyzed plan shows four cohort-side
+    # scan chains — but at RUNTIME AQE's exchange reuse collapses
+    # them to 3 scans (measured via the stage-metrics API), and both
+    # persist shapes measured SLOWER locally (persist both: 0.81 s
+    # min vs 0.65 s plain; sizes-only: 0.85 s — the InMemoryRelation
+    # conversion barrier costs more than the 2 MB duplicate scans
+    # save, and would trip the bench's 2x-best creep gate). At 100 TB
+    # the duplicate cohort pass is real, but that deployment serves
+    # retention from the (dt, user) store (retention_from_user_day),
+    # whose cohort input is the day-partitioned partials, not a raw
+    # event scan.
     cohorts = (
         (events.filter(cohort_cond) if cohort_cond is not None else events)
         .groupBy(group_col)

@@ -371,9 +371,22 @@ def repeated_spans(
     # exchange; both shingle branches below reuse the one exchange
     # (ReusedExchange). Measured at 10x data: 7.9 s → 2.4 s, SF1
     # ratio 4.8x → ~1.6x.
-    with_words = docs.select(
+    # r16 (optimization round): the compact (doc, words) frame is
+    # persisted — both shingle branches (positional explode and the
+    # doc-frequency distinct) substitute to one InMemoryRelation
+    # (plans/r16/text_repeated_spans_after.txt: single scan chain),
+    # where the unpersisted shape physically duplicated
+    # scan→split→repartition→explode under the broadcast side
+    # (…_before.txt: two `Scan parquet`). 1x-corpus materialization,
+    # the same discipline as the LSH base-signature persist; measured
+    # 1.64 s → 1.36 s at sf0.1. (The r15 sf1 verdict against
+    # persisting applied to the EXPLODED shingle rows — ~50x corpus;
+    # the words frame is input-sized.)
+    from ._util import track_persist
+
+    with_words = track_persist(docs.select(
         sid, _words(text_col, None).alias("__w")
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism))
     words = F.col("__w")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     pos_shingles = with_words.select(

@@ -100,6 +100,18 @@ def ensure_io_confs(spark: SparkSession) -> None:
         spark.conf.set(key, want)
 
 
+#: (applicationId, realpath, mtime_ns, size) → lazy DataFrame. Plan
+#: metadata only — NO data/result caching: executing a memoized frame
+#: re-reads the parquet bytes like any scan. What it skips is the
+#: per-call `spark.read.parquet` footer/schema round-trip (~0.1 s of
+#: driver py4j + file I/O PER TABLE PER QUERY — guide §7.3 driver-side
+#: work; a real deployment resolves tables through a catalog once).
+#: The stat snapshot in the key makes a rewritten table (new mtime /
+#: size) a cache miss, so mutated tmp-dir fixtures re-read schemas.
+_TABLE_PLANS: dict[tuple, DataFrame] = {}
+_TABLE_PLANS_MAX = 256
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table.
 
@@ -115,8 +127,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from . import metrics
 
     metrics.store_scans_total().inc(table=name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = None
+    try:
+        st = os.stat(path)
+        fingerprint: tuple = (st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            # a date-partitioned append lands in a SUBdirectory and
+            # does not bump the top-level mtime — fingerprint one
+            # level of children too; beyond 2048 entries skip the
+            # memo rather than pay a large scandir per call
+            entries = sorted(
+                (e.name, e.stat().st_mtime_ns) for e in os.scandir(path)
+            )
+            if len(entries) > 2048:
+                raise OSError("too many entries to fingerprint")
+            fingerprint += (hash(tuple(entries)),)
+        key = (spark.sparkContext.applicationId, os.path.realpath(path),
+               fingerprint)
+    except Exception:
+        pass  # unstattable path / stopped context: fall through, loud below
+    if key is not None:
+        hit = _TABLE_PLANS.get(key)
+        if hit is not None:
+            return hit
     with metrics.store_scan_time().time(table=name):
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = spark.read.parquet(path)
     # TIMESTAMP(NANOS) columns arrive as long (see session.py
     # nanosAsLong); floor-convert to µs timestamps — the same
     # truncation DuckDB applies reading nanos into its µs timestamps.
@@ -128,6 +164,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
             )
+    if key is not None:
+        if len(_TABLE_PLANS) >= _TABLE_PLANS_MAX:
+            _TABLE_PLANS.clear()  # tmp-dir fixtures churn keys; plans are cheap to rebuild
+        _TABLE_PLANS[key] = df
     return df
 
 
