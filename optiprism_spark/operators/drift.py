@@ -416,28 +416,34 @@ def embedding_centroid_drift(
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    # r16 (optimization round): the per-dimension expressions are
+    # parsed SQL strings (and the wide renames go through ONE
+    # selectExpr call) — the F.col/F.round/F.cast tree for dim = 64
+    # cost ~5.5 s of driver py4j round-trips PER CALL, several times
+    # the query's actual execute time (guide §7.3). Expression trees
+    # are term-for-term identical, so the hash oracle is unchanged.
     keys = ([F.col(by)] if by else []) + [current.alias("__cur")]
     per_half = emb.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.round(F.col(vec_col)[i].cast("double"), 7)
-                .cast("decimal(28,7)")
-            ).alias(f"__s{i}")
+            F.expr(
+                f"sum(cast(round(cast(`{vec_col}`[{i}] as double), 7) "
+                f"as decimal(28,7))) AS __s{i}"
+            )
             for i in range(dim)
         ],
     )
     mean = lambda p, i: (  # noqa: E731
-        F.col(f"{p}__s{i}").cast("double") / F.col(f"{p}__n").cast("double"))
-    ref = per_half.filter(~F.col("__cur")).select(
-        *([F.col(by)] if by else []),
-        F.col("__n").alias("r__n"),
-        *[F.col(f"__s{i}").alias(f"r__s{i}") for i in range(dim)],
+        f"(cast(`{p}__s{i}` as double) / cast(`{p}__n` as double))")
+    ref = per_half.filter(~F.col("__cur")).selectExpr(
+        *([f"`{by}`"] if by else []),
+        "__n AS r__n",
+        *[f"__s{i} AS r__s{i}" for i in range(dim)],
     )
-    cur = per_half.filter(F.col("__cur")).select(
-        *([F.col(by).alias("__byc")] if by else []),
-        F.col("__n").alias("c__n"),
-        *[F.col(f"__s{i}").alias(f"c__s{i}") for i in range(dim)],
+    cur = per_half.filter(F.col("__cur")).selectExpr(
+        *([f"`{by}` AS __byc"] if by else []),
+        "__n AS c__n",
+        *[f"__s{i} AS c__s{i}" for i in range(dim)],
     )
     if by:
         joined = ref.join(F.broadcast(cur),
@@ -447,22 +453,22 @@ def embedding_centroid_drift(
             F.broadcast(cur.withColumn("__k", F.lit(1))), "__k").drop("__k")
 
     def _fold(terms):
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+        # " + " joins parse left-associative — the exact tree the
+        # Column `+` fold built
+        return "(" + " + ".join(terms) + ")"
 
-    dot = _fold([mean("r", i) * mean("c", i) for i in range(dim)])
-    n_r = _fold([mean("r", i) * mean("r", i) for i in range(dim)])
-    n_c = _fold([mean("c", i) * mean("c", i) for i in range(dim)])
+    dot = _fold([f"({mean('r', i)} * {mean('c', i)})" for i in range(dim)])
+    n_r = _fold([f"({mean('r', i)} * {mean('r', i)})" for i in range(dim)])
+    n_c = _fold([f"({mean('c', i)} * {mean('c', i)})" for i in range(dim)])
     l2 = _fold([
-        (mean("r", i) - mean("c", i)) * (mean("r", i) - mean("c", i))
+        f"(({mean('r', i)} - {mean('c', i)})"
+        f" * ({mean('r', i)} - {mean('c', i)}))"
         for i in range(dim)
     ])
-    return joined.select(
-        *([F.col(by)] if by else []),
-        F.col("r__n").alias("n_ref"),
-        F.col("c__n").alias("n_cur"),
-        F.round(dot / F.sqrt(n_r * n_c), 9).alias("centroid_cosine"),
-        F.round(F.sqrt(l2), 9).alias("centroid_l2"),
+    return joined.selectExpr(
+        *([f"`{by}`"] if by else []),
+        "r__n AS n_ref",
+        "c__n AS n_cur",
+        f"round({dot} / sqrt({n_r} * {n_c}), 9) AS centroid_cosine",
+        f"round(sqrt({l2}), 9) AS centroid_l2",
     )
