@@ -86,19 +86,26 @@ def cosine_topk(
     keeps the big side shuffle-free."""
     from pyspark.sql import Window
 
+    # norms are loop-invariant across the |Q|·N pair fan-out: fold
+    # each side's norm ONCE below the join (a projection the join
+    # cannot inline upward), so each pair costs one dot + one divide
+    # instead of three interpreted array folds. Same doubles: same
+    # dot fold, same sqrt-of-squares norms, same multiply order.
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("__qn", _norm(F.col("qv")))
     # pair-stage parallelism must scale with the |Q|·N comparison
     # count, not the input file layout: a small-but-dense corpus
     # parquet arrives as one partition and would pin the whole
     # comparison loop to one core (measured 32× on local[32])
     e = spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ev")
-    )
+    ).withColumn("__en", _norm(F.col("ev")))
     sims = (
         e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("ev")).alias("sim"))
+        .select("query_id", "neighbor_id",
+                (_dot(F.col("qv"), F.col("ev"))
+                 / (F.col("__qn") * F.col("__en"))).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -260,7 +267,7 @@ def _coarse_centroids(
 
 def _assign_to_centroids(
     df: DataFrame, cent: DataFrame, id_alias: str, vec_alias: str, n: int,
-    id_col: str, vec_col: str,
+    id_col: str, vec_col: str, keep_norm: bool = False,
 ) -> DataFrame:
     """nearest-n centroids by cosine (tie-break: lowest centroid id).
 
@@ -276,42 +283,76 @@ def _assign_to_centroids(
     `hyperplane_bucket`.)
 
     n > 1 (query-side nprobe — the small side) keeps the broadcast
-    join + per-vector rank window."""
+    join + per-vector rank window.
+
+    Strength reduction (guide §1.2 step 2 — per-task work): cosine =
+    dot/(‖v‖·‖c‖), and both norms are loop-invariant across the
+    centroid walk — ‖v‖ per input row, ‖c‖ per centroid. They are
+    computed ONCE (row norm in a prior projection, centroid norms
+    inside the broadcast struct) and each per-centroid sim is built
+    by `transform` exactly once before the argmax fold compares it —
+    the previous fold's when(cosine > …, struct(cosine, …)) shape
+    evaluated every cosine twice and re-folded both norms per
+    centroid (6 interpreted array folds per centroid per row vs 1
+    dot now). The doubles are identical: same dot fold, same
+    sqrt-of-squares norms, same multiply/divide order, same strict->
+    first-maximum-wins walk in ascending centroid order.
+
+    ``keep_norm``: also return the row norm as ``__vn`` so downstream
+    re-rank stages reuse it instead of re-folding the array."""
     from pyspark.sql import Window
 
     base = df.select(
         F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
-    )
+    ).withColumn("__vn", _norm(F.col(vec_alias)))
+    norm_cols = ["__vn"] if keep_norm else []
     if n == 1:
         cents = cent.select(
-            F.struct("centroid_id", "cv").alias("c")
+            F.struct("centroid_id", "cv",
+                     _norm(F.col("cv")).alias("cn")).alias("c")
         ).agg(F.sort_array(F.collect_list("c")).alias("__cents"))
-        best = F.aggregate(
+        sims = F.transform(
             F.col("__cents"),
+            lambda c: F.struct(
+                (_dot(F.col(vec_alias), c["cv"])
+                 / (F.col("__vn") * c["cn"])).alias("sim"),
+                c["centroid_id"].alias("cid"),
+            ),
+        )
+        best = F.aggregate(
+            sims,
             F.struct(
                 F.lit(float("-inf")).alias("sim"),
                 F.lit(None).cast("long").alias("cid"),
             ),
-            lambda acc, c: F.when(
-                cosine(F.col(vec_alias), c["cv"]) > acc["sim"],
-                F.struct(
-                    cosine(F.col(vec_alias), c["cv"]).alias("sim"),
-                    c["centroid_id"].alias("cid"),
-                ),
-            ).otherwise(acc),
+            lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
         )
+        # coalesce to a sentinel so the column is NON-NULLABLE: the
+        # downstream equi-join on centroid_id infers isnotnull(key)
+        # and pushes it THROUGH this projection into the broadcast
+        # join condition — re-evaluating the whole argmax fold a
+        # second time per corpus row (visible in the before plans'
+        # `Join condition: isnotnull(aggregate(...))`). A non-null
+        # key constant-folds that filter away. The sentinel can
+        # never fire: any non-empty centroid array yields a real
+        # cid (the first element beats the -inf seed, NaN included
+        # — NaN sorts greatest), and an empty quantizer only arises
+        # from an empty corpus, which has no rows to assign.
         return (
             base.join(F.broadcast(cents))
-            .withColumn("centroid_id", best["cid"])
-            .select(id_alias, vec_alias, "centroid_id")
+            .withColumn("centroid_id",
+                        F.coalesce(best["cid"], F.lit(-1).cast("long")))
+            .select(id_alias, vec_alias, "centroid_id", *norm_cols)
         )
     w = Window.partitionBy(id_alias).orderBy(F.desc("__csim"), F.asc("centroid_id"))
     return (
-        base.join(F.broadcast(cent))
-        .withColumn("__csim", cosine(F.col(vec_alias), F.col("cv")))
+        base.join(F.broadcast(cent.withColumn("__cn", _norm(F.col("cv")))))
+        .withColumn("__csim",
+                    _dot(F.col(vec_alias), F.col("cv"))
+                    / (F.col("__vn") * F.col("__cn")))
         .withColumn("__crank", F.row_number().over(w))
         .filter(F.col("__crank") <= n)
-        .select(id_alias, vec_alias, "centroid_id")
+        .select(id_alias, vec_alias, "centroid_id", *norm_cols)
     )
 
 
@@ -326,9 +367,13 @@ def ivf_assign(
     it batch by batch. spread() BEFORE the assignment keeps the frame
     — and the within-bucket pair join that dominates (Σ bucket²) —
     partition-parallel regardless of the input file layout."""
+    # the assignment fold already computed the row norm once —
+    # keep it as `n` instead of re-folding the array (same
+    # sqrt-of-squares expression, same double)
     return _assign_to_centroids(
-        spread(embeddings), cent, id_col, "v", 1, id_col, vec_col
-    ).withColumn("n", _norm(F.col("v")))
+        spread(embeddings), cent, id_col, "v", 1, id_col, vec_col,
+        keep_norm=True,
+    ).withColumnRenamed("__vn", "n")
 
 
 def embedding_incremental_pairs_ivf(
@@ -631,17 +676,31 @@ def cosine_topk_ivf(
                          info["n_centroids"])
         validate_ann_params(nprobe=nprobe)
         cent = track_persist(store.centroids(spark))
+        # the store persists each vector's norm `n` next to `v` —
+        # the re-rank divides by it instead of re-folding the array
+        # per candidate pair (same double: n was computed by the
+        # same sqrt-of-squares fold at build time, parquet
+        # round-trips doubles losslessly)
         e = store.assignment(spark).select(
             F.col(store.id_col).alias("neighbor_id"),
-            F.col("v").alias("ev"), "centroid_id")
+            F.col("v").alias("ev"), F.col("n").alias("__en"),
+            "centroid_id")
         q = _assign_to_centroids(
-            queries, cent, "query_id", "qv", nprobe, id_col, vec_col)
+            queries, cent, "query_id", "qv", nprobe, id_col, vec_col,
+            keep_norm=True,
+        ).withColumnRenamed("__vn", "__qn")
+        # no pair-dedup needed: the store's assignment holds each
+        # corpus vector in exactly ONE inverted list (rn=1), so a
+        # (query, neighbor) pair can match at most one probed
+        # centroid — a dropDuplicates here was a full shuffle +
+        # aggregate of the candidate set for rows that were already
+        # unique (guide §2.4: a distinct on already-unique data)
         sims = (
             e.join(F.broadcast(q), "centroid_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id",
-                    cosine(F.col("qv"), F.col("ev")).alias("sim"))
-            .dropDuplicates(["query_id", "neighbor_id"])
+                    (_dot(F.col("qv"), F.col("ev"))
+                     / (F.col("__qn") * F.col("__en"))).alias("sim"))
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("sim"), F.asc("neighbor_id"))
@@ -659,13 +718,25 @@ def cosine_topk_ivf(
     cent = track_persist(
         _coarse_centroids(embeddings, n_centroids, id_col, vec_col, centroids)
     )
-    e = _assign_to_centroids(spread(embeddings), cent, "neighbor_id", "ev", 1, id_col, vec_col)
-    q = _assign_to_centroids(queries, cent, "query_id", "qv", nprobe, id_col, vec_col)
+    e = _assign_to_centroids(
+        spread(embeddings), cent, "neighbor_id", "ev", 1, id_col, vec_col,
+        keep_norm=True,
+    ).withColumnRenamed("__vn", "__en")
+    q = _assign_to_centroids(
+        queries, cent, "query_id", "qv", nprobe, id_col, vec_col,
+        keep_norm=True,
+    ).withColumnRenamed("__vn", "__qn")
+    # no pair-dedup needed: the corpus side is assigned with n=1
+    # (exactly one centroid per neighbor), so each (query, neighbor)
+    # pair arises from at most one centroid match — see the routed
+    # branch above. Norms ride along from the assignment stage, so
+    # the re-rank is one dot + one divide per candidate.
     sims = (
         e.join(F.broadcast(q), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("ev")).alias("sim"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id",
+                (_dot(F.col("qv"), F.col("ev"))
+                 / (F.col("__qn") * F.col("__en"))).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -687,21 +758,26 @@ def cosine_topk_lsh(
     hyperplane bucket (same sign-sketch), then exact cosine re-rank."""
     from pyspark.sql import Window
 
-    def with_bucket(df, id_alias, vec_alias):
+    # norms hoisted below the join (once per row, not per pair) —
+    # same doubles as cosine-per-pair, see cosine_topk
+    def with_bucket(df, id_alias, vec_alias, norm_alias):
         return (
             df.select(F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias("__v"))
             .withColumn("bucket", hyperplane_bucket(F.col("__v"), planes))
+            .withColumn(norm_alias, _norm(F.col("__v")))
             .withColumnRenamed("__v", vec_alias)
         )
 
     planes = _auto_planes(planes, embeddings)
     validate_ann_params(k=k)
-    q = with_bucket(queries, "query_id", "qv")
-    e = with_bucket(spread(embeddings), "neighbor_id", "ev")
+    q = with_bucket(queries, "query_id", "qv", "__qn")
+    e = with_bucket(spread(embeddings), "neighbor_id", "ev", "__en")
     sims = (
         e.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("ev")).alias("sim"))
+        .select("query_id", "neighbor_id",
+                (_dot(F.col("qv"), F.col("ev"))
+                 / (F.col("__qn") * F.col("__en"))).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

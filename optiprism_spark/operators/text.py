@@ -167,12 +167,21 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  keep_cols: tuple = ()) -> DataFrame:
     """Composite [0,1] quality score from length/stopword/word-length
-    signals (deterministic: exact ratios combined linearly)."""
+    signals (deterministic: exact ratios combined linearly).
+
+    ``keep_cols``: extra input columns carried through to the output
+    (between id and score). The score is 1:1 per row, so callers that
+    need sibling columns should pass them here instead of joining the
+    score frame back to the input on ``id_col`` — that join is a full
+    shuffle of the corpus purely to reattach columns the projection
+    already had."""
     c = text_col
     with_words = spread(docs).select(
-        F.col(id_col), F.col(c), F.split(F.col(c), " ").alias("__w"))
+        F.col(id_col), *[F.col(k) for k in keep_cols],
+        F.col(c), F.split(F.col(c), " ").alias("__w"))
     w = F.col("__w")
     length_ok = (F.length(F.col(c)) >= 64) & (F.length(F.col(c)) <= 100000)
     sw = stopword_ratio(c, words=w)
@@ -182,7 +191,8 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         + F.when(sw.between(0.01, 0.6), F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(mwl.between(2.0, 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
     )
-    return with_words.select(F.col(id_col), score.alias("quality_score"))
+    return with_words.select(F.col(id_col), *[F.col(k) for k in keep_cols],
+                             score.alias("quality_score"))
 
 
 def gopher_quality(

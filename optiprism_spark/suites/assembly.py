@@ -344,8 +344,11 @@ def asm_importance_sample(spark, sf_dir):
     from ..operators.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.join(quality_score(docs), "doc_id").select(
-        "doc_id", "source", "quality_score")
+    # the score is 1:1 per doc — carry `source` through the scoring
+    # projection instead of joining the score frame back to the
+    # corpus (that join was a full doc-table shuffle to reattach one
+    # column the scan already had)
+    scored = quality_score(docs, keep_cols=("source",))
     return importance_sample(
         scored, F.col("quality_score"), pivot=0.7)
 
@@ -426,8 +429,9 @@ def asm_training_pipeline_weighted(spark, sf_dir):
     from ..operators.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.join(quality_score(docs), "doc_id").select(
-        "doc_id", "n_chars", "quality_score")
+    # score is 1:1 per doc: project `n_chars` through instead of a
+    # corpus self-join (see asm_importance_sample)
+    scored = quality_score(docs, keep_cols=("n_chars",))
     kept = importance_sample(scored, F.col("quality_score"), pivot=0.7)
     survivors = exact_dedup(docs).select("doc_id")
     base = kept.join(survivors, "doc_id", "left_semi")
