@@ -118,6 +118,16 @@ def robust_anomaly_flags(
     dim keeps its own baseline — same row coverage as the window-based
     `anomaly_flags` (a plain equi-join would silently drop those rows).
     """
+    from ._util import track_persist
+
+    # the series frame feeds FOUR consumers (the median aggregate,
+    # its join-back, the MAD aggregate over that, and the final
+    # select) — unpersisted, each re-derives the whole upstream
+    # events→series aggregation, so the plan ran the scan chain 4x
+    # (plans/r16/alert_robust_value_daily_by_type_before.txt). The
+    # series is post-aggregation tiny (one row per bucket × group),
+    # so persisting it is the textbook reuse case (guide §5).
+    series = track_persist(series)
     v = F.col(value_col)
     med_of = lambda c: F.expr(f"percentile({c}, 0.5)")  # noqa: E731
 

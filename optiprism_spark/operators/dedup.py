@@ -325,8 +325,19 @@ def jaccard_pairs(
     if candidates != "all":
         raise ValueError(f"candidates must be 'lsh', 'all', or a DataFrame: {candidates!r}")
 
-    sh = spread(docs).select(F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("sh"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # one shingling pass: persist the compact (doc, distinct-shingle
+    # array) frame so the self-join's two sides explode from the
+    # cache instead of each re-running scan→split→shingle (3x the
+    # corpus tokenization before), and per-doc sizes are just
+    # F.size of the already-distinct array — the old explode +
+    # groupBy(doc) exchange computed a count the array already knew
+    # (guide §2.4: a shuffle for information the row already has).
+    from ._util import track_persist
+
+    with_sh = track_persist(spread(docs).select(
+        F.col(id_col), shingles_expr(text_col, n).alias("__sh")))
+    sh = with_sh.select(F.col(id_col), F.explode("__sh").alias("sh"))
+    sizes = with_sh.select(F.col(id_col), F.size("__sh").alias("sz"))
 
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -129,10 +129,19 @@ def lness_grid(
     cond = full_filter(time, event, filters)
     df = events.filter(cond) if cond is not None else events
     day = bucket_col(TimeIntervalUnit.DAY)
-    per_user = df.groupBy(group_col).agg(
-        F.count_distinct(day).alias("l_long"),
-        F.count_distinct(
-            F.when(day >= F.lit(short_lo), day)).alias("l_short"),
+    # two-phase instead of two count_distincts: a multi-distinct
+    # aggregate plans an Expand that doubles every input row into the
+    # exchange (one copy per distinct group). Deduplicating to
+    # (user, day) grain first is ONE map-side-combinable aggregate —
+    # no row multiplication, half the shuffled pairs — and both
+    # window counts become plain conditional counts over rows that
+    # are distinct by construction.
+    per_user_day = df.select(
+        F.col(group_col), day.alias("__day")).distinct()
+    per_user = per_user_day.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("l_long"),
+        F.count(F.when(F.col("__day") >= F.lit(short_lo), F.lit(1)))
+        .alias("l_short"),
     )
     return per_user.groupBy("l_short", "l_long").agg(
         F.count(F.lit(1)).alias("n_users")
@@ -168,13 +177,16 @@ def growth_accounting(
     bucket AFTER the last one would otherwise report everyone as
     churned off the edge.
 
-    Scale shape: one distinct over (user, bucket) — map-side
-    combinable, the frame is #users × #buckets at most; then lag/lead
-    over Window.partitionBy(user) — user-hash exchange, no skew
-    (every partition frame is one user's ≤ #buckets rows); the final
-    conditional count groups by bucket (tiny). The window-end cap is
-    a 1-row broadcast join, not a collect. Counts are integers, so
-    the whole report is hash-exact against the oracle.
+    Scale shape: ONE user-hash exchange — the per-user sorted
+    distinct bucket array folds via sort_array(collect_set(bucket))
+    with map-side partial aggregation (a task's partial set is ≤
+    #buckets per user), and prev/next come from array indexing, so
+    the old distinct-exchange + window-exchange stack (and its
+    per-partition sort) collapses into the one aggregate. No skew:
+    a user's state is ≤ #buckets dates. The final conditional count
+    groups by bucket (tiny). The window-end cap is a 1-row broadcast
+    join, not a collect. Counts are integers, so the whole report is
+    hash-exact against the oracle.
     """
     if period not in (TimeIntervalUnit.DAY, TimeIntervalUnit.WEEK,
                       TimeIntervalUnit.MONTH):
@@ -184,7 +196,7 @@ def growth_accounting(
     a = df.select(
         F.col(group_col).alias("__u"),
         bucket_col(period).alias("bucket"),
-    ).distinct()
+    )
     last_b = df.agg(
         F.max(bucket_col(period)).alias("__last")).withColumn(
         "__k", F.lit(1))
@@ -194,32 +206,43 @@ def growth_accounting(
 def growth_ledger(a: DataFrame, last_b: DataFrame,
                   period: TimeIntervalUnit) -> DataFrame:
     """The ledger tail shared by the raw path above and the user-day
-    rollup route (userday.growth_from_user_day): ``a`` is the distinct
-    (``__u``, ``bucket``) activity frame, ``last_b`` a 1-row frame
-    (``__last``, ``__k=1``) capping window-edge churn. Keeping one
-    implementation makes routed ≡ raw an equality of INPUTS — the
-    (user, bucket) activity set is identical by construction — not of
-    two ledger codepaths."""
-    from pyspark.sql import Window
+    rollup route (userday.growth_from_user_day): ``a`` is the
+    (``__u``, ``bucket``) activity frame (duplicates fine — the
+    per-user set fold dedups), ``last_b`` a 1-row frame (``__last``,
+    ``__k=1``) capping window-edge churn. Keeping one implementation
+    makes routed ≡ raw an equality of INPUTS — the (user, bucket)
+    activity set is identical by construction — not of two ledger
+    codepaths."""
 
     def _next(b):
         if period == TimeIntervalUnit.MONTH:
             return F.add_months(b, 1)
         return F.date_add(b, 7 if period == TimeIntervalUnit.WEEK else 1)
 
-    # ONE window pass emits both ledger rows per (user, bucket): the
-    # status row and, when the user goes quiet afterwards, the churn
-    # row at bucket+1 — a union of two reads of the same lag/lead
-    # frame would recompute the distinct (a full scan + exchange) a
-    # second time. The window-edge churn cap joins a 1-row broadcast
-    # max computed from the raw scan (max needs no distinct, so it is
-    # the cheaper second pass; the kinds pipeline itself stays one
-    # scan → one distinct → one window).
-    w = Window.partitionBy("__u").orderBy("bucket")
-    x = a.select(
+    # ONE user-hash exchange: sort_array(collect_set(bucket)) dedups
+    # AND orders each user's activity with map-side partial
+    # aggregation, replacing the old distinct-on-(u,bucket) exchange
+    # + lag/lead-window-on-(u) exchange + per-partition sort. Both
+    # neighbours then come from array indexing (guarded `when`s keep
+    # out-of-range indexing unevaluated), and one explode emits both
+    # ledger rows per (user, bucket): the status row and, when the
+    # user goes quiet afterwards, the churn row at bucket+1. bucket
+    # is never null here (both callers derive it from time-window-
+    # filtered timestamps), so collect_set ≡ distinct. The window-
+    # edge churn cap joins a 1-row broadcast max computed from the
+    # raw scan (max needs no distinct, so it is the cheaper second
+    # pass; the kinds pipeline itself stays one scan → one exchange).
+    per_user = a.groupBy("__u").agg(
+        F.sort_array(F.collect_set("bucket")).alias("__bs"))
+    x = per_user.select(
+        F.col("__bs"),
+        F.posexplode("__bs").alias("__i", "bucket"),
+    ).select(
         "bucket",
-        F.lag("bucket").over(w).alias("__prev"),
-        F.lead("bucket").over(w).alias("__next"),
+        F.when(F.col("__i") > 0,
+               F.col("__bs")[F.col("__i") - 1]).alias("__prev"),
+        F.when(F.col("__i") < F.size("__bs") - 1,
+               F.col("__bs")[F.col("__i") + 1]).alias("__next"),
     )
     status = (
         F.when(F.col("__prev").isNull(), F.lit("new"))

@@ -129,14 +129,28 @@ def extract_features(
     decode = _fake_decode if decode_stub else _real_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
         for pdf in batches:
             payloads = pdf["payload"]
+            if decode_stub:
+                # content_hash and the stub features derive from the
+                # SAME md5 digest — hash each payload once per row,
+                # not twice (the digest's hex IS hexdigest, and
+                # _fake_decode's arithmetic reads digest bytes)
+                digests = payloads.map(lambda b: md5(b).digest())
+                features = digests.map(
+                    lambda h: [((h[i % 16] * 31 + i) % 256) / 255.0
+                               for i in range(dim)])
+                hashes = digests.map(bytes.hex)
+            else:
+                hashes = payloads.map(lambda b: md5(b).hexdigest())
+                features = payloads.map(lambda b: decode(bytes(b), dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "content_hash": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                    "feature": payloads.map(lambda b: decode(bytes(b), dim)),
+                    "content_hash": hashes,
+                    "feature": features,
                 }
             )
 

@@ -333,10 +333,17 @@ def lness_from_user_day(
         _dt.datetime.combine(anchor, _dt.time(23, 59, 59, 999999)))
     rows = _window_rows(store_df, time, event, filters)
     day = F.col(ROLLUP_DT_COL)
-    per_user = rows.groupBy(F.col(spec.group_col)).agg(
-        F.count_distinct(day).alias("l_long"),
-        F.count_distinct(
-            F.when(day >= F.lit(short_lo), day)).alias("l_short"),
+    # two-phase instead of two count_distincts (mirrors
+    # engagement.lness_grid): dedup the (dt, user, event_type)
+    # partials to (user, dt) grain in one map-side-combinable
+    # aggregate — no Expand row-doubling — then both window counts
+    # are plain conditional counts.
+    per_user_day = rows.select(
+        F.col(spec.group_col), day.alias("__day")).distinct()
+    per_user = per_user_day.groupBy(spec.group_col).agg(
+        F.count(F.lit(1)).alias("l_long"),
+        F.count(F.when(F.col("__day") >= F.lit(short_lo), F.lit(1)))
+        .alias("l_short"),
     )
     return per_user.groupBy("l_short", "l_long").agg(
         F.count(F.lit(1)).alias("n_users")
@@ -406,7 +413,7 @@ def growth_from_user_day(
     pb = bucket_col(period, ts_col=ROLLUP_DT_COL)
     a = rows.select(
         F.col(spec.group_col).alias("__u"), pb.alias("bucket")
-    ).distinct()
+    )
     last_b = rows.agg(F.max(pb).alias("__last")).withColumn(
         "__k", F.lit(1))
     return growth_ledger(a, last_b, period)

@@ -650,3 +650,15 @@ def test_lness_grid_is_two_partial_aggregates(spark):
     assert "partial_count" in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # r16: the two count_distincts became a (user, day) dedup + plain
+    # conditional counts — no Expand row-doubling into the exchange
+    assert "Expand" not in plan, plan
+
+
+def test_growth_ledger_single_user_exchange(spark):
+    plan = _plan(QUERIES["eng_growth_accounting_weekly"](spark, SF_SMOKE))
+    # r16: sort_array(collect_set(bucket)) folds each user's activity
+    # in ONE user-hash exchange (map-side partial_collect_set); the
+    # old distinct-exchange + lag/lead-window-exchange stack is gone
+    assert "partial_collect_set" in plan, plan
+    assert "Window" not in plan, plan
