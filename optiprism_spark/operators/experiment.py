@@ -245,8 +245,18 @@ def srm_check(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
     )
-    counts = first_exp.groupBy("variant").agg(
-        F.count(F.lit(1)).alias("n_users")).withColumn("__k", F.lit(1))
+    from ._util import track_persist
+
+    # persist at the reduction point: `counts` is k rows but derives
+    # from the scan + per-user assignment window, and it feeds FOUR
+    # consumers (the missing-variant validation head, the totals
+    # aggregate, the contrib join, and the chi2 stat) — unpersisted,
+    # each re-ran the whole assignment subtree (4 scans in
+    # plans/r16/exp_srm_check_before.txt; 1 after).
+    counts = track_persist(
+        first_exp.groupBy("variant").agg(
+            F.count(F.lit(1)).alias("n_users")).withColumn(
+            "__k", F.lit(1)))
     spark = events.sparkSession
     if expected is not None:
         if abs(sum(expected.values()) - 1.0) > 1e-9:
