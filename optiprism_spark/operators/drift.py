@@ -253,16 +253,27 @@ def _hist_bin_cond(v: Column, edges: Sequence[float], i: int) -> Column:
     return (v >= F.lit(edges[i - 1])) & (v < F.lit(edges[i]))
 
 
+def _hist_bin_cond_sql(col_sql: str, edges: Sequence[float], i: int) -> str:
+    """SQL-text twin of _hist_bin_cond (identical comparisons; double
+    literals carry the D suffix so they parse as DOUBLE, not DECIMAL).
+    Parsed-SQL construction exists because building 2×n_bins when/sum
+    Column trees is ~8 py4j round-trips per tree — several hundred ms
+    of driver time per query (guide §7.3)."""
+    if i == 0:
+        return f"{col_sql} < {edges[0]!r}D"
+    if i == len(edges):
+        return f"{col_sql} >= {edges[-1]!r}D"
+    return f"({col_sql} >= {edges[i - 1]!r}D AND {col_sql} < {edges[i]!r}D)"
+
+
 def _psi_from_bin_sums(row: DataFrame, n_bins: int) -> DataFrame:
     """Window-free PSI tail over a ONE-ROW frame of per-bin sums
     (columns __e0..__e{n-1}, __a0..__a{n-1}): totals are plain column
     sums inside the row, bins unpivot via stack — no exchange, no
     window, the final stage is n_bins rows from one aggregate row."""
-    te = F.col("__e0")
-    ta = F.col("__a0")
-    for i in range(1, n_bins):
-        te = te + F.col(f"__e{i}")
-        ta = ta + F.col(f"__a{i}")
+    # one parsed expression per total instead of n_bins py4j `+` calls
+    te = F.expr(" + ".join(f"__e{i}" for i in range(n_bins)))
+    ta = F.expr(" + ".join(f"__a{i}" for i in range(n_bins)))
     stack_args = ", ".join(
         f"{i}, __e{i}, __a{i}" for i in range(n_bins))
     unpivoted = row.select(
@@ -310,16 +321,24 @@ def distribution_drift_fixed(
         raise ValueError(
             f"edges must be strictly increasing, got {edges!r}")
     v = F.col(col)
-    pop = df.filter(v.isNotNull() & split.isNotNull())
-    sb = split.cast("boolean")
+    # materialize the split as a named boolean so every bin's
+    # conditional sum can be ONE parsed SQL expression (guide §7.3:
+    # 2×n_bins when/sum py4j trees were the dominant construction
+    # cost); expression semantics identical to the former
+    # when(cond & sb, 1).otherwise(0) trees.
+    pop = df.filter(v.isNotNull() & split.isNotNull()).withColumn(
+        "__sb", split.cast("boolean"))
     n_bins = len(edges) + 1
+    cs = f"`{col}`"
     aggs = []
     for i in range(n_bins):
-        cond = _hist_bin_cond(v, edges, i)
-        aggs.append(F.sum(F.when(cond & sb, 1).otherwise(0))
-                    .cast("long").alias(f"__e{i}"))
-        aggs.append(F.sum(F.when(cond & ~sb, 1).otherwise(0))
-                    .cast("long").alias(f"__a{i}"))
+        cond = _hist_bin_cond_sql(cs, edges, i)
+        aggs.append(F.expr(
+            f"CAST(SUM(CASE WHEN {cond} AND __sb THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS __e{i}"))
+        aggs.append(F.expr(
+            f"CAST(SUM(CASE WHEN {cond} AND NOT __sb THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS __a{i}"))
     return _psi_from_bin_sums(pop.agg(*aggs), n_bins)
 
 

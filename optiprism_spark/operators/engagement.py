@@ -47,25 +47,27 @@ def stickiness(
         raise ValueError("stickiness period must be week or month")
     cond = full_filter(time, event, filters)
     df = events.filter(cond) if cond is not None else events
+    # ONE full-scan pass instead of two joined branches (guide §2.4):
+    # Σ_days DAU(day) ≡ Σ_users (active days of the user) within the
+    # period, so one per-(period, user) distinct-day count yields BOTH
+    # outputs — avg_dau as sum(active days)/calendar days and
+    # period_active as the row count — with no join and no second
+    # scan. Values are bit-identical to the two-branch shape: both
+    # are integer sums divided by the same literals.
     pb = bucket_col(period).alias("bucket")
-    db = bucket_col(TimeIntervalUnit.DAY).alias("__day")
+    db = bucket_col(TimeIntervalUnit.DAY)
     days_in_period = (
         F.lit(7)
         if period == TimeIntervalUnit.WEEK
         else F.dayofmonth(F.last_day(F.col("bucket")))
     )
-    daily = (
-        df.groupBy(pb, db)
-        .agg(F.count_distinct(F.col(group_col)).alias("__dau"))
-        .groupBy("bucket")
-        # sum ÷ calendar days, NOT avg over active days: days with no
-        # rows must count as zero or a once-a-week product scores 1.0
-        .agg((F.sum("__dau") / days_in_period).alias("avg_dau"))
+    per_user = df.groupBy(pb, F.col(group_col).alias("__u")).agg(
+        F.count_distinct(db).alias("__nd")
     )
-    per = df.groupBy(pb).agg(
-        F.count_distinct(F.col(group_col)).alias("period_active")
-    )
-    return daily.join(per, "bucket").select(
+    return per_user.groupBy("bucket").agg(
+        (F.sum("__nd") / days_in_period).alias("avg_dau"),
+        F.count(F.lit(1)).alias("period_active"),
+    ).select(
         "bucket",
         "avg_dau",
         "period_active",

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..dsl import FunnelRequest
@@ -38,7 +38,20 @@ def funnel_first_touch_users(
     events: DataFrame, req: FunnelRequest, segment_users: Optional[DataFrame] = None
 ) -> DataFrame:
     """Per-user first-touch conversion frame:
-    (user_id, t_0 .. t_{k-1}) with nulls from the first missed step."""
+    (user_id, t_0 .. t_{k-1}) with nulls from the first missed step.
+
+    Single-pass shape (guide §2.4): ONE scan — pre-filtered to rows
+    matching any step, so the event-type OR pushes to parquet — and
+    ONE user-hash exchange. The per-user aggregate carries min(step-0
+    ts) plus one collect_list of step-i timestamps per later step
+    (map-side partial aggregation applies; a user's list holds only
+    their own step-i events in the window, the same per-user state
+    the pandas funnel machine ships). Each t_i is then
+    array_min(filter(a_i, t_{i-1} < x <= t_0 + window)) — pure
+    per-row array expressions, no joins. The old shape re-scanned
+    events per step and re-joined the growing `cur` frame twice per
+    step (its subtree duplicated ~2^k times before AQE reuse); this
+    one cannot duplicate anything."""
     k = len(req.steps)
     cond = full_filter(req.time, None, req.filters)
     df = events.filter(cond) if cond is not None else events
@@ -47,24 +60,44 @@ def funnel_first_touch_users(
 
     user = F.col(req.group_col)
     ts = F.col(EVENT_TIME_COL)
+    step_exprs = [
+        multi_or([event_spec_expression(s) for s in req.steps[i].events])
+        for i in range(k)
+    ]
+    # rows matching no step contribute nothing — drop them before the
+    # exchange (None = match-all step: keep everything)
+    if all(e is not None for e in step_exprs):
+        df = df.filter(multi_or(list(step_exprs)))
 
-    def step_events(i: int) -> DataFrame:
-        expr = multi_or([event_spec_expression(s) for s in req.steps[i].events])
-        step_df = df.filter(expr) if expr is not None else df  # None = match-all
-        return step_df.select(user.alias("user_id"), ts.alias("ts"))
+    def _match(i: int) -> Column:
+        e = step_exprs[i]
+        return e if e is not None else F.lit(True)
 
-    cur = step_events(0).groupBy("user_id").agg(F.min("ts").alias("t_0"))
+    aggs = [F.min(F.when(_match(0), ts)).alias("t_0")]
+    aggs += [
+        F.collect_list(F.when(_match(i), ts)).alias(f"__a{i}")
+        for i in range(1, k)
+    ]
+    cur = (
+        df.groupBy(user.alias("user_id"))
+        .agg(*aggs)
+        .filter(F.col("t_0").isNotNull())
+    )
     window = F.expr(f"INTERVAL {req.window_ms * 1000} MICROSECOND")
+    deadline = F.col("t_0") + window
     for i in range(1, k):
-        nxt = step_events(i)
-        joined = cur.join(nxt, "user_id").filter(
-            (F.col("ts") > F.col(f"t_{i-1}")) & (F.col("ts") <= F.col("t_0") + window)
+        prev = F.col(f"t_{i-1}")
+        t_i = F.when(
+            prev.isNotNull(),
+            F.array_min(
+                F.filter(
+                    F.col(f"__a{i}"),
+                    lambda x: (x > prev) & (x <= deadline),
+                )
+            ),
         )
-        found = joined.groupBy("user_id", *[f"t_{j}" for j in range(i)]).agg(
-            F.min("ts").alias(f"t_{i}")
-        )
-        cur = cur.join(found.select("user_id", f"t_{i}"), "user_id", "left_outer")
-    return cur
+        cur = cur.withColumn(f"t_{i}", t_i).drop(f"__a{i}")
+    return cur.select("user_id", *[f"t_{i}" for i in range(k)])
 
 
 def funnel_first_touch_report(

@@ -169,9 +169,11 @@ class IvfStore:
         return ptr
 
     def centroids(self, spark: SparkSession) -> DataFrame:
+        from ..schema import memo_parquet
+
         ptr = self._require()
-        return spark.read.parquet(
-            os.path.join(self._gen_dir(ptr["gen"]), "centroids"))
+        return memo_parquet(
+            spark, os.path.join(self._gen_dir(ptr["gen"]), "centroids"))
 
     def assignment(self, spark: SparkSession) -> DataFrame:
         """The inverted file: (id, v double[], n, centroid_id,
@@ -180,9 +182,11 @@ class IvfStore:
         parallelism (same rationale as ivf_assign)."""
         from ._util import spread
 
+        from ..schema import memo_parquet
+
         ptr = self._require()
-        df = spark.read.parquet(
-            os.path.join(self._gen_dir(ptr["gen"]), "assignment"))
+        df = memo_parquet(
+            spark, os.path.join(self._gen_dir(ptr["gen"]), "assignment"))
         return spread(df)
 
     # ----------------------------------------------------- maintenance

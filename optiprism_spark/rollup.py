@@ -260,7 +260,9 @@ class RollupStore:
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        df = spark.read.parquet(self.path)
+        from .schema import memo_parquet
+
+        df = memo_parquet(spark, self.path)
         # partitionBy surfaces dt as the LAST column; restore schema order
         return df.select(
             ROLLUP_DT_COL, *[c for c in df.columns if c != ROLLUP_DT_COL]
@@ -767,10 +769,16 @@ def stickiness_from_rollup(
     the routed result hash-match the exact oracle at test scale."""
     if period not in (TimeIntervalUnit.WEEK, TimeIntervalUnit.MONTH):
         raise ValueError("stickiness period must be week or month")
+    from .operators._util import track_persist
+
     day_sk = _activity_day_sketches(rollup, time, spec, event, filters)
     pb = bucket_col(period, ts_col=ROLLUP_DT_COL).alias("bucket")
-    per_day = day_sk.select(pb, F.hll_sketch_estimate("__sk").alias("__dau"),
-                            F.col("__sk"))
+    # both branches below (avg-DAU sum and period-union) consume the
+    # per-day sketch frame; persist it at the reduction point (#days
+    # rows) so the store scan + hll_union_agg runs once, not twice
+    per_day = track_persist(
+        day_sk.select(pb, F.hll_sketch_estimate("__sk").alias("__dau"),
+                      F.col("__sk")))
     days_in_period = (
         F.lit(7)
         if period == TimeIntervalUnit.WEEK
@@ -962,13 +970,25 @@ def psi_from_rollup(
     n_bins = len(edges) + 1
     in_base = _day_range_cond(base)
     in_act = _day_range_cond(actual)
+    # parsed-SQL aggregate construction (guide §7.3): 2×n_bins
+    # when/sum py4j Column trees were most of this query's per-call
+    # driver cost; the SQL text below builds the identical expressions
+    # in one parse each.
+    b0, b1 = _day_aligned(base)
+    a0, a1 = _day_aligned(actual)
+    in_base_sql = (f"({ROLLUP_DT_COL} >= DATE '{b0.isoformat()}' AND "
+                   f"{ROLLUP_DT_COL} <= DATE '{b1.isoformat()}')")
+    in_act_sql = (f"({ROLLUP_DT_COL} >= DATE '{a0.isoformat()}' AND "
+                  f"{ROLLUP_DT_COL} <= DATE '{a1.isoformat()}')")
     aggs: list[Column] = []
     for i in range(n_bins):
-        c = F.col(spec.hist_col(prop, i))
-        aggs.append(F.sum(F.when(in_base, c).otherwise(F.lit(0)))
-                    .cast("long").alias(f"__e{i}"))
-        aggs.append(F.sum(F.when(in_act, c).otherwise(F.lit(0)))
-                    .cast("long").alias(f"__a{i}"))
+        c = spec.hist_col(prop, i)
+        aggs.append(F.expr(
+            f"CAST(SUM(CASE WHEN {in_base_sql} THEN `{c}` ELSE 0 END) "
+            f"AS BIGINT) AS __e{i}"))
+        aggs.append(F.expr(
+            f"CAST(SUM(CASE WHEN {in_act_sql} THEN `{c}` ELSE 0 END) "
+            f"AS BIGINT) AS __a{i}"))
     row = rollup.filter(in_base | in_act).agg(*aggs)
     return _psi_from_bin_sums(row, n_bins)
 

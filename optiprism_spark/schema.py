@@ -100,7 +100,7 @@ def ensure_io_confs(spark: SparkSession) -> None:
         spark.conf.set(key, want)
 
 
-#: (applicationId, realpath, mtime_ns, size) → lazy DataFrame. Plan
+#: (session, realpath, mtime_ns, size) → lazy DataFrame. Plan
 #: metadata only — NO data/result caching: executing a memoized frame
 #: re-reads the parquet bytes like any scan. What it skips is the
 #: per-call `spark.read.parquet` footer/schema round-trip (~0.1 s of
@@ -143,8 +143,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             if len(entries) > 2048:
                 raise OSError("too many entries to fingerprint")
             fingerprint += (hash(tuple(entries)),)
-        key = (spark.sparkContext.applicationId, os.path.realpath(path),
-               fingerprint)
+        # session-scoped (not applicationId-scoped) for the same
+        # reason as memo_parquet below: a frame memoized under the
+        # main session must not execute under a foreachBatch clone
+        # with different session confs
+        key = (spark, os.path.realpath(path), fingerprint)
     except Exception:
         pass  # unstattable path / stopped context: fall through, loud below
     if key is not None:
@@ -167,6 +170,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key is not None:
         if len(_TABLE_PLANS) >= _TABLE_PLANS_MAX:
             _TABLE_PLANS.clear()  # tmp-dir fixtures churn keys; plans are cheap to rebuild
+        _TABLE_PLANS[key] = df
+    return df
+
+
+def memo_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized lazy ``spark.read.parquet`` for STORE directories
+    (rollup / user-day / similar persisted pre-aggregates) — the same
+    contract as the table memo above: plan metadata only, never
+    data/result caching (executing the frame re-reads parquet bytes);
+    the stat fingerprint (mtime_ns, size, one-level children) makes
+    any rewrite or appended partition a cache miss. Skipping the
+    per-call footer/schema round-trip is what a real catalog does —
+    it was ~0.1 s of driver time per store read per query.
+
+    The key is the SESSION OBJECT, not the applicationId: stores are
+    read inside foreachBatch micro-batches, which run on a CLONED
+    session — a frame memoized under the main session would execute
+    (and, worse, write) under the main session's confs, so a
+    maintenance merge's partitionOverwriteMode=dynamic set on the
+    clone would silently not apply and the overwrite would wipe the
+    unmerged partitions. Session-scoped keys make the clone take one
+    fresh read instead."""
+    key = None
+    try:
+        st = os.stat(path)
+        fingerprint: tuple = (st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            entries = sorted(
+                (e.name, e.stat().st_mtime_ns) for e in os.scandir(path)
+            )
+            if len(entries) > 2048:
+                raise OSError("too many entries to fingerprint")
+            fingerprint += (hash(tuple(entries)),)
+        key = (spark, os.path.realpath(path), fingerprint)
+    except Exception:
+        pass  # unstattable path: fall through to a plain read
+    if key is not None:
+        hit = _TABLE_PLANS.get(key)
+        if hit is not None:
+            return hit
+    df = spark.read.parquet(path)
+    if key is not None:
+        if len(_TABLE_PLANS) >= _TABLE_PLANS_MAX:
+            _TABLE_PLANS.clear()
         _TABLE_PLANS[key] = df
     return df
 

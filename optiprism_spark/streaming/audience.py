@@ -54,7 +54,9 @@ class KmvDayStore:
             not n.startswith((".", "_")) for n in os.listdir(self.path))
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        from ..schema import memo_parquet
+
+        return memo_parquet(spark, self.path)
 
     def _write_days(self, spark: SparkSession, days_df: DataFrame,
                     first: bool) -> None:

@@ -246,14 +246,23 @@ def asm_mixture_sample(spark, sf_dir):
     training pipeline): one availability aggregate -> tiny broadcast
     rates table -> pure hash filter at the scan. Membership is
     hash-stable per document and the corpus itself is never
-    shuffled."""
+    shuffled.
+
+    The availability aggregate and the filter pass both need the
+    per-doc token count, and text tokenization is the dominant
+    per-row cost — project to the compact (doc_id, source, n_tokens)
+    frame once and persist it (guide §8: decide on a lightweight
+    ~16-byte/row proxy instead of tokenizing the corpus twice); both
+    of mixture_sample's passes read the materialized proxy."""
+    from ..operators._util import track_persist
     from ..operators.assembly import mixture_sample
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(F.split(F.col("text"), " "))
+    compact = track_persist(
+        docs.select("doc_id", "source", toks.alias("n_tokens")))
     return mixture_sample(
-        docs.withColumn("n_tokens", toks), _MIX_TARGETS,
-        token_col=F.col("n_tokens"),
+        compact, _MIX_TARGETS, token_col=F.col("n_tokens"),
     ).select("doc_id", "source", "n_tokens")
 
 

@@ -117,7 +117,9 @@ class UserDayStore:
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        df = spark.read.parquet(self.path)
+        from .schema import memo_parquet
+
+        df = memo_parquet(spark, self.path)
         return df.select(
             ROLLUP_DT_COL, *[c for c in df.columns if c != ROLLUP_DT_COL]
         )

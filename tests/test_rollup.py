@@ -882,7 +882,14 @@ def test_http_stickiness_routes_through_rollup(spark, tmp_path):
     assert st == 200
     assert metrics.query_rollup_routed_total().value(path="rollup") == 1
     # sketches are exact in their sparse regime here: identical answer
-    assert routed_resp == raw_resp
+    # (row ORDER is not part of the response contract — neither path
+    # sorts; compare as row sets like the oracle matcher does)
+    def _rows(resp):
+        return sorted(zip(*[c["data"] for c in resp["columns"]]))
+
+    assert [c["name"] for c in routed_resp["columns"]] == [
+        c["name"] for c in raw_resp["columns"]]
+    assert _rows(routed_resp) == _rows(raw_resp)
 
     ragged = dict(body, time={"type": "between",
                               "from": "2024-01-01T12:00:00",
