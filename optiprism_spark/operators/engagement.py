@@ -216,55 +216,50 @@ def growth_ledger(a: DataFrame, last_b: DataFrame,
     activity set is identical by construction — not of two ledger
     codepaths."""
 
-    def _next(b):
+    def _next(b: str) -> str:
         if period == TimeIntervalUnit.MONTH:
-            return F.add_months(b, 1)
-        return F.date_add(b, 7 if period == TimeIntervalUnit.WEEK else 1)
+            return f"add_months({b}, 1)"
+        return f"date_add({b}, {7 if period == TimeIntervalUnit.WEEK else 1})"
 
     # ONE user-hash exchange: sort_array(collect_set(bucket)) dedups
     # AND orders each user's activity with map-side partial
     # aggregation, replacing the old distinct-on-(u,bucket) exchange
     # + lag/lead-window-on-(u) exchange + per-partition sort. Both
-    # neighbours then come from array indexing (guarded `when`s keep
-    # out-of-range indexing unevaluated), and one explode emits both
-    # ledger rows per (user, bucket): the status row and, when the
-    # user goes quiet afterwards, the churn row at bucket+1. bucket
-    # is never null here (both callers derive it from time-window-
-    # filtered timestamps), so collect_set ≡ distinct. The window-
-    # edge churn cap joins a 1-row broadcast max computed from the
-    # raw scan (max needs no distinct, so it is the cheaper second
-    # pass; the kinds pipeline itself stays one scan → one exchange).
+    # neighbours then come from array indexing (guarded CASEs keep
+    # out-of-range indexing unevaluated under ANSI), and one explode
+    # emits both ledger rows per (user, bucket): the status row and,
+    # when the user goes quiet afterwards, the churn row at bucket+1.
+    # bucket is never null here (both callers derive it from time-
+    # window-filtered timestamps), so collect_set ≡ distinct. The
+    # window-edge churn cap joins a 1-row broadcast max computed from
+    # the raw scan (max needs no distinct, so it is the cheaper
+    # second pass; the kinds pipeline itself stays one scan → one
+    # exchange). Everything below builds as parsed SQL: the Column-
+    # tree version of this ledger was ~1200 py4j round-trips ≈ 0.3 s
+    # of driver time per call (guide §7.3).
     per_user = a.groupBy("__u").agg(
-        F.sort_array(F.collect_set("bucket")).alias("__bs"))
+        F.expr("sort_array(collect_set(bucket)) AS __bs"))
     x = per_user.select(
-        F.col("__bs"),
-        F.posexplode("__bs").alias("__i", "bucket"),
-    ).select(
+        F.expr("__bs"),
+        F.expr("posexplode(__bs) AS (__i, bucket)"),
+    ).selectExpr(
         "bucket",
-        F.when(F.col("__i") > 0,
-               F.col("__bs")[F.col("__i") - 1]).alias("__prev"),
-        F.when(F.col("__i") < F.size("__bs") - 1,
-               F.col("__bs")[F.col("__i") + 1]).alias("__next"),
+        "CASE WHEN __i > 0 THEN __bs[__i - 1] END AS __prev",
+        "CASE WHEN __i < size(__bs) - 1 THEN __bs[__i + 1] END AS __next",
     )
-    status = (
-        F.when(F.col("__prev").isNull(), F.lit("new"))
-        .when(_next(F.col("__prev")) == F.col("bucket"), F.lit("retained"))
-        .otherwise(F.lit("resurrected"))
-    )
-    goes_quiet = (
-        F.col("__next").isNull()
-        | (F.col("__next") > _next(F.col("bucket")))
-    )
-    churn_bucket = F.when(goes_quiet, _next(F.col("bucket")))
+    status = ("CASE WHEN __prev IS NULL THEN 'new' "
+              f"WHEN {_next('__prev')} = bucket THEN 'retained' "
+              "ELSE 'resurrected' END")
+    churn_bucket = (f"CASE WHEN __next IS NULL OR __next > {_next('bucket')} "
+                    f"THEN {_next('bucket')} END")
     kinds = (
-        x.select(
-            F.explode(F.array(
-                F.struct(F.col("bucket"), status.alias("__kind")),
-                F.struct(churn_bucket.alias("bucket"),
-                         F.lit("churned").alias("__kind")),
-            )).alias("__e"),
+        x.selectExpr(
+            "explode(array("
+            f"struct(bucket, {status} AS __kind), "
+            f"struct({churn_bucket} AS bucket, 'churned' AS __kind)"
+            ")) AS __e",
         )
-        .select("__e.bucket", "__e.__kind")
+        .selectExpr("__e.bucket AS bucket", "__e.__kind AS __kind")
         .filter(F.col("bucket").isNotNull())
         .withColumn("__k", F.lit(1))
         .join(F.broadcast(last_b), "__k")
@@ -273,18 +268,18 @@ def growth_ledger(a: DataFrame, last_b: DataFrame,
     )
 
     def _n(kind: str, alias: str):
-        return F.sum((F.col("__kind") == kind).cast("long")).alias(alias)
+        return F.expr(
+            f"SUM(CAST((__kind = '{kind}') AS BIGINT)) AS {alias}")
 
     return kinds.groupBy("bucket").agg(
         _n("new", "new_users"),
         _n("retained", "retained_users"),
         _n("resurrected", "resurrected_users"),
         _n("churned", "churned_users"),
-    ).select(
+    ).selectExpr(
         "bucket", "new_users", "retained_users", "resurrected_users",
         "churned_users",
-        (F.col("new_users") + F.col("retained_users")
-         + F.col("resurrected_users")).alias("active_users"),
+        "new_users + retained_users + resurrected_users AS active_users",
     )
 
 

@@ -618,35 +618,38 @@ def _report_from_attempts(attempts: DataFrame, k: int, keys: list,
 
     out = attempts.groupBy(*keys).agg(*aggs) if keys else attempts.agg(*aggs)
 
-    cols = [F.col(n) for n in (key_names or [])]
+    # ONE selectExpr call for the whole projection: every string is
+    # parsed server-side in a single py4j round-trip (a Column-list
+    # select was ~20 round-trips per report)
+    cols = [f"`{n}`" for n in (key_names or [])]
     for i in range(k):
-        cols.append(F.col(f"step{i}_total"))
+        cols.append(f"step{i}_total")
         if i == 0:
-            cols.append(F.expr(f"100.0D AS step{i}_conversion_ratio"))
+            cols.append(f"100.0D AS step{i}_conversion_ratio")
             continue
         ratio = (
             f"(CASE WHEN step0_total > 0 THEN cast(step{i}_total as double)"
             f" / cast(step0_total as double) * 100 ELSE 0.0D END)"
         )
-        cols.append(F.expr(f"{ratio} AS step{i}_conversion_ratio"))
-        cols.append(F.expr(
-            f"step{i-1}_total - step{i}_total AS step{i}_dropped_off"))
-        cols.append(F.expr(f"100.0D - {ratio} AS step{i}_drop_off_ratio"))
-        cols.append(F.col(f"step{i}_time_to_convert"))
-        cols.append(F.expr(
+        cols.append(f"{ratio} AS step{i}_conversion_ratio")
+        cols.append(
+            f"step{i-1}_total - step{i}_total AS step{i}_dropped_off")
+        cols.append(f"100.0D - {ratio} AS step{i}_drop_off_ratio")
+        cols.append(f"step{i}_time_to_convert")
+        cols.append(
             f"CASE WHEN step{i}_total > 0 THEN step{i}_time_to_convert"
-            f" / step{i}_total ELSE 0.0D END AS step{i}_avg_time_to_convert"))
+            f" / step{i}_total ELSE 0.0D END AS step{i}_avg_time_to_convert")
         # from-start twins — the reference's reserved columns
         # (finalize funnel.rs:743-758 emits both per-step sums and
         # averages measured from step 0, not just from step i-1)
-        cols.append(F.col(f"step{i}_time_to_convert_from_start"))
-        cols.append(F.expr(
+        cols.append(f"step{i}_time_to_convert_from_start")
+        cols.append(
             f"CASE WHEN step{i}_total > 0 THEN"
             f" step{i}_time_to_convert_from_start / step{i}_total"
-            f" ELSE 0.0D END AS step{i}_avg_time_to_convert_from_start"))
-    cols.append(F.expr("step0_total AS total"))
-    cols.append(F.expr(f"step{k-1}_total AS completed"))
-    return out.select(*cols)
+            f" ELSE 0.0D END AS step{i}_avg_time_to_convert_from_start")
+    cols.append("step0_total AS total")
+    cols.append(f"step{k-1}_total AS completed")
+    return out.selectExpr(*cols)
 
 
 def funnel_report(
