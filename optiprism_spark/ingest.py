@@ -92,45 +92,69 @@ _OSES = (
 _IS_MOBILE_RE = r"Mobile|Android|iPhone|iPad|iPod|Windows Phone|Opera Mobi"
 
 
-def _device_col(ua: Column) -> Column:
-    """uap-core-style device family: explicit Apple devices, spider
-    detection, Samsung/Pixel model extraction, generic fallbacks."""
-    samsung = F.regexp_extract(ua, r"\b(SM-[A-Za-z0-9]+)", 1)
-    pixel = F.regexp_extract(ua, r"\b(Pixel [0-9a-zA-Z]+)", 1)
-    return (
-        F.when(ua.rlike(r"Googlebot|bingbot|Slurp|crawler|spider"), F.lit("Spider"))
-        .when(ua.rlike(r"iPhone"), F.lit("iPhone"))
-        .when(ua.rlike(r"iPad"), F.lit("iPad"))
-        .when(ua.rlike(r"iPod"), F.lit("iPod"))
-        .when(samsung != "", F.concat(F.lit("Samsung "), samsung))
-        .when(pixel != "", pixel)
-        .when(ua.rlike(r"Macintosh"), F.lit("Mac"))
-        .when(ua.rlike(r"Android"), F.lit("Generic Smartphone"))
-        .otherwise(F.lit("Other"))
+def _sql_str(s: str) -> str:
+    """A Python string as a Spark SQL string literal (backslashes
+    doubled — the default parser consumes escape sequences — and
+    single quotes escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _ua_field_sqls(ua_sql: str) -> dict[str, str]:
+    """The five parsed-UA fields as SQL expression text over
+    ``ua_sql`` — CASE chains semantically identical to the former
+    chained-`when` Column trees (first match wins, NULL fallbacks).
+    Parsed-SQL construction because the Column-tree version was ~300
+    py4j round-trips per call (guide §7.3: planning is single-process
+    driver work)."""
+    q = _sql_str
+    b_arms = " ".join(
+        f"WHEN {ua_sql} RLIKE {q(det)} THEN {q(fam)}"
+        for fam, det, _ in _BROWSERS)
+    v_arms = " ".join(
+        f"WHEN {ua_sql} RLIKE {q(det)} "
+        f"THEN regexp_extract({ua_sql}, {q(ver)}, 1)"
+        for _, det, ver in _BROWSERS)
+    o_arms = " ".join(
+        f"WHEN {ua_sql} RLIKE {q(det)} THEN {q(fam)}"
+        for fam, det in _OSES)
+    _sm_re = q(r"\b(SM-[A-Za-z0-9]+)")
+    _px_re = q(r"\b(Pixel [0-9a-zA-Z]+)")
+    samsung = f"regexp_extract({ua_sql}, {_sm_re}, 1)"
+    pixel = f"regexp_extract({ua_sql}, {_px_re}, 1)"
+    device = (
+        f"CASE WHEN {ua_sql} RLIKE 'Googlebot|bingbot|Slurp|crawler|spider'"
+        " THEN 'Spider'"
+        f" WHEN {ua_sql} RLIKE 'iPhone' THEN 'iPhone'"
+        f" WHEN {ua_sql} RLIKE 'iPad' THEN 'iPad'"
+        f" WHEN {ua_sql} RLIKE 'iPod' THEN 'iPod'"
+        f" WHEN {samsung} != '' THEN concat('Samsung ', {samsung})"
+        f" WHEN {pixel} != '' THEN {pixel}"
+        f" WHEN {ua_sql} RLIKE 'Macintosh' THEN 'Mac'"
+        f" WHEN {ua_sql} RLIKE 'Android' THEN 'Generic Smartphone'"
+        " ELSE 'Other' END"
     )
+    return {
+        "browser": f"CASE {b_arms} ELSE CAST(NULL AS STRING) END",
+        "browser_version": f"CASE {v_arms} ELSE CAST(NULL AS STRING) END",
+        "os": f"CASE {o_arms} ELSE CAST(NULL AS STRING) END",
+        "is_mobile": f"{ua_sql} RLIKE {q(_IS_MOBILE_RE)}",
+        "device": device,
+    }
 
 
 def parse_user_agent(ua: Column) -> Column:
     """struct(browser, browser_version, os, is_mobile, device) from a
-    raw user-agent string — chained `when` over the uap-core-derived
-    family table, fully JVM-side."""
-    browser = F.lit(None).cast("string")
-    version = F.lit(None).cast("string")
-    for fam, det, ver in reversed(_BROWSERS):
-        hit = ua.rlike(det)
-        browser = F.when(hit, F.lit(fam)).otherwise(browser)
-        version = F.when(hit, F.regexp_extract(ua, ver, 1)).otherwise(version)
-    osname = F.lit(None).cast("string")
-    for fam, det in reversed(_OSES):
-        osname = F.when(ua.rlike(det), F.lit(fam)).otherwise(osname)
-    is_mobile = ua.rlike(_IS_MOBILE_RE)
-    return F.struct(
-        browser.alias("browser"),
-        version.alias("browser_version"),
-        osname.alias("os"),
-        is_mobile.alias("is_mobile"),
-        _device_col(ua).alias("device"),
-    )
+    raw user-agent string — CASE chains over the uap-core-derived
+    family table, fully JVM-side (built as one parsed SQL expression;
+    the column must resolve by name, so pass a plain column
+    reference)."""
+    from pyspark.sql.classic.column import Column as _CC
+
+    ua_sql = ua._jc.toString() if isinstance(ua, _CC) else str(ua)
+    fields = _ua_field_sqls(ua_sql)
+    return F.expr(
+        "struct(" + ", ".join(
+            f"{sql} AS {name}" for name, sql in fields.items()) + ")")
 
 
 def ua_enrich(
@@ -154,23 +178,19 @@ def ua_enrich(
     an optimization, never a correctness dependency. This halves the
     input scans: the distinct pass over a 100 TB events table exists
     only to discover strings the catalog already knows."""
-    parsed = parse_user_agent(F.col(ua_col))
-    fields = {
-        "browser": parsed["browser"],
-        "browser_version": parsed["browser_version"],
-        "os": parsed["os"],
-        "is_mobile": parsed["is_mobile"],
-        "device": parsed["device"],
-    }
+    field_sqls = [
+        f"{sql} AS {name}"
+        for name, sql in _ua_field_sqls(f"`{ua_col}`").items()
+    ]
     if not via_distinct and known_uas is None:
-        return df.withColumns(fields)
+        return df.selectExpr("*", *field_sqls)
     if known_uas is not None:
         base = df.sparkSession.createDataFrame(
             [(u,) for u in known_uas], f"{ua_col} string"
         )
     else:
         base = df.select(ua_col).distinct()
-    dim = base.withColumns(fields)
+    dim = base.selectExpr("*", *field_sqls)
     return df.join(F.broadcast(dim), ua_col, "left")
 
 

@@ -93,17 +93,16 @@ def _base_signatures(
         "__x",
         F.expr("transform(sh, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"),
     )
-
-    def _perm(a: int, b: int):
-        # NB: 1-arg lambda only — extra (even defaulted) parameters make
-        # F.transform pass the array index too
-        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("__x"), _perm(a, b))).alias(f"sig_{j}")
+    # parsed-SQL signature columns: the k Python-lambda transform
+    # trees were ~15 py4j round-trips each (guide §7.3); the SQL text
+    # builds identical expressions — INT literals promote to BIGINT
+    # against the BIGINT x exactly as the F.lit trees did
+    sig_sqls = [
+        f"array_min(transform(__x, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        f" AS sig_{j}"
         for j, (a, b) in enumerate(minhash_params(k))
     ]
-    return out.select(id_col, "sh", *sig_cols)
+    return out.selectExpr(f"`{id_col}`", "sh", *sig_sqls)
 
 
 def minhash_signatures(
@@ -120,18 +119,15 @@ def _banded(sigs: DataFrame, k: int, bands: int, id_col: str) -> DataFrame:
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(",", *[F.col(f"sig_{b * r + i}") for i in range(r)]).alias("key"),
-            )
-            for b in range(bands)
-        ]
+    # one parsed inline() call instead of bands× struct/concat_ws
+    # Column trees + explode + field projection (identical rows:
+    # inline(array(struct...)) ≡ explode + struct-field select)
+    structs = ", ".join(
+        "struct({b} AS band, concat_ws(',', {cols}) AS key)".format(
+            b=b, cols=", ".join(f"sig_{b * r + i}" for i in range(r)))
+        for b in range(bands)
     )
-    return sigs.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    return sigs.selectExpr(f"`{id_col}`", f"inline(array({structs}))")
 
 
 def _banded_pairs(sigs: DataFrame, k: int, bands: int, id_col: str,
@@ -183,20 +179,18 @@ def _verify_candidates(
             sh_map.select(F.col(sh_map.columns[0]).alias("doc_b"), F.col("sh").alias("sh_b")),
             "doc_b",
         )
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-            F.size("sh_a").alias("sz_a"),
-            F.size("sh_b").alias("sz_b"),
+            "size(array_intersect(sh_a, sh_b)) AS inter",
+            "size(sh_a) AS sz_a",
+            "size(sh_b) AS sz_b",
         )
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
+            "cast(inter AS double)"
+            " / cast(sz_a + sz_b - inter AS double) AS jaccard",
         )
     )
     return out.filter(F.col("jaccard") >= F.lit(threshold))
