@@ -68,6 +68,19 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of _dot (same fold, same 0.0D double seed) —
+    parsed-SQL construction because each Python-lambda fold costs
+    ~15 py4j round-trips to build (guide §7.3)."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            "(acc, x) -> acc + x)")
+
+
+def _norm_sql(a: str) -> str:
+    """SQL-text twin of _norm."""
+    return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -103,9 +116,8 @@ def cosine_topk(
     ).withColumn("__en", _norm(F.col("ev")))
     sims = (
         e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                (_dot(F.col("qv"), F.col("ev"))
-                 / (F.col("__qn") * F.col("__en"))).alias("sim"))
+        .selectExpr("query_id", "neighbor_id",
+                    f"{_dot_sql('qv', 'ev')} / (__qn * __en) AS sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -224,7 +236,7 @@ def embedding_near_pairs(
             F.col("__id").alias("doc_b"), F.col("__v").alias("bv"),
             F.col("__n").alias("nb"), "__bkt")
         joined = a.join(b, "__bkt").filter(F.col("doc_a") < F.col("doc_b"))
-    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
+    sim = F.expr(f"{_dot_sql('av', 'bv')} / (na * nb)")
     return (
         joined.select("doc_a", "doc_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
@@ -302,30 +314,26 @@ def _assign_to_centroids(
     re-rank stages reuse it instead of re-folding the array."""
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
-    ).withColumn("__vn", _norm(F.col(vec_alias)))
+    base = df.selectExpr(
+        f"`{id_col}` AS `{id_alias}`",
+        f"transform(`{vec_col}`, x -> cast(x AS double)) AS `{vec_alias}`",
+    ).selectExpr(
+        "*", f"{_norm_sql(f'`{vec_alias}`')} AS __vn")
     norm_cols = ["__vn"] if keep_norm else []
     if n == 1:
-        cents = cent.select(
-            F.struct("centroid_id", "cv",
-                     _norm(F.col("cv")).alias("cn")).alias("c")
-        ).agg(F.sort_array(F.collect_list("c")).alias("__cents"))
-        sims = F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                (_dot(F.col(vec_alias), c["cv"])
-                 / (F.col("__vn") * c["cn"])).alias("sim"),
-                c["centroid_id"].alias("cid"),
-            ),
+        cents = cent.selectExpr(
+            f"struct(centroid_id, cv, {_norm_sql('cv')} AS cn) AS c"
+        ).agg(F.expr("sort_array(collect_list(c)) AS __cents"))
+        sims = (
+            "transform(__cents, c -> struct("
+            f"{_dot_sql(f'`{vec_alias}`', 'c.cv')} / (__vn * c.cn) AS sim, "
+            "c.centroid_id AS cid))"
         )
-        best = F.aggregate(
-            sims,
-            F.struct(
-                F.lit(float("-inf")).alias("sim"),
-                F.lit(None).cast("long").alias("cid"),
-            ),
-            lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
+        best = F.expr(
+            f"aggregate({sims}, "
+            "struct(CAST('-Infinity' AS DOUBLE) AS sim, "
+            "CAST(NULL AS BIGINT) AS cid), "
+            "(acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END)"
         )
         # coalesce to a sentinel so the column is NON-NULLABLE: the
         # downstream equi-join on centroid_id infers isnotnull(key)
@@ -346,10 +354,11 @@ def _assign_to_centroids(
         )
     w = Window.partitionBy(id_alias).orderBy(F.desc("__csim"), F.asc("centroid_id"))
     return (
-        base.join(F.broadcast(cent.withColumn("__cn", _norm(F.col("cv")))))
-        .withColumn("__csim",
-                    _dot(F.col(vec_alias), F.col("cv"))
-                    / (F.col("__vn") * F.col("__cn")))
+        base.join(F.broadcast(
+            cent.selectExpr("*", f"{_norm_sql('cv')} AS __cn")))
+        .selectExpr(
+            "*",
+            f"{_dot_sql(f'`{vec_alias}`', 'cv')} / (__vn * __cn) AS __csim")
         .withColumn("__crank", F.row_number().over(w))
         .filter(F.col("__crank") <= n)
         .select(id_alias, vec_alias, "centroid_id", *norm_cols)
@@ -430,7 +439,7 @@ def embedding_incremental_pairs_ivf(
         F.col(id_col).alias("__idb"), F.col("v").alias("bv"),
         F.col("n").alias("nb"), "centroid_id",
     )
-    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
+    sim = F.expr(f"{_dot_sql('av', 'bv')} / (na * nb)")
     pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("__ida") != F.col("__idb"))
@@ -519,7 +528,7 @@ def embedding_near_pairs_banded(
     b = keyed.select(
         F.col("__id").alias("doc_b"), F.col("__v").alias("bv"),
         F.col("__n").alias("nb"), "__band", "__bkt")
-    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
+    sim = F.expr(f"{_dot_sql('av', 'bv')} / (na * nb)")
     return (
         a.join(b, ["__band", "__bkt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -545,7 +554,7 @@ def _pairs_from_assignment(assigned: DataFrame, threshold: float,
         F.col(id_col).alias("doc_b"), F.col("v").alias("bv"),
         F.col("n").alias("nb"), "centroid_id",
     )
-    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
+    sim = F.expr(f"{_dot_sql('av', 'bv')} / (na * nb)")
     return (
         a.join(b, "centroid_id")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -698,9 +707,8 @@ def cosine_topk_ivf(
         sims = (
             e.join(F.broadcast(q), "centroid_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id",
-                    (_dot(F.col("qv"), F.col("ev"))
-                     / (F.col("__qn") * F.col("__en"))).alias("sim"))
+            .selectExpr("query_id", "neighbor_id",
+                        f"{_dot_sql('qv', 'ev')} / (__qn * __en) AS sim")
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("sim"), F.asc("neighbor_id"))
@@ -734,9 +742,8 @@ def cosine_topk_ivf(
     sims = (
         e.join(F.broadcast(q), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                (_dot(F.col("qv"), F.col("ev"))
-                 / (F.col("__qn") * F.col("__en"))).alias("sim"))
+        .selectExpr("query_id", "neighbor_id",
+                    f"{_dot_sql('qv', 'ev')} / (__qn * __en) AS sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -775,9 +782,8 @@ def cosine_topk_lsh(
     sims = (
         e.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                (_dot(F.col("qv"), F.col("ev"))
-                 / (F.col("__qn") * F.col("__en"))).alias("sim"))
+        .selectExpr("query_id", "neighbor_id",
+                    f"{_dot_sql('qv', 'ev')} / (__qn * __en) AS sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
