@@ -51,7 +51,7 @@ from __future__ import annotations
 import datetime as dt
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..dsl import EventRef, PropFilter, QueryTime
@@ -159,7 +159,10 @@ def attribution_report(
         & (F.col("__t_ts") >= F.col("__c_ts") - look),
         "left_outer",
     ).drop("__t_user")
-    unmatched = F.col("__t_id").isNull()
+    # parsed-SQL from here down (guide §7.3): the Column-tree credit
+    # pipeline was ~1100 py4j round-trips of construction per call.
+    # Expressions are term-for-term identical; double literals carry
+    # D suffixes, decimal casts name the same types.
     # the '(none)' bucket is exactly the UNMATCHED conversions (no
     # eligible touch); a matched touch whose channel value is NULL
     # stays its own (null) group — coalescing on __channel conflated
@@ -167,30 +170,29 @@ def attribution_report(
     # the DuckDB oracle keeps them separate (GROUP BY on the raw
     # channel). __t_id is never null on a matched row, so the
     # unmatched predicate is the precise discriminator.
-    channel = F.when(unmatched, F.lit(NONE_CHANNEL)).otherwise(
-        F.col("__channel"))
+    channel_sql = (f"CASE WHEN __t_id IS NULL THEN '{NONE_CHANNEL}' "
+                   "ELSE __channel END")
 
     if model in ("first_touch", "last_touch"):
-        order = (
-            [F.col("__t_ts").asc(), F.col("__t_id").asc()]
-            if model == "first_touch"
-            else [F.col("__t_ts").desc(), F.col("__t_id").desc()]
-        )
+        order = ("__t_ts ASC, __t_id ASC" if model == "first_touch"
+                 else "__t_ts DESC, __t_id DESC")
         # an unmatched conversion is alone in its partition — its
         # null-touch row ranks 1 and credits NONE_CHANNEL
-        w = Window.partitionBy(group_col, "__c_id").orderBy(*order)
         credited = (
-            joined.withColumn("__rn", F.row_number().over(w))
+            joined.selectExpr(
+                "*",
+                f"row_number() OVER (PARTITION BY `{group_col}`, __c_id "
+                f"ORDER BY {order}) AS __rn")
             .filter(F.col("__rn") == 1)
-            .select(channel.alias("__channel"), "__value")
+            .selectExpr(f"{channel_sql} AS __channel", "__value")
         )
         per_channel = credited.groupBy("__channel").agg(
-            F.count(F.lit(1)).alias("n_conversions"),
-            F.sum(F.col("__value").cast(DECIMAL_T)).cast("double")
-            .alias("revenue"),
+            F.expr("count(1) AS n_conversions"),
+            F.expr(f"cast(sum(cast(__value AS {DECIMAL_T})) AS double)"
+                   " AS revenue"),
         )
-        return per_channel.select(
-            F.col("__channel").alias("channel"), "n_conversions", "revenue")
+        return per_channel.selectExpr(
+            "__channel AS channel", "n_conversions", "revenue")
 
     # fractional models (linear / time_decay / position): split each
     # conversion's unit of credit across its eligible touches through
@@ -200,15 +202,14 @@ def attribution_report(
     # over decimals (exact, order-independent). Window partitions are
     # (user, conversion) — the same user-hash exchange the join
     # already produced, so no extra shuffle.
-    wc = Window.partitionBy(group_col, "__c_id")
+    wc_sql = f"PARTITION BY `{group_col}`, __c_id"
     if model == "linear":
-        weight = F.lit(1.0)
+        weight = "1.0D"
     elif model == "time_decay":
         # exact integer age in microseconds; the division and pow are
         # single correctly-rounded double ops on identical inputs in
         # both engines (same class as drift's ln / win_logarithmic)
-        age_us = F.unix_micros(F.col("__c_ts")) - F.unix_micros(
-            F.col("__t_ts"))
+        age_us = "(unix_micros(__c_ts) - unix_micros(__t_ts))"
         # floored at the round-9 quantum: a touch older than ~30
         # half-lives keeps weight 1e-9 instead of rounding to exactly
         # 0 — without the floor, a conversion whose EVERY touch is
@@ -216,39 +217,35 @@ def attribution_report(
         # zero (found by the r14 attribution fuzz, seed 1400003);
         # touches at the floor split equally, the only regime where
         # the quantization binds
-        weight = F.greatest(
-            F.lit(1e-9),
-            F.pow(
-                F.lit(0.5),
-                age_us.cast("double")
-                / F.lit(half_life.total_seconds() * 1e6)))
+        hl_us = half_life.total_seconds() * 1e6
+        weight = (f"greatest(1E-9D, power(0.5D, "
+                  f"cast({age_us} as double) / {hl_us!r}D))")
     else:  # position (U-shaped)
-        wo = wc.orderBy(F.col("__t_ts").asc(), F.col("__t_id").asc())
-        rn = F.row_number().over(wo)
-        k = F.count(F.lit(1)).over(wc)
+        rn = (f"row_number() OVER ({wc_sql} "
+              "ORDER BY __t_ts ASC, __t_id ASC)")
+        k = f"count(1) OVER ({wc_sql})"
         # 40/20/40 as relative weights — normalization makes k=1 a
         # 100% path and k=2 a 50/50 split automatically
-        weight = F.when(
-            (rn == 1) | (rn == k), F.lit(0.4)
-        ).otherwise(F.lit(0.2) / (k - F.lit(2)).cast("double"))
+        weight = (f"CASE WHEN {rn} = 1 OR {rn} = {k} THEN 0.4D "
+                  f"ELSE 0.2D / cast({k} - 2 as double) END")
     # an unmatched conversion's single null-touch row takes weight 1
     # and normalizes to share exactly 1.000000000 — the whole credit
     # lands on NONE_CHANNEL with no separate aggregation pass
-    weight = F.when(unmatched, F.lit(1.0)).otherwise(weight)
-    wtd = joined.withColumn(
-        "__w", F.round(weight, 9).cast(_SHARE_T))
-    share = F.round(
-        F.col("__w").cast("double")
-        / F.sum("__w").over(wc).cast("double"), 9).cast(_SHARE_T)
-    split = wtd.withColumn("__share", share).select(
-        channel.alias("__channel"),
+    weight = f"CASE WHEN __t_id IS NULL THEN 1.0D ELSE {weight} END"
+    wtd = joined.selectExpr(
+        "*", f"cast(round({weight}, 9) as {_SHARE_T}) AS __w")
+    share = (f"cast(round(cast(__w as double) / "
+             f"cast(sum(__w) OVER ({wc_sql}) as double), 9) "
+             f"as {_SHARE_T})")
+    split = wtd.selectExpr("*", f"{share} AS __share").selectExpr(
+        f"{channel_sql} AS __channel",
         "__share",
-        F.round(F.col("__share").cast("double") * F.col("__value"), 6)
-        .cast(_REV_T).alias("__rev"),
+        f"cast(round(cast(__share as double) * __value, 6) as {_REV_T})"
+        " AS __rev",
     )
     per_channel = split.groupBy("__channel").agg(
-        F.sum("__share").cast("double").alias("n_conversions"),
-        F.sum("__rev").cast("double").alias("revenue"),
+        F.expr("cast(sum(__share) as double) AS n_conversions"),
+        F.expr("cast(sum(__rev) as double) AS revenue"),
     )
-    return per_channel.select(
-        F.col("__channel").alias("channel"), "n_conversions", "revenue")
+    return per_channel.selectExpr(
+        "__channel AS channel", "n_conversions", "revenue")

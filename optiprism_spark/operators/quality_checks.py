@@ -50,26 +50,32 @@ from .aggregates import DECIMAL_T
 METRIC_DIGITS = 9
 
 
-def _spec(name: str, target: str, metric: Column,
-          lo: Optional[float], hi: Optional[float]) -> dict:
+def _spec(name: str, target: str, metric, lo: Optional[float],
+          hi: Optional[float]) -> dict:
+    """``metric`` is SQL expression text (the built-in constraint
+    builders below) or a Column (custom callers) — validate() accepts
+    both; the built-ins moved to parsed SQL because their Column
+    trees were ~150 py4j round-trips per battery (guide §7.3)."""
     return {"name": name, "target": target, "metric": metric,
             "lo": lo, "hi": hi}
 
 
-def _ratio(num: Column, den: Column) -> Column:
+def _sql_str(v: str) -> str:
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _ratio(num: str, den: str) -> str:
     """Exact-count ratio as double, NULL when the denominator is 0
     (an empty frame neither passes nor fails a fraction constraint —
     `row_count_between` is the guard for emptiness)."""
-    return F.round(
-        F.when(den > 0, num.cast("double") / den.cast("double")), METRIC_DIGITS
-    )
+    return (f"round(CASE WHEN {den} > 0 THEN cast({num} as double)"
+            f" / cast({den} as double) END, {METRIC_DIGITS})")
 
 
 def completeness(col: str, min_ratio: float = 1.0) -> dict:
     """Fraction of rows with ``col`` non-null >= min_ratio."""
-    c = F.col(col)
     return _spec(f"completeness({col})", col,
-                 _ratio(F.count(c), F.count(F.lit(1))), min_ratio, None)
+                 _ratio(f"count(`{col}`)", "count(1)"), min_ratio, None)
 
 
 def uniqueness(cols: Sequence[str] | str, min_ratio: float = 1.0,
@@ -86,18 +92,19 @@ def uniqueness(cols: Sequence[str] | str, min_ratio: float = 1.0,
     sketching so both paths measure the same quantity.
     """
     names = [cols] if isinstance(cols, str) else list(cols)
-    cs = [F.col(c) for c in names]
+    bt = ", ".join(f"`{c}`" for c in names)
     if approx:
-        all_set = reduce(lambda a, b: a & b, [c.isNotNull() for c in cs])
+        all_set = " AND ".join(f"`{c}` IS NOT NULL" for c in names)
         # sketch over the STRUCT, not a separator-joined string: a
         # value containing the separator would merge distinct tuples
         # and deterministically undercount (r13 review finding)
-        distinct = F.approx_count_distinct(F.when(all_set, F.struct(*cs)))
+        distinct = (f"approx_count_distinct(CASE WHEN {all_set} "
+                    f"THEN struct({bt}) END)")
     else:
-        distinct = F.countDistinct(*cs)
+        distinct = f"count(DISTINCT {bt})"
     label = ",".join(names)
     return _spec(f"uniqueness({label})", label,
-                 _ratio(distinct, F.count(F.lit(1))), min_ratio, None)
+                 _ratio(distinct, "count(1)"), min_ratio, None)
 
 
 def in_range(col: str, lo: float, hi: float,
@@ -105,26 +112,25 @@ def in_range(col: str, lo: float, hi: float,
     """Fraction of NON-NULL values inside [lo, hi] >= min_ratio.
     Nulls are completeness's job — counting them here would make two
     constraints fail for one defect."""
-    c = F.col(col)
-    ok = ((c >= F.lit(lo)) & (c <= F.lit(hi))).cast("long")
+    ok = (f"cast((`{col}` >= {float(lo)!r}D AND"
+          f" `{col}` <= {float(hi)!r}D) as long)")
     return _spec(f"in_range({col})", col,
-                 _ratio(F.sum(ok), F.count(c)), min_ratio, None)
+                 _ratio(f"sum({ok})", f"count(`{col}`)"), min_ratio, None)
 
 
 def non_negative(col: str, min_ratio: float = 1.0) -> dict:
-    c = F.col(col)
-    ok = (c >= F.lit(0)).cast("long")
+    ok = f"cast((`{col}` >= 0) as long)"
     return _spec(f"non_negative({col})", col,
-                 _ratio(F.sum(ok), F.count(c)), min_ratio, None)
+                 _ratio(f"sum({ok})", f"count(`{col}`)"), min_ratio, None)
 
 
 def accepted_values(col: str, values: Sequence[str],
                     min_ratio: float = 1.0) -> dict:
     """Fraction of non-null values in the accepted set >= min_ratio."""
-    c = F.col(col)
-    ok = c.isin(list(values)).cast("long")
+    vs = ", ".join(_sql_str(str(v)) for v in values)
+    ok = f"cast((`{col}` IN ({vs})) as long)"
     return _spec(f"accepted_values({col})", col,
-                 _ratio(F.sum(ok), F.count(c)), min_ratio, None)
+                 _ratio(f"sum({ok})", f"count(`{col}`)"), min_ratio, None)
 
 
 def matches_pattern(col: str, regex: str, min_ratio: float = 1.0) -> dict:
@@ -136,24 +142,21 @@ def matches_pattern(col: str, regex: str, min_ratio: float = 1.0) -> dict:
     string) — that is why they agree on unanchored patterns. For
     full-string semantics the caller must anchor explicitly with
     ^...$; never rely on either engine anchoring for you."""
-    c = F.col(col)
-    ok = c.rlike(regex).cast("long")
+    ok = f"cast((`{col}` RLIKE {_sql_str(regex)}) as long)"
     return _spec(f"matches_pattern({col})", col,
-                 _ratio(F.sum(ok), F.count(c)), min_ratio, None)
+                 _ratio(f"sum({ok})", f"count(`{col}`)"), min_ratio, None)
 
 
 def mean_between(col: str, lo: float, hi: float) -> dict:
     """DECIMAL-exact mean of ``col`` within [lo, hi]."""
-    c = F.col(col)
-    mean = F.round(
-        F.sum(c.cast(DECIMAL_T)).cast("double") / F.count(c), METRIC_DIGITS
-    )
+    mean = (f"round(cast(sum(cast(`{col}` as {DECIMAL_T})) as double)"
+            f" / count(`{col}`), {METRIC_DIGITS})")
     return _spec(f"mean_between({col})", col, mean, lo, hi)
 
 
 def row_count_between(lo: int, hi: Optional[int] = None) -> dict:
     return _spec("row_count", "*",
-                 F.count(F.lit(1)).cast("double"), float(lo),
+                 "cast(count(1) as double)", float(lo),
                  None if hi is None else float(hi))
 
 
@@ -177,7 +180,11 @@ def validate(df: DataFrame, constraints: Sequence[dict],
         # stack(0, ...) is a plan-time error with a cryptic message;
         # an empty battery is a caller bug — fail loudly here
         raise ValueError("validate() requires at least one constraint")
-    aggs = [c["metric"].alias(f"__m{i}") for i, c in enumerate(constraints)]
+    aggs = [
+        F.expr(f"{c['metric']} AS __m{i}") if isinstance(c["metric"], str)
+        else c["metric"].alias(f"__m{i}")
+        for i, c in enumerate(constraints)
+    ]
     one = (df.groupBy(*[F.col(b) for b in by]) if by else df.groupBy()
            ).agg(*aggs)
     # unpivot via stack: pure projection over the 1-row aggregate

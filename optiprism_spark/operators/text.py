@@ -152,18 +152,35 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     # inputs run one-core without this. No-op once splits >= cores.
     c = text_col
     docs = spread(docs)
-    with_words = docs.select(F.col(id_col), F.col(c), F.split(F.col(c), " ").alias("__w"))
-    w = F.col("__w")
-    return with_words.select(
-        F.col(id_col),
-        F.length(F.col(c)).alias("n_chars"),
-        ws_token_count(c, w).alias("n_tokens"),
-        bpe_token_count(c).alias("n_bpe_tokens"),
-        mean_word_len(c, w).alias("mean_word_len"),
-        stopword_ratio(c, words=w).alias("stopword_ratio"),
-        punct_ratio(c).alias("punct_ratio"),
-        lang_guess(c, words=w).alias("lang_guess"),
-        fingerprint(c, words=w).alias("fingerprint"),
+    with_words = docs.selectExpr(
+        f"`{id_col}`", f"`{c}`", f"split(`{c}`, ' ') AS __w")
+    # every stat as SQL text in ONE selectExpr (guide §7.3): the
+    # eight helper Column trees were ~800 py4j round-trips per call.
+    # Each string is the character-identical expression the helpers
+    # build (same int seeds, D-suffixed double literals, same
+    # regex text after SQL-escape doubling).
+    sw_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + ")"
+    swr = (f"cast(size(filter(__w, t -> array_contains({sw_arr}, t)))"
+           " as double) / cast(size(__w) as double)")
+    cjk = "'[\\\\u4e00-\\\\u9fff]'"
+    shingles = ("array_distinct(transform("
+                "sequence(1, greatest(size(__w) - 2, 1)), "
+                "i -> concat_ws(' ', try_element_at(__w, i), "
+                "try_element_at(__w, i + 1), try_element_at(__w, i + 2))))")
+    return with_words.selectExpr(
+        f"`{id_col}`",
+        f"length(`{c}`) AS n_chars",
+        "size(__w) AS n_tokens",
+        f"regexp_count(`{c}`, '{_BPE_SPLIT_RE_JAVA}') AS n_bpe_tokens",
+        "cast(aggregate(__w, 0, (acc, w) -> acc + length(w)) as double)"
+        " / cast(size(__w) as double) AS mean_word_len",
+        f"{swr} AS stopword_ratio",
+        f"cast(regexp_count(`{c}`, '[^\\\\w\\\\s]') as double)"
+        f" / cast(nullif(length(`{c}`), 0) as double) AS punct_ratio",
+        f"CASE WHEN `{c}` RLIKE {cjk} THEN 'zh'"
+        f" WHEN {swr} >= 0.05D THEN 'en' ELSE 'unk' END AS lang_guess",
+        f"array_join(slice(array_sort(transform({shingles}, s -> md5(s)))"
+        ", 1, 4), '') AS fingerprint",
     )
 
 
