@@ -269,7 +269,7 @@ def gate_picks(queries: dict, oracled: set[str]) -> list[str]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SF01_ORACLE_r13.json")
+    ap.add_argument("--out", default="SF01_ORACLE_r16.json")
     args = ap.parse_args()
 
     from optiprism_spark.registry import ORACLE_SQL, QUERIES
