@@ -35,10 +35,28 @@ from .aggregates import bucket_col
 
 
 def funnel_first_touch_users(
-    events: DataFrame, req: FunnelRequest, segment_users: Optional[DataFrame] = None
+    events: DataFrame, req: FunnelRequest,
+    segment_users: Optional[DataFrame] = None,
+    max_rows_per_user: Optional[int] = None,
 ) -> DataFrame:
     """Per-user first-touch conversion frame:
     (user_id, t_0 .. t_{k-1}) with nulls from the first missed step.
+
+    ``max_rows_per_user``: whale-user guard, parity with the funnel
+    machine's knob (operators/funnel.py). The single-pass aggregate
+    below buffers one collect_list of step-i timestamps per user —
+    bounded by that user's step-i event count, so a bot user with
+    millions of matching events is one multi-million-element
+    aggregation buffer (guide §2.5/§5). The guard pre-prunes each
+    user to their chronologically FIRST ``cap`` matching rows BEFORE
+    the user-hash exchange (operators/whale.cap_rows_per_key — one
+    extra narrow pass, same exchange count downstream), so both the
+    shuffle and the per-user array are bounded. Truncation is LOSSY
+    for over-cap users by design (first-touch semantics read the
+    earliest window, so the kept prefix is the relevant one);
+    default None = exact, the oracle-checked configuration.
+    Capped keys surface as observed metrics
+    (``funnel_first_touch_whale_guard``: keys_capped/max_key_rows).
 
     Single-pass shape (guide §2.4): ONE scan — pre-filtered to rows
     matching any step, so the event-type OR pushes to parquet — and
@@ -68,6 +86,14 @@ def funnel_first_touch_users(
     # exchange (None = match-all step: keep everything)
     if all(e is not None for e in step_exprs):
         df = df.filter(multi_or(list(step_exprs)))
+    if max_rows_per_user is not None:
+        from ..schema import EVENT_ID_COL
+        from .whale import cap_rows_per_key
+
+        df = cap_rows_per_key(
+            df, req.group_col, max_rows_per_user, EVENT_TIME_COL,
+            EVENT_ID_COL, keep="first",
+            observe_as="funnel_first_touch_whale_guard")
 
     def _match(i: int) -> Column:
         e = step_exprs[i]
@@ -101,12 +127,17 @@ def funnel_first_touch_users(
 
 
 def funnel_first_touch_report(
-    events: DataFrame, req: FunnelRequest, segment_users: Optional[DataFrame] = None
+    events: DataFrame, req: FunnelRequest,
+    segment_users: Optional[DataFrame] = None,
+    max_rows_per_user: Optional[int] = None,
 ) -> DataFrame:
     """Per-bucket step totals + conversion ratio + avg seconds to
-    convert, bucketed by each user's entry (t_0) timestamp."""
+    convert, bucketed by each user's entry (t_0) timestamp.
+    ``max_rows_per_user`` passes through to
+    `funnel_first_touch_users` (whale guard, default off)."""
     k = len(req.steps)
-    users = funnel_first_touch_users(events, req, segment_users)
+    users = funnel_first_touch_users(
+        events, req, segment_users, max_rows_per_user=max_rows_per_user)
     bucket = bucket_col(req.interval, "t_0")
     aggs = [
         F.sum(F.col(f"t_{i}").isNotNull().cast("long")).alias(f"step{i}_total")

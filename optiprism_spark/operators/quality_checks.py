@@ -103,8 +103,13 @@ def uniqueness(cols: Sequence[str] | str, min_ratio: float = 1.0,
     else:
         distinct = f"count(DISTINCT {bt})"
     label = ",".join(names)
-    return _spec(f"uniqueness({label})", label,
+    spec = _spec(f"uniqueness({label})", label,
                  _ratio(distinct, "count(1)"), min_ratio, None)
+    if not approx:
+        # tag the exact-distinct key set so validate() can re-plan a
+        # multi-distinct battery without the Expand (see validate)
+        spec["distinct_cols"] = names
+    return spec
 
 
 def in_range(col: str, lo: float, hi: float,
@@ -180,13 +185,55 @@ def validate(df: DataFrame, constraints: Sequence[dict],
         # stack(0, ...) is a plan-time error with a cryptic message;
         # an empty battery is a caller bug — fail loudly here
         raise ValueError("validate() requires at least one constraint")
-    aggs = [
-        F.expr(f"{c['metric']} AS __m{i}") if isinstance(c["metric"], str)
-        else c["metric"].alias(f"__m{i}")
-        for i, c in enumerate(constraints)
+    # TWO OR MORE exact count(DISTINCT) constraints in one aggregate
+    # plan as an Expand — every input row duplicated once per distinct
+    # group into the first exchange (guide §2.3: at 100 TB that is a
+    # full extra copy of the scan flowing through the aggregate). With
+    # no grouping the battery is a handful of single-row results, so
+    # re-plan: each exact-distinct count becomes its own two-phase
+    # aggregate (dedup the key grain map-side, then count — no
+    # Expand), the remaining metrics keep the ONE partial-aggregated
+    # scan, and the 1-row frames cross-join back together. Metric
+    # arithmetic is identical (same integer counts, same double
+    # division, same rounding), so results are bit-equal; only the
+    # plan shape changes. Grouped batteries (``by``) keep the
+    # single-aggregate shape — their 1-row-per-group join would cost
+    # more than the Expand saves.
+    distinct_idx = [] if by else [
+        i for i, c in enumerate(constraints) if c.get("distinct_cols")
     ]
-    one = (df.groupBy(*[F.col(b) for b in by]) if by else df.groupBy()
-           ).agg(*aggs)
+    if len(distinct_idx) >= 2:
+        plain_aggs = [
+            F.expr(f"{c['metric']} AS __m{i}")
+            if isinstance(c["metric"], str) else c["metric"].alias(f"__m{i}")
+            for i, c in enumerate(constraints) if i not in distinct_idx
+        ]
+        # the shared denominator count(1): one extra agg expression on
+        # the plain pass (free — partial-aggregated with the rest)
+        one = df.groupBy().agg(*plain_aggs, F.expr("count(1) AS __total"))
+        for i in distinct_idx:
+            cols = constraints[i]["distinct_cols"]
+            grain = df.selectExpr(*[f"`{c}`" for c in cols])
+            # count(DISTINCT ...) skips tuples with any NULL component
+            for c in cols:
+                grain = grain.filter(F.col(c).isNotNull())
+            cnt = grain.distinct().groupBy().agg(
+                F.expr(f"count(1) AS __d{i}"))
+            one = one.crossJoin(cnt)
+        one = one.select(
+            *[F.col(f"__m{i}") for i in range(len(constraints))
+              if i not in distinct_idx],
+            *[F.expr(f"{_ratio(f'__d{i}', '__total')} AS __m{i}")
+              for i in distinct_idx],
+        )
+    else:
+        aggs = [
+            F.expr(f"{c['metric']} AS __m{i}") if isinstance(c["metric"], str)
+            else c["metric"].alias(f"__m{i}")
+            for i, c in enumerate(constraints)
+        ]
+        one = (df.groupBy(*[F.col(b) for b in by]) if by else df.groupBy()
+               ).agg(*aggs)
     # unpivot via stack: pure projection over the 1-row aggregate
     cells = []
     for i, c in enumerate(constraints):

@@ -349,6 +349,7 @@ def asm_importance_sample(spark, sf_dir):
     always survive, weaker docs proportionally; kept rows carry
     keep_prob and the Horvitz-Thompson reweight so downstream counts
     stay unbiased. Pure per-row hash filter, zero shuffles."""
+    from ..operators._util import track_persist
     from ..operators.assembly import importance_sample
     from ..operators.text import quality_score
 
@@ -357,7 +358,15 @@ def asm_importance_sample(spark, sf_dir):
     # projection instead of joining the score frame back to the
     # corpus (that join was a full doc-table shuffle to reattach one
     # column the scan already had)
-    scored = quality_score(docs, keep_cols=("source",))
+    #
+    # r17: persist the compact (doc_id, source, quality_score) proxy
+    # (~24 B/row, text dropped). Without the barrier the sample
+    # filter's keep_prob predicate is pushed below the scoring
+    # projection and Catalyst INLINES the whole score expression into
+    # it — every row paid ~6 split(text) passes in the filter plus
+    # the projection's own scoring (guide §4.4's duplication, JVM
+    # flavor; the r16 mixture-sample §22 pattern is the fix).
+    scored = track_persist(quality_score(docs, keep_cols=("source",)))
     return importance_sample(
         scored, F.col("quality_score"), pivot=0.7)
 
@@ -433,14 +442,17 @@ def asm_training_pipeline_weighted(spark, sf_dir):
     computed over the SURVIVING corpus (the population the trainer
     actually sees). Every stage is individually oracled; this checks
     the stage boundaries under the new sampling ops."""
+    from ..operators._util import track_persist
     from ..operators.assembly import curriculum_phases, importance_sample
     from ..operators.dedup import exact_dedup
     from ..operators.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
     # score is 1:1 per doc: project `n_chars` through instead of a
-    # corpus self-join (see asm_importance_sample)
-    scored = quality_score(docs, keep_cols=("n_chars",))
+    # corpus self-join, and persist the compact scored proxy so the
+    # pushed-down sample filter reads the cached score instead of
+    # re-inlining the text folds (see asm_importance_sample)
+    scored = track_persist(quality_score(docs, keep_cols=("n_chars",)))
     kept = importance_sample(scored, F.col("quality_score"), pivot=0.7)
     survivors = exact_dedup(docs).select("doc_id")
     base = kept.join(survivors, "doc_id", "left_semi")

@@ -254,6 +254,19 @@ def main() -> None:
 
     measure("funnel_3step_unguarded",
             lambda: funnel_report(events, req()), app_id, results)
+    # declarative first-touch funnel (operators/funnel_df.py): its
+    # single-pass aggregate buffers one collect_list of step-i
+    # timestamps per user — the whale's list is the hazard; the guard
+    # is the same pre-shuffle cap_rows_per_key prune as the machine's
+    from optiprism_spark.operators.funnel_df import funnel_first_touch_report
+
+    measure("funnel_first_touch_guarded",
+            lambda: funnel_first_touch_report(events, req(),
+                                              max_rows_per_user=CAP),
+            app_id, results)
+    measure("funnel_first_touch_unguarded",
+            lambda: funnel_first_touch_report(events, req()),
+            app_id, results)
     measure("funnel_breakdown_guarded",
             lambda: funnel_report(
                 events, req(breakdowns=[PropertyRef.json("product_id", "int64")]),

@@ -662,3 +662,43 @@ def test_growth_ledger_single_user_exchange(spark):
     # old distinct-exchange + lag/lead-window-exchange stack is gone
     assert "partial_collect_set" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_events_battery_multi_distinct_has_no_expand(spark):
+    plan = _plan(QUERIES["dq_events_battery"](spark, SF_SMOKE))
+    # r17: the two exact uniqueness constraints plan as independent
+    # two-phase distinct aggregates (dedup the key grain map-side,
+    # then count) cross-joined onto the plain-agg pass — the old
+    # multi-distinct Expand duplicated every scanned row once per
+    # distinct group into the first exchange
+    assert "Expand" not in plan, plan
+    # the plain metrics still partial-aggregate in one scan
+    assert "partial_count" in plan, plan
+
+
+def test_ivf_auto_assignment_builds_once(spark):
+    # r17: the bucket-cap count branch must read the persisted
+    # assignment, not re-run the quantizer+assignment from parquet —
+    # exactly one scan->assignment chain under the InMemoryRelation
+    from optiprism_spark.operators.similarity import embedding_near_pairs_ivf
+    from optiprism_spark.schema import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = embedding_near_pairs_ivf(
+        emb, threshold=0.40, n_centroids="auto", max_bucket="auto")
+    plan = _plan(df)
+    try:
+        assert "InMemoryTableScan" in plan, plan
+        # the cap's anti-join must sit ABOVE the cache: before the
+        # r17 fix the persisted frame was the *capped* one, so its
+        # build plan (the text following InMemoryRelation) embedded
+        # the LeftAnti whose count branch re-ran the whole
+        # scan->assignment chain from parquet
+        relation_build = plan.split("InMemoryRelation", 1)[1]
+        head = "\n".join(relation_build.splitlines()[:4])
+        assert "LeftAnti" not in head, plan
+        assert "LeftAnti" in plan.split("InMemoryRelation", 1)[0], plan
+    finally:
+        from optiprism_spark.operators._util import unpersist_tracked
+
+        unpersist_tracked()
