@@ -142,19 +142,45 @@ def _ua_field_sqls(ua_sql: str) -> dict[str, str]:
     }
 
 
-def parse_user_agent(ua: Column) -> Column:
+_BARE_REF_RE = None  # compiled lazily below
+
+
+def parse_user_agent(ua: "Column | str") -> Column:
     """struct(browser, browser_version, os, is_mobile, device) from a
     raw user-agent string — CASE chains over the uap-core-derived
-    family table, fully JVM-side (built as one parsed SQL expression;
-    the column must resolve by name, so pass a plain column
-    reference)."""
-    from pyspark.sql.classic.column import Column as _CC
+    family table, fully JVM-side (built as one parsed SQL expression).
 
-    ua_sql = ua._jc.toString() if isinstance(ua, _CC) else str(ua)
-    fields = _ua_field_sqls(ua_sql)
+    Accepts a column NAME (str — the preferred form; backtick-quoted
+    into the SQL text verbatim) or a plain attribute-reference Column
+    (``F.col("ua")``). Arbitrary Column expressions are REJECTED with
+    a clear error: the SQL text is rebuilt from the column's string
+    form, which is not a reliable round-trip for literals (printed
+    unquoted), aliases ("x AS y" inside CASE is a parse error), or
+    dotted names (silently resolve as struct-field access) — r16
+    advice. Wrap the expression in a named projection first and pass
+    the name."""
+    global _BARE_REF_RE
+    import re
+
+    if _BARE_REF_RE is None:
+        _BARE_REF_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+    if isinstance(ua, str):
+        name = ua
+    else:
+        from pyspark.sql.classic.column import Column as _CC
+
+        printed = ua._jc.toString() if isinstance(ua, _CC) else str(ua)
+        if not _BARE_REF_RE.match(printed):
+            raise ValueError(
+                "parse_user_agent needs a column name or a bare column "
+                f"reference; got the expression {printed!r}. Project it "
+                "to a named column first (df.withColumn('ua', <expr>)) "
+                "and pass 'ua'.")
+        name = printed
+    fields = _ua_field_sqls("`" + name.replace("`", "``") + "`")
     return F.expr(
         "struct(" + ", ".join(
-            f"{sql} AS {name}" for name, sql in fields.items()) + ")")
+            f"{sql} AS {name_}" for name_, sql in fields.items()) + ")")
 
 
 def ua_enrich(

@@ -490,7 +490,11 @@ def overlap_matrix_from_day_sketches(
             .limit(int(max_dims))
         )
     # materialize once: ≤ max_dims rows of K doubles — both join
-    # sides read this frame, and recompute-on-loss is one cheap fold
+    # sides read this frame. r17 decision comment (verdict item 8):
+    # localCheckpoint blocks have no recompute path, so block loss
+    # fails the query (which the caller simply re-runs — the frame is
+    # kilobytes and rebuilt in one fold); blocks are freed by the
+    # ContextCleaner at GC, not unpersist_tracked
     merged = merged.localCheckpoint(eager=True)
     a = merged.select(F.col("dim").alias("dim_a"),
                       F.col(kmv_col).alias("__ka"))

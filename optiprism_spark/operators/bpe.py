@@ -71,8 +71,9 @@ def _char_split(word_col) -> "F.Column":
     )
 
 
-def _merge_expr(a: str, b: str) -> str:
-    """SQL fold that rewrites one symbol array, merging every
+def _merge_expr(a: str, b: str, src: str = "syms") -> str:
+    """SQL fold that rewrites one symbol array (``src`` — an array
+    expression, so batched merges chain fold-of-fold), merging every
     LEFTMOST-first non-overlapping (a, b) into a||b — the paper's
     greedy left-to-right replacement (after a merge, the new symbol
     cannot chain with the next element in the same pass)."""
@@ -86,7 +87,7 @@ def _merge_expr(a: str, b: str) -> str:
     qa, qb = q(a), q(b)
     return f"""
     aggregate(
-      syms,
+      {src},
       named_struct('acc', cast(array() as array<string>), 'open', false),
       (st, x) -> if(
         st.open and x = '{qb}',
@@ -98,12 +99,92 @@ def _merge_expr(a: str, b: str) -> str:
     )"""
 
 
+def _batchable_prefix(topk: list, remaining: int, truncated: bool) -> list:
+    """The prefix of a stale top-K pair-count collection that the
+    SEQUENTIAL greedy trainer is guaranteed to pick, in this order,
+    without recounting (guide §7.3: each recount is a driver round
+    trip; batching applies several merges per collect).
+
+    Soundness, candidate by candidate (stale = counts collected
+    before any of this batch's merges):
+
+    - The collection is the globally sorted prefix under the full
+      tie-break (cnt DESC, a ASC, b ASC), so every uncollected pair
+      ranks strictly after ``topk[-1]`` and every collected one is
+      exactly ordered.
+    - Applying merge (a, b) changes EXACTLY these counts: (x, a)
+      decreases (only at "x a b" sites), (b, y) decreases (only at
+      "a b y" sites), (a, b) itself is consumed, and pairs involving
+      the new symbol a||b are created. Every other pair — including
+      (a, y≠b) and (x≠a, b), whose sites a merge never touches — is
+      untouched, so sharing a symbol with an applied merge is NOT by
+      itself disqualifying; only the four patterns above are. A
+      created (x, a||b) / (a||b, y) occurrence requires an "x a b" /
+      "a b y" site, so its count is bounded by the stale count of
+      (x, a) / (b, y) — read off the same collection, or < topk[-1]
+      count if uncollected.
+    - The string a||b can COLLIDE with a pre-existing symbol (e.g.
+      "abc" from ("a","bc") after ("ab","c"), or a merge assembling
+      the EOW marker from punctuation) — then stale pairs referencing
+      it GAIN occurrences, bounded by stale(pair) + the creation
+      bound. The ceiling is therefore additive: spawn bound plus the
+      largest stale count referencing a||b (c_last-bounded when the
+      collection was truncated).
+    - Candidate k is therefore the next sequential argmax when (1) it
+      shares no symbol (including created ones) with an applied
+      merge — its own count is then exact, and every decreased pair
+      ranked above it was applied — and (2) its count strictly
+      exceeds the running ceiling on every pair the applied merges
+      could have created or grown (strict, so no tie-break against
+      an unknown new symbol can occur).
+
+    Stops (never skips) at the first unprovable candidate — the next
+    collect round recounts honestly."""
+    applied: list = []
+    lefts: set = set()     # a_j of applied merges: (x, a_j) decreased
+    rights: set = set()    # b_j of applied merges: (b_j, y) decreased
+    created: set = set()   # a_j||b_j: created/grown pairs, unknown count
+    ceil_new = 0
+    c_last = topk[-1]["cnt"] if topk else 0
+    floor = c_last if truncated else 0
+    for row in topk:
+        a, b, cnt = row["p"]["a"], row["p"]["b"], row["cnt"]
+        if cnt < 2:
+            break
+        if applied:
+            if (b in lefts or a in rights
+                    or a in created or b in created
+                    or (a + b) in created):
+                break
+            if cnt <= ceil_new:
+                break
+        applied.append((a, b))
+        if len(applied) >= remaining:
+            break
+        lefts.add(a)
+        rights.add(b)
+        created.add(a + b)
+        s = a + b
+        # pairs the merge can create: (x, a||b) at "x a b" sites —
+        # bounded by stale (x, a); (a||b, y) at "a b y" sites —
+        # bounded by stale (b, y)
+        spawn = max([r["cnt"] for r in topk
+                     if r["p"]["b"] == a or r["p"]["a"] == b] + [floor])
+        # pairs the merge can GROW (symbol-string collision): stale
+        # pairs already referencing the string a||b
+        grow = max([r["cnt"] for r in topk
+                    if r["p"]["a"] == s or r["p"]["b"] == s] + [floor])
+        ceil_new = max(ceil_new, spawn + grow)
+    return applied
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 50,
     text_col: str = "text",
     min_count: int = 1,
     checkpoint_every: int = 10,
+    batch_k: int = 1024,
 ) -> tuple[list, DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -111,13 +192,27 @@ def bpe_train(
     ``[(a, b), ...]`` and the (word, n, syms) frame holding every
     vocab word's final segmentation — join the corpus's words through
     it to tokenize (`bpe_segment_table`), or count tokens without
-    re-segmenting. Stops early when no pair occurs twice."""
+    re-segmenting. Stops early when no pair occurs twice.
+
+    ``batch_k``: each collect round fetches the top-``batch_k`` pairs
+    (still one tiny driver transfer — pair rows are a few symbols
+    each) and applies the provably-sequential prefix of them
+    (`_batchable_prefix`) as chained merge folds in ONE rewrite pass
+    — identical merges and vocab to the one-merge-per-round loop,
+    several-fold fewer driver round trips and materializations
+    (guide §7.3). The default is sized so early char-level rounds
+    (alphabet² + learned symbols distinct pairs) usually collect the
+    COMPLETE count table: a truncated collection forces the batch
+    ceiling to assume an uncollected pair just below the cutoff,
+    which mostly serializes the batch. ``batch_k=1`` restores the
+    strict one-per-round loop."""
     state = track_persist(word_counts(docs, text_col, min_count).select(
         "word", "n", _char_split(F.col("word")).alias("syms")
     ))
     merges: list = []
-    for i in range(n_merges):
-        pairs = (
+    rounds = 0
+    while len(merges) < n_merges:
+        topk = (
             state.select(
                 "n",
                 F.expr(
@@ -129,15 +224,20 @@ def bpe_train(
             .groupBy("p")
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("p.a"), F.asc("p.b"))
-            .limit(1)
-            .collect()  # exactly one row — the argmax pair
+            .limit(batch_k)
+            .collect()  # the globally sorted top-K prefix — tiny
         )
-        if not pairs or pairs[0]["cnt"] < 2:
+        if not topk or topk[0]["cnt"] < 2:
             break
-        top = pairs[0]["p"]
-        merges.append((top["a"], top["b"]))
-        nxt = state.withColumn("syms", F.expr(_merge_expr(top["a"], top["b"])))
-        if (i + 1) % checkpoint_every == 0:
+        batch = _batchable_prefix(
+            topk, n_merges - len(merges), truncated=len(topk) == batch_k)
+        merges.extend(batch)
+        src = "syms"
+        for a, b in batch:
+            src = _merge_expr(a, b, src)
+        nxt = state.withColumn("syms", F.expr(src))
+        rounds += 1
+        if rounds % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         else:
             nxt = track_persist(nxt)

@@ -150,7 +150,20 @@ def limit_groups(df: DataFrame, group_cols: Sequence[str], limit: int = 50,
     operators (19)-(35) — a duplicate `Scan parquet` where the design
     said cache). The checkpoint cuts the lineage BEFORE the self-join
     is formed, so both branches read the materialized partitions;
-    guide §3.3 (materialise an intermediate to truncate the plan)."""
+    guide §3.3 (materialise an intermediate to truncate the plan).
+
+    r17 decision (verdict item 8): persist-before-self-join was
+    RE-TESTED on Spark 4.1 and still leaves one duplicate scan chain
+    (the substitution miss stands), so the checkpoint stays. The
+    documented trade: checkpoint blocks have no recompute path —
+    losing an executor mid-query fails this (interactive, seconds-
+    scale) chart query instead of recomputing, and the blocks are
+    released by the ContextCleaner when the frame is garbage-
+    collected rather than by `unpersist_tracked` (an explicit release
+    would need private-API RDD-id bookkeeping that is racy under the
+    server's concurrent FAIR scheduling). The frame is
+    post-aggregation (series × buckets), orders of magnitude below
+    the fact table."""
     if persist:
         df = df.localCheckpoint(eager=True)
     order_val = F.max(order_col).alias("__ord") if order_col else F.lit(0).alias("__ord")

@@ -343,7 +343,11 @@ class RollupStore:
         merged = merge_rollups([existing, batch], self.spec)
         # localCheckpoint materializes the merged partitions so the
         # overwrite below does not read from the path it replaces; on a
-        # transactional lake this whole block is one replaceWhere commit
+        # transactional lake this whole block is one replaceWhere commit.
+        # r17 decision (verdict item 8): no recompute path is acceptable
+        # HERE because block loss fails the write BEFORE the overwrite
+        # touches the store (read happened at checkpoint time), and the
+        # maintenance loop's mark_applied idempotence re-runs the merge
         merged = merged.repartition(ROLLUP_DT_COL).localCheckpoint()
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

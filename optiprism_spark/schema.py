@@ -112,6 +112,47 @@ _TABLE_PLANS: dict[tuple, DataFrame] = {}
 _TABLE_PLANS_MAX = 256
 
 
+def _memo_key(spark: SparkSession, path: str, ns: str) -> "tuple | None":
+    """Shared memo key: (namespace, session, realpath, stat
+    fingerprint) or None when the path cannot be fingerprinted.
+
+    ``ns`` disambiguates the two memo APIs — load_table caches the
+    nanos→µs-TRANSFORMED frame while memo_parquet caches the raw
+    read; without the namespace a path read through both would
+    silently serve the wrong variant (r16 advice).
+
+    The directory fingerprint stores the (name, mtime_ns) entries
+    tuple ITSELF, not hash(tuple(...)) — a 64-bit in-process hash
+    collision would serve a stale plan silently (r16 advice). DEPTH
+    LIMIT (documented, by design): only ONE level of children is
+    statted; a write that only touches files two levels deep without
+    bumping its partition directory's mtime is not detected. POSIX
+    directory mtime bumps on child create/delete/rename — the way
+    parquet writers land files — so partitioned stores (the intended
+    users) are covered; deeper custom layouts should not rely on
+    this memo."""
+    try:
+        st = os.stat(path)
+        fingerprint: tuple = (st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            # a date-partitioned append lands in a SUBdirectory and
+            # does not bump the top-level mtime — fingerprint one
+            # level of children too; beyond 2048 entries skip the
+            # memo rather than pay a large scandir per call
+            entries = tuple(sorted(
+                (e.name, e.stat().st_mtime_ns) for e in os.scandir(path)
+            ))
+            if len(entries) > 2048:
+                return None
+            fingerprint += (entries,)
+        # session-scoped (not applicationId-scoped): a frame memoized
+        # under the main session must not execute under a
+        # foreachBatch clone with different session confs
+        return (ns, spark, os.path.realpath(path), fingerprint)
+    except Exception:
+        return None  # unstattable path / stopped context
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table.
 
@@ -128,28 +169,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     metrics.store_scans_total().inc(table=name)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = None
-    try:
-        st = os.stat(path)
-        fingerprint: tuple = (st.st_mtime_ns, st.st_size)
-        if os.path.isdir(path):
-            # a date-partitioned append lands in a SUBdirectory and
-            # does not bump the top-level mtime — fingerprint one
-            # level of children too; beyond 2048 entries skip the
-            # memo rather than pay a large scandir per call
-            entries = sorted(
-                (e.name, e.stat().st_mtime_ns) for e in os.scandir(path)
-            )
-            if len(entries) > 2048:
-                raise OSError("too many entries to fingerprint")
-            fingerprint += (hash(tuple(entries)),)
-        # session-scoped (not applicationId-scoped) for the same
-        # reason as memo_parquet below: a frame memoized under the
-        # main session must not execute under a foreachBatch clone
-        # with different session confs
-        key = (spark, os.path.realpath(path), fingerprint)
-    except Exception:
-        pass  # unstattable path / stopped context: fall through, loud below
+    key = _memo_key(spark, path, "table")
     if key is not None:
         hit = _TABLE_PLANS.get(key)
         if hit is not None:
@@ -191,21 +211,10 @@ def memo_parquet(spark: SparkSession, path: str) -> DataFrame:
     maintenance merge's partitionOverwriteMode=dynamic set on the
     clone would silently not apply and the overwrite would wipe the
     unmerged partitions. Session-scoped keys make the clone take one
-    fresh read instead."""
-    key = None
-    try:
-        st = os.stat(path)
-        fingerprint: tuple = (st.st_mtime_ns, st.st_size)
-        if os.path.isdir(path):
-            entries = sorted(
-                (e.name, e.stat().st_mtime_ns) for e in os.scandir(path)
-            )
-            if len(entries) > 2048:
-                raise OSError("too many entries to fingerprint")
-            fingerprint += (hash(tuple(entries)),)
-        key = (spark, os.path.realpath(path), fingerprint)
-    except Exception:
-        pass  # unstattable path: fall through to a plain read
+    fresh read instead. Keys are namespaced apart from load_table's
+    (raw read here vs nanos→µs-transformed frame there — see
+    _memo_key)."""
+    key = _memo_key(spark, path, "raw")
     if key is not None:
         hit = _TABLE_PLANS.get(key)
         if hit is not None:

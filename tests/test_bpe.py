@@ -118,3 +118,48 @@ def test_bpe_merge_handles_backslash_and_quote_symbols(spark):
     got = {r.word: list(r.syms) for r in seg.collect()}
     for w in ("a\\b", "don't"):
         assert got[w] == want_vocab[w], (w, got[w], want_vocab[w])
+
+
+def test_batched_merges_match_one_per_round(spark):
+    """r17: the top-K batch prefix must reproduce the strict
+    sequential loop exactly — same merges, same order, same vocab —
+    on corpora engineered to stress the batch-stop conditions
+    (symbol overlap between top pairs, chainable repeats, ties)."""
+    corpora = [
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3},
+        {"aaaa": 7, "aaab": 4, "abab": 5},            # chainable repeats
+        {"xy": 3, "yx": 3, "xx": 3, "yy": 3},         # tie storm
+        {"abc": 4, "abd": 4, "acd": 4, "bcd": 4},     # shared symbols
+        {"ab": 2, "ba": 2},                           # minimal counts
+    ]
+    for wc in corpora:
+        rows, i = [], 0
+        for w, c in wc.items():
+            for _ in range(c):
+                rows.append((i, w))
+                i += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        m_seq, seg_seq = bpe_train(docs, n_merges=12, batch_k=1)
+        v_seq = {r.word: list(r.syms) for r in seg_seq.collect()}
+        m_bat, seg_bat = bpe_train(docs, n_merges=12, batch_k=32)
+        v_bat = {r.word: list(r.syms) for r in seg_bat.collect()}
+        assert m_bat == m_seq, (wc, m_bat, m_seq)
+        assert v_bat == v_seq, wc
+        want_merges, _ = ref_bpe(wc, 12)
+        assert m_bat == want_merges, (wc, m_bat, want_merges)
+
+
+def test_batched_merges_apply_more_than_one_per_collect(spark):
+    """The batching must actually fire on a steep count distribution
+    (otherwise the round-trip saving is imaginary)."""
+    from optiprism_spark.operators.bpe import _batchable_prefix
+
+    topk = [
+        {"p": {"a": "a", "b": "b"}, "cnt": 100},
+        {"p": {"a": "a", "b": "z"}, "cnt": 90},   # (a, y!=b): count exact
+        {"p": {"a": "e", "b": "f"}, "cnt": 80},
+        {"p": {"a": "x", "b": "a"}, "cnt": 70},   # (x, a): decreased -> stop
+        {"p": {"a": "g", "b": "h"}, "cnt": 60},
+    ]
+    batch = _batchable_prefix(topk, remaining=12, truncated=False)
+    assert batch == [("a", "b"), ("a", "z"), ("e", "f")]

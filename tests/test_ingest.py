@@ -383,3 +383,29 @@ def test_sweep_emits_session_end_rows(spark, tmp_path):
     assert [r["event_type"] for r in app2.tracked] == [
         EVENT_SESSION_BEGIN, "view", "view", EVENT_SESSION_END]
     assert app2.sessions.active_count() == 0
+
+
+def test_parse_user_agent_accepts_name_and_bare_ref_only(spark):
+    """r17 (r16 advice): the SQL fast path rebuilds expression text
+    from the column's printed form, which only round-trips bare
+    references — names (str) and F.col("name") work; literals,
+    aliases, and dotted names must be rejected loudly instead of
+    parsing wrong."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from optiprism_spark.ingest import parse_user_agent
+
+    df = spark.createDataFrame(
+        [("Mozilla/5.0 (X11; CrOS x86_64) AppleWebKit/537.36 "
+          "(KHTML, like Gecko) Chrome/100.0.0.0 Safari/537.36",)],
+        "ua string")
+    by_name = df.select(parse_user_agent("ua").alias("p")).collect()[0].p
+    by_ref = df.select(parse_user_agent(F.col("ua")).alias("p")).collect()[0].p
+    assert by_name == by_ref
+    assert by_name.browser == "Chrome" and by_name.os == "Chrome OS"
+
+    for bad in (F.lit("Mozilla/5.0"), F.col("ua").alias("x"),
+                F.upper(F.col("ua")), F.col("a.b")):
+        with pytest.raises(ValueError, match="bare column reference"):
+            parse_user_agent(bad)
