@@ -550,17 +550,24 @@ def _pairs_from_assignment(assigned: DataFrame, threshold: float,
         F.col(id_col).alias("doc_a"), F.col("v").alias("av"),
         F.col("n").alias("na"), "centroid_id",
     )
-    # shuffled-hash instead of the default sort-merge (guide §3.1):
-    # both sides carry the full vector payload (~512 B/row), and SMJ
-    # sorts BOTH by centroid_id before merging — two full sorts of
-    # vector rows for an equi-join on a low-cardinality key. The hash
-    # build is bounded per task by AQE partition sizing plus the
-    # max_bucket cap upstream; measured ~12% faster on the 10×
-    # corpus, and at 100 TB the avoided payload sort is the win.
+    # NO static join-strategy hint here (r17: a forced shuffle_hash
+    # hint was tried and REVERTED — it beat sort-merge by ~12% on the
+    # 10× corpus, where SMJ sorts both vector-payload sides, but a
+    # hint outranks the planner's broadcast choice, so on any corpus
+    # whose persisted assignment fits the broadcast threshold it
+    # replaced a broadcast join with a full two-sided shuffle:
+    # measured 0.55 → 2.6 s at sf0.1, a 4.7× regression). The
+    # size-adaptive answer is AQE's runtime SMJ→SHJ rewrite
+    # (spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold,
+    # session.py): small assignments broadcast exactly as before,
+    # and at scale the planned sort-merge is converted to a
+    # shuffled-hash join at runtime — the payload sorts disappear —
+    # whenever every post-shuffle partition fits the local hash map,
+    # which the max_bucket cap upstream keeps true (guide §3.1).
     b = assigned.select(
         F.col(id_col).alias("doc_b"), F.col("v").alias("bv"),
         F.col("n").alias("nb"), "centroid_id",
-    ).hint("shuffle_hash")
+    )
     sim = F.expr(f"{_dot_sql('av', 'bv')} / (na * nb)")
     return (
         a.join(b, "centroid_id")

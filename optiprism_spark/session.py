@@ -57,6 +57,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime SMJ→SHJ rewrite (guide §3.1): when every
+        # post-shuffle partition of a planned sort-merge join fits a
+        # local hash map, AQE replaces the join and drops both sides'
+        # sorts — the win is largest for equi-joins carrying heavy
+        # payloads (IVF vector self-joins: both sides sort ~512 B/row
+        # vectors just to merge on a low-cardinality centroid key).
+        # Off by default (0); 64m matches the AQE advisory partition
+        # size, so the build side a task materializes is the same
+        # order as the shuffle partition AQE already targets —
+        # size-conditioned at runtime, NOT a local[32] constant (a
+        # skewed/giant partition simply keeps sort-merge and its
+        # graceful spill).
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.aggregatePushdown", "true")
