@@ -113,9 +113,15 @@ def minhash_signatures(
     return _base_signatures(docs, k, n, text_col, id_col).drop("sh")
 
 
-def _banded(sigs: DataFrame, k: int, bands: int, id_col: str) -> DataFrame:
+def _banded(sigs: DataFrame, k: int, bands: int, id_col: str,
+            carry_keys: bool = False) -> DataFrame:
     """(id, band, key) rows: one row per doc per band, the band key
-    being the concatenation of that band's k/bands signature slots."""
+    being the concatenation of that band's k/bands signature slots.
+
+    ``carry_keys`` additionally carries the doc's FULL band-key array
+    (``__ks``, ``bands`` short strings) on every row — what the
+    first-matching-band pair emission in `_banded_pairs` compares to
+    decide whether an earlier band already produced the pair."""
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
@@ -127,30 +133,72 @@ def _banded(sigs: DataFrame, k: int, bands: int, id_col: str) -> DataFrame:
             b=b, cols=", ".join(f"sig_{b * r + i}" for i in range(r)))
         for b in range(bands)
     )
-    return sigs.selectExpr(f"`{id_col}`", f"inline(array({structs}))")
+    cols = [f"`{id_col}`", f"inline(array({structs}))"]
+    if carry_keys:
+        keys = ", ".join(
+            "concat_ws(',', {cols})".format(
+                cols=", ".join(f"sig_{b * r + i}" for i in range(r)))
+            for b in range(bands)
+        )
+        cols.insert(1, f"array({keys}) AS __ks")
+    return sigs.selectExpr(*cols)
 
 
 def _banded_pairs(sigs: DataFrame, k: int, bands: int, id_col: str,
                   max_bucket: int = None) -> DataFrame:
     """Banding over a signature frame → distinct candidate pairs.
 
+    Pair dedup (a pair can collide in several bands) is FIRST-
+    MATCHING-BAND emission, not ``distinct()``: each banded row
+    carries its doc's full band-key array (bands short strings), and
+    the joined pair is kept only when no earlier band's keys are also
+    equal — exactly one surviving row per candidate pair, same set as
+    the distinct, with ZERO post-join shuffle (guide §2.4: the
+    distinct was a full exchange of the candidate set, the single
+    largest shuffle of the pipeline on a near-dup-rich corpus; the
+    carried keys add ~bands×8 bytes per banded row to the band-key
+    exchange instead).
+
     ``max_bucket`` drops band buckets larger than the cap BEFORE the
     self-join: a boilerplate-heavy corpus puts thousands of docs in
     one bucket, and the join output grows with bucket² — the standard
     web-scale LSH guard (oversized buckets are almost always template
-    text whose members are caught by other bands or exact dedup)."""
-    banded = _banded(sigs, k, bands, id_col)
+    text whose members are caught by other bands or exact dedup).
+    With a cap the dedup REVERTS to ``distinct()``: first-band
+    emission assumes an earlier colliding band implies the pair was
+    emitted there, but the cap can drop exactly that band's bucket
+    while a later, smaller bucket survives — first-band would then
+    lose the pair the distinct path keeps."""
     if max_bucket is not None:
         from ._util import cap_buckets
 
-        banded = cap_buckets(banded, ("band", "key"), max_bucket)
+        banded = cap_buckets(
+            _banded(sigs, k, bands, id_col), ("band", "key"), max_bucket)
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(b, ["band", "key"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"))
+            .distinct()
+        )
+    banded = _banded(sigs, k, bands, id_col, carry_keys=True)
     a = banded.alias("a")
     b = banded.alias("b")
+    # slice(ks, 1, band) = the band's PREDECESSORS (1-based slice of
+    # length `band`, empty for band 0); any elementwise equality
+    # means an earlier band already emitted this pair
+    first_band = (
+        "!exists(zip_with(slice(a.__ks, 1, band), slice(b.__ks, 1, band),"
+        " (x, y) -> x = y), h -> h)"
+    )
     return (
         a.join(b, ["band", "key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
+        .filter(F.expr(first_band))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"))
     )
 
 

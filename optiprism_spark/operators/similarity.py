@@ -651,19 +651,32 @@ def embedding_near_pairs_ivf(
         cent = _coarse_centroids(
             embeddings, n_centroids, id_col, vec_col, centroids)
         assigned = ivf_assign(embeddings, cent, id_col, vec_col)
-    # persist BEFORE the bucket cap: cap_buckets consumes `assigned`
-    # twice (bucket-size count + the anti-joined main frame), and with
-    # the persist after it the count branch re-ran the ENTIRE
-    # quantizer+assignment chain from parquet — the before plan showed
-    # two full scan→spread→argmax subtrees (guide §5: persist at the
-    # reuse point). Same rows either way; the cap filters the cached
-    # frame.
-    if persist_assignment:
+    # TWO persist points, each at a genuine reuse boundary (guide §5):
+    #
+    # 1. BEFORE the bucket cap, only when the assignment was BUILT
+    #    here: cap_buckets consumes `assigned` twice (bucket-size
+    #    count + the anti-joined main frame), and without this persist
+    #    the count branch re-ran the ENTIRE quantizer+assignment chain
+    #    from parquet (the r17 before plan showed two full
+    #    scan→spread→argmax subtrees). A store-ROUTED assignment is a
+    #    cheap memoized parquet read — caching it buys nothing and the
+    #    cap's count+anti-join would re-run on both self-join sides
+    #    (measured 0.18 → 0.84 s on the indexed query when r17 first
+    #    moved the single persist before the cap).
+    # 2. AFTER the cap, always: the pair self-join consumes the capped
+    #    frame twice; this is the persist the routed path (and r16)
+    #    always had. When both fire, the post-cap cache materializes
+    #    from the pre-cap cache — the quantizer still runs once.
+    #    Call `_util.unpersist_tracked()` after consuming the result
+    #    to release both.
+    if persist_assignment and store is None and max_bucket is not None:
         assigned = track_persist(assigned)
     if max_bucket is not None:
         from ._util import cap_buckets
 
         assigned = cap_buckets(assigned, ("centroid_id",), max_bucket)
+    if persist_assignment:
+        assigned = track_persist(assigned)
     return _pairs_from_assignment(assigned, threshold, id_col)
 
 
