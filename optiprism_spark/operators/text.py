@@ -325,19 +325,31 @@ def repeated_ngram_stats(
     # already shares the heavy shuffle between the df-count and the
     # join-back (unlike dedup's signatures frame, whose k minhash
     # columns are genuinely expensive to recompute)
+    # r17 (guide §2.4): `shingles_from_words` is array_distinct per
+    # doc, so the exploded (doc, shingle-hash) rows are ALREADY
+    # distinct — the former .distinct() was a full exchange at the
+    # widest grain of the query that deduplicated nothing (its only
+    # observable effect would be collapsing an intra-doc 64-bit hash
+    # collision, the same ~S²/2⁶⁵ caveat the hashing itself already
+    # carries). And the join only needs the BOOLEAN "doc-frequency
+    # ≥ 2", which min(doc) != max(doc) answers without distinct-count
+    # machinery: the flag aggregate's map-side partials are (h, min,
+    # max) — combinable to distinct-h grain per input partition.
+    # Exchanges: 4 → 3 (flag agg on h, pairs re-keyed on h for the
+    # join, final per-doc aggregate).
     pairs = with_words.select(
         sid, F.explode(shingles_from_words(F.col("__w"), n)).alias("__s"),
-    ).select(sid, F.xxhash64("__s").alias("__h")).distinct()
-    df_counts = pairs.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__df"))
+    ).select(sid, F.xxhash64("__s").alias("__h"))
+    flags = pairs.groupBy("__h").agg(
+        (F.min(sid) != F.max(sid)).alias("__rep"))
     return (
-        pairs.join(df_counts, "__h")
+        pairs.join(flags, "__h")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("__df") >= 2).cast("long")).alias("n_repeated"),
+            F.sum(F.col("__rep").cast("long")).alias("n_repeated"),
             F.round(
-                F.sum((F.col("__df") >= 2).cast("long")).cast("double")
+                F.sum(F.col("__rep").cast("long")).cast("double")
                 / F.count(F.lit(1)).cast("double"),
                 9,
             ).alias("repeated_fraction"),
@@ -436,14 +448,21 @@ def repeated_spans(
     # the doc-frequency side shares pos_shingles' explode (r16 — the
     # r15 measurement that favoured a separate position-free kernel
     # inverted once the pre-expansion repartition landed: one explode
-    # kernel, and the distinct's partial aggregate dedupes doc-locally
-    # exactly where array_distinct used to). The exchange carries
-    # (doc, int64) — hash applied before the distinct.
+    # kernel, and the partial aggregate collapses doc-locally exactly
+    # where array_distinct used to).
+    # r17 (guide §2.4): the filter only asks "≥2 DISTINCT docs", and
+    # min(doc) != max(doc) answers it exactly — so the former
+    # distinct() on (doc, shingle) + groupBy(shingle) count (TWO
+    # exchanges over the deduped shingle grain) is ONE plain
+    # aggregate keyed on the shingle hash: map-side partials carry
+    # (h, min, max) — combinable to distinct-h grain per input
+    # partition — and a single exchange on h remains. Same repeated
+    # set: a shingle occurs in ≥2 distinct docs iff its min and max
+    # doc ids differ.
     corpus_repeated = (
-        pos_shingles.select(sid, "__h")
-        .distinct()
-        .groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= 2)
+        pos_shingles.groupBy("__h")
+        .agg(F.min(sid).alias("__mn"), F.max(sid).alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
         .select("__h")
     )
     hits = pos_shingles.join(corpus_repeated, "__h", "left_semi")

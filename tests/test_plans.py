@@ -678,8 +678,14 @@ def test_events_battery_multi_distinct_has_no_expand(spark):
 
 def test_ivf_auto_assignment_builds_once(spark):
     # r17: the bucket-cap count branch must read the persisted
-    # assignment, not re-run the quantizer+assignment from parquet —
-    # exactly one scan->assignment chain under the InMemoryRelation
+    # assignment, not re-run the quantizer+assignment from parquet.
+    # Shape after the two-persist fix: the pre-cap assignment is one
+    # cache (built once from parquet), the capped frame is a second
+    # cache whose build is the LeftAnti reading the FIRST cache on
+    # both sides — so every LeftAnti child in the plan must be an
+    # InMemoryTableScan, and the outermost relation (the post-cap
+    # cache the pair self-join consumes twice) wraps the anti-join
+    # rather than sitting under it.
     from optiprism_spark.operators.similarity import embedding_near_pairs_ivf
     from optiprism_spark.schema import load_table
 
@@ -689,16 +695,54 @@ def test_ivf_auto_assignment_builds_once(spark):
     plan = _plan(df)
     try:
         assert "InMemoryTableScan" in plan, plan
-        # the cap's anti-join must sit ABOVE the cache: before the
-        # r17 fix the persisted frame was the *capped* one, so its
-        # build plan (the text following InMemoryRelation) embedded
-        # the LeftAnti whose count branch re-ran the whole
-        # scan->assignment chain from parquet
-        relation_build = plan.split("InMemoryRelation", 1)[1]
-        head = "\n".join(relation_build.splitlines()[:4])
-        assert "LeftAnti" not in head, plan
-        assert "LeftAnti" in plan.split("InMemoryRelation", 1)[0], plan
+        lines = plan.splitlines()
+        anti = [i for i, l in enumerate(lines) if "LeftAnti" in l]
+        assert anti, plan
+        for i in anti:
+            probe_side = "\n".join(lines[i + 1:i + 3])
+            assert "InMemoryTableScan" in probe_side, plan
+        # post-cap cache wraps the anti-join: the first relation in
+        # the plan text appears BEFORE the first LeftAnti (the old
+        # single-persist-after-cap shape had it the other way and
+        # re-ran the quantizer chain in the count branch)
+        assert plan.index("InMemoryRelation") < plan.index("LeftAnti"), plan
     finally:
         from optiprism_spark.operators._util import unpersist_tracked
 
         unpersist_tracked()
+
+
+def test_repeated_spans_doc_frequency_is_one_plain_aggregate(spark):
+    # r17: "shingle occurs in >=2 distinct docs" is min(doc)!=max(doc)
+    # keyed on the shingle hash — ONE map-side-combinable aggregate.
+    # The old distinct-(doc,h) + groupBy(h).count() pair shuffled the
+    # deduped shingle grain twice; both of those exchanges are gone.
+    plan = _plan(QUERIES["text_repeated_spans"](spark, SF_SMOKE))
+    assert "partial_min" in plan and "partial_max" in plan, plan
+    # shingle-hash flag agg + doc-grain window/island agg (the
+    # pre-expansion spread repartition is round-robin, not hash)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_repeated_ngram_stats_no_redundant_distinct(spark):
+    # r17: shingles_from_words is array_distinct per doc, so the
+    # exploded (doc, hash) rows are already unique — the plan must
+    # not contain a distinct aggregate at that grain, and the
+    # doc-frequency flag is the same min!=max single aggregate
+    plan = _plan(QUERIES["text_repeated_ngram_stats"](spark, SF_SMOKE))
+    assert "partial_min" in plan and "partial_max" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_lsh_candidates_first_band_no_distinct_exchange(spark):
+    # r17: candidate-pair dedup is first-matching-band emission — a
+    # per-row filter over the band join — NOT a distinct(): the plan
+    # must contain no aggregate at all (the old shape exchanged the
+    # full candidate set on (doc_a, doc_b))
+    from optiprism_spark.operators.dedup import lsh_candidate_pairs
+    from optiprism_spark.schema import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(lsh_candidate_pairs(docs))
+    assert "HashAggregate" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
